@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Large-scale training-data dedup + similarity-search operators over the
+  * `documents` and `embeddings` tables.
+  *
+  * Scale design (100 TB): every operator here is shuffle-bounded by an
+  * equi-join on a derived key (shingle, band signature, LSH bucket) —
+  * never an O(n²) cross join on the full corpus. The exact-jaccard
+  * verification joins only run on candidate pairs emitted by the bucketed
+  * prefilter. Signatures are fixed-width (16 minhashes / 60-bit simhash /
+  * 8-bit LSH bucket), so signature state per document is O(1) and the
+  * band/bucket join keys distribute uniformly (md5-derived).
+  *
+  * Determinism (for the DuckDB oracle): the only hash used anywhere is
+  * H(s) = first 60 bits of md5(s) as a BIGINT — portable to any engine
+  * with md5 + hex parsing. All similarity scores are exact-integer
+  * arithmetic with a final IEEE-exact double division.
+  */
+object Dedup {
+
+  private val P31 = 2147483647L // 2^31 - 1, Mersenne prime for mixing
+
+  /** Portable 60-bit md5 hash of a string column (Spark side).
+    * DuckDB side: ('0x' || substr(md5(x), 2, 15))::BIGINT. */
+  private def h60(c: Column): Column =
+    conv(substr(md5(c), lit(2), lit(15)), 16, 10).cast("long")
+
+  /** doc_id → distinct word-3-gram shingle strings. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, d, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("s"))
+      .distinct()
+  }
+
+  /** Exact pairwise jaccard over shingle sets for pairs sharing >=1
+    * shingle. Shuffle key = shingle string (uniformly distributed). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jac", $"i".cast("double") / ($"n1" + $"n2" - $"i"))
+  }
+
+  private val duckShingles = """
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
+      WHERE i <= len(w) - 2)"""
+
+  private val duckJaccard = s"""
+    WITH $duckShingles,
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jacs AS (
+      SELECT d1, d2, CAST(i AS BIGINT) AS i, CAST(s1.n AS BIGINT) AS n1,
+             CAST(s2.n AS BIGINT) AS n2,
+             CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jac
+      FROM inter
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id)"""
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Exact dedup: hash-groupBy on content digest over a corpus with
+    // planted duplicates (documents ∪ first-100 re-ids). At scale this is
+    // one shuffle on the digest — the canonical first dedup pass.
+    Q("q40_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.t(s, d, "documents")
+        val planted = docs.filter($"doc_id" < 100)
+          .withColumn("doc_id", $"doc_id" + 10000L)
+        docs.unionByName(planted)
+          .select($"doc_id", md5($"text").as("h"))
+          .groupBy($"h")
+          .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .filter($"n_copies" > 1)
+          .select($"keeper", $"n_copies", $"h")
+          .orderBy($"keeper")
+      },
+      Some("""
+        SELECT keeper, n_copies, h FROM (
+          SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+          FROM (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100)
+          GROUP BY md5(text))
+        WHERE n_copies > 1
+        ORDER BY keeper""")),
+
+    // ---- Exact n-gram jaccard near-dup pairs (the precise baseline the
+    // sketch methods below approximate). Join key = shingle.
+    Q("q41_dedup_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        jaccardPairs(s, d)
+          .filter($"jac" >= 0.8)
+          .select($"d1", $"d2", $"i", $"n1", $"n2", $"jac")
+          .orderBy($"d1", $"d2")
+      },
+      Some(s"""
+        $duckJaccard
+        SELECT d1, d2, i, n1, n2, jac FROM jacs
+        WHERE jac >= 0.8
+        ORDER BY d1, d2""")),
+
+    // ---- MinHash (16 perms) + LSH (4 bands × 4 rows): candidates from
+    // band-signature buckets only, then exact-jaccard verification of the
+    // candidates. The full-corpus work is linear; the quadratic part runs
+    // only inside buckets.
+    Q("q42_dedup_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles(s, d)
+          .select($"doc_id", (h60($"s") % P31).as("h31"))
+        // 16 universal-hash permutations h_j(x) = ((2j+1)·x + 7919j) mod P
+        val mh = sh
+          .select($"doc_id", explode(expr("sequence(0, 15)")).as("j"), $"h31")
+          .groupBy($"doc_id", $"j")
+          .agg(min(((lit(2) * $"j" + 1) * $"h31" + lit(7919L) * $"j") % P31)
+            .as("mh"))
+        val bands = mh
+          .withColumn("band", ($"j" / 4).cast("int"))
+          .groupBy($"doc_id", $"band")
+          .agg(array_join(transform(array_sort(collect_list(struct($"j", $"mh"))),
+            col => col.getField("mh").cast("string")), ",").as("sig"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .distinct()
+        val nEq = mh.as("x")
+          .join(mh.as("y"), $"x.j" === $"y.j" && $"x.mh" === $"y.mh" &&
+            $"x.doc_id" < $"y.doc_id")
+          .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+          .agg(count(lit(1)).as("n_eq"))
+        cand
+          .join(nEq, Seq("d1", "d2"), "left")
+          .join(jaccardPairs(s, d).select($"d1", $"d2", $"jac"),
+            Seq("d1", "d2"), "left")
+          .select($"d1", $"d2",
+            coalesce($"n_eq", lit(0L)).as("n_eq"),
+            (coalesce($"n_eq", lit(0L)).cast("double") / 16.0).as("est_sim"),
+            coalesce($"jac", lit(0.0)).as("jac"))
+          .filter($"jac" >= 0.8)
+          .orderBy($"d1", $"d2")
+      },
+      Some(s"""
+        $duckJaccard,
+        shh AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(s), 2, 15))::BIGINT % 2147483647 AS h31
+          FROM sh),
+        mh AS (
+          SELECT doc_id, j,
+            min(((2*j + 1) * h31 + 7919*j) % 2147483647) AS mh
+          FROM shh, generate_series(0, 15) t(j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, j // 4 AS band,
+            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+          FROM mh GROUP BY doc_id, j // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        neq AS (
+          SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_eq
+          FROM mh x JOIN mh y
+            ON x.j = y.j AND x.mh = y.mh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT c.d1, c.d2,
+          CAST(coalesce(n_eq, 0) AS BIGINT) AS n_eq,
+          CAST(coalesce(n_eq, 0) AS DOUBLE) / 16.0 AS est_sim,
+          coalesce(jac, 0.0) AS jac
+        FROM cand c
+        LEFT JOIN neq USING (d1, d2)
+        LEFT JOIN jacs USING (d1, d2)
+        WHERE coalesce(jac, 0.0) >= 0.8
+        ORDER BY d1, d2""")),
+
+    // ---- SimHash: 60-bit frequency-weighted signature per doc (linear
+    // pass), near-dups = pairs with hamming distance <= 8. O(1) state per
+    // doc; the pair scan here is exact over the small corpus — at scale
+    // the same signatures would be blocked by signature prefixes.
+    Q("q43_dedup_simhash",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.t(s, d, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+          .select($"doc_id", $"cnt", h60($"w").as("h"))
+        val bits = toks
+          .select($"doc_id", $"cnt", $"h",
+            explode(expr("sequence(0, 59)")).as("j"))
+          .withColumn("contrib",
+            $"cnt" * (expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") * 2 - 1))
+          .groupBy($"doc_id", $"j")
+          .agg(sum($"contrib").as("v"))
+          .withColumn("bit",
+            when($"v" > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+        val sig = bits.groupBy($"doc_id").agg(sum($"bit").as("sim"))
+        sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+            expr("bit_count(a.sim ^ b.sim)").cast("int").as("hamming"))
+          .filter($"hamming" <= 8)
+          .orderBy($"d1", $"d2")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, w, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents) t
+          GROUP BY doc_id, w),
+        th AS (
+          SELECT doc_id, cnt,
+            ('0x' || substr(md5(w), 2, 15))::BIGINT AS h
+          FROM toks),
+        bits AS (
+          SELECT doc_id, j,
+            sum(cnt * (((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1)) AS v
+          FROM th, generate_series(0, 59) t(j)
+          GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS sim
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 8
+        ORDER BY d1, d2""")),
+
+    // ---- Brute-force cosine top-k: the exact ANN baseline. Query set is
+    // broadcast (small side); corpus side streams — the scale-correct
+    // shape for "k queries against a huge corpus". Embeddings quantized to
+    // exact ints so scores are bit-deterministic.
+    Q("q44_sim_topk_bruteforce",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
+            .as("v"))
+        val qs = emb.filter($"vec_id" < 10)
+          .withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
+        val scored = emb.crossJoin(broadcast(qs))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("dot", expr(
+            "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("na", expr(
+            "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("nb", expr(
+            "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("cos",
+            $"dot".cast("double") / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+        scored
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+          .filter($"rn" <= 5)
+          .select($"q_id", $"rn", $"vec_id".as("neighbor"), $"cos")
+          .orderBy($"q_id", $"rn")
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+            list_dot_product(c.v, q.v) /
+              (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+          FROM w c, (SELECT * FROM w WHERE vec_id < 10) q
+          WHERE c.vec_id <> q.vec_id)
+        SELECT q_id, rn, neighbor, cos FROM (
+          SELECT q_id, neighbor, cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor ASC) AS INT) AS rn
+          FROM scored)
+        WHERE rn <= 5
+        ORDER BY q_id, rn""")),
+
+    // ---- Random-hyperplane LSH bucketing: 8 deterministic integer
+    // hyperplanes → 8-bit bucket per vector. Linear pass; the scale path
+    // for ANN (probe only the query's bucket). Output = bucket histogram.
+    Q("q45_sim_lsh_buckets",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "embeddings")
+          .select($"vec_id", posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")))
+          .withColumnRenamed("pos", "i0").withColumnRenamed("col", "x")
+          .select($"vec_id", ($"i0" + 1).as("i"), $"x",
+            explode(expr("sequence(0, 7)")).as("j"))
+          .withColumn("wgt", ($"i" * 37 + $"j" * 101) % 19 - 9)
+          .groupBy($"vec_id", $"j")
+          .agg(sum($"x" * $"wgt").as("proj"))
+          .withColumn("bit",
+            when($"proj" > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+          .groupBy($"vec_id")
+          .agg(sum($"bit").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, i, v[i] AS x
+          FROM (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v,
+                  generate_subscripts(embedding, 1) AS i
+                FROM embeddings) t),
+        proj AS (
+          SELECT vec_id, j, sum(x * ((i*37 + j*101) % 19 - 9)) AS proj
+          FROM q, generate_series(0, 7) t(j)
+          GROUP BY vec_id, j),
+        buckets AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, j) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id)
+        SELECT bucket, count(*) AS n_vectors
+        FROM buckets GROUP BY bucket ORDER BY bucket"""))
+  )
+}
