@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Text analysis, multimodal plumbing, statistical aggregates, JSON —
+  * the remaining training-data-pipeline operators plus SURVEY §2.2's
+  * statistical aggregate family.
+  *
+  * All scores are exact-integer arithmetic with final IEEE-exact double
+  * divisions; the only approximate-by-construction entries (approx_*
+  * sketches) deliberately omit the oracle (engine-specific algorithms)
+  * and are sanity-bounded in ScalaTest instead.
+  */
+object TextOps {
+
+  private val P31 = 2147483647L
+
+  /** Portable 6-decimal rounding (Spark SQL spelling). */
+  private def r6s(x: String) = s"floor(($x) * 1000000 + 0.5) / 1e6"
+  private def r6d(x: String) = s"CAST(floor(($x) * 1000000 + 0.5) AS BIGINT) / 1e6"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Token statistics (whitespace tokens + BPE-ish regex tokens).
+    Q("q46_text_tokens",
+      (s, d) => Tables.sql(s, d, s"""
+        SELECT doc_id,
+          size(split(text, ' ')) AS n_tokens,
+          size(array_distinct(split(text, ' '))) AS n_distinct,
+          length(text) AS n_chars,
+          ${r6s("length(replace(text, ' ', '')) / CAST(size(split(text, ' ')) AS DOUBLE)")} AS avg_tok_len,
+          regexp_count(text, '[a-z]+') AS n_word_runs,
+          regexp_count(text, '[0-9]+') AS n_num_runs
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id"""),
+      Some(s"""
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+          CAST(length(text) AS INT) AS n_chars,
+          ${r6d("length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS avg_tok_len,
+          CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_runs,
+          CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num_runs
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // ---- Quality scoring: stopword ratio, repetition, length band.
+    Q("q47_text_quality",
+      (s, d) => Tables.sql(s, d, s"""
+        SELECT doc_id,
+          n_stop, n_tok,
+          CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+          CAST(n_distinct AS DOUBLE) / n_tok AS uniq_ratio,
+          CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS len_ok,
+          ${r6s("(CAST(n_stop AS DOUBLE) / n_tok) * 0.3 " +
+            "+ (CAST(n_distinct AS DOUBLE) / n_tok) * 0.5 " +
+            "+ (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END) * 0.2")} AS quality
+        FROM (
+          SELECT doc_id,
+            size(filter(split(text, ' '), w -> w IN ${sqlList(stopwords)})) AS n_stop,
+            size(split(text, ' ')) AS n_tok,
+            size(array_distinct(split(text, ' '))) AS n_distinct,
+            length(text) AS n_chars
+          FROM documents)
+        ORDER BY doc_id"""),
+      Some(s"""
+        SELECT doc_id,
+          n_stop, n_tok,
+          CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+          CAST(n_distinct AS DOUBLE) / n_tok AS uniq_ratio,
+          CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS len_ok,
+          ${r6d("(CAST(n_stop AS DOUBLE) / n_tok) * 0.3 " +
+            "+ (CAST(n_distinct AS DOUBLE) / n_tok) * 0.5 " +
+            "+ (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END) * 0.2")} AS quality
+        FROM (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ${sqlList(stopwords)})) AS INT) AS n_stop,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+            CAST(length(text) AS INT) AS n_chars
+          FROM documents) t
+        ORDER BY doc_id""")),
+
+    // ---- Language ID: marker-token scoring (n-gram-profile heuristic).
+    // The corpus vocabulary is synthetic English-ish, so the interesting
+    // output is the deterministic score vector, not real-world accuracy.
+    Q("q48_text_langid",
+      (s, d) => Tables.sql(s, d, """
+        SELECT doc_id, lang AS labeled_lang,
+          s_en, s_de, s_fr,
+          CASE
+            WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS detected,
+          CASE WHEN (CASE
+            WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS agree
+        FROM (
+          SELECT doc_id, lang,
+            size(filter(split(text, ' '), w -> w IN ('the','a','is','and','of'))) AS s_en,
+            size(filter(split(text, ' '), w -> w IN ('der','die','das','und','ist'))) AS s_de,
+            size(filter(split(text, ' '), w -> w IN ('le','la','et','est','de'))) AS s_fr
+          FROM documents)
+        WHERE doc_id < 100
+        ORDER BY doc_id"""),
+      Some("""
+        SELECT doc_id, lang AS labeled_lang,
+          s_en, s_de, s_fr,
+          CASE
+            WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS detected,
+          CASE WHEN (CASE
+            WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS agree
+        FROM (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','a','is','and','of'))) AS INT) AS s_en,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('le','la','et','est','de'))) AS INT) AS s_fr
+          FROM documents) t
+        WHERE doc_id < 100
+        ORDER BY doc_id""")),
+
+    // ---- Document fingerprinting: order-insensitive content digest +
+    // order-sensitive polynomial rolling hash over the token stream.
+    Q("q49_text_fingerprint",
+      (s, d) => Tables.sql(s, d, s"""
+        SELECT doc_id,
+          md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS set_digest,
+          aggregate(
+            transform(split(text, ' '),
+              w -> CAST(conv(substr(md5(w), 2, 15), 16, 10) AS BIGINT) % $P31),
+            CAST(0 AS BIGINT),
+            (acc, x) -> (acc * 31 + x) % $P31) AS roll_hash
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+      Some(s"""
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_digest,
+          CAST(list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text, ' '),
+                w -> ('0x' || substr(md5(w), 2, 15))::BIGINT % $P31)),
+            (acc, x) -> (acc * 31 + x) % $P31) AS BIGINT) AS roll_hash
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // ---- Multimodal: binary column + partition-wise decode through the
+    // stubbed codec (graft.operators.Multimodal). Real plumbing: binary
+    // encoding, typed Dataset, mapPartitions batching.
+    Q("q50_multimodal_meta",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(Multimodal.decodePartition)
+          .toDF()
+          .select($"doc_id", $"n_bytes", $"magic", $"fake_width", $"fake_height")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          upper(hex(encode(substr(text, 1, 4)))) AS magic,
+          CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+          CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- Statistical aggregate family (stddev/var/corr/covar/regr).
+    Q("q51_stats_agg",
+      (s, d) => Tables.sql(s, d, s"""
+        SELECT l_returnflag,
+          ${r6s("stddev_samp(l_quantity)")} AS sd_s,
+          ${r6s("stddev_pop(l_quantity)")} AS sd_p,
+          ${r6s("var_samp(l_quantity)")} AS var_s,
+          ${r6s("var_pop(l_quantity)")} AS var_p,
+          ${r6s("corr(l_quantity, floor(l_discount * 100 + 0.5))")} AS cr,
+          ${r6s("covar_samp(l_quantity, floor(l_discount * 100 + 0.5))")} AS cv_s,
+          ${r6s("covar_pop(l_quantity, floor(l_discount * 100 + 0.5))")} AS cv_p,
+          ${r6s("regr_slope(l_quantity, floor(l_discount * 100 + 0.5))")} AS slope,
+          ${r6s("regr_intercept(l_quantity, floor(l_discount * 100 + 0.5))")} AS icept,
+          ${r6s("regr_r2(l_quantity, floor(l_discount * 100 + 0.5))")} AS r2,
+          regr_count(l_quantity, l_discount) AS n
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some(s"""
+        SELECT l_returnflag,
+          ${r6d("stddev_samp(l_quantity)")} AS sd_s,
+          ${r6d("stddev_pop(l_quantity)")} AS sd_p,
+          ${r6d("var_samp(l_quantity)")} AS var_s,
+          ${r6d("var_pop(l_quantity)")} AS var_p,
+          ${r6d("corr(l_quantity, floor(l_discount * 100 + 0.5))")} AS cr,
+          ${r6d("covar_samp(l_quantity, floor(l_discount * 100 + 0.5))")} AS cv_s,
+          ${r6d("covar_pop(l_quantity, floor(l_discount * 100 + 0.5))")} AS cv_p,
+          ${r6d("regr_slope(l_quantity, floor(l_discount * 100 + 0.5))")} AS slope,
+          ${r6d("regr_intercept(l_quantity, floor(l_discount * 100 + 0.5))")} AS icept,
+          ${r6d("regr_r2(l_quantity, floor(l_discount * 100 + 0.5))")} AS r2,
+          CAST(regr_count(l_quantity, l_discount) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Exact percentiles / median / deterministic mode.
+    Q("q52_percentiles",
+      (s, d) => Tables.sql(s, d, s"""
+        WITH stats AS (
+          SELECT l_linestatus,
+            ${r6s("percentile(l_quantity, 0.25)")} AS p25,
+            ${r6s("percentile(l_quantity, 0.5)")} AS p50,
+            ${r6s("percentile(l_quantity, 0.75)")} AS p75,
+            ${r6s("median(l_quantity)")} AS med
+          FROM lineitem GROUP BY l_linestatus),
+        counts AS (
+          SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        modes AS (
+          SELECT l_linestatus, q AS mode_qty FROM (
+            SELECT l_linestatus, q, row_number() OVER (
+              PARTITION BY l_linestatus ORDER BY c DESC, q ASC) AS rn
+            FROM counts) WHERE rn = 1)
+        SELECT s.l_linestatus, p25, p50, p75, med, mode_qty
+        FROM stats s JOIN modes USING (l_linestatus)
+        ORDER BY l_linestatus"""),
+      Some(s"""
+        WITH stats AS (
+          SELECT l_linestatus,
+            ${r6d("quantile_cont(l_quantity, 0.25)")} AS p25,
+            ${r6d("quantile_cont(l_quantity, 0.5)")} AS p50,
+            ${r6d("quantile_cont(l_quantity, 0.75)")} AS p75,
+            ${r6d("quantile_cont(l_quantity, 0.5)")} AS med
+          FROM lineitem GROUP BY l_linestatus),
+        counts AS (
+          SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        modes AS (
+          SELECT l_linestatus, q AS mode_qty FROM (
+            SELECT l_linestatus, q, row_number() OVER (
+              PARTITION BY l_linestatus ORDER BY c DESC, q ASC) AS rn
+            FROM counts) t WHERE rn = 1)
+        SELECT s.l_linestatus, p25, p50, p75, med, mode_qty
+        FROM stats s JOIN modes USING (l_linestatus)
+        ORDER BY l_linestatus""")),
+
+    // ---- Approximate sketches: engine-specific algorithms, so no
+    // cross-engine oracle — driver records rows>0; ScalaTest bounds the
+    // error against exact counts.
+    Q("q53_approx_sketches",
+      (s, d) => Tables.sql(s, d, """
+        SELECT l_returnflag,
+          approx_count_distinct(l_partkey) AS approx_parts,
+          approx_percentile(l_extendedprice, 0.5) AS approx_median_price,
+          count(DISTINCT l_partkey) AS exact_parts
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      None),
+
+    // ---- JSON extraction over the events props payload (Spark-side
+    // bonus surface; reference exposes no JSON functions — SURVEY §2.3).
+    Q("q54_json_props",
+      (s, d) => Tables.sql(s, d, """
+        SELECT event_type,
+          count(*) AS n,
+          CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          min(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+          max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""),
+      Some("""
+        SELECT event_type,
+          count(*) AS n,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""))
+  )
+}
