@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{AdtContext, Tables}
+import graft.sources.Fixtures
+
+/** SURVEY §2.1 source coverage: CSV / NDJSON / hive-partitioned parquet /
+  * direct-URL tables / Delta (log replay, removes, partition values,
+  * deletion vectors, checkpoints) — each scanned through the
+  * `CREATE EXTERNAL TABLE` DDL shim or reader and oracle-checked against
+  * the same rows read from the original parquet corpus. */
+object Sources {
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- CSV via DDL with declared schema (listing.rs:83-108 semantics).
+    Q("q55_csv_scan",
+      (s, d) => {
+        val dir = Fixtures.nationCsv(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"""CREATE EXTERNAL TABLE nation_csv
+          (n_nationkey INT, n_name STRING, n_regionkey INT)
+          STORED AS CSV OPTIONS(header='true') LOCATION '$dir'""")
+        ctx.sql("""
+          SELECT n_regionkey, count(*) AS n,
+            CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+            min(n_name) AS first_name
+          FROM nation_csv GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""
+        SELECT n_regionkey, count(*) AS n,
+          CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+          min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- NDJSON via DDL with schema inference (listing.rs:67-82).
+    Q("q56_ndjson_scan",
+      (s, d) => {
+        val dir = Fixtures.eventsNdjson(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(
+          s"CREATE EXTERNAL TABLE events_json STORED AS NDJSON LOCATION '$dir'")
+        ctx.sql("""
+          SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+            CAST(max(user_id) AS BIGINT) AS max_user
+          FROM events_json GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+          CAST(max(user_id) AS BIGINT) AS max_user
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- Hive-partitioned parquet: partition column comes back from the
+    // directory layout; the filter prunes partitions, not just rows.
+    Q("q57_partitioned_parquet",
+      (s, d) => {
+        val dir = Fixtures.lineitemPartitioned(s, d)
+        s.read.parquet(dir)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- Direct-URL table (enable_url_table ≡ Spark's
+    // datasource.`path` syntax — SURVEY §1.1).
+    Q("q58_url_table",
+      (s, d) => s.sql(s"""
+        SELECT o_orderpriority, count(*) AS n
+        FROM parquet.`$d/orders.parquet`
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Delta: log replay across commits incl. a remove action → live
+    // set is rows 0..19.
+    Q("q59_delta_scan",
+      (s, d) => {
+        val dir = Fixtures.deltaNation(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE nation_delta STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT n_nationkey, n_name, n_regionkey
+          FROM nation_delta ORDER BY n_nationkey""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation WHERE n_nationkey <= 19 ORDER BY n_nationkey""")),
+
+    // ---- Delta with hive partitions: n_regionkey restored from
+    // partitionValues, typed per the table schema, appended after file
+    // columns (deltatable.rs:136-189 ordering).
+    Q("q60_delta_partitioned",
+      (s, d) => {
+        val dir = Fixtures.deltaNationPartitioned(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE nation_dp STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+          FROM nation_dp WHERE n_regionkey >= 1
+          GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""
+        SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation WHERE n_regionkey >= 1
+        GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- Delta deletion vectors (inline Z85 + on-disk storage): rows
+    // 1, 3 and 13 are deleted via DV row-index skipping.
+    Q("q61_delta_dv",
+      (s, d) => {
+        val dir = Fixtures.deltaNationDv(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE nation_dv STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT n_nationkey, n_name FROM nation_dv ORDER BY n_nationkey""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey NOT IN (1, 3, 13) ORDER BY n_nationkey""")),
+
+    // ---- Delta checkpoint: state = checkpoint parquet + JSON tail.
+    Q("q62_delta_checkpoint",
+      (s, d) => {
+        val dir = Fixtures.deltaNationCheckpoint(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE nation_cp STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation_cp")
+      },
+      Some("""
+        SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation"""))
+  )
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** `CREATE EXTERNAL TABLE … STORED AS fmt [PARTITIONED BY (…)] LOCATION
+  * 'uri'` shim — the reference's DDL surface (templated in
+  * /root/reference/crates/cli/src/main.rs:54-67, factories wired in
+  * /root/reference/crates/core/src/context.rs:37-52).
+  *
+  * Mapping to Spark: each format becomes a `spark.read.format(...)` over
+  * the location, registered as a temp view. Hive-style partition
+  * discovery is Spark-native (PartitioningAwareFileIndex), so
+  * `PARTITIONED BY` columns surface automatically when the layout is
+  * hive-partitioned. AVRO is rejected exactly like the reference, where
+  * the factory is registered but the cargo feature is off
+  * (/root/reference/crates/providers/src/listing.rs:58-63 → runtime
+  * error); S3 URIs error cleanly (no hadoop-aws jar in this build).
+  */
+object Ddl {
+
+  final case class ExternalTable(
+      name: String,
+      format: String,
+      location: String,
+      schema: Option[String],
+      partitionedBy: Seq[String],
+      options: Map[String, String])
+
+  private val CreatePattern =
+    ("""(?is)\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s*(\(([^)]*)\))?\s*""" +
+      """STORED\s+AS\s+(\w+)\s*""" +
+      """(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?""" +
+      """(?:OPTIONS\s*\(([^)]*)\)\s*)?""" +
+      """LOCATION\s+'([^']+)'\s*;?\s*""").r
+
+  /** Is this statement our DDL? */
+  def matches(sql: String): Boolean =
+    CreatePattern.pattern.matcher(sql).matches()
+
+  def parse(sql: String): ExternalTable = sql match {
+    case CreatePattern(name, _, cols, fmt, parts, opts, loc) =>
+      ExternalTable(
+        name,
+        fmt.toUpperCase,
+        loc,
+        Option(cols).map(_.trim).filter(_.nonEmpty),
+        Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        Option(opts).toSeq.flatMap(_.split(","))
+          .map(_.split("=", 2).map(s => s.trim.stripPrefix("'").stripSuffix("'")))
+          .collect { case Array(k, v) => k.toLowerCase -> v }.toMap)
+    case _ =>
+      throw new IllegalArgumentException(s"not a CREATE EXTERNAL TABLE: $sql")
+  }
+
+  /** Execute the DDL: build the reader, register the view, return the df. */
+  def register(spark: SparkSession, t: ExternalTable): DataFrame = {
+    if (t.location.startsWith("s3://") || t.location.startsWith("s3a://"))
+      throw new UnsupportedOperationException(
+        "S3 object store support is not available in this build " +
+          "(no hadoop-aws); use a local path")
+    val df = t.format match {
+      case "PARQUET" => readWithSchema(spark, t, "parquet")
+      case "CSV" =>
+        val base = spark.read
+          .option("header", t.options.getOrElse("header", "true"))
+          .option("delimiter", t.options.getOrElse("delimiter", ","))
+        t.schema match {
+          case Some(ddl) => base.schema(StructType.fromDDL(ddl)).csv(t.location)
+          case None      => base.option("inferSchema", "true").csv(t.location)
+        }
+      case "JSON" | "NDJSON" => readWithSchema(spark, t, "json")
+      case "ARROW" =>
+        throw new UnsupportedOperationException(
+          "ARROW file format is not supported by this engine (documented " +
+            "deviation; see SURVEY.md §2.1)")
+      case "AVRO" =>
+        // mirror the reference: AVRO is registered but unusable
+        // (listing.rs:58-63 → runtime error, no avro feature compiled in)
+        throw new UnsupportedOperationException(
+          "AVRO format factory is not available")
+      case "DELTA" => DeltaReader.load(spark, t.location)
+      case other =>
+        throw new IllegalArgumentException(s"unknown format: $other")
+    }
+    df.createOrReplaceTempView(t.name)
+    df
+  }
+
+  private def readWithSchema(
+      spark: SparkSession, t: ExternalTable, fmt: String): DataFrame =
+    t.schema match {
+      case Some(ddl) =>
+        spark.read.schema(StructType.fromDDL(ddl)).format(fmt).load(t.location)
+      case None => spark.read.format(fmt).load(t.location)
+    }
+}

@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Runtime-generated source fixtures (FIXTURES.md "Fixtures we must
+  * generate"): CSV / NDJSON exports, a hive-partitioned parquet dir, and
+  * hand-written Delta tables (plain, multi-commit with removes,
+  * partitioned, deletion-vectored, checkpointed). Everything derives
+  * deterministically from the driver corpus, keyed by sf dir, and is
+  * created lazily exactly once per JVM. */
+object Fixtures {
+
+  private def root(d: String): File = {
+    val tag = new File(d).getName
+    new File(sys.props("java.io.tmpdir"), s"graft_fixtures_$tag")
+  }
+
+  private def ensure(d: String, name: String)(build: File => Unit): String =
+    synchronized {
+      val dir = new File(root(d), name)
+      val marker = new File(dir, "_GRAFT_READY")
+      if (!marker.exists()) {
+        if (dir.exists()) delete(dir)
+        dir.mkdirs()
+        build(dir)
+        marker.createNewFile()
+      }
+      dir.getAbsolutePath
+    }
+
+  private def delete(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+  }
+
+  // ------------------------------------------------------------- flat files
+
+  def nationCsv(s: SparkSession, d: String): String =
+    ensure(d, "nation_csv") { dir =>
+      Tables.t(s, d, "nation").orderBy("n_nationkey").coalesce(1)
+        .write.mode(SaveMode.Overwrite).option("header", "true")
+        .csv(dir.getAbsolutePath)
+    }
+
+  def eventsNdjson(s: SparkSession, d: String): String =
+    ensure(d, "events_ndjson") { dir =>
+      Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).json(dir.getAbsolutePath)
+    }
+
+  def lineitemPartitioned(s: SparkSession, d: String): String =
+    ensure(d, "lineitem_part") { dir =>
+      Tables.t(s, d, "lineitem")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("l_returnflag")
+        .parquet(dir.getAbsolutePath)
+    }
+
+  // ------------------------------------------------------------ delta tables
+
+  /** Write `df` as one parquet data file inside `table`, return its
+    * relative name. */
+  private def oneParquetFile(df: DataFrame, table: File, name: String): Long = {
+    val tmp = new File(table, s".tmp_$name")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new File(table, name)
+    Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+    delete(tmp)
+    dest.length()
+  }
+
+  private def metaJson(schemaJson: String, partCols: Seq[String]): String = {
+    val pc = partCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},"schemaString":${quote(schemaJson)},"partitionColumns":$pc,"configuration":{},"createdTime":0}}"""
+  }
+
+  private def protocolJson = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def addJson(path: String, size: Long,
+      partitionValues: Map[String, String] = Map.empty,
+      dv: Option[String] = None): String = {
+    val pv = partitionValues.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val dvPart = dv.map(j => s""","deletionVector":$j""").getOrElse("")
+    s"""{"add":{"path":"$path","partitionValues":$pv,"size":$size,"modificationTime":0,"dataChange":true$dvPart}}"""
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def writeCommit(table: File, version: Long, lines: Seq[String]): Unit = {
+    val logDir = new File(table, "_delta_log")
+    logDir.mkdirs()
+    Files.write(new File(logDir, f"$version%020d.json").toPath,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Plain delta: commit 0 adds two files (nation split), commit 1
+    * removes the second and adds a trimmed replacement → live rows are
+    * n_nationkey 0..19 (log-replay + remove semantics). */
+  def deltaNation(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation") { dir =>
+      val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
+      val schemaJson = nation.schema.json
+      val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 12), dir, "part-a.parquet")
+      val szB = oneParquetFile(nation.filter(col("n_nationkey") > 12), dir, "part-b.parquet")
+      writeCommit(dir, 0, Seq(protocolJson, metaJson(schemaJson, Nil),
+        addJson("part-a.parquet", szA), addJson("part-b.parquet", szB)))
+      val szC = oneParquetFile(
+        nation.filter(col("n_nationkey").between(13, 19)), dir, "part-c.parquet")
+      writeCommit(dir, 1, Seq(
+        """{"remove":{"path":"part-b.parquet","deletionTimestamp":1,"dataChange":true}}""",
+        addJson("part-c.parquet", szC)))
+    }
+
+  /** Hive-partitioned delta: one file per n_regionkey with the partition
+    * column only in partitionValues (split out of the file schema, as in
+    * deltatable.rs:136-189). */
+  def deltaNationPartitioned(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_part") { dir =>
+      val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
+      val schemaJson = nation.schema.json // full schema incl partition col
+      val adds = (0 to 4).map { r =>
+        val sz = oneParquetFile(
+          nation.filter(col("n_regionkey") === r).drop("n_regionkey"),
+          dir, f"part-r$r.parquet")
+        addJson(f"part-r$r.parquet", sz, Map("n_regionkey" -> r.toString))
+      }
+      writeCommit(dir, 0,
+        protocolJson +: metaJson(schemaJson, Seq("n_regionkey")) +: adds)
+    }
+
+  /** Deletion vectors: one file of nation rows sorted by key (row index i
+    * holds n_nationkey i); DV marks rows {1, 3} deleted — the reference's
+    * mixed selection-vector unit case (deltatable.rs:609-617) scaled up.
+    * Commit 0 uses an inline (Z85) DV; a second table file uses an
+    * on-disk DV to cover both storage types. */
+  def deltaNationDv(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_dv") { dir =>
+      val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
+      val schemaJson = nation.schema.json
+      val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 12), dir, "part-a.parquet")
+      val szB = oneParquetFile(nation.filter(col("n_nationkey") > 12), dir, "part-b.parquet")
+
+      // inline DV on file A: delete row indexes 1 and 3
+      val bitsA = pad4(DeletionVectors.serializeRoaringArray(Seq(1L, 3L)))
+      val dvA =
+        s"""{"storageType":"i","pathOrInlineDv":"${Z85.encode(bitsA)}","offset":0,"sizeInBytes":${bitsA.length},"cardinality":2}"""
+
+      // on-disk DV on file B: delete row index 0 (n_nationkey 13)
+      val bitsB = DeletionVectors.serializeRoaringArray(Seq(0L))
+      val dvFile = new File(dir, "deletion_vector_fixture.bin")
+      val bb = ByteBuffer.allocate(1 + 4 + bitsB.length + 4)
+        .order(ByteOrder.BIG_ENDIAN)
+      bb.put(1.toByte) // format version
+      bb.putInt(bitsB.length)
+      bb.put(bitsB)
+      val crc = new CRC32(); crc.update(bitsB)
+      bb.putInt(crc.getValue.toInt)
+      Files.write(dvFile.toPath, bb.array())
+      val dvB =
+        s"""{"storageType":"p","pathOrInlineDv":"${dvFile.getAbsolutePath}","offset":1,"sizeInBytes":${bitsB.length},"cardinality":1}"""
+
+      writeCommit(dir, 0, Seq(protocolJson, metaJson(schemaJson, Nil),
+        addJson("part-a.parquet", szA, dv = Some(dvA)),
+        addJson("part-b.parquet", szB, dv = Some(dvB))))
+    }
+
+  /** Checkpointed delta: commit 0 (meta + file A) absorbed into a
+    * checkpoint parquet, then a JSON commit 1 adds file B. Replay must
+    * stitch checkpoint state + JSON tail. */
+  def deltaNationCheckpoint(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_cp") { dir =>
+      val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
+      val schemaJson = nation.schema.json
+      val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 12), dir, "part-a.parquet")
+      val szB = oneParquetFile(nation.filter(col("n_nationkey") > 12), dir, "part-b.parquet")
+      writeCommit(dir, 0, Seq(protocolJson, metaJson(schemaJson, Nil),
+        addJson("part-a.parquet", szA)))
+      // checkpoint for version 0: same actions, columnar
+      val logDir = new File(dir, "_delta_log")
+      import s.implicits._
+      val cpTmp = new File(dir, ".tmp_cp")
+      s.read.json(Seq(protocolJson, metaJson(schemaJson, Nil),
+        addJson("part-a.parquet", szA)).toDS())
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(cpTmp.getAbsolutePath)
+      val cpPart = cpTmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(cpPart.toPath,
+        new File(logDir, f"${0L}%020d.checkpoint.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      delete(cpTmp)
+      Files.write(new File(logDir, "_last_checkpoint").toPath,
+        """{"version":0,"size":3}""".getBytes(StandardCharsets.UTF_8))
+      writeCommit(dir, 1, Seq(addJson("part-b.parquet", szB)))
+    }
+
+  private def pad4(b: Array[Byte]): Array[Byte] =
+    if (b.length % 4 == 0) b else b ++ new Array[Byte](4 - b.length % 4)
+}

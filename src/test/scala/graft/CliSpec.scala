@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Ddl
+
+/** CLI shell contracts from the reference
+  * (/root/reference/crates/cli/src/main.rs:103-137, cli.rs:44-90). */
+class CliSpec extends AnyFunSuite {
+
+  test("statement splitter: comments, line-end semicolons, trailing stmt") {
+    val lines = Seq(
+      "-- a comment",
+      "SELECT 1",
+      "FROM t;",
+      "SELECT 'a;b'",   // mid-line ';' must NOT split (main.rs:112-119)
+      "FROM u;",
+      "-- another comment",
+      "SELECT trailing") // no ';' — still runs (main.rs:130-136)
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts == Seq(
+      "SELECT 1 FROM t",
+      "SELECT 'a;b' FROM u",
+      "SELECT trailing"))
+  }
+
+  test("DDL shim parses the reference's templated form") {
+    val t = Ddl.parse(
+      "CREATE EXTERNAL TABLE tbl STORED AS PARQUET PARTITIONED BY (p) " +
+        "LOCATION '/some/path'")
+    assert(t.name == "tbl" && t.format == "PARQUET" &&
+      t.partitionedBy == Seq("p") && t.location == "/some/path")
+  }
+
+  test("DDL shim parses declared schema and options") {
+    val t = Ddl.parse("""CREATE EXTERNAL TABLE c (a INT, b STRING)
+      STORED AS CSV OPTIONS(header='false', delimiter='|')
+      LOCATION '/x'""")
+    assert(t.schema.contains("a INT, b STRING"))
+    assert(t.options == Map("header" -> "false", "delimiter" -> "|"))
+  }
+
+  test("AVRO is rejected like the reference (dead factory)") {
+    val ctx = new AdtContext(SparkTestSession.spark)
+    val e = intercept[UnsupportedOperationException] {
+      ctx.sql("CREATE EXTERNAL TABLE a STORED AS AVRO LOCATION '/x'")
+    }
+    assert(e.getMessage.contains("AVRO"))
+  }
+
+  test("S3 locations error cleanly (no hadoop-aws in this build)") {
+    val ctx = new AdtContext(SparkTestSession.spark)
+    val e = intercept[UnsupportedOperationException] {
+      ctx.sql("CREATE EXTERNAL TABLE s STORED AS PARQUET LOCATION 's3://b/k'")
+    }
+    assert(e.getMessage.toLowerCase.contains("s3"))
+  }
+
+  test("view flow end-to-end: DDL + blind limit suffix + formatter") {
+    val ctx = new AdtContext(SparkTestSession.spark)
+    ctx.sql("CREATE EXTERNAL TABLE tbl STORED AS PARQUET " +
+      s"LOCATION '${SparkTestSession.sfDir}/nation.parquet'")
+    val df = ctx.sql("select n_name from tbl order by n_nationkey limit 3")
+    val rendered = Output.format(df)
+    assert(rendered.contains("NATION_0"))
+    assert(rendered.startsWith("+-"))
+  }
+}
