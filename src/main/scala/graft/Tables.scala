@@ -33,11 +33,19 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Register every corpus table as a temp view (idempotent) and return
-    * the session, so `spark.sql` can reference them by name exactly like
-    * the reference's registered external tables. */
+  // last corpus dir registered per session — registration costs ~0.7s
+  // (10 parquet footer reads), so repeat calls for the same dir skip it
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every corpus table as a temp view (idempotent per dir) and
+    * return the session, so `spark.sql` can reference them by name exactly
+    * like the reference's registered external tables. */
   def register(spark: SparkSession, dir: String): SparkSession = {
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.get(spark) != dir) {
+      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
     spark
   }
 

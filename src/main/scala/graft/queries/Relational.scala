@@ -567,6 +567,22 @@ object Relational {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name""")),
 
+    // ---- Recursive CTE (DataFusion 48's RecursiveQueryExec ↔ Spark
+    // 4.1's WITH RECURSIVE — verified native support, SURVEY §2.2).
+    Q("q63_recursive_cte",
+      (s, d) => Tables.sql(s, d, """
+        WITH RECURSIVE r(n) AS (
+          SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 90)
+        SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(n) AS BIGINT) AS s,
+               CAST(max(n) AS INT) AS mx
+        FROM r"""),
+      Some("""
+        WITH RECURSIVE r(n) AS (
+          SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 90)
+        SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(n) AS BIGINT) AS s,
+               CAST(max(n) AS INT) AS mx
+        FROM r""")),
+
     // ---- VALUES inline relation joined against a table.
     Q("q25_values",
       (s, d) => Tables.sql(s, d, """

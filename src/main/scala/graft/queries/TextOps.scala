@@ -253,14 +253,23 @@ object TextOps {
     // ---- Approximate sketches: engine-specific algorithms, so no
     // cross-engine oracle — driver records rows>0; ScalaTest bounds the
     // error against exact counts.
+    // (sketches and exact-distinct are aggregated separately and joined:
+    // mixing them in one aggregate forces a row-expanding distinct rewrite
+    // that drags the sketch buffers through the expanded stream — ~10x
+    // slower at sf0.1)
     Q("q53_approx_sketches",
       (s, d) => Tables.sql(s, d, """
-        SELECT l_returnflag,
-          approx_count_distinct(l_partkey) AS approx_parts,
-          approx_percentile(l_extendedprice, 0.5) AS approx_median_price,
-          count(DISTINCT l_partkey) AS exact_parts
-        FROM lineitem
-        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+        WITH ap AS (
+          SELECT l_returnflag,
+            approx_count_distinct(l_partkey) AS approx_parts,
+            approx_percentile(l_extendedprice, 0.5) AS approx_median_price
+          FROM lineitem GROUP BY l_returnflag),
+        ex AS (
+          SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT ap.l_returnflag, approx_parts, approx_median_price, exact_parts
+        FROM ap JOIN ex USING (l_returnflag)
+        ORDER BY l_returnflag"""),
       None),
 
     // ---- JSON extraction over the events props payload (Spark-side

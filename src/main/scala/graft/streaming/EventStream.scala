@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is batch-only (SURVEY §2.4) — this module is part of the
+  * engine's forward surface: the same time-bucketed aggregation the batch
+  * path runs (queries.Funcs q38) expressed as a streaming query with a
+  * watermark, so the identical logic can run over a live feed at scale
+  * (state is bounded by the watermark; the shuffle key is the window ×
+  * event_type pair).
+  *
+  * Tested by replaying the parquet corpus through the file source and
+  * comparing against the batch answer (StreamingSpec).
+  */
+object EventStream {
+
+  /** events.parquet carries timestamp[ns] — the stream reads it as raw
+    * nanos (same nanosAsLong contract as graft.Tables) and truncates to
+    * microseconds. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos via nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the corpus file(s). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Daily windowed counts + cents sums per event type, 1-day watermark.
+    * Append-mode compatible: results emit when the watermark passes the
+    * window end. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("cents"))
+
+  /** Run the streaming query to completion over the (finite) file source
+    * via the memory sink; returns the collected result table. */
+  def runToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "events_daily"): DataFrame = {
+    val q = dailyCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}
