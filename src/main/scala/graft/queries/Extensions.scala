@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{GapFunctions, WeightedPercentile}
+
+/** Custom-function coverage (SURVEY §2.3 gaps + §2.5 extension points)
+  * and the remaining ANN operators: gap scalars composed from Catalyst
+  * primitives, a typed Aggregator UDAF, embedding-cosine near-dup pairs,
+  * and an IVF-style bucketed ANN variant. */
+object Extensions {
+
+  /** Quantized int embedding vector column. */
+  private val QV =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+  private val duckQV =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- date_bin gap function: 6-hour buckets anchored at 2000-01-01
+    // (DataFusion date_bin ≡ DuckDB time_bucket anchor).
+    Q("q64_date_bin",
+      (s, d) => {
+        val events = Tables.t(s, d, "events")
+        events
+          .withColumn("bucket",
+            GapFunctions.dateBinSeconds(col("ts"), 6 * 3600L))
+          .groupBy(date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bin"))
+          .limit(40)
+      },
+      Some("""
+        SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M') AS bin,
+               count(*) AS n
+        FROM events
+        GROUP BY time_bucket(INTERVAL 6 HOUR, ts)
+        ORDER BY bin
+        LIMIT 40""")),
+
+    // ---- Weighted exact percentile via custom typed Aggregator UDAF
+    // (§2.5: DataFusion approx_percentile_cont_with_weight analogue).
+    Q("q65_weighted_percentile",
+      (s, d) => {
+        WeightedPercentile.register(s)
+        Tables.sql(s, d, """
+          SELECT l_returnflag,
+            weighted_p50(CAST(l_quantity AS BIGINT),
+                         CAST(l_linenumber AS BIGINT)) AS wp50
+          FROM lineitem
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""
+        WITH g AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                 CAST(sum(l_linenumber) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2),
+        c AS (
+          SELECT l_returnflag, v, w,
+            CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cw,
+            CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+          FROM g)
+        SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wp50
+        FROM c WHERE cw * 2 >= tw
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- §2.3 gap array functions (resize / pop_front / pop_back).
+    Q("q66_array_gaps",
+      (s, d) => {
+        val base = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), expr(QV).as("v"))
+          .filter(col("vec_id") < 30)
+        base.select(
+          col("vec_id"),
+          GapFunctions.arrayResize(col("v"), 8, lit(0L)).as("resized"),
+          slice(GapFunctions.arrayPopFront(col("v")), 1, 3).as("popped_front"),
+          size(GapFunctions.arrayPopBack(col("v"))).as("popback_len"),
+          GapFunctions.digest(col("vec_id").cast("string"), "sha256").as("dg"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        SELECT vec_id,
+          list_resize($duckQV, 8, 0) AS resized,
+          ($duckQV)[2:4] AS popped_front,
+          CAST(len($duckQV) - 1 AS INT) AS popback_len,
+          sha256(CAST(vec_id AS VARCHAR)) AS dg
+        FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""")),
+
+    // ---- Embedding-cosine near-dup pairs: exact pairwise over quantized
+    // ints (the LSH buckets of q45 are the scale-path prefilter for this).
+    Q("q67_dedup_embedding",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), expr(QV).as("v"))
+        val withNorm = emb.withColumn("nn", expr(
+          "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("cos", col("dot").cast("double") /
+            (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
+          .filter(col("cos") >= 0.4)
+          .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("cos"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings)
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+          list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM w a JOIN w b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        ORDER BY d1, d2""")),
+
+    // ---- IVF-style ANN: deterministic "centroids" (first 8 vectors),
+    // every vector assigned to its max-cosine centroid (broadcast
+    // centroid set — the inverted-file partitioning a real IVF probes).
+    Q("q68_sim_ivf",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), expr(QV).as("v"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val scored = emb.crossJoin(broadcast(cents))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("nv", expr(
+            "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("nc", expr(
+            "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("cos", col("dot").cast("double") /
+            (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+        val assigned = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .filter(col("rn") === 1)
+        assigned.groupBy(col("c_id"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("vec_id")).as("first_member"))
+          .orderBy(col("c_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        scored AS (
+          SELECT w.vec_id, c.c_id,
+            list_dot_product(w.v, c.cv) /
+              (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM w CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, c_id FROM (
+            SELECT vec_id, c_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, c_id ASC) AS rn
+            FROM scored) t
+          WHERE rn = 1)
+        SELECT c_id, count(*) AS n_members,
+          CAST(min(vec_id) AS BIGINT) AS first_member
+        FROM assigned GROUP BY c_id ORDER BY c_id"""))
+  )
+}

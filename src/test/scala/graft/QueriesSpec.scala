@@ -21,7 +21,8 @@ class QueriesSpec extends AnyFunSuite {
 
   // Sketch/near-dup pair queries can legitimately be empty at the tiny SF.
   private val mayBeEmpty = Set(
-    "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash")
+    "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
+    "q67_dedup_embedding")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
