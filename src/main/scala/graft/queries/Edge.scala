@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+
+/** Remaining §2.2/§2.3 edge surfaces: bag-semantics set ops, ordered-set
+  * (WITHIN GROUP) aggregates, decimal arithmetic, map functions, and
+  * window value functions with explicit frames. */
+object Edge {
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- INTERSECT ALL / EXCEPT ALL (bag semantics).
+    Q("q69_setops_all",
+      (s, d) => Tables.sql(s, d, """
+        SELECT 'intersect_all' AS op, count(*) AS n FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 48
+          INTERSECT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        UNION ALL
+        SELECT 'except_all' AS op, count(*) AS n FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 48
+          EXCEPT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        ORDER BY op"""),
+      Some("""
+        SELECT 'intersect_all' AS op, count(*) AS n FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 48
+          INTERSECT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R') t1
+        UNION ALL
+        SELECT 'except_all' AS op, count(*) AS n FROM (
+          SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 48
+          EXCEPT ALL
+          SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R') t2
+        ORDER BY op""")),
+
+    // ---- Ordered-set aggregates: percentile_cont/disc WITHIN GROUP.
+    Q("q70_within_group",
+      (s, d) => Tables.sql(s, d, """
+        SELECT l_returnflag,
+          floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                * 1000000 + 0.5) / 1e6 AS pc50,
+          CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS pd25
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some("""
+        SELECT l_returnflag,
+          CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+               * 1000000 + 0.5) AS BIGINT) / 1e6 AS pc50,
+          CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS pd25
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- Decimal type: exact fixed-point arithmetic end to end (§1.2
+    // Decimal(p,s) mapping). Sums/products stay in decimal, no doubles.
+    Q("q71_decimal",
+      (s, d) => Tables.sql(s, d, """
+        SELECT o_orderpriority,
+          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
+          CAST(max(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
+          CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      Some("""
+        SELECT o_orderpriority,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
+          CAST(max(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
+          CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Map construction, key/value extraction, element access.
+    Q("q72_map_funcs",
+      (s, d) => Tables.sql(s, d, """
+        SELECT n_nationkey,
+          map('key', CAST(n_nationkey AS STRING), 'name', n_name)['name'] AS m_name,
+          array_join(array_sort(map_keys(
+            map('a', n_nationkey, 'b', n_regionkey))), ',') AS keys_sorted,
+          element_at(map('x', n_regionkey), 'x') AS m_val,
+          size(map('a', 1, 'b', 2)) AS m_size
+        FROM nation ORDER BY n_nationkey"""),
+      Some("""
+        SELECT n_nationkey,
+          MAP(['key', 'name'], [CAST(n_nationkey AS VARCHAR), n_name])['name'][1] AS m_name,
+          array_to_string(list_sort(map_keys(
+            MAP(['a', 'b'], [n_nationkey, n_regionkey]))), ',') AS keys_sorted,
+          element_at(MAP(['x'], [n_regionkey]), 'x')[1] AS m_val,
+          CAST(cardinality(MAP(['a', 'b'], [1, 2])) AS INT) AS m_size
+        FROM nation ORDER BY n_nationkey"""))
+  )
+}
