@@ -88,15 +88,34 @@ object Extensions {
           sha256(CAST(vec_id AS VARCHAR)) AS dg
         FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""")),
 
-    // ---- Embedding-cosine near-dup pairs: exact pairwise over quantized
-    // ints (the LSH buckets of q45 are the scale-path prefilter for this).
+    // ---- Embedding-cosine near-dup pairs, LSH-blocked: pairs are only
+    // compared inside the same 8-bit hyperplane bucket (the q45 blocking),
+    // so the pair scan is Σ bucket² instead of n² — the shape that
+    // survives 100 TB. The oracle mirrors the identical deterministic
+    // blocking, so recall trade-offs are part of the checked semantics.
+    // (The exact-pair baseline at full precision is q44's top-k.)
     Q("q67_dedup_embedding",
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), expr(QV).as("v"))
-        val withNorm = emb.withColumn("nn", expr(
-          "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+        val buckets = emb
+          .select(col("vec_id"), posexplode(col("v")))
+          .withColumnRenamed("pos", "i0").withColumnRenamed("col", "x")
+          .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"),
+            explode(expr("sequence(0, 7)")).as("j"))
+          .withColumn("wgt", (col("i") * 37 + col("j") * 101) % 19 - 9)
+          .groupBy(col("vec_id"), col("j"))
+          .agg(sum(col("x") * col("wgt")).as("proj"))
+          .withColumn("bit",
+            when(col("proj") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("bit")).as("bucket"))
+        val withB = emb.join(buckets, "vec_id")
+          .withColumn("nn", expr(
+            "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        withB.as("a")
+          .join(withB.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .withColumn("dot", expr(
             "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
           .withColumn("cos", col("dot").cast("double") /
@@ -110,13 +129,28 @@ object Extensions {
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
-          FROM embeddings)
+          FROM embeddings),
+        q AS (
+          SELECT vec_id, i, v[i] AS x
+          FROM (SELECT vec_id, v, generate_subscripts(v, 1) AS i FROM w) t),
+        proj AS (
+          SELECT vec_id, j, sum(x * ((i*37 + j*101) % 19 - 9)) AS proj
+          FROM q, generate_series(0, 7) t(j)
+          GROUP BY vec_id, j),
+        buckets AS (
+          SELECT vec_id,
+            CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, j) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id)
         SELECT a.vec_id AS d1, b.vec_id AS d2,
-          list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        FROM w a JOIN w b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+          list_dot_product(wa.v, wb.v) /
+            (sqrt(list_dot_product(wa.v, wa.v)) * sqrt(list_dot_product(wb.v, wb.v))) AS cos
+        FROM buckets a
+        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN w wa ON wa.vec_id = a.vec_id
+        JOIN w wb ON wb.vec_id = b.vec_id
+        WHERE list_dot_product(wa.v, wb.v) /
+            (sqrt(list_dot_product(wa.v, wa.v)) * sqrt(list_dot_product(wb.v, wb.v))) >= 0.4
         ORDER BY d1, d2""")),
 
     // ---- IVF-style ANN: deterministic "centroids" (first 8 vectors),
