@@ -69,6 +69,51 @@ object Edge {
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- Window value functions: nth_value, first/last with explicit
+    // frames and IGNORE NULLS.
+    Q("q73_window_values",
+      (s, d) => Tables.sql(s, d, """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          nth_value(CAST(l_quantity AS BIGINT), 2) OVER wf AS second_qty,
+          last_value(CAST(l_quantity AS BIGINT)) OVER wf AS last_qty,
+          first_value(nullif(CAST(l_quantity AS BIGINT), 1)) IGNORE NULLS
+            OVER wf AS first_not_one
+        FROM lineitem
+        WHERE l_suppkey = 1
+        WINDOW wf AS (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber"""),
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          nth_value(CAST(l_quantity AS BIGINT), 2) OVER wf AS second_qty,
+          last_value(CAST(l_quantity AS BIGINT)) OVER wf AS last_qty,
+          first_value(nullif(CAST(l_quantity AS BIGINT), 1) IGNORE NULLS)
+            OVER wf AS first_not_one
+        FROM lineitem
+        WHERE l_suppkey = 1
+        WINDOW wf AS (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- Statement surface: EXPLAIN / SET / SHOW TABLES / DESCRIBE run
+    // and return rows (plan text differs per engine → rows-only check).
+    Q("q74_statements",
+      (s, d) => {
+        Tables.register(s, d)
+        val explainRows = s.sql(
+          "EXPLAIN SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").count()
+        val setRows = s.sql("SET spark.sql.shuffle.partitions").count()
+        val showRows = s.sql("SHOW TABLES").count()
+        val descRows = s.sql("DESCRIBE TABLE nation").count()
+        import s.implicits._
+        Seq(("explain", explainRows > 0), ("set", setRows > 0),
+          ("show_tables", showRows > 0), ("describe", descRows > 0))
+          .toDF("stmt", "returns_rows").orderBy("stmt")
+      },
+      None),
+
     // ---- Map construction, key/value extraction, element access.
     Q("q72_map_funcs",
       (s, d) => Tables.sql(s, d, """
