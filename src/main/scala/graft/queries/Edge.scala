@@ -3,11 +3,45 @@ package graft.queries
 import graft.Tables
 
 /** Remaining §2.2/§2.3 edge surfaces: bag-semantics set ops, ordered-set
-  * (WITHIN GROUP) aggregates, decimal arithmetic, map functions, and
-  * window value functions with explicit frames. */
+  * (WITHIN GROUP) aggregates, decimal arithmetic, map functions, window
+  * value functions with explicit frames, and typed-Dataset stateful
+  * sessionization checked against a gaps-and-islands SQL oracle. */
 object Edge {
 
   val defs: Seq[Q] = Seq(
+
+    // ---- Gap-based sessionization through the typed flatMapGroups
+    // kernel (same fold the streaming flatMapGroupsWithState path uses);
+    // the oracle is the classic gaps-and-islands SQL formulation.
+    Q("q76_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.streaming.Sessionize.runBatch(s, d)
+          .orderBy(col("user_id"), col("start_s"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+          FROM events),
+        o AS (
+          SELECT user_id, epoch_s, value_c,
+            CASE WHEN lag(epoch_s) OVER w IS NULL
+                   OR epoch_s - lag(epoch_s) OVER w > 1800
+                 THEN 1 ELSE 0 END AS brk
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, value_c)),
+        sgrp AS (
+          SELECT user_id, epoch_s, value_c,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY epoch_s, value_c
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id, CAST(min(epoch_s) AS BIGINT) AS start_s,
+               CAST(max(epoch_s) AS BIGINT) AS end_s,
+               count(*) AS n_events,
+               CAST(sum(value_c) AS BIGINT) AS cents
+        FROM sgrp GROUP BY user_id, sid
+        ORDER BY user_id, start_s""")),
 
     // ---- INTERSECT ALL / EXCEPT ALL (bag semantics).
     Q("q69_setops_all",
@@ -113,6 +147,34 @@ object Edge {
           .toDF("stmt", "returns_rows").orderBy("stmt")
       },
       None),
+
+    // ---- Array set algebra + search (§2.3 nested-function rows:
+    // array_except/intersect/union/position, string_to_array).
+    Q("q75_array_setops",
+      (s, d) => Tables.sql(s, d, """
+        SELECT doc_id,
+          array_sort(array_except(slice(split(text, ' '), 1, 12),
+                                  slice(split(text, ' '), 5, 12))) AS only_head,
+          array_sort(array_intersect(slice(split(text, ' '), 1, 12),
+                                     slice(split(text, ' '), 5, 12))) AS both_parts,
+          size(array_union(slice(split(text, ' '), 1, 12),
+                           slice(split(text, ' '), 5, 12))) AS union_n,
+          CAST(array_position(slice(split(text, ' '), 1, 12),
+                              element_at(split(text, ' '), 3)) AS BIGINT) AS pos3
+        FROM documents WHERE doc_id < 60 ORDER BY doc_id"""),
+      Some("""
+        SELECT doc_id,
+          list_sort(list_distinct(list_filter(head,
+            w -> NOT list_contains(mid, w)))) AS only_head,
+          list_sort(list_distinct(list_filter(head,
+            w -> list_contains(mid, w)))) AS both_parts,
+          CAST(len(list_distinct(list_concat(head, mid))) AS INT) AS union_n,
+          CAST(coalesce(list_position(head, toks[3]), 0) AS BIGINT) AS pos3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                     string_split(text, ' ')[1:12] AS head,
+                     string_split(text, ' ')[5:16] AS mid
+              FROM documents) t
+        WHERE doc_id < 60 ORDER BY doc_id""")),
 
     // ---- Map construction, key/value extraction, element access.
     Q("q72_map_funcs",
