@@ -132,12 +132,17 @@ object Dedup {
         import s.implicits._
         val sh = shingles(s, d)
           .select($"doc_id", (h60($"s") % P31).as("h31"))
-        // 16 universal-hash permutations h_j(x) = ((2j+1)·x + 7919j) mod P
-        val mh = sh
-          .select($"doc_id", explode(expr("sequence(0, 15)")).as("j"), $"h31")
-          .groupBy($"doc_id", $"j")
-          .agg(min(((lit(2) * $"j" + 1) * $"h31" + lit(7919L) * $"j") % P31)
-            .as("mh"))
+        // 16 universal-hash permutations h_j(x) = ((2j+1)·x + 7919j) mod P,
+        // computed as 16 min-aggregates in ONE pass over the shingles (no
+        // row multiplication — at scale this is a single map-side-combined
+        // shuffle of 16 longs per doc), then unpivoted for banding.
+        val minAggs = (0 until 16).map { j =>
+          min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
+        }
+        val mhWide = sh.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+        val mh = mhWide.selectExpr("doc_id",
+          "stack(16, " + (0 until 16).map(j => s"$j, mh$j").mkString(", ") +
+            ") as (j, mh)")
         val bands = mh
           .withColumn("band", ($"j" / 4).cast("int"))
           .groupBy($"doc_id", $"band")
