@@ -43,6 +43,65 @@ object Edge {
         FROM sgrp GROUP BY user_id, sid
         ORDER BY user_id, start_s""")),
 
+    // ---- LATERAL correlated subquery in FROM (§2.2 LATERAL row).
+    Q("q77_lateral",
+      (s, d) => Tables.sql(s, d, """
+        SELECT c_custkey, c_mktsegment, t.max_price, t.n_orders
+        FROM customer,
+        LATERAL (SELECT CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_price,
+                        count(*) AS n_orders
+                 FROM orders WHERE o_custkey = c_custkey) t
+        WHERE c_custkey <= 100
+        ORDER BY c_custkey"""),
+      Some("""
+        SELECT c_custkey, c_mktsegment, t.max_price, t.n_orders
+        FROM customer,
+        LATERAL (SELECT CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_price,
+                        count(*) AS n_orders
+                 FROM orders WHERE o_custkey = c_custkey) t
+        WHERE c_custkey <= 100
+        ORDER BY c_custkey""")),
+
+    // ---- GROUPS frames: missing in Spark AND DuckDB 1.0 ("not
+    // implemented yet") — emulated exactly via dense_rank + rank-band
+    // join on both sides; GroupsFrameSpec pins the semantics against a
+    // hand-computed vector.
+    Q("q78_groups_frame",
+      (s, d) => Tables.sql(s, d, """
+        WITH r AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 dense_rank() OVER (PARTITION BY l_suppkey
+                   ORDER BY CAST(l_quantity AS BIGINT)) AS dr
+          FROM lineitem WHERE l_suppkey <= 2),
+        g AS (
+          SELECT l_suppkey, dr, sum(q) AS sq, count(*) AS c
+          FROM r GROUP BY l_suppkey, dr)
+        SELECT r.l_suppkey, r.l_orderkey, r.l_linenumber, r.q,
+          CAST(sum(g.sq) AS BIGINT) AS groups_sum,
+          CAST(sum(g.c) AS BIGINT) AS groups_n
+        FROM r JOIN g
+          ON g.l_suppkey = r.l_suppkey AND g.dr BETWEEN r.dr - 1 AND r.dr + 1
+        GROUP BY r.l_suppkey, r.l_orderkey, r.l_linenumber, r.q
+        ORDER BY r.l_suppkey, r.l_orderkey, r.l_linenumber"""),
+      Some("""
+        WITH r AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 dense_rank() OVER (PARTITION BY l_suppkey
+                   ORDER BY CAST(l_quantity AS BIGINT)) AS dr
+          FROM lineitem WHERE l_suppkey <= 2),
+        g AS (
+          SELECT l_suppkey, dr, sum(q) AS sq, count(*) AS c
+          FROM r GROUP BY l_suppkey, dr)
+        SELECT r.l_suppkey, r.l_orderkey, r.l_linenumber, r.q,
+          CAST(sum(g.sq) AS BIGINT) AS groups_sum,
+          CAST(sum(g.c) AS BIGINT) AS groups_n
+        FROM r JOIN g
+          ON g.l_suppkey = r.l_suppkey AND g.dr BETWEEN r.dr - 1 AND r.dr + 1
+        GROUP BY r.l_suppkey, r.l_orderkey, r.l_linenumber, r.q
+        ORDER BY r.l_suppkey, r.l_orderkey, r.l_linenumber""")),
+
     // ---- INTERSECT ALL / EXCEPT ALL (bag semantics).
     Q("q69_setops_all",
       (s, d) => Tables.sql(s, d, """
