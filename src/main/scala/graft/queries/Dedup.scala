@@ -270,14 +270,12 @@ object Dedup {
             .as("v"))
         val qs = emb.filter($"vec_id" < 10)
           .withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
+        graft.functions.DotProductI64.register(s)
         val scored = emb.crossJoin(broadcast(qs))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("dot", expr(
-            "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("na", expr(
-            "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("nb", expr(
-            "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("dot", expr("dot_i64(v, qv)"))
+          .withColumn("na", expr("dot_i64(v, v)"))
+          .withColumn("nb", expr("dot_i64(qv, qv)"))
           .withColumn("cos",
             $"dot".cast("double") / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
         scored

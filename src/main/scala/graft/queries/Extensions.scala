@@ -110,14 +110,13 @@ object Extensions {
             when(col("proj") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
           .groupBy(col("vec_id"))
           .agg(sum(col("bit")).as("bucket"))
+        graft.functions.DotProductI64.register(s)
         val withB = emb.join(buckets, "vec_id")
-          .withColumn("nn", expr(
-            "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("nn", expr("dot_i64(v, v)"))
         withB.as("a")
           .join(withB.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("dot", expr("dot_i64(a.v, b.v)"))
           .withColumn("cos", col("dot").cast("double") /
             (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
           .filter(col("cos") >= 0.4)
@@ -162,13 +161,11 @@ object Extensions {
           .select(col("vec_id"), expr(QV).as("v"))
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        graft.functions.DotProductI64.register(s)
         val scored = emb.crossJoin(broadcast(cents))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("nv", expr(
-            "aggregate(transform(v, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-          .withColumn("nc", expr(
-            "aggregate(transform(cv, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("dot", expr("dot_i64(v, cv)"))
+          .withColumn("nv", expr("dot_i64(v, v)"))
+          .withColumn("nc", expr("dot_i64(cv, cv)"))
           .withColumn("cos", col("dot").cast("double") /
             (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
         val assigned = scored
