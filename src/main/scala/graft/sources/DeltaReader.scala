@@ -142,7 +142,16 @@ object DeltaReader {
   // ------------------------------------------------------------- dataframe
 
   /** Load a delta table as a DataFrame (schema = file cols ++ partition
-    * cols, mirroring deltatable.rs:136-189). */
+    * cols, mirroring deltatable.rs:136-189).
+    *
+    * Partitioned tables become a UNION of one scan per distinct
+    * partition-value tuple, with the partition columns attached as typed
+    * LITERALS. A filter on a partition column then constant-folds per
+    * branch and Catalyst prunes the non-matching scans statically —
+    * file-level partition pruning without a custom FileIndex
+    * (deltatable.rs:454-469 does the same pruning inside the kernel).
+    * The `_metadata` row-address columns are only materialized for files
+    * that actually carry deletion vectors. */
   def load(spark: SparkSession, tablePath: String): DataFrame = {
     val snap = snapshot(spark, tablePath)
     require(snap.files.nonEmpty, s"delta table has no live files: $tablePath")
@@ -151,51 +160,50 @@ object DeltaReader {
     val fileSchema = StructType(snap.schema.filterNot(f => partSet(f.name)))
     val partSchema = snap.partitionColumns
       .map(n => snap.schema(snap.schema.fieldIndex(n)))
-
     val root = new File(tablePath).getAbsolutePath
-    val paths = snap.files.map(a => s"$root/${decodePath(a.path)}")
+    val hasDv = snap.files.exists(_.deletionVector.nonEmpty)
 
-    var df = spark.read
-      .schema(fileSchema)
-      .parquet(paths: _*)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__row", col("_metadata.row_index"))
-
-    // deletion vectors → anti join on (file, row_index)
-    val deleted: Seq[(String, Long)] = snap.files.flatMap { a =>
-      a.deletionVector.toSeq.flatMap { dv =>
-        DeletionVectors.deletedRows(dv, root)
-          .map(r => (s"file:$root/${decodePath(a.path)}", r))
+    def scanGroup(files: Seq[AddFile]): DataFrame = {
+      val paths = files.map(a => s"$root/${decodePath(a.path)}")
+      var df = spark.read.schema(fileSchema).parquet(paths: _*)
+      if (hasDv) {
+        df = df.withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__row", col("_metadata.row_index"))
+        val deleted: Seq[(String, Long)] = files.flatMap { a =>
+          a.deletionVector.toSeq.flatMap { dv =>
+            DeletionVectors.deletedRows(dv, root)
+              .map(r => (s"file:$root/${decodePath(a.path)}", r))
+          }
+        }
+        if (deleted.nonEmpty) {
+          import spark.implicits._
+          val dvDf = deleted.toDF("__file", "__row")
+          df = df.join(broadcast(dvDf), Seq("__file", "__row"), "left_anti")
+        }
+        df = df.drop("__file", "__row")
       }
-    }
-    if (deleted.nonEmpty) {
-      import spark.implicits._
-      val dvDf = deleted.toDF("__file", "__row")
-      df = df.join(broadcast(dvDf), Seq("__file", "__row"), "left_anti")
-    }
-
-    // partition values: broadcast per-file dim join, cast to the declared
-    // types (delta stores them as strings; deltatable.rs:454-469 does the
-    // same string-to-typed-scalar conversion)
-    if (snap.partitionColumns.nonEmpty) {
-      val strSchema = StructType(
-        StructField("__file", StringType, nullable = false) +:
-          snap.partitionColumns.map(c =>
-            StructField(s"__p_$c", StringType, nullable = true)))
-      val rows = snap.files.map { a =>
-        org.apache.spark.sql.Row.fromSeq(
-          s"file:$root/${decodePath(a.path)}" +:
-            snap.partitionColumns.map(c => a.partitionValues.get(c).flatten.orNull))
-      }
-      var pdf = spark.createDataFrame(rows.asJava, strSchema)
-      snap.partitionColumns.zipWithIndex.foreach { case (c, i) =>
-        pdf = pdf.withColumn(c, col(s"__p_$c").cast(partSchema(i).dataType))
-          .drop(s"__p_$c")
-      }
-      df = df.join(broadcast(pdf), Seq("__file"))
+      df
     }
 
-    df.select(fileSchema.map(f => col(f.name)) ++
+    val assembled =
+      if (snap.partitionColumns.isEmpty) scanGroup(snap.files)
+      else {
+        // one scan per partition-value tuple; values become typed literals
+        // (delta stores them as strings; string -> typed-scalar conversion
+        // as in deltatable.rs:454-469)
+        val groups = snap.files.groupBy(a =>
+          snap.partitionColumns.map(c => a.partitionValues.get(c).flatten))
+        groups.toSeq.sortBy(_._1.toString).map { case (pv, files) =>
+          var df = scanGroup(files)
+          snap.partitionColumns.zipWithIndex.foreach { case (c, i) =>
+            val v = pv(i).map(lit).getOrElse(lit(null))
+            df = df.withColumn(c, v.cast(partSchema(i).dataType))
+          }
+          df
+        }.reduce(_ unionByName _)
+      }
+
+    assembled.select(fileSchema.map(f => col(f.name)) ++
       snap.partitionColumns.map(col): _*)
   }
 

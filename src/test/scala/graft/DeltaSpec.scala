@@ -60,6 +60,18 @@ class DeltaSpec extends AnyFunSuite {
     assert(df.count() == 25)
   }
 
+  test("partition filter statically prunes scan branches") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Fixtures.deltaNationPartitioned(spark, d)
+    val df = DeltaReader.load(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 3)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 surviving scan, got ${scans.length}")
+    assert(df.count() == 5)
+  }
+
   test("DV table drops exactly the deleted row indexes") {
     val dir = Fixtures.deltaNationDv(spark, d)
     val keys = DeltaReader.load(spark, dir)
