@@ -43,6 +43,62 @@ object Edge {
         FROM sgrp GROUP BY user_id, sid
         ORDER BY user_id, start_s""")),
 
+    // ---- As-of join (SURVEY §2.2 range/as-of row): for each 'view'
+    // event, the most recent 'purchase' of the same user at or before it.
+    // Spark side composes it scale-correctly — tag + union both streams,
+    // one window pass per user carries the latest right-side row forward
+    // (no range self-join) — and the oracle is DuckDB's NATIVE ASOF JOIN,
+    // so the composition is checked against real as-of semantics.
+    Q("q79_asof_join",
+      (s, d) => Tables.sql(s, d, """
+        WITH v AS (
+          SELECT event_id, user_id,
+                 unix_timestamp(ts) AS ts_s
+          FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id, unix_timestamp(ts) AS ts_s,
+                 max(event_id) AS p_id
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, unix_timestamp(ts)),
+        u AS (
+          SELECT user_id, ts_s, event_id, CAST(NULL AS BIGINT) AS p_id,
+                 1 AS is_left
+          FROM v
+          UNION ALL
+          SELECT user_id, ts_s, CAST(NULL AS BIGINT), p_id, 0 AS is_left
+          FROM p),
+        m AS (
+          SELECT user_id, ts_s, event_id, is_left,
+            last_value(p_id) IGNORE NULLS OVER (
+              PARTITION BY user_id
+              ORDER BY ts_s, is_left, coalesce(event_id, p_id)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_p_id,
+            last_value(CASE WHEN is_left = 0 THEN ts_s END) IGNORE NULLS OVER (
+              PARTITION BY user_id
+              ORDER BY ts_s, is_left, coalesce(event_id, p_id)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+          FROM u)
+        SELECT event_id, user_id, ts_s, asof_p_id,
+               ts_s - asof_ts AS gap_s
+        FROM m WHERE is_left = 1 AND user_id <= 50
+        ORDER BY event_id"""),
+      Some("""
+        WITH v AS (
+          SELECT event_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                 CAST(max(event_id) AS BIGINT) AS p_id
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT))
+        SELECT v.event_id, v.user_id, v.ts_s, p.p_id AS asof_p_id,
+               v.ts_s - p.ts_s AS gap_s
+        FROM v ASOF LEFT JOIN p
+          ON v.user_id = p.user_id AND v.ts_s >= p.ts_s
+        WHERE v.user_id <= 50
+        ORDER BY v.event_id""")),
+
     // ---- LATERAL correlated subquery in FROM (§2.2 LATERAL row).
     Q("q77_lateral",
       (s, d) => Tables.sql(s, d, """

@@ -55,6 +55,28 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("s3"))
   }
 
+  test("CSV DDL honors a custom delimiter option end-to-end") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_psv").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "data.csv").toPath,
+      "a|b\n1|x\n2|y\n")
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"""CREATE EXTERNAL TABLE psv (a INT, b STRING)
+      STORED AS CSV OPTIONS(header='true', delimiter='|')
+      LOCATION '${dir.getAbsolutePath}'""")
+    val rows = ctx.sql("SELECT a, b FROM psv ORDER BY a").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "x"), (2, "y")))
+  }
+
+  test("non-delta path errors clearly through the delta reader") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.DeltaReader.load(SparkTestSession.spark, "/tmp")
+    }
+    assert(e.getMessage.contains("_delta_log"))
+  }
+
   test("view flow end-to-end: DDL + blind limit suffix + formatter") {
     val ctx = new AdtContext(SparkTestSession.spark)
     ctx.sql("CREATE EXTERNAL TABLE tbl STORED AS PARQUET " +
