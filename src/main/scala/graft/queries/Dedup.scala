@@ -224,10 +224,35 @@ object Dedup {
           .agg(sum($"contrib").as("v"))
           .withColumn("bit",
             when($"v" > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
-        val sig = bits.groupBy($"doc_id").agg(sum($"bit").as("sim"))
-        sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-            expr("bit_count(a.sim ^ b.sim)").cast("int").as("hamming"))
+        val sig = bits.groupBy($"doc_id").agg(sum($"bit").as("sim")).cache()
+        // Two physical strategies with IDENTICAL results (pigeonhole: 9
+        // chunks of 7 bits — hamming <= 8 forces >= 1 identical chunk, so
+        // chunk-blocking has 100% recall). Like Catalyst's broadcast-vs-
+        // shuffle choice, pick by size: the O(n^2) bit_count scan is a
+        // tight codegen loop that wins on small corpora; the blocked
+        // equi-join (sum of bucket^2 pairs) is the only shape that
+        // survives millions of docs.
+        val pairs =
+          if (sig.count() <= 20000) {
+            sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+              .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+                $"a.sim".as("s1"), $"b.sim".as("s2"))
+          } else {
+            val chunks = sig.select($"doc_id", $"sim",
+              explode(expr("sequence(0, 8)")).as("c"))
+              .withColumn("cv",
+                expr("(sim div CAST(pow(2, 7 * c) AS BIGINT)) % 128"))
+            chunks.as("x")
+              .join(chunks.as("y"),
+                $"x.c" === $"y.c" && $"x.cv" === $"y.cv" &&
+                  $"x.doc_id" < $"y.doc_id")
+              .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+                $"x.sim".as("s1"), $"y.sim".as("s2"))
+              .distinct()
+          }
+        pairs
+          .select($"d1", $"d2",
+            expr("bit_count(s1 ^ s2)").cast("int").as("hamming"))
           .filter($"hamming" <= 8)
           .orderBy($"d1", $"d2")
       },
@@ -251,10 +276,16 @@ object Dedup {
             CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
                           ELSE 0 END) AS BIGINT) AS sim
           FROM bits GROUP BY doc_id)
-        SELECT a.doc_id AS d1, b.doc_id AS d2,
-          CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sim, b.sim)) <= 8
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+          CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+        FROM (SELECT doc_id, sim, c,
+                (sim // CAST(pow(2, 7 * c) AS BIGINT)) % 128 AS cv
+              FROM sig, generate_series(0, 8) t(c)) x
+        JOIN (SELECT doc_id, sim, c,
+                (sim // CAST(pow(2, 7 * c) AS BIGINT)) % 128 AS cv
+              FROM sig, generate_series(0, 8) t(c)) y
+          ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sim, y.sim)) <= 8
         ORDER BY d1, d2""")),
 
     // ---- Brute-force cosine top-k: the exact ANN baseline. Query set is
