@@ -288,6 +288,52 @@ object Dedup {
         WHERE bit_count(xor(x.sim, y.sim)) <= 8
         ORDER BY d1, d2""")),
 
+    // ---- Char-level 5-gram jaccard (the classic text-dedup shingling;
+    // word-level 3-grams above are its token-level sibling). Character
+    // grams recur across the shared vocabulary, so posting lists are
+    // denser — restricted to a 100-doc slice with a higher threshold;
+    // the MinHash/LSH path is the full-corpus strategy.
+    Q("q80_dedup_chargram",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.t(s, d, "documents").filter($"doc_id" < 300)
+        val grams = docs
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))"))
+            .as("g"))
+          .distinct()
+        val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = grams.as("a")
+          .join(grams.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+          .withColumn("jac", $"i".cast("double") / ($"n1" + $"n2" - $"i"))
+          .filter($"jac" >= 0.6)
+          .select($"d1", $"d2", $"i", $"jac")
+          .orderBy($"d1", $"d2")
+      },
+      Some("""
+        WITH g0 AS (
+          SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+          FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) dd,
+               generate_series(1, 600) t(i)
+          WHERE i <= length(text) - 4),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g0 GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM g0 a JOIN g0 b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, CAST(i AS BIGINT) AS i,
+          CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jac
+        FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.6
+        ORDER BY d1, d2""")),
+
     // ---- Brute-force cosine top-k: the exact ANN baseline. Query set is
     // broadcast (small side); corpus side streams — the scale-correct
     // shape for "k queries against a huge corpus". Embeddings quantized to

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.sources.{DeletionVectors, Z85}
+import graft.functions.{ValueWeight, WeightedPercentileAgg}
+import graft.streaming.Sessionize
+
+/** Property tests for every hand-written kernel (SURVEY §5 plan item 3):
+  * codecs round-trip, aggregation buffers are merge-order-invariant, and
+  * fold semantics match a reference implementation. Pure-JVM (no Spark
+  * session needed). */
+object PropertySpec extends Properties("graft-kernels") {
+
+  property("z85 round-trips 4-aligned byte arrays") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes0 =>
+      val bytes = bytes0.take(bytes0.size / 4 * 4).toArray
+      Z85.decode(Z85.encode(bytes)).toSeq == bytes.toSeq
+    }
+
+  private val rowGen = Gen.listOf(Gen.oneOf(
+    Gen.choose(0L, 1000L),
+    Gen.choose(60000L, 70000L),            // crosses 16-bit container keys
+    Gen.choose(4294967290L, 4294967400L))) // crosses the 32-bit bitmap split
+
+  property("roaring array round-trips row-index sets") = forAll(rowGen) { rows =>
+    val set = rows.toSet
+    DeletionVectors.parseRoaringArray(
+      DeletionVectors.serializeRoaringArray(set.toSeq)).toSet == set
+  }
+
+  private val vwGen = Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 20L))
+    .map { case (v, w) => ValueWeight(v, w) }
+
+  property("weighted p50: split/merge invariant + matches reference") =
+    forAll(Gen.nonEmptyListOf(vwGen), Gen.choose(0, 100)) { (xs, cut0) =>
+      val agg = new WeightedPercentileAgg(1L, 2L)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = xs.splitAt(cut0 % xs.size)
+      val split = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val total = xs.map(_.w).sum
+      val byV = xs.groupBy(_.v).view.mapValues(_.map(_.w).sum).toSeq.sortBy(_._1)
+      var cum = 0L
+      val ref = byV.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      Prop(agg.finish(whole) == agg.finish(split)) &&
+        Prop(agg.finish(whole) == ref)
+    }
+
+  private val evGen = Gen.zip(Gen.choose(0L, 100000L), Gen.choose(0L, 500L))
+    .map { case (t, c) => Sessionize.Event(1L, t, c) }
+
+  property("sessionize fold partitions events and respects gaps") =
+    forAll(Gen.nonEmptyListOf(evGen)) { xs =>
+      val sorted = xs.sortBy(e => (e.epoch_s, e.value_c))
+      val (closed, open) = Sessionize.fold(1L, None, sorted, 1800L)
+      val all = closed ++ open.map(s =>
+        Sessionize.Session(1L, s.start_s, s.last_s, s.n, s.cents))
+      val partitioned = all.map(_.n_events).sum == xs.size.toLong &&
+        all.map(_.cents).sum == xs.map(_.value_c).sum
+      val separated = all.sliding(2).forall {
+        case Seq(a, b) => b.start_s - a.end_s > 1800L
+        case _         => true
+      }
+      val bounded = all.forall(s =>
+        s.end_s - s.start_s <= (s.n_events - 1) * 1800L)
+      Prop(partitioned) && Prop(separated) && Prop(bounded)
+    }
+}
