@@ -272,6 +272,98 @@ object TextOps {
         ORDER BY l_returnflag"""),
       None),
 
+    // ---- End-to-end training-data pipeline: the operators composed into
+    // the actual use case. corpus (with planted dups) → exact dedup →
+    // near-dup removal (jaccard pairs, drop the higher doc_id) → quality
+    // + language gate → per-language corpus stats. Every stage is one of
+    // the oracle-proven operators above, so the whole pipeline stays
+    // hash-deterministic.
+    Q("q81_pipeline_e2e",
+      (s, d) => Tables.sql(s, d, """
+        WITH corpus AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 100),
+        exact_kept AS (
+          SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        docs AS (
+          SELECT c.doc_id, c.text, c.lang
+          FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            concat_ws(' ', slice(w, i, 3)) AS s
+          FROM (SELECT doc_id, split(text, ' ') AS w FROM docs)
+          LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        near_dropped AS (
+          SELECT DISTINCT d2 AS doc_id
+          FROM pairs
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
+        survivors AS (
+          SELECT doc_id, text, lang,
+            size(split(text, ' ')) AS n_tok,
+            size(array_distinct(split(text, ' '))) AS n_distinct
+          FROM docs
+          WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)),
+        gated AS (
+          SELECT * FROM survivors
+          WHERE CAST(n_distinct AS DOUBLE) / n_tok >= 0.3
+            AND length(text) >= 100)
+        SELECT lang,
+          count(*) AS n_docs,
+          CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+          CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM gated
+        GROUP BY lang ORDER BY lang"""),
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 100),
+        exact_kept AS (
+          SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        docs AS (
+          SELECT c.doc_id, c.text, c.lang
+          FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs) t0) t1
+          WHERE i <= len(w) - 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        near_dropped AS (
+          SELECT DISTINCT d2 AS doc_id
+          FROM pairs
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
+        survivors AS (
+          SELECT doc_id, text, lang,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+          FROM docs
+          WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)),
+        gated AS (
+          SELECT * FROM survivors
+          WHERE CAST(n_distinct AS DOUBLE) / n_tok >= 0.3
+            AND length(text) >= 100)
+        SELECT lang,
+          count(*) AS n_docs,
+          CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+          CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM gated
+        GROUP BY lang ORDER BY lang""")),
+
     // ---- JSON extraction over the events props payload (Spark-side
     // bonus surface; reference exposes no JSON functions — SURVEY §2.3).
     Q("q54_json_props",
