@@ -114,8 +114,9 @@ object Sources {
         FROM nation WHERE n_regionkey >= 1
         GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
-    // ---- Delta deletion vectors (inline Z85 + on-disk storage): rows
-    // 1, 3 and 13 are deleted via DV row-index skipping.
+    // ---- Delta deletion vectors across all three storage types (inline
+    // Z85, UUID-relative, absolute path): rows 1, 3, 9 and 19 are deleted
+    // via DV row-index skipping.
     Q("q61_delta_dv",
       (s, d) => {
         val dir = Fixtures.deltaNationDv(s, d)
@@ -126,7 +127,7 @@ object Sources {
       },
       Some("""
         SELECT n_nationkey, n_name FROM nation
-        WHERE n_nationkey NOT IN (1, 3, 13) ORDER BY n_nationkey""")),
+        WHERE n_nationkey NOT IN (1, 3, 9, 19) ORDER BY n_nationkey""")),
 
     // ---- Delta checkpoint: state = checkpoint parquet + JSON tail.
     Q("q62_delta_checkpoint",

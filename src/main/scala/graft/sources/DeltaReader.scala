@@ -58,8 +58,14 @@ object DeltaReader {
 
   // ---------------------------------------------------------------- replay
 
-  /** Replay the delta log into a snapshot (checkpoint + JSON tail). */
-  def snapshot(spark: SparkSession, tablePath: String): Snapshot = {
+  /** Replay the delta log into the latest snapshot. */
+  def snapshot(spark: SparkSession, tablePath: String): Snapshot =
+    snapshotAt(spark, tablePath, Long.MaxValue)
+
+  /** Replay up to and including `maxVersion` (time travel; the reference
+    * always reads latest — kernel snapshots support the same bound). */
+  def snapshotAt(spark: SparkSession, tablePath: String,
+      maxVersion: Long): Snapshot = {
     val logDir = new File(tablePath, "_delta_log")
     require(logDir.isDirectory, s"not a delta table (no _delta_log): $tablePath")
 
@@ -72,12 +78,21 @@ object DeltaReader {
         n.take(20).toLong }
       .sorted
 
-    val cpVersion = checkpointVersions.lastOption
+    val usableJson = jsonVersions.filter(_ <= maxVersion)
+    require(maxVersion == Long.MaxValue || usableJson.nonEmpty ||
+      checkpointVersions.exists(_ <= maxVersion),
+      s"no log entries at or before version $maxVersion")
+    val cpVersion = checkpointVersions.filter(_ <= maxVersion).lastOption
     val live = mutable.LinkedHashMap[String, AddFile]()
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
 
     def applyMeta(node: JsonNode): Unit = {
+      val mode = Option(node.get("configuration"))
+        .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+        .map(_.asText()).getOrElse("none")
+      require(mode == "none",
+        s"column mapping mode '$mode' is not supported by this reader")
       schema = Some(DataType.fromJson(node.get("schemaString").asText())
         .asInstanceOf[StructType])
       partCols = Option(node.get("partitionColumns")).toSeq
@@ -121,7 +136,7 @@ object DeltaReader {
     }
 
     // 2. JSON commits after the checkpoint, in version order
-    val tail = jsonVersions.filter(v => cpVersion.forall(_ < v))
+    val tail = usableJson.filter(v => cpVersion.forall(_ < v))
     tail.foreach { v =>
       val f = new File(logDir, f"$v%020d.json")
       Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
@@ -136,7 +151,7 @@ object DeltaReader {
     val finalSchema = schema.getOrElse(
       throw new IllegalStateException(s"no metaData action in log: $tablePath"))
     Snapshot(finalSchema, partCols,
-      live.values.toSeq, jsonVersions.lastOption.getOrElse(0L))
+      live.values.toSeq, usableJson.lastOption.getOrElse(0L))
   }
 
   // ------------------------------------------------------------- dataframe
@@ -229,9 +244,20 @@ object DeletionVectors {
         val all = Files.readAllBytes(Paths.get(dv.pathOrInlineDv))
         sliceAtOffset(all, dv.offset, dv.sizeInBytes)
       case "u" =>
-        throw new UnsupportedOperationException(
-          "UUID-relative deletion vector storage not supported " +
-            "(fixtures use inline/path storage)")
+        // pathOrInlineDv = [random prefix]<z85-encoded 16-byte UUID> (the
+        // last 20 chars are the UUID); file is
+        // [prefix/]deletion_vector_<canonical uuid>.bin under the table
+        // root, same [version byte][size][data][crc] layout as "p".
+        val enc = dv.pathOrInlineDv
+        require(enc.length >= 20, s"malformed UUID DV path: $enc")
+        val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+        val bytes = Z85.decode(uuidPart)
+        val bb = ByteBuffer.wrap(bytes)
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val dir = if (prefix.isEmpty) tableRoot else s"$tableRoot/$prefix"
+        val all = Files.readAllBytes(
+          Paths.get(s"$dir/deletion_vector_$uuid.bin"))
+        sliceAtOffset(all, dv.offset, dv.sizeInBytes)
       case other =>
         throw new IllegalArgumentException(s"unknown DV storageType: $other")
     }

@@ -142,40 +142,59 @@ object Fixtures {
         protocolJson +: metaJson(schemaJson, Seq("n_regionkey")) +: adds)
     }
 
-  /** Deletion vectors: one file of nation rows sorted by key (row index i
-    * holds n_nationkey i); DV marks rows {1, 3} deleted — the reference's
-    * mixed selection-vector unit case (deltatable.rs:609-617) scaled up.
-    * Commit 0 uses an inline (Z85) DV; a second table file uses an
-    * on-disk DV to cover both storage types. */
+  /** Deletion vectors across all three storage types: file A uses an
+    * inline (Z85) DV deleting row indexes {1,3}; file B a UUID-relative
+    * ("u") on-disk DV deleting row 0; file C an absolute-path ("p") DV
+    * deleting row 2. Rows are key-sorted so row index i in a file holds
+    * the i-th key of its range — the reference's mixed selection-vector
+    * unit case (deltatable.rs:609-617) scaled up. */
   def deltaNationDv(s: SparkSession, d: String): String =
     ensure(d, "delta_nation_dv") { dir =>
       val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
       val schemaJson = nation.schema.json
-      val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 12), dir, "part-a.parquet")
-      val szB = oneParquetFile(nation.filter(col("n_nationkey") > 12), dir, "part-b.parquet")
+      val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 8), dir, "part-a.parquet")
+      val szB = oneParquetFile(
+        nation.filter(col("n_nationkey").between(9, 16)), dir, "part-b.parquet")
+      val szC = oneParquetFile(nation.filter(col("n_nationkey") > 16), dir, "part-c.parquet")
 
-      // inline DV on file A: delete row indexes 1 and 3
+      def dvFileBytes(rows: Seq[Long]): (Array[Byte], Int) = {
+        val bits = DeletionVectors.serializeRoaringArray(rows)
+        val bb = ByteBuffer.allocate(1 + 4 + bits.length + 4)
+          .order(ByteOrder.BIG_ENDIAN)
+        bb.put(1.toByte)
+        bb.putInt(bits.length)
+        bb.put(bits)
+        val crc = new CRC32(); crc.update(bits)
+        bb.putInt(crc.getValue.toInt)
+        (bb.array(), bits.length)
+      }
+
+      // A: inline Z85
       val bitsA = pad4(DeletionVectors.serializeRoaringArray(Seq(1L, 3L)))
       val dvA =
         s"""{"storageType":"i","pathOrInlineDv":"${Z85.encode(bitsA)}","offset":0,"sizeInBytes":${bitsA.length},"cardinality":2}"""
 
-      // on-disk DV on file B: delete row index 0 (n_nationkey 13)
-      val bitsB = DeletionVectors.serializeRoaringArray(Seq(0L))
-      val dvFile = new File(dir, "deletion_vector_fixture.bin")
-      val bb = ByteBuffer.allocate(1 + 4 + bitsB.length + 4)
-        .order(ByteOrder.BIG_ENDIAN)
-      bb.put(1.toByte) // format version
-      bb.putInt(bitsB.length)
-      bb.put(bitsB)
-      val crc = new CRC32(); crc.update(bitsB)
-      bb.putInt(crc.getValue.toInt)
-      Files.write(dvFile.toPath, bb.array())
+      // B: UUID-relative ("u") — file deletion_vector_<uuid>.bin at root
+      val uuid = new java.util.UUID(0x1122334455667788L, 0x99aabbccddeeff00L)
+      val ub = ByteBuffer.allocate(16)
+      ub.putLong(uuid.getMostSignificantBits)
+      ub.putLong(uuid.getLeastSignificantBits)
+      val (fileB, sizeB) = dvFileBytes(Seq(0L))
+      Files.write(new File(dir, s"deletion_vector_$uuid.bin").toPath, fileB)
       val dvB =
-        s"""{"storageType":"p","pathOrInlineDv":"${dvFile.getAbsolutePath}","offset":1,"sizeInBytes":${bitsB.length},"cardinality":1}"""
+        s"""{"storageType":"u","pathOrInlineDv":"${Z85.encode(ub.array())}","offset":1,"sizeInBytes":$sizeB,"cardinality":1}"""
+
+      // C: absolute path ("p")
+      val (fileC, sizeC) = dvFileBytes(Seq(2L))
+      val dvFileC = new File(dir, "deletion_vector_fixture.bin")
+      Files.write(dvFileC.toPath, fileC)
+      val dvC =
+        s"""{"storageType":"p","pathOrInlineDv":"${dvFileC.getAbsolutePath}","offset":1,"sizeInBytes":$sizeC,"cardinality":1}"""
 
       writeCommit(dir, 0, Seq(protocolJson, metaJson(schemaJson, Nil),
         addJson("part-a.parquet", szA, dv = Some(dvA)),
-        addJson("part-b.parquet", szB, dv = Some(dvB))))
+        addJson("part-b.parquet", szB, dv = Some(dvB)),
+        addJson("part-c.parquet", szC, dv = Some(dvC))))
     }
 
   /** Checkpointed delta: commit 0 (meta + file A) absorbed into a

@@ -72,11 +72,33 @@ class DeltaSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
-  test("DV table drops exactly the deleted row indexes") {
+  test("DV table drops exactly the deleted row indexes (all 3 storage types)") {
     val dir = Fixtures.deltaNationDv(spark, d)
     val keys = DeltaReader.load(spark, dir)
       .select("n_nationkey").collect().map(_.getInt(0)).toSet
-    assert(keys == (0 to 24).toSet -- Set(1, 3, 13))
+    assert(keys == (0 to 24).toSet -- Set(1, 3, 9, 19))
+  }
+
+  test("time travel: snapshotAt(0) sees the pre-remove file set") {
+    val dir = Fixtures.deltaNation(spark, d)
+    val v0 = DeltaReader.snapshotAt(spark, dir, 0L)
+    assert(v0.files.map(_.path).toSet ==
+      Set("part-a.parquet", "part-b.parquet"))
+    val v1 = DeltaReader.snapshotAt(spark, dir, 1L)
+    assert(v1.files.map(_.path).toSet ==
+      Set("part-a.parquet", "part-c.parquet"))
+  }
+
+  test("column mapping mode is rejected with a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toFile
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 20 + ".json").toPath,
+      """{"metaData":{"id":"x","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaReader.snapshot(spark, dir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("column mapping"))
   }
 
   test("checkpointed table stitches checkpoint + json tail") {
