@@ -567,6 +567,77 @@ object Relational {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name""")),
 
+    // ---- TPC-H Q5 flavor: 6-way join (2 facts + 4 broadcast dims) with
+    // the local-supplier correlation (c_nationkey = s_nationkey).
+    Q("q82_tpch_q5",
+      (s, d) => {
+        import s.implicits._
+        val l = lineitem(s, d)
+        val o = orders(s, d)
+        val c = customer(s, d)
+        val su = supplier(s, d)
+        val n = nation(s, d)
+        val r = region(s, d)
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+          .groupBy($"r_name", $"n_name")
+          .agg(
+            (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+              .cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+          COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name""")),
+
+    // ---- TPC-H Q10 flavor: top-20 customers by returned-item revenue
+    // (join + agg + TakeOrdered fusion).
+    Q("q83_tpch_q10",
+      (s, d) => {
+        import s.implicits._
+        val l = lineitem(s, d).filter($"l_returnflag" === "R")
+        val o = orders(s, d)
+        val c = customer(s, d)
+        val n = nation(s, d)
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"n_name")
+          .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+            .cast("double") / 10000.0).as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey".asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name,
+          CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20""")),
+
     // ---- Recursive CTE (DataFusion 48's RecursiveQueryExec ↔ Spark
     // 4.1's WITH RECURSIVE — verified native support, SURVEY §2.2).
     Q("q63_recursive_cte",
