@@ -19,20 +19,19 @@ object Scratch {
       f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    def run(q: String): Unit =
+      SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save()
 
-    // warmup
-    SparkEntry.queries("q1_agg")(spark, d).write.format("noop").mode("overwrite").save()
-
-    Seq("q26_string_funcs", "q53_approx_sketches", "q42_dedup_minhash_lsh").foreach { q =>
-      time(s"$q run1") {
-        SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save()
-      }
-      time(s"$q run2") {
-        SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save()
-      }
-    }
-    time("tables.register alone")(Tables.register(spark, d))
-    time("tables.register again")(Tables.register(spark, d))
+    time("q54 cold")(run("q54_json_props"))
+    time("q54 warm")(run("q54_json_props"))
+    // build up the caches the dedup queries leave behind
+    time("q41")(run("q41_dedup_ngram_jaccard"))
+    time("q42")(run("q42_dedup_minhash_lsh"))
+    time("q43")(run("q43_dedup_simhash"))
+    time("q80")(run("q80_dedup_chargram"))
+    time("q81")(run("q81_pipeline_e2e"))
+    time("q54 after dedups")(run("q54_json_props"))
+    println("cached tables: " + spark.sparkContext.getPersistentRDDs.size)
     spark.stop()
   }
 }
