@@ -159,10 +159,30 @@ object Dedup {
             $"x.doc_id" < $"y.doc_id")
           .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
           .agg(count(lit(1)).as("n_eq"))
-        cand
+        // exact-jaccard verification of the CANDIDATES ONLY — the point
+        // of LSH is that the quadratic shingle intersection never touches
+        // non-candidate pairs. One broadcast semi-join restricts the
+        // shingle stream to candidate docs (a single pass over the
+        // corpus); the pair intersection then runs inside that small set.
+        val candDocs = broadcast(
+          cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct())
+        val shc = shingles(s, d)
+          .join(candDocs, Seq("doc_id"), "left_semi").cache()
+        val inter = shc.as("a")
+          .join(shc.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("i"))
+          .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
+        val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val verified = broadcast(cand)
+          .join(inter, Seq("d1", "d2"), "left")
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+          .withColumn("jac",
+            coalesce($"i", lit(0L)).cast("double") /
+              ($"n1" + $"n2" - coalesce($"i", lit(0L))))
+        verified
           .join(nEq, Seq("d1", "d2"), "left")
-          .join(jaccardPairs(s, d).select($"d1", $"d2", $"jac"),
-            Seq("d1", "d2"), "left")
           .select($"d1", $"d2",
             coalesce($"n_eq", lit(0L)).as("n_eq"),
             (coalesce($"n_eq", lit(0L)).cast("double") / 16.0).as("est_sim"),
