@@ -46,7 +46,9 @@ object Ddl {
         loc,
         Option(cols).map(_.trim).filter(_.nonEmpty),
         Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-        Option(opts).toSeq.flatMap(_.split(","))
+        // split on commas OUTSIDE single quotes (delimiter=',' is legal)
+        Option(opts).toSeq
+          .flatMap(_.split(",(?=(?:[^']*'[^']*')*[^']*$)"))
           .map(_.split("=", 2).map(s => s.trim.stripPrefix("'").stripSuffix("'")))
           .collect { case Array(k, v) => k.toLowerCase -> v }.toMap)
     case _ =>

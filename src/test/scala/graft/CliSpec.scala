@@ -39,6 +39,13 @@ class CliSpec extends AnyFunSuite {
     assert(t.options == Map("header" -> "false", "delimiter" -> "|"))
   }
 
+  test("DDL options may contain quoted commas") {
+    val t = Ddl.parse(
+      "CREATE EXTERNAL TABLE c STORED AS CSV " +
+        "OPTIONS(delimiter=',', header='true') LOCATION '/x'")
+    assert(t.options == Map("delimiter" -> ",", "header" -> "true"))
+  }
+
   test("AVRO is rejected like the reference (dead factory)") {
     val ctx = new AdtContext(SparkTestSession.spark)
     val e = intercept[UnsupportedOperationException] {
