@@ -272,6 +272,39 @@ object TextOps {
         ORDER BY l_returnflag"""),
       None),
 
+    // ---- Text normalization (the cleaning stage every corpus pipeline
+    // runs first): lowercase, strip punctuation, collapse whitespace,
+    // trim — with a digest of the normalized form for downstream dedup.
+    Q("q84_text_normalize",
+      (s, d) => Tables.sql(s, d, """
+        SELECT doc_id,
+          substr(norm, 1, 60) AS norm_head,
+          length(norm) AS norm_len,
+          md5(norm) AS norm_digest,
+          CASE WHEN norm = text THEN 1 ELSE 0 END AS unchanged
+        FROM (
+          SELECT doc_id, text,
+            trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
+              ' +', ' ')) AS norm
+          FROM documents)
+        WHERE doc_id < 150
+        ORDER BY doc_id"""),
+      Some("""
+        SELECT doc_id,
+          substr(norm, 1, 60) AS norm_head,
+          CAST(length(norm) AS INT) AS norm_len,
+          md5(norm) AS norm_digest,
+          CASE WHEN norm = text THEN 1 ELSE 0 END AS unchanged
+        FROM (
+          SELECT doc_id, text,
+            trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              ' +', ' ', 'g')) AS norm
+          FROM documents) t
+        WHERE doc_id < 150
+        ORDER BY doc_id""")),
+
     // ---- End-to-end training-data pipeline: the operators composed into
     // the actual use case. corpus (with planted dups) → exact dedup →
     // near-dup removal (jaccard pairs, drop the higher doc_id) → quality
