@@ -8,6 +8,10 @@ import graft.Tables
   * sessionization checked against a gaps-and-islands SQL oracle. */
 object Edge {
 
+  /** Portable 6-decimal rounding (see queries.Funcs). */
+  private def r6s(x: String) = s"floor(($x) * 1000000 + 0.5) / 1e6"
+  private def r6d(x: String) = s"CAST(floor(($x) * 1000000 + 0.5) AS BIGINT) / 1e6"
+
   val defs: Seq[Q] = Seq(
 
     // ---- Gap-based sessionization through the typed flatMapGroups
@@ -157,6 +161,29 @@ object Edge {
           ON g.l_suppkey = r.l_suppkey AND g.dr BETWEEN r.dr - 1 AND r.dr + 1
         GROUP BY r.l_suppkey, r.l_orderkey, r.l_linenumber, r.q
         ORDER BY r.l_suppkey, r.l_orderkey, r.l_linenumber""")),
+
+    // ---- Bitwise aggregates + count_if + higher-moment statistics.
+    Q("q85_bit_aggs",
+      (s, d) => Tables.sql(s, d, s"""
+        SELECT l_returnflag,
+          CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS band,
+          CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS bor,
+          CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS bxor,
+          count_if(l_quantity >= 25) AS n_big,
+          ${r6s("skewness(l_quantity)")} AS skew,
+          ${r6s("kurtosis(l_quantity)")} AS kurt
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      Some(s"""
+        SELECT l_returnflag,
+          CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS band,
+          CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS bor,
+          CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS bxor,
+          CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_big,
+          ${r6d("skewness(l_quantity) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0))")} AS skew,
+          ${r6d("kurtosis_pop(l_quantity)")} AS kurt
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- INTERSECT ALL / EXCEPT ALL (bag semantics).
     Q("q69_setops_all",
