@@ -162,6 +162,30 @@ object Edge {
         GROUP BY r.l_suppkey, r.l_orderkey, r.l_linenumber, r.q
         ORDER BY r.l_suppkey, r.l_orderkey, r.l_linenumber""")),
 
+    // ---- Null-safe equality (IS [NOT] DISTINCT FROM) in filters and as
+    // a join condition over keys with injected nulls.
+    Q("q86_null_safe_eq",
+      (s, d) => Tables.sql(s, d, """
+        WITH a AS (
+          SELECT n_nationkey, nullif(n_regionkey, 2) AS rk FROM nation),
+        b AS (
+          SELECT r_regionkey, nullif(r_regionkey, 2) AS rk, r_name FROM region)
+        SELECT
+          (SELECT count(*) FROM a WHERE rk IS DISTINCT FROM 1) AS n_distinct_from_1,
+          (SELECT count(*) FROM a WHERE rk IS NOT DISTINCT FROM NULL) AS n_null_keys,
+          (SELECT count(*) FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk) AS n_nullsafe_join,
+          (SELECT count(*) FROM a JOIN b ON a.rk = b.rk) AS n_plain_join"""),
+      Some("""
+        WITH a AS (
+          SELECT n_nationkey, nullif(n_regionkey, 2) AS rk FROM nation),
+        b AS (
+          SELECT r_regionkey, nullif(r_regionkey, 2) AS rk, r_name FROM region)
+        SELECT
+          (SELECT count(*) FROM a WHERE rk IS DISTINCT FROM 1) AS n_distinct_from_1,
+          (SELECT count(*) FROM a WHERE rk IS NOT DISTINCT FROM NULL) AS n_null_keys,
+          (SELECT count(*) FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk) AS n_nullsafe_join,
+          (SELECT count(*) FROM a JOIN b ON a.rk = b.rk) AS n_plain_join""")),
+
     // ---- Bitwise aggregates + count_if + higher-moment statistics.
     Q("q85_bit_aggs",
       (s, d) => Tables.sql(s, d, s"""
