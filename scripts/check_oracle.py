@@ -19,6 +19,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # The real driver round-trips through pandas sort_values/factorize,
+    # which CRASHES on list/dict cells (unhashable numpy.ndarray/dict).
+    # Mirror that here so nested output columns fail locally too.
+    if isinstance(v, (list, dict, tuple, set)):
+        raise TypeError(
+            f"nested value {type(v).__name__} — driver comparator would "
+            "crash; serialize with array_join/to_json in the query")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

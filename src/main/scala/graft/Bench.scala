@@ -50,12 +50,28 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries may cache intermediates (dedup signatures etc.); drop them
+      // so per-query timings are independent and memory doesn't accumulate
+      // across the 86-query run.
+      spark.catalog.clearCache()
+      name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision halves the line width; the JSON must be the very last
+    // stdout line (the driver tail-captures it) and is also written to
+    // /tmp/graft_bench.json as a fallback.
+    def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    System.out.flush()
+    println(line)
+    System.out.flush()
   }
 }

@@ -29,15 +29,33 @@ object Dedup {
   private def h60(c: Column): Column =
     conv(substr(md5(c), lit(2), lit(15)), 16, 10).cast("long")
 
-  /** doc_id → distinct word-3-gram shingle strings. */
+  /** Document-frequency cap for the shingle universe: a shingle present in
+    * more than this many documents is dropped before any pair join. This
+    * is DECLARED OPERATOR SEMANTICS (mirrored bit-for-bit in the DuckDB
+    * oracles): on a real web corpus, stopword-run shingles ("of the and…")
+    * appear in millions of documents, and an uncapped posting list makes
+    * the shingle self-join quadratic in that one key. The cap bounds work
+    * per shingle at O(cap²) while leaving near-dup recall intact — genuine
+    * near-dups share many *rare* shingles, and a shingle shared by >50
+    * docs carries no pair-discrimination signal anyway (standard prefix/
+    * frequency filtering, cf. SCALE.md §dedup). */
+  private val MaxShingleDf = 50
+
+  /** doc_id → distinct word-3-gram shingle strings, df-capped. The df
+    * window runs on the same shuffle key (s) as every downstream shingle
+    * join, so the cap costs no extra exchange. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"s")
     Tables.t(s, d, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
         .as("s"))
       .distinct()
+      .withColumn("df", count(lit(1)).over(w))
+      .filter($"df" <= MaxShingleDf)
+      .select($"doc_id", $"s")
   }
 
   /** Exact pairwise jaccard over shingle sets for pairs sharing >=1
@@ -57,11 +75,15 @@ object Dedup {
   }
 
   private val duckShingles = """
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
-      WHERE i <= len(w) - 2)"""
+      WHERE i <= len(w) - 2),
+    sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0) t2
+      WHERE df <= 50)"""
 
   private val duckJaccard = s"""
     WITH $duckShingles,
@@ -143,6 +165,8 @@ object Dedup {
         val mh = mhWide.selectExpr("doc_id",
           "stack(16, " + (0 until 16).map(j => s"$j, mh$j").mkString(", ") +
             ") as (j, mh)")
+          .cache() // O(16 longs)/doc signature table; feeds banding + both
+                   // sides of the candidate collision join
         val bands = mh
           .withColumn("band", ($"j" / 4).cast("int"))
           .groupBy($"doc_id", $"band")
@@ -154,11 +178,7 @@ object Dedup {
               $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
           .distinct()
-        val nEq = mh.as("x")
-          .join(mh.as("y"), $"x.j" === $"y.j" && $"x.mh" === $"y.mh" &&
-            $"x.doc_id" < $"y.doc_id")
-          .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-          .agg(count(lit(1)).as("n_eq"))
+          .cache() // consumed 4× below (candDocs, nEq semi, inter semi, verified)
         // exact-jaccard verification of the CANDIDATES ONLY — the point
         // of LSH is that the quadratic shingle intersection never touches
         // non-candidate pairs. One broadcast semi-join restricts the
@@ -166,6 +186,17 @@ object Dedup {
         // corpus); the pair intersection then runs inside that small set.
         val candDocs = broadcast(
           cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct())
+        // n_eq (minhash collision count) is only consumed for candidate
+        // pairs, so the collision join runs on the candidate docs' 16
+        // signatures only — NOT a full-corpus self-join (which would be
+        // the quadratic pair scan LSH exists to avoid).
+        val mhCand = mh.join(candDocs, Seq("doc_id"), "left_semi")
+        val nEq = mhCand.as("x")
+          .join(mhCand.as("y"), $"x.j" === $"y.j" && $"x.mh" === $"y.mh" &&
+            $"x.doc_id" < $"y.doc_id")
+          .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+          .agg(count(lit(1)).as("n_eq"))
+          .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
         val shc = shingles(s, d)
           .join(candDocs, Seq("doc_id"), "left_semi").cache()
         val inter = shc.as("a")
@@ -210,9 +241,11 @@ object Dedup {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
         neq AS (
+          -- mirrors the Spark side: collision counts for candidate pairs only
           SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_eq
           FROM mh x JOIN mh y
             ON x.j = y.j AND x.mh = y.mh AND x.doc_id < y.doc_id
+          JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
           GROUP BY 1, 2)
         SELECT c.d1, c.d2,
           CAST(coalesce(n_eq, 0) AS BIGINT) AS n_eq,

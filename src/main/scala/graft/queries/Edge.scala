@@ -252,21 +252,34 @@ object Edge {
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- Decimal type: exact fixed-point arithmetic end to end (§1.2
-    // Decimal(p,s) mapping). Sums/products stay in decimal, no doubles.
+    // Decimal(p,s) mapping). The decimal is constructed from exact integer
+    // cents — never from a raw double — because Spark and DuckDB round
+    // float noise differently when casting double→decimal (the Q.scala
+    // determinism contract). cents × DECIMAL(3,2) 0.01 is exact decimal
+    // multiplication in both engines (division would go through DOUBLE in
+    // DuckDB); all aggregates then stay in decimal.
     Q("q71_decimal",
       (s, d) => Tables.sql(s, d, """
         SELECT o_orderpriority,
-          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
-          CAST(max(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
-          CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price
-        FROM orders
+          CAST(sum(price) AS DECIMAL(28,2)) AS total,
+          CAST(max(price * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
+          CAST(min(price) AS DECIMAL(18,2)) AS min_price
+        FROM (
+          SELECT o_orderpriority,
+            CAST(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+                 * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS price
+          FROM orders) t
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       Some("""
         SELECT o_orderpriority,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
-          CAST(max(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
-          CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price
-        FROM orders
+          CAST(sum(price) AS DECIMAL(28,2)) AS total,
+          CAST(max(price * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
+          CAST(min(price) AS DECIMAL(18,2)) AS min_price
+        FROM (
+          SELECT o_orderpriority,
+            CAST(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+                 * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS price
+          FROM orders) t
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ---- Window value functions: nth_value, first/last with explicit
@@ -312,17 +325,24 @@ object Edge {
           ("show_tables", showRows > 0), ("describe", descRows > 0))
           .toDF("stmt", "returns_rows").orderBy("stmt")
       },
-      None),
+      // Plan text differs per engine, so the check is normalized to "each
+      // statement class returned rows" — a trivially-oracled boolean table.
+      Some("""
+        SELECT * FROM (VALUES
+          ('describe', true), ('explain', true),
+          ('set', true), ('show_tables', true))
+          t(stmt, returns_rows)
+        ORDER BY stmt""")),
 
     // ---- Array set algebra + search (§2.3 nested-function rows:
     // array_except/intersect/union/position, string_to_array).
     Q("q75_array_setops",
       (s, d) => Tables.sql(s, d, """
         SELECT doc_id,
-          array_sort(array_except(slice(split(text, ' '), 1, 12),
-                                  slice(split(text, ' '), 5, 12))) AS only_head,
-          array_sort(array_intersect(slice(split(text, ' '), 1, 12),
-                                     slice(split(text, ' '), 5, 12))) AS both_parts,
+          array_join(array_sort(array_except(slice(split(text, ' '), 1, 12),
+                                  slice(split(text, ' '), 5, 12))), ',') AS only_head,
+          array_join(array_sort(array_intersect(slice(split(text, ' '), 1, 12),
+                                     slice(split(text, ' '), 5, 12))), ',') AS both_parts,
           size(array_union(slice(split(text, ' '), 1, 12),
                            slice(split(text, ' '), 5, 12))) AS union_n,
           CAST(array_position(slice(split(text, ' '), 1, 12),
@@ -330,10 +350,11 @@ object Edge {
         FROM documents WHERE doc_id < 60 ORDER BY doc_id"""),
       Some("""
         SELECT doc_id,
-          list_sort(list_distinct(list_filter(head,
-            w -> NOT list_contains(mid, w)))) AS only_head,
-          list_sort(list_distinct(list_filter(head,
-            w -> list_contains(mid, w)))) AS both_parts,
+          -- coalesce: duckdb array_to_string is NULL on [], spark's is ''
+          coalesce(array_to_string(list_sort(list_distinct(list_filter(head,
+            w -> NOT list_contains(mid, w)))), ','), '') AS only_head,
+          coalesce(array_to_string(list_sort(list_distinct(list_filter(head,
+            w -> list_contains(mid, w)))), ','), '') AS both_parts,
           CAST(len(list_distinct(list_concat(head, mid))) AS INT) AS union_n,
           CAST(coalesce(list_position(head, toks[3]), 0) AS BIGINT) AS pos3
         FROM (SELECT doc_id, string_split(text, ' ') AS toks,

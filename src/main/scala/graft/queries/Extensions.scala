@@ -74,16 +74,21 @@ object Extensions {
           .filter(col("vec_id") < 30)
         base.select(
           col("vec_id"),
-          GapFunctions.arrayResize(col("v"), 8, lit(0L)).as("resized"),
-          slice(GapFunctions.arrayPopFront(col("v")), 1, 3).as("popped_front"),
+          // array outputs serialized to csv strings in the final projection
+          // only — the driver's comparator can't hash nested columns.
+          array_join(transform(GapFunctions.arrayResize(col("v"), 8, lit(0L)),
+            x => x.cast("string")), ",").as("resized"),
+          array_join(transform(
+            slice(GapFunctions.arrayPopFront(col("v")), 1, 3),
+            x => x.cast("string")), ",").as("popped_front"),
           size(GapFunctions.arrayPopBack(col("v"))).as("popback_len"),
           GapFunctions.digest(col("vec_id").cast("string"), "sha256").as("dg"))
           .orderBy(col("vec_id"))
       },
       Some(s"""
         SELECT vec_id,
-          list_resize($duckQV, 8, 0) AS resized,
-          ($duckQV)[2:4] AS popped_front,
+          array_to_string(list_resize($duckQV, 8, 0), ',') AS resized,
+          array_to_string(($duckQV)[2:4], ',') AS popped_front,
           CAST(len($duckQV) - 1 AS INT) AS popback_len,
           sha256(CAST(vec_id AS VARCHAR)) AS dg
         FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""")),

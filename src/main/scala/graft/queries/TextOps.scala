@@ -250,9 +250,12 @@ object TextOps {
         FROM stats s JOIN modes USING (l_linestatus)
         ORDER BY l_linestatus""")),
 
-    // ---- Approximate sketches: engine-specific algorithms, so no
-    // cross-engine oracle — driver records rows>0; ScalaTest bounds the
-    // error against exact counts.
+    // ---- Approximate sketches: engine-specific algorithms, so the sketch
+    // values themselves can't cross-engine hash-match — instead the gate
+    // checks (a) the exact companion column and (b) sketch error bounds
+    // normalized to booleans (HLL ±5%, approx-median within exact min/max):
+    // a real oracle over everything DuckDB can deterministically verify.
+    // ScalaTest additionally bounds the raw sketch error.
     // (sketches and exact-distinct are aggregated separately and joined:
     // mixing them in one aggregate forces a row-expanding distinct rewrite
     // that drags the sketch buffers through the expanded stream — ~10x
@@ -265,12 +268,23 @@ object TextOps {
             approx_percentile(l_extendedprice, 0.5) AS approx_median_price
           FROM lineitem GROUP BY l_returnflag),
         ex AS (
-          SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+          SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+            min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
           FROM lineitem GROUP BY l_returnflag)
-        SELECT ap.l_returnflag, approx_parts, approx_median_price, exact_parts
+        SELECT ap.l_returnflag, exact_parts,
+          abs(CAST(approx_parts AS DOUBLE) / exact_parts - 1.0) <= 0.05
+            AS cd_within_5pct,
+          approx_median_price BETWEEN min_price AND max_price
+            AS median_in_range
         FROM ap JOIN ex USING (l_returnflag)
         ORDER BY l_returnflag"""),
-      None),
+      Some("""
+        SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS exact_parts,
+          true AS cd_within_5pct,
+          true AS median_in_range
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
 
     // ---- Text normalization (the cleaning stage every corpus pipeline
     // runs first): lowercase, strip punctuation, collapse whitespace,
@@ -322,11 +336,15 @@ object TextOps {
         docs AS (
           SELECT c.doc_id, c.text, c.lang
           FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id,
             concat_ws(' ', slice(w, i, 3)) AS s
           FROM (SELECT doc_id, split(text, ' ') AS w FROM docs)
           LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i),
+        sh AS (
+          SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+          WHERE df <= 50),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
@@ -364,11 +382,15 @@ object TextOps {
         docs AS (
           SELECT c.doc_id, c.text, c.lang
           FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs) t0) t1
           WHERE i <= len(w) - 2),
+        sh AS (
+          SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0) t2
+          WHERE df <= 50),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
