@@ -12,6 +12,7 @@ sorted, exact equality — the strictest plausible version of the driver's
 hash compare).
 """
 import sys, os, json, math
+import decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -26,6 +27,15 @@ def norm_cell(v):
         raise TypeError(
             f"nested value {type(v).__name__} — driver comparator would "
             "crash; serialize with array_join/to_json in the query")
+    if isinstance(v, decimal.Decimal):
+        # The real driver's pandas round-trip turns DuckDB decimals into
+        # float64 but Spark parquet decimals into Decimal objects — the two
+        # sides can NEVER hash-match. Reject here so decimal-typed output
+        # columns fail locally before commit (project BIGINT cents instead).
+        raise TypeError(
+            "decimal-typed output column — driver comparator converts the "
+            "two sides to different dtypes (float64 vs Decimal); project "
+            "CAST(x*100 AS BIGINT) cents in the final SELECT on both sides")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

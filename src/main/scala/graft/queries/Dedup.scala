@@ -39,7 +39,7 @@ object Dedup {
     * near-dups share many *rare* shingles, and a shingle shared by >50
     * docs carries no pair-discrimination signal anyway (standard prefix/
     * frequency filtering, cf. SCALE.md §dedup). */
-  private val MaxShingleDf = 50
+  private[queries] val MaxShingleDf = 50
 
   /** doc_id → distinct word-3-gram shingle strings, df-capped. The df
     * window runs on the same shuffle key (s) as every downstream shingle
@@ -74,7 +74,9 @@ object Dedup {
       .withColumn("jac", $"i".cast("double") / ($"n1" + $"n2" - $"i"))
   }
 
-  private val duckShingles = """
+  /** DuckDB mirror of [[shingles]]; `MaxShingleDf` is interpolated so the
+    * declared df-cap has a single source of truth across all oracles. */
+  private[queries] val duckShingles = s"""
     sh0 AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
@@ -83,7 +85,7 @@ object Dedup {
     sh AS (
       SELECT doc_id, s FROM (
         SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0) t2
-      WHERE df <= 50)"""
+      WHERE df <= $MaxShingleDf)"""
 
   private val duckJaccard = s"""
     WITH $duckShingles,
@@ -152,8 +154,13 @@ object Dedup {
     Q("q42_dedup_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        val sh = shingles(s, d)
-          .select($"doc_id", (h60($"s") % P31).as("h31"))
+        // ONE shingle derivation for the whole query: the explode +
+        // distinct + df-window is the expensive full-corpus pass (2
+        // shuffles), so it is computed once, cached, and reused by BOTH
+        // the minhash signature aggregation and the candidate-restricted
+        // exact-jaccard verification below.
+        val sh = shingles(s, d).cache()
+        val hashed = sh.select($"doc_id", (h60($"s") % P31).as("h31"))
         // 16 universal-hash permutations h_j(x) = ((2j+1)·x + 7919j) mod P,
         // computed as 16 min-aggregates in ONE pass over the shingles (no
         // row multiplication — at scale this is a single map-side-combined
@@ -161,7 +168,7 @@ object Dedup {
         val minAggs = (0 until 16).map { j =>
           min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
         }
-        val mhWide = sh.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+        val mhWide = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
         val mh = mhWide.selectExpr("doc_id",
           "stack(16, " + (0 until 16).map(j => s"$j, mh$j").mkString(", ") +
             ") as (j, mh)")
@@ -197,7 +204,7 @@ object Dedup {
           .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
           .agg(count(lit(1)).as("n_eq"))
           .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
-        val shc = shingles(s, d)
+        val shc = sh // reuses the cached shingle table — no second derivation
           .join(candDocs, Seq("doc_id"), "left_semi").cache()
         val inter = shc.as("a")
           .join(shc.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
@@ -205,8 +212,11 @@ object Dedup {
           .agg(count(lit(1)).as("i"))
           .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
         val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val verified = broadcast(cand)
-          .join(inter, Seq("d1", "d2"), "left")
+        // Broadcast the RIGHT (build) side of the left join — `inter` is
+        // candidate-pair-sized. (Broadcasting the left/stream side of a
+        // left outer join is unsupported and Spark ignores the hint.)
+        val verified = cand
+          .join(broadcast(inter), Seq("d1", "d2"), "left")
           .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
           .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
           .withColumn("jac",
@@ -278,31 +288,23 @@ object Dedup {
           .withColumn("bit",
             when($"v" > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
         val sig = bits.groupBy($"doc_id").agg(sum($"bit").as("sim")).cache()
-        // Two physical strategies with IDENTICAL results (pigeonhole: 9
-        // chunks of 7 bits — hamming <= 8 forces >= 1 identical chunk, so
-        // chunk-blocking has 100% recall). Like Catalyst's broadcast-vs-
-        // shuffle choice, pick by size: the O(n^2) bit_count scan is a
-        // tight codegen loop that wins on small corpora; the blocked
-        // equi-join (sum of bucket^2 pairs) is the only shape that
-        // survives millions of docs.
-        val pairs =
-          if (sig.count() <= 20000) {
-            sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
-              .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-                $"a.sim".as("s1"), $"b.sim".as("s2"))
-          } else {
-            val chunks = sig.select($"doc_id", $"sim",
-              explode(expr("sequence(0, 8)")).as("c"))
-              .withColumn("cv",
-                expr("(sim div CAST(pow(2, 7 * c) AS BIGINT)) % 128"))
-            chunks.as("x")
-              .join(chunks.as("y"),
-                $"x.c" === $"y.c" && $"x.cv" === $"y.cv" &&
-                  $"x.doc_id" < $"y.doc_id")
-              .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
-                $"x.sim".as("s1"), $"y.sim".as("s2"))
-              .distinct()
-          }
+        // Blocked pigeonhole join: 9 chunks of 7 bits — hamming <= 8
+        // forces >= 1 identical chunk, so chunk-blocking has 100% recall.
+        // The equi-join on (chunk, value) bounds work at Σ bucket² pairs —
+        // the only shape that survives millions of docs — and is the ONLY
+        // strategy (no driver-side `count()` to pick a plan; the oracle
+        // mirrors this join exactly).
+        val chunks = sig.select($"doc_id", $"sim",
+          explode(expr("sequence(0, 8)")).as("c"))
+          .withColumn("cv",
+            expr("(sim div CAST(pow(2, 7 * c) AS BIGINT)) % 128"))
+        val pairs = chunks.as("x")
+          .join(chunks.as("y"),
+            $"x.c" === $"y.c" && $"x.cv" === $"y.cv" &&
+              $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+            $"x.sim".as("s1"), $"y.sim".as("s2"))
+          .distinct()
         pairs
           .select($"d1", $"d2",
             expr("bit_count(s1 ^ s2)").cast("int").as("hamming"))

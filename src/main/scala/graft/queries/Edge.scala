@@ -258,29 +258,48 @@ object Edge {
     // determinism contract). cents × DECIMAL(3,2) 0.01 is exact decimal
     // multiplication in both engines (division would go through DOUBLE in
     // DuckDB); all aggregates then stay in decimal.
+    // The aggregation pipeline stays entirely in DECIMAL (that is the
+    // operator under test); only the FINAL projection re-serializes each
+    // decimal as exact integer cents/ten-thousandths, because the driver's
+    // comparator round-trips both sides through pandas and NO decimal-typed
+    // output column can hash-match there (DuckDB→pandas yields float64,
+    // Spark parquet→pyarrow→pandas yields Decimal objects). Same
+    // serialize-only-the-projection pattern as the array/struct queries.
     Q("q71_decimal",
       (s, d) => Tables.sql(s, d, """
         SELECT o_orderpriority,
-          CAST(sum(price) AS DECIMAL(28,2)) AS total,
-          CAST(max(price * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
-          CAST(min(price) AS DECIMAL(18,2)) AS min_price
+          CAST(total * 100 AS BIGINT) AS total_c,
+          CAST(max_disc * 10000 AS BIGINT) AS max_disc_c4,
+          CAST(min_price * 100 AS BIGINT) AS min_price_c
         FROM (
           SELECT o_orderpriority,
-            CAST(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
-                 * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS price
-          FROM orders) t
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+            CAST(sum(price) AS DECIMAL(28,2)) AS total,
+            CAST(max(price * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
+            CAST(min(price) AS DECIMAL(18,2)) AS min_price
+          FROM (
+            SELECT o_orderpriority,
+              CAST(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+                   * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS price
+            FROM orders) t
+          GROUP BY o_orderpriority) agg
+        ORDER BY o_orderpriority"""),
       Some("""
         SELECT o_orderpriority,
-          CAST(sum(price) AS DECIMAL(28,2)) AS total,
-          CAST(max(price * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
-          CAST(min(price) AS DECIMAL(18,2)) AS min_price
+          CAST(total * 100 AS BIGINT) AS total_c,
+          CAST(max_disc * 10000 AS BIGINT) AS max_disc_c4,
+          CAST(min_price * 100 AS BIGINT) AS min_price_c
         FROM (
           SELECT o_orderpriority,
-            CAST(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
-                 * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS price
-          FROM orders) t
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+            CAST(sum(price) AS DECIMAL(28,2)) AS total,
+            CAST(max(price * CAST(0.9 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS max_disc,
+            CAST(min(price) AS DECIMAL(18,2)) AS min_price
+          FROM (
+            SELECT o_orderpriority,
+              CAST(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+                   * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS price
+            FROM orders) t
+          GROUP BY o_orderpriority) agg
+        ORDER BY o_orderpriority""")),
 
     // ---- Window value functions: nth_value, first/last with explicit
     // frames and IGNORE NULLS.

@@ -253,7 +253,9 @@ object TextOps {
     // ---- Approximate sketches: engine-specific algorithms, so the sketch
     // values themselves can't cross-engine hash-match — instead the gate
     // checks (a) the exact companion column and (b) sketch error bounds
-    // normalized to booleans (HLL ±5%, approx-median within exact min/max):
+    // normalized to booleans (HLL at rsd=0.01 gated at ±5% — 5σ headroom,
+    // so the boolean can't flip at a different SF; approx-median within
+    // exact min/max):
     // a real oracle over everything DuckDB can deterministically verify.
     // ScalaTest additionally bounds the raw sketch error.
     // (sketches and exact-distinct are aggregated separately and joined:
@@ -264,7 +266,7 @@ object TextOps {
       (s, d) => Tables.sql(s, d, """
         WITH ap AS (
           SELECT l_returnflag,
-            approx_count_distinct(l_partkey) AS approx_parts,
+            approx_count_distinct(l_partkey, 0.01) AS approx_parts,
             approx_percentile(l_extendedprice, 0.5) AS approx_median_price
           FROM lineitem GROUP BY l_returnflag),
         ex AS (
@@ -326,7 +328,7 @@ object TextOps {
     // the oracle-proven operators above, so the whole pipeline stays
     // hash-deterministic.
     Q("q81_pipeline_e2e",
-      (s, d) => Tables.sql(s, d, """
+      (s, d) => Tables.sql(s, d, s"""
         WITH corpus AS (
           SELECT doc_id, text, lang FROM documents
           UNION ALL
@@ -344,7 +346,7 @@ object TextOps {
         sh AS (
           SELECT doc_id, s FROM (
             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
-          WHERE df <= 50),
+          WHERE df <= ${Dedup.MaxShingleDf}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
@@ -372,7 +374,7 @@ object TextOps {
           CAST(min(doc_id) AS BIGINT) AS first_doc
         FROM gated
         GROUP BY lang ORDER BY lang"""),
-      Some("""
+      Some(s"""
         WITH corpus AS (
           SELECT doc_id, text, lang FROM documents
           UNION ALL
@@ -390,7 +392,7 @@ object TextOps {
         sh AS (
           SELECT doc_id, s FROM (
             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0) t2
-          WHERE df <= 50),
+          WHERE df <= ${Dedup.MaxShingleDf}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
