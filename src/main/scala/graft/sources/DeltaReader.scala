@@ -9,9 +9,26 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate => CatalystPredicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Serializable task payload for executor-side deletion-vector decode:
+  * one row per DV'd data file; flatMapped into (file_path, row_index)
+  * pairs ON EXECUTORS so the driver never materializes a bitmap. */
+final case class DvSpec(
+    file: String, // `_metadata.file_path`-formatted absolute path
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Int,
+    sizeInBytes: Int,
+    tableRoot: String)
 
 /** Minimal Delta Lake reader — no delta-spark dependency.
   *
@@ -40,6 +57,7 @@ object DeltaReader {
 
   final case class AddFile(
       path: String,
+      size: Long, // from the add action — file sizes without filesystem stats
       partitionValues: Map[String, Option[String]],
       deletionVector: Option[DvDescriptor])
 
@@ -116,22 +134,30 @@ object DeltaReader {
           e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
         }.toMap
       }.getOrElse(Map.empty[String, Option[String]])
-      live(path) = AddFile(path, pv, parseDv(node))
+      val size = Option(node.get("size")).map(_.asLong()).getOrElse(0L)
+      live(path) = AddFile(path, size, pv, parseDv(node))
     }
 
-    // 1. checkpoint state (parquet with add/remove/metaData columns)
+    // 1. checkpoint state (parquet with add/remove/metaData columns).
+    // Typed Row collection: project just the action struct and JSON-encode
+    // it executor-side with to_json (the nested partitionValues /
+    // configuration shapes vary by writer — map vs inferred struct — so
+    // the polymorphic decode goes through one compact JSON string per
+    // action instead of a whole-row toJSON round-trip).
     cpVersion.foreach { v =>
       val cpFile = new File(logDir, f"$v%020d.checkpoint.parquet")
       val cp = spark.read.parquet(cpFile.getAbsolutePath)
       if (cp.columns.contains("metaData"))
-        cp.select("metaData").where(col("metaData").isNotNull)
-          .toJSON.collect().foreach { j =>
-            applyMeta(mapper.readTree(j).get("metaData"))
+        cp.where(col("metaData").isNotNull)
+          .select(to_json(col("metaData")))
+          .collect().foreach { r =>
+            applyMeta(mapper.readTree(r.getString(0)))
           }
       if (cp.columns.contains("add"))
-        cp.select("add").where(col("add").isNotNull)
-          .toJSON.collect().foreach { j =>
-            applyAdd(mapper.readTree(j).get("add"))
+        cp.where(col("add").isNotNull)
+          .select(to_json(col("add")))
+          .collect().foreach { r =>
+            applyAdd(mapper.readTree(r.getString(0)))
           }
     }
 
@@ -159,63 +185,73 @@ object DeltaReader {
   /** Load a delta table as a DataFrame (schema = file cols ++ partition
     * cols, mirroring deltatable.rs:136-189).
     *
-    * Partitioned tables become a UNION of one scan per distinct
-    * partition-value tuple, with the partition columns attached as typed
-    * LITERALS. A filter on a partition column then constant-folds per
-    * branch and Catalyst prunes the non-matching scans statically —
-    * file-level partition pruning without a custom FileIndex
-    * (deltatable.rs:454-469 does the same pruning inside the kernel).
-    * The `_metadata` row-address columns are only materialized for files
-    * that actually carry deletion vectors. */
+    * Partitioned tables are ONE multi-file scan over a snapshot-backed
+    * [[DeltaSnapshotFileIndex]] (the same pattern as delta-spark's
+    * TahoeFileIndex): partition values come typed from the delta log, the
+    * plan has a single scan node regardless of partition count, and
+    * filters on partition columns prune files statically through
+    * `FileIndex.listFiles(partitionFilters, …)` — O(1) plan size where
+    * the old per-tuple union was O(#distinct tuples)
+    * (deltatable.rs:454-469 prunes inside the kernel the same way).
+    *
+    * Deletion vectors: DV descriptors (a few hundred bytes per file) are
+    * parallelized to EXECUTORS, decoded there into (file, row_index)
+    * pairs, and anti-joined against the scan on the `_metadata` row
+    * address. No bitmap is ever materialized on the driver, so a 100 TB
+    * table with billions of deleted rows costs the driver only the
+    * descriptor list; the join strategy is left to Catalyst/AQE (broadcast
+    * when small, shuffle when not). */
   def load(spark: SparkSession, tablePath: String): DataFrame = {
     val snap = snapshot(spark, tablePath)
     require(snap.files.nonEmpty, s"delta table has no live files: $tablePath")
 
     val partSet = snap.partitionColumns.toSet
     val fileSchema = StructType(snap.schema.filterNot(f => partSet(f.name)))
-    val partSchema = snap.partitionColumns
-      .map(n => snap.schema(snap.schema.fieldIndex(n)))
+    val partSchema = StructType(snap.partitionColumns
+      .map(n => snap.schema(snap.schema.fieldIndex(n))))
     val root = new File(tablePath).getAbsolutePath
     val hasDv = snap.files.exists(_.deletionVector.nonEmpty)
 
-    def scanGroup(files: Seq[AddFile]): DataFrame = {
-      val paths = files.map(a => s"$root/${decodePath(a.path)}")
-      var df = spark.read.schema(fileSchema).parquet(paths: _*)
-      if (hasDv) {
-        df = df.withColumn("__file", col("_metadata.file_path"))
-          .withColumn("__row", col("_metadata.row_index"))
-        val deleted: Seq[(String, Long)] = files.flatMap { a =>
-          a.deletionVector.toSeq.flatMap { dv =>
-            DeletionVectors.deletedRows(dv, root)
-              .map(r => (s"file:$root/${decodePath(a.path)}", r))
-          }
-        }
-        if (deleted.nonEmpty) {
-          import spark.implicits._
-          val dvDf = deleted.toDF("__file", "__row")
-          df = df.join(broadcast(dvDf), Seq("__file", "__row"), "left_anti")
-        }
-        df = df.drop("__file", "__row")
+    val base =
+      if (snap.partitionColumns.isEmpty)
+        spark.read.schema(fileSchema)
+          .parquet(snap.files.map(a => s"$root/${decodePath(a.path)}"): _*)
+      else {
+        val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val index = new DeltaSnapshotFileIndex(spark, snap, root, partSchema)
+        classic.baseRelationToDataFrame(HadoopFsRelation(
+          index, partSchema, fileSchema, None, new ParquetFileFormat,
+          Map.empty[String, String])(spark))
       }
-      df
-    }
 
     val assembled =
-      if (snap.partitionColumns.isEmpty) scanGroup(snap.files)
+      if (!hasDv) base
       else {
-        // one scan per partition-value tuple; values become typed literals
-        // (delta stores them as strings; string -> typed-scalar conversion
-        // as in deltatable.rs:454-469)
-        val groups = snap.files.groupBy(a =>
-          snap.partitionColumns.map(c => a.partitionValues.get(c).flatten))
-        groups.toSeq.sortBy(_._1.toString).map { case (pv, files) =>
-          var df = scanGroup(files)
-          snap.partitionColumns.zipWithIndex.foreach { case (c, i) =>
-            val v = pv(i).map(lit).getOrElse(lit(null))
-            df = df.withColumn(c, v.cast(partSchema(i).dataType))
+        // `_metadata` row addresses are only materialized when some file
+        // actually carries a DV.
+        val df = base
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__row", col("_metadata.row_index"))
+        val specs = snap.files.flatMap { a =>
+          a.deletionVector.map { dv =>
+            DvSpec(s"file:$root/${decodePath(a.path)}", dv.storageType,
+              dv.pathOrInlineDv, dv.offset, dv.sizeInBytes, root)
           }
-          df
-        }.reduce(_ unionByName _)
+        }
+        import spark.implicits._
+        val sc = spark.sparkContext
+        val deleted = spark
+          .createDataset(sc.parallelize(specs,
+            math.max(1, math.min(specs.size, sc.defaultParallelism))))
+          .flatMap { sp =>
+            DeletionVectors
+              .deletedRows(DvDescriptor(sp.storageType, sp.pathOrInlineDv,
+                sp.offset, sp.sizeInBytes, -1L), sp.tableRoot)
+              .map(r => (sp.file, r))
+          }
+          .toDF("__file", "__row")
+        df.join(deleted, Seq("__file", "__row"), "left_anti")
+          .drop("__file", "__row")
       }
 
     assembled.select(fileSchema.map(f => col(f.name)) ++
@@ -223,8 +259,63 @@ object DeltaReader {
   }
 
   /** Delta paths are URL-encoded relative paths. */
-  private def decodePath(p: String): String =
+  private[sources] def decodePath(p: String): String =
     java.net.URLDecoder.decode(p, "UTF-8")
+}
+
+/** Snapshot-backed [[FileIndex]]: the delta log IS the file listing, so
+  * `listFiles` serves partition directories straight from the replayed
+  * snapshot (file sizes from the add actions — no filesystem stats) and
+  * evaluates Catalyst partition filters against the typed partition
+  * values, giving native static + dynamic partition pruning through the
+  * standard `FileSourceStrategy` path. One scan node for any partition
+  * count. */
+private[sources] class DeltaSnapshotFileIndex(
+    spark: SparkSession,
+    snap: DeltaReader.Snapshot,
+    root: String,
+    override val partitionSchema: StructType) extends FileIndex {
+
+  private val zone = spark.sessionState.conf.sessionLocalTimeZone
+
+  private val partitions: Seq[PartitionDirectory] = snap.files
+    .groupBy(a => snap.partitionColumns.map(c => a.partitionValues.get(c).flatten))
+    .toSeq.sortBy(_._1.toString)
+    .map { case (pv, files) =>
+      // delta stores partition values as strings; string → typed scalar
+      // via Catalyst Cast (same conversion the old literal path used)
+      val values = InternalRow.fromSeq(pv.zipWithIndex.map { case (v, i) =>
+        v.map(s => Cast(Literal(UTF8String.fromString(s), StringType),
+          partitionSchema(i).dataType, Option(zone)).eval(null)).orNull
+      })
+      PartitionDirectory(values, files.map(statusOf).toArray)
+    }
+
+  private def statusOf(a: DeltaReader.AddFile): FileStatus =
+    new FileStatus(a.size, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(s"file:$root/${DeltaReader.decodePath(a.path)}"))
+
+  override def rootPaths: Seq[Path] = Seq(new Path(s"file:$root"))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    if (partitionFilters.isEmpty) partitions
+    else {
+      val bound = CatalystPredicate.createInterpreted(
+        partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        })
+      partitions.filter(p => bound.eval(p.values))
+    }
+
+  override def inputFiles: Array[String] =
+    snap.files.map(a => s"file:$root/${DeltaReader.decodePath(a.path)}").toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = snap.files.map(_.size).sum
 }
 
 /** Deletion-vector decode: Z85-inline or file-stored roaring bitmaps.
@@ -285,25 +376,44 @@ object DeletionVectors {
     }
   }
 
-  /** Standard 32-bit RoaringBitmap portable serialization (array + bitmap
-    * containers; run containers rejected — fixtures never produce them). */
+  /** Standard 32-bit RoaringBitmap portable serialization — all three
+    * container kinds (array, bitmap, run). Run containers are what real
+    * engines emit for large sequential deletes (the reference reads them
+    * via roaring-rs, deltatable.rs:529-577), so a production DV'd table
+    * parses here too. */
   private def parseRoaring32(bb: ByteBuffer): Seq[Int] = {
     val cookie = bb.getInt
     val hasRuns = (cookie & 0xffff) == 12347
     require((cookie & 0xffff) == 12346 || hasRuns,
       s"unsupported roaring cookie: $cookie")
-    require(!hasRuns, "run containers not supported in this minimal reader")
-    val nContainers = bb.getInt
+    // With runs the container count rides in the cookie's high 16 bits
+    // (minus one) and a bitset marks which containers are run-encoded;
+    // without runs the count is its own int32.
+    val nContainers =
+      if (hasRuns) (cookie >>> 16) + 1 else bb.getInt
+    val runFlags = new Array[Byte](if (hasRuns) (nContainers + 7) / 8 else 0)
+    if (hasRuns) bb.get(runFlags)
+    def isRun(i: Int): Boolean =
+      hasRuns && (runFlags(i / 8) & (1 << (i % 8))) != 0
     val keys = new Array[Int](nContainers)
     val cards = new Array[Int](nContainers)
     (0 until nContainers).foreach { i =>
       keys(i) = bb.getShort & 0xffff
       cards(i) = (bb.getShort & 0xffff) + 1
     }
-    // offsets section (always present for the no-run cookie)
-    (0 until nContainers).foreach(_ => bb.getInt)
+    // offsets section: always present without runs; with runs only when
+    // there are >= 4 containers (NO_OFFSET_THRESHOLD in the spec)
+    if (!hasRuns || nContainers >= 4)
+      (0 until nContainers).foreach(_ => bb.getInt)
     (0 until nContainers).flatMap { i =>
-      if (cards(i) <= 4096) {
+      if (isRun(i)) {
+        val nRuns = bb.getShort & 0xffff
+        (0 until nRuns).flatMap { _ =>
+          val start = bb.getShort & 0xffff
+          val len = bb.getShort & 0xffff // run covers start..start+len
+          (start to start + len).map(v => (keys(i) << 16) | v)
+        }
+      } else if (cards(i) <= 4096) {
         (0 until cards(i)).map(_ => (keys(i) << 16) | (bb.getShort & 0xffff))
       } else { // 8 KiB bitmap container
         val words = new Array[Long](1024)
@@ -312,6 +422,65 @@ object DeletionVectors {
           .map(b => (keys(i) << 16) | b)
       }
     }
+  }
+
+  /** Serialize with RUN containers (for fixtures + round-trip tests of
+    * the run decode path): every container is run-encoded, matching what
+    * real engines emit for large sequential deletes. */
+  private[graft] def serializeRoaringArrayRuns(rows: Seq[Long]): Array[Byte] = {
+    require(rows.forall(_ >= 0))
+    val byHi = rows.map(r => (r >> 32, (r & 0xffffffffL).toInt))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val nBitmaps = if (byHi.isEmpty) 0L else byHi.keys.max + 1
+    val out = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(1681511377)
+    out.putLong(nBitmaps)
+    (0L until nBitmaps).foreach { hi =>
+      val vals = byHi.getOrElse(hi, Seq.empty)
+      val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      val n = byKey.size
+      // runs-present cookie: low 16 bits = 12347, high 16 = nContainers-1
+      out.putInt(12347 | ((n - 1) << 16))
+      val runFlags = new Array[Byte]((n + 7) / 8)
+      (0 until n).foreach(i => runFlags(i / 8) =
+        (runFlags(i / 8) | (1 << (i % 8))).toByte)
+      out.put(runFlags)
+      def runsOf(vs: Seq[Int]): Seq[(Int, Int)] = {
+        val sorted = vs.map(_ & 0xffff)
+        val runs = mutable.ArrayBuffer[(Int, Int)]()
+        var start = sorted.head
+        var prev = sorted.head
+        sorted.tail.foreach { v =>
+          if (v == prev + 1) prev = v
+          else { runs += ((start, prev - start)); start = v; prev = v }
+        }
+        runs += ((start, prev - start))
+        runs.toSeq
+      }
+      val allRuns = byKey.map { case (k, vs) => (k, vs.size, runsOf(vs)) }
+      allRuns.foreach { case (k, card, _) =>
+        out.putShort(k.toShort)
+        out.putShort((card - 1).toShort)
+      }
+      if (n >= 4) { // offsets only at/after NO_OFFSET_THRESHOLD
+        var offset = 4 + runFlags.length + n * 4 + n * 4
+        allRuns.foreach { case (_, _, runs) =>
+          out.putInt(offset)
+          offset += 2 + runs.size * 4
+        }
+      }
+      allRuns.foreach { case (_, _, runs) =>
+        out.putShort(runs.size.toShort)
+        runs.foreach { case (s, l) =>
+          out.putShort(s.toShort)
+          out.putShort(l.toShort)
+        }
+      }
+    }
+    out.flip()
+    val res = new Array[Byte](out.remaining())
+    out.get(res)
+    res
   }
 
   /** Serialize (for fixtures + round-trip tests): inverse of

@@ -60,15 +60,30 @@ class DeltaSpec extends AnyFunSuite {
     assert(df.count() == 25)
   }
 
-  test("partition filter statically prunes scan branches") {
+  test("many-partition delta load is ONE scan node (no per-tuple union)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Fixtures.deltaNationPartitioned(spark, d)
+    val df = DeltaReader.load(spark, dir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length == 1,
+      s"plan must have exactly 1 scan node for 5 partitions, got ${scans.length}")
+    assert(df.count() == 25)
+  }
+
+  test("partition filter prunes files inside the single delta scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = Fixtures.deltaNationPartitioned(spark, d)
     val df = DeltaReader.load(spark, dir)
       .filter(org.apache.spark.sql.functions.col("n_regionkey") === 3)
+    df.collect() // populate scan metrics
     val scans = df.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec => f
     }
-    assert(scans.length == 1, s"expected 1 surviving scan, got ${scans.length}")
+    assert(scans.length == 1, s"expected 1 scan node, got ${scans.length}")
+    assert(scans.head.metrics("numFiles").value == 1,
+      "partition filter should prune the listing to 1 of 5 files")
     assert(df.count() == 5)
   }
 
@@ -104,5 +119,77 @@ class DeltaSpec extends AnyFunSuite {
   test("checkpointed table stitches checkpoint + json tail") {
     val dir = Fixtures.deltaNationCheckpoint(spark, d)
     assert(DeltaReader.load(spark, dir).count() == 25)
+  }
+
+  test("run-container roaring round-trips, incl offsets section at >=4 containers") {
+    // single short run
+    val a = Seq(5L, 6L, 7L, 8L)
+    assert(DeletionVectors.parseRoaringArray(
+      DeletionVectors.serializeRoaringArrayRuns(a)).toSet == a.toSet)
+    // multiple runs + container boundary crossing (65536 = new key)
+    val b = Seq(0L, 1L, 2L, 10L, 65535L, 65536L, 65537L, 200000L)
+    assert(DeletionVectors.parseRoaringArray(
+      DeletionVectors.serializeRoaringArrayRuns(b)).toSet == b.toSet)
+    // >= 4 containers in one bitmap → offsets section present in the
+    // serialization and must be skipped correctly by the parser
+    val c = (0 until 5).flatMap(k => Seq((k * 65536L) + 3, (k * 65536L) + 4))
+    assert(DeletionVectors.parseRoaringArray(
+      DeletionVectors.serializeRoaringArrayRuns(c)).toSet == c.toSet)
+    // high-32-bit split across bitmaps
+    val hi = Seq(7L, (1L << 32) + 9, (1L << 32) + 10)
+    assert(DeletionVectors.parseRoaringArray(
+      DeletionVectors.serializeRoaringArrayRuns(hi)).toSet == hi.toSet)
+  }
+
+  /** Hand-build a one-file delta table whose DV is inline-encoded with the
+    * given serializer; returns the table dir. */
+  private def dvTable(tag: String, nRows: Int, deleted: Seq[Long],
+      ser: Seq[Long] => Array[Byte]): String = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_dv_$tag").toFile
+    val tmp = new java.io.File(dir, ".tmp")
+    spark.range(nRows).select(col("id").cast("int").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dataFile = new java.io.File(dir, "part-0.parquet")
+    java.nio.file.Files.move(part.toPath, dataFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val bits = {
+      val raw = ser(deleted)
+      if (raw.length % 4 == 0) raw else raw ++ new Array[Byte](4 - raw.length % 4)
+    }
+    val schemaJson = spark.read.parquet(dataFile.getAbsolutePath).schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 20 + ".json").toPath,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+{"add":{"path":"part-0.parquet","partitionValues":{},"size":${dataFile.length()},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${Z85.encode(bits)}","offset":0,"sizeInBytes":${bits.length},"cardinality":${deleted.size}}}}""")
+    dir.getAbsolutePath
+  }
+
+  test("delta table with a RUN-container DV drops the run's rows") {
+    val dir = dvTable("runs", 100, (20L to 59L),
+      DeletionVectors.serializeRoaringArrayRuns)
+    val kept = DeltaReader.load(spark, dir)
+      .select("v").collect().map(_.getInt(0)).toSet
+    assert(kept == ((0 until 100).toSet -- (20 to 59)))
+  }
+
+  test("large-cardinality DV decodes on executors, not the driver") {
+    // 5000 deleted rows of 8000: the deleted-rows side must come from a
+    // parallelized dataset (executor flatMap decode), never a driver-built
+    // local relation — at 100 TB the bitmap can hold billions of rows.
+    val deleted = (1000L until 6000L)
+    val dir = dvTable("big", 8000, deleted,
+      DeletionVectors.serializeRoaringArrayRuns)
+    val df = DeltaReader.load(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation"),
+      "DV rows must not be materialized into a driver-side LocalRelation")
+    assert(plan.contains("ExternalRDD"),
+      "DV decode should enter the plan as a parallelized (executor) dataset")
+    assert(df.count() == 3000)
   }
 }
