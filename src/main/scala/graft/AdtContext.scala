@@ -15,16 +15,24 @@ import graft.sources.Ddl
 final class AdtContext(val spark: SparkSession) {
 
   /** DDL registers the table and yields an empty relation (the reference
-    * prints an empty batch for DDL, main.rs:23-28); everything else is
-    * Spark SQL. */
+    * prints an empty batch for DDL, main.rs:23-28); statements touching
+    * `information_schema.*` are rewritten onto catalog-backed temp views
+    * (context.rs:27 parity); everything else is Spark SQL. */
   def sql(statement: String): DataFrame =
     if (Ddl.matches(statement)) {
       Ddl.register(spark, Ddl.parse(statement))
       spark.emptyDataFrame
+    } else if (AdtContext.InfoSchemaRef.findFirstIn(statement).isDefined) {
+      InformationSchema.refresh(spark)
+      spark.sql(AdtContext.InfoSchemaRef.replaceAllIn(statement,
+        m => s"information_schema_${m.group(1).toLowerCase}"))
     } else spark.sql(statement)
 }
 
 object AdtContext {
+
+  private[graft] val InfoSchemaRef =
+    "(?i)information_schema\\.(tables|columns)".r
 
   /** Session defaults matching SURVEY §4.3's config-parity table. */
   def build(master: String = "local[*]"): AdtContext = {

@@ -138,6 +138,47 @@ object Sources {
         ctx.sql("SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation_cp")
       },
       Some("""
-        SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation"""))
+        SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation""")),
+
+    // ---- Arrow IPC file scan (context.rs:42 parity) via the arrow-vector
+    // classes inside Spark's own jars: footer-indexed record batches are
+    // the parallelism unit. The fixture derives from nation, so the oracle
+    // reads the same rows from the parquet corpus — every value of every
+    // row must survive the arrow write→read round trip bit-for-bit.
+    Q("q87_arrow_scan",
+      (s, d) => {
+        val dir = Fixtures.nationArrow(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE nation_arrow STORED AS ARROW LOCATION '$dir'")
+        ctx.sql("""
+          SELECT n_nationkey, n_name, n_regionkey
+          FROM nation_arrow ORDER BY n_nationkey""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- information_schema.{tables,columns} (context.rs:27 parity):
+    // both views exercised in one statement; DuckDB's native
+    // information_schema over the same registered tables is the oracle.
+    Q("q88_info_schema",
+      (s, d) => {
+        Tables.register(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql("""
+          SELECT c.table_name, c.column_name,
+            CAST(c.ordinal_position AS BIGINT) AS pos
+          FROM information_schema.columns c
+          JOIN information_schema.tables t ON c.table_name = t.table_name
+          WHERE c.table_name IN ('nation', 'region')
+          ORDER BY c.table_name, pos""")
+      },
+      Some("""
+        SELECT c.table_name, c.column_name,
+          CAST(c.ordinal_position AS BIGINT) AS pos
+        FROM information_schema.columns c
+        JOIN information_schema.tables t ON c.table_name = t.table_name
+        WHERE c.table_name IN ('nation', 'region')
+        ORDER BY c.table_name, pos"""))
   )
 }

@@ -72,10 +72,7 @@ object Ddl {
           case None      => base.option("inferSchema", "true").csv(t.location)
         }
       case "JSON" | "NDJSON" => readWithSchema(spark, t, "json")
-      case "ARROW" =>
-        throw new UnsupportedOperationException(
-          "ARROW file format is not supported by this engine (documented " +
-            "deviation; see SURVEY.md §2.1)")
+      case "ARROW" => ArrowReader.load(spark, t.location)
       case "AVRO" =>
         // mirror the reference: AVRO is registered but unusable
         // (listing.rs:58-63 → runtime error, no avro feature compiled in)

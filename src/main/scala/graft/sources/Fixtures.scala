@@ -67,6 +67,47 @@ object Fixtures {
         .parquet(dir.getAbsolutePath)
     }
 
+  /** Arrow IPC file of the nation table, written in TWO record batches so
+    * the reader's (file, batch) parallelism is exercised. */
+  def nationArrow(s: SparkSession, d: String): String =
+    ensure(d, "nation_arrow") { dir =>
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.{IntVector, VarCharVector, VectorSchemaRoot}
+      import org.apache.arrow.vector.ipc.ArrowFileWriter
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+      import scala.jdk.CollectionConverters._
+      val rows = Tables.t(s, d, "nation").orderBy("n_nationkey")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      val fields = List(
+        new Field("n_nationkey", FieldType.nullable(new ArrowType.Int(32, true)), null),
+        new Field("n_name", FieldType.nullable(ArrowType.Utf8.INSTANCE), null),
+        new Field("n_regionkey", FieldType.nullable(new ArrowType.Int(32, true)), null)
+      ).asJava
+      val alloc = new RootAllocator()
+      val root = VectorSchemaRoot.create(new ASchema(fields), alloc)
+      val ch = java.nio.channels.FileChannel.open(
+        new File(dir, "nation.arrow").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      val w = new ArrowFileWriter(root, null, ch)
+      w.start()
+      rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { batch =>
+        root.allocateNew()
+        val k = root.getVector("n_nationkey").asInstanceOf[IntVector]
+        val n = root.getVector("n_name").asInstanceOf[VarCharVector]
+        val r = root.getVector("n_regionkey").asInstanceOf[IntVector]
+        batch.zipWithIndex.foreach { case (row, i) =>
+          k.setSafe(i, row.getInt(0))
+          n.setSafe(i, row.getString(1).getBytes(StandardCharsets.UTF_8))
+          r.setSafe(i, row.getInt(2))
+        }
+        root.setRowCount(batch.length)
+        w.writeBatch()
+      }
+      w.end(); w.close(); ch.close(); root.close(); alloc.close()
+    }
+
   // ------------------------------------------------------------ delta tables
 
   /** Write `df` as one parquet data file inside `table`, return its

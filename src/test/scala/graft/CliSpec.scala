@@ -54,6 +54,19 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("AVRO"))
   }
 
+  test("ARROW DDL reads an IPC file end-to-end, batch-parallel") {
+    val spark = SparkTestSession.spark
+    val dir = graft.sources.Fixtures.nationArrow(spark, SparkTestSession.sfDir)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE arrow_t STORED AS ARROW LOCATION '$dir'")
+    val df = ctx.sql("SELECT n_nationkey, n_name FROM arrow_t ORDER BY n_nationkey")
+    val rows = df.collect()
+    assert(rows.length == 25)
+    assert(rows.head.getInt(0) == 0 && rows.head.getString(1) == "NATION_0")
+    // the fixture writes two record batches; the scan parallelizes on them
+    assert(graft.sources.ArrowReader.load(spark, dir).rdd.getNumPartitions == 2)
+  }
+
   test("S3 locations error cleanly (no hadoop-aws in this build)") {
     val ctx = new AdtContext(SparkTestSession.spark)
     val e = intercept[UnsupportedOperationException] {
