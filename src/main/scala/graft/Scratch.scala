@@ -2,36 +2,32 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratch main for plan inspection (not part of the contract). */
+/** Dev harness: time one named query in isolation (not part of the
+  * shipped surface). Usage: runMain graft.Scratch <queryName> [sfDir] [n] */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val name = if (args.nonEmpty) args(0) else "q42_dedup_minhash_lsh"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-
-    def time(name: String)(f: => Unit): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    // warmup on q1 to absorb codegen start-up
+    SparkEntry.queries("q1_agg")(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      SparkEntry.queries(name)(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+      println(f"[scratch] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
-    def run(q: String): Unit =
-      SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save()
-
-    time("q54 cold")(run("q54_json_props"))
-    time("q54 warm")(run("q54_json_props"))
-    // build up the caches the dedup queries leave behind
-    time("q41")(run("q41_dedup_ngram_jaccard"))
-    time("q42")(run("q42_dedup_minhash_lsh"))
-    time("q43")(run("q43_dedup_simhash"))
-    time("q80")(run("q80_dedup_chargram"))
-    time("q81")(run("q81_pipeline_e2e"))
-    time("q54 after dedups")(run("q54_json_props"))
-    println("cached tables: " + spark.sparkContext.getPersistentRDDs.size)
     spark.stop()
   }
 }

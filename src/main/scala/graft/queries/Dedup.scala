@@ -154,13 +154,28 @@ object Dedup {
     Q("q42_dedup_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        // ONE shingle derivation for the whole query: the explode +
-        // distinct + df-window is the expensive full-corpus pass (2
-        // shuffles), so it is computed once, cached, and reused by BOTH
-        // the minhash signature aggregation and the candidate-restricted
-        // exact-jaccard verification below.
-        val sh = shingles(s, d).cache()
-        val hashed = sh.select($"doc_id", (h60($"s") % P31).as("h31"))
+        // ONE shingle derivation for the whole query, and — unlike the
+        // exact-string baseline q41 — the shingle is reduced to its 60-bit
+        // md5 hash BEFORE the distinct + df-window shuffles: production
+        // minhash never shuffles shingle text, and at 100 TB the two
+        // corpus-wide exchanges move 8-byte longs instead of ~30-byte
+        // strings. Identity, df cap, and verification jaccard are all
+        // declared over the hashed shingle (the DuckDB oracle mirrors the
+        // same md5-derived hash bit-for-bit, so collisions — if any —
+        // affect both engines identically).
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+        val sh = Tables.t(s, d, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+            .as("s"))
+          .select($"doc_id", h60($"s").as("h"))
+          .distinct()
+          .withColumn("df", count(lit(1)).over(w))
+          .filter($"df" <= MaxShingleDf)
+          .select($"doc_id", $"h")
+          .cache()
+        val hashed = sh.select($"doc_id", ($"h" % P31).as("h31"))
         // 16 universal-hash permutations h_j(x) = ((2j+1)·x + 7919j) mod P,
         // computed as 16 min-aggregates in ONE pass over the shingles (no
         // row multiplication — at scale this is a single map-side-combined
@@ -169,23 +184,27 @@ object Dedup {
           min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
         }
         val mhWide = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
-        val mh = mhWide.selectExpr("doc_id",
-          "stack(16, " + (0 until 16).map(j => s"$j, mh$j").mkString(", ") +
-            ") as (j, mh)")
-          .cache() // O(16 longs)/doc signature table; feeds banding + both
-                   // sides of the candidate collision join
-        val bands = mh
-          .withColumn("band", ($"j" / 4).cast("int"))
-          .groupBy($"doc_id", $"band")
-          .agg(array_join(transform(array_sort(collect_list(struct($"j", $"mh"))),
-            col => col.getField("mh").cast("string")), ",").as("sig"))
+          .cache() // O(16 longs)/doc; feeds banding + both sides of n_eq
+        // Band signature = the band's 4 minhashes joined as a string — a
+        // NARROW map over the wide signature table (4 rows/doc), replacing
+        // the old 16-row unpivot + collect_list re-aggregation (which cost
+        // a full extra shuffle just to reassemble what the wide row
+        // already held in order).
+        val bandCols = (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until 4).map(r =>
+              col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
+        }
+        val bands = mhWide
+          .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
+          .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
         val cand = bands.as("a")
           .join(bands.as("b"),
             $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
               $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
           .distinct()
-          .cache() // consumed 4× below (candDocs, nEq semi, inter semi, verified)
+          .cache() // consumed below (candDocs, n_eq join, verified)
         // exact-jaccard verification of the CANDIDATES ONLY — the point
         // of LSH is that the quadratic shingle intersection never touches
         // non-candidate pairs. One broadcast semi-join restricts the
@@ -193,53 +212,67 @@ object Dedup {
         // corpus); the pair intersection then runs inside that small set.
         val candDocs = broadcast(
           cand.select(explode(array($"d1", $"d2")).as("doc_id")).distinct())
-        // n_eq (minhash collision count) is only consumed for candidate
-        // pairs, so the collision join runs on the candidate docs' 16
-        // signatures only — NOT a full-corpus self-join (which would be
-        // the quadratic pair scan LSH exists to avoid).
-        val mhCand = mh.join(candDocs, Seq("doc_id"), "left_semi")
-        val nEq = mhCand.as("x")
-          .join(mhCand.as("y"), $"x.j" === $"y.j" && $"x.mh" === $"y.mh" &&
-            $"x.doc_id" < $"y.doc_id")
-          .groupBy($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-          .agg(count(lit(1)).as("n_eq"))
-          .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
+        // n_eq (minhash collision count) per candidate pair, computed as a
+        // row-level 16-term expression over the two wide signatures: two
+        // broadcast joins (candidate side is small by LSH design), zero
+        // aggregation — the old unpivoted self-join + groupBy is gone.
+        val xSig = mhWide.as("x")
+          .join(broadcast(cand), $"x.doc_id" === $"d1")
+          .select($"d1" +: $"d2" +:
+            (0 until 16).map(j => col(s"x.mh$j").as(s"x_mh$j")): _*)
+        val nEq = mhWide.as("y")
+          .join(broadcast(xSig), $"y.doc_id" === $"d2")
+          .select($"d1", $"d2",
+            (0 until 16).map(j =>
+              when(col(s"x_mh$j") === col(s"y.mh$j"), 1L).otherwise(0L))
+              .reduce(_ + _).as("n_eq"))
         val shc = sh // reuses the cached shingle table — no second derivation
           .join(candDocs, Seq("doc_id"), "left_semi").cache()
         val inter = shc.as("a")
-          .join(shc.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+          .join(shc.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
           .agg(count(lit(1)).as("i"))
           .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
         val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        // Broadcast the RIGHT (build) side of the left join — `inter` is
-        // candidate-pair-sized. (Broadcasting the left/stream side of a
-        // left outer join is unsupported and Spark ignores the hint.)
+        // Everything from here down is candidate-pair-sized — broadcast
+        // every build side explicitly so no exchange survives planning.
+        // (Hints always sit on the RIGHT/build side; broadcasting the
+        // stream side of a left join is unsupported and ignored.)
         val verified = cand
           .join(broadcast(inter), Seq("d1", "d2"), "left")
-          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+          .join(broadcast(
+            sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), "d1")
+          .join(broadcast(
+            sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), "d2")
           .withColumn("jac",
             coalesce($"i", lit(0L)).cast("double") /
               ($"n1" + $"n2" - coalesce($"i", lit(0L))))
         verified
-          .join(nEq, Seq("d1", "d2"), "left")
+          .filter($"jac" >= 0.8) // jac-only predicate commutes past the n_eq join
+          .join(broadcast(nEq), Seq("d1", "d2"), "left")
           .select($"d1", $"d2",
             coalesce($"n_eq", lit(0L)).as("n_eq"),
             (coalesce($"n_eq", lit(0L)).cast("double") / 16.0).as("est_sim"),
-            coalesce($"jac", lit(0.0)).as("jac"))
-          .filter($"jac" >= 0.8)
+            $"jac")
           .orderBy($"d1", $"d2")
       },
       Some(s"""
-        $duckJaccard,
+        WITH sh0 AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
+          WHERE i <= len(w) - 2),
+        shh0 AS (
+          SELECT DISTINCT doc_id,
+            ('0x' || substr(md5(s), 2, 15))::BIGINT AS h
+          FROM sh0),
         shh AS (
-          SELECT doc_id,
-            ('0x' || substr(md5(s), 2, 15))::BIGINT % 2147483647 AS h31
-          FROM sh),
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh0) t2
+          WHERE df <= $MaxShingleDf),
         mh AS (
           SELECT doc_id, j,
-            min(((2*j + 1) * h31 + 7919*j) % 2147483647) AS mh
+            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
           FROM shh, generate_series(0, 15) t(j)
           GROUP BY doc_id, j),
         bands AS (
@@ -256,7 +289,17 @@ object Dedup {
           FROM mh x JOIN mh y
             ON x.j = y.j AND x.mh = y.mh AND x.doc_id < y.doc_id
           JOIN cand c ON c.d1 = x.doc_id AND c.d2 = y.doc_id
-          GROUP BY 1, 2)
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jacs AS (
+          SELECT d1, d2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jac
+          FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id)
         SELECT c.d1, c.d2,
           CAST(coalesce(n_eq, 0) AS BIGINT) AS n_eq,
           CAST(coalesce(n_eq, 0) AS DOUBLE) / 16.0 AS est_sim,
