@@ -69,10 +69,14 @@ object DeltaReader {
       cardinality: Long)
 
   final case class Snapshot(
-      schema: StructType,
-      partitionColumns: Seq[String],
+      schema: StructType, // logical names (what queries see)
+      partitionColumns: Seq[String], // logical names
       files: Seq[AddFile],
-      version: Long)
+      version: Long,
+      /** logical → physical column name, non-empty only under
+        * `delta.columnMapping.mode = name` (parquet files + partition
+        * value keys use the physical names). */
+      physicalNames: Map[String, String] = Map.empty)
 
   // ---------------------------------------------------------------- replay
 
@@ -104,15 +108,29 @@ object DeltaReader {
     val live = mutable.LinkedHashMap[String, AddFile]()
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
+    var physNames: Map[String, String] = Map.empty
 
     def applyMeta(node: JsonNode): Unit = {
       val mode = Option(node.get("configuration"))
         .flatMap(c => Option(c.get("delta.columnMapping.mode")))
         .map(_.asText()).getOrElse("none")
-      require(mode == "none",
+      // `name` mapping: logical names live only in the schemaString; the
+      // parquet files (and partitionValues keys) carry the stable
+      // physical names from each field's metadata. `id` mapping (parquet
+      // field-id resolution) stays rejected.
+      require(mode == "none" || mode == "name",
         s"column mapping mode '$mode' is not supported by this reader")
-      schema = Some(DataType.fromJson(node.get("schemaString").asText())
-        .asInstanceOf[StructType])
+      val st = DataType.fromJson(node.get("schemaString").asText())
+        .asInstanceOf[StructType]
+      schema = Some(st)
+      physNames =
+        if (mode != "name") Map.empty
+        else st.fields.map { f =>
+          f.name -> (
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name)
+        }.toMap
       partCols = Option(node.get("partitionColumns")).toSeq
         .flatMap(_.elements().asScala).map(_.asText())
     }
@@ -177,7 +195,7 @@ object DeltaReader {
     val finalSchema = schema.getOrElse(
       throw new IllegalStateException(s"no metaData action in log: $tablePath"))
     Snapshot(finalSchema, partCols,
-      live.values.toSeq, usableJson.lastOption.getOrElse(0L))
+      live.values.toSeq, usableJson.lastOption.getOrElse(0L), physNames)
   }
 
   // ------------------------------------------------------------- dataframe
@@ -205,10 +223,18 @@ object DeltaReader {
     val snap = snapshot(spark, tablePath)
     require(snap.files.nonEmpty, s"delta table has no live files: $tablePath")
 
+    // Under column mapping the parquet files and partitionValues keys use
+    // physical names; the scan runs physical and the final projection
+    // restores logical names.
+    def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     val partSet = snap.partitionColumns.toSet
-    val fileSchema = StructType(snap.schema.filterNot(f => partSet(f.name)))
-    val partSchema = StructType(snap.partitionColumns
-      .map(n => snap.schema(snap.schema.fieldIndex(n))))
+    val fileFields = snap.schema.filterNot(f => partSet(f.name))
+    val fileSchema = StructType(fileFields.map(f =>
+      StructField(phys(f.name), f.dataType, f.nullable)))
+    val partSchema = StructType(snap.partitionColumns.map { n =>
+      val f = snap.schema(snap.schema.fieldIndex(n))
+      StructField(phys(n), f.dataType, f.nullable)
+    })
     val root = new File(tablePath).getAbsolutePath
     val hasDv = snap.files.exists(_.deletionVector.nonEmpty)
 
@@ -218,7 +244,8 @@ object DeltaReader {
           .parquet(snap.files.map(a => s"$root/${decodePath(a.path)}"): _*)
       else {
         val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        val index = new DeltaSnapshotFileIndex(spark, snap, root, partSchema)
+        val index = new DeltaSnapshotFileIndex(spark, snap, root, partSchema,
+          snap.partitionColumns.map(phys))
         classic.baseRelationToDataFrame(HadoopFsRelation(
           index, partSchema, fileSchema, None, new ParquetFileFormat,
           Map.empty[String, String])(spark))
@@ -254,8 +281,8 @@ object DeltaReader {
           .drop("__file", "__row")
       }
 
-    assembled.select(fileSchema.map(f => col(f.name)) ++
-      snap.partitionColumns.map(col): _*)
+    assembled.select(fileFields.map(f => col(phys(f.name)).as(f.name)) ++
+      snap.partitionColumns.map(n => col(phys(n)).as(n)): _*)
   }
 
   /** Delta paths are URL-encoded relative paths. */
@@ -274,12 +301,15 @@ private[sources] class DeltaSnapshotFileIndex(
     spark: SparkSession,
     snap: DeltaReader.Snapshot,
     root: String,
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    /** keys into each add action's partitionValues (physical names when
+      * column mapping is on; logical otherwise). */
+    partitionKeys: Seq[String]) extends FileIndex {
 
   private val zone = spark.sessionState.conf.sessionLocalTimeZone
 
   private val partitions: Seq[PartitionDirectory] = snap.files
-    .groupBy(a => snap.partitionColumns.map(c => a.partitionValues.get(c).flatten))
+    .groupBy(a => partitionKeys.map(c => a.partitionValues.get(c).flatten))
     .toSeq.sortBy(_._1.toString)
     .map { case (pv, files) =>
       // delta stores partition values as strings; string → typed scalar

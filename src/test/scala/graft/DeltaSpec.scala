@@ -104,12 +104,51 @@ class DeltaSpec extends AnyFunSuite {
       Set("part-a.parquet", "part-c.parquet"))
   }
 
-  test("column mapping mode is rejected with a clear error") {
+  test("column mapping 'name': physical parquet names, logical output") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmname").toFile
+    // parquet file holds PHYSICAL column names; partition col not in file
+    val tmp = new java.io.File(dir, ".tmp")
+    spark.range(6).select(
+      col("id").cast("int").as("col-aaa"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v"), col("id")).as("col-bbb"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "part-p0.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val size = new java.io.File(dir, "part-p0.parquet").length()
+    val fields =
+      """{"name":"k","type":"integer","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},""" +
+        """{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb"}},""" +
+        """{"name":"p","type":"integer","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-ccc"}}"""
+    val schemaJson =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${fields.replace("\"", "\\\"")}]}"""
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 20 + ".json").toPath,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":0}}
+{"add":{"path":"part-p0.parquet","partitionValues":{"col-ccc":"7"},"size":$size,"modificationTime":0,"dataChange":true}}""")
+    val df = DeltaReader.load(spark, dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v", "p"),
+      "output schema must use LOGICAL names")
+    val rows = df.orderBy("k").collect()
+    assert(rows.length == 6)
+    assert(rows.head.getInt(0) == 0 && rows.head.getString(1) == "v0" &&
+      rows.head.getInt(2) == 7)
+    // logical-name partition filter still prunes/filters correctly
+    assert(df.filter(col("p") === 7).count() == 6)
+    assert(df.filter(col("p") === 8).count() == 0)
+  }
+
+  test("column mapping mode 'id' is rejected with a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cm").toFile
     val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(log, "0" * 20 + ".json").toPath,
-      """{"metaData":{"id":"x","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+      """{"metaData":{"id":"x","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""")
     val e = intercept[IllegalArgumentException] {
       DeltaReader.snapshot(spark, dir.getAbsolutePath)
     }
