@@ -421,6 +421,164 @@ object TextOps {
         FROM gated
         GROUP BY lang ORDER BY lang""")),
 
+    // ---- PII scrubbing (the redaction stage every public-corpus pipeline
+    // runs): emails, phone numbers, IPv4 addresses → typed placeholders.
+    // The synthetic corpus is clean, so deterministic PII is appended per
+    // doc on BOTH sides before scrubbing — the digest then proves the
+    // redaction byte-for-byte, and the counts prove per-kind accounting.
+    Q("q90_pii_scrub",
+      (s, d) => Tables.sql(s, d, """
+        WITH aug AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS STRING)
+              || '@mail.example.com or call 555-01'
+              || lpad(CAST(doc_id % 100 AS STRING), 2, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS STRING) || '.7' AS t
+          FROM documents WHERE doc_id < 200),
+        scrub AS (
+          SELECT doc_id, t,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>'),
+                '\\b\\d{3}-\\d{4}\\b', '<PHONE>'),
+              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>') AS sc
+          FROM aug)
+        SELECT doc_id, md5(sc) AS digest,
+          CAST((length(sc) - length(replace(sc, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,
+          CAST((length(sc) - length(replace(sc, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone,
+          CAST((length(sc) - length(replace(sc, '<IP>', ''))) / 4 AS BIGINT) AS n_ip,
+          CAST(length(t) - length(sc) AS BIGINT) AS removed_chars
+        FROM scrub ORDER BY doc_id"""),
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents WHERE doc_id < 200),
+        scrub AS (
+          SELECT doc_id, t,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS sc
+          FROM aug)
+        SELECT doc_id, md5(sc) AS digest,
+          CAST((length(sc) - length(replace(sc, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_email,
+          CAST((length(sc) - length(replace(sc, '<PHONE>', ''))) / 7 AS BIGINT) AS n_phone,
+          CAST((length(sc) - length(replace(sc, '<IP>', ''))) / 4 AS BIGINT) AS n_ip,
+          CAST(length(t) - length(sc) AS BIGINT) AS removed_chars
+        FROM scrub ORDER BY doc_id""")),
+
+    // ---- Repetition-based quality gate (Gopher/C4-style rules): top
+    // token fraction, top bigram fraction, type/token ratio, length
+    // bounds. One narrow pass + per-doc aggregation — at 100 TB this is
+    // a map-side-combined groupBy on doc_id, no cross-doc shuffle.
+    Q("q91_quality_repetition",
+      (s, d) => Tables.sql(s, d, """
+        WITH toks AS (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id, w),
+        tstats AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+            CAST(max(c) AS BIGINT) AS top_tok,
+            CAST(count(*) AS BIGINT) AS n_types
+          FROM toks GROUP BY doc_id),
+        bigs AS (
+          SELECT doc_id, b, count(*) AS c
+          FROM (
+            SELECT doc_id, explode(transform(sequence(1, size(w) - 1),
+              i -> concat_ws(' ', slice(w, i, 2)))) AS b
+            FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+            WHERE size(w) > 1)
+          GROUP BY doc_id, b),
+        bstats AS (
+          SELECT doc_id, CAST(max(c) AS BIGINT) AS top_big,
+            CAST(sum(c) AS BIGINT) AS n_big
+          FROM bigs GROUP BY doc_id)
+        SELECT t.doc_id, n_tok, n_types,
+          CAST(top_tok AS DOUBLE) / n_tok AS top_tok_frac,
+          CAST(top_big AS DOUBLE) / n_big AS top_big_frac,
+          CAST(top_tok AS DOUBLE) / n_tok <= 0.2
+            AND CAST(top_big AS DOUBLE) / n_big <= 0.18
+            AND CAST(n_types AS DOUBLE) / n_tok >= 0.2
+            AND n_tok BETWEEN 20 AND 100000 AS keep
+        FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+        ORDER BY t.doc_id"""),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents) t
+          GROUP BY doc_id, w),
+        tstats AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+            CAST(max(c) AS BIGINT) AS top_tok,
+            CAST(count(*) AS BIGINT) AS n_types
+          FROM toks GROUP BY doc_id),
+        bigs AS (
+          SELECT doc_id, b, count(*) AS c
+          FROM (
+            SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+            FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents) t0) t1
+            WHERE i <= len(w) - 1 AND len(w) > 1)
+          GROUP BY doc_id, b),
+        bstats AS (
+          SELECT doc_id, CAST(max(c) AS BIGINT) AS top_big,
+            CAST(sum(c) AS BIGINT) AS n_big
+          FROM bigs GROUP BY doc_id)
+        SELECT t.doc_id, n_tok, n_types,
+          CAST(top_tok AS DOUBLE) / n_tok AS top_tok_frac,
+          CAST(top_big AS DOUBLE) / n_big AS top_big_frac,
+          CAST(top_tok AS DOUBLE) / n_tok <= 0.2
+            AND CAST(top_big AS DOUBLE) / n_big <= 0.18
+            AND CAST(n_types AS DOUBLE) / n_tok >= 0.2
+            AND n_tok BETWEEN 20 AND 100000 AS keep
+        FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ---- Deterministic stratified sampling (corpus mixing): per-language
+    // sample rates applied via the portable 60-bit md5 hash of doc_id —
+    // reproducible on any engine / any run, no RNG state. The real
+    // training-data mixing primitive: one narrow filter, zero shuffles
+    // beyond the final per-language rollup.
+    Q("q92_stratified_sample",
+      (s, d) => Tables.sql(s, d, """
+        WITH rates AS (
+          SELECT * FROM VALUES
+            ('en', 50), ('de', 20), ('es', 30), ('fr', 10), ('zh', 40)
+            AS r(lang, pct)),
+        sampled AS (
+          SELECT d.lang, d.doc_id
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 2, 15), 16, 10)
+            AS BIGINT) % 100 < r.pct)
+        SELECT lang, count(*) AS n_sampled,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(min(doc_id) AS BIGINT) AS first_id
+        FROM sampled GROUP BY lang ORDER BY lang"""),
+      Some("""
+        WITH rates AS (
+          SELECT * FROM (VALUES
+            ('en', 50), ('de', 20), ('es', 30), ('fr', 10), ('zh', 40))
+            r(lang, pct)),
+        sampled AS (
+          SELECT d.lang, d.doc_id
+          FROM documents d JOIN rates r ON d.lang = r.lang
+          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 15))::BIGINT
+            % 100 < r.pct)
+        SELECT lang, count(*) AS n_sampled,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(min(doc_id) AS BIGINT) AS first_id
+        FROM sampled GROUP BY lang ORDER BY lang""")),
+
     // ---- JSON extraction over the events props payload (Spark-side
     // bonus surface; reference exposes no JSON functions — SURVEY §2.3).
     Q("q54_json_props",

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamDedup}
 
 /** Streaming answer must equal the batch answer over the same events. */
 class StreamingSpec extends AnyFunSuite {
@@ -24,5 +24,38 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming exact dedup keeps one doc per digest across micro-batches") {
+    // two files: the corpus, then a re-id'd copy of its first 100 docs —
+    // maxFilesPerTrigger=1 makes the duplicates arrive in a LATER batch,
+    // so the dedup state must carry across triggers
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
+    val docs = Tables.t(spark, d, "documents").select("doc_id", "text", "lang")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "f0").getAbsolutePath)
+    docs.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "f1").getAbsolutePath)
+    val merged = new java.io.File(dir, "stream")
+    merged.mkdirs()
+    Seq("f0", "f1").zipWithIndex.foreach { case (sub, i) =>
+      val part = new java.io.File(dir, sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(merged, s"part-$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      // the file source orders by modification time — pin it so the base
+      // corpus is strictly the earlier micro-batch
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val deduped = StreamDedup.runToCompletion(
+      spark, merged.getAbsolutePath, "sdedup_test")
+    val expected = docs.select(md5(col("text"))).distinct().count()
+    assert(deduped.count() == expected)
+    // first-seen wins: none of the re-id'd (>= 10000) copies survive for
+    // texts that already appeared in the base corpus
+    assert(deduped.filter(col("doc_id") >= 10000L).count() == 0)
   }
 }
