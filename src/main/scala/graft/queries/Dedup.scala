@@ -321,16 +321,19 @@ object Dedup {
           .select($"doc_id", explode(split($"text", " ")).as("w"))
           .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
           .select($"doc_id", $"cnt", h60($"w").as("h"))
-        val bits = toks
-          .select($"doc_id", $"cnt", $"h",
-            explode(expr("sequence(0, 59)")).as("j"))
-          .withColumn("contrib",
-            $"cnt" * (expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") * 2 - 1))
-          .groupBy($"doc_id", $"j")
-          .agg(sum($"contrib").as("v"))
-          .withColumn("bit",
-            when($"v" > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
-        val sig = bits.groupBy($"doc_id").agg(sum($"bit").as("sim")).cache()
+        // The 60 per-bit contribution sums are 60 column-expression
+        // aggregates over the token rows — NOT a 60-way row explode (which
+        // would multiply the token stream 60x and need an extra
+        // (doc_id, j) shuffle). Same values, one map-side-combined
+        // groupBy; the oracle mirrors the math via its own unrolling.
+        val bitAggs = (0 until 60).map { j =>
+          sum($"cnt" * (expr(s"(h div ${1L << j}) % 2") * 2 - 1)).as(s"v$j")
+        }
+        val sigWide = toks.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        val sig = sigWide.select($"doc_id",
+          (0 until 60).map(j =>
+            when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("sim")).cache()
         // Blocked pigeonhole join: 9 chunks of 7 bits — hamming <= 8
         // forces >= 1 identical chunk, so chunk-blocking has 100% recall.
         // The equi-join on (chunk, value) bounds work at Σ bucket² pairs —
@@ -557,19 +560,24 @@ object Dedup {
     Q("q45_sim_lsh_buckets",
       (s, d) => {
         import s.implicits._
+        // All 8 hyperplane projections are per-ROW array folds (indexed
+        // transform + aggregate) — no dims×planes row explode and no
+        // per-vector shuffle at all; the only exchange is the final
+        // bucket histogram. The scale-shape for signature computation:
+        // O(1) rows per vector end to end.
+        val projCols = (0 until 8).map { j =>
+          expr(s"""aggregate(
+            transform(embedding, (x, i0) ->
+              CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+                * (((i0 + 1) * 37 + $j * 101) % 19 - 9)),
+            0L, (acc, v) -> acc + v)""").as(s"proj$j")
+        }
         Tables.t(s, d, "embeddings")
-          .select($"vec_id", posexplode(expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")))
-          .withColumnRenamed("pos", "i0").withColumnRenamed("col", "x")
-          .select($"vec_id", ($"i0" + 1).as("i"), $"x",
-            explode(expr("sequence(0, 7)")).as("j"))
-          .withColumn("wgt", ($"i" * 37 + $"j" * 101) % 19 - 9)
-          .groupBy($"vec_id", $"j")
-          .agg(sum($"x" * $"wgt").as("proj"))
-          .withColumn("bit",
-            when($"proj" > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
-          .groupBy($"vec_id")
-          .agg(sum($"bit").as("bucket"))
+          .select($"vec_id" +: projCols: _*)
+          .select($"vec_id",
+            (0 until 8).map(j =>
+              when(col(s"proj$j") > 0, lit(1L << j)).otherwise(0L))
+              .reduce(_ + _).as("bucket"))
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_vectors"))
           .orderBy($"bucket")
