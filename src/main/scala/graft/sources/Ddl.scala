@@ -25,11 +25,19 @@ object Ddl {
       location: String,
       schema: Option[String],
       partitionedBy: Seq[String],
-      options: Map[String, String])
+      options: Map[String, String],
+      /** Declared file sort order (`WITH ORDER (c ASC, …)`), validated
+        * against the declared schema like the reference
+        * (listing.rs:122-149). DataFusion uses it as a listing-table
+        * optimizer hint; Spark's file sources have no equivalent hint, so
+        * it is accepted + validated but does not change the plan
+        * (documented deviation — results are unaffected either way). */
+      orderBy: Seq[String] = Seq.empty)
 
   private val CreatePattern =
     ("""(?is)\s*CREATE\s+EXTERNAL\s+TABLE\s+(\w+)\s*(\(([^)]*)\))?\s*""" +
       """STORED\s+AS\s+(\w+)\s*""" +
+      """(?:WITH\s+ORDER\s*\(([^)]*)\)\s*)?""" +
       """(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?""" +
       """(?:OPTIONS\s*\(([^)]*)\)\s*)?""" +
       """LOCATION\s+'([^']+)'\s*;?\s*""").r
@@ -39,18 +47,30 @@ object Ddl {
     CreatePattern.pattern.matcher(sql).matches()
 
   def parse(sql: String): ExternalTable = sql match {
-    case CreatePattern(name, _, cols, fmt, parts, opts, loc) =>
+    case CreatePattern(name, _, cols, fmt, order, parts, opts, loc) =>
+      val schema = Option(cols).map(_.trim).filter(_.nonEmpty)
+      val orderCols = Option(order).toSeq.flatMap(_.split(","))
+        .map(_.trim.split("\\s+")(0)).filter(_.nonEmpty)
+      // listing.rs:130-141 parity: WITH ORDER columns must exist in the
+      // declared schema
+      schema.foreach { ddl =>
+        val declared = StructType.fromDDL(ddl).fieldNames.toSet
+        orderCols.find(c => !declared.contains(c)).foreach { c =>
+          throw new IllegalArgumentException(s"Column $c is not in schema")
+        }
+      }
       ExternalTable(
         name,
         fmt.toUpperCase,
         loc,
-        Option(cols).map(_.trim).filter(_.nonEmpty),
+        schema,
         Option(parts).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
         // split on commas OUTSIDE single quotes (delimiter=',' is legal)
         Option(opts).toSeq
           .flatMap(_.split(",(?=(?:[^']*'[^']*')*[^']*$)"))
           .map(_.split("=", 2).map(s => s.trim.stripPrefix("'").stripSuffix("'")))
-          .collect { case Array(k, v) => k.toLowerCase -> v }.toMap)
+          .collect { case Array(k, v) => k.toLowerCase -> v }.toMap,
+        orderCols)
     case _ =>
       throw new IllegalArgumentException(s"not a CREATE EXTERNAL TABLE: $sql")
   }

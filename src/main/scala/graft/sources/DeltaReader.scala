@@ -469,6 +469,12 @@ object DeletionVectors {
       val vals = byHi.getOrElse(hi, Seq.empty)
       val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
       val n = byKey.size
+      if (n == 0) {
+        // an empty bitmap can't use the run cookie ((n-1) would underflow
+        // its 16-bit container count) — emit a legal empty no-run bitmap
+        out.putInt(12346)
+        out.putInt(0)
+      } else {
       // runs-present cookie: low 16 bits = 12347, high 16 = nContainers-1
       out.putInt(12347 | ((n - 1) << 16))
       val runFlags = new Array[Byte]((n + 7) / 8)
@@ -505,6 +511,7 @@ object DeletionVectors {
           out.putShort(s.toShort)
           out.putShort(l.toShort)
         }
+      }
       }
     }
     out.flip()

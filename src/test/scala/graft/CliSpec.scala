@@ -39,6 +39,18 @@ class CliSpec extends AnyFunSuite {
     assert(t.options == Map("header" -> "false", "delimiter" -> "|"))
   }
 
+  test("WITH ORDER parses, validates against schema, and rejects unknown cols") {
+    val t = Ddl.parse("""CREATE EXTERNAL TABLE o (a INT, b STRING)
+      STORED AS PARQUET WITH ORDER (a ASC, b DESC) LOCATION '/x'""")
+    assert(t.orderBy == Seq("a", "b"))
+    // listing.rs:130-141 parity: unknown order column is a plan error
+    val e = intercept[IllegalArgumentException] {
+      Ddl.parse("""CREATE EXTERNAL TABLE o (a INT)
+        STORED AS PARQUET WITH ORDER (zz ASC) LOCATION '/x'""")
+    }
+    assert(e.getMessage.contains("not in schema"))
+  }
+
   test("DDL options may contain quoted commas") {
     val t = Ddl.parse(
       "CREATE EXTERNAL TABLE c STORED AS CSV " +

@@ -29,6 +29,13 @@ object PropertySpec extends Properties("graft-kernels") {
       DeletionVectors.serializeRoaringArray(set.toSeq)).toSet == set
   }
 
+  property("roaring RUN containers round-trip row-index sets") =
+    forAll(rowGen) { rows =>
+      val set = rows.toSet
+      DeletionVectors.parseRoaringArray(
+        DeletionVectors.serializeRoaringArrayRuns(set.toSeq)).toSet == set
+    }
+
   private val vwGen = Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 20L))
     .map { case (v, w) => ValueWeight(v, w) }
 
