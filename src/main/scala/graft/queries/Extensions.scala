@@ -204,6 +204,79 @@ object Extensions {
           WHERE rn = 1)
         SELECT c_id, count(*) AS n_members,
           CAST(min(vec_id) AS BIGINT) AS first_member
-        FROM assigned GROUP BY c_id ORDER BY c_id"""))
+        FROM assigned GROUP BY c_id ORDER BY c_id""")),
+
+    // ---- IVF PROBE: the query path q68's assignment exists for. Each
+    // query vector searches ONLY its assigned centroid's inverted list —
+    // the probe join key is the centroid id, so a query touches one list
+    // (1/nlist of the corpus), never the full corpus. Declared ANN
+    // semantics: recall loss vs q44's exact scan is part of the operator
+    // contract, mirrored exactly in the oracle.
+    Q("q93_sim_ivf_probe",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), expr(QV).as("v"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        graft.functions.DotProductI64.register(s)
+        val scored = emb.crossJoin(broadcast(cents))
+          .withColumn("cos", expr("dot_i64(v, cv)").cast("double") /
+            (sqrt(expr("dot_i64(v, v)").cast("double")) *
+              sqrt(expr("dot_i64(cv, cv)").cast("double"))))
+        val assigned = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id"), col("v"))
+        val qs = assigned.filter(col("vec_id").between(8, 12))
+          .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
+        assigned.join(broadcast(qs), Seq("c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", expr("dot_i64(v, qv)").cast("double") /
+            (sqrt(expr("dot_i64(v, v)").cast("double")) *
+              sqrt(expr("dot_i64(qv, qv)").cast("double"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        scored AS (
+          SELECT w.vec_id, c.c_id, w.v,
+            list_dot_product(w.v, c.cv) /
+              (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+          FROM w CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT vec_id, c_id, v,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, c_id ASC) AS rn
+            FROM scored) t
+          WHERE rn = 1),
+        qs AS (
+          SELECT c_id, vec_id AS q_id, v AS qv
+          FROM assigned WHERE vec_id BETWEEN 8 AND 12),
+        probed AS (
+          SELECT q.q_id, a.vec_id AS neighbor,
+            list_dot_product(a.v, q.qv) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM assigned a JOIN qs q ON a.c_id = q.c_id
+          WHERE a.vec_id <> q.q_id)
+        SELECT q_id, rn, neighbor, cos FROM (
+          SELECT q_id, neighbor, cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor ASC) AS INT) AS rn
+          FROM probed) t
+        WHERE rn <= 3
+        ORDER BY q_id, rn"""))
   )
 }

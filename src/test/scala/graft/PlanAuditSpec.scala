@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Structural plan assertions — the SCALE.md/PLANS.md claims as tests, so
+  * a regression that un-pushes a filter, de-broadcasts a dim, or splits a
+  * scan breaks the build rather than only the benchmark. */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution
+      .explainString(FormattedMode)
+
+  test("q2: predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters: ["))
+    assert(!p.contains("PushedFilters: []"), "filter list must be non-empty")
+  }
+
+  test("q1: aggregation is two-phase (map-side partial)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q3: both dimension joins broadcast, no shuffle join") {
+    val p = plan("q3_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q82 (TPC-H Q5 shape): every dim broadcasts, fact never shuffles pre-agg") {
+    val p = plan("q82_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q57: hive partition filter prunes at the scan") {
+    val p = plan("q57_partitioned_parquet")
+    assert(p.contains("PartitionFilters") && p.contains("l_returnflag"))
+  }
+
+  test("q60: partitioned delta is ONE scan node via the snapshot FileIndex") {
+    val p = plan("q60_delta_partitioned")
+    // count node-detail headers "(n) Scan parquet" — the tree section
+    // repeats each node name
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
+  }
+
+  test("q92: the rates dim joins without a shuffle of the corpus") {
+    val p = plan("q92_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q44: query set broadcasts; corpus side streams once") {
+    val p = plan("q44_sim_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("no driver-side LocalRelation feeds any dedup join") {
+    Seq("q40_dedup_exact", "q42_dedup_minhash_lsh", "q43_dedup_simhash")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("LocalTableScan"), s"$q has a driver-built table")
+      }
+  }
+}
