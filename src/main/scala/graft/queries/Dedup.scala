@@ -58,6 +58,55 @@ object Dedup {
       .select($"doc_id", $"s")
   }
 
+  /** doc_id → 60-bit-hashed distinct shingles, df-capped. The scale
+    * variant of [[shingles]]: the corpus-wide distinct + df-window
+    * exchanges move 8-byte longs instead of shingle text (production
+    * minhash never shuffles shingle strings). Used by q42 and q89; the
+    * DuckDB mirror is [[duckHashedShingles]]. */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    Tables.t(s, d, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("s"))
+      .select($"doc_id", h60($"s").as("h"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(w))
+      .filter($"df" <= MaxShingleDf)
+      .select($"doc_id", $"h")
+  }
+
+  private val duckHashedShingles = s"""
+    sh0 AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
+      WHERE i <= len(w) - 2),
+    shh0 AS (
+      SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(s), 2, 15))::BIGINT AS h
+      FROM sh0),
+    shh AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh0) t2
+      WHERE df <= $MaxShingleDf)"""
+
+  /** Hash-identity jaccard CTEs over [[duckHashedShingles]]' `shh`. */
+  private val duckHashedJaccard = s"""
+    $duckHashedShingles,
+    sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jacs AS (
+      SELECT d1, d2, CAST(i AS DOUBLE) / (s1.n + s2.n - i) AS jac
+      FROM inter
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id)"""
+
   /** Exact pairwise jaccard over shingle sets for pairs sharing >=1
     * shingle. Shuffle key = shingle string (uniformly distributed). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
@@ -156,25 +205,12 @@ object Dedup {
         import s.implicits._
         // ONE shingle derivation for the whole query, and — unlike the
         // exact-string baseline q41 — the shingle is reduced to its 60-bit
-        // md5 hash BEFORE the distinct + df-window shuffles: production
-        // minhash never shuffles shingle text, and at 100 TB the two
-        // corpus-wide exchanges move 8-byte longs instead of ~30-byte
-        // strings. Identity, df cap, and verification jaccard are all
-        // declared over the hashed shingle (the DuckDB oracle mirrors the
-        // same md5-derived hash bit-for-bit, so collisions — if any —
+        // md5 hash BEFORE the distinct + df-window shuffles (see
+        // hashedShingles). Identity, df cap, and verification jaccard are
+        // all declared over the hashed shingle (the DuckDB oracle mirrors
+        // the same md5-derived hash bit-for-bit, so collisions — if any —
         // affect both engines identically).
-        val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-        val sh = Tables.t(s, d, "documents")
-          .select($"doc_id", split($"text", " ").as("w"))
-          .select($"doc_id", explode(expr(
-            "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
-            .as("s"))
-          .select($"doc_id", h60($"s").as("h"))
-          .distinct()
-          .withColumn("df", count(lit(1)).over(w))
-          .filter($"df" <= MaxShingleDf)
-          .select($"doc_id", $"h")
-          .cache()
+        val sh = hashedShingles(s, d).cache()
         val hashed = sh.select($"doc_id", ($"h" % P31).as("h31"))
         // 16 universal-hash permutations h_j(x) = ((2j+1)·x + 7919j) mod P,
         // computed as 16 min-aggregates in ONE pass over the shingles (no
@@ -257,19 +293,7 @@ object Dedup {
           .orderBy($"d1", $"d2")
       },
       Some(s"""
-        WITH sh0 AS (
-          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
-                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
-          WHERE i <= len(w) - 2),
-        shh0 AS (
-          SELECT DISTINCT doc_id,
-            ('0x' || substr(md5(s), 2, 15))::BIGINT AS h
-          FROM sh0),
-        shh AS (
-          SELECT doc_id, h FROM (
-            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh0) t2
-          WHERE df <= $MaxShingleDf),
+        WITH $duckHashedShingles,
         mh AS (
           SELECT doc_id, j,
             min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
@@ -447,10 +471,19 @@ object Dedup {
     Q("q89_dedup_clusters",
       (s, d) => {
         import s.implicits._
-        // cache the pair list BEFORE symmetrizing — the union references
-        // it twice, and each reference would otherwise re-run the whole
-        // jaccard pipeline
-        val pairs = jaccardPairs(s, d).filter($"jac" >= 0.8)
+        // pair source = hashed-shingle jaccard (the scale identity, same
+        // as q42); cache the pair list BEFORE symmetrizing — the union
+        // references it twice, and each reference would otherwise re-run
+        // the whole jaccard pipeline
+        val sh = hashedShingles(s, d).cache()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("i"))
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+          .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
           .select($"d1", $"d2").cache()
         val edges = pairs
           .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
@@ -478,7 +511,7 @@ object Dedup {
           .orderBy($"cluster")
       },
       Some(s"""
-        $duckJaccard,
+        WITH $duckHashedJaccard,
         pairs AS (SELECT d1, d2 FROM jacs WHERE jac >= 0.8),
         edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
         l0 AS (SELECT DISTINCT d1 AS doc_id, d1 AS lbl FROM edges),
