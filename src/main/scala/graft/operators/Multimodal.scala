@@ -35,4 +35,44 @@ object Multimodal {
     // real impl: val codec = Codec.acquire() ... it.map(...) with cleanup
     it.map { case (id, bytes) => decodeStub(id, bytes) }
   }
+
+  // ---- Frame pipeline: REAL byte-level transforms (no codec needed) —
+  // the frame-sample / resize / feature-extract stages a media pipeline
+  // runs after decode, operating on the raw blob. Deterministic, so the
+  // whole pipeline is oracle-checkable (q94).
+
+  /** Typed per-document frame features. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      n_frames: Int,
+      energy: Long,
+      frame_digest: String)
+
+  /** Every `stride`-th fixed-length frame of the blob (tail frame may be
+    * short) — the video frame-sampling shape. */
+  def frameSample(bytes: Array[Byte], frameLen: Int,
+      stride: Int): Seq[Array[Byte]] =
+    bytes.grouped(frameLen).zipWithIndex
+      .collect { case (f, i) if i % stride == 0 => f }.toSeq
+
+  /** Resize to `target` bytes: crop, or pad with 0x20. */
+  def resize(frame: Array[Byte], target: Int): Array[Byte] =
+    if (frame.length >= target) frame.take(target)
+    else frame ++ Array.fill(target - frame.length)(' '.toByte)
+
+  /** Frame features: sampled frame count, total byte energy of the
+    * resized frames, and an md5 digest over their concatenation. */
+  def frameFeatures(id: Long, bytes: Array[Byte]): FrameFeatures = {
+    val frames = frameSample(bytes, 16, 4).map(resize(_, 8))
+    val energy = frames.iterator.map(_.iterator.map(b => (b & 0xff).toLong).sum).sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    frames.foreach(md.update)
+    val digest = md.digest().map(b => f"$b%02x").mkString
+    FrameFeatures(id, frames.size, energy, digest)
+  }
+
+  /** Per-partition frame pipeline (same iterator shape as decode). */
+  def framePartition(
+      it: Iterator[(Long, Array[Byte])]): Iterator[FrameFeatures] =
+    it.map { case (id, bytes) => frameFeatures(id, bytes) }
 }

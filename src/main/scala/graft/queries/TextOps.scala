@@ -176,6 +176,40 @@ object TextOps {
           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Multimodal frame pipeline: frame-sample → resize →
+    // feature-extract over the binary blob (graft.operators.Multimodal),
+    // REAL byte transforms (every 4th 16-byte frame, crop/pad to 8,
+    // byte-energy + md5 over the resized frames). The corpus is ASCII so
+    // the DuckDB oracle expresses identical byte math on the text.
+    Q("q94_multimodal_frames",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .filter($"doc_id" < 200)
+          .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(Multimodal.framePartition)
+          .toDF()
+          .select($"doc_id", $"n_frames", $"energy", $"frame_digest")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, j,
+            rpad(substr(substr(text, 1 + 16*j, 16), 1, 8), 8, ' ') AS fr
+          FROM documents, generate_series(0, 799) t(j)
+          WHERE doc_id < 200 AND 1 + 16*j <= length(text) AND j % 4 = 0),
+        e AS (
+          SELECT doc_id, j, fr,
+            (SELECT sum(ascii(substr(fr, i, 1)))
+             FROM generate_series(1, 8) s(i)) AS fe
+          FROM f)
+        SELECT doc_id,
+          CAST(count(*) AS INT) AS n_frames,
+          CAST(sum(fe) AS BIGINT) AS energy,
+          md5(string_agg(fr, '' ORDER BY j)) AS frame_digest
+        FROM e GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Statistical aggregate family (stddev/var/corr/covar/regr).
     Q("q51_stats_agg",
       (s, d) => Tables.sql(s, d, s"""

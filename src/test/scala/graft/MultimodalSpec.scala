@@ -22,6 +22,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.doc_id) == (0L until 100L))
   }
 
+  test("frameSample strides, resize crops and pads, features are exact") {
+    val bytes = (0 until 100).map(i => ('a' + i % 26).toByte).toArray
+    // 100 bytes → 7 frames of 16 (last short: 4 bytes); stride 4 → j=0, 4
+    val frames = Multimodal.frameSample(bytes, 16, 4)
+    assert(frames.length == 2)
+    assert(frames.head.length == 16)
+    // resize crops to 8
+    assert(Multimodal.resize(frames.head, 8).toSeq == bytes.take(8).toSeq)
+    // resize pads a short frame with 0x20
+    val short = Multimodal.resize(Array[Byte]('x'), 4)
+    assert(short.toSeq == Seq[Byte]('x', ' ', ' ', ' '))
+    // features: deterministic, energy = byte sum of resized frames
+    val f1 = Multimodal.frameFeatures(1L, bytes)
+    val f2 = Multimodal.frameFeatures(1L, bytes)
+    assert(f1 == f2)
+    assert(f1.n_frames == 2)
+    val expectedEnergy = (bytes.slice(0, 8) ++ bytes.slice(64, 72))
+      .map(b => (b & 0xff).toLong).sum
+    assert(f1.energy == expectedEnergy)
+    assert(f1.frame_digest.matches("[0-9a-f]{32}"))
+  }
+
   test("multimodal query plumbs binary through mapPartitions") {
     val df = SparkEntry.queries("q50_multimodal_meta")(
       SparkTestSession.spark, SparkTestSession.sfDir)
