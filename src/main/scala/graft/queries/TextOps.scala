@@ -48,6 +48,48 @@ object TextOps {
           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num_runs
         FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
 
+    // ---- Vocabulary building (the tokenizer-training primitive): corpus
+    // token frequencies → top-50 by count. Map-side-combined groupBy on
+    // the token; the global rank runs over the vocabulary (bounded by
+    // distinct tokens, not corpus size).
+    Q("q95_vocab_topk",
+      (s, d) => Tables.sql(s, d, """
+        SELECT w, n, rank FROM (
+          SELECT w, CAST(count(*) AS BIGINT) AS n,
+            row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rank
+          FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+          GROUP BY w)
+        WHERE rank <= 50 ORDER BY rank"""),
+      Some("""
+        SELECT w, n, rank FROM (
+          SELECT w, CAST(count(*) AS BIGINT) AS n,
+            CAST(row_number() OVER (ORDER BY count(*) DESC, w ASC) AS INT) AS rank
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+          GROUP BY w) r
+        WHERE rank <= 50 ORDER BY rank""")),
+
+    // ---- Feature hashing (the hashing-trick vectorizer): token → one of
+    // 64 buckets via the portable 60-bit md5 hash, per-doc bucket counts
+    // as a sparse vector. No vocabulary state at all — the property that
+    // makes it the scale path for featurization.
+    Q("q96_feature_hashing",
+      (s, d) => Tables.sql(s, d, """
+        SELECT doc_id,
+          CAST(conv(substr(md5(w), 2, 15), 16, 10) AS BIGINT) % 64 AS bucket,
+          count(*) AS cnt
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 50)
+        GROUP BY doc_id, 2
+        ORDER BY doc_id, bucket"""),
+      Some("""
+        SELECT doc_id,
+          ('0x' || substr(md5(w), 2, 15))::BIGINT % 64 AS bucket,
+          count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE doc_id < 50) t
+        GROUP BY doc_id, bucket
+        ORDER BY doc_id, bucket""")),
+
     // ---- Quality scoring: stopword ratio, repetition, length band.
     Q("q47_text_quality",
       (s, d) => Tables.sql(s, d, s"""
