@@ -73,10 +73,14 @@ object DeltaReader {
       partitionColumns: Seq[String], // logical names
       files: Seq[AddFile],
       version: Long,
-      /** logical → physical column name, non-empty only under
-        * `delta.columnMapping.mode = name` (parquet files + partition
-        * value keys use the physical names). */
-      physicalNames: Map[String, String] = Map.empty)
+      /** logical → physical column name, non-empty only under column
+        * mapping (parquet files + partition value keys use the physical
+        * names). */
+      physicalNames: Map[String, String] = Map.empty,
+      /** logical → parquet field id, non-empty only under
+        * `delta.columnMapping.mode = id` (the scan matches parquet
+        * columns by field id, not name). */
+      fieldIds: Map[String, Long] = Map.empty)
 
   // ---------------------------------------------------------------- replay
 
@@ -109,27 +113,34 @@ object DeltaReader {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var physNames: Map[String, String] = Map.empty
+    var fldIds: Map[String, Long] = Map.empty
 
     def applyMeta(node: JsonNode): Unit = {
       val mode = Option(node.get("configuration"))
         .flatMap(c => Option(c.get("delta.columnMapping.mode")))
         .map(_.asText()).getOrElse("none")
-      // `name` mapping: logical names live only in the schemaString; the
-      // parquet files (and partitionValues keys) carry the stable
-      // physical names from each field's metadata. `id` mapping (parquet
-      // field-id resolution) stays rejected.
-      require(mode == "none" || mode == "name",
+      // `name` mapping: the parquet files (and partitionValues keys)
+      // carry the stable physical names from each field's metadata.
+      // `id` mapping: the scan must match parquet columns by FIELD ID —
+      // expressed through Spark's native parquet field-id resolution.
+      require(mode == "none" || mode == "name" || mode == "id",
         s"column mapping mode '$mode' is not supported by this reader")
       val st = DataType.fromJson(node.get("schemaString").asText())
         .asInstanceOf[StructType]
       schema = Some(st)
       physNames =
-        if (mode != "name") Map.empty
+        if (mode == "none") Map.empty
         else st.fields.map { f =>
           f.name -> (
             if (f.metadata.contains("delta.columnMapping.physicalName"))
               f.metadata.getString("delta.columnMapping.physicalName")
             else f.name)
+        }.toMap
+      fldIds =
+        if (mode != "id") Map.empty
+        else st.fields.collect {
+          case f if f.metadata.contains("delta.columnMapping.id") =>
+            f.name -> f.metadata.getLong("delta.columnMapping.id")
         }.toMap
       partCols = Option(node.get("partitionColumns")).toSeq
         .flatMap(_.elements().asScala).map(_.asText())
@@ -195,7 +206,8 @@ object DeltaReader {
     val finalSchema = schema.getOrElse(
       throw new IllegalStateException(s"no metaData action in log: $tablePath"))
     Snapshot(finalSchema, partCols,
-      live.values.toSeq, usableJson.lastOption.getOrElse(0L), physNames)
+      live.values.toSeq, usableJson.lastOption.getOrElse(0L), physNames,
+      fldIds)
   }
 
   // ------------------------------------------------------------- dataframe
@@ -224,13 +236,26 @@ object DeltaReader {
     require(snap.files.nonEmpty, s"delta table has no live files: $tablePath")
 
     // Under column mapping the parquet files and partitionValues keys use
-    // physical names; the scan runs physical and the final projection
-    // restores logical names.
+    // physical names. `name` mode: the scan runs on physical names and
+    // the final projection restores logical names. `id` mode: the scan
+    // keeps logical names but tags each field with its parquet field id
+    // and lets Spark's native field-id resolution match columns
+    // (spark.sql.parquet.fieldId.read.enabled) — names in the file are
+    // irrelevant, exactly the delta `id` contract.
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
+    val idMode = snap.fieldIds.nonEmpty
+    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    def scanName(n: String): String = if (idMode) n else phys(n)
     val partSet = snap.partitionColumns.toSet
     val fileFields = snap.schema.filterNot(f => partSet(f.name))
-    val fileSchema = StructType(fileFields.map(f =>
-      StructField(phys(f.name), f.dataType, f.nullable)))
+    val fileSchema = StructType(fileFields.map { f =>
+      val meta =
+        if (idMode && snap.fieldIds.contains(f.name))
+          new MetadataBuilder()
+            .putLong("parquet.field.id", snap.fieldIds(f.name)).build()
+        else Metadata.empty
+      StructField(scanName(f.name), f.dataType, f.nullable, meta)
+    })
     val partSchema = StructType(snap.partitionColumns.map { n =>
       val f = snap.schema(snap.schema.fieldIndex(n))
       StructField(phys(n), f.dataType, f.nullable)
@@ -281,7 +306,7 @@ object DeltaReader {
           .drop("__file", "__row")
       }
 
-    assembled.select(fileFields.map(f => col(phys(f.name)).as(f.name)) ++
+    assembled.select(fileFields.map(f => col(scanName(f.name)).as(f.name)) ++
       snap.partitionColumns.map(n => col(phys(n)).as(n)): _*)
   }
 

@@ -143,12 +143,51 @@ class DeltaSpec extends AnyFunSuite {
     assert(df.filter(col("p") === 8).count() == 0)
   }
 
-  test("column mapping mode 'id' is rejected with a clear error") {
+  test("column mapping 'id': parquet columns matched by field id, not name") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmid").toFile
+    // the data file carries PHYSICAL names and parquet field ids; ids are
+    // the only link to the logical schema
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val fileSchema = StructType(Seq(
+      StructField("col-x1", IntegerType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("col-x2", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val rows = (0 until 5).map(i => Row(i, s"s$i"))
+    val tmp = new java.io.File(dir, ".tmp")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), fileSchema)
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dataFile = new java.io.File(dir, "part-0.parquet")
+    java.nio.file.Files.move(part.toPath, dataFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val fields =
+      """{"name":"k","type":"integer","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-x1"}},""" +
+        """{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-x2"}}"""
+    val schemaJson =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${fields.replace("\"", "\\\"")}]}"""
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 20 + ".json").toPath,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+{"metaData":{"id":"cmid","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":0}}
+{"add":{"path":"part-0.parquet","partitionValues":{},"size":${dataFile.length()},"modificationTime":0,"dataChange":true}}""")
+    val df = DeltaReader.load(spark, dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
+    val out = df.orderBy("k").collect()
+    assert(out.length == 5)
+    assert(out.head.getInt(0) == 0 && out.head.getString(1) == "s0")
+  }
+
+  test("unknown column mapping mode is rejected with a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cm").toFile
     val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(log, "0" * 20 + ".json").toPath,
-      """{"metaData":{"id":"x","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""")
+      """{"metaData":{"id":"x","schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"bogus"}}}""")
     val e = intercept[IllegalArgumentException] {
       DeltaReader.snapshot(spark, dir.getAbsolutePath)
     }
