@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProductI64
+
+/** Session-extension entry point — the Spark-native way to ship this
+  * library's custom Catalyst surface into ANY session, including ones the
+  * library doesn't build itself:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Registers the native codegen expression `dot_i64` through the injected
+  * function hook (so it resolves in plain `spark.sql(...)` with no
+  * runtime `register` call). The DDL / information_schema shims stay in
+  * [[AdtContext]] because they rewrite statements, which the parser hook
+  * does not need for this surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductI64(exprs(0), exprs(1))))
+  }
+}

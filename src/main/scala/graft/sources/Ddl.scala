@@ -98,7 +98,11 @@ object Ddl {
         // (listing.rs:58-63 → runtime error, no avro feature compiled in)
         throw new UnsupportedOperationException(
           "AVRO format factory is not available")
-      case "DELTA" => DeltaReader.load(spark, t.location)
+      case "DELTA" =>
+        t.options.get("versionasof") match {
+          case Some(v) => DeltaReader.loadAt(spark, t.location, v.toLong)
+          case None    => DeltaReader.load(spark, t.location)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown format: $other")
     }

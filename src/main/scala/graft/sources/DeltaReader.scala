@@ -231,8 +231,14 @@ object DeltaReader {
     * table with billions of deleted rows costs the driver only the
     * descriptor list; the join strategy is left to Catalyst/AQE (broadcast
     * when small, shuffle when not). */
-  def load(spark: SparkSession, tablePath: String): DataFrame = {
-    val snap = snapshot(spark, tablePath)
+  def load(spark: SparkSession, tablePath: String): DataFrame =
+    loadAt(spark, tablePath, Long.MaxValue)
+
+  /** Time travel: load the snapshot as of `version`
+    * (`OPTIONS(versionAsOf='N')` through the DDL shim). */
+  def loadAt(spark: SparkSession, tablePath: String,
+      version: Long): DataFrame = {
+    val snap = snapshotAt(spark, tablePath, version)
     require(snap.files.nonEmpty, s"delta table has no live files: $tablePath")
 
     // Under column mapping the parquet files and partitionValues keys use

@@ -102,6 +102,18 @@ class CliSpec extends AnyFunSuite {
       Seq((1, "x"), (2, "y")))
   }
 
+  test("DELTA DDL time travel via OPTIONS(versionAsOf)") {
+    val spark = SparkTestSession.spark
+    val dir = graft.sources.Fixtures.deltaNation(spark, SparkTestSession.sfDir)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"""CREATE EXTERNAL TABLE nation_v0 STORED AS DELTA
+      OPTIONS(versionAsOf='0') LOCATION '$dir'""")
+    ctx.sql(s"CREATE EXTERNAL TABLE nation_vlatest STORED AS DELTA LOCATION '$dir'")
+    // v0 = files a+b (25 rows); v1 removed b, added trimmed c (20 rows)
+    assert(ctx.sql("SELECT count(*) FROM nation_v0").collect()(0).getLong(0) == 25)
+    assert(ctx.sql("SELECT count(*) FROM nation_vlatest").collect()(0).getLong(0) == 20)
+  }
+
   test("non-delta path errors clearly through the delta reader") {
     val e = intercept[IllegalArgumentException] {
       graft.sources.DeltaReader.load(SparkTestSession.spark, "/tmp")

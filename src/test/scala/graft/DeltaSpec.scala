@@ -182,6 +182,47 @@ class DeltaSpec extends AnyFunSuite {
     assert(out.head.getInt(0) == 0 && out.head.getString(1) == "s0")
   }
 
+  test("schema evolution: later metaData wins, old files read with nulls") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toFile
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val tmp = new java.io.File(dir, ".tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.length()
+    }
+    val szA = writeOne(
+      spark.range(3).select(col("id").cast("int").as("k")), "a.parquet")
+    val szB = writeOne(
+      spark.range(3, 5).select(col("id").cast("int").as("k"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("x"), col("id")).as("v2")),
+      "b.parquet")
+    def meta(fields: String) =
+      s"""{"metaData":{"id":"evo","format":{"provider":"parquet","options":{}},"schemaString":"{\\"type\\":\\"struct\\",\\"fields\\":[$fields]}","partitionColumns":[],"configuration":{},"createdTime":0}}"""
+    val kF = """{\"name\":\"k\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{}}"""
+    val vF = """{\"name\":\"v2\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}"""
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 20 + ".json").toPath,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+${meta(kF)}
+{"add":{"path":"a.parquet","partitionValues":{},"size":$szA,"modificationTime":0,"dataChange":true}}""")
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 19 + "1.json").toPath,
+      s"""${meta(s"$kF,$vF")}
+{"add":{"path":"b.parquet","partitionValues":{},"size":$szB,"modificationTime":0,"dataChange":true}}""")
+    val df = DeltaReader.load(spark, dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v2"))
+    val rows = df.orderBy("k").collect()
+    assert(rows.length == 5)
+    assert(rows.take(3).forall(_.isNullAt(1)), "old-file rows must read v2 as null")
+    assert(rows(3).getString(1) == "x3")
+  }
+
   test("unknown column mapping mode is rejected with a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cm").toFile
     val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
