@@ -37,6 +37,7 @@ object Bench {
       Fixtures.deltaNationPartitioned(spark, sfDir)
       Fixtures.deltaNationDv(spark, sfDir)
       Fixtures.deltaNationCheckpoint(spark, sfDir)
+      Fixtures.nationArrow(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}")
     }
