@@ -35,11 +35,15 @@ object StreamDedup {
     docs.withColumn("h", md5(col("text"))).dropDuplicates("h")
 
   /** Bounded-state dedup: event time derived deterministically from the
-    * document id, duplicates tracked within a 1-hour watermark. */
+    * document id, duplicates tracked within a 1-hour watermark. Event
+    * times are offset a day past the epoch — the initial watermark is
+    * epoch 0, and a row landing exactly on it would be discarded as
+    * late. */
   def dedupWithinWatermark(docs: DataFrame): DataFrame =
     docs
       .withColumn("h", md5(col("text")))
-      .withColumn("ts", timestamp_micros(col("doc_id") % 1000L))
+      .withColumn("ts",
+        timestamp_micros(col("doc_id") % 1000L + 86400L * 1000000L))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")
 

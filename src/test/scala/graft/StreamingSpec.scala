@@ -57,5 +57,16 @@ class StreamingSpec extends AnyFunSuite {
     // first-seen wins: none of the re-id'd (>= 10000) copies survive for
     // texts that already appeared in the base corpus
     assert(deduped.filter(col("doc_id") >= 10000L).count() == 0)
+
+    // bounded-state variant: duplicates fall inside the 1h watermark
+    // horizon (event time = doc_id % 1000 µs), so the result matches the
+    // keep-first semantics on this corpus while state stays bounded
+    val q = StreamDedup.dedupWithinWatermark(
+      StreamDedup.readDocs(spark, merged.getAbsolutePath))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_wm_test").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(spark.table("sdedup_wm_test").count() == expected)
   }
 }
