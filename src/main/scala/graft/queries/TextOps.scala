@@ -416,17 +416,18 @@ object TextOps {
           FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
         sh0 AS (
           SELECT DISTINCT doc_id,
-            concat_ws(' ', slice(w, i, 3)) AS s
+            CAST(conv(substr(md5(concat_ws(' ', slice(w, i, 3))), 2, 15), 16, 10)
+              AS BIGINT) AS h
           FROM (SELECT doc_id, split(text, ' ') AS w FROM docs)
           LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i),
         sh AS (
-          SELECT doc_id, s FROM (
-            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sh0)
           WHERE df <= ${Dedup.MaxShingleDf}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
         near_dropped AS (
           SELECT DISTINCT d2 AS doc_id
@@ -461,18 +462,19 @@ object TextOps {
           SELECT c.doc_id, c.text, c.lang
           FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
         sh0 AS (
-          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          SELECT DISTINCT doc_id,
+            ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 2, 15))::BIGINT AS h
           FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs) t0) t1
           WHERE i <= len(w) - 2),
         sh AS (
-          SELECT doc_id, s FROM (
-            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0) t2
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sh0) t2
           WHERE df <= ${Dedup.MaxShingleDf}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
         near_dropped AS (
           SELECT DISTINCT d2 AS doc_id
