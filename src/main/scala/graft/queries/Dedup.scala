@@ -538,6 +538,58 @@ object Dedup {
         SELECT lbl AS cluster, count(*) AS n_docs, max(doc_id) AS max_doc
         FROM l4 GROUP BY lbl ORDER BY cluster""")),
 
+    // ---- Benchmark DECONTAMINATION: flag training docs that contain any
+    // 5-gram from a (small) held-out eval set — the standard test-set
+    // overlap check before training. Scale shape: the eval set's hashed
+    // n-grams are a broadcast-sized dim (eval sets are thousands of docs,
+    // the corpus is billions); one broadcast join over the training
+    // stream, one per-doc aggregate — the corpus is never self-joined.
+    Q("q97_decontamination",
+      (s, d) => {
+        import s.implicits._
+        def grams(df: DataFrame) = df
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w)-4), i -> concat_ws(' ', slice(w, i, 5)))"))
+            .as("g"))
+          .select($"doc_id", h60($"g").as("h"))
+          .distinct()
+        val docs = Tables.t(s, d, "documents")
+        val evalGrams = grams(docs.filter($"doc_id" < 10))
+          .select($"h").distinct()
+        // training corpus = the rest of the documents PLUS planted copies
+        // of 5 eval docs (re-id'd) — contaminated docs that MUST be
+        // flagged, alongside any natural n-gram overlap
+        val train = docs.filter($"doc_id" >= 10)
+          .unionByName(docs.filter($"doc_id" < 5)
+            .withColumn("doc_id", $"doc_id" + 20000L))
+        grams(train)
+          .join(broadcast(evalGrams), Seq("h"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_contaminated_grams"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+              w[i+4]), 2, 15))::BIGINT AS h
+          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM (
+                        SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 20000, text FROM documents
+                        WHERE doc_id < 5) d0) t0) t1
+          WHERE i <= len(w) - 4),
+        gd AS (SELECT DISTINCT doc_id, h FROM g),
+        ev AS (SELECT DISTINCT h FROM gd WHERE doc_id < 10),
+        tr AS (SELECT doc_id, h FROM gd WHERE doc_id >= 10)
+        SELECT doc_id, count(*) AS n_contaminated_grams
+        FROM tr JOIN ev USING (h)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ---- Brute-force cosine top-k: the exact ANN baseline. Query set is
     // broadcast (small side); corpus side streams — the scale-correct
     // shape for "k queries against a huge corpus". Embeddings quantized to
