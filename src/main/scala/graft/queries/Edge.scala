@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Remaining §2.2/§2.3 edge surfaces: bag-semantics set ops, ordered-set
@@ -102,6 +103,44 @@ object Edge {
           ON v.user_id = p.user_id AND v.ts_s >= p.ts_s
         WHERE v.user_id <= 50
         ORDER BY v.event_id""")),
+
+    // ---- RANGE (interval-containment) join, bucketized: points join
+    // intervals via a month-bin equi-join + exact BETWEEN filter. Each
+    // point carries ONE bin; each interval is exploded into every bin it
+    // covers — so the join is an equi-join with bounded fan-out instead
+    // of the inequality-only nested loop Spark would otherwise plan, and
+    // no pair is ever produced twice (a matching pair meets only in the
+    // point's bin). The oracle is the plain inequality join — identical
+    // semantics, so the bucketing is proven lossless.
+    Q("q98_range_join",
+      (s, d) => {
+        import s.implicits._
+        val iv = Tables.t(s, d, "orders").filter($"o_orderkey" < 200)
+          .select($"o_orderkey", $"o_orderdate".as("start"),
+            expr("o_orderdate + INTERVAL 30 DAYS").as("end"))
+        val ivBins = iv.select($"o_orderkey", $"start", $"end",
+          explode(expr(
+            "sequence(date_trunc('MONTH', start), date_trunc('MONTH', end), interval 1 month)"))
+            .as("bin"))
+        val pts = Tables.t(s, d, "lineitem").filter($"l_suppkey" <= 2)
+          .select($"l_orderkey", $"l_linenumber", $"l_shipdate",
+            date_trunc("MONTH", $"l_shipdate").as("bin"))
+        pts.join(ivBins, Seq("bin"))
+          .filter($"l_shipdate" >= $"start" && $"l_shipdate" <= $"end")
+          .select($"o_orderkey", $"l_orderkey", $"l_linenumber",
+            $"l_shipdate".cast("date").as("ship_d"))
+          .orderBy($"o_orderkey", $"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
+          CAST(l.l_shipdate AS DATE) AS ship_d
+        FROM (SELECT o_orderkey, o_orderdate AS s,
+                o_orderdate + INTERVAL 30 DAY AS e
+              FROM orders WHERE o_orderkey < 200) o
+        JOIN (SELECT l_orderkey, l_linenumber, l_shipdate
+              FROM lineitem WHERE l_suppkey <= 2) l
+          ON l.l_shipdate BETWEEN o.s AND o.e
+        ORDER BY o.o_orderkey, l.l_orderkey, l.l_linenumber""")),
 
     // ---- LATERAL correlated subquery in FROM (§2.2 LATERAL row).
     Q("q77_lateral",
