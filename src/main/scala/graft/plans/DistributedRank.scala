@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed row_number for LOW-CARDINALITY partition keys.
+  *
+  * `row_number() OVER (PARTITION BY k ORDER BY …)` with a 5-value `k`
+  * executes as 5 single-threaded sort tasks — the one window shape that
+  * cannot scale by adding executors (SCALE.md "Windows"; q10 is the
+  * borderline case). This operator computes identical numbers with
+  * cluster-wide parallelism:
+  *
+  *  1. range-repartition by (k, orderCols) into N partitions and sort
+  *     within each — a global sort, boundaries may split a key's run
+  *     across adjacent partitions;
+  *  2. count rows per (partitionIndex, k) — metadata-sized (N × |k|);
+  *  3. offset(partition, k) = rows of `k` in earlier partitions; the
+  *     final pass adds the local running index to the offset.
+  *
+  * Two passes over the data (the same price Spark's own global sort pays
+  * for range-boundary sampling), driver state O(N × |k|). The RDD hop is
+  * the declared per-partition imperative seam — the running index within
+  * a sorted partition has no DataFrame spelling.
+  */
+object DistributedRank {
+
+  /** Append `rnCol` = row_number over (partition by `key`, order by
+    * `order`) computed via range partitioning + offsets. `order` must be
+    * a total order within each key for deterministic numbering. */
+  def rowNumber(df: DataFrame, key: Column, order: Seq[Column],
+      rnCol: String, numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.columns.length // key value re-projected as last col
+    val sorted = df
+      .withColumn("__rk", key)
+      .repartitionByRange(numPartitions, (col(df, "__rk") +: order): _*)
+      .sortWithinPartitions((col(df, "__rk") +: order): _*)
+    val schema = sorted.schema
+
+    // pass 1: per (partition, key) counts — collected, metadata-sized
+    val counts: Array[(Int, Any, Long)] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
+        it.foreach { r =>
+          val k = r.get(keyIdx)
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        m.iterator.map { case (k, n) => (pid, k, n) }
+      }.collect()
+
+    // offset(partition, key) = rows of key in earlier partitions
+    val offsets: Map[(Int, Any), Long] = counts
+      .groupBy(_._2)
+      .flatMap { case (k, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val off = acc; acc += n; ((pid, k), off)
+        }
+      }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: local running index per key + offset
+    val outSchema = StructType(
+      schema.fields.dropRight(1) :+ StructField(rnCol, LongType, false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Any, Long]()
+      it.map { r =>
+        val k = r.get(keyIdx)
+        val i = local.getOrElse(k, 0L) + 1L
+        local.update(k, i)
+        val rn = bcOffsets.value.getOrElse((pid, k), 0L) + i
+        Row.fromSeq(r.toSeq.dropRight(1) :+ rn)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  private def col(df: DataFrame, n: String): Column =
+    org.apache.spark.sql.functions.col(n)
+}

@@ -142,6 +142,35 @@ object Edge {
           ON l.l_shipdate BETWEEN o.s AND o.e
         ORDER BY o.o_orderkey, l.l_orderkey, l.l_linenumber""")),
 
+    // ---- DISTRIBUTED row_number over a LOW-CARDINALITY partition key
+    // (graft.plans.DistributedRank): range-partition by the sort key,
+    // local running index + metadata-sized offsets — identical numbers to
+    // the window function (the oracle) but with cluster-wide parallelism
+    // where the 5-key window (q10) is capped at 5 tasks.
+    Q("q99_distributed_rank",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.t(s, d, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        graft.plans.DistributedRank.rowNumber(
+          base, $"o_orderpriority",
+          Seq(Q.cents($"o_totalprice").desc, $"o_orderkey".asc), "rn", 16)
+          .filter($"rn" <= 3)
+          .select($"o_orderpriority", $"o_orderkey",
+            Q.cents($"o_totalprice").as("price_c"), $"rn")
+          .orderBy($"o_orderpriority", $"rn")
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey, price_c, rn FROM (
+          SELECT o_orderpriority, o_orderkey,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                       o_orderkey ASC) AS BIGINT) AS rn
+          FROM orders) t
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, rn""")),
+
     // ---- LATERAL correlated subquery in FROM (§2.2 LATERAL row).
     Q("q77_lateral",
       (s, d) => Tables.sql(s, d, """

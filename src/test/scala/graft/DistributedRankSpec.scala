@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.DistributedRank
+import graft.queries.Q
+
+/** DistributedRank must agree with Spark's own window row_number on
+  * EVERY row — including keys whose runs span range-partition
+  * boundaries. */
+class DistributedRankSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sfDir
+
+  test("distributed row_number == window row_number on every row") {
+    import spark.implicits._
+    val base = Tables.t(spark, d, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val dist = DistributedRank.rowNumber(
+      base, $"o_orderpriority",
+      Seq(Q.cents($"o_totalprice").desc, $"o_orderkey".asc), "rn", 16)
+      .select($"o_orderkey", $"rn")
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(Q.cents($"o_totalprice").desc, $"o_orderkey".asc)
+    val win = base.withColumn("rn_w", row_number().over(w).cast("long"))
+      .select($"o_orderkey", $"rn_w")
+    val diff = dist.join(win, "o_orderkey")
+      .filter($"rn" =!= $"rn_w")
+    assert(diff.count() == 0)
+    assert(dist.count() == base.count())
+  }
+
+  test("more partitions than rows of a key still numbers correctly") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a", 3.0), (2L, "a", 2.0), (3L, "b", 1.0))
+      .toDF("k", "p", "v")
+    val out = DistributedRank.rowNumber(
+      tiny, $"p", Seq($"v".desc, $"k".asc), "rn", 8)
+      .select($"k", $"rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+}
