@@ -657,6 +657,46 @@ object TextOps {
           CAST(min(doc_id) AS BIGINT) AS first_id
         FROM sampled GROUP BY lang ORDER BY lang""")),
 
+    // ---- Dataset card (the release-report query): per-(language,
+    // source) corpus statistics with ROLLUP subtotals — docs, tokens,
+    // quality pass-rate, length extremes. One narrow feature map + one
+    // grouped rollup; the whole report is a single pass at any scale.
+    Q("q100_dataset_card",
+      (s, d) => Tables.sql(s, d, """
+        WITH feats AS (
+          SELECT doc_id, lang, source,
+            size(split(text, ' ')) AS n_tok,
+            length(text) AS n_chars,
+            CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS quality_ok
+          FROM documents)
+        SELECT coalesce(lang, 'ALL') AS lang,
+          coalesce(source, 'ALL') AS source,
+          count(*) AS n_docs,
+          CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+          CAST(sum(quality_ok) AS BIGINT) AS n_quality,
+          CAST(min(n_chars) AS BIGINT) AS min_chars,
+          CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM feats
+        GROUP BY ROLLUP(lang, source)
+        ORDER BY lang, source"""),
+      Some("""
+        WITH feats AS (
+          SELECT doc_id, lang, source,
+            len(string_split(text, ' ')) AS n_tok,
+            length(text) AS n_chars,
+            CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS quality_ok
+          FROM documents)
+        SELECT coalesce(lang, 'ALL') AS lang,
+          coalesce(source, 'ALL') AS source,
+          count(*) AS n_docs,
+          CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+          CAST(sum(quality_ok) AS BIGINT) AS n_quality,
+          CAST(min(n_chars) AS BIGINT) AS min_chars,
+          CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM feats
+        GROUP BY ROLLUP(lang, source)
+        ORDER BY lang, source""")),
+
     // ---- JSON extraction over the events props payload (Spark-side
     // bonus surface; reference exposes no JSON functions — SURVEY §2.3).
     Q("q54_json_props",
