@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch "runMain
+// graft.Bench"` as JSON. Two things used to break that: the forked
+// program's stdout was routed through sbt's logger (prefixing every
+// line with "[info] "), and sbt printed "[success] Total time: …"
+// AFTER the program's final line. StdoutOutput passes program output
+// through verbatim; showSuccess drops the trailing banner, so the
+// bench's compact JSON line is genuinely last and unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
