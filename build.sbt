@@ -20,6 +20,7 @@ run / fork := true
 // bench's compact JSON line is genuinely last and unprefixed.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -35,5 +36,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the driver+executors in one JVM; 8g old-gen fills up
+  // over a 100-query bench session (the late-alphabet queries showed
+  // 2-20x GC-pressure noise three driver rounds running). The box has
+  // 128 GiB; give the single JVM a real executor-sized heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // ~100 queries × whole-stage-codegen classes approach the default
+  // 240m JIT code cache; when it fills, HotSpot silently stops
+  // compiling and late queries run interpreted.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -111,15 +111,18 @@ object Dedup {
     * shingle. Shuffle key = shingle string (uniformly distributed). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+    // Set sizes ride along as a window count over doc_id BEFORE the pair
+    // join; n1/n2 then fall out of the pair aggregate for free (min of a
+    // per-doc constant). Replaces a separate sizes aggregate plus two
+    // shuffle joins of the pair stream with one window exchange.
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val sh = shingles(s, d)
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .cache()
+    sh.as("a")
       .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
       .withColumn("jac", $"i".cast("double") / ($"n1" + $"n2" - $"i"))
   }
 
@@ -474,15 +477,17 @@ object Dedup {
         // pair source = hashed-shingle jaccard (the scale identity, same
         // as q42); cache the pair list BEFORE symmetrizing — the union
         // references it twice, and each reference would otherwise re-run
-        // the whole jaccard pipeline
-        val sh = hashedShingles(s, d).cache()
-        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        // the whole jaccard pipeline. Set sizes ride along as a window
+        // count over doc_id (same trick as jaccardPairs: one window
+        // exchange instead of a sizes aggregate + two pair-stream joins).
+        val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+        val sh = hashedShingles(s, d)
+          .withColumn("n", count(lit(1)).over(byDoc))
+          .cache()
         val pairs = sh.as("a")
           .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          .agg(count(lit(1)).as("i"))
-          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+          .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
           .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
           .select($"d1", $"d2").cache()
         val edges = pairs

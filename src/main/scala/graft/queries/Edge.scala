@@ -467,6 +467,93 @@ object Edge {
             MAP(['a', 'b'], [n_nationkey, n_regionkey]))), ',') AS keys_sorted,
           element_at(MAP(['x'], [n_regionkey]), 'x')[1] AS m_val,
           CAST(cardinality(MAP(['a', 'b'], [1, 2])) AS INT) AS m_size
-        FROM nation ORDER BY n_nationkey"""))
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- PIVOT: rows → columns with an explicit value list (explicit so
+    // the plan needs no value-discovery pre-pass — at scale an implicit
+    // pivot costs an extra distinct scan). One partial→final aggregate;
+    // DuckDB mirror is the equivalent conditional aggregation.
+    Q("q105_pivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "lineitem")
+          .select($"l_returnflag", $"l_linestatus", Q.cents($"l_quantity").as("qc"))
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum($"qc"))
+          .select($"l_returnflag",
+            Q.unc(coalesce($"F", lit(0L))).as("qty_f"),
+            Q.unc(coalesce($"O", lit(0L))).as("qty_o"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+          CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+            THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS qty_f,
+          CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+            THEN CAST(round(l_quantity * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ---- UNPIVOT (columns → rows) via Dataset.unpivot (SQL UNPIVOT's
+    // API twin): three measure columns melt into (metric, v) rows, then
+    // aggregate per metric. Narrow map before the one aggregate shuffle.
+    Q("q106_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "lineitem")
+          .select($"l_returnflag",
+            Q.cents($"l_quantity").as("qty"),
+            Q.cents($"l_extendedprice").as("price"),
+            Q.cents($"l_discount").as("disc"))
+          .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"disc"),
+            "metric", "v")
+          .groupBy($"l_returnflag", $"metric")
+          .agg(Q.unc(sum($"v")).as("total"))
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_returnflag,
+            CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+            CAST(round(l_discount * 100) AS BIGINT) AS disc
+          FROM lineitem),
+        m AS (
+          SELECT l_returnflag, 'qty' AS metric, qty AS v FROM c
+          UNION ALL SELECT l_returnflag, 'price', price FROM c
+          UNION ALL SELECT l_returnflag, 'disc', disc FROM c)
+        SELECT l_returnflag, metric, CAST(sum(v) AS DOUBLE) / 100.0 AS total
+        FROM m
+        GROUP BY l_returnflag, metric
+        ORDER BY l_returnflag, metric""")),
+
+    // ---- Salted two-phase aggregate: the skew-mitigation pattern for
+    // hot grouping keys (l_returnflag has 3 values — at 100 TB a plain
+    // groupBy funnels a third of the fact table through one reducer).
+    // Phase 1 shards each hot key across 16 deterministic salts
+    // (l_orderkey % 16, so both engines derive the same shards); phase 2
+    // combines the 48 partials. Results are exactly the unsalted
+    // aggregate — the oracle IS the plain GROUP BY.
+    Q("q107_skew_salt",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "lineitem")
+          .select($"l_returnflag", ($"l_orderkey" % 16).as("salt"),
+            Q.cents($"l_quantity").as("qc"))
+          .groupBy($"l_returnflag", $"salt")
+          .agg(sum($"qc").as("s"), count(lit(1)).as("n"))
+          .groupBy($"l_returnflag")
+          .agg(Q.unc(sum($"s")).as("sum_qty"), sum($"n").as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+          count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-4 LLM-data-pipeline operators: segment-level dedup (the CCNet
+  * "drop duplicated lines" pass), sequence packing, RAG-style chunking,
+  * ANN recall evaluation, and blocked edit-distance fuzzy dedup.
+  *
+  * Scale design (100 TB): every corpus-wide exchange here is keyed on a
+  * derived hash (segment digest, pack shard, block id) — never an
+  * all-pairs join. The quadratic pieces (fuzzy pairs, recall ground
+  * truth) run strictly inside declared blocks / a broadcast-sized query
+  * set. The synthetic `documents.text` is space-separated tokens with no
+  * newlines, so "lines" are declared as non-overlapping 10-token
+  * segments — the operator shape (hash → corpus df → drop repeated) is
+  * exactly the CCNet/C4 one.
+  */
+object Pipeline {
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Segment-level exact dedup (CCNet-style): hash non-overlapping
+    // 10-token segments, count the number of distinct documents containing
+    // each segment corpus-wide, drop every occurrence of a segment seen in
+    // more than 2 documents. One shuffle keyed on the segment digest (the
+    // df dim), one join back on the same key, one per-doc aggregate —
+    // linear end to end. Docs shorter than one segment carry no segments
+    // and are (declaredly) absent from the output.
+    Q("q101_segment_dedup",
+      (s, d) => {
+        import s.implicits._
+        val segs = Tables.t(s, d, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """transform(sequence(1, CAST(size(w) / 10 AS INT)),
+                         k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
+            .as("seg"))
+          .select($"doc_id", md5($"seg").as("h"))
+        val dfh = segs.select($"doc_id", $"h").distinct()
+          .groupBy($"h").agg(count(lit(1)).as("df"))
+        segs.join(dfh, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(when($"df" <= 2, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("kept_ratio",
+            $"n_kept".cast("double") / $"n_segments".cast("double"))
+          .select($"doc_id", $"n_segments", $"n_kept", $"kept_ratio")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH segs AS (
+          SELECT doc_id,
+            md5(array_to_string(w[10*(k-1)+1 : 10*(k-1)+10], ' ')) AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+               generate_series(1, 100) s(k)
+          WHERE k <= len(w) // 10),
+        dfh AS (
+          SELECT h, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, h FROM segs) u
+          GROUP BY h)
+        SELECT doc_id, count(*) AS n_segments,
+          sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS n_kept,
+          CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS kept_ratio
+        FROM segs JOIN dfh USING (h)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ---- Sequence packing: assign documents to fixed 512-token context
+    // bins by running token offset, packed per language shard (the unit a
+    // real pretraining tokenizer job packs within — the window is
+    // partitioned, so packing parallelizes across shards instead of
+    // forcing a single global sort). Declared semantics: bin = the bin
+    // the document's first token falls in; a document crossing a bin
+    // boundary counts wholly toward its starting bin.
+    Q("q102_sequence_packing",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        Tables.t(s, d, "documents")
+          .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+          .withColumn("off", sum($"n_tok").over(w) - $"n_tok")
+          .withColumn("bin", ($"off" / 512L).cast("long"))
+          .groupBy($"lang", $"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+          .withColumn("fill", $"n_tokens".cast("double") / 512.0)
+          .orderBy($"lang", $"bin")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        o AS (
+          SELECT doc_id, lang, n_tok,
+            sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+          FROM t)
+        SELECT lang, off // 512 AS bin, count(*) AS n_docs,
+          sum(n_tok) AS n_tokens,
+          CAST(sum(n_tok) AS DOUBLE) / 512.0 AS fill
+        FROM o
+        GROUP BY lang, off // 512
+        ORDER BY lang, bin""")),
+
+    // ---- RAG-style chunking: overlapping 64-token windows at stride 48.
+    // A narrow map + explode per document (no shuffle until the final
+    // presentation sort) — the shape that streams through 100 TB as a pure
+    // map stage. Chunk identity is (doc_id, chunk_id); the digest makes
+    // the chunk text comparable without shipping it.
+    Q("q103_doc_chunking",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", size($"w").as("n"),
+            posexplode(expr(
+              "transform(sequence(1, size(w), 48), st -> concat_ws(' ', slice(w, st, 64)))")))
+          .select($"doc_id",
+            $"pos".cast("int").as("chunk_id"),
+            least(lit(64), $"n" - ($"pos" * 48)).cast("int").as("n_tok"),
+            md5($"col").as("h"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (
+          SELECT doc_id, w, st, (st - 1) // 48 AS chunk_id
+          FROM t, generate_series(1, 2000, 48) s(st)
+          WHERE st <= len(w))
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          CAST(least(64, len(w) - st + 1) AS INT) AS n_tok,
+          md5(array_to_string(w[st : st + 63], ' ')) AS h
+        FROM c
+        ORDER BY doc_id, chunk_id""")),
+
+    // ---- ANN recall evaluation: IVF-probe top-3 (q93's operator) scored
+    // against the exact brute-force top-3 ground truth (q44's operator,
+    // restricted to the same query set). The eval harness every ANN
+    // deployment needs: recall@k per query. Ground truth is a broadcast
+    // query set × corpus scan; the probe side touches one inverted list
+    // per query — both scale shapes are inherited unchanged.
+    Q("q104_ann_recall",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
+            .as("v"))
+        graft.functions.DotProductI64.register(s)
+        def cos(a: String, b: String) =
+          expr(s"dot_i64($a, $b)").cast("double") /
+            (sqrt(expr(s"dot_i64($a, $a)").cast("double")) *
+              sqrt(expr(s"dot_i64($b, $b)").cast("double")))
+        // exact ground truth: query set (vec_id 8..12, matching q93)
+        // broadcast against the full corpus
+        val qset = emb.filter($"vec_id".between(8, 12))
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val gt = emb.crossJoin(broadcast(qset))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", cos("v", "qv"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+          .filter($"rn" <= 3)
+          .select($"q_id", $"vec_id".as("neighbor"))
+        // IVF probe: assign all vectors to their max-cos centroid
+        // (centroids = vec_id < 8, as q68/q93 declare), probe only the
+        // query's own inverted list
+        val cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("c_id"), $"v".as("cv"))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("cos", cos("v", "cv"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_id".asc)))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"c_id", $"v")
+        val qs = assigned.filter($"vec_id".between(8, 12))
+          .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"))
+        val probed = assigned.join(broadcast(qs), Seq("c_id"))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", cos("v", "qv"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+          .filter($"rn" <= 3)
+          .select($"q_id", $"vec_id".as("neighbor"))
+        gt.join(probed, Seq("q_id", "neighbor"), "left_semi")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .withColumn("recall", $"n_hits".cast("double") / 3.0)
+          .orderBy($"q_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        qset AS (SELECT vec_id AS q_id, v AS qv FROM w WHERE vec_id BETWEEN 8 AND 12),
+        gt AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, c.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(c.v, q.qv) /
+                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                DESC, c.vec_id ASC) AS rn
+            FROM w c CROSS JOIN qset q
+            WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= 3),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, c.cv) /
+                  (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                DESC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN cents c) t
+          WHERE rn = 1),
+        qs AS (SELECT c_id, vec_id AS q_id, v AS qv
+               FROM assigned WHERE vec_id BETWEEN 8 AND 12),
+        probed AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, a.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(a.v, q.qv) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                DESC, a.vec_id ASC) AS rn
+            FROM assigned a JOIN qs q USING (c_id)
+            WHERE a.vec_id <> q.q_id) t
+          WHERE rn <= 3)
+        SELECT q_id, count(*) AS n_hits,
+          CAST(count(*) AS DOUBLE) / 3.0 AS recall
+        FROM gt SEMI JOIN probed USING (q_id, neighbor)
+        GROUP BY q_id
+        ORDER BY q_id""")),
+
+    // ---- Blocked fuzzy (edit-distance) dedup: near-identical docs whose
+    // 80-char prefixes are within levenshtein 25, compared ONLY inside
+    // (lang, length-band) blocks. Blocking is declared operator semantics
+    // (mirrored in the oracle): the pair join is an equi-join on the block
+    // key, so work is Σ block² — the only fuzzy-matching shape that
+    // survives a full corpus. levenshtein is codegen'd in Spark and
+    // built-in in DuckDB with identical classic edit-distance semantics.
+    Q("q108_fuzzy_dedup",
+      (s, d) => {
+        import s.implicits._
+        val blocked = Tables.t(s, d, "documents")
+          .select($"doc_id", $"lang", ($"n_chars" / 40L).cast("long").as("band"),
+            substring($"text", 1, 80).as("p"))
+        blocked.as("a")
+          .join(blocked.as("b"),
+            $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+            levenshtein($"a.p", $"b.p").as("dist"))
+          .filter($"dist" <= 25)
+          .orderBy($"d1", $"d2")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang, n_chars // 40 AS band, substr(text, 1, 80) AS p
+          FROM documents)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(levenshtein(a.p, b.p) AS INT) AS dist
+        FROM b a JOIN b b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 25
+        ORDER BY d1, d2"""))
+  )
+}
