@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStream, StreamDedup}
+import graft.streaming.{EventStream, StreamDedup, StreamJoin}
 
 /** Streaming answer must equal the batch answer over the same events. */
 class StreamingSpec extends AnyFunSuite {
@@ -68,5 +68,32 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable()
     finally q.stop()
     assert(spark.table("sdedup_wm_test").count() == expected)
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    // split events across two files so the join state must bridge
+    // micro-batches (maxFilesPerTrigger=1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjoin").toFile
+    val events = Tables.t(spark, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stream = new java.io.File(dir, "stream"); stream.mkdirs()
+    Seq(col("event_id") % 2 === 0, col("event_id") % 2 === 1)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val sub = new java.io.File(dir, s"f$i")
+        events.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(sub.getAbsolutePath)
+        val part = sub.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(stream, s"part-$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+
+    val streamed = StreamJoin.runToCompletion(
+      spark, stream.getAbsolutePath, "sjoin_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamJoin.attribute(events, watermarked = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 }
