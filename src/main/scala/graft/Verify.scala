@@ -5,9 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, s"usage: graft.Verify <sfDir> <outDir> " +
-      s"(got ${args.length} args)")
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      s"usage: graft.Verify <sfDir> <outDir> [queryNamePrefix] " +
+        s"(got ${args.length} args)")
+    val sfDir = args(0); val outDir = args(1)
+    // optional prefix filter for the dev fast loop (the driver passes 2
+    // args and gets every query)
+    val keep: String => Boolean =
+      if (args.length == 3) (n: String) => n.startsWith(args(2))
+      else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,7 +45,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

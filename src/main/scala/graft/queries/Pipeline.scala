@@ -237,36 +237,44 @@ object Pipeline {
         ORDER BY q_id""")),
 
     // ---- Blocked fuzzy (edit-distance) dedup: near-identical docs whose
-    // 80-char prefixes are within levenshtein 25, compared ONLY inside
-    // (lang, length-band) blocks. Blocking is declared operator semantics
-    // (mirrored in the oracle): the pair join is an equi-join on the block
-    // key, so work is Σ block² — the only fuzzy-matching shape that
-    // survives a full corpus. levenshtein is codegen'd in Spark and
-    // built-in in DuckDB with identical classic edit-distance semantics.
+    // 40-char prefixes are within levenshtein 12, compared ONLY inside
+    // (lang, length-band, first-token) blocks — length banding plus the
+    // standard prefix-blocking key that keeps a block a handful of docs
+    // even when the length distribution is skewed (without it, one hot
+    // (lang, band) cell goes quadratic in the corpus). Blocking is
+    // declared operator semantics (mirrored in the oracle): the pair join
+    // is an equi-join on the block key, so work is Σ block² — the only
+    // fuzzy-matching shape that survives a full corpus. levenshtein is
+    // codegen'd in Spark and built-in in DuckDB with identical classic
+    // edit-distance semantics, and runs on the fixed 40-char prefix so
+    // per-pair cost is O(1), not O(len²) of full documents.
     Q("q108_fuzzy_dedup",
       (s, d) => {
         import s.implicits._
         val blocked = Tables.t(s, d, "documents")
           .select($"doc_id", $"lang", ($"n_chars" / 40L).cast("long").as("band"),
-            substring($"text", 1, 80).as("p"))
+            substring_index($"text", " ", 1).as("tok0"),
+            substring($"text", 1, 40).as("p"))
         blocked.as("a")
           .join(blocked.as("b"),
             $"a.lang" === $"b.lang" && $"a.band" === $"b.band" &&
-              $"a.doc_id" < $"b.doc_id")
+              $"a.tok0" === $"b.tok0" && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
             levenshtein($"a.p", $"b.p").as("dist"))
-          .filter($"dist" <= 25)
+          .filter($"dist" <= 12)
           .orderBy($"d1", $"d2")
       },
       Some("""
         WITH b AS (
-          SELECT doc_id, lang, n_chars // 40 AS band, substr(text, 1, 80) AS p
+          SELECT doc_id, lang, n_chars // 40 AS band,
+            string_split(text, ' ')[1] AS tok0, substr(text, 1, 40) AS p
           FROM documents)
         SELECT a.doc_id AS d1, b.doc_id AS d2,
           CAST(levenshtein(a.p, b.p) AS INT) AS dist
         FROM b a JOIN b b
-          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-        WHERE levenshtein(a.p, b.p) <= 25
+          ON a.lang = b.lang AND a.band = b.band AND a.tok0 = b.tok0
+            AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 12
         ORDER BY d1, d2"""))
   )
 }

@@ -67,4 +67,35 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!p.contains("LocalTableScan"), s"$q has a driver-built table")
       }
   }
+
+  test("q97: eval-gram dim broadcasts; the training corpus never shuffles for the join") {
+    val p = plan("q97_decontamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q103: chunking is a pure map stage — no exchange before the presentation sort") {
+    val p = plan("q103_doc_chunking")
+    // the only exchange permitted is the final orderBy's range partitioning
+    // (formatted mode puts the partitioning on an Arguments: line)
+    assert(!p.contains("hashpartitioning("), "chunk explode must not shuffle")
+  }
+
+  test("q107: salted aggregate is two chained partial→final aggregates") {
+    val p = plan("q107_skew_salt")
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 2,
+      "expected exactly the salt-phase and combine-phase exchanges")
+  }
+
+  test("q101: segment df dim and occurrence stream join on the digest key") {
+    val p = plan("q101_segment_dedup")
+    // both sides derive from the same scan; no broadcast of a corpus-sized
+    // side, no nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q108: fuzzy pairs form via an equi-join on the block key, not a nested loop") {
+    val p = plan("q108_fuzzy_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
