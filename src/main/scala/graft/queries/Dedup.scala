@@ -504,8 +504,10 @@ object Dedup {
           // doubles per round — localCheckpoint TRUNCATES it (cache alone
           // keeps the logical tree growing and re-planning cost compounds:
           // measured 1.1s → 10.5s per round by round 4 with cache, ~0.1s
-          // flat with checkpoint). Same reason iterative graph jobs
-          // checkpoint every superstep; on a cluster this would be a
+          // flat with checkpoint; every-2nd-round cadence re-measured
+          // WORSE — the doubled tree costs more in planning/codegen than
+          // the saved materialization job). Same reason iterative graph
+          // jobs checkpoint every superstep; on a cluster this would be a
           // reliable checkpoint instead of a local one.
           labels = labels.join(nbrMin, Seq("doc_id"))
             .select($"doc_id", least($"lbl", $"nbr").as("lbl"))

@@ -275,6 +275,85 @@ object Pipeline {
           ON a.lang = b.lang AND a.band = b.band AND a.tok0 = b.tok0
             AND a.doc_id < b.doc_id
         WHERE levenshtein(a.p, b.p) <= 12
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // ---- Data-mixture weighting: temperature-flattened sampling weights
+    // per (lang, source) stratum — the standard multilingual rebalance
+    // (upweight small strata, temperature 0.5). Weights use
+    // floor(sqrt(n)) in exact BIGINT arithmetic (a libm pow(n, t) would
+    // not be bit-portable across engines); shares divide two exact
+    // integers, so the doubles match bit-for-bit. One global aggregate
+    // over stratum counts — metadata-sized at any corpus scale.
+    Q("q109_mixture_weights",
+      (s, d) => {
+        import s.implicits._
+        val strata = Tables.t(s, d, "documents")
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+          .withColumn("w", floor(sqrt($"n_docs".cast("double"))).cast("long"))
+        val total = strata.agg(sum($"w").as("tw"))
+        strata.crossJoin(broadcast(total))
+          .select($"lang", $"source", $"n_docs", $"n_tokens",
+            ($"w".cast("double") / $"tw".cast("double")).as("share"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""
+        WITH strata AS (
+          SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+            CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+          FROM documents
+          GROUP BY lang, source)
+        SELECT lang, source, n_docs, n_tokens,
+          CAST(w AS DOUBLE) / CAST((SELECT sum(w) FROM strata) AS DOUBLE) AS share
+        FROM strata
+        ORDER BY lang, source""")),
+
+    // ---- Containment dedup (RefinedWeb-style): doc A is flagged when
+    // EVERY one of its 10-token segments also appears in some longer doc
+    // B — catches quote-within-article and mirrored-fragment duplicates
+    // that pairwise jaccard under-scores. The pair stream forms on the
+    // segment digest (posting lists, not all-pairs); containment is the
+    // group predicate n_shared == n_segments(A). Segments reuse q101's
+    // derivation, so the engine has ONE declared segment identity.
+    Q("q110_containment_dedup",
+      (s, d) => {
+        import s.implicits._
+        val segs = Tables.t(s, d, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """transform(sequence(1, CAST(size(w) / 10 AS INT)),
+                         k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
+            .as("seg"))
+          .select($"doc_id", md5($"seg").as("h"))
+          .distinct()
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+          .cache()
+        segs.as("a")
+          .join(segs.as("b"), $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+          .groupBy($"a.doc_id".as("contained"), $"b.doc_id".as("container"))
+          .agg(count(lit(1)).as("n_shared"), min($"a.n").as("n_a"), min($"b.n").as("n_b"))
+          .filter($"n_shared" === $"n_a" && $"n_b" > $"n_a")
+          .select($"contained", $"container", $"n_a", $"n_b")
+          .orderBy($"contained", $"container")
+      },
+      Some("""
+        WITH segs AS (
+          SELECT DISTINCT doc_id,
+            md5(array_to_string(w[10*(k-1)+1 : 10*(k-1)+10], ' ')) AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+               generate_series(1, 100) s(k)
+          WHERE k <= len(w) // 10),
+        sn AS (
+          SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n
+          FROM segs)
+        SELECT a.doc_id AS contained, b.doc_id AS container,
+          min(a.n) AS n_a, min(b.n) AS n_b
+        FROM sn a JOIN sn b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) = min(a.n) AND min(b.n) > min(a.n)
+        ORDER BY contained, container"""))
   )
 }
