@@ -38,6 +38,9 @@ object GapFunctions {
   /** DataFusion `array_ndims` (Spark arrays are rank-1 unless nested). */
   def arrayNdims(arr: Column): Column = lit(1)
 
+  /** DataFusion `array_dims` (rank-1 array → `[cardinality]`). */
+  def arrayDims(arr: Column): Column = array(size(arr))
+
   /** DataFusion `digest(x, algo)` dispatch over Spark's hash builtins. */
   def digest(c: Column, algo: String): Column = algo.toLowerCase match {
     case "md5"    => md5(c)

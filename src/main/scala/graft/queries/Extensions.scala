@@ -82,6 +82,9 @@ object Extensions {
             slice(GapFunctions.arrayPopFront(col("v")), 1, 3),
             x => x.cast("string")), ",").as("popped_front"),
           size(GapFunctions.arrayPopBack(col("v"))).as("popback_len"),
+          array_join(transform(GapFunctions.arrayDims(col("v")),
+            x => x.cast("string")), ",").as("dims"),
+          GapFunctions.arrayNdims(col("v")).as("ndims"),
           GapFunctions.digest(col("vec_id").cast("string"), "sha256").as("dg"))
           .orderBy(col("vec_id"))
       },
@@ -90,6 +93,8 @@ object Extensions {
           array_to_string(list_resize($duckQV, 8, 0), ',') AS resized,
           array_to_string(($duckQV)[2:4], ',') AS popped_front,
           CAST(len($duckQV) - 1 AS INT) AS popback_len,
+          CAST(len($duckQV) AS VARCHAR) AS dims,
+          1 AS ndims,
           sha256(CAST(vec_id AS VARCHAR)) AS dg
         FROM embeddings WHERE vec_id < 30 ORDER BY vec_id""")),
 
