@@ -45,7 +45,14 @@ object Bench {
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev knob (driver never sets it): run only queries matching one of
+    // the comma-separated prefixes, e.g. SPARK_GRAFT_ONLY=q4,q89
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val picked = only match {
+      case Some(ps) => SparkEntry.queries.filter(kv => ps.exists(kv._1.startsWith))
+      case None     => SparkEntry.queries
+    }
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
