@@ -15,9 +15,11 @@ import graft.functions.DotProductI64
   *
   * Registers the native codegen expression `dot_i64` through the injected
   * function hook (so it resolves in plain `spark.sql(...)` with no
-  * runtime `register` call). The DDL / information_schema shims stay in
-  * [[AdtContext]] because they rewrite statements, which the parser hook
-  * does not need for this surface.
+  * runtime `register` call) and the `information_schema.{tables,columns}`
+  * analyzer rule ([[graft.plans.ResolveInformationSchema]]). The DDL shim
+  * stays in [[AdtContext]] because it rewrites a statement Spark's parser
+  * rejects outright (`STORED AS fmt LOCATION`), which a resolution hook
+  * never sees.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -27,5 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductI64(exprs(0), exprs(1))))
+    ext.injectResolutionRule(session =>
+      graft.plans.ResolveInformationSchema(session))
   }
 }

@@ -22,6 +22,19 @@ class ExtensionsSpec extends AnyFunSuite {
       val d = s2.sql("SELECT dot_i64(array(1L, 2L), array(3L, 4L)) AS d")
         .collect()(0).getLong(0)
       assert(d == 11L)
+
+      // injected resolution rule: information_schema resolves in plain
+      // spark.sql with no AdtContext wrapper
+      s2.range(3).createOrReplaceTempView("ext_probe_table")
+      val names = s2.sql(
+        "SELECT table_name FROM information_schema.tables")
+        .collect().map(_.getString(0)).toSet
+      assert(names.contains("ext_probe_table"))
+      val cols = s2.sql("""
+        SELECT column_name FROM information_schema.columns
+        WHERE table_name = 'ext_probe_table'""")
+        .collect().map(_.getString(0)).toSet
+      assert(cols == Set("id"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
