@@ -59,7 +59,11 @@ object DeltaReader {
       path: String,
       size: Long, // from the add action — file sizes without filesystem stats
       partitionValues: Map[String, Option[String]],
-      deletionVector: Option[DvDescriptor])
+      deletionVector: Option[DvDescriptor],
+      /** per-file statistics JSON (`numRecords`/`minValues`/`maxValues`/
+        * `nullCount`) as written by the committing engine; powers
+        * file-level data skipping in [[DeltaSnapshotFileIndex]]. */
+      stats: Option[String] = None)
 
   final case class DvDescriptor(
       storageType: String, // "i" inline | "p" absolute path | "u" relative
@@ -164,7 +168,10 @@ object DeltaReader {
         }.toMap
       }.getOrElse(Map.empty[String, Option[String]])
       val size = Option(node.get("size")).map(_.asLong()).getOrElse(0L)
-      live(path) = AddFile(path, size, pv, parseDv(node))
+      // `stats` is a JSON-encoded STRING inside the add action
+      val stats = Option(node.get("stats")).filterNot(_.isNull)
+        .map(_.asText()).filter(_.nonEmpty)
+      live(path) = AddFile(path, size, pv, parseDv(node), stats)
     }
 
     // 1. checkpoint state (parquet with add/remove/metaData columns).
@@ -269,18 +276,19 @@ object DeltaReader {
     val root = new File(tablePath).getAbsolutePath
     val hasDv = snap.files.exists(_.deletionVector.nonEmpty)
 
-    val base =
-      if (snap.partitionColumns.isEmpty)
-        spark.read.schema(fileSchema)
-          .parquet(snap.files.map(a => s"$root/${decodePath(a.path)}"): _*)
-      else {
-        val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        val index = new DeltaSnapshotFileIndex(spark, snap, root, partSchema,
-          snap.partitionColumns.map(phys))
-        classic.baseRelationToDataFrame(HadoopFsRelation(
-          index, partSchema, fileSchema, None, new ParquetFileFormat,
-          Map.empty[String, String])(spark))
-      }
+    // Partitioned AND unpartitioned tables share the snapshot-backed
+    // FileIndex scan: one scan node, static partition pruning through
+    // listFiles, and file-level DATA SKIPPING from the add actions' stats
+    // (min/max per column — the same per-file pruning the reference gets
+    // from kernel scan metadata, deltatable.rs:279-284,454-469).
+    val base = {
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val index = new DeltaSnapshotFileIndex(spark, snap, root, partSchema,
+        snap.partitionColumns.map(phys))
+      classic.baseRelationToDataFrame(HadoopFsRelation(
+        index, partSchema, fileSchema, None, new ParquetFileFormat,
+        Map.empty[String, String])(spark))
+    }
 
     val assembled =
       if (!hasDv) base
@@ -339,7 +347,7 @@ private[sources] class DeltaSnapshotFileIndex(
 
   private val zone = spark.sessionState.conf.sessionLocalTimeZone
 
-  private val partitions: Seq[PartitionDirectory] = snap.files
+  private val grouped: Seq[(InternalRow, Seq[DeltaReader.AddFile])] = snap.files
     .groupBy(a => partitionKeys.map(c => a.partitionValues.get(c).flatten))
     .toSeq.sortBy(_._1.toString)
     .map { case (pv, files) =>
@@ -349,7 +357,7 @@ private[sources] class DeltaSnapshotFileIndex(
         v.map(s => Cast(Literal(UTF8String.fromString(s), StringType),
           partitionSchema(i).dataType, Option(zone)).eval(null)).orNull
       })
-      PartitionDirectory(values, files.map(statusOf).toArray)
+      (values, files)
     }
 
   private def statusOf(a: DeltaReader.AddFile): FileStatus =
@@ -359,17 +367,23 @@ private[sources] class DeltaSnapshotFileIndex(
   override def rootPaths: Seq[Path] = Seq(new Path(s"file:$root"))
 
   override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    if (partitionFilters.isEmpty) partitions
-    else {
-      val bound = CatalystPredicate.createInterpreted(
-        partitionFilters.reduce(And).transform {
-          case a: AttributeReference =>
-            val i = partitionSchema.fieldIndex(a.name)
-            BoundReference(i, partitionSchema(i).dataType, nullable = true)
-        })
-      partitions.filter(p => bound.eval(p.values))
-    }
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val partPruned =
+      if (partitionFilters.isEmpty) grouped
+      else {
+        val bound = CatalystPredicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldIndex(a.name)
+              BoundReference(i, partitionSchema(i).dataType, nullable = true)
+          })
+        grouped.filter { case (values, _) => bound.eval(values) }
+      }
+    partPruned.map { case (values, files) =>
+      PartitionDirectory(values,
+        files.filter(DeltaStats.mayMatch(_, dataFilters)).map(statusOf).toArray)
+    }.filter(_.files.nonEmpty)
+  }
 
   override def inputFiles: Array[String] =
     snap.files.map(a => s"file:$root/${DeltaReader.decodePath(a.path)}").toArray
