@@ -1,0 +1,180 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level data skipping from Delta add-action statistics.
+  *
+  * Each add action may carry a `stats` JSON string with `numRecords`,
+  * `minValues`, `maxValues`, `nullCount` per top-level column — the same
+  * metadata the reference's kernel scan uses for file pruning
+  * (/root/reference/crates/providers/src/deltatable.rs:279-284,454-469).
+  * [[DeltaSnapshotFileIndex.listFiles]] calls [[mayMatch]] with the scan's
+  * pushed data filters; files whose min/max ranges provably exclude every
+  * matching row are dropped BEFORE the scan, so a selective predicate on a
+  * 100 TB table touches only the files that can contain hits.
+  *
+  * Evaluation is strictly conservative: any filter shape, column, or type
+  * we can't reason about returns "may match". Skipping only fires on
+  * `And`/`Or` over comparisons between a top-level attribute and a literal
+  * (plus `In`, `IsNull`, `IsNotNull`), over atomic orderable types.
+  */
+object DeltaStats {
+
+  private val mapper = new ObjectMapper()
+
+  final case class FileStats(
+      numRecords: Option[Long],
+      minValues: Map[String, JsonNode],
+      maxValues: Map[String, JsonNode],
+      nullCount: Map[String, Long])
+
+  private[sources] def parse(statsJson: String): Option[FileStats] =
+    try {
+      val node = mapper.readTree(statsJson)
+      def leaves(field: String): Map[String, JsonNode] =
+        Option(node.get(field)).map { o =>
+          o.properties().asScala().map(e => e.getKey -> e.getValue)
+            .filterNot(_._2.isNull).toMap
+        }.getOrElse(Map.empty)
+      Some(FileStats(
+        Option(node.get("numRecords")).filterNot(_.isNull).map(_.asLong()),
+        leaves("minValues"),
+        leaves("maxValues"),
+        Option(node.get("nullCount")).map { o =>
+          o.properties().asScala()
+            .filter(e => e.getValue.isNumber)
+            .map(e => e.getKey -> e.getValue.asLong()).toMap
+        }.getOrElse(Map.empty)))
+    } catch { case _: Exception => None }
+
+  // jackson's properties() returns a java Set of Map.Entry
+  private implicit final class EntrySetOps(
+      private val s: java.util.Set[java.util.Map.Entry[String, JsonNode]])
+      extends AnyVal {
+    def asScala(): Iterator[java.util.Map.Entry[String, JsonNode]] = {
+      val it = s.iterator()
+      new Iterator[java.util.Map.Entry[String, JsonNode]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): java.util.Map.Entry[String, JsonNode] = it.next()
+      }
+    }
+  }
+
+  /** Could any row of `a` satisfy ALL of `dataFilters`? True when stats
+    * are missing or inconclusive (never skip on uncertainty). */
+  def mayMatch(a: DeltaReader.AddFile,
+      dataFilters: Seq[Expression]): Boolean = {
+    val stats = a.stats.flatMap(parse)
+    stats match {
+      case None => true
+      case Some(st) =>
+        if (st.numRecords.contains(0L)) false
+        else dataFilters.forall(f => eval(f, st))
+    }
+  }
+
+  /** Stat-level three-valued evaluation collapsed to two: false ONLY when
+    * the file provably contains no matching row. */
+  private def eval(e: Expression, st: FileStats): Boolean = e match {
+    case And(l, r) => eval(l, st) && eval(r, st)
+    case Or(l, r) => eval(l, st) || eval(r, st)
+    case EqualTo(AttrLit(n, dt, v)) =>
+      cmpGe(st.maxValues.get(n), v, dt) && cmpLe(st.minValues.get(n), v, dt)
+    case EqualNullSafe(AttrLit(n, dt, v)) =>
+      cmpGe(st.maxValues.get(n), v, dt) && cmpLe(st.minValues.get(n), v, dt)
+    case LessThan(a: AttributeReference, l @ Literal(v, _)) if v != null =>
+      cmpLt(st.minValues.get(a.name), v, a.dataType)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+      cmpLe(st.minValues.get(a.name), v, a.dataType)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+      cmpGt(st.maxValues.get(a.name), v, a.dataType)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+      cmpGe(st.maxValues.get(a.name), v, a.dataType)
+    // literal-on-the-left: flip
+    case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+      cmpGt(st.maxValues.get(a.name), v, a.dataType)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+      cmpGe(st.maxValues.get(a.name), v, a.dataType)
+    case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+      cmpLt(st.minValues.get(a.name), v, a.dataType)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+      cmpLe(st.minValues.get(a.name), v, a.dataType)
+    case In(a: AttributeReference, list) if list.forall {
+          case Literal(v, _) => v != null
+          case _ => false
+        } =>
+      list.exists { case Literal(v, _) =>
+        cmpGe(st.maxValues.get(a.name), v, a.dataType) &&
+          cmpLe(st.minValues.get(a.name), v, a.dataType)
+      }
+    case IsNull(a: AttributeReference) =>
+      st.nullCount.get(a.name).forall(_ > 0L)
+    case IsNotNull(a: AttributeReference) =>
+      (st.nullCount.get(a.name), st.numRecords) match {
+        case (Some(nulls), Some(n)) => nulls < n
+        case _ => true
+      }
+    case _ => true // unknown shape — never skip
+  }
+
+  /** Extract (name, dataType, literalValue) from attr-vs-literal in either
+    * order; literal nulls never justify skipping here. */
+  private object AttrLit {
+    def unapply(args: (Expression, Expression)): Option[(String, DataType, Any)] =
+      args match {
+        case (a: AttributeReference, Literal(v, _)) if v != null =>
+          Some((a.name, a.dataType, v))
+        case (Literal(v, _), a: AttributeReference) if v != null =>
+          Some((a.name, a.dataType, v))
+        case _ => None
+      }
+    def unapply(e: BinaryComparison): Option[(String, DataType, Any)] =
+      unapply((e.left, e.right))
+  }
+
+  // -------------------------------------------------------- stat compares
+  // Each returns TRUE when the stat is absent/unconvertible (conservative)
+  // and otherwise compares the stat bound to the literal under the
+  // column's interpreted ordering.
+
+  private def statValue(node: JsonNode, dt: DataType): Option[Any] = dt match {
+    case _: AtomicType =>
+      try {
+        // stat JSON scalars round-trip exactly through their text form;
+        // Cast from string gives the internal representation for every
+        // atomic type (dates, timestamps, decimals included).
+        Option(Cast(Literal(UTF8String.fromString(node.asText()), StringType),
+          dt, Option(java.util.TimeZone.getDefault.getID)).eval(null))
+      } catch { case _: Exception => None }
+    case _ => None
+  }
+
+  private def cmp(statNode: Option[JsonNode], lit: Any, dt: DataType)(
+      test: Int => Boolean): Boolean =
+    (for {
+      node <- statNode
+      sv <- statValue(node, dt)
+      ord <- interpretedOrdering(dt)
+    } yield test(ord.compare(sv, lit))).getOrElse(true)
+
+  private def interpretedOrdering(dt: DataType): Option[Ordering[Any]] =
+    dt match {
+      case _: AtomicType =>
+        try Some(TypeUtils.getInterpretedOrdering(dt))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+  private def cmpLt(s: Option[JsonNode], v: Any, dt: DataType): Boolean =
+    cmp(s, v, dt)(_ < 0)
+  private def cmpLe(s: Option[JsonNode], v: Any, dt: DataType): Boolean =
+    cmp(s, v, dt)(_ <= 0)
+  private def cmpGt(s: Option[JsonNode], v: Any, dt: DataType): Boolean =
+    cmp(s, v, dt)(_ > 0)
+  private def cmpGe(s: Option[JsonNode], v: Any, dt: DataType): Boolean =
+    cmp(s, v, dt)(_ >= 0)
+}
