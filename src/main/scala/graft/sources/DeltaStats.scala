@@ -82,10 +82,13 @@ object DeltaStats {
   private def eval(e: Expression, st: FileStats): Boolean = e match {
     case And(l, r) => eval(l, st) && eval(r, st)
     case Or(l, r) => eval(l, st) || eval(r, st)
-    case EqualTo(AttrLit(n, dt, v)) =>
-      cmpGe(st.maxValues.get(n), v, dt) && cmpLe(st.minValues.get(n), v, dt)
-    case EqualNullSafe(AttrLit(n, dt, v)) =>
-      cmpGe(st.maxValues.get(n), v, dt) && cmpLe(st.minValues.get(n), v, dt)
+    case e @ (_: EqualTo | _: EqualNullSafe) =>
+      AttrLit.unapply(e.asInstanceOf[BinaryComparison]) match {
+        case Some((n, dt, v)) =>
+          cmpGe(st.maxValues.get(n), v, dt) &&
+            cmpLe(st.minValues.get(n), v, dt)
+        case None => true
+      }
     case LessThan(a: AttributeReference, l @ Literal(v, _)) if v != null =>
       cmpLt(st.minValues.get(a.name), v, a.dataType)
     case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
@@ -142,15 +145,18 @@ object DeltaStats {
   // column's interpreted ordering.
 
   private def statValue(node: JsonNode, dt: DataType): Option[Any] = dt match {
-    case _: AtomicType =>
+    case _: ArrayType | _: MapType | _: StructType | NullType => None
+    case _ =>
       try {
         // stat JSON scalars round-trip exactly through their text form;
         // Cast from string gives the internal representation for every
-        // atomic type (dates, timestamps, decimals included).
+        // atomic type (dates, timestamps, decimals included). Timestamp
+        // stats are interpreted in the session zone, matching
+        // DeltaSnapshotFileIndex's partition-value casts.
         Option(Cast(Literal(UTF8String.fromString(node.asText()), StringType),
-          dt, Option(java.util.TimeZone.getDefault.getID)).eval(null))
+          dt, Option(org.apache.spark.sql.internal.SQLConf.get
+            .sessionLocalTimeZone)).eval(null))
       } catch { case _: Exception => None }
-    case _ => None
   }
 
   private def cmp(statNode: Option[JsonNode], lit: Any, dt: DataType)(
@@ -163,10 +169,10 @@ object DeltaStats {
 
   private def interpretedOrdering(dt: DataType): Option[Ordering[Any]] =
     dt match {
-      case _: AtomicType =>
+      case _: ArrayType | _: MapType | _: StructType | NullType => None
+      case _ =>
         try Some(TypeUtils.getInterpretedOrdering(dt))
         catch { case _: Exception => None }
-      case _ => None
     }
 
   private def cmpLt(s: Option[JsonNode], v: Any, dt: DataType): Boolean =
