@@ -44,6 +44,16 @@ def norm_cell(v):
 
 
 def fetch_sorted(rel):
+    # The real driver's pandas round-trip turns DuckDB HUGEINT (the result
+    # type of sum() over BIGINT) into float64 while Spark's long stays
+    # int64 — the two sides can NEVER hash-match even when values are
+    # equal ints here. Reject so the trap fails locally before commit
+    # (CAST(sum(x) AS BIGINT) in the oracle).
+    for c, t in zip(rel.columns, rel.types):
+        if str(t) in ("HUGEINT", "UHUGEINT"):
+            raise TypeError(
+                f"column {c} is {t} — driver comparator turns it into "
+                "float64 vs Spark int64; CAST(... AS BIGINT) in the oracle")
     cols = list(rel.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = rel.fetchall()

@@ -76,6 +76,64 @@ object DistributedRank {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Append `sumCol` = sum(`value`) OVER (PARTITION BY `key` ORDER BY
+    * `order` ROWS UNBOUNDED PRECEDING) — an INCLUSIVE running sum —
+    * computed with the same range-partition + broadcast-offset scheme as
+    * [[rowNumber]]. Spark's own window spelling runs ONE task per key
+    * value, which for a ~5-value key (language shards) serializes the
+    * whole corpus through 5 reducers at any scale; this keeps all N
+    * range partitions busy. `value` must be non-null and integral;
+    * `order` must totally order rows within each key. */
+  def runningSum(df: DataFrame, key: Column, order: Seq[Column],
+      value: Column, sumCol: String, numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val keyIdx = df.columns.length
+    val valIdx = keyIdx + 1
+    val sorted = df
+      .withColumn("__rk", key)
+      .withColumn("__rv", value.cast("long"))
+      .repartitionByRange(numPartitions, (col(df, "__rk") +: order): _*)
+      .sortWithinPartitions((col(df, "__rk") +: order): _*)
+    val schema = sorted.schema
+
+    // pass 1: per (partition, key) value sums — collected, metadata-sized
+    val sums: Array[(Int, Any, Long)] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
+        it.foreach { r =>
+          val k = r.get(keyIdx)
+          m.update(k, m.getOrElse(k, 0L) + r.getLong(valIdx))
+        }
+        m.iterator.map { case (k, n) => (pid, k, n) }
+      }.collect()
+
+    // offset(partition, key) = sum of key's values in earlier partitions
+    val offsets: Map[(Int, Any), Long] = sums
+      .groupBy(_._2)
+      .flatMap { case (k, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val off = acc; acc += n; ((pid, k), off)
+        }
+      }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: local running sum per key + offset
+    val outSchema = StructType(
+      schema.fields.dropRight(2) :+ StructField(sumCol, LongType, false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Any, Long]()
+      it.map { r =>
+        val k = r.get(keyIdx)
+        val s = local.getOrElse(k, 0L) + r.getLong(valIdx)
+        local.update(k, s)
+        val run = bcOffsets.value.getOrElse((pid, k), 0L) + s
+        Row.fromSeq(r.toSeq.dropRight(2) :+ run)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   private def col(df: DataFrame, n: String): Column =
     org.apache.spark.sql.functions.col(n)
 }

@@ -61,7 +61,7 @@ object Pipeline {
           FROM (SELECT DISTINCT doc_id, h FROM segs) u
           GROUP BY h)
         SELECT doc_id, count(*) AS n_segments,
-          sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS n_kept,
+          CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
             / CAST(count(*) AS DOUBLE) AS kept_ratio
         FROM segs JOIN dfh USING (h)
@@ -98,8 +98,8 @@ object Pipeline {
             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
           FROM t)
-        SELECT lang, off // 512 AS bin, count(*) AS n_docs,
-          sum(n_tok) AS n_tokens,
+        SELECT lang, CAST(off // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
           CAST(sum(n_tok) AS DOUBLE) / 512.0 AS fill
         FROM o
         GROUP BY lang, off // 512
