@@ -19,6 +19,11 @@ import graft.Tables
   */
 object Pipeline {
 
+  /** Document-frequency cap for q110's segment posting lists — the
+    * segment-identity twin of [[Dedup.MaxShingleDf]] (same rationale,
+    * same declared-semantics contract, mirrored in the oracle CTE). */
+  private[queries] val MaxSegmentDf = 50
+
   val defs: Seq[Q] = Seq(
 
     // ---- Segment-level exact dedup (CCNet-style): hash non-overlapping
@@ -70,18 +75,24 @@ object Pipeline {
 
     // ---- Sequence packing: assign documents to fixed 512-token context
     // bins by running token offset, packed per language shard (the unit a
-    // real pretraining tokenizer job packs within — the window is
-    // partitioned, so packing parallelizes across shards instead of
-    // forcing a single global sort). Declared semantics: bin = the bin
-    // the document's first token falls in; a document crossing a bin
-    // boundary counts wholly toward its starting bin.
+    // real pretraining tokenizer job packs within). Declared semantics:
+    // bin = the bin the document's first token falls in; a document
+    // crossing a bin boundary counts wholly toward its starting bin.
+    // The running offset is NOT a `sum() OVER (PARTITION BY lang)` window
+    // — that spelling runs ONE task per language (~5 reducers at any
+    // corpus scale). [[graft.plans.DistributedRank.runningSum]] computes
+    // the identical inclusive running sum with range partitioning +
+    // broadcast per-partition offsets, keeping all partitions busy; the
+    // oracle keeps the window spelling (identical numbers by
+    // construction, proven row-for-row in DistributedRankSpec).
     Q("q102_sequence_packing",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        Tables.t(s, d, "documents")
+        val base = Tables.t(s, d, "documents")
           .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
-          .withColumn("off", sum($"n_tok").over(w) - $"n_tok")
+        graft.plans.DistributedRank
+          .runningSum(base, $"lang", Seq($"doc_id"), $"n_tok", "run")
+          .withColumn("off", $"run" - $"n_tok")
           .withColumn("bin", ($"off" / 512L).cast("long"))
           .groupBy($"lang", $"bin")
           .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
@@ -317,6 +328,15 @@ object Pipeline {
     // segment digest (posting lists, not all-pairs); containment is the
     // group predicate n_shared == n_segments(A). Segments reuse q101's
     // derivation, so the engine has ONE declared segment identity.
+    //
+    // Like every posting-list self-join in this engine (Dedup.MaxShingleDf,
+    // Dedup.scala:42), the segment universe is df-capped BEFORE the pair
+    // join — DECLARED OPERATOR SEMANTICS, mirrored in the oracle CTE. A
+    // boilerplate segment shared by k documents (a license header, a
+    // navigation bar) would otherwise emit k² pairs from that one digest;
+    // the cap bounds per-segment work at O(cap²) and containment is
+    // evaluated over the surviving *discriminative* segments (a segment in
+    // >cap docs carries no containment signal — any doc "contains" it).
     Q("q110_containment_dedup",
       (s, d) => {
         import s.implicits._
@@ -328,8 +348,12 @@ object Pipeline {
             .as("seg"))
           .select($"doc_id", md5($"seg").as("h"))
           .distinct()
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+          .filter($"df" <= MaxSegmentDf)
           .withColumn("n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+          .select($"doc_id", $"h", $"n")
           .cache()
         segs.as("a")
           .join(segs.as("b"), $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
@@ -339,16 +363,21 @@ object Pipeline {
           .select($"contained", $"container", $"n_a", $"n_b")
           .orderBy($"contained", $"container")
       },
-      Some("""
+      Some(s"""
         WITH segs AS (
           SELECT DISTINCT doc_id,
             md5(array_to_string(w[10*(k-1)+1 : 10*(k-1)+10], ' ')) AS h
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
                generate_series(1, 100) s(k)
           WHERE k <= len(w) // 10),
+        capped AS (
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+            FROM segs) u
+          WHERE df <= $MaxSegmentDf),
         sn AS (
           SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n
-          FROM segs)
+          FROM capped)
         SELECT a.doc_id AS contained, b.doc_id AS container,
           min(a.n) AS n_a, min(b.n) AS n_b
         FROM sn a JOIN sn b ON a.h = b.h AND a.doc_id <> b.doc_id

@@ -31,6 +31,38 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(dist.count() == base.count())
   }
 
+  test("distributed running sum == window running sum on every row") {
+    import spark.implicits._
+    val base = Tables.t(spark, d, "documents")
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+    val dist = DistributedRank.runningSum(
+      base, $"lang", Seq($"doc_id"), $"n_tok", "run", 16)
+      .select($"doc_id", $"run")
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    val win = base.withColumn("run_w", sum($"n_tok").over(w))
+      .select($"doc_id", $"run_w")
+    val diff = dist.join(win, "doc_id").filter($"run" =!= $"run_w")
+    assert(diff.count() == 0)
+    assert(dist.count() == base.count())
+  }
+
+  test("running sum spreads a key's rows across range partitions (no serial per-key task)") {
+    import spark.implicits._
+    val base = Tables.t(spark, d, "documents")
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+    val nLangs = base.select($"lang").distinct().count()
+    val out = DistributedRank.runningSum(
+      base, $"lang", Seq($"doc_id"), $"n_tok", "run", 16)
+      .withColumn("pid", spark_partition_id())
+    // more busy partitions than keys, and at least one key spanning >1
+    // partition — the window spelling would pin exactly one task per key
+    assert(out.select($"pid").distinct().count() > nLangs)
+    val maxSpread = out.groupBy($"lang")
+      .agg(countDistinct($"pid").as("np"))
+      .agg(max($"np")).first().getLong(0)
+    assert(maxSpread > 1)
+  }
+
   test("more partitions than rows of a key still numbers correctly") {
     import spark.implicits._
     val tiny = Seq((1L, "a", 3.0), (2L, "a", 2.0), (3L, "b", 1.0))

@@ -98,4 +98,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q108_fuzzy_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q102: packing's running sum is range-distributed — no per-language Window task") {
+    val p = plan("q102_sequence_packing")
+    assert(!p.contains("Window"),
+      "a per-language window would serialize packing into one task per language")
+    assert(p.contains("ExistingRDD"),
+      "expected the DistributedRank range-partition seam")
+  }
+
+  test("q110: containment pairs form on the digest equi-join, not a nested loop") {
+    val p = plan("q110_containment_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
+    val p = plan("q89_dedup_clusters")
+    assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
+    // localCheckpoint truncates lineage per round, so the FINAL plan must
+    // stay a bounded tail (last round's join + aggregate + sort), not the
+    // accumulated 4-round chain
+    assert("Exchange".r.findAllIn(p).size <= 8,
+      "per-round lineage truncation regressed — plan accumulates exchanges")
+  }
 }
