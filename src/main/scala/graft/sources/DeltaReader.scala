@@ -103,10 +103,25 @@ object DeltaReader {
     val jsonVersions = entries
       .collect { case n if n.matches("\\d{20}\\.json") => n.take(20).toLong }
       .sorted
-    val checkpointVersions = entries
+    // checkpoint files: classic single-file `v.checkpoint.parquet` and
+    // multi-part `v.checkpoint.<part>.<of>.parquet` (real writers shard
+    // large checkpoints; the kernel reads all parts of one version). A
+    // multi-part checkpoint is usable only when EVERY part is present —
+    // a partially-written one must be ignored, falling back to an older
+    // checkpoint or pure JSON replay.
+    val singleCps: Map[Long, Seq[String]] = entries
       .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-        n.take(20).toLong }
-      .sorted
+        n.take(20).toLong -> n }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    val MultiCp = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val multiCps: Map[Long, Seq[String]] = entries
+      .collect { case n @ MultiCp(v, _, of) => (v.toLong, of.toInt, n) }
+      .groupBy(t => (t._1, t._2))
+      .collect { case ((v, of), xs) if xs.map(_._3).distinct.size == of =>
+        v -> xs.map(_._3).distinct.sorted
+      }
+    val checkpoints: Map[Long, Seq[String]] = multiCps ++ singleCps
+    val checkpointVersions = checkpoints.keys.toSeq.sorted
 
     val usableJson = jsonVersions.filter(_ <= maxVersion)
     require(maxVersion == Long.MaxValue || usableJson.nonEmpty ||
@@ -181,8 +196,9 @@ object DeltaReader {
     // the polymorphic decode goes through one compact JSON string per
     // action instead of a whole-row toJSON round-trip).
     cpVersion.foreach { v =>
-      val cpFile = new File(logDir, f"$v%020d.checkpoint.parquet")
-      val cp = spark.read.parquet(cpFile.getAbsolutePath)
+      val cpPaths = checkpoints(v)
+        .map(n => new File(logDir, n).getAbsolutePath)
+      val cp = spark.read.parquet(cpPaths: _*)
       if (cp.columns.contains("metaData"))
         cp.where(col("metaData").isNotNull)
           .select(to_json(col("metaData")))
@@ -257,6 +273,17 @@ object DeltaReader {
     // irrelevant, exactly the delta `id` contract.
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     val idMode = snap.fieldIds.nonEmpty
+    // DECLARED SESSION-LEVEL SIDE EFFECT (documented, spec-pinned in
+    // DeltaSpec "fieldId read conf"): id-mode tables need
+    // spark.sql.parquet.fieldId.read.enabled, and Spark reads that conf
+    // from SESSION state at physical-planning time — after this method
+    // returns, at every action on the lazy DataFrame — so a save/restore
+    // here would un-set it before the scan runs, and a relation option
+    // cannot carry it (ParquetFileFormat overwrites the hadoopConf key
+    // from the session conf). Leaving it enabled is semantically inert
+    // for every other read: field-id matching only engages for read
+    // schemas that carry parquet.field.id metadata, which only id-mapped
+    // delta loads produce — all other scans keep name-based matching.
     if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     def scanName(n: String): String = if (idMode) n else phys(n)
     val partSet = snap.partitionColumns.toSet

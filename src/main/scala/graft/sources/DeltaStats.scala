@@ -144,20 +144,38 @@ object DeltaStats {
   // and otherwise compares the stat bound to the literal under the
   // column's interpreted ordering.
 
-  private def statValue(node: JsonNode, dt: DataType): Option[Any] = dt match {
-    case _: ArrayType | _: MapType | _: StructType | NullType => None
-    case _ =>
+  /** WHITELIST of types whose delta stat text form provably round-trips
+    * through `Cast(string → dt)` AND whose interpreted ordering matches
+    * the stat's min/max semantics: numerics, decimal, string, boolean,
+    * date, timestamps, ANSI intervals. Everything else — containers,
+    * UDTs, CalendarIntervalType, binary (writers disagree on the text
+    * encoding of byte stats), future types — returns false and the file
+    * is conservatively KEPT. Membership here is the safety argument;
+    * skipping must never depend on Cast merely not throwing for an
+    * unvetted type. */
+  private def statBearing(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | BooleanType |
+         DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _: StringType => true // incl. collated strings (binary min/max order)
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case _ => false
+  }
+
+  private def statValue(node: JsonNode, dt: DataType): Option[Any] =
+    if (!statBearing(dt)) None
+    else
       try {
         // stat JSON scalars round-trip exactly through their text form;
         // Cast from string gives the internal representation for every
-        // atomic type (dates, timestamps, decimals included). Timestamp
-        // stats are interpreted in the session zone, matching
+        // whitelisted type (dates, timestamps, decimals included).
+        // Timestamp stats are interpreted in the session zone, matching
         // DeltaSnapshotFileIndex's partition-value casts.
         Option(Cast(Literal(UTF8String.fromString(node.asText()), StringType),
           dt, Option(org.apache.spark.sql.internal.SQLConf.get
             .sessionLocalTimeZone)).eval(null))
       } catch { case _: Exception => None }
-  }
 
   private def cmp(statNode: Option[JsonNode], lit: Any, dt: DataType)(
       test: Int => Boolean): Boolean =
@@ -168,12 +186,10 @@ object DeltaStats {
     } yield test(ord.compare(sv, lit))).getOrElse(true)
 
   private def interpretedOrdering(dt: DataType): Option[Ordering[Any]] =
-    dt match {
-      case _: ArrayType | _: MapType | _: StructType | NullType => None
-      case _ =>
-        try Some(TypeUtils.getInterpretedOrdering(dt))
-        catch { case _: Exception => None }
-    }
+    if (!statBearing(dt)) None
+    else
+      try Some(TypeUtils.getInterpretedOrdering(dt))
+      catch { case _: Exception => None }
 
   private def cmpLt(s: Option[JsonNode], v: Any, dt: DataType): Boolean =
     cmp(s, v, dt)(_ < 0)

@@ -131,11 +131,13 @@ object Fixtures {
 
   private def addJson(path: String, size: Long,
       partitionValues: Map[String, String] = Map.empty,
-      dv: Option[String] = None): String = {
+      dv: Option[String] = None,
+      stats: Option[String] = None): String = {
     val pv = partitionValues.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val dvPart = dv.map(j => s""","deletionVector":$j""").getOrElse("")
-    s"""{"add":{"path":"$path","partitionValues":$pv,"size":$size,"modificationTime":0,"dataChange":true$dvPart}}"""
+    val statsPart = stats.map(j => s""","stats":${quote(j)}""").getOrElse("")
+    s"""{"add":{"path":"$path","partitionValues":$pv,"size":$size,"modificationTime":0,"dataChange":true$dvPart$statsPart}}"""
   }
 
   private def quote(s: String): String =
@@ -164,6 +166,30 @@ object Fixtures {
       writeCommit(dir, 1, Seq(
         """{"remove":{"path":"part-b.parquet","deletionTimestamp":1,"dataChange":true}}""",
         addJson("part-c.parquet", szC)))
+    }
+
+  /** Delta with per-file `stats` JSON on every add action: five files of
+    * five nations each keyed by n_nationkey range, carrying real
+    * numRecords/minValues/maxValues/nullCount (the data-skipping inputs
+    * the reference scan prunes with, deltatable.rs:279-284). Exercised by
+    * DeltaStatsSpec's listFiles-level skipping assertions. */
+  def deltaNationStats(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_stats") { dir =>
+      val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
+      val schemaJson = nation.schema.json
+      val adds = (0 to 4).map { g =>
+        val lo = g * 5; val hi = lo + 4
+        val slice = nation.filter(col("n_nationkey").between(lo, hi))
+        val names = slice.collect().map(_.getAs[String]("n_name"))
+        val sz = oneParquetFile(slice, dir, f"part-g$g.parquet")
+        val stats =
+          s"""{"numRecords":${names.length},""" +
+            s""""minValues":{"n_nationkey":$lo,"n_name":${quote(names.min)}},""" +
+            s""""maxValues":{"n_nationkey":$hi,"n_name":${quote(names.max)}},""" +
+            s""""nullCount":{"n_nationkey":0,"n_name":0}}"""
+        addJson(f"part-g$g.parquet", sz, stats = Some(stats))
+      }
+      writeCommit(dir, 0, protocolJson +: metaJson(schemaJson, Nil) +: adds)
     }
 
   /** Hive-partitioned delta: one file per n_regionkey with the partition
@@ -264,6 +290,46 @@ object Fixtures {
       Files.write(new File(logDir, "_last_checkpoint").toPath,
         """{"version":0,"size":3}""".getBytes(StandardCharsets.UTF_8))
       writeCommit(dir, 1, Seq(addJson("part-b.parquet", szB)))
+    }
+
+  /** Multi-part checkpointed delta: commit 0 (meta + files A and B)
+    * absorbed into a TWO-part checkpoint
+    * (`0….checkpoint.0000000001.0000000002.parquet` + part 2), then a
+    * JSON commit 1 adds file C. Also plants an ORPHAN part (version 1,
+    * part 1 of 2, stale state) that replay must ignore — a multi-part
+    * checkpoint with missing parts is unusable. */
+  def deltaNationMultiCheckpoint(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_mcp") { dir =>
+      val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
+      val schemaJson = nation.schema.json
+      val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 8), dir, "part-a.parquet")
+      val szB = oneParquetFile(
+        nation.filter(col("n_nationkey").between(9, 16)), dir, "part-b.parquet")
+      val szC = oneParquetFile(nation.filter(col("n_nationkey") > 16), dir, "part-c.parquet")
+      writeCommit(dir, 0, Seq(protocolJson, metaJson(schemaJson, Nil),
+        addJson("part-a.parquet", szA), addJson("part-b.parquet", szB)))
+      val logDir = new File(dir, "_delta_log")
+      import s.implicits._
+      def writeCpPart(name: String, lines: Seq[String]): Unit = {
+        val tmp = new File(dir, ".tmp_cp")
+        s.read.json(lines.toDS())
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, new File(logDir, name).toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+        delete(tmp)
+      }
+      writeCpPart(f"${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet",
+        Seq(protocolJson, metaJson(schemaJson, Nil), addJson("part-a.parquet", szA)))
+      writeCpPart(f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet",
+        Seq(addJson("part-b.parquet", szB)))
+      Files.write(new File(logDir, "_last_checkpoint").toPath,
+        """{"version":0,"size":4,"parts":2}""".getBytes(StandardCharsets.UTF_8))
+      writeCommit(dir, 1, Seq(addJson("part-c.parquet", szC)))
+      // orphan: version-1 checkpoint part 1 of 2, part 2 never written —
+      // contains stale state (only file A) so using it would be visible
+      writeCpPart(f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet",
+        Seq(protocolJson, metaJson(schemaJson, Nil), addJson("part-a.parquet", szA)))
     }
 
   private def pad4(b: Array[Byte]): Array[Byte] =

@@ -182,6 +182,24 @@ class DeltaSpec extends AnyFunSuite {
     assert(out.head.getInt(0) == 0 && out.head.getString(1) == "s0")
   }
 
+  test("fieldId read conf: id-mode load's session flag is inert for name-matched reads") {
+    import org.apache.spark.sql.functions.col
+    // loading an id-mapped table leaves the documented session-level
+    // side effect in place (DeltaReader.loadAt scaladoc: a save/restore
+    // would un-set it before the lazy scan executes). Pin it explicitly
+    // rather than depending on the id-mode test's execution order:
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // with the flag on, reads whose schemas carry no field-id metadata
+    // still match by name with identical results: plain parquet…
+    val nation = Tables.t(spark, d, "nation")
+    assert(nation.schema.forall(!_.metadata.contains("parquet.field.id")))
+    assert(nation.count() == 25)
+    assert(nation.filter(col("n_nationkey") === 3).count() == 1)
+    // …and a NAME-mapped delta table (physical-name matching, no ids)
+    val named = DeltaReader.load(spark, Fixtures.deltaNation(spark, d))
+    assert(named.count() == 20)
+  }
+
   test("schema evolution: later metaData wins, old files read with nulls") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_evo").toFile
@@ -238,6 +256,18 @@ ${meta(kF)}
   test("checkpointed table stitches checkpoint + json tail") {
     val dir = Fixtures.deltaNationCheckpoint(spark, d)
     assert(DeltaReader.load(spark, dir).count() == 25)
+  }
+
+  test("multi-part checkpoint replays ALL parts; incomplete multi-part is ignored") {
+    val dir = Fixtures.deltaNationMultiCheckpoint(spark, d)
+    val df = DeltaReader.load(spark, dir)
+    // parts 1+2 of checkpoint 0 (files A+B) + json commit 1 (file C):
+    // missing any checkpoint part or using the orphan v1 part would
+    // drop rows
+    assert(df.count() == 25)
+    val snap = DeltaReader.snapshot(spark, dir)
+    assert(snap.files.map(_.path).toSet ==
+      Set("part-a.parquet", "part-b.parquet", "part-c.parquet"))
   }
 
   test("run-container roaring round-trips, incl offsets section at >=4 containers") {

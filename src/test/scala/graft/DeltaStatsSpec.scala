@@ -1,0 +1,196 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+import graft.SparkTestSession
+
+/** The Delta stats-based file-skipping path (DeltaStats.mayMatch wired
+  * through DeltaSnapshotFileIndex.listFiles). Reference behavior:
+  * deltatable.rs:279-284,454-469 — prune a file only when its min/max/
+  * nullCount PROVE no row can match; any uncertainty keeps the file.
+  *
+  * Lives in package graft.sources to reach the private[sources] parse
+  * and FileIndex internals. */
+class DeltaStatsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sfDir
+
+  private def add(stats: String): DeltaReader.AddFile =
+    DeltaReader.AddFile("f.parquet", 1L, Map.empty, None, Some(stats))
+
+  private val k = AttributeReference("k", LongType)()
+
+  private val longStats =
+    """{"numRecords":10,"minValues":{"k":10},"maxValues":{"k":20},"nullCount":{"k":0}}"""
+
+  test("parse: malformed JSON → None; valid stats round-trip") {
+    assert(DeltaStats.parse("{not json").isEmpty)
+    val st = DeltaStats.parse(longStats).get
+    assert(st.numRecords.contains(10L))
+    assert(st.minValues.contains("k") && st.maxValues.contains("k"))
+    assert(st.nullCount("k") == 0L)
+  }
+
+  test("long min/max: provably-out ranges skip, overlapping ranges keep") {
+    val a = add(longStats)
+    assert(!DeltaStats.mayMatch(a, Seq(LessThan(k, Literal(5L)))))
+    assert(!DeltaStats.mayMatch(a, Seq(GreaterThan(k, Literal(25L)))))
+    assert(!DeltaStats.mayMatch(a, Seq(EqualTo(k, Literal(25L)))))
+    assert(!DeltaStats.mayMatch(a, Seq(LessThanOrEqual(k, Literal(9L)))))
+    assert(DeltaStats.mayMatch(a, Seq(LessThan(k, Literal(15L)))))
+    assert(DeltaStats.mayMatch(a, Seq(EqualTo(k, Literal(10L)))))
+    assert(DeltaStats.mayMatch(a, Seq(GreaterThanOrEqual(k, Literal(20L)))))
+  }
+
+  test("literal-on-the-left comparisons flip correctly") {
+    val a = add(longStats)
+    // 25 < k  ⇔  k > 25 → impossible when max = 20
+    assert(!DeltaStats.mayMatch(a, Seq(LessThan(Literal(25L), k))))
+    // 15 <= k → possible
+    assert(DeltaStats.mayMatch(a, Seq(LessThanOrEqual(Literal(15L), k))))
+    // 5 > k  ⇔  k < 5 → impossible when min = 10
+    assert(!DeltaStats.mayMatch(a, Seq(GreaterThan(Literal(5L), k))))
+  }
+
+  test("string min/max skip and keep") {
+    val n = AttributeReference("n", StringType)()
+    val a = add(
+      """{"numRecords":5,"minValues":{"n":"APPLE"},"maxValues":{"n":"MANGO"},"nullCount":{"n":0}}""")
+    assert(!DeltaStats.mayMatch(a, Seq(EqualTo(n, Literal("ZEBRA")))))
+    assert(!DeltaStats.mayMatch(a, Seq(GreaterThanOrEqual(n, Literal("PEACH")))))
+    assert(DeltaStats.mayMatch(a, Seq(EqualTo(n, Literal("CHERRY")))))
+  }
+
+  test("date min/max skip and keep") {
+    val dt = AttributeReference("d", DateType)()
+    val a = add(
+      """{"numRecords":5,"minValues":{"d":"2024-01-01"},"maxValues":{"d":"2024-06-30"},"nullCount":{"d":0}}""")
+    def lit(s: String) = Literal.create(java.time.LocalDate.parse(s), DateType)
+    assert(!DeltaStats.mayMatch(a, Seq(GreaterThan(dt, lit("2024-07-01")))))
+    assert(DeltaStats.mayMatch(a, Seq(GreaterThan(dt, lit("2024-03-01")))))
+    assert(!DeltaStats.mayMatch(a, Seq(LessThan(dt, lit("2023-12-31")))))
+  }
+
+  test("decimal min/max skip and keep") {
+    val dec = AttributeReference("p", DecimalType(10, 2))()
+    val a = add(
+      """{"numRecords":5,"minValues":{"p":"10.50"},"maxValues":{"p":"99.99"},"nullCount":{"p":0}}""")
+    def lit(s: String) = Literal.create(new java.math.BigDecimal(s), DecimalType(10, 2))
+    assert(!DeltaStats.mayMatch(a, Seq(LessThan(dec, lit("5.00")))))
+    assert(!DeltaStats.mayMatch(a, Seq(EqualTo(dec, lit("100.00")))))
+    assert(DeltaStats.mayMatch(a, Seq(EqualTo(dec, lit("50.00")))))
+  }
+
+  test("timestamp stats with explicit zone skip and keep") {
+    val ts = AttributeReference("t", TimestampType)()
+    val a = add(
+      """{"numRecords":5,"minValues":{"t":"2024-01-01T00:00:00.000Z"},"maxValues":{"t":"2024-01-02T00:00:00.000Z"},"nullCount":{"t":0}}""")
+    def lit(s: String) = Literal.create(java.time.Instant.parse(s), TimestampType)
+    assert(!DeltaStats.mayMatch(a, Seq(GreaterThan(ts, lit("2024-01-03T00:00:00Z")))))
+    assert(DeltaStats.mayMatch(a, Seq(GreaterThan(ts, lit("2024-01-01T12:00:00Z")))))
+  }
+
+  test("zone-less timestamp stats are interpreted in the SESSION zone, not the JVM default") {
+    val ts = AttributeReference("t", TimestampType)()
+    val a = add(
+      """{"numRecords":5,"minValues":{"t":"2024-03-01 00:00:00"},"maxValues":{"t":"2024-03-01 00:00:00"},"nullCount":{"t":0}}""")
+    val probe = Literal.create(java.time.Instant.parse("2024-03-01T04:00:00Z"), TimestampType)
+    def inZone(zone: String): Boolean = {
+      val conf = new SQLConf
+      conf.setConfString("spark.sql.session.timeZone", zone)
+      SQLConf.withExistingConf(conf) {
+        DeltaStats.mayMatch(a, Seq(LessThan(ts, probe)))
+      }
+    }
+    // UTC session: min = 2024-03-01T00:00Z < 04:00Z → rows may match
+    assert(inZone("UTC"))
+    // LA session: min = 2024-03-01T08:00Z ≥ 04:00Z → provably no match
+    assert(!inZone("America/Los_Angeles"))
+  }
+
+  test("In: skips only when every list value is outside min/max") {
+    val a = add(longStats)
+    assert(!DeltaStats.mayMatch(a, Seq(In(k, Seq(Literal(1L), Literal(2L))))))
+    assert(DeltaStats.mayMatch(a, Seq(In(k, Seq(Literal(1L), Literal(15L))))))
+    // a non-literal list member → conservative keep
+    assert(DeltaStats.mayMatch(a, Seq(In(k, Seq(Literal(1L), k)))))
+  }
+
+  test("IsNull / IsNotNull use nullCount against numRecords") {
+    val noNulls = add(longStats)
+    assert(!DeltaStats.mayMatch(noNulls, Seq(IsNull(k))))
+    assert(DeltaStats.mayMatch(noNulls, Seq(IsNotNull(k))))
+    val allNull = add(
+      """{"numRecords":10,"minValues":{},"maxValues":{},"nullCount":{"k":10}}""")
+    assert(DeltaStats.mayMatch(allNull, Seq(IsNull(k))))
+    assert(!DeltaStats.mayMatch(allNull, Seq(IsNotNull(k))))
+    val someNull = add(
+      """{"numRecords":10,"minValues":{"k":10},"maxValues":{"k":20},"nullCount":{"k":3}}""")
+    assert(DeltaStats.mayMatch(someNull, Seq(IsNull(k))))
+    assert(DeltaStats.mayMatch(someNull, Seq(IsNotNull(k))))
+  }
+
+  test("conservatism: anything unprovable keeps the file") {
+    val impossible = Seq(LessThan(k, Literal(5L)))
+    // no stats at all
+    assert(DeltaStats.mayMatch(
+      DeltaReader.AddFile("f", 1L, Map.empty, None, None), impossible))
+    // malformed stats JSON
+    assert(DeltaStats.mayMatch(add("{not json"), impossible))
+    // stats present but not for this column
+    assert(DeltaStats.mayMatch(
+      add("""{"numRecords":5,"minValues":{"other":1},"maxValues":{"other":2},"nullCount":{}}"""),
+      impossible))
+    // null stat values inside the JSON (writer wrote literal nulls)
+    assert(DeltaStats.mayMatch(
+      add("""{"numRecords":5,"minValues":{"k":null},"maxValues":{"k":null},"nullCount":{"k":null}}"""),
+      impossible))
+    // unknown filter shape (k + 1 < 5 is not attr-vs-literal)
+    assert(DeltaStats.mayMatch(add(longStats),
+      Seq(LessThan(Add(k, Literal(1L)), Literal(5L)))))
+    // non-whitelisted type (binary): stats text encoding is writer-defined
+    val b = AttributeReference("b", BinaryType)()
+    assert(DeltaStats.mayMatch(
+      add("""{"numRecords":5,"minValues":{"b":"aa"},"maxValues":{"b":"bb"},"nullCount":{"b":0}}"""),
+      Seq(EqualTo(b, Literal(Array[Byte](0x7f))))))
+    // empty file skips regardless of filters
+    assert(!DeltaStats.mayMatch(
+      add("""{"numRecords":0,"minValues":{},"maxValues":{},"nullCount":{}}"""), Nil))
+  }
+
+  test("And/Or compose three-valued skipping") {
+    val a = add(longStats)
+    val skip = LessThan(k, Literal(5L))
+    val keep = EqualTo(k, Literal(15L))
+    assert(!DeltaStats.mayMatch(a, Seq(And(skip, keep))))
+    assert(DeltaStats.mayMatch(a, Seq(Or(skip, keep))))
+    assert(!DeltaStats.mayMatch(a, Seq(Or(skip, skip))))
+    // multiple top-level filters AND together
+    assert(!DeltaStats.mayMatch(a, Seq(keep, skip)))
+  }
+
+  test("listFiles prunes stat-excluded files from a multi-file snapshot") {
+    val path = Fixtures.deltaNationStats(spark, d)
+    val df = DeltaReader.load(spark, path)
+    val index = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r.location
+    }.get
+    assert(index.isInstanceOf[DeltaSnapshotFileIndex])
+    def nFiles(filters: Seq[Expression]): Int =
+      index.listFiles(Nil, filters).map(_.files.length).sum
+    val key = AttributeReference("n_nationkey", IntegerType)()
+    assert(nFiles(Nil) == 5)
+    assert(nFiles(Seq(EqualTo(key, Literal(3)))) == 1)
+    assert(nFiles(Seq(GreaterThan(key, Literal(14)))) == 2)
+    assert(nFiles(Seq(GreaterThan(key, Literal(99)))) == 0)
+    // end-to-end: the skipped scan still returns exactly the right rows
+    val rows = df.filter(col("n_nationkey") === 3).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("n_nationkey") == 3)
+  }
+}
