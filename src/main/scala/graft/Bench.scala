@@ -52,20 +52,30 @@ object Bench {
       case Some(ps) => SparkEntry.queries.filter(kv => ps.exists(kv._1.startsWith))
       case None     => SparkEntry.queries
     }
+    // targeted runs (SPARK_GRAFT_ONLY set) repeat each query and keep the
+    // BEST time — the shared-box CPU contention that jitters single-shot
+    // driver benches up to ~2x averages out under min-of-reps. The full
+    // driver sweep stays single-shot (110 queries × reps would double the
+    // round budget for no gate value). Override with SPARK_GRAFT_REPS.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
+      .getOrElse(if (only.isDefined) 2 else 1).max(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // queries may cache intermediates (dedup signatures etc.); drop them
-      // so per-query timings are independent and memory doesn't accumulate
-      // across the 86-query run. The GC nudge counters the end-of-run
-      // degradation seen in long driver sessions (late alphabetical
-      // queries showed 2-20x noise two rounds running).
-      spark.catalog.clearCache()
-      System.gc()
+      val sec = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // queries may cache intermediates (dedup signatures etc.); drop
+        // them so per-query timings are independent and memory doesn't
+        // accumulate across the 86-query run. The GC nudge counters the
+        // end-of-run degradation seen in long driver sessions (late
+        // alphabetical queries showed 2-20x noise two rounds running).
+        spark.catalog.clearCache()
+        System.gc()
+        t
+      }.min
       name -> sec
     }
     // Two output lines: the full per-query map goes on its OWN stdout line
