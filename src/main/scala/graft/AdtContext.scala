@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import graft.sources.Ddl
 
 /** The library seam mirroring `ADTContext::sql`
@@ -15,24 +18,63 @@ import graft.sources.Ddl
 final class AdtContext(val spark: SparkSession) {
 
   /** DDL registers the table and yields an empty relation (the reference
-    * prints an empty batch for DDL, main.rs:23-28); statements touching
-    * `information_schema.*` are rewritten onto catalog-backed temp views
-    * (context.rs:27 parity); everything else is Spark SQL. */
+    * prints an empty batch for DDL, main.rs:23-28); `EXPLAIN ANALYZE`
+    * executes the statement and returns the metric-annotated physical
+    * plan (DataFusion `AnalyzeExec` parity — reachable through
+    * `ADTContext::sql`); statements touching `information_schema.*` are
+    * rewritten onto catalog-backed temp views (context.rs:27 parity);
+    * everything else is Spark SQL. */
   def sql(statement: String): DataFrame =
     if (Ddl.matches(statement)) {
       Ddl.register(spark, Ddl.parse(statement))
       spark.emptyDataFrame
-    } else if (AdtContext.InfoSchemaRef.findFirstIn(statement).isDefined) {
-      InformationSchema.refresh(spark)
-      spark.sql(AdtContext.InfoSchemaRef.replaceAllIn(statement,
-        m => s"information_schema_${m.group(1).toLowerCase}"))
-    } else spark.sql(statement)
+    } else AdtContext.ExplainAnalyze.findFirstMatchIn(statement) match {
+      case Some(m) => analyze(m.group(1))
+      case None =>
+        if (AdtContext.InfoSchemaRef.findFirstIn(statement).isDefined) {
+          InformationSchema.refresh(spark)
+          spark.sql(AdtContext.InfoSchemaRef.replaceAllIn(statement,
+            m => s"information_schema_${m.group(1).toLowerCase}"))
+        } else spark.sql(statement)
+    }
+
+  /** DataFusion-shaped `EXPLAIN ANALYZE`: run the inner statement to
+    * completion (rows discarded executor-side — nothing is collected),
+    * then render the FINAL executed plan (post-AQE) with each node's
+    * runtime SQL metrics, as one `(plan_type, plan)` row exactly like
+    * DataFusion's `"Plan with Metrics"` output batch. */
+  private def analyze(inner: String): DataFrame = {
+    val qe = sql(inner).queryExecution
+    qe.toRdd.foreach(_ => ()) // full execution, zero driver materialization
+    val sb = new StringBuilder
+    def render(p: SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq.sortBy(_._1)
+        .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+      sb.append("  " * depth).append(p.nodeName)
+      if (ms.nonEmpty) sb.append(", metrics=[").append(ms).append("]")
+      sb.append("\n")
+      p match {
+        // unwrap the adaptive / stage / reuse shells so the metric tree
+        // reads as the plan that actually ran
+        case a: AdaptiveSparkPlanExec => render(a.executedPlan, depth + 1)
+        case s: QueryStageExec => render(s.plan, depth + 1)
+        case r: ReusedExchangeExec => render(r.child, depth + 1)
+        case _ => p.children.foreach(render(_, depth + 1))
+      }
+    }
+    render(qe.executedPlan, 0)
+    import spark.implicits._
+    Seq(("Plan with Metrics", sb.result())).toDF("plan_type", "plan")
+  }
 }
 
 object AdtContext {
 
   private[graft] val InfoSchemaRef =
     "(?i)information_schema\\.(tables|columns)".r
+
+  private[graft] val ExplainAnalyze =
+    "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r
 
   /** Session defaults matching SURVEY §4.3's config-parity table. */
   def build(master: String = "local[*]"): AdtContext = {

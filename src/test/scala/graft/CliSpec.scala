@@ -69,6 +69,22 @@ class CliSpec extends AnyFunSuite {
     assert(e.getMessage == "AVRO format factory is not available")
   }
 
+  test("EXPLAIN ANALYZE executes and returns the metric-annotated plan") {
+    val spark = SparkTestSession.spark
+    val ctx = new AdtContext(spark)
+    val dir = SparkTestSession.sfDir
+    val rows = ctx.sql(
+      s"EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n " +
+        s"FROM parquet.`$dir/nation.parquet` GROUP BY n_regionkey").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "Plan with Metrics")
+    val plan = rows.head.getString(1)
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("metrics=["))
+    // runtime (not just planning) metrics: rows actually flowed
+    assert(plan.contains("numOutputRows="))
+  }
+
   test("ARROW DDL reads an IPC file end-to-end, batch-parallel") {
     val spark = SparkTestSession.spark
     val dir = graft.sources.Fixtures.nationArrow(spark, SparkTestSession.sfDir)

@@ -63,6 +63,33 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(maxSpread > 1)
   }
 
+  test("randomized shapes: both primitives match the window spellings exactly") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      val nKeys = 1 + rnd.nextInt(8) // includes the single-key worst case
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("id", "k", "v").repartition(7)
+      val nParts = 1 + rnd.nextInt(20)
+      val w = Window.partitionBy($"k").orderBy($"id")
+      val expect = df
+        .withColumn("run_w", sum($"v").over(w))
+        .withColumn("rn_w", row_number().over(w).cast("long"))
+        .select($"id", $"run_w", $"rn_w")
+      val gotSum = DistributedRank.runningSum(
+        df, $"k", Seq($"id"), $"v", "run", nParts).select($"id", $"run")
+      val gotRn = DistributedRank.rowNumber(
+        df, $"k", Seq($"id"), "rn", nParts).select($"id", $"rn")
+      val bad = expect.join(gotSum, "id").join(gotRn, "id")
+        .filter($"run" =!= $"run_w" || $"rn" =!= $"rn_w")
+      assert(bad.count() == 0, s"seed=$seed n=$n keys=$nKeys parts=$nParts")
+      assert(gotSum.count() == n.toLong)
+    }
+  }
+
   test("more partitions than rows of a key still numbers correctly") {
     import spark.implicits._
     val tiny = Seq((1L, "a", 3.0), (2L, "a", 2.0), (3L, "b", 1.0))
