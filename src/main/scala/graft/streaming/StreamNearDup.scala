@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-dup candidates — the ingest-time twin of
+  * the batch q42 operator, completing the dedup streaming surface next
+  * to [[StreamDedup]] (exact) the way a production ingest pipeline runs:
+  * candidates stream out at arrival time; exact-jaccard verification
+  * stays a batch pass over the sealed corpus (q42's verification stage).
+  *
+  * Signature identity is EXACTLY q42's (queries/Dedup.scala): word
+  * 3-gram shingles → 60-bit md5 hash mod P31 → 16 universal-hash
+  * minhashes h_j(x) = ((2j+1)·x + 7919j) mod P31 → 4 bands of 4,
+  * signature = comma-joined minhashes. StreamNearDupSpec pins the Scala
+  * kernel bit-for-bit against the Spark-SQL spelling of the same
+  * formula, so a candidate stream flagged here and a batch q42 run see
+  * the same buckets.
+  *
+  * State: one [[GroupState]] per live band signature holding up to
+  * [[MaxBucketState]] doc ids (declared cap — the streaming analogue of
+  * the batch df caps: a bucket collecting more docs than that is
+  * boilerplate saturation, not near-dup signal, and unbounded bucket
+  * membership would otherwise grow state quadratically in the hot
+  * bucket). Candidate pairs may repeat across bands (band is in the
+  * output); downstream verification deduplicates.
+  */
+object StreamNearDup {
+
+  private val P31 = 2147483647L // 2^31 - 1, q42's mixing prime
+
+  /** Max doc ids retained per band bucket (declared semantics). */
+  val MaxBucketState = 8
+
+  final case class BandRow(sig: String, docId: Long)
+  final case class Candidate(d1: Long, d2: Long, band: Int)
+
+  /** First 60 bits of md5 as a long — the portable hash every dedup
+    * operator shares (Dedup.h60: `conv(substr(md5(s), 2, 15), 16, 10)`). */
+  def h60(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(1, 16), 16)
+  }
+
+  /** The 4 (band, signature) pairs of a document under q42's scheme;
+    * empty for docs with fewer than 3 words (no shingles — absent from
+    * the batch operator too). */
+  def bands(text: String): Seq[(Int, String)] = {
+    val w = text.split(" ", -1)
+    if (w.length < 3) return Seq.empty
+    val hs = (0 until w.length - 2)
+      .map(i => w.slice(i, i + 3).mkString(" "))
+      .distinct.map(s => h60(s) % P31)
+    val mh = (0 until 16).map { j =>
+      hs.map(h => ((2L * j + 1) * h + 7919L * j) % P31).min
+    }
+    (0 until 4).map(b =>
+      b -> (0 until 4).map(r => mh(b * 4 + r)).mkString(","))
+  }
+
+  /** Candidate near-dup pairs across ALL micro-batches seen so far:
+    * a new arrival pairs with every doc already retained in any of its
+    * 4 band buckets (and with same-batch bucket-mates). Output is
+    * (d1, d2, band) with d1 < d2. */
+  def candidates(docs: DataFrame): Dataset[Candidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        bands(text).map { case (b, s) => BandRow(s"$b|$s", id) }
+      }
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState[List[Long], Candidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[BandRow], state: GroupState[List[Long]]) =>
+          val band = key.takeWhile(_ != '|').toInt
+          val seen = state.getOption.getOrElse(Nil)
+          val fresh = rows.map(_.docId).toList.distinct.sorted
+            .filterNot(seen.contains)
+          val cross = for (s <- seen; n <- fresh)
+            yield Candidate(math.min(s, n), math.max(s, n), band)
+          val within = for {
+            i <- fresh.indices.toList
+            j <- (i + 1 until fresh.size).toList
+          } yield Candidate(fresh(i), fresh(j), band)
+          state.update((seen ++ fresh).take(MaxBucketState))
+          (cross ++ within).iterator
+      }
+  }
+
+  /** Replay a finite directory of document parquet files (one file per
+    * micro-batch) and collect the candidate stream. */
+  def runToCompletion(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(StreamDedup.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = candidates(docs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}
