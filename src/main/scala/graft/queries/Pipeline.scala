@@ -383,6 +383,94 @@ object Pipeline {
         FROM sn a JOIN sn b ON a.h = b.h AND a.doc_id <> b.doc_id
         GROUP BY 1, 2
         HAVING count(*) = min(a.n) AND min(b.n) > min(a.n)
-        ORDER BY contained, container"""))
+        ORDER BY contained, container""")),
+
+    // ---- Segment novelty scoring (incremental-ingest curation): treat
+    // doc_id as arrival order; a document's novelty is the fraction of
+    // its distinct segments whose FIRST corpus appearance is this
+    // document (C4/CCNet-style "how much new text does this shard add").
+    // Two exchanges keyed on the segment digest (min-doc dim + join
+    // back) — linear at any corpus scale, the q101 shape with min()
+    // instead of count(). Docs shorter than one segment carry none and
+    // are (declaredly) absent.
+    Q("q111_segment_novelty",
+      (s, d) => {
+        import s.implicits._
+        val segs = Tables.t(s, d, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """transform(sequence(1, CAST(size(w) / 10 AS INT)),
+                         k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
+            .as("seg"))
+          .select($"doc_id", md5($"seg").as("h"))
+          .distinct()
+        val first = segs.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+        segs.join(first, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            $"n_novel".cast("double") / $"n_segments".cast("double"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH segs AS (
+          SELECT DISTINCT doc_id,
+            md5(array_to_string(w[10*(k-1)+1 : 10*(k-1)+10], ' ')) AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+               generate_series(1, 100) s(k)
+          WHERE k <= len(w) // 10),
+        first AS (
+          SELECT h, min(doc_id) AS first_doc FROM segs GROUP BY h)
+        SELECT doc_id, count(*) AS n_segments,
+          CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS novelty
+        FROM segs JOIN first USING (h)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ---- Cross-source overlap matrix (mirror detection): for every
+    // source pair, how many distinct document texts appear in BOTH —
+    // the curation report that catches one crawl mirroring another.
+    // (content digest, source) is distinct-ed FIRST, so each digest's
+    // posting list is bounded by |sources| (a handful) and the digest
+    // equi-join is Σ |sources|² per shared text — no cap needed, no
+    // quadratic blowup possible. The full pair matrix (including zero
+    // overlaps) comes from a broadcast-sized source-pair dim.
+    Q("q112_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.t(s, d, "documents")
+          .select(md5($"text").as("h"), $"source").distinct()
+        val srcs = Tables.t(s, d, "documents").select($"source").distinct()
+        val pairs = srcs.as("x")
+          .crossJoin(srcs.as("y"))
+          .filter($"x.source" < $"y.source")
+          .select($"x.source".as("s1"), $"y.source".as("s2"))
+        val shared = docs.as("a")
+          .join(docs.as("b"), $"a.h" === $"b.h" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs.join(broadcast(shared), Seq("s1", "s2"), "left")
+          .select($"s1", $"s2", coalesce($"n_shared", lit(0L)).as("n_shared"))
+          .orderBy($"s1", $"s2")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT DISTINCT md5(text) AS h, source FROM documents),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        pairs AS (
+          SELECT x.source AS s1, y.source AS s2
+          FROM srcs x, srcs y WHERE x.source < y.source),
+        shared AS (
+          SELECT a.source AS s1, b.source AS s2,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM docs a JOIN docs b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT s1, s2, coalesce(n_shared, 0) AS n_shared
+        FROM pairs LEFT JOIN shared USING (s1, s2)
+        ORDER BY s1, s2"""))
   )
 }

@@ -112,6 +112,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q111: novelty joins the first-doc dim back on the digest key only") {
+    val p = plan("q111_segment_novelty")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
