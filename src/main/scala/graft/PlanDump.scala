@@ -1,54 +1,26 @@
 package graft
 
-import java.io.{File, PrintWriter}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
 
-/** Regenerates PLANS.md: formatted physical plans of the flagship
-  * queries, the evidence behind SCALE.md's claims (pushdown, pruning,
-  * broadcast shapes, two-phase aggregation). Dev tool. */
+/** Dev harness (not part of the shipped surface, like [[Scratch]]):
+  * print one named query's formatted physical plan — the source of the
+  * PLANS.md sections. Usage: runMain graft.PlanDump <queryName> [sfDir] */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    require(args.nonEmpty, "usage: PlanDump <queryName> [sfDir]")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-
-    val picks = Seq(
-      "q1_agg" -> "scan pushdown + column pruning + two-phase aggregate",
-      "q3_join" -> "broadcast dim joins, zero pre-aggregation shuffles",
-      "q57_partitioned_parquet" -> "static hive partition pruning",
-      "q82_tpch_q5" -> "6-way star join, 4 broadcast dims",
-      "q44_sim_topk_bruteforce" -> "broadcast query set + native dot_i64 in codegen",
-      "q61_delta_dv" -> "delta scan, executor-decoded DV anti-join (ExternalRDD, no driver bitmap)",
-      "q60_delta_partitioned" -> "delta partitioned load: ONE scan via snapshot FileIndex",
-      "q92_stratified_sample" -> "hash-sampled corpus mix: narrow filter + single rollup shuffle",
-      "q97_decontamination" -> "broadcast eval-gram dim over the training stream",
-      "q98_range_join" -> "bucketized interval join: bin equi-join + exact filter, no nested loop",
-      "q103_doc_chunking" -> "chunking is a pure map stage: no shuffle before the presentation sort",
-      "q107_skew_salt" -> "salted two-phase aggregate: exactly two exchanges, both pre-combined",
-      "q108_fuzzy_dedup" -> "blocked levenshtein pairs: equi-join on (lang, band, first token), no nested loop")
-
-    val out = new PrintWriter(new File("PLANS.md"))
-    out.println("# PLANS - formatted physical plans of flagship queries")
-    out.println()
-    out.println("Generated by `sbt \"runMain graft.PlanDump\"` at sf0.01; the")
-    out.println("evidence behind SCALE.md (PushedFilters / PartitionFilters /")
-    out.println("BroadcastHashJoin / partial-final aggregate shapes).")
-    picks.foreach { case (name, why) =>
-      out.println(s"\n## $name - $why\n")
-      out.println("```")
-      val df = SparkEntry.queries(name)(spark, d)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      out.println(plan.linesIterator.take(120).mkString("\n"))
-      out.println("```")
-    }
-    out.close()
-    println("PLANS.md written")
+    val df = SparkEntry.queries(args(0))(spark, sfDir)
+    println("=====PLAN=====")
+    println(df.queryExecution.explainString(FormattedMode))
     spark.stop()
   }
 }
