@@ -471,6 +471,64 @@ object Pipeline {
           GROUP BY 1, 2)
         SELECT s1, s2, coalesce(n_shared, 0) AS n_shared
         FROM pairs LEFT JOIN shared USING (s1, s2)
-        ORDER BY s1, s2"""))
+        ORDER BY s1, s2""")),
+
+    // ---- Collocation extraction (corpus phrase mining): top-50 adjacent
+    // word pairs by lift = P(w1,w2) / (P(w1)·P(w2)), the log-free PMI
+    // ("lift" keeps the score a ratio of exact integer counts — a log
+    // would drag libm into the compared values; see Q's determinism
+    // contract). Declared semantics mirrored in the oracle: pairs with
+    // fewer than 5 occurrences are dropped (standard collocation min
+    // count — also what keeps the pair table corpus-scale-sparse), and
+    // the (lift DESC, w1, w2) sort is a total order, so top-50 is
+    // engine-independent. Shapes: two map-side-combined aggregates
+    // (unigrams, bigrams) + two equi-joins on the word key + a TakeOrdered
+    // top-k — linear, no all-pairs anything.
+    Q("q113_collocations",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.t(s, d, "documents")
+          .select(split($"text", " ").as("w"))
+        val uni = toks.select(explode($"w").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("n"))
+        val pairs = toks.select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+                       i -> named_struct('w1', element_at(w, i),
+                                         'w2', element_at(w, i + 1)))""")).as("p"))
+          .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+          .filter($"n_pair" >= 5)
+        val total = uni.agg(sum($"n").as("nt"))
+        pairs
+          .join(uni.select($"w".as("w1"), $"n".as("n1")), "w1")
+          .join(uni.select($"w".as("w2"), $"n".as("n2")), "w2")
+          .crossJoin(broadcast(total))
+          .select($"w1", $"w2", $"n_pair",
+            ($"n_pair".cast("double") * $"nt".cast("double") /
+              ($"n1".cast("double") * $"n2".cast("double"))).as("lift"))
+          .orderBy($"lift".desc, $"w1", $"w2")
+          .limit(50)
+      },
+      Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        uni AS (
+          SELECT u.tok AS w, count(*) AS n
+          FROM t, unnest(t.w) AS u(tok) GROUP BY 1),
+        pairs AS (
+          SELECT w[k] AS w1, w[k + 1] AS w2, count(*) AS n_pair
+          FROM t, generate_series(1, 2000) s(k)
+          WHERE k <= len(w) - 1
+          GROUP BY 1, 2
+          HAVING count(*) >= 5),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM uni)
+        SELECT w1, w2, n_pair,
+          CAST(n_pair AS DOUBLE) * CAST(nt AS DOUBLE)
+            / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+        FROM pairs
+        JOIN uni a ON pairs.w1 = a.w
+        JOIN uni b ON pairs.w2 = b.w
+        CROSS JOIN tot
+        ORDER BY lift DESC, w1, w2
+        LIMIT 50"""))
   )
 }

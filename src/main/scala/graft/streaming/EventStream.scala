@@ -53,6 +53,18 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("cents"))
 
+  /** Stream-static enrichment: the live event feed joined against a
+    * batch dimension table (the most common production streaming shape —
+    * per-event dimension lookup). Spark plans the static side as an
+    * ordinary broadcast-able batch relation re-resolved per micro-batch;
+    * no streaming state is created, so this scales exactly like the
+    * batch join. The dim here is the per-user segment cut the batch path
+    * would compute with the same expression. */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+
   /** Run the streaming query to completion over the (finite) file source
     * via the memory sink; returns the collected result table. */
   def runToCompletion(spark: SparkSession, dir: String,

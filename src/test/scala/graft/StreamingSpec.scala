@@ -26,6 +26,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment matches the batch dimension join") {
+    // dim: per-user value segment computed batch-side (what a real
+    // pipeline would refresh periodically); stream each event through
+    // the broadcast lookup and compare to the batch join
+    val dim = Tables.t(spark, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      .select(col("user_id"),
+        when(col("cents") >= 100000L, "high").otherwise("low").as("segment"))
+      .cache()
+    val q = EventStream.enrich(EventStream.readEvents(spark, d), dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_test").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("enrich_test")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    val batch = Tables.t(spark, d, "events")
+      .join(dim, Seq("user_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("segment"), lit("unknown")).as("segment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every event matched the dim here (dim derives from the same corpus)
+    assert(!streamed.exists(_._2 == "unknown"))
+  }
+
   test("streaming exact dedup keeps one doc per digest across micro-batches") {
     // two files: the corpus, then a re-id'd copy of its first 100 docs —
     // maxFilesPerTrigger=1 makes the duplicates arrive in a LATER batch,
