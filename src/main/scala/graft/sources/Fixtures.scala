@@ -196,14 +196,26 @@ object Fixtures {
     * column only in partitionValues (split out of the file schema, as in
     * deltatable.rs:136-189). */
   def deltaNationPartitioned(s: SparkSession, d: String): String =
-    ensure(d, "delta_nation_part") { dir =>
+    // _v2 suffix: fixture dirs are content-addressed only by name (the
+    // _GRAFT_READY marker persists in /tmp across JVMs), so any change
+    // to a fixture's CONTENT must bump its name
+    ensure(d, "delta_nation_part_v2") { dir =>
       val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
       val schemaJson = nation.schema.json // full schema incl partition col
       val adds = (0 to 4).map { r =>
+        val slice = nation.filter(col("n_regionkey") === r)
+        val keys = slice.select("n_nationkey").collect().map(_.getInt(0))
         val sz = oneParquetFile(
-          nation.filter(col("n_regionkey") === r).drop("n_regionkey"),
-          dir, f"part-r$r.parquet")
-        addJson(f"part-r$r.parquet", sz, Map("n_regionkey" -> r.toString))
+          slice.drop("n_regionkey"), dir, f"part-r$r.parquet")
+        // real per-file stats so partition pruning AND stats skipping can
+        // compose on one snapshot (DeltaStatsSpec)
+        val stats =
+          s"""{"numRecords":${keys.length},""" +
+            s""""minValues":{"n_nationkey":${keys.min}},""" +
+            s""""maxValues":{"n_nationkey":${keys.max}},""" +
+            s""""nullCount":{"n_nationkey":0}}"""
+        addJson(f"part-r$r.parquet", sz, Map("n_regionkey" -> r.toString),
+          stats = Some(stats))
       }
       writeCommit(dir, 0,
         protocolJson +: metaJson(schemaJson, Seq("n_regionkey")) +: adds)

@@ -3,7 +3,7 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, min}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
@@ -192,5 +192,37 @@ class DeltaStatsSpec extends AnyFunSuite {
     val rows = df.filter(col("n_nationkey") === 3).collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[Int]("n_nationkey") == 3)
+  }
+
+  test("partition pruning and stats skipping compose on one snapshot") {
+    val path = Fixtures.deltaNationPartitioned(spark, d)
+    val df = DeltaReader.load(spark, path)
+    val index = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r.location
+    }.get
+    def nFiles(part: Seq[Expression], data: Seq[Expression]): Int =
+      index.listFiles(part, data).map(_.files.length).sum
+    val region = AttributeReference("n_regionkey", IntegerType)()
+    val key = AttributeReference("n_nationkey", IntegerType)()
+    // the region-2 file's true key range, from the corpus itself
+    val r2 = graft.Tables.t(spark, d, "nation")
+      .filter(col("n_regionkey") === 2)
+      .agg(min("n_nationkey"), max("n_nationkey")).collect()(0)
+    val (lo, hi) = (r2.getInt(0), r2.getInt(1))
+    assert(nFiles(Nil, Nil) == 5)
+    // partition filter alone → one file
+    assert(nFiles(Seq(EqualTo(region, Literal(2))), Nil) == 1)
+    // stats filter alone → no file can hold keys past the global max
+    assert(nFiles(Nil, Seq(GreaterThan(key, Literal(24)))) == 0)
+    // composed: the surviving partition's file is then stats-pruned…
+    assert(nFiles(Seq(EqualTo(region, Literal(2))),
+      Seq(GreaterThan(key, Literal(hi)))) == 0)
+    // …or kept when the predicate intersects its min/max range
+    assert(nFiles(Seq(EqualTo(region, Literal(2))),
+      Seq(GreaterThanOrEqual(key, Literal(lo)))) == 1)
+    // end-to-end result stays correct under both prunings
+    assert(df.filter(col("n_regionkey") === 2 && col("n_nationkey") >= lo)
+      .count() == graft.Tables.t(spark, d, "nation")
+      .filter(col("n_regionkey") === 2).count())
   }
 }
