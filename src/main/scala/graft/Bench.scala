@@ -60,12 +60,16 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
       .getOrElse(if (only.isDefined) 2 else 1).max(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = (1 to reps).map { _ =>
+      val timings = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         // queries may cache intermediates (dedup signatures etc.); drop
         // them so per-query timings are independent and memory doesn't
@@ -74,9 +78,12 @@ object Bench {
         // alphabetical queries showed 2-20x noise two rounds running).
         spark.catalog.clearCache()
         System.gc()
-        t
-      }.min
-      name -> sec
+        (ok, t)
+      }
+      // a failed rep's fast abort must never win the min; only if every
+      // rep failed does the failure time stand (keeps rc/total sane)
+      val good = timings.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else timings.map(_._2).min)
     }
     // Two output lines: the full per-query map goes on its OWN stdout line
     // (and to /tmp/graft_bench.json) for humans/judges; the FINAL stdout

@@ -36,8 +36,13 @@ object Pipeline {
     Q("q101_segment_dedup",
       (s, d) => {
         import s.implicits._
+        // the size(w) >= 10 guard is load-bearing: Spark's sequence(1, 0)
+        // yields the DESCENDING [1, 0] (step defaults to -1 when start >
+        // stop), so an unguarded sub-10-token doc would emit a bogus
+        // k = 0 segment the DuckDB oracle (k <= len // 10) never produces
         val segs = Tables.t(s, d, "documents")
           .select($"doc_id", split($"text", " ").as("w"))
+          .where(size($"w") >= 10)
           .select($"doc_id", explode(expr(
             """transform(sequence(1, CAST(size(w) / 10 AS INT)),
                          k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
@@ -342,6 +347,7 @@ object Pipeline {
         import s.implicits._
         val segs = Tables.t(s, d, "documents")
           .select($"doc_id", split($"text", " ").as("w"))
+          .where(size($"w") >= 10) // sequence(1, 0) = [1, 0] trap — see q101
           .select($"doc_id", explode(expr(
             """transform(sequence(1, CAST(size(w) / 10 AS INT)),
                          k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
@@ -398,6 +404,7 @@ object Pipeline {
         import s.implicits._
         val segs = Tables.t(s, d, "documents")
           .select($"doc_id", split($"text", " ").as("w"))
+          .where(size($"w") >= 10) // sequence(1, 0) = [1, 0] trap — see q101
           .select($"doc_id", explode(expr(
             """transform(sequence(1, CAST(size(w) / 10 AS INT)),
                          k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
@@ -487,8 +494,12 @@ object Pipeline {
     Q("q113_collocations",
       (s, d) => {
         import s.implicits._
+        // size >= 2 guard: a 1-token doc would otherwise evaluate
+        // sequence(1, 0) = [1, 0] and element_at(w, 0) — an error under
+        // Spark 4's default ANSI mode — instead of simply having no pairs
         val toks = Tables.t(s, d, "documents")
           .select(split($"text", " ").as("w"))
+          .where(size($"w") >= 2)
         val uni = toks.select(explode($"w").as("w"))
           .groupBy($"w").agg(count(lit(1)).as("n"))
         val pairs = toks.select(explode(expr(
@@ -510,7 +521,9 @@ object Pipeline {
           .limit(50)
       },
       Some("""
-        WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        WITH t AS (
+          SELECT w FROM (SELECT string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 2),
         uni AS (
           SELECT u.tok AS w, count(*) AS n
           FROM t, unnest(t.w) AS u(tok) GROUP BY 1),

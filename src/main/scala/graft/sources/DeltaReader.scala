@@ -198,7 +198,11 @@ object DeltaReader {
     cpVersion.foreach { v =>
       val cpPaths = checkpoints(v)
         .map(n => new File(logDir, n).getAbsolutePath)
-      val cp = spark.read.parquet(cpPaths: _*)
+      // mergeSchema: multi-part checkpoint parts may carry disjoint
+      // action columns (one part all adds, another the metaData);
+      // without the union schema, Spark infers from ONE part's footer
+      // and the other action columns silently vanish from the replay
+      val cp = spark.read.option("mergeSchema", "true").parquet(cpPaths: _*)
       if (cp.columns.contains("metaData"))
         cp.where(col("metaData").isNotNull)
           .select(to_json(col("metaData")))

@@ -158,7 +158,12 @@ object DeltaStats {
          FloatType | DoubleType | BooleanType |
          DateType | TimestampType | TimestampNTZType => true
     case _: DecimalType => true
-    case _: StringType => true // incl. collated strings (binary min/max order)
+    // strings: ONLY the binary collation. Delta stat min/max for strings
+    // are binary-ordered, but getInterpretedOrdering for a collated
+    // StringType compares collation-aware — pruning with it against
+    // binary-ordered bounds could drop a file whose rows match under the
+    // collation (e.g. UTF8_LCASE 'A' = 'a' vs binary min 'B').
+    case st: StringType => st == StringType // default = UTF8_BINARY only
     case _: DayTimeIntervalType | _: YearMonthIntervalType => true
     case _ => false
   }

@@ -78,15 +78,20 @@ object StreamNearDup {
         (key: String, rows: Iterator[BandRow], state: GroupState[List[Long]]) =>
           val band = key.takeWhile(_ != '|').toInt
           val seen = state.getOption.getOrElse(Nil)
-          val fresh = rows.map(_.docId).toList.distinct.sorted
+          // the bucket cap bounds WITHIN-batch work too: only the doc ids
+          // actually admitted into the (capped) bucket participate in
+          // pairing, so one hot signature in a single backfill batch
+          // costs at most MaxBucketState² pairs — never |batch|²
+          val admitted = rows.map(_.docId).toList.distinct.sorted
             .filterNot(seen.contains)
-          val cross = for (s <- seen; n <- fresh)
+            .take(MaxBucketState - seen.size)
+          val cross = for (s <- seen; n <- admitted)
             yield Candidate(math.min(s, n), math.max(s, n), band)
           val within = for {
-            i <- fresh.indices.toList
-            j <- (i + 1 until fresh.size).toList
-          } yield Candidate(fresh(i), fresh(j), band)
-          state.update((seen ++ fresh).take(MaxBucketState))
+            i <- admitted.indices.toList
+            j <- (i + 1 until admitted.size).toList
+          } yield Candidate(admitted(i), admitted(j), band)
+          state.update(seen ++ admitted)
           (cross ++ within).iterator
       }
   }

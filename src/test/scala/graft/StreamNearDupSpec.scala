@@ -73,4 +73,29 @@ class StreamNearDupSpec extends AnyFunSuite {
     // unrelated docs never surface
     assert(cand.filter(col("d1").isin(2L, 4L) || col("d2").isin(2L, 4L)).count() == 0)
   }
+
+  test("bucket cap bounds pairing WITHIN one micro-batch, not just across batches") {
+    import spark.implicits._
+    val text = "sierra tango uniform victor whiskey xray yankee zulu " +
+      "adam baker charlie dog easy fox george how item jig"
+    // one batch of cap+3 identical docs: only the first MaxBucketState
+    // ids admitted to the bucket may pair — a hot signature must cost at
+    // most cap², never batch²
+    val n = StreamNearDup.MaxBucketState + 3
+    val dir = java.nio.file.Files.createTempDirectory("graft_sndcap").toFile
+    (1 to n).map(i => (i.toLong, text, "en")).toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "f0").getAbsolutePath)
+    val merged = new java.io.File(dir, "stream"); merged.mkdirs()
+    val part = new java.io.File(dir, "f0").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(merged, "part-0.parquet").toPath)
+    val cand = StreamNearDup.runToCompletion(
+      spark, merged.getAbsolutePath, "sneardup_cap_test")
+    val cap = StreamNearDup.MaxBucketState
+    // per band: C(cap, 2) pairs among the admitted ids only
+    assert(cand.count() == 4L * cap * (cap - 1) / 2)
+    assert(cand.filter(col("d2") > cap.toLong).count() == 0)
+  }
 }
