@@ -3,6 +3,7 @@ package graft.streaming
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming MinHash-LSH near-dup candidates — the ingest-time twin of
@@ -35,7 +36,29 @@ object StreamNearDup {
   val MaxBucketState = 8
 
   final case class BandRow(sig: String, docId: Long)
+  final case class BandRowTs(sig: String, docId: Long, ts: java.sql.Timestamp)
   final case class Candidate(d1: Long, d2: Long, band: Int)
+
+  /** Shared bucket kernel: admit up to the remaining cap from `incoming`
+    * (deduped, sorted, minus docs already seen) and emit the cross pairs
+    * (seen × admitted) plus the within-batch pairs among the admitted. */
+  private def admitAndPair(band: Int, seen: List[Long],
+      incoming: Seq[Long]): (List[Long], List[Candidate]) = {
+    // the bucket cap bounds WITHIN-batch work too: only the doc ids
+    // actually admitted into the (capped) bucket participate in
+    // pairing, so one hot signature in a single backfill batch
+    // costs at most MaxBucketState² pairs — never |batch|²
+    val admitted = incoming.toList.distinct.sorted
+      .filterNot(seen.contains)
+      .take(MaxBucketState - seen.size)
+    val cross = for (s <- seen; n <- admitted)
+      yield Candidate(math.min(s, n), math.max(s, n), band)
+    val within = for {
+      i <- admitted.indices.toList
+      j <- (i + 1 until admitted.size).toList
+    } yield Candidate(admitted(i), admitted(j), band)
+    (admitted, cross ++ within)
+  }
 
   /** First 60 bits of md5 as a long — the portable hash every dedup
     * operator shares (Dedup.h60: `conv(substr(md5(s), 2, 15), 16, 10)`). */
@@ -78,21 +101,71 @@ object StreamNearDup {
         (key: String, rows: Iterator[BandRow], state: GroupState[List[Long]]) =>
           val band = key.takeWhile(_ != '|').toInt
           val seen = state.getOption.getOrElse(Nil)
-          // the bucket cap bounds WITHIN-batch work too: only the doc ids
-          // actually admitted into the (capped) bucket participate in
-          // pairing, so one hot signature in a single backfill batch
-          // costs at most MaxBucketState² pairs — never |batch|²
-          val admitted = rows.map(_.docId).toList.distinct.sorted
-            .filterNot(seen.contains)
-            .take(MaxBucketState - seen.size)
-          val cross = for (s <- seen; n <- admitted)
-            yield Candidate(math.min(s, n), math.max(s, n), band)
-          val within = for {
-            i <- admitted.indices.toList
-            j <- (i + 1 until admitted.size).toList
-          } yield Candidate(admitted(i), admitted(j), band)
+          val (admitted, out) = admitAndPair(band, seen, rows.map(_.docId).toSeq)
           state.update(seen ++ admitted)
-          (cross ++ within).iterator
+          out.iterator
+      }
+  }
+
+  /** Bounded-state variant of [[candidates]] — the ingest-time analogue
+    * of [[StreamDedup.dedupWithinWatermark]]: candidate pairs are only
+    * emitted between docs whose event times lie within `horizonMs` of
+    * the stream frontier (declared semantics: near-dups further apart
+    * than the horizon are the batch sweep's job, exactly like
+    * `dropDuplicatesWithinWatermark`'s state/recall trade).
+    *
+    * Event time is derived deterministically from the doc id (1 s per
+    * id, offset a day past the epoch) mirroring [[StreamDedup]]. Two
+    * mechanisms bound state:
+    *   - docs older than the watermark are evicted from a bucket BEFORE
+    *     pairing whenever the bucket receives data (a group with new
+    *     arrivals never fires `hasTimedOut`, so in-function eviction is
+    *     what keeps a hot bucket's membership inside the horizon);
+    *   - buckets receiving no data are dropped wholesale by an
+    *     event-time timeout set at the newest member's timestamp, so
+    *     the live state is bounded by the buckets touched within one
+    *     horizon, independent of total stream length.
+    */
+  def candidatesWithinWatermark(docs: DataFrame,
+      horizonMs: Long = 3600000L): Dataset[Candidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("ts",
+        timestamp_micros(col("doc_id") * 1000000L + 86400L * 1000000L))
+      .selectExpr("doc_id", "text", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        bands(text).map { case (b, s) => BandRowTs(s"$b|$s", id, ts) }
+      }
+      // the watermark must sit ABOVE the typed flatMap: a typed map strips
+      // attribute metadata, and the event-time-timeout checker requires a
+      // delayKey-tagged column in the stateful operator's direct child
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState[List[(Long, Long)], Candidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BandRowTs],
+         state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = key.takeWhile(_ != '|').toInt
+            val wm = state.getCurrentWatermarkMs()
+            // evict members past the horizon (watermark = frontier − horizon)
+            val live = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
+            val rs = rows.toList
+            val byId = rs.groupBy(_.docId).map { case (id, xs) =>
+              id -> xs.map(_.ts.getTime).max
+            }
+            val (admitted, out) =
+              admitAndPair(band, live.map(_._1), rs.map(_.docId))
+            val next = live ++ admitted.map(id => id -> byId(id))
+            state.update(next)
+            // bucket dies when its newest member leaves the horizon
+            val maxTs = next.map(_._2).max
+            state.setTimeoutTimestamp(math.max(maxTs + 1, wm + 1))
+            out.iterator
+          }
       }
   }
 
@@ -113,5 +186,30 @@ object StreamNearDup {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
+  }
+
+  /** Replay helper for [[candidatesWithinWatermark]]; returns the
+    * collected candidates plus the final state-store row count (live
+    * band buckets) so callers can assert the state bound. */
+  def runWithinWatermark(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryName: String, horizonMs: Long = 3600000L): (DataFrame, Long) = {
+    val docs = spark.readStream
+      .schema(StreamDedup.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = candidatesWithinWatermark(docs, horizonMs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        q.recentProgress.reverse
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .headOption.map(_.numRowsTotal).getOrElse(-1L)
+      } finally q.stop()
+    (spark.table(queryName), stateRows)
   }
 }

@@ -11,6 +11,26 @@ class StreamNearDupSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val d = SparkTestSession.sfDir
 
+  /** Write each batch of (doc_id, text, lang) rows as one parquet file
+    * under `<tmp>/stream` with ascending modification times, so
+    * maxFilesPerTrigger=1 replays them as ordered micro-batches. */
+  private def writeBatches(prefix: String,
+      batches: Seq[Seq[(Long, String, String)]]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    val merged = new java.io.File(dir, "stream"); merged.mkdirs()
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val sub = new java.io.File(dir, s"f$i")
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(sub.getAbsolutePath)
+      val part = sub.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(merged, s"part-$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    merged.getAbsolutePath
+  }
+
   test("kernel band signatures match the Spark-SQL spelling exactly") {
     import spark.implicits._
     val texts = Tables.t(spark, d, "documents")
@@ -97,5 +117,48 @@ class StreamNearDupSpec extends AnyFunSuite {
     // per band: C(cap, 2) pairs among the admitted ids only
     assert(cand.count() == 4L * cap * (cap - 1) / 2)
     assert(cand.filter(col("d2") > cap.toLong).count() == 0)
+  }
+
+  private val tA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+    "juliet kilo lima mike november oscar papa quebec romeo"
+  private val tB = "zero uno dos tres cuatro cinco seis siete ocho nueve " +
+    "diez once doce trece catorce quince"
+  private val tD = "red orange yellow green blue indigo violet cyan magenta " +
+    "teal maroon olive navy silver gold bronze"
+
+  test("within-watermark variant matches the unbounded one when all docs are inside the horizon") {
+    // doc ids 1..4 → event times 1..4 s apart, far inside the 1 h horizon
+    val batches = Seq(
+      Seq((1L, tA, "en"), (2L, tB, "es")),
+      Seq((3L, tA, "en"), (4L, tD, "en")))
+    val unb = StreamNearDup.runToCompletion(
+      spark, writeBatches("graft_sndwm_u", batches), "sndwm_unbounded")
+    val (wm, _) = StreamNearDup.runWithinWatermark(
+      spark, writeBatches("graft_sndwm_w", batches), "sndwm_bounded")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val (u, w) = (rowsOf(unb), rowsOf(wm))
+    assert(u.nonEmpty && u == w, s"unbounded=$u bounded=$w")
+  }
+
+  test("buckets past the horizon are evicted: no pairs across it, state stays bounded") {
+    // batch 1: docs 1 (tA) and 2 (tB) near the epoch-day origin;
+    // batch 2: doc 100000 (tD) ~27.8 h later pushes the watermark far past
+    //          batch 1's buckets;
+    // batch 3: doc 100001 is an exact copy of doc 1 — its band buckets
+    //          RECEIVE data (no timeout fires for them), so only the
+    //          in-function eviction can stop the stale pairing.
+    val batches = Seq(
+      Seq((1L, tA, "en"), (2L, tB, "es")),
+      Seq((100000L, tD, "en")),
+      Seq((100001L, tA, "en")))
+    val (cand, stateRows) = StreamNearDup.runWithinWatermark(
+      spark, writeBatches("graft_sndwm_x", batches), "sndwm_expire")
+    assert(cand.count() == 0,
+      s"stale pair leaked: ${cand.collect().mkString(",")}")
+    // live buckets = 4 bands of doc 100000 + 4 of doc 100001; docs 1/2's
+    // 12 total would remain under NoTimeout
+    assert(stateRows == 8L, s"state rows = $stateRows")
   }
 }
