@@ -117,6 +117,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q112: the only nested loop is the tiny source-pair dim; zero-fill joins broadcast") {
+    val p = plan("q112_source_overlap")
+    // the source×source pair enumeration is the one permitted nested loop
+    // (both inputs are distinct-source aggregates, metadata-sized); the
+    // corpus-side digest join must stay an equi-join. Count detail headers
+    // — formatted mode repeats node names in the tree section.
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1)
+    assert(!p.contains("CartesianProduct"))
+    // the shared-overlap matrix (≤ |sources|² rows) broadcasts into the
+    // left join that zero-fills the pair matrix
+    assert(p.contains("BroadcastHashJoin LeftOuter"))
+  }
+
+  test("q113: top-50 fuses to TakeOrderedAndProject; aggregates are two-phase") {
+    val p = plan("q113_collocations")
+    // the (lift DESC, w1, w2) limit must not materialize a global sort of
+    // the full pair table
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    // unigram and bigram counts both map-side combine before their exchange
+    assert(p.contains("partial_count"))
+    // the only nested loop is the broadcast single-row total
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1)
+  }
+
+  test("q104: both ANN cross-joins broadcast the small side; the corpus streams") {
+    val p = plan("q104_ann_recall")
+    // ground truth (corpus × query set) and assignment (corpus × centroids,
+    // which the plan materializes twice: probe side + query-set derivation):
+    // the filtered dim is ALWAYS the build side, the corpus is never built
+    val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    val buildRight =
+      """BroadcastNestedLoopJoin Cross BuildRight \(\d+\)""".r.findAllIn(p).size
+    assert(all == buildRight && all == 3, s"all=$all buildRight=$buildRight")
+    assert(!p.contains("CartesianProduct"))
+    // the probe touches one inverted list via a broadcast equi-join on c_id
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
