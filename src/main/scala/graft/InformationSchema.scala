@@ -1,23 +1,32 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import scala.util.Try
 
-/** `information_schema.{tables,columns}` shim (the reference enables
-  * DataFusion's information_schema in its session config,
-  * /root/reference/crates/core/src/context.rs:27).
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+
+/** `information_schema.{tables,columns,views,df_settings}` shim (the
+  * reference enables DataFusion's FULL information_schema in its session
+  * config, /root/reference/crates/core/src/context.rs:27 — which exposes
+  * exactly these four views).
   *
   * Spark has no information_schema catalog, so [[AdtContext.sql]]
-  * rewrites `information_schema.tables|columns` references to temp views
-  * refreshed here from `spark.catalog`. Catalog metadata is inherently
-  * driver-side and tiny (one row per table/column), so local construction
-  * is the correct shape at any scale.
+  * rewrites `information_schema.*` references to temp views refreshed
+  * here from `spark.catalog`. Catalog metadata is inherently driver-side
+  * and tiny (one row per table/column/setting), so local construction is
+  * the correct shape at any scale.
   */
 object InformationSchema {
 
   val TablesView = "information_schema_tables"
   val ColumnsView = "information_schema_columns"
+  val ViewsView = "information_schema_views"
+  val SettingsView = "information_schema_df_settings"
 
-  /** (Re)build both views from the current catalog state. */
+  /** The information_schema member names this shim resolves. */
+  val Members: Set[String] = Set("tables", "columns", "views", "df_settings")
+
+  /** (Re)build all four views from the current catalog state. */
   def refresh(spark: SparkSession): Unit = {
     import spark.implicits._
     val tables = spark.catalog.listTables().collect().toSeq
@@ -37,5 +46,37 @@ object InformationSchema {
       .toDF("table_catalog", "table_schema", "table_name", "column_name",
         "ordinal_position", "data_type", "is_nullable")
       .createOrReplaceTempView(ColumnsView)
+    // information_schema.views — DataFusion's shape: one row per view,
+    // `definition` = the defining SQL where the catalog retains it (SQL-
+    // created views), NULL for views registered from the Dataset API,
+    // matching DataFusion's NULL definition for non-SQL-backed views.
+    tables
+      .filter(t => t.tableType == "TEMPORARY" || t.tableType == "VIEW")
+      .map { t =>
+        ("spark_catalog", Option(t.database).getOrElse("default"), t.name,
+          viewDefinition(spark, t.name, Option(t.database)).orNull)
+      }
+      .toDF("table_catalog", "table_schema", "table_name", "definition")
+      .createOrReplaceTempView(ViewsView)
+    // information_schema.df_settings — DataFusion's (name, value) over the
+    // session config; Spark's documented SQLConf surface is the analogue
+    // (`SET -v`), so a `SELECT value FROM df_settings WHERE name = …`
+    // probe ports directly.
+    spark.sql("SET -v")
+      .selectExpr("key AS name", "value")
+      .createOrReplaceTempView(SettingsView)
+  }
+
+  /** Defining SQL of a view when the catalog kept it: temp views created
+    * with `CREATE TEMP VIEW … AS SELECT` carry viewText on their raw
+    * metadata; persistent views carry it on the table metadata. */
+  private def viewDefinition(spark: SparkSession, name: String,
+      db: Option[String]): Option[String] = {
+    val catalog = spark.sessionState.catalog
+    val temp = Try(catalog.getRawTempView(name)).toOption.flatten
+      .flatMap(v => Try(v.tableMeta.viewText).toOption.flatten)
+    temp.orElse(Try(
+      catalog.getTableMetadata(TableIdentifier(name, db)).viewText
+    ).toOption.flatten)
   }
 }

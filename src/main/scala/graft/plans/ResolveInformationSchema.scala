@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.InformationSchema
 
-/** Analyzer rule resolving `information_schema.{tables,columns}` (the
-  * reference enables DataFusion's information_schema,
+/** Analyzer rule resolving `information_schema.{tables,columns,views,
+  * df_settings}` (the reference enables DataFusion's information_schema,
   * /root/reference/crates/core/src/context.rs:27) onto the catalog-backed
   * views of [[graft.InformationSchema]].
   *
@@ -42,6 +42,6 @@ case class ResolveInformationSchema(session: SparkSession)
   private def matches(u: UnresolvedRelation): Boolean = {
     val id = u.multipartIdentifier
     id.length == 2 && id.head.equalsIgnoreCase("information_schema") &&
-      Set("tables", "columns").contains(id.last.toLowerCase)
+      InformationSchema.Members.contains(id.last.toLowerCase)
   }
 }

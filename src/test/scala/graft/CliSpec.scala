@@ -98,6 +98,19 @@ class CliSpec extends AnyFunSuite {
     assert(graft.sources.ArrowReader.load(spark, dir).rdd.getNumPartitions == 2)
   }
 
+  test("AdtContext rewrites information_schema.views and df_settings (no-extension route)") {
+    val spark = SparkTestSession.spark
+    val ctx = new AdtContext(spark)
+    spark.sql("CREATE OR REPLACE TEMP VIEW cli_is_view AS SELECT 41 + 1 AS x")
+    val v = ctx.sql("""SELECT definition FROM information_schema.views
+      WHERE table_name = 'cli_is_view'""").collect()
+    assert(v.length == 1 && v(0).getString(0).contains("41 + 1"))
+    val tz = ctx.sql("""SELECT value FROM information_schema.df_settings
+      WHERE name = 'spark.sql.session.timeZone'""").collect()
+    assert(tz.map(_.getString(0)).toSeq == Seq(spark.conf.get(
+      "spark.sql.session.timeZone")))
+  }
+
   test("S3 locations error cleanly (no hadoop-aws in this build)") {
     val ctx = new AdtContext(SparkTestSession.spark)
     val e = intercept[UnsupportedOperationException] {

@@ -35,6 +35,28 @@ class ExtensionsSpec extends AnyFunSuite {
         WHERE table_name = 'ext_probe_table'""")
         .collect().map(_.getString(0)).toSet
       assert(cols == Set("id"))
+
+      // information_schema.views: Dataset-registered views appear with a
+      // NULL definition; SQL-created views carry their defining text
+      // (DataFusion exposes the same four-view schema, context.rs:27)
+      s2.sql("CREATE OR REPLACE TEMP VIEW ext_probe_sql_view AS " +
+        "SELECT id * 2 AS dbl FROM ext_probe_table")
+      val views = s2.sql("""
+        SELECT table_name, definition FROM information_schema.views
+        WHERE table_name LIKE 'ext_probe%'""")
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(views.keySet == Set("ext_probe_table", "ext_probe_sql_view"))
+      assert(views("ext_probe_table").isEmpty)
+      assert(views("ext_probe_sql_view").exists(_.contains("id * 2")))
+
+      // information_schema.df_settings: (name, value) over the session's
+      // documented conf surface, current values not defaults
+      s2.conf.set("spark.sql.shuffle.partitions", "7")
+      val shuffle = s2.sql("""
+        SELECT value FROM information_schema.df_settings
+        WHERE name = 'spark.sql.shuffle.partitions'""")
+        .collect().map(_.getString(0)).toSeq
+      assert(shuffle == Seq("7"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
