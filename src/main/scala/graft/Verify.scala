@@ -30,9 +30,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may cache intermediates; drop them between queries so the
-      // 86-query run doesn't accumulate executor storage memory.
+      // full run doesn't accumulate executor storage memory. clearCache
+      // covers Dataset.cache entries; localCheckpoint blocks (q89's
+      // per-round lineage truncation) are plain persisted RDDs, released
+      // by the explicit unpersist sweep.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // storage-hygiene gate: no query may leak persisted blocks past its
+    // own run (a leak here means a long-lived session accumulates them)
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "persisted RDDs leaked past the per-query cleanup: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -360,11 +360,23 @@ object Pipeline {
           .withColumn("n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
           .select($"doc_id", $"h", $"n")
-          .cache()
-        segs.as("a")
-          .join(segs.as("b"), $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
-          .groupBy($"a.doc_id".as("contained"), $"b.doc_id".as("container"))
-          .agg(count(lit(1)).as("n_shared"), min($"a.n").as("n_a"), min($"b.n").as("n_b"))
+        // pair generation via df-capped posting lists, NOT a self-join:
+        // one groupBy on the digest collects ≤ MaxSegmentDf (doc, n)
+        // entries per segment, and the ordered pairs explode from the
+        // list (≤ cap² per digest). Same semantics as a digest equi-join
+        // with a.doc_id <> b.doc_id, but the capped stream is consumed
+        // ONCE — no cache to hold (or leak) for a second pass.
+        segs
+          .groupBy($"h")
+          .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
+          .select(explode(expr(
+            """filter(flatten(transform(ds, a -> transform(ds,
+                 b -> struct(a.doc_id AS ad, a.n AS an,
+                             b.doc_id AS bd, b.n AS bn)))),
+               p -> p.ad != p.bd)""")).as("p"))
+          .groupBy($"p.ad".as("contained"), $"p.bd".as("container"))
+          .agg(count(lit(1)).as("n_shared"),
+            min($"p.an").as("n_a"), min($"p.bn").as("n_b"))
           .filter($"n_shared" === $"n_a" && $"n_b" > $"n_a")
           .select($"contained", $"container", $"n_a", $"n_b")
           .orderBy($"contained", $"container")

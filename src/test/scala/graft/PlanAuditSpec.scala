@@ -107,9 +107,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the DistributedRank range-partition seam")
   }
 
-  test("q110: containment pairs form on the digest equi-join, not a nested loop") {
+  test("q110: containment pairs explode from capped posting lists — no join, no cache") {
     val p = plan("q110_containment_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the capped segment stream is consumed once: the pair source is a
+    // collect_list aggregate + explode, so nothing needs (or holds) a
+    // cache and the corpus is never self-joined
+    assert(!p.contains("Join"), "posting-list pairing regressed to a join")
+    assert(!p.contains("InMemoryTableScan"), "q110 must not cache")
   }
 
   test("q111: novelty joins the first-doc dim back on the digest key only") {
