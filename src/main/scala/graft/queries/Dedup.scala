@@ -447,8 +447,7 @@ object Dedup {
         WITH g0 AS (
           SELECT DISTINCT doc_id, substr(text, i, 5) AS g
           FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) dd,
-               generate_series(1, 600) t(i)
-          WHERE i <= length(text) - 4),
+               unnest(generate_series(1, length(text) - 4)) t(i)),
         sizes AS (SELECT doc_id, count(*) AS n FROM g0 GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i

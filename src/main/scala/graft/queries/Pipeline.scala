@@ -64,8 +64,7 @@ object Pipeline {
           SELECT doc_id,
             md5(array_to_string(w[10*(k-1)+1 : 10*(k-1)+10], ' ')) AS h
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
-               generate_series(1, 100) s(k)
-          WHERE k <= len(w) // 10),
+               unnest(generate_series(1, len(w) // 10)) s(k)),
         dfh AS (
           SELECT h, count(*) AS df
           FROM (SELECT DISTINCT doc_id, h FROM segs) u
@@ -144,8 +143,7 @@ object Pipeline {
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         c AS (
           SELECT doc_id, w, st, (st - 1) // 48 AS chunk_id
-          FROM t, generate_series(1, 2000, 48) s(st)
-          WHERE st <= len(w))
+          FROM t, unnest(generate_series(1, len(w), 48)) s(st))
         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
           CAST(least(64, len(w) - st + 1) AS INT) AS n_tok,
           md5(array_to_string(w[st : st + 63], ' ')) AS h
@@ -386,8 +384,7 @@ object Pipeline {
           SELECT DISTINCT doc_id,
             md5(array_to_string(w[10*(k-1)+1 : 10*(k-1)+10], ' ')) AS h
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
-               generate_series(1, 100) s(k)
-          WHERE k <= len(w) // 10),
+               unnest(generate_series(1, len(w) // 10)) s(k)),
         capped AS (
           SELECT doc_id, h FROM (
             SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
@@ -437,8 +434,7 @@ object Pipeline {
           SELECT DISTINCT doc_id,
             md5(array_to_string(w[10*(k-1)+1 : 10*(k-1)+10], ' ')) AS h
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
-               generate_series(1, 100) s(k)
-          WHERE k <= len(w) // 10),
+               unnest(generate_series(1, len(w) // 10)) s(k)),
         first AS (
           SELECT h, min(doc_id) AS first_doc FROM segs GROUP BY h)
         SELECT doc_id, count(*) AS n_segments,
@@ -541,8 +537,7 @@ object Pipeline {
           FROM t, unnest(t.w) AS u(tok) GROUP BY 1),
         pairs AS (
           SELECT w[k] AS w1, w[k + 1] AS w2, count(*) AS n_pair
-          FROM t, generate_series(1, 2000) s(k)
-          WHERE k <= len(w) - 1
+          FROM t, unnest(generate_series(1, len(w) - 1)) s(k)
           GROUP BY 1, 2
           HAVING count(*) >= 5),
         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM uni)
