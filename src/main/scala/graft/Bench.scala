@@ -83,22 +83,39 @@ object Bench {
       // a failed rep's fast abort must never win the min; only if every
       // rep failed does the failure time stand (keeps rc/total sane)
       val good = timings.filter(_._1).map(_._2)
-      name -> (if (good.nonEmpty) good.min else timings.map(_._2).min)
+      (name, if (good.nonEmpty) good.min else timings.map(_._2).min,
+        good.isEmpty)
     }
+    // a query whose every rep failed must be visible on the JSON line
+    // itself, not only on stderr — its abort time would otherwise read
+    // as a fast success
+    val failed = results.collect { case (n, _, true) => n }
     // Two output lines: the full per-query map goes on its OWN stdout line
     // (and to /tmp/graft_bench.json) for humans/judges; the FINAL stdout
     // line is a compact total-only JSON (~90 bytes) that a tail-window
     // capture can never clip mid-map.
     def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sf = scala.util.Try(
       sfDir.split('/').last.stripPrefix("sf").toDouble).getOrElse(0.0)
+    // extra keys only when present, so the healthy-run line shape is
+    // unchanged for the driver's parser
+    val failedKey =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"")
+        .mkString(""","failed":[""", ",", "]")
+    // the compact line carries the 5 slowest queries: the full map's tail
+    // has been clipped by the driver's capture window two rounds running,
+    // and the slow tail is exactly the signal a perf reader needs
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
+      .mkString(""","slowest":{""", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedKey,"sf":$sf}"""
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":$sf}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec"$slowest$failedKey,"sf":$sf}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench.json"), detail + "\n")
     catch { case _: Throwable => () }

@@ -114,11 +114,16 @@ object DeltaReader {
         n.take(20).toLong -> n }
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     val MultiCp = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    // complete = the part INDICES cover exactly 1..of — counting files
+    // would accept a malformed log whose parts are out of range (e.g.
+    // parts {2,3} labeled "of 2") and silently drop actions
     val multiCps: Map[Long, Seq[String]] = entries
-      .collect { case n @ MultiCp(v, _, of) => (v.toLong, of.toInt, n) }
-      .groupBy(t => (t._1, t._2))
-      .collect { case ((v, of), xs) if xs.map(_._3).distinct.size == of =>
-        v -> xs.map(_._3).distinct.sorted
+      .collect { case n @ MultiCp(v, part, of) =>
+        (v.toLong, part.toInt, of.toInt, n) }
+      .groupBy(t => (t._1, t._3))
+      .collect { case ((v, of), xs)
+          if xs.map(_._2).toSet == (1 to of).toSet =>
+        v -> xs.map(_._4).distinct.sorted
       }
     val checkpoints: Map[Long, Seq[String]] = multiCps ++ singleCps
     val checkpointVersions = checkpoints.keys.toSeq.sorted

@@ -311,7 +311,7 @@ object Fixtures {
     * part 1 of 2, stale state) that replay must ignore — a multi-part
     * checkpoint with missing parts is unusable. */
   def deltaNationMultiCheckpoint(s: SparkSession, d: String): String =
-    ensure(d, "delta_nation_mcp") { dir =>
+    ensure(d, "delta_nation_mcp_v2") { dir =>
       val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
       val schemaJson = nation.schema.json
       val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 8), dir, "part-a.parquet")
@@ -342,6 +342,15 @@ object Fixtures {
       // contains stale state (only file A) so using it would be visible
       writeCpPart(f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet",
         Seq(protocolJson, metaJson(schemaJson, Nil), addJson("part-a.parquet", szA)))
+      // malformed: version-2 checkpoint whose two part files carry
+      // out-of-range indices {2, 3} while claiming "of 2" — the file
+      // COUNT matches `of`, so only an index-cover check rejects it;
+      // accepting it would shadow the json replay with stale state
+      // (only file A) and the 25-row assertion would fail
+      writeCpPart(f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet",
+        Seq(protocolJson, metaJson(schemaJson, Nil), addJson("part-a.parquet", szA)))
+      writeCpPart(f"${2L}%020d.checkpoint.${3}%010d.${2}%010d.parquet",
+        Seq(addJson("part-a.parquet", szA)))
     }
 
   private def pad4(b: Array[Byte]): Array[Byte] =

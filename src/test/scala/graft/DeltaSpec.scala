@@ -262,8 +262,10 @@ ${meta(kF)}
     val dir = Fixtures.deltaNationMultiCheckpoint(spark, d)
     val df = DeltaReader.load(spark, dir)
     // parts 1+2 of checkpoint 0 (files A+B) + json commit 1 (file C):
-    // missing any checkpoint part or using the orphan v1 part would
-    // drop rows
+    // missing any checkpoint part, using the orphan v1 part, or
+    // accepting the v2 checkpoint whose part indices {2,3} are out of
+    // range for "of 2" (file count matches — only an index-cover check
+    // rejects it) would drop rows
     assert(df.count() == 25)
     val snap = DeltaReader.snapshot(spark, dir)
     assert(snap.files.map(_.path).toSet ==
