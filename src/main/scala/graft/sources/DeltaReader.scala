@@ -383,7 +383,19 @@ private[sources] class DeltaSnapshotFileIndex(
 
   private val zone = spark.sessionState.conf.sessionLocalTimeZone
 
-  private val grouped: Seq[(InternalRow, Seq[DeltaReader.AddFile])] = snap.files
+  private def statusOf(a: DeltaReader.AddFile): FileStatus =
+    new FileStatus(a.size, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(s"file:$root/${DeltaReader.decodePath(a.path)}"))
+
+  /** Driver-retained state is bounded deliberately: the raw `stats` JSON
+    * strings — the dominant per-file cost of a snapshot on wide tables
+    * (KBs per file) — are parsed ONCE here into typed [[DeltaStats
+    * .FileStats]] and then dropped, so the long-lived index of a
+    * million-file table holds only (FileStatus, typed bounds) per file,
+    * not the stats text. The snapshot itself is not referenced past
+    * construction. */
+  private val grouped: Seq[(InternalRow,
+      Seq[(FileStatus, Option[DeltaStats.FileStats])])] = snap.files
     .groupBy(a => partitionKeys.map(c => a.partitionValues.get(c).flatten))
     .toSeq.sortBy(_._1.toString)
     .map { case (pv, files) =>
@@ -393,12 +405,17 @@ private[sources] class DeltaSnapshotFileIndex(
         v.map(s => Cast(Literal(UTF8String.fromString(s), StringType),
           partitionSchema(i).dataType, Option(zone)).eval(null)).orNull
       })
-      (values, files)
+      (values, files.map(a => (statusOf(a), a.stats.flatMap(DeltaStats.parse))))
     }
 
-  private def statusOf(a: DeltaReader.AddFile): FileStatus =
-    new FileStatus(a.size, false, 1, 128L * 1024 * 1024, 0L,
-      new Path(s"file:$root/${DeltaReader.decodePath(a.path)}"))
+  private val allInputFiles: Array[String] =
+    snap.files.map(a => s"file:$root/${DeltaReader.decodePath(a.path)}").toArray
+
+  private val totalBytes: Long = snap.files.map(_.size).sum
+
+  /** Test seam: per-file typed stats actually retained (snapshot dropped). */
+  private[sources] def retainedStats: Seq[Option[DeltaStats.FileStats]] =
+    grouped.flatMap(_._2.map(_._2))
 
   override def rootPaths: Seq[Path] = Seq(new Path(s"file:$root"))
 
@@ -417,16 +434,17 @@ private[sources] class DeltaSnapshotFileIndex(
       }
     partPruned.map { case (values, files) =>
       PartitionDirectory(values,
-        files.filter(DeltaStats.mayMatch(_, dataFilters)).map(statusOf).toArray)
+        files.collect {
+          case (st, fs) if DeltaStats.mayMatch(fs, dataFilters) => st
+        }.toArray)
     }.filter(_.files.nonEmpty)
   }
 
-  override def inputFiles: Array[String] =
-    snap.files.map(a => s"file:$root/${DeltaReader.decodePath(a.path)}").toArray
+  override def inputFiles: Array[String] = allInputFiles
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = snap.files.map(_.size).sum
+  override def sizeInBytes: Long = totalBytes
 }
 
 /** Deletion-vector decode: Z85-inline or file-stored roaring bitmaps.

@@ -67,15 +67,19 @@ object DeltaStats {
   /** Could any row of `a` satisfy ALL of `dataFilters`? True when stats
     * are missing or inconclusive (never skip on uncertainty). */
   def mayMatch(a: DeltaReader.AddFile,
-      dataFilters: Seq[Expression]): Boolean = {
-    val stats = a.stats.flatMap(parse)
+      dataFilters: Seq[Expression]): Boolean =
+    mayMatch(a.stats.flatMap(parse), dataFilters)
+
+  /** Pre-parsed variant — [[DeltaSnapshotFileIndex]] parses each file's
+    * stats once at construction and calls this per planning pass. */
+  def mayMatch(stats: Option[FileStats],
+      dataFilters: Seq[Expression]): Boolean =
     stats match {
       case None => true
       case Some(st) =>
         if (st.numRecords.contains(0L)) false
         else dataFilters.forall(f => eval(f, st))
     }
-  }
 
   /** Stat-level three-valued evaluation collapsed to two: false ONLY when
     * the file provably contains no matching row. */

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{col, max, min}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.SparkTestSession
 
@@ -64,6 +65,17 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(!DeltaStats.mayMatch(a, Seq(EqualTo(n, Literal("ZEBRA")))))
     assert(!DeltaStats.mayMatch(a, Seq(GreaterThanOrEqual(n, Literal("PEACH")))))
     assert(DeltaStats.mayMatch(a, Seq(EqualTo(n, Literal("CHERRY")))))
+    // collated (non-UTF8_BINARY) string columns must NEVER prune: delta
+    // stat bounds are binary-ordered, but a collation-aware ordering can
+    // match rows outside them (UTF8_LCASE 'apple' = 'APPLE'); the same
+    // provably-excluding predicate that skips above must keep here
+    val lcase = StringType("UTF8_LCASE")
+    val nc = AttributeReference("n", lcase)()
+    assert(DeltaStats.mayMatch(a,
+      Seq(EqualTo(nc, Literal.create(UTF8String.fromString("ZEBRA"), lcase)))))
+    assert(DeltaStats.mayMatch(a,
+      Seq(GreaterThanOrEqual(nc,
+        Literal.create(UTF8String.fromString("PEACH"), lcase)))))
   }
 
   test("date min/max skip and keep") {
@@ -192,6 +204,43 @@ class DeltaStatsSpec extends AnyFunSuite {
     val rows = df.filter(col("n_nationkey") === 3).collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[Int]("n_nationkey") == 3)
+  }
+
+  test("10k-add snapshot: index retains typed stats only, prunes to one file") {
+    // log-only table: 10,000 add actions, each with a ~200-byte stats
+    // string; no data files needed to exercise snapshot + FileIndex.
+    // This pins the driver-memory design: the index parses stats once
+    // and drops the JSON text, so a large table's long-lived footprint
+    // is (FileStatus, typed bounds) per file — not the stats strings.
+    val dir = java.nio.file.Files.createTempDirectory("graft_manyadds").toFile
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    val schemaJson = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType).json
+    val q = "\"" + schemaJson.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$q,"partitionColumns":[],"configuration":{},"createdTime":0}}""") ++
+      (0 until 10000).map { i =>
+        val stats = s"""{\\"numRecords\\":10,\\"minValues\\":{\\"k\\":${i * 10}},\\"maxValues\\":{\\"k\\":${i * 10 + 9}},\\"nullCount\\":{\\"k\\":0}}"""
+        s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":100,"modificationTime":0,"dataChange":true,"stats":"$stats"}}"""
+      }
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val df = DeltaReader.load(spark, dir.getAbsolutePath)
+    val index = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r.location
+    }.get.asInstanceOf[DeltaSnapshotFileIndex]
+    assert(index.inputFiles.length == 10000)
+    // every file's stats parsed to the typed form at construction
+    val retained = index.retainedStats
+    assert(retained.size == 10000 && retained.forall(_.isDefined))
+    // a point predicate touches exactly one file of the 10k
+    assert(index.listFiles(Nil, Seq(EqualTo(k, Literal(73204L))))
+      .map(_.files.length).sum == 1)
+    assert(index.listFiles(Nil, Seq(GreaterThanOrEqual(k, Literal(99990L))))
+      .map(_.files.length).sum == 1)
+    assert(index.sizeInBytes == 10000L * 100)
   }
 
   test("partition pruning and stats skipping compose on one snapshot") {
