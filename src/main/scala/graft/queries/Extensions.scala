@@ -282,6 +282,105 @@ object Extensions {
               ORDER BY cos DESC, neighbor ASC) AS INT) AS rn
           FROM probed) t
         WHERE rn <= 3
-        ORDER BY q_id, rn"""))
+        ORDER BY q_id, rn""")),
+
+    // ---- IVF CENTROID TRAINING: 2 distributed Lloyd's rounds upgrade
+    // the q68/q93/q104 family from declared seed centroids (vec_id < 8)
+    // to a trained index. Every round is one broadcast-join + two
+    // aggregates — the canonical distributed k-means shape: corpus never
+    // self-joins, centroids stay metadata-sized (k rows, broadcast).
+    //
+    // Determinism contract (what makes a DuckDB oracle possible for an
+    // iterative float algorithm): vectors are the quantized int64 QV;
+    // distance is SQUARED EUCLIDEAN in exact integer arithmetic
+    // (dot(v,v) - 2·dot(v,c) + dot(c,c); every term < 2^53, so DuckDB's
+    // double list_dot_product yields the exact same integers); the mean
+    // uses one identical floor(double-div) spelling on both sides; ties
+    // break on the lowest centroid id. Clusters emptying during a round
+    // drop out on both sides identically.
+    Q("q114_ivf_train",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.DotProductI64.register(s)
+        val emb = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(QV).as("v"))
+        var cents = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("c_id"), $"v".as("cv"))
+        var assigned = emb.limit(0)
+          .select($"vec_id", lit(0L).as("c_id"), $"v")
+        for (_ <- 1 to 2) {
+          assigned = emb.crossJoin(broadcast(cents))
+            .withColumn("dist", expr(
+              "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"vec_id")
+                .orderBy($"dist".asc, $"c_id".asc)))
+            .filter($"rn" === 1)
+            .select($"vec_id", $"c_id", $"v")
+          cents = assigned
+            .select($"c_id", posexplode($"v"))
+            .groupBy($"c_id", $"pos")
+            .agg(sum($"col").as("sd"), count(lit(1)).as("n"))
+            .withColumn("m", expr(
+              "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+            .groupBy($"c_id")
+            .agg(expr(
+              "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+              .as("cv"))
+        }
+        val stats = assigned.groupBy($"c_id")
+          .agg(count(lit(1)).as("n_members"),
+            min($"vec_id").as("first_member"))
+        val l1 = cents.select($"c_id",
+          expr("aggregate(cv, 0L, (acc, x) -> acc + abs(x))").as("centroid_l1"))
+        stats.join(broadcast(l1), "c_id")
+          .select($"c_id", $"n_members",
+            $"first_member".cast("long").as("first_member"), $"centroid_l1")
+          .orderBy($"c_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        a1 AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
+                  + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN c0 c) t
+          WHERE rn = 1),
+        m1 AS (
+          SELECT c_id, k AS dim,
+            CAST(floor(CAST(sum(v[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS m
+          FROM a1, unnest(generate_series(1, len(v))) s(k)
+          GROUP BY c_id, k),
+        c1 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY c_id),
+        a2 AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
+                  + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN c1 c) t
+          WHERE rn = 1),
+        m2 AS (
+          SELECT c_id, k AS dim,
+            CAST(floor(CAST(sum(v[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS m
+          FROM a2, unnest(generate_series(1, len(v))) s(k)
+          GROUP BY c_id, k),
+        c2 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY c_id)
+        SELECT a.c_id, count(*) AS n_members,
+          CAST(min(a.vec_id) AS BIGINT) AS first_member,
+          CAST(any_value(CAST(list_sum(list_transform(c.cv, x -> abs(x)))
+            AS BIGINT)) AS BIGINT) AS centroid_l1
+        FROM a2 a JOIN c2 c ON a.c_id = c.c_id
+        GROUP BY a.c_id
+        ORDER BY a.c_id"""))
   )
 }

@@ -161,6 +161,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q114: every Lloyd's round broadcasts the centroid side; corpus is never built") {
+    val p = plan("q114_ivf_train")
+    val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    val buildRight =
+      """BroadcastNestedLoopJoin Cross BuildRight \(\d+\)""".r.findAllIn(p).size
+    // assignment passes (a2 materializes twice: member stats + final
+    // centroid L1) all build the k-row centroid side
+    assert(all == buildRight && all >= 2 && all <= 4,
+      s"all=$all buildRight=$buildRight")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
