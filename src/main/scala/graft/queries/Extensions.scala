@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -10,6 +11,82 @@ import graft.functions.{GapFunctions, WeightedPercentile}
   * primitives, a typed Aggregator UDAF, embedding-cosine near-dup pairs,
   * and an IVF-style bucketed ANN variant. */
 object Extensions {
+
+  /** Shared 2-round distributed Lloyd's iteration (q114 training output,
+    * q115 SemDeDup's cluster structure). Returns (final assignment
+    * `(vec_id, c_id, v)`, final centroids `(c_id, cv)`), under the exact
+    * integer determinism contract documented at q114. */
+  private def lloyd2(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.DotProductI64.register(s)
+    val emb = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), expr(QV).as("v"))
+    var cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    var assigned = emb.limit(0)
+      .select(col("vec_id"), lit(0L).as("c_id"), col("v"))
+    for (_ <- 1 to 2) {
+      assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist").asc, col("c_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"), col("v"))
+      cents = assigned
+        .select(col("c_id"), posexplode(col("v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"))
+        .withColumn("m", expr(
+          "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .groupBy(col("c_id"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+          .as("cv"))
+    }
+    (assigned, cents)
+  }
+
+  /** The q114/q115 oracle's shared CTE chain: quantized vectors → seed
+    * centroids → two assign/mean rounds (a2 = final assignment, c2 =
+    * final centroids). */
+  private val LloydCtes = """
+        w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        a1 AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
+                  + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN c0 c) t
+          WHERE rn = 1),
+        m1 AS (
+          SELECT c_id, k AS dim,
+            CAST(floor(CAST(sum(v[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS m
+          FROM a1, unnest(generate_series(1, len(v))) s(k)
+          GROUP BY c_id, k),
+        c1 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY c_id),
+        a2 AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
+                  + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN c1 c) t
+          WHERE rn = 1),
+        m2 AS (
+          SELECT c_id, k AS dim,
+            CAST(floor(CAST(sum(v[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS m
+          FROM a2, unnest(generate_series(1, len(v))) s(k)
+          GROUP BY c_id, k),
+        c2 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY c_id)"""
 
   /** Quantized int embedding vector column. */
   private val QV =
@@ -301,33 +378,7 @@ object Extensions {
     Q("q114_ivf_train",
       (s, d) => {
         import s.implicits._
-        graft.functions.DotProductI64.register(s)
-        val emb = Tables.t(s, d, "embeddings")
-          .select($"vec_id", expr(QV).as("v"))
-        var cents = emb.filter($"vec_id" < 8)
-          .select($"vec_id".as("c_id"), $"v".as("cv"))
-        var assigned = emb.limit(0)
-          .select($"vec_id", lit(0L).as("c_id"), $"v")
-        for (_ <- 1 to 2) {
-          assigned = emb.crossJoin(broadcast(cents))
-            .withColumn("dist", expr(
-              "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy($"vec_id")
-                .orderBy($"dist".asc, $"c_id".asc)))
-            .filter($"rn" === 1)
-            .select($"vec_id", $"c_id", $"v")
-          cents = assigned
-            .select($"c_id", posexplode($"v"))
-            .groupBy($"c_id", $"pos")
-            .agg(sum($"col").as("sd"), count(lit(1)).as("n"))
-            .withColumn("m", expr(
-              "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
-            .groupBy($"c_id")
-            .agg(expr(
-              "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
-              .as("cv"))
-        }
+        val (assigned, cents) = lloyd2(s, d)
         val stats = assigned.groupBy($"c_id")
           .agg(count(lit(1)).as("n_members"),
             min($"vec_id").as("first_member"))
@@ -338,48 +389,75 @@ object Extensions {
             $"first_member".cast("long").as("first_member"), $"centroid_l1")
           .orderBy($"c_id")
       },
-      Some("""
-        WITH w AS (
-          SELECT vec_id,
-            list_transform(embedding,
-              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
-          FROM embeddings),
-        c0 AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
-        a1 AS (
-          SELECT vec_id, c_id, v FROM (
-            SELECT w.vec_id, c.c_id, w.v,
-              row_number() OVER (PARTITION BY w.vec_id ORDER BY
-                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
-                  + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
-            FROM w CROSS JOIN c0 c) t
-          WHERE rn = 1),
-        m1 AS (
-          SELECT c_id, k AS dim,
-            CAST(floor(CAST(sum(v[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-              AS BIGINT) AS m
-          FROM a1, unnest(generate_series(1, len(v))) s(k)
-          GROUP BY c_id, k),
-        c1 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY c_id),
-        a2 AS (
-          SELECT vec_id, c_id, v FROM (
-            SELECT w.vec_id, c.c_id, w.v,
-              row_number() OVER (PARTITION BY w.vec_id ORDER BY
-                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
-                  + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
-            FROM w CROSS JOIN c1 c) t
-          WHERE rn = 1),
-        m2 AS (
-          SELECT c_id, k AS dim,
-            CAST(floor(CAST(sum(v[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-              AS BIGINT) AS m
-          FROM a2, unnest(generate_series(1, len(v))) s(k)
-          GROUP BY c_id, k),
-        c2 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY c_id)
+      Some(s"""
+        WITH $LloydCtes
         SELECT a.c_id, count(*) AS n_members,
           CAST(min(a.vec_id) AS BIGINT) AS first_member,
           CAST(any_value(CAST(list_sum(list_transform(c.cv, x -> abs(x)))
             AS BIGINT)) AS BIGINT) AS centroid_l1
         FROM a2 a JOIN c2 c ON a.c_id = c.c_id
+        GROUP BY a.c_id
+        ORDER BY a.c_id""")),
+
+    // ---- SemDeDup (embedding-level semantic dedup, Abbas et al. 2023
+    // shape): cluster the corpus with the q114-trained IVF structure,
+    // then mark as duplicate every vector that has a LOWER-id neighbor
+    // in the SAME cluster with cosine >= τ. Pairwise work is strictly
+    // within-cluster (the defining SemDeDup trade: k scales with the
+    // corpus so clusters stay bounded — at 100 TB, k ≈ N/5000 keeps
+    // Σ cluster² linear-ish; the cluster id is the equi-join key, the
+    // corpus never all-pairs joins). τ = 0.35 is the declared demo
+    // threshold for this synthetic corpus (max corpus cos ≈ 0.51;
+    // production runs ~0.99 on real embeddings).
+    //
+    // The τ comparison is EXACT: cos(a,b) >= τ  ⇔  dot > 0 ∧
+    // 400·dot² >= 49·|a|²·|b|²  (τ² = 0.1225 = 49/400), evaluated in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — products reach ~1.6e22,
+    // past int64 but exactly representable in both wide types, so the
+    // boundary can't flip on float rounding.
+    Q("q115_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val (assigned, _) = lloyd2(s, d)
+        val a = assigned.select($"c_id", $"vec_id".as("ia"), $"v".as("va"))
+        val b = assigned.select($"c_id", $"vec_id".as("ib"), $"v".as("vb"))
+        val dupes = a.join(b, Seq("c_id"))
+          .filter($"ia" < $"ib")
+          .withColumn("dot", expr("dot_i64(va, vb)"))
+          .filter($"dot" > 0L)
+          .filter(expr(
+            """CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 400
+               >= CAST(dot_i64(va, va) AS DECIMAL(38,0))
+                  * CAST(dot_i64(vb, vb) AS DECIMAL(38,0)) * 49"""))
+          .select($"c_id", $"ib").distinct()
+          .groupBy($"c_id").agg(count(lit(1)).as("n_dupes"))
+        assigned.groupBy($"c_id")
+          .agg(count(lit(1)).as("n_members"))
+          .join(broadcast(dupes), Seq("c_id"), "left")
+          .select($"c_id", $"n_members",
+            coalesce($"n_dupes", lit(0L)).as("n_dupes"),
+            ($"n_members" - coalesce($"n_dupes", lit(0L))).as("n_kept"))
+          .orderBy($"c_id")
+      },
+      Some(s"""
+        WITH $LloydCtes,
+        pairs AS (
+          SELECT a.c_id, a.vec_id AS ia, b.vec_id AS ib,
+            list_dot_product(a.v, b.v) AS dot,
+            list_dot_product(a.v, a.v) AS na,
+            list_dot_product(b.v, b.v) AS nb
+          FROM a2 a JOIN a2 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+        dupes AS (
+          SELECT c_id, count(*) AS n_dupes FROM (
+            SELECT DISTINCT c_id, ib FROM pairs
+            WHERE dot > 0
+              AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 400
+                  >= CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 49) t
+          GROUP BY c_id)
+        SELECT a.c_id, count(*) AS n_members,
+          CAST(coalesce(any_value(d.n_dupes), 0) AS BIGINT) AS n_dupes,
+          CAST(count(*) - coalesce(any_value(d.n_dupes), 0) AS BIGINT) AS n_kept
+        FROM a2 a LEFT JOIN dupes d ON a.c_id = d.c_id
         GROUP BY a.c_id
         ORDER BY a.c_id"""))
   )

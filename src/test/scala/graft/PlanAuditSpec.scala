@@ -174,6 +174,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q115: semdedup pairs form on the cluster-id equi-join; only centroid sides build") {
+    val p = plan("q115_semdedup")
+    // every nested loop is a Lloyd's assignment pass building the k-row
+    // centroid side; the pairwise stage itself must be a c_id equi-join
+    val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    val buildRight =
+      """BroadcastNestedLoopJoin Cross BuildRight \(\d+\)""".r.findAllIn(p).size
+    assert(all == buildRight, s"all=$all buildRight=$buildRight")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
