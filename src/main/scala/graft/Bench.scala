@@ -73,10 +73,14 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         // queries may cache intermediates (dedup signatures etc.); drop
         // them so per-query timings are independent and memory doesn't
-        // accumulate across the 86-query run. The GC nudge counters the
+        // accumulate across the full run. clearCache misses localCheckpoint
+        // blocks (q89's lineage truncation) — sweep those explicitly, or
+        // they pile up for the rest of the JVM. The GC nudge counters the
         // end-of-run degradation seen in long driver sessions (late
         // alphabetical queries showed 2-20x noise two rounds running).
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(false))
         System.gc()
         (ok, t)
       }

@@ -54,7 +54,8 @@ object InformationSchema {
       .filter(t => t.tableType == "TEMPORARY" || t.tableType == "VIEW")
       .map { t =>
         ("spark_catalog", Option(t.database).getOrElse("default"), t.name,
-          viewDefinition(spark, t.name, Option(t.database)).orNull)
+          viewDefinition(spark, t.name, Option(t.database),
+            temp = t.tableType == "TEMPORARY").orNull)
       }
       .toDF("table_catalog", "table_schema", "table_name", "definition")
       .createOrReplaceTempView(ViewsView)
@@ -69,14 +70,19 @@ object InformationSchema {
 
   /** Defining SQL of a view when the catalog kept it: temp views created
     * with `CREATE TEMP VIEW … AS SELECT` carry viewText on their raw
-    * metadata; persistent views carry it on the table metadata. */
+    * metadata; persistent views carry it on the table metadata. The two
+    * lookups must NOT fall through to each other — a Dataset-API temp
+    * view (no SQL text, definition = NULL by contract) can shadow a
+    * same-named persistent view, and a cross-lookup would misattribute
+    * the persistent view's SQL to it. */
   private def viewDefinition(spark: SparkSession, name: String,
-      db: Option[String]): Option[String] = {
+      db: Option[String], temp: Boolean): Option[String] = {
     val catalog = spark.sessionState.catalog
-    val temp = Try(catalog.getRawTempView(name)).toOption.flatten
-      .flatMap(v => Try(v.tableMeta.viewText).toOption.flatten)
-    temp.orElse(Try(
-      catalog.getTableMetadata(TableIdentifier(name, db)).viewText
-    ).toOption.flatten)
+    if (temp)
+      Try(catalog.getRawTempView(name)).toOption.flatten
+        .flatMap(v => Try(v.tableMeta.viewText).toOption.flatten)
+    else
+      Try(catalog.getTableMetadata(TableIdentifier(name, db)).viewText)
+        .toOption.flatten
   }
 }

@@ -30,18 +30,22 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may cache intermediates; drop them between queries so the
-      // full run doesn't accumulate executor storage memory. clearCache
-      // covers Dataset.cache entries; localCheckpoint blocks (q89's
-      // per-round lineage truncation) are plain persisted RDDs, released
-      // by the explicit unpersist sweep.
+      // full run doesn't accumulate executor storage memory.
       spark.catalog.clearCache()
+      // storage-hygiene gate, checked BEFORE the sweep so it can actually
+      // fire: after clearCache released every Dataset.cache entry, the
+      // only persisted blocks a query may leave behind are its
+      // (materialized, hence isCheckpointed) localCheckpoint lineage
+      // truncations — released by the query's own lifecycle only at JVM
+      // exit, so swept below. Anything else is a cache leak that would
+      // accumulate in a long-lived session.
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
+      require(leaked.isEmpty,
+        s"[$name] leaked cached RDDs past clearCache: " +
+          leaked.map(r => s"${r.id}:${r.getStorageLevel}").mkString(", "))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    // storage-hygiene gate: no query may leak persisted blocks past its
-    // own run (a leak here means a long-lived session accumulates them)
-    require(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "persisted RDDs leaked past the per-query cleanup: " +
-        spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -426,6 +426,11 @@ object Dedup {
         import s.implicits._
         val docs = Tables.t(s, d, "documents").filter($"doc_id" < 300)
         val grams = docs
+          // the length guard is load-bearing: sequence(1, len - 4) with
+          // len <= 4 yields a DESCENDING [1, 0, …] (the Pipeline.scala
+          // sequence trap), emitting bogus grams the DuckDB oracle's
+          // unnest(generate_series) (empty series) never produces
+          .where(length($"text") >= 5)
           .select($"doc_id", explode(expr(
             "transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))"))
             .as("g"))

@@ -116,13 +116,19 @@ object DeltaReader {
     val MultiCp = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
     // complete = the part INDICES cover exactly 1..of — counting files
     // would accept a malformed log whose parts are out of range (e.g.
-    // parts {2,3} labeled "of 2") and silently drop actions
+    // parts {2,3} labeled "of 2") and silently drop actions. Filename
+    // numbers are untrusted: a 10-digit field can overflow Int (skip the
+    // file, don't crash replay), and the size pre-check bounds the
+    // 1..of set by the number of REAL part files before it is built.
     val multiCps: Map[Long, Seq[String]] = entries
-      .collect { case n @ MultiCp(v, part, of) =>
-        (v.toLong, part.toInt, of.toInt, n) }
+      .flatMap {
+        case n @ MultiCp(v, part, of) =>
+          scala.util.Try((v.toLong, part.toInt, of.toInt, n)).toOption
+        case _ => None
+      }
       .groupBy(t => (t._1, t._3))
       .collect { case ((v, of), xs)
-          if xs.map(_._2).toSet == (1 to of).toSet =>
+          if xs.size == of && xs.map(_._2).toSet == (1 to of).toSet =>
         v -> xs.map(_._4).distinct.sorted
       }
     val checkpoints: Map[Long, Seq[String]] = multiCps ++ singleCps

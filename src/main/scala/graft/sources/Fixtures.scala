@@ -311,7 +311,7 @@ object Fixtures {
     * part 1 of 2, stale state) that replay must ignore — a multi-part
     * checkpoint with missing parts is unusable. */
   def deltaNationMultiCheckpoint(s: SparkSession, d: String): String =
-    ensure(d, "delta_nation_mcp_v2") { dir =>
+    ensure(d, "delta_nation_mcp_v3") { dir =>
       val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
       val schemaJson = nation.schema.json
       val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 8), dir, "part-a.parquet")
@@ -350,6 +350,10 @@ object Fixtures {
       writeCpPart(f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet",
         Seq(protocolJson, metaJson(schemaJson, Nil), addJson("part-a.parquet", szA)))
       writeCpPart(f"${2L}%020d.checkpoint.${3}%010d.${2}%010d.parquet",
+        Seq(addJson("part-a.parquet", szA)))
+      // junk filename whose 10-digit `of` overflows Int: replay must skip
+      // it (never crash, never allocate a 1..of cover set)
+      writeCpPart(s"${"0" * 17}003.checkpoint.0000000001.9999999999.parquet",
         Seq(addJson("part-a.parquet", szA)))
     }
 

@@ -105,6 +105,25 @@ class CliSpec extends AnyFunSuite {
     val v = ctx.sql("""SELECT definition FROM information_schema.views
       WHERE table_name = 'cli_is_view'""").collect()
     assert(v.length == 1 && v(0).getString(0).contains("41 + 1"))
+    // a Dataset-API temp view SHADOWING a same-named persistent SQL view
+    // must still report NULL — the lookups may not fall through to each
+    // other and misattribute the persistent definition to the temp view
+    spark.sql("CREATE OR REPLACE VIEW cli_is_shadow AS SELECT 7 AS y")
+    import spark.implicits._
+    Seq(1).toDF("z").createOrReplaceTempView("cli_is_shadow")
+    try {
+      val defs = ctx.sql("""SELECT definition FROM information_schema.views
+        WHERE table_name = 'cli_is_shadow'""").collect()
+        .map(r => Option(r.getString(0))).toSeq
+      // one row per catalog entry: the temp view NULL, the persistent
+      // view its SQL — never the persistent SQL on both
+      assert(defs.size == 2, s"defs=$defs")
+      assert(defs.count(_.isEmpty) == 1, s"defs=$defs")
+      assert(defs.flatten.count(_.contains("7")) == 1, s"defs=$defs")
+    } finally {
+      spark.catalog.dropTempView("cli_is_shadow")
+      spark.sql("DROP VIEW IF EXISTS cli_is_shadow")
+    }
     val tz = ctx.sql("""SELECT value FROM information_schema.df_settings
       WHERE name = 'spark.sql.session.timeZone'""").collect()
     assert(tz.map(_.getString(0)).toSeq == Seq(spark.conf.get(
