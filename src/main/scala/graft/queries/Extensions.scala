@@ -21,11 +21,13 @@ object Extensions {
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), expr(QV).as("v"))
     var cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        lit(0L).as("n_members"), lit(0L).as("first_member"))
     var assigned = emb.limit(0)
       .select(col("vec_id"), lit(0L).as("c_id"), col("v"))
     for (_ <- 1 to 2) {
-      assigned = emb.crossJoin(broadcast(cents))
+      assigned = emb
+        .crossJoin(broadcast(cents.select(col("c_id"), col("cv"))))
         .withColumn("dist", expr(
           "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
         .withColumn("rn", row_number().over(
@@ -33,16 +35,24 @@ object Extensions {
             .orderBy(col("dist").asc, col("c_id").asc)))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_id"), col("v"))
+      // the centroid aggregate carries the member stats for free: every
+      // member contributes exactly one row per dimension, so the
+      // per-(cluster, dim) count IS the member count and the min vec_id
+      // is the cluster's first member — q114 reads them off the final
+      // centroids instead of re-deriving the assignment a third time
       cents = assigned
-        .select(col("c_id"), posexplode(col("v")))
+        .select(col("c_id"), col("vec_id"), posexplode(col("v")))
         .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"))
+        .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"),
+          min(col("vec_id")).as("mn"))
         .withColumn("m", expr(
           "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
         .groupBy(col("c_id"))
         .agg(expr(
           "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
-          .as("cv"))
+          .as("cv"),
+          min(col("n")).as("n_members"),
+          min(col("mn")).as("first_member"))
     }
     (assigned, cents)
   }
@@ -378,15 +388,10 @@ object Extensions {
     Q("q114_ivf_train",
       (s, d) => {
         import s.implicits._
-        val (assigned, cents) = lloyd2(s, d)
-        val stats = assigned.groupBy($"c_id")
-          .agg(count(lit(1)).as("n_members"),
-            min($"vec_id").as("first_member"))
-        val l1 = cents.select($"c_id",
+        val (_, cents) = lloyd2(s, d)
+        cents.select($"c_id", $"n_members",
+          $"first_member".cast("long").as("first_member"),
           expr("aggregate(cv, 0L, (acc, x) -> acc + abs(x))").as("centroid_l1"))
-        stats.join(broadcast(l1), "c_id")
-          .select($"c_id", $"n_members",
-            $"first_member".cast("long").as("first_member"), $"centroid_l1")
           .orderBy($"c_id")
       },
       Some(s"""

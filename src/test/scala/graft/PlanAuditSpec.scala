@@ -166,9 +166,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
     val buildRight =
       """BroadcastNestedLoopJoin Cross BuildRight \(\d+\)""".r.findAllIn(p).size
-    // assignment passes (a2 materializes twice: member stats + final
-    // centroid L1) all build the k-row centroid side
-    assert(all == buildRight && all >= 2 && all <= 4,
+    // exactly one assignment pass per round (member stats ride the
+    // centroid aggregate), each building the k-row centroid side
+    assert(all == buildRight && all == 2,
       s"all=$all buildRight=$buildRight")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"))
