@@ -14,15 +14,23 @@ object Extensions {
 
   /** Shared 2-round distributed Lloyd's iteration (q114 training output,
     * q115 SemDeDup's cluster structure). Returns (final assignment
-    * `(vec_id, c_id, v)`, final centroids `(c_id, cv)`), under the exact
-    * integer determinism contract documented at q114. */
+    * `(vec_id, c_id, v)`, final centroids `(c_id, cv, n_members,
+    * first_member)`), under the exact integer determinism contract
+    * documented at q114.
+    *
+    * The stats riding the centroid aggregate (count/min over the
+    * per-dimension explode) are exact ONLY under the embeddings-table
+    * contract every ANN query in this family (q44/q67/q68/q93/q104)
+    * already requires: non-null, uniform-dimension vectors — each member
+    * then contributes exactly one row per dimension. A corpus violating
+    * that diverges from the oracle across the whole family and fails the
+    * Verify gate loudly. */
   private def lloyd2(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.DotProductI64.register(s)
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), expr(QV).as("v"))
     var cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"),
-        lit(0L).as("n_members"), lit(0L).as("first_member"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
     var assigned = emb.limit(0)
       .select(col("vec_id"), lit(0L).as("c_id"), col("v"))
     for (_ <- 1 to 2) {
