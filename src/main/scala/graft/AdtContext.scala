@@ -71,7 +71,7 @@ final class AdtContext(val spark: SparkSession) {
 object AdtContext {
 
   private[graft] val InfoSchemaRef =
-    "(?i)information_schema\\.(tables|columns|views|df_settings)".r
+    "(?i)information_schema\\.(tables|columns|views|df_settings|schemata|routines)".r
 
   private[graft] val ExplainAnalyze =
     "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r

@@ -5,10 +5,10 @@ import scala.util.Try
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 
-/** `information_schema.{tables,columns,views,df_settings}` shim (the
-  * reference enables DataFusion's FULL information_schema in its session
-  * config, /root/reference/crates/core/src/context.rs:27 — which exposes
-  * exactly these four views).
+/** `information_schema.{tables,columns,views,df_settings,schemata,
+  * routines}` shim (the reference enables DataFusion's FULL
+  * information_schema in its session config,
+  * /root/reference/crates/core/src/context.rs:27).
   *
   * Spark has no information_schema catalog, so [[AdtContext.sql]]
   * rewrites `information_schema.*` references to temp views refreshed
@@ -22,9 +22,12 @@ object InformationSchema {
   val ColumnsView = "information_schema_columns"
   val ViewsView = "information_schema_views"
   val SettingsView = "information_schema_df_settings"
+  val SchemataView = "information_schema_schemata"
+  val RoutinesView = "information_schema_routines"
 
   /** The information_schema member names this shim resolves. */
-  val Members: Set[String] = Set("tables", "columns", "views", "df_settings")
+  val Members: Set[String] =
+    Set("tables", "columns", "views", "df_settings", "schemata", "routines")
 
   /** (Re)build all four views from the current catalog state. */
   def refresh(spark: SparkSession): Unit = {
@@ -66,6 +69,25 @@ object InformationSchema {
     spark.sql("SET -v")
       .selectExpr("key AS name", "value")
       .createOrReplaceTempView(SettingsView)
+    // information_schema.schemata — one row per database (standard
+    // columns; the character-set/path fields are NULL, as in DataFusion).
+    spark.catalog.listDatabases().collect().toSeq
+      .map(db => ("spark_catalog", db.name, null: String, null: String,
+        null: String, null: String, null: String))
+      .toDF("catalog_name", "schema_name", "schema_owner",
+        "default_character_set_catalog", "default_character_set_schema",
+        "default_character_set_name", "sql_path")
+      .createOrReplaceTempView(SchemataView)
+    // information_schema.routines — one row per registered function
+    // (standard subset: name/catalog/schema + routine_type FUNCTION,
+    // with Spark's description text where the registry carries one).
+    spark.catalog.listFunctions().collect().toSeq
+      .map(f => ("spark_catalog",
+        Option(f.database).getOrElse("default"), f.name, "FUNCTION",
+        f.isTemporary, Option(f.description).getOrElse("")))
+      .toDF("routine_catalog", "routine_schema", "routine_name",
+        "routine_type", "is_temporary", "description")
+      .createOrReplaceTempView(RoutinesView)
   }
 
   /** Defining SQL of a view when the catalog kept it: temp views created

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.InformationSchema
 
-/** Analyzer rule resolving `information_schema.{tables,columns,views,
-  * df_settings}` (the reference enables DataFusion's information_schema,
+/** Analyzer rule resolving `information_schema.*` — the
+  * [[graft.InformationSchema.Members]] set (the reference enables
+  * DataFusion's information_schema,
   * /root/reference/crates/core/src/context.rs:27) onto the catalog-backed
   * views of [[graft.InformationSchema]].
   *

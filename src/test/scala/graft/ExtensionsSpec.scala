@@ -57,6 +57,18 @@ class ExtensionsSpec extends AnyFunSuite {
         WHERE name = 'spark.sql.shuffle.partitions'""")
         .collect().map(_.getString(0)).toSeq
       assert(shuffle == Seq("7"))
+
+      // schemata lists the default database; routines lists registered
+      // functions (builtin + the injected dot_i64)
+      val schemas = s2.sql(
+        "SELECT schema_name FROM information_schema.schemata")
+        .collect().map(_.getString(0)).toSet
+      assert(schemas.contains("default"))
+      val fns = s2.sql("""
+        SELECT routine_name FROM information_schema.routines
+        WHERE routine_name IN ('abs', 'dot_i64')""")
+        .collect().map(_.getString(0)).toSet
+      assert(fns == Set("abs", "dot_i64"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
