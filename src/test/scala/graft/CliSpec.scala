@@ -130,6 +130,18 @@ class CliSpec extends AnyFunSuite {
       "spark.sql.session.timeZone")))
   }
 
+  test("EXPLAIN ANALYZE composes with the information_schema rewrite") {
+    val spark = SparkTestSession.spark
+    val ctx = new AdtContext(spark)
+    spark.range(2).createOrReplaceTempView("cli_ea_probe")
+    val rows = ctx.sql("""EXPLAIN ANALYZE
+      SELECT count(*) FROM information_schema.tables
+      WHERE table_name = 'cli_ea_probe'""").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "Plan with Metrics")
+    // the metric tree proves the inner statement really executed
+    assert(rows(0).getString(1).contains("metrics=["))
+  }
+
   test("S3 locations error cleanly (no hadoop-aws in this build)") {
     val ctx = new AdtContext(SparkTestSession.spark)
     val e = intercept[UnsupportedOperationException] {
