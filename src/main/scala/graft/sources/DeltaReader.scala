@@ -145,6 +145,26 @@ object DeltaReader {
     var physNames: Map[String, String] = Map.empty
     var fldIds: Map[String, Long] = Map.empty
 
+    // Protocol gate (the delta spec's reader contract): a table whose
+    // protocol demands a reader version or reader FEATURE this replay
+    // does not implement must be REJECTED, not silently misread — e.g.
+    // a v2Checkpoint table keeps its adds in sidecar files this replay
+    // would never open, so ignoring the feature flag drops data quietly.
+    val SupportedReaderFeatures =
+      Set("deletionVectors", "columnMapping", "timestampNtz")
+    def applyProtocol(node: JsonNode): Unit = {
+      val minReader =
+        Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+      require(minReader <= 3,
+        s"delta minReaderVersion $minReader is not supported by this reader")
+      val feats = Option(node.get("readerFeatures")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()).toSet
+      val unsupported = feats -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        "delta reader features not supported by this reader: " +
+          unsupported.toSeq.sorted.mkString(", "))
+    }
+
     def applyMeta(node: JsonNode): Unit = {
       val mode = Option(node.get("configuration"))
         .flatMap(c => Option(c.get("delta.columnMapping.mode")))
@@ -214,6 +234,12 @@ object DeltaReader {
       // without the union schema, Spark infers from ONE part's footer
       // and the other action columns silently vanish from the replay
       val cp = spark.read.option("mergeSchema", "true").parquet(cpPaths: _*)
+      if (cp.columns.contains("protocol"))
+        cp.where(col("protocol").isNotNull)
+          .select(to_json(col("protocol")))
+          .collect().foreach { r =>
+            applyProtocol(mapper.readTree(r.getString(0)))
+          }
       if (cp.columns.contains("metaData"))
         cp.where(col("metaData").isNotNull)
           .select(to_json(col("metaData")))
@@ -235,6 +261,7 @@ object DeltaReader {
       Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
+          if (node.has("protocol")) applyProtocol(node.get("protocol"))
           if (node.has("metaData")) applyMeta(node.get("metaData"))
           if (node.has("add")) applyAdd(node.get("add"))
           if (node.has("remove")) live.remove(node.get("remove").get("path").asText())

@@ -272,6 +272,48 @@ ${meta(kF)}
       Set("part-a.parquet", "part-b.parquet", "part-c.parquet"))
   }
 
+  test("protocol gate: unsupported reader features reject, supported ones read") {
+    def table(protocolLine: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_proto").toFile
+      import spark.implicits._
+      val tmp = new java.io.File(dir, ".tmp")
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dir, "part-0.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val size = new java.io.File(dir, "part-0.parquet").length()
+      val schemaJson = spark.read
+        .parquet(new java.io.File(dir, "part-0.parquet").getAbsolutePath)
+        .schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(log, "0" * 20 + ".json").toPath,
+        s"""$protocolLine
+{"metaData":{"id":"pg","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+{"add":{"path":"part-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
+      dir.getAbsolutePath
+    }
+    // a v2Checkpoint table keeps adds in sidecars this replay never
+    // opens — it must be rejected with an actionable error, not misread
+    val bad = intercept[IllegalArgumentException] {
+      DeltaReader.load(spark, table(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""))
+    }
+    assert(bad.getMessage.contains("v2Checkpoint"))
+    // reader version past the spec's current max also rejects
+    val high = intercept[IllegalArgumentException] {
+      DeltaReader.load(spark, table(
+        """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}"""))
+    }
+    assert(high.getMessage.contains("minReaderVersion 4"))
+    // every feature this reader implements passes the gate
+    val ok = DeltaReader.load(spark, table(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping","timestampNtz"]}}"""))
+    assert(ok.count() == 2)
+  }
+
   test("run-container roaring round-trips, incl offsets section at >=4 containers") {
     // single short run
     val a = Seq(5L, 6L, 7L, 8L)
