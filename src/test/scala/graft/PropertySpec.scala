@@ -74,4 +74,25 @@ object PropertySpec extends Properties("graft-kernels") {
         s.end_s - s.start_s <= (s.n_events - 1) * 1800L)
       Prop(partitioned) && Prop(separated) && Prop(bounded)
     }
+
+  private val wordGen = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    .map(_.mkString(" "))
+
+  property("near-dup band kernel: 4 bands iff >=3 words; h60 in [0, 2^60)") =
+    forAll(wordGen) { text =>
+      import graft.streaming.StreamNearDup
+      val bs = StreamNearDup.bands(text)
+      val n = text.split(" ", -1).length
+      val shape =
+        if (n >= 3) bs.map(_._1) == Seq(0, 1, 2, 3) &&
+          bs.forall(_._2.split(",").length == 4)
+        else bs.isEmpty
+      val range = {
+        val h = StreamNearDup.h60(text)
+        h >= 0L && h < (1L << 60)
+      }
+      // identical text → identical signatures (pure function, the
+      // cross-batch bucketing contract)
+      Prop(shape) && Prop(range) && Prop(bs == StreamNearDup.bands(text))
+    }
 }
