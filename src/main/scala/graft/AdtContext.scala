@@ -70,8 +70,11 @@ final class AdtContext(val spark: SparkSession) {
 
 object AdtContext {
 
+  // derived from the canonical member set so the analyzer-rule route and
+  // this string-rewrite fallback can never drift apart
   private[graft] val InfoSchemaRef =
-    "(?i)information_schema\\.(tables|columns|views|df_settings|schemata|routines)".r
+    ("(?i)information_schema\\.(" +
+      InformationSchema.Members.toSeq.sorted.mkString("|") + ")").r
 
   private[graft] val ExplainAnalyze =
     "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r

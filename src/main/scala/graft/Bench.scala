@@ -104,8 +104,8 @@ object Bench {
     val total = results.map(_._2).sum
     val sf = scala.util.Try(
       sfDir.split('/').last.stripPrefix("sf").toDouble).getOrElse(0.0)
-    // extra keys only when present, so the healthy-run line shape is
-    // unchanged for the driver's parser
+    // 'failed' appears only when nonempty; 'slowest' is ALWAYS on the
+    // compact line by design (the clipped-tail signal it exists for)
     val failedKey =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"")

@@ -29,7 +29,7 @@ object InformationSchema {
   val Members: Set[String] =
     Set("tables", "columns", "views", "df_settings", "schemata", "routines")
 
-  /** (Re)build all four views from the current catalog state. */
+  /** (Re)build every [[Members]] view from the current catalog state. */
   def refresh(spark: SparkSession): Unit = {
     import spark.implicits._
     val tables = spark.catalog.listTables().collect().toSeq

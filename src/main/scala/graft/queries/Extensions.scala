@@ -31,8 +31,7 @@ object Extensions {
       .select(col("vec_id"), expr(QV).as("v"))
     var cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    var assigned = emb.limit(0)
-      .select(col("vec_id"), lit(0L).as("c_id"), col("v"))
+    var assigned: DataFrame = null // round 1 assigns before any read
     for (_ <- 1 to 2) {
       assigned = emb
         .crossJoin(broadcast(cents.select(col("c_id"), col("cv"))))
