@@ -31,4 +31,21 @@ class GoldenExecSpec extends AnyFunSuite {
     // mid-line semicolon survived the splitter
     assert(outputs(3).contains("a;b"))
   }
+
+  test("golden2.sql: information_schema + EXPLAIN ANALYZE through the execute pipeline") {
+    val url = getClass.getResource("/queries/golden2.sql")
+    assert(url != null, "golden2.sql resource missing")
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 5) // 1 DDL + 3 introspections + EXPLAIN ANALYZE
+    val ctx = new AdtContext(SparkTestSession.spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(0) == "++\n++")
+    assert(outputs(1).contains("g2nat"))
+    assert(outputs(2).contains("| 3")) // nation: key, name, regionkey
+    assert(outputs(3).contains("UTC"))
+    assert(outputs(4).contains("Plan with Metrics") &&
+      outputs(4).contains("metrics=["))
+  }
 }
