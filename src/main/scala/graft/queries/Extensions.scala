@@ -12,11 +12,60 @@ import graft.functions.{GapFunctions, WeightedPercentile}
   * and an IVF-style bucketed ANN variant. */
 object Extensions {
 
+  /** Centroid-count policy for the whole trained-ANN family
+    * (q68/q93/q104/q114/q115): one centroid per ~[[TargetClusterSize]]
+    * vectors, floored at 8. This is the SemDeDup scale contract (k ∝ N
+    * keeps the within-cluster pair stream Σ cluster² linear-ish); the
+    * demo default of 40 yields k=12 on the 500-row sf0.01 corpus and
+    * k=50 at sf0.1. A production run would set the target to ~5000. */
+  private[queries] val TargetClusterSize = 40L
+
+  /** k for a given corpus. The count is the one driver-side scalar the
+    * parameterization needs — a parquet count(*) is metadata-cheap at
+    * any scale, and the oracle recomputes the identical value in SQL. */
+  private[queries] def centroidK(emb: DataFrame): Long =
+    math.max(8L, emb.count() / TargetClusterSize)
+
+  /** Deterministic, SPREAD seed centroids — k strata under a
+    * linear-congruential hash of vec_id, one seed per stratum (the
+    * member minimizing the packed (h, vec_id) key), so seeds land
+    * pseudo-randomly across the id space instead of the first k
+    * adjacent ids (adjacent-id seeding is pathological for Lloyd's).
+    * Exact-arithmetic contract: h < 2^31 and vec_id < 2^31 keep the
+    * packed key h·2^31 + vec_id below 2^62, so Spark and DuckDB compute
+    * identical int64 values; empty strata drop out identically on both
+    * sides (fewer than k seeds is legal and deterministic). */
+  private[queries] def seedCentroids(emb: DataFrame, k: Long): DataFrame = {
+    val h = (col("vec_id").cast("long") * lit(1103515245L) + lit(12345L)) %
+      lit(2147483647L)
+    val seedIds = emb
+      .groupBy((h % lit(k)).as("stratum"))
+      .agg(min(h * lit(2147483648L) + col("vec_id")).as("skey"))
+      .select((col("skey") % lit(2147483648L)).as("c_id"))
+    emb.join(broadcast(seedIds), col("vec_id") === col("c_id"))
+      .select(col("c_id"), col("v").as("cv"))
+  }
+
+  /** Oracle CTE block mirroring [[centroidK]] + [[seedCentroids]] over
+    * the quantized corpus CTE `w`: params(k) → seedids → c0 (the seed
+    * centroid set). Shared by every trained-ANN oracle so the Spark and
+    * DuckDB seed sets can never drift. */
+  private[queries] val SeedCtes = """
+        params AS (SELECT greatest(8, count(*) // 40) AS k FROM w),
+        seedids AS (
+          SELECT CAST(min(h * 2147483648 + vec_id) % 2147483648 AS BIGINT) AS c_id
+          FROM (SELECT vec_id,
+                  (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647 AS h
+                FROM w) t, params
+          GROUP BY h % k),
+        c0 AS (SELECT s.c_id, w.v AS cv FROM seedids s JOIN w ON w.vec_id = s.c_id)"""
+
   /** Shared 2-round distributed Lloyd's iteration (q114 training output,
     * q115 SemDeDup's cluster structure). Returns (final assignment
     * `(vec_id, c_id, v)`, final centroids `(c_id, cv, n_members,
     * first_member)`), under the exact integer determinism contract
-    * documented at q114.
+    * documented at q114. k is corpus-derived ([[centroidK]]) and the
+    * seeds stratified ([[seedCentroids]]).
     *
     * The stats riding the centroid aggregate (count/min over the
     * per-dimension explode) are exact ONLY under the embeddings-table
@@ -29,8 +78,7 @@ object Extensions {
     graft.functions.DotProductI64.register(s)
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), expr(QV).as("v"))
-    var cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    var cents = seedCentroids(emb, centroidK(emb))
     var assigned: DataFrame = null // round 1 assigns before any read
     for (_ <- 1 to 2) {
       assigned = emb
@@ -64,16 +112,16 @@ object Extensions {
     (assigned, cents)
   }
 
-  /** The q114/q115 oracle's shared CTE chain: quantized vectors → seed
-    * centroids → two assign/mean rounds (a2 = final assignment, c2 =
-    * final centroids). */
-  private val LloydCtes = """
+  /** The q114/q115 oracle's shared CTE chain: quantized vectors →
+    * corpus-derived k + stratified seed centroids ([[SeedCtes]]) → two
+    * assign/mean rounds (a2 = final assignment, c2 = final centroids). */
+  private val LloydCtes = s"""
         w AS (
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
-        c0 AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        $SeedCtes,
         a1 AS (
           SELECT vec_id, c_id, v FROM (
             SELECT w.vec_id, c.c_id, w.v,
@@ -104,6 +152,23 @@ object Extensions {
           FROM a2, unnest(generate_series(1, len(v))) s(k)
           GROUP BY c_id, k),
         c2 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY c_id)"""
+
+  /** Oracle CTEs mirroring [[semdedupDupes]] over the lloyd2 chain's
+    * final assignment `a2`: pairs → distinct dupe markers `dupes0`.
+    * (Declared before `defs` — object-init order makes later vals null
+    * inside defs' interpolations.) */
+  private val SemDedupDupeCtes = """
+        pairs AS (
+          SELECT a.c_id, a.vec_id AS ia, b.vec_id AS ib,
+            list_dot_product(a.v, b.v) AS dot,
+            list_dot_product(a.v, a.v) AS na,
+            list_dot_product(b.v, b.v) AS nb
+          FROM a2 a JOIN a2 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+        dupes0 AS (
+          SELECT DISTINCT c_id, ib FROM pairs
+          WHERE dot > 0
+            AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 400
+                >= CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 49)"""
 
   /** Quantized int embedding vector column. */
   private val QV =
@@ -256,15 +321,15 @@ object Extensions {
             (sqrt(list_dot_product(wa.v, wa.v)) * sqrt(list_dot_product(wb.v, wb.v))) >= 0.4
         ORDER BY d1, d2""")),
 
-    // ---- IVF-style ANN: deterministic "centroids" (first 8 vectors),
-    // every vector assigned to its max-cosine centroid (broadcast
-    // centroid set — the inverted-file partitioning a real IVF probes).
+    // ---- IVF-style ANN: deterministic stratified seed centroids
+    // (corpus-derived k, see seedCentroids), every vector assigned to
+    // its max-cosine centroid (broadcast centroid set — the
+    // inverted-file partitioning a real IVF probes).
     Q("q68_sim_ivf",
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), expr(QV).as("v"))
-        val cents = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val cents = seedCentroids(emb, centroidK(emb))
         graft.functions.DotProductI64.register(s)
         val scored = emb.crossJoin(broadcast(cents))
           .withColumn("dot", expr("dot_i64(v, cv)"))
@@ -282,18 +347,18 @@ object Extensions {
             min(col("vec_id")).as("first_member"))
           .orderBy(col("c_id"))
       },
-      Some("""
+      Some(s"""
         WITH w AS (
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
-        cents AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        $SeedCtes,
         scored AS (
           SELECT w.vec_id, c.c_id,
             list_dot_product(w.v, c.cv) /
               (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-          FROM w CROSS JOIN cents c),
+          FROM w CROSS JOIN c0 c),
         assigned AS (
           SELECT vec_id, c_id FROM (
             SELECT vec_id, c_id,
@@ -315,8 +380,7 @@ object Extensions {
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), expr(QV).as("v"))
-        val cents = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val cents = seedCentroids(emb, centroidK(emb))
         graft.functions.DotProductI64.register(s)
         val scored = emb.crossJoin(broadcast(cents))
           .withColumn("cos", expr("dot_i64(v, cv)").cast("double") /
@@ -342,18 +406,18 @@ object Extensions {
           .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
           .orderBy(col("q_id"), col("rn"))
       },
-      Some("""
+      Some(s"""
         WITH w AS (
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
-        cents AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        $SeedCtes,
         scored AS (
           SELECT w.vec_id, c.c_id, w.v,
             list_dot_product(w.v, c.cv) /
               (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-          FROM w CROSS JOIN cents c),
+          FROM w CROSS JOIN c0 c),
         assigned AS (
           SELECT vec_id, c_id, v FROM (
             SELECT vec_id, c_id, v,
@@ -379,7 +443,7 @@ object Extensions {
         ORDER BY q_id, rn""")),
 
     // ---- IVF CENTROID TRAINING: 2 distributed Lloyd's rounds upgrade
-    // the q68/q93/q104 family from declared seed centroids (vec_id < 8)
+    // the q68/q93/q104 family from stratified seed centroids (seedCentroids)
     // to a trained index. Every round is one broadcast-join + two
     // aggregates — the canonical distributed k-means shape: corpus never
     // self-joins, centroids stay metadata-sized (k rows, broadcast).
@@ -431,17 +495,7 @@ object Extensions {
       (s, d) => {
         import s.implicits._
         val (assigned, _) = lloyd2(s, d)
-        val a = assigned.select($"c_id", $"vec_id".as("ia"), $"v".as("va"))
-        val b = assigned.select($"c_id", $"vec_id".as("ib"), $"v".as("vb"))
-        val dupes = a.join(b, Seq("c_id"))
-          .filter($"ia" < $"ib")
-          .withColumn("dot", expr("dot_i64(va, vb)"))
-          .filter($"dot" > 0L)
-          .filter(expr(
-            """CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 400
-               >= CAST(dot_i64(va, va) AS DECIMAL(38,0))
-                  * CAST(dot_i64(vb, vb) AS DECIMAL(38,0)) * 49"""))
-          .select($"c_id", $"ib").distinct()
+        val dupes = semdedupDupes(assigned)
           .groupBy($"c_id").agg(count(lit(1)).as("n_dupes"))
         assigned.groupBy($"c_id")
           .agg(count(lit(1)).as("n_members"))
@@ -453,24 +507,60 @@ object Extensions {
       },
       Some(s"""
         WITH $LloydCtes,
-        pairs AS (
-          SELECT a.c_id, a.vec_id AS ia, b.vec_id AS ib,
-            list_dot_product(a.v, b.v) AS dot,
-            list_dot_product(a.v, a.v) AS na,
-            list_dot_product(b.v, b.v) AS nb
-          FROM a2 a JOIN a2 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+        $SemDedupDupeCtes,
         dupes AS (
-          SELECT c_id, count(*) AS n_dupes FROM (
-            SELECT DISTINCT c_id, ib FROM pairs
-            WHERE dot > 0
-              AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 400
-                  >= CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 49) t
-          GROUP BY c_id)
+          SELECT c_id, count(*) AS n_dupes FROM dupes0 GROUP BY c_id)
         SELECT a.c_id, count(*) AS n_members,
           CAST(coalesce(any_value(d.n_dupes), 0) AS BIGINT) AS n_dupes,
           CAST(count(*) - coalesce(any_value(d.n_dupes), 0) AS BIGINT) AS n_kept
         FROM a2 a LEFT JOIN dupes d ON a.c_id = d.c_id
         GROUP BY a.c_id
-        ORDER BY a.c_id"""))
+        ORDER BY a.c_id""")),
+
+    // ---- SemDeDup KEEP LIST: the production output of q115's pass —
+    // the retained corpus itself, not per-cluster bookkeeping. A kept
+    // vector is any cluster member with no LOWER-id τ-neighbor in its
+    // cluster (the complement of the dupe markers), so downstream
+    // training jobs anti-join the marker set against the assignment —
+    // a key-only equi anti-join, strategy left to Catalyst/AQE (the
+    // marker side is dupe-count-sized, corpus-sized only in the
+    // degenerate all-duplicates corpus).
+    Q("q116_semdedup_keep",
+      (s, d) => {
+        import s.implicits._
+        val (assigned, _) = lloyd2(s, d)
+        assigned
+          .join(semdedupDupes(assigned).select($"ib".as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .select($"c_id", $"vec_id")
+          .orderBy($"c_id", $"vec_id")
+      },
+      Some(s"""
+        WITH $LloydCtes,
+        $SemDedupDupeCtes
+        SELECT a.c_id, a.vec_id
+        FROM a2 a ANTI JOIN dupes0 d ON a.vec_id = d.ib
+        ORDER BY a.c_id, a.vec_id"""))
   )
+
+  /** Distinct SemDeDup duplicate markers `(c_id, ib)` over a lloyd2
+    * assignment: ib has a lower-id cosine-τ neighbor in its cluster.
+    * Pairwise work is strictly within-cluster (c_id equi-join); the τ
+    * gate is exact in DECIMAL(38,0) — see q115's contract note. */
+  private def semdedupDupes(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("c_id"), col("vec_id").as("ia"),
+      col("v").as("va"))
+    val b = assigned.select(col("c_id"), col("vec_id").as("ib"),
+      col("v").as("vb"))
+    a.join(b, Seq("c_id"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("dot", expr("dot_i64(va, vb)"))
+      .filter(col("dot") > 0L)
+      .filter(expr(
+        """CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 400
+           >= CAST(dot_i64(va, va) AS DECIMAL(38,0))
+              * CAST(dot_i64(vb, vb) AS DECIMAL(38,0)) * 49"""))
+      .select(col("c_id"), col("ib")).distinct()
+  }
+
 }

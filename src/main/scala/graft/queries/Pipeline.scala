@@ -180,10 +180,9 @@ object Pipeline {
           .filter($"rn" <= 3)
           .select($"q_id", $"vec_id".as("neighbor"))
         // IVF probe: assign all vectors to their max-cos centroid
-        // (centroids = vec_id < 8, as q68/q93 declare), probe only the
-        // query's own inverted list
-        val cents = emb.filter($"vec_id" < 8)
-          .select($"vec_id".as("c_id"), $"v".as("cv"))
+        // (corpus-derived k + stratified seeds, as q68/q93 declare —
+        // Extensions.seedCentroids), probe only the query's inverted list
+        val cents = Extensions.seedCentroids(emb, Extensions.centroidK(emb))
         val assigned = emb.crossJoin(broadcast(cents))
           .withColumn("cos", cos("v", "cv"))
           .withColumn("rn", row_number().over(
@@ -205,7 +204,7 @@ object Pipeline {
           .withColumn("recall", $"n_hits".cast("double") / 3.0)
           .orderBy($"q_id")
       },
-      Some("""
+      Some(s"""
         WITH w AS (
           SELECT vec_id,
             list_transform(embedding,
@@ -222,7 +221,7 @@ object Pipeline {
             FROM w c CROSS JOIN qset q
             WHERE c.vec_id <> q.q_id) t
           WHERE rn <= 3),
-        cents AS (SELECT vec_id AS c_id, v AS cv FROM w WHERE vec_id < 8),
+        ${Extensions.SeedCtes},
         assigned AS (
           SELECT vec_id, c_id, v FROM (
             SELECT w.vec_id, c.c_id, w.v,
@@ -230,7 +229,7 @@ object Pipeline {
                 list_dot_product(w.v, c.cv) /
                   (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv)))
                 DESC, c.c_id ASC) AS rn
-            FROM w CROSS JOIN cents c) t
+            FROM w CROSS JOIN c0 c) t
           WHERE rn = 1),
         qs AS (SELECT c_id, vec_id AS q_id, v AS qv
                FROM assigned WHERE vec_id BETWEEN 8 AND 12),
