@@ -23,6 +23,9 @@ final class AdtContext(val spark: SparkSession) {
     * plan (DataFusion `AnalyzeExec` parity — reachable through
     * `ADTContext::sql`); statements touching `information_schema.*` are
     * rewritten onto catalog-backed temp views (context.rs:27 parity);
+    * postgres-dialect regex operators (`~`, `!~`, `SIMILAR TO`, …) are
+    * rewritten onto Spark spellings ([[SqlCompat]] — the reference's
+    * postgres sqlparser dialect, context.rs:29, makes them reachable);
     * everything else is Spark SQL. */
   def sql(statement: String): DataFrame =
     if (Ddl.matches(statement)) {
@@ -31,11 +34,17 @@ final class AdtContext(val spark: SparkSession) {
     } else AdtContext.ExplainAnalyze.findFirstMatchIn(statement) match {
       case Some(m) => analyze(m.group(1))
       case None =>
-        if (AdtContext.InfoSchemaRef.findFirstIn(statement).isDefined) {
-          InformationSchema.refresh(spark)
-          spark.sql(AdtContext.InfoSchemaRef.replaceAllIn(statement,
+        val stmt = SqlCompat.rewrite(statement)
+        val members = AdtContext.InfoSchemaRef.findAllMatchIn(stmt)
+          .map(_.group(1).toLowerCase).toSet
+        if (members.nonEmpty) {
+          // build only the members this statement references — a `SET -v`
+          // + listFunctions walk for a query that touches only `tables`
+          // is wasted driver time (metadata-bound, but needless)
+          InformationSchema.refresh(spark, members)
+          spark.sql(AdtContext.InfoSchemaRef.replaceAllIn(stmt,
             m => s"information_schema_${m.group(1).toLowerCase}"))
-        } else spark.sql(statement)
+        } else spark.sql(stmt)
     }
 
   /** DataFusion-shaped `EXPLAIN ANALYZE`: run the inner statement to
@@ -71,10 +80,12 @@ final class AdtContext(val spark: SparkSession) {
 object AdtContext {
 
   // derived from the canonical member set so the analyzer-rule route and
-  // this string-rewrite fallback can never drift apart
+  // this string-rewrite fallback can never drift apart; the trailing \b
+  // keeps identifiers that merely START with a member name (e.g.
+  // information_schema.views_ext) from being partially rewritten
   private[graft] val InfoSchemaRef =
     ("(?i)information_schema\\.(" +
-      InformationSchema.Members.toSeq.sorted.mkString("|") + ")").r
+      InformationSchema.Members.toSeq.sorted.mkString("|") + ")\\b").r
 
   private[graft] val ExplainAnalyze =
     "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r

@@ -30,64 +30,79 @@ object InformationSchema {
     Set("tables", "columns", "views", "df_settings", "schemata", "routines")
 
   /** (Re)build every [[Members]] view from the current catalog state. */
-  def refresh(spark: SparkSession): Unit = {
+  def refresh(spark: SparkSession): Unit = refresh(spark, Members)
+
+  /** (Re)build only the requested members — the statement rewriters pass
+    * the member set they actually saw, so a query touching only `tables`
+    * never pays the `SET -v` + listFunctions + per-table listColumns
+    * driver walks the other members need. All walks are metadata-bound
+    * (one row per table/column/setting) at any data scale. */
+  def refresh(spark: SparkSession, members: Set[String]): Unit = {
     import spark.implicits._
-    val tables = spark.catalog.listTables().collect().toSeq
-    tables
-      .map(t => ("spark_catalog", Option(t.database).getOrElse("default"),
-        t.name, t.tableType))
-      .toDF("table_catalog", "table_schema", "table_name", "table_type")
-      .createOrReplaceTempView(TablesView)
-    tables
-      .flatMap { t =>
-        spark.catalog.listColumns(t.name).collect().zipWithIndex.map {
-          case (c, i) =>
-            ("spark_catalog", Option(t.database).getOrElse("default"), t.name,
-              c.name, i + 1, c.dataType, c.nullable)
+    val wanted = members.map(_.toLowerCase).intersect(Members)
+    // one catalog listing feeds tables/columns/views; built only on demand
+    lazy val tables = spark.catalog.listTables().collect().toSeq
+    if (wanted("tables"))
+      tables
+        .map(t => ("spark_catalog", Option(t.database).getOrElse("default"),
+          t.name, t.tableType))
+        .toDF("table_catalog", "table_schema", "table_name", "table_type")
+        .createOrReplaceTempView(TablesView)
+    if (wanted("columns"))
+      tables
+        .flatMap { t =>
+          spark.catalog.listColumns(t.name).collect().zipWithIndex.map {
+            case (c, i) =>
+              ("spark_catalog", Option(t.database).getOrElse("default"), t.name,
+                c.name, i + 1, c.dataType, c.nullable)
+          }
         }
-      }
-      .toDF("table_catalog", "table_schema", "table_name", "column_name",
-        "ordinal_position", "data_type", "is_nullable")
-      .createOrReplaceTempView(ColumnsView)
+        .toDF("table_catalog", "table_schema", "table_name", "column_name",
+          "ordinal_position", "data_type", "is_nullable")
+        .createOrReplaceTempView(ColumnsView)
     // information_schema.views — DataFusion's shape: one row per view,
     // `definition` = the defining SQL where the catalog retains it (SQL-
     // created views), NULL for views registered from the Dataset API,
     // matching DataFusion's NULL definition for non-SQL-backed views.
-    tables
-      .filter(t => t.tableType == "TEMPORARY" || t.tableType == "VIEW")
-      .map { t =>
-        ("spark_catalog", Option(t.database).getOrElse("default"), t.name,
-          viewDefinition(spark, t.name, Option(t.database),
-            temp = t.tableType == "TEMPORARY").orNull)
-      }
-      .toDF("table_catalog", "table_schema", "table_name", "definition")
-      .createOrReplaceTempView(ViewsView)
+    if (wanted("views"))
+      tables
+        .filter(t => t.tableType == "TEMPORARY" || t.tableType == "VIEW")
+        .map { t =>
+          ("spark_catalog", Option(t.database).getOrElse("default"), t.name,
+            viewDefinition(spark, t.name, Option(t.database),
+              temp = t.tableType == "TEMPORARY").orNull)
+        }
+        .toDF("table_catalog", "table_schema", "table_name", "definition")
+        .createOrReplaceTempView(ViewsView)
     // information_schema.df_settings — DataFusion's (name, value) over the
     // session config; Spark's documented SQLConf surface is the analogue
     // (`SET -v`), so a `SELECT value FROM df_settings WHERE name = …`
     // probe ports directly.
-    spark.sql("SET -v")
-      .selectExpr("key AS name", "value")
-      .createOrReplaceTempView(SettingsView)
+    if (wanted("df_settings"))
+      spark.sql("SET -v")
+        .selectExpr("key AS name", "value")
+        .createOrReplaceTempView(SettingsView)
     // information_schema.schemata — one row per database (standard
     // columns; the character-set/path fields are NULL, as in DataFusion).
-    spark.catalog.listDatabases().collect().toSeq
-      .map(db => ("spark_catalog", db.name, null: String, null: String,
-        null: String, null: String, null: String))
-      .toDF("catalog_name", "schema_name", "schema_owner",
-        "default_character_set_catalog", "default_character_set_schema",
-        "default_character_set_name", "sql_path")
-      .createOrReplaceTempView(SchemataView)
+    if (wanted("schemata"))
+      spark.catalog.listDatabases().collect().toSeq
+        .map(db => ("spark_catalog", db.name, null: String, null: String,
+          null: String, null: String, null: String))
+        .toDF("catalog_name", "schema_name", "schema_owner",
+          "default_character_set_catalog", "default_character_set_schema",
+          "default_character_set_name", "sql_path")
+        .createOrReplaceTempView(SchemataView)
     // information_schema.routines — one row per registered function
     // (standard subset: name/catalog/schema + routine_type FUNCTION,
     // with Spark's description text where the registry carries one).
-    spark.catalog.listFunctions().collect().toSeq
-      .map(f => ("spark_catalog",
-        Option(f.database).getOrElse("default"), f.name, "FUNCTION",
-        f.isTemporary, Option(f.description).getOrElse("")))
-      .toDF("routine_catalog", "routine_schema", "routine_name",
-        "routine_type", "is_temporary", "description")
-      .createOrReplaceTempView(RoutinesView)
+    if (wanted("routines"))
+      spark.catalog.listFunctions().collect().toSeq
+        .map(f => ("spark_catalog",
+          Option(f.database).getOrElse("default"), f.name, "FUNCTION",
+          f.isTemporary, Option(f.description).getOrElse("")))
+        .toDF("routine_catalog", "routine_schema", "routine_name",
+          "routine_type", "is_temporary", "description")
+        .createOrReplaceTempView(RoutinesView)
   }
 
   /** Defining SQL of a view when the catalog kept it: temp views created
@@ -100,10 +115,16 @@ object InformationSchema {
   private def viewDefinition(spark: SparkSession, name: String,
       db: Option[String], temp: Boolean): Option[String] = {
     val catalog = spark.sessionState.catalog
-    if (temp)
-      Try(catalog.getRawTempView(name)).toOption.flatten
-        .flatMap(v => Try(v.tableMeta.viewText).toOption.flatten)
-    else
+    if (temp) {
+      // SQL-created GLOBAL temp views live in the global registry under
+      // the global_temp database — the local lookup would report their
+      // definition NULL even though the catalog retains the viewText
+      val raw =
+        if (db.exists(_.equalsIgnoreCase("global_temp")))
+          Try(catalog.getRawGlobalTempView(name)).toOption.flatten
+        else Try(catalog.getRawTempView(name)).toOption.flatten
+      raw.flatMap(v => Try(v.tableMeta.viewText).toOption.flatten)
+    } else
       Try(catalog.getTableMetadata(TableIdentifier(name, db)).viewText)
         .toOption.flatten
   }

@@ -26,12 +26,15 @@ case class ResolveInformationSchema(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val referenced = plan.collectFirst {
-      case u: UnresolvedRelation if matches(u) => u
-    }.isDefined
-    if (!referenced) plan
+    val referenced = plan.collect {
+      case u: UnresolvedRelation if matches(u) =>
+        u.multipartIdentifier.last.toLowerCase
+    }.toSet
+    if (referenced.isEmpty) plan
     else {
-      InformationSchema.refresh(session)
+      // build only the members this plan references (a tables probe must
+      // not pay the SET -v / listFunctions walks the other members need)
+      InformationSchema.refresh(session, referenced)
       plan.resolveOperatorsUp {
         case u: UnresolvedRelation if matches(u) =>
           UnresolvedRelation(

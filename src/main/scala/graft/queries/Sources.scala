@@ -179,6 +179,39 @@ object Sources {
         FROM information_schema.columns c
         JOIN information_schema.tables t ON c.table_name = t.table_name
         WHERE c.table_name IN ('nation', 'region')
-        ORDER BY c.table_name, pos"""))
+        ORDER BY c.table_name, pos""")),
+
+    // ---- Postgres-dialect regex operators (context.rs:29 sets the
+    // postgres sqlparser dialect, so adt scripts reach `~` / `!~` /
+    // `~*` / `~~` / `SIMILAR TO` through ADTContext::sql): the statement
+    // below runs VERBATIM through AdtContext (SqlCompat rewrites the
+    // operators onto RLIKE/LIKE spellings). The oracle spells the same
+    // semantics in DuckDB functions — NOT DuckDB's own `~`, which is
+    // regexp_full_match, unlike the PARTIAL match postgres/DataFusion/
+    // RLIKE share — and pins that a `~` INSIDE a literal is untouched.
+    Q("q117_pg_regex",
+      (s, d) => {
+        Tables.register(s, d)
+        new AdtContext(s).sql("""
+          SELECT n_name,
+            n_name ~ '1[0-9]$' AS teens,
+            n_name !~ '^NATION_[0-9]$' AS multi_digit,
+            n_name ~* 'nation_2' AS ci_two,
+            n_name ~~ '%1_' AS like_teens,
+            CASE WHEN n_name SIMILAR TO 'NATION_(1|2)[0-9]' THEN 1 ELSE 0 END
+              AS sim_2digit,
+            'a~b' AS tilde_lit
+          FROM nation ORDER BY n_name""")
+      },
+      Some("""
+        SELECT n_name,
+          regexp_matches(n_name, '1[0-9]$') AS teens,
+          NOT regexp_matches(n_name, '^NATION_[0-9]$') AS multi_digit,
+          regexp_matches(n_name, 'nation_2', 'i') AS ci_two,
+          n_name LIKE '%1_' AS like_teens,
+          CASE WHEN n_name SIMILAR TO 'NATION_(1|2)[0-9]' THEN 1 ELSE 0 END
+            AS sim_2digit,
+          'a~b' AS tilde_lit
+        FROM nation ORDER BY n_name"""))
   )
 }

@@ -202,4 +202,48 @@ class CliSpec extends AnyFunSuite {
     assert(rendered.contains("NATION_0"))
     assert(rendered.startsWith("+-"))
   }
+
+  test("SqlCompat rewrites postgres regex operators onto Spark spellings") {
+    // the rewriter space-pads emitted keywords (so `a~'x'` stays legal);
+    // collapse runs of spaces — SQL-insignificant — for exact compares
+    val r = (s: String) => SqlCompat.rewrite(s).replaceAll(" +", " ")
+    assert(r("SELECT a ~ 'x' FROM t") == "SELECT a RLIKE 'x' FROM t")
+    assert(r("SELECT a !~ 'x' FROM t") == "SELECT a NOT RLIKE 'x' FROM t")
+    assert(r("SELECT a ~* 'x' FROM t") == "SELECT a RLIKE '(?i)x' FROM t")
+    assert(r("SELECT a !~* 'x' FROM t") ==
+      "SELECT a NOT RLIKE '(?i)x' FROM t")
+    assert(r("SELECT a ~~ 'x%' FROM t") == "SELECT a LIKE 'x%' FROM t")
+    assert(r("SELECT a !~~ 'x%' FROM t") == "SELECT a NOT LIKE 'x%' FROM t")
+    assert(r("SELECT a ~~* 'x%' FROM t") == "SELECT a ILIKE 'x%' FROM t")
+    assert(r("SELECT a !~~* 'x%'") == "SELECT a NOT ILIKE 'x%'")
+    // SIMILAR TO: anchored, %/_ translated, . ^ $ escaped as ordinary
+    assert(r("SELECT a SIMILAR TO 'ab%c_[0-9]|x.'") ==
+      "SELECT a RLIKE '^(?:ab.*c.[0-9]|x\\.)$'")
+    assert(r("SELECT a NOT SIMILAR TO 'x%'") ==
+      "SELECT a NOT RLIKE '^(?:x.*)$'")
+    // untouched: unary bitwise ~, literals/quoted identifiers holding ~,
+    // non-literal ci patterns (left verbatim → loud parse error),
+    // identifiers merely containing the keyword
+    assert(r("SELECT ~5 AS flip") == "SELECT ~5 AS flip")
+    assert(r("SELECT 'a~b', \"c~d\", `e~f` FROM t") ==
+      "SELECT 'a~b', \"c~d\", `e~f` FROM t")
+    assert(r("SELECT a ~* b FROM t") == "SELECT a ~* b FROM t")
+    assert(r("SELECT similar_to_x FROM t") == "SELECT similar_to_x FROM t")
+    // '' escapes survive, and a ~ AFTER a literal is still binary
+    assert(r("SELECT 'it''s' ~ 'x'") == "SELECT 'it''s' RLIKE 'x'")
+  }
+
+  test("postgres regex operators run end-to-end through AdtContext") {
+    val ctx = new AdtContext(SparkTestSession.spark)
+    ctx.sql("CREATE EXTERNAL TABLE pgre STORED AS PARQUET " +
+      s"LOCATION '${SparkTestSession.sfDir}/nation.parquet'")
+    val rows = ctx.sql(
+      "SELECT count(*) FROM pgre WHERE n_name ~ '_1[0-9]$'")
+      .collect()
+    assert(rows(0).getLong(0) == 10) // NATION_10..NATION_19
+    val sim = ctx.sql(
+      "SELECT count(*) FROM pgre WHERE n_name SIMILAR TO 'NATION_2%'")
+      .collect()
+    assert(sim(0).getLong(0) == 6) // NATION_2 + NATION_20..24
+  }
 }
