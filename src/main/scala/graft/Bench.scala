@@ -59,8 +59,16 @@ object Bench {
     // round budget for no gate value). Override with SPARK_GRAFT_REPS.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
       .getOrElse(if (only.isDefined) 2 else 1).max(1)
+    // the fixture-backed q55–q62 block (CSV/JSON/hive/url/delta scans,
+    // all sub-second) gets min-of-2 even in the full sweep: their
+    // single-shot times have jittered up to ~6x under shared-box
+    // contention two rounds running (q60: 2.35 s driver vs 0.33 s
+    // isolated), and the second rep costs < 3 s across the whole block
+    val jitterProne = "^q(5[5-9]|6[0-2])_".r
+    def repsFor(name: String): Int =
+      math.max(reps, if (jitterProne.findFirstIn(name).isDefined) 2 else 1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timings = (1 to reps).map { _ =>
+      val timings = (1 to repsFor(name)).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try {

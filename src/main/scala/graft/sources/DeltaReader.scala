@@ -93,9 +93,19 @@ object DeltaReader {
     snapshotAt(spark, tablePath, Long.MaxValue)
 
   /** Replay up to and including `maxVersion` (time travel; the reference
-    * always reads latest — kernel snapshots support the same bound). */
+    * always reads latest — kernel snapshots support the same bound).
+    *
+    * `prune` is the past-10⁶-files path (SCALE.md "Scans"): a map of
+    * partition column (logical name) → admitted string values (delta
+    * stores partition values as strings). When non-empty, checkpoint
+    * adds are filtered AS A DATAFRAME inside the checkpoint scan —
+    * executor-side, before any driver collection — and JSON-tail adds
+    * are filtered on parse, so the driver's live-file map only ever
+    * holds matching adds. Pruning is conservative: adds that lack the
+    * column pass through; a null partition value never matches. */
   def snapshotAt(spark: SparkSession, tablePath: String,
-      maxVersion: Long): Snapshot = {
+      maxVersion: Long,
+      prune: Map[String, Set[String]] = Map.empty): Snapshot = {
     val logDir = new File(tablePath, "_delta_log")
     require(logDir.isDirectory, s"not a delta table (no _delta_log): $tablePath")
 
@@ -152,7 +162,9 @@ object DeltaReader {
     // would never open, so ignoring the feature flag drops data quietly.
     val SupportedReaderFeatures =
       Set("deletionVectors", "columnMapping", "timestampNtz")
+    var protocolSeen = false
     def applyProtocol(node: JsonNode): Unit = {
+      protocolSeen = true
       val minReader =
         Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
       require(minReader <= 3,
@@ -206,6 +218,17 @@ object DeltaReader {
           dv.get("cardinality").asLong())
       }
 
+    // prune admission shared by the checkpoint-DataFrame filter and the
+    // JSON-tail parse — the two MUST agree: column absent → keep
+    // (conservative); null value → drop; otherwise membership test.
+    // Keys map through physNames because partitionValues carry physical
+    // names under column mapping (metaData always precedes adds in a
+    // spec-conforming log, so physNames is populated by add time).
+    def admitted(pv: Map[String, Option[String]]): Boolean =
+      prune.forall { case (c, vs) =>
+        pv.get(physNames.getOrElse(c, c)).forall(_.exists(vs.contains))
+      }
+
     def applyAdd(node: JsonNode): Unit = {
       val path = node.get("path").asText()
       val pv = Option(node.get("partitionValues")).map { m =>
@@ -213,11 +236,13 @@ object DeltaReader {
           e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
         }.toMap
       }.getOrElse(Map.empty[String, Option[String]])
-      val size = Option(node.get("size")).map(_.asLong()).getOrElse(0L)
-      // `stats` is a JSON-encoded STRING inside the add action
-      val stats = Option(node.get("stats")).filterNot(_.isNull)
-        .map(_.asText()).filter(_.nonEmpty)
-      live(path) = AddFile(path, size, pv, parseDv(node), stats)
+      if (admitted(pv)) {
+        val size = Option(node.get("size")).map(_.asLong()).getOrElse(0L)
+        // `stats` is a JSON-encoded STRING inside the add action
+        val stats = Option(node.get("stats")).filterNot(_.isNull)
+          .map(_.asText()).filter(_.nonEmpty)
+        live(path) = AddFile(path, size, pv, parseDv(node), stats)
+      } else live.remove(path) // newest action wins even when pruned out
     }
 
     // 1. checkpoint state (parquet with add/remove/metaData columns).
@@ -246,12 +271,36 @@ object DeltaReader {
           .collect().foreach { r =>
             applyMeta(mapper.readTree(r.getString(0)))
           }
-      if (cp.columns.contains("add"))
-        cp.where(col("add").isNotNull)
-          .select(to_json(col("add")))
+      if (cp.columns.contains("add")) {
+        val adds = cp.where(col("add").isNotNull)
+        // checkpoint-side pruning (the past-10⁶-files path): the prune
+        // predicate runs inside the parquet scan of the checkpoint, so
+        // only surviving adds are ever serialized to the driver. Mirrors
+        // `admitted` exactly; writers store partitionValues as a
+        // map<string,string> (spec) or an inferred struct — both shapes
+        // filter; anything else falls back to keep-all (still correct:
+        // `admitted` applies the identical predicate again when each
+        // surviving add is parsed, it just prunes driver-side then).
+        val pruned = prune.foldLeft(adds) { case (df, (c, vs)) =>
+          val key = physNames.getOrElse(c, c)
+          val access = df.schema("add").dataType match {
+            case s: StructType => s.find(_.name == "partitionValues")
+              .map(_.dataType).flatMap {
+                case _: MapType =>
+                  Some(element_at(col("add.partitionValues"), lit(key)))
+                case pv: StructType if pv.fieldNames.contains(key) =>
+                  Some(col(s"add.partitionValues.`$key`").cast("string"))
+                case _ => None
+              }
+            case _ => None
+          }
+          access.map(a => df.where(a.isin(vs.toSeq: _*))).getOrElse(df)
+        }
+        pruned.select(to_json(col("add")))
           .collect().foreach { r =>
             applyAdd(mapper.readTree(r.getString(0)))
           }
+      }
     }
 
     // 2. JSON commits after the checkpoint, in version order
@@ -267,6 +316,14 @@ object DeltaReader {
           if (node.has("remove")) live.remove(node.get("remove").get("path").asText())
         }
     }
+
+    // a spec-conforming checkpoint always restates the protocol; a replay
+    // that used a checkpoint but saw none anywhere ran UNGATED — surface
+    // it rather than silently trusting a contra-spec log
+    if (cpVersion.isDefined && !protocolSeen)
+      System.err.println(
+        s"[delta] WARNING: no protocol action across checkpoint + JSON " +
+          s"tail of $tablePath — reader-feature gate could not run")
 
     val finalSchema = schema.getOrElse(
       throw new IllegalStateException(s"no metaData action in log: $tablePath"))
@@ -299,11 +356,28 @@ object DeltaReader {
   def load(spark: SparkSession, tablePath: String): DataFrame =
     loadAt(spark, tablePath, Long.MaxValue)
 
+  /** The past-10⁶-files scan path (SCALE.md "Scans"): load with
+    * partition-value pruning applied DURING log replay, so the driver's
+    * snapshot holds only the matching file entries — the checkpoint's
+    * adds are filtered executor-side as a DataFrame before collection.
+    * The result contains exactly the rows of the admitted partitions
+    * (`partitionValues`: logical column → admitted string values, the
+    * encoding delta stores). The plain [[load]] path keeps whole-snapshot
+    * replay + `listFiles`-time pruning, which is right up to ~10⁶ files. */
+  def loadWhere(spark: SparkSession, tablePath: String,
+      partitionValues: Map[String, Set[String]],
+      version: Long = Long.MaxValue): DataFrame =
+    loadAt(spark, tablePath, version, partitionValues)
+
   /** Time travel: load the snapshot as of `version`
     * (`OPTIONS(versionAsOf='N')` through the DDL shim). */
   def loadAt(spark: SparkSession, tablePath: String,
-      version: Long): DataFrame = {
-    val snap = snapshotAt(spark, tablePath, version)
+      version: Long, prune: Map[String, Set[String]] = Map.empty): DataFrame = {
+    val snap = snapshotAt(spark, tablePath, version, prune)
+    if (snap.files.isEmpty && prune.nonEmpty)
+      // every file pruned out: an empty relation in the table's schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     require(snap.files.nonEmpty, s"delta table has no live files: $tablePath")
 
     // Under column mapping the parquet files and partitionValues keys use

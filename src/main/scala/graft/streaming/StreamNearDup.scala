@@ -153,18 +153,27 @@ object StreamNearDup {
             val wm = state.getCurrentWatermarkMs()
             // evict members past the horizon (watermark = frontier − horizon)
             val live = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
-            val rs = rows.toList
+            // drop LATE arrivals symmetrically: flatMapGroupsWithState
+            // still delivers rows whose event time is already behind the
+            // watermark, and admitting one would pair outside the
+            // declared horizon (the eviction above only polices members
+            // already in state, not incoming rows)
+            val rs = rows.toList.filter(_.ts.getTime >= wm)
             val byId = rs.groupBy(_.docId).map { case (id, xs) =>
               id -> xs.map(_.ts.getTime).max
             }
             val (admitted, out) =
               admitAndPair(band, live.map(_._1), rs.map(_.docId))
             val next = live ++ admitted.map(id => id -> byId(id))
-            state.update(next)
-            // bucket dies when its newest member leaves the horizon
-            val maxTs = next.map(_._2).max
-            state.setTimeoutTimestamp(math.max(maxTs + 1, wm + 1))
-            out.iterator
+            // every member evicted and every arrival late → bucket dies now
+            if (next.isEmpty) { state.remove(); Iterator.empty }
+            else {
+              state.update(next)
+              // bucket dies when its newest member leaves the horizon
+              val maxTs = next.map(_._2).max
+              state.setTimeoutTimestamp(math.max(maxTs + 1, wm + 1))
+              out.iterator
+            }
           }
       }
   }

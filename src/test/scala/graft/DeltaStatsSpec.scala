@@ -274,4 +274,61 @@ class DeltaStatsSpec extends AnyFunSuite {
       .count() == graft.Tables.t(spark, d, "nation")
       .filter(col("n_regionkey") === 2).count())
   }
+
+  test("checkpoint-side partition pruning: driver collects only matching adds") {
+    // The past-10⁶-files path (SCALE.md "Scans"): 10k adds live ONLY in a
+    // checkpoint parquet, partitioned p = i % 100. loadWhere must filter
+    // the checkpoint adds as a DataFrame (executor-side) so the driver's
+    // snapshot — and the long-lived FileIndex built from it — holds just
+    // the admitted partition's file entries, not all 10k.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpprune").toFile
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    val schemaJson = new StructType()
+      .add("k", LongType).add("p", StringType).json
+    val q = "\"" + schemaJson.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val cpLines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":$q,"partitionColumns":["p"],"configuration":{},"createdTime":0}}""") ++
+      (0 until 10000).map { i =>
+        s"""{"add":{"path":"p=${i % 100}/f$i.parquet","partitionValues":{"p":"${i % 100}"},"size":100,"modificationTime":0,"dataChange":true}}"""
+      }
+    import spark.implicits._
+    val tmp = new java.io.File(dir, ".tmp_cp")
+    spark.read.json(cpLines.toDS())
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(logDir, f"${0L}%020d.checkpoint.parquet").toPath)
+    // JSON tail: one matching add, one non-matching (parse-time prune),
+    // exercising both admission outcomes past the checkpoint
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${1L}%020d.json").toPath,
+      (s"""{"add":{"path":"p=7/extra.parquet","partitionValues":{"p":"7"},"size":100,"modificationTime":0,"dataChange":true}}""" +
+        "\n" +
+        s"""{"add":{"path":"p=8/extra.parquet","partitionValues":{"p":"8"},"size":100,"modificationTime":0,"dataChange":true}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val snap = DeltaReader.snapshotAt(spark, dir.getAbsolutePath,
+      Long.MaxValue, Map("p" -> Set("7")))
+    assert(snap.files.size == 101) // 100 checkpoint adds + 1 tail add
+    assert(snap.files.forall(_.partitionValues("p").contains("7")))
+
+    // end-to-end through loadWhere: the retained index state is the
+    // pruned set (the assertion the driver-memory design hangs on)
+    val df = DeltaReader.loadWhere(spark, dir.getAbsolutePath,
+      Map("p" -> Set("7")))
+    val index = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r.location
+    }.get.asInstanceOf[DeltaSnapshotFileIndex]
+    assert(index.inputFiles.length == 101)
+    assert(index.retainedStats.size == 101)
+
+    // unpruned load still sees the full snapshot
+    assert(DeltaReader.snapshot(spark, dir.getAbsolutePath).files.size == 10002)
+
+    // pruning everything yields an empty, correctly-shaped relation
+    val none = DeltaReader.loadWhere(spark, dir.getAbsolutePath,
+      Map("p" -> Set("no_such_partition")))
+    assert(none.columns.toSeq == Seq("k", "p") && none.count() == 0)
+  }
 }

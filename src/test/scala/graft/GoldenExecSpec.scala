@@ -48,4 +48,30 @@ class GoldenExecSpec extends AnyFunSuite {
     assert(outputs(4).contains("Plan with Metrics") &&
       outputs(4).contains("metrics=["))
   }
+
+  test("golden3.sql: the delta path (DDL, time travel, DVs, pg dialect) through execute") {
+    val url = getClass.getResource("/queries/golden3.sql")
+    assert(url != null, "golden3.sql resource missing")
+    val spark = SparkTestSession.spark
+    val delta = graft.sources.Fixtures.deltaNation(spark, SparkTestSession.sfDir)
+    val dv = graft.sources.Fixtures.deltaNationDv(spark, SparkTestSession.sfDir)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA}", delta).replace("${DELTA_DV}", dv))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 7) // 3 DDL + 4 queries (last without ';')
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    // DDL → empty boxes
+    assert(outputs.take(3).forall(_ == "++\n++"))
+    // v1 removed file b and added a trimmed c: 20 live rows
+    assert(outputs(3).contains("| 20"))
+    // v0 (time travel) still sees all 25
+    assert(outputs(4).contains("| 25"))
+    // the DV table hides exactly the 4 deleted row indexes
+    assert(outputs(5).contains("| 21"))
+    // the pg `~` regex operator works inside an executed delta script:
+    // '_1$' matches NATION_1 alone (NATION_11/21 end in "11"/"21")
+    assert(outputs(6).contains("NATION_1") && !outputs(6).contains("NATION_11"))
+  }
 }

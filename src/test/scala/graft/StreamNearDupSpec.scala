@@ -161,4 +161,21 @@ class StreamNearDupSpec extends AnyFunSuite {
     // 12 total would remain under NoTimeout
     assert(stateRows == 8L, s"state rows = $stateRows")
   }
+
+  test("late arrivals (event time already past the watermark) never pair") {
+    // batch 1: doc 100000 (tA) sets the frontier → watermark lands ~1 h
+    //          behind its event time;
+    // batch 2: doc 10 is an exact copy arriving LATE (event time far
+    //          behind the watermark) next to fresh copy 100001. Without
+    //          the symmetric input filter, doc 10 pairs with both; the
+    //          declared within-horizon semantics admit only the
+    //          (100000, 100001) pair.
+    val batches = Seq(
+      Seq((100000L, tA, "en")),
+      Seq((10L, tA, "en"), (100001L, tA, "en")))
+    val (cand, _) = StreamNearDup.runWithinWatermark(
+      spark, writeBatches("graft_sndwm_late", batches), "sndwm_late")
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100000L, 100001L)), s"pairs=$pairs")
+  }
 }
