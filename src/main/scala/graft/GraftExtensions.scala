@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProductI64
+import graft.functions.{DotProductI64, Md5Long}
 
 /** Session-extension entry point — the Spark-native way to ship this
   * library's custom Catalyst surface into ANY session, including ones the
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductI64(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_60"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Long(exprs.head)))
     ext.injectResolutionRule(session =>
       graft.plans.ResolveInformationSchema(session))
   }

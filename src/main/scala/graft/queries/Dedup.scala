@@ -25,9 +25,12 @@ object Dedup {
   private val P31 = 2147483647L // 2^31 - 1, Mersenne prime for mixing
 
   /** Portable 60-bit md5 hash of a string column (Spark side).
-    * DuckDB side: ('0x' || substr(md5(x), 2, 15))::BIGINT. */
+    * DuckDB side: ('0x' || substr(md5(x), 2, 15))::BIGINT. Native codegen
+    * expression (functions/Md5Long.scala) — value-identical to the old
+    * `conv(substr(md5(c), 2, 15), 16, 10)` spelling (PropertySpec) but
+    * with zero hex-string materializations on the per-shingle hot path. */
   private def h60(c: Column): Column =
-    conv(substr(md5(c), lit(2), lit(15)), 16, 10).cast("long")
+    graft.functions.Md5Long.md5_60(c)
 
   /** Document-frequency cap for the shingle universe: a shingle present in
     * more than this many documents is dropped before any pair join. This

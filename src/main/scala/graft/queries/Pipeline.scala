@@ -548,6 +548,105 @@ object Pipeline {
         JOIN uni b ON pairs.w2 = b.w
         CROSS JOIN tot
         ORDER BY lift DESC, w1, w2
-        LIMIT 50"""))
+        LIMIT 50""")),
+
+    // ---- TF-IDF top terms per document: the classic keyword extractor a
+    // curation pipeline runs for topic tagging / doc summarization. IDF
+    // uses the RATIONAL form N/df instead of ln(N/df) — a declared
+    // variant that keeps the score in exact int64 (score = tf·N·10⁶ // df;
+    // every term < 2^53) so the cross-engine compare can be bit-exact;
+    // ln is libm and its last bits differ across engines. Shapes: one
+    // explode → two map-side-combined aggregates (tf, df); df spans the
+    // FULL corpus (the realistic weighting) while the reported docs
+    // filter BEFORE the tf⋈df join, so the join probes a small tf side
+    // against the df dim on the word key — at corpus scale (all docs
+    // reported) the same plan is one linear shuffle on the word key.
+    Q("q118_tfidf",
+      (s, d) => Tables.sql(s, d, """
+        WITH tok AS (
+          SELECT doc_id, explode(split(text, ' ')) AS w FROM documents),
+        tf AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, w),
+        df AS (
+          SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT doc_id, rank, w, score FROM (
+          SELECT tf.doc_id, tf.w,
+            tf.tf * 1000000L * n.n_docs DIV df.df AS score,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf * 1000000L * n.n_docs DIV df.df DESC,
+                       tf.w ASC) AS rank
+          FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+          WHERE tf.doc_id < 30) t
+        WHERE rank <= 3
+        ORDER BY doc_id, rank"""),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        tf AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, w),
+        df AS (
+          SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT doc_id, rank, w, score FROM (
+          SELECT tf.doc_id, tf.w,
+            tf.tf * 1000000 * n.n_docs // df.df AS score,
+            CAST(row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf * 1000000 * n.n_docs // df.df DESC,
+                       tf.w ASC) AS INT) AS rank
+          FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+          WHERE tf.doc_id < 30) t
+        WHERE rank <= 3
+        ORDER BY doc_id, rank""")),
+
+    // ---- N-gram novelty score: fraction of a doc's bigram OCCURRENCES
+    // that are corpus-unique (corpus count = 1) — the cheap KenLM-free
+    // proxy for "memorized boilerplate vs fresh text" a pretraining
+    // curation pass ranks on (high novelty = fresh, low = template).
+    // Exact integer ratio (rare·10⁶ // total) for the bit-exact compare.
+    // Shapes: bigram explode → corpus-count aggregate on the bigram key,
+    // then one join back on the same key + a per-doc aggregate — two
+    // linear shuffles, no all-pairs anything.
+    Q("q119_ngram_novelty",
+      (s, d) => Tables.sql(s, d, """
+        WITH t AS (
+          SELECT doc_id, split(text, ' ') AS w FROM documents
+          WHERE size(split(text, ' ')) >= 2),
+        big AS (
+          SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg
+          FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) s AS i),
+        corpus AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg)
+        SELECT big.doc_id,
+          CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(CASE WHEN corpus.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          sum(CASE WHEN corpus.n = 1 THEN 1 ELSE 0 END) * 1000000L
+            DIV count(*) AS novelty_ppm
+        FROM big JOIN corpus ON big.bg = corpus.bg
+        WHERE big.doc_id < 100
+        GROUP BY big.doc_id
+        ORDER BY big.doc_id"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        big AS (
+          SELECT doc_id, w[k] || ' ' || w[k + 1] AS bg
+          FROM t, unnest(generate_series(1, len(w) - 1)) s(k)),
+        corpus AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg)
+        SELECT big.doc_id,
+          CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(CASE WHEN corpus.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          CAST(sum(CASE WHEN corpus.n = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+        FROM big JOIN corpus ON big.bg = corpus.bg
+        WHERE big.doc_id < 100
+        GROUP BY big.doc_id
+        ORDER BY big.doc_id"""))
   )
 }

@@ -73,14 +73,14 @@ object TextOps {
     // as a sparse vector. No vocabulary state at all — the property that
     // makes it the scale path for featurization.
     Q("q96_feature_hashing",
-      (s, d) => Tables.sql(s, d, """
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, """
         SELECT doc_id,
-          CAST(conv(substr(md5(w), 2, 15), 16, 10) AS BIGINT) % 64 AS bucket,
+          md5_60(w) % 64 AS bucket,
           count(*) AS cnt
         FROM (SELECT doc_id, explode(split(text, ' ')) AS w
               FROM documents WHERE doc_id < 50)
         GROUP BY doc_id, 2
-        ORDER BY doc_id, bucket"""),
+        ORDER BY doc_id, bucket""") },
       Some("""
         SELECT doc_id,
           ('0x' || substr(md5(w), 2, 15))::BIGINT % 64 AS bucket,
@@ -177,15 +177,15 @@ object TextOps {
     // ---- Document fingerprinting: order-insensitive content digest +
     // order-sensitive polynomial rolling hash over the token stream.
     Q("q49_text_fingerprint",
-      (s, d) => Tables.sql(s, d, s"""
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, s"""
         SELECT doc_id,
           md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS set_digest,
           aggregate(
             transform(split(text, ' '),
-              w -> CAST(conv(substr(md5(w), 2, 15), 16, 10) AS BIGINT) % $P31),
+              w -> md5_60(w) % $P31),
             CAST(0 AS BIGINT),
             (acc, x) -> (acc * 31 + x) % $P31) AS roll_hash
-        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id""") },
       Some(s"""
         SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_digest,
@@ -404,7 +404,7 @@ object TextOps {
     // the oracle-proven operators above, so the whole pipeline stays
     // hash-deterministic.
     Q("q81_pipeline_e2e",
-      (s, d) => Tables.sql(s, d, s"""
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, s"""
         WITH corpus AS (
           SELECT doc_id, text, lang FROM documents
           UNION ALL
@@ -416,8 +416,7 @@ object TextOps {
           FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
         sh0 AS (
           SELECT DISTINCT doc_id,
-            CAST(conv(substr(md5(concat_ws(' ', slice(w, i, 3))), 2, 15), 16, 10)
-              AS BIGINT) AS h
+            md5_60(concat_ws(' ', slice(w, i, 3))) AS h
           FROM (SELECT doc_id, split(text, ' ') AS w FROM docs)
           LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i),
         sh AS (
@@ -450,7 +449,7 @@ object TextOps {
           CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
           CAST(min(doc_id) AS BIGINT) AS first_doc
         FROM gated
-        GROUP BY lang ORDER BY lang"""),
+        GROUP BY lang ORDER BY lang""") },
       Some(s"""
         WITH corpus AS (
           SELECT doc_id, text, lang FROM documents
@@ -628,7 +627,7 @@ object TextOps {
     // training-data mixing primitive: one narrow filter, zero shuffles
     // beyond the final per-language rollup.
     Q("q92_stratified_sample",
-      (s, d) => Tables.sql(s, d, """
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, """
         WITH rates AS (
           SELECT * FROM VALUES
             ('en', 50), ('de', 20), ('es', 30), ('fr', 10), ('zh', 40)
@@ -636,12 +635,11 @@ object TextOps {
         sampled AS (
           SELECT d.lang, d.doc_id
           FROM documents d JOIN rates r ON d.lang = r.lang
-          WHERE CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 2, 15), 16, 10)
-            AS BIGINT) % 100 < r.pct)
+          WHERE md5_60(CAST(d.doc_id AS STRING)) % 100 < r.pct)
         SELECT lang, count(*) AS n_sampled,
           CAST(sum(doc_id) AS BIGINT) AS id_sum,
           CAST(min(doc_id) AS BIGINT) AS first_id
-        FROM sampled GROUP BY lang ORDER BY lang"""),
+        FROM sampled GROUP BY lang ORDER BY lang""") },
       Some("""
         WITH rates AS (
           SELECT * FROM (VALUES

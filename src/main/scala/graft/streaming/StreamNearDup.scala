@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -61,12 +59,10 @@ object StreamNearDup {
   }
 
   /** First 60 bits of md5 as a long — the portable hash every dedup
-    * operator shares (Dedup.h60: `conv(substr(md5(s), 2, 15), 16, 10)`). */
-  def h60(s: String): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(1, 16), 16)
-  }
+    * operator shares (Dedup.h60), via the same digest-byte packing as
+    * the native [[graft.functions.Md5Long]] expression. */
+  def h60(s: String): Long =
+    graft.functions.Md5Long.hash60(s.getBytes("UTF-8"))
 
   /** The 4 (band, signature) pairs of a document under q42's scheme;
     * empty for docs with fewer than 3 words (no shingles — absent from

@@ -185,6 +185,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q116: keep list anti-joins the marker set — no nested loop past the Lloyd's passes") {
+    val p = plan("q116_semdedup_keep")
+    // same contract as q115 (the dupe markers share the c_id equi-join
+    // pair stage) plus: the final keep-list anti-join is a key equi-join
+    val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    val buildRight =
+      """BroadcastNestedLoopJoin Cross BuildRight \(\d+\)""".r.findAllIn(p).size
+    assert(all == buildRight, s"all=$all buildRight=$buildRight")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q117: rewritten pg regex predicates stay codegen filters — no UDF, no extra exchange") {
+    val p = plan("q117_pg_regex")
+    // RLIKE/LIKE land in a plain Filter/Project over one scan: the only
+    // exchange is the presentation sort's
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    // one detail-header exchange: the presentation sort's range partition
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+      "dialect rewrite added a shuffle")
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")

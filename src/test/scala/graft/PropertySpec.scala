@@ -29,6 +29,18 @@ object PropertySpec extends Properties("graft-kernels") {
       DeletionVectors.serializeRoaringArray(set.toSeq)).toSet == set
   }
 
+  property("Md5Long.hash60 equals the hex spelling conv(substr(md5,2,15),16,10)") =
+    forAll(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("a", "Z", "0", " ", "é", "ß", "中", "🦀"))
+        .map(_.mkString))) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      graft.functions.Md5Long.hash60(bytes) ==
+        java.lang.Long.parseLong(hex.substring(1, 16), 16)
+    }
+
   property("roaring RUN containers round-trip row-index sets") =
     forAll(rowGen) { rows =>
       val set = rows.toSet
