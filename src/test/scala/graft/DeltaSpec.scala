@@ -143,6 +143,46 @@ class DeltaSpec extends AnyFunSuite {
     assert(df.filter(col("p") === 8).count() == 0)
   }
 
+  test("loadWhere prune keys are LOGICAL names, mapped to physical partition keys") {
+    import org.apache.spark.sql.functions.col
+    // name-mapped table (partition col p is physically col-ccc) with two
+    // partitions; pruning by the logical name must hit the physical key
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmprune").toFile
+    val tmp = new java.io.File(dir, ".tmp")
+    spark.range(6).select(
+      col("id").cast("int").as("col-aaa"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v"), col("id")).as("col-bbb"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Seq("part-p7.parquet", "part-p8.parquet").foreach { n =>
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dir, n).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val size = new java.io.File(dir, "part-p7.parquet").length()
+    val fields =
+      """{"name":"k","type":"integer","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aaa"}},""" +
+        """{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bbb"}},""" +
+        """{"name":"p","type":"integer","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-ccc"}}"""
+    val schemaJson =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${fields.replace("\"", "\\\"")}]}"""
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "0" * 20 + ".json").toPath,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":0}}
+{"add":{"path":"part-p7.parquet","partitionValues":{"col-ccc":"7"},"size":$size,"modificationTime":0,"dataChange":true}}
+{"add":{"path":"part-p8.parquet","partitionValues":{"col-ccc":"8"},"size":$size,"modificationTime":0,"dataChange":true}}""")
+    val snap = DeltaReader.snapshotAt(spark, dir.getAbsolutePath,
+      Long.MaxValue, Map("p" -> Set("7")))
+    assert(snap.files.map(_.path) == Seq("part-p7.parquet"))
+    val df = DeltaReader.loadWhere(spark, dir.getAbsolutePath,
+      Map("p" -> Set("7")))
+    assert(df.count() == 6)
+    assert(df.filter(col("p") === 7).count() == 6)
+  }
+
   test("column mapping 'id': parquet columns matched by field id, not name") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
