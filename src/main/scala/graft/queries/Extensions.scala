@@ -540,7 +540,89 @@ object Extensions {
         $SemDedupDupeCtes
         SELECT a.c_id, a.vec_id
         FROM a2 a ANTI JOIN dupes0 d ON a.vec_id = d.ib
-        ORDER BY a.c_id, a.vec_id"""))
+        ORDER BY a.c_id, a.vec_id""")),
+
+    // ---- INT8 SCALAR QUANTIZATION + recall harness: compress each
+    // vector to 8-bit ints with a per-vector symmetric scale (the 8×
+    // memory lever a 100 TB embedding store actually pulls — the corpus
+    // streamed in the top-k scan shrinks 8×, broadcast query sets
+    // likewise), then measure recall@3 of quantized top-k against the
+    // full-precision ground truth, per query. Same broadcast-queries ×
+    // streaming-corpus shape as q44/q104 — the corpus is never built.
+    //
+    // Determinism: the quantizer is floor((x·127)/scale) in the ONE
+    // shared double spelling (|x·127| « 2^53, so the double division is
+    // exact and floor(double) matches on both engines — Spark's integer
+    // `div` truncates toward zero while DuckDB's `//` floors, so a
+    // direct int-div spelling would diverge on negatives); quantized
+    // dots are small exact integers; ties break on neighbor id.
+    Q("q120_sq8_recall",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.DotProductI64.register(s)
+        val sq = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(QV).as("v"))
+          .withColumn("sc", expr(
+            "greatest(aggregate(v, 0L, (a, x) -> greatest(a, abs(x))), 1L)"))
+          .withColumn("q8", expr(
+            """transform(v, x -> CAST(floor(CAST(x * 127 AS DOUBLE)
+               / CAST(sc AS DOUBLE)) AS BIGINT))"""))
+          .select($"vec_id", $"v", $"q8")
+        val qset = sq.filter($"vec_id".between(8, 12))
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"q8".as("q8q"))
+        def top3(score: org.apache.spark.sql.Column) = sq
+          .crossJoin(broadcast(qset))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("sc2", score)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id")
+              .orderBy($"sc2".desc, $"vec_id".asc)))
+          .filter($"rn" <= 3)
+          .select($"q_id", $"vec_id".as("neighbor"))
+        val gt = top3(expr("dot_i64(v, qv)"))
+        val approx = top3(expr("dot_i64(q8, q8q)"))
+        gt.join(approx, Seq("q_id", "neighbor"), "left_semi")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .withColumn("recall", $"n_hits".cast("double") / 3.0)
+          .orderBy($"q_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        sq AS (
+          SELECT vec_id, v,
+            list_transform(v, x -> CAST(floor(CAST(x * 127 AS DOUBLE)
+              / CAST(greatest(list_max(list_transform(v, y -> abs(y))), 1)
+                     AS DOUBLE)) AS BIGINT)) AS q8
+          FROM w),
+        qset AS (
+          SELECT vec_id AS q_id, v AS qv, q8 AS q8q
+          FROM sq WHERE vec_id BETWEEN 8 AND 12),
+        gt AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, c.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(c.v, q.qv) DESC, c.vec_id ASC) AS rn
+            FROM sq c CROSS JOIN qset q
+            WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= 3),
+        approx AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, c.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(c.q8, q.q8q) DESC, c.vec_id ASC) AS rn
+            FROM sq c CROSS JOIN qset q
+            WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= 3)
+        SELECT q_id, count(*) AS n_hits,
+          CAST(count(*) AS DOUBLE) / 3.0 AS recall
+        FROM gt SEMI JOIN approx USING (q_id, neighbor)
+        GROUP BY q_id
+        ORDER BY q_id"""))
   )
 
   /** Distinct SemDeDup duplicate markers `(c_id, ib)` over a lloyd2

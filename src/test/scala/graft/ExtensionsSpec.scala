@@ -23,6 +23,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getLong(0)
       assert(d == 11L)
 
+      // md5_60 injects too, and equals the composable hex spelling
+      val pair = s2.sql(
+        """SELECT md5_60('shingle one'),
+                  CAST(conv(substr(md5('shingle one'), 2, 15), 16, 10) AS BIGINT)""")
+        .collect()(0)
+      assert(pair.getLong(0) == pair.getLong(1))
+
       // injected resolution rule: information_schema resolves in plain
       // spark.sql with no AdtContext wrapper
       s2.range(3).createOrReplaceTempView("ext_probe_table")

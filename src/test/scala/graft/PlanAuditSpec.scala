@@ -185,6 +185,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q120: both SQ8 recall cross-joins broadcast the query set; corpus streams") {
+    val p = plan("q120_sq8_recall")
+    // ground-truth and quantized top-k scans each broadcast the 5-row
+    // query set against the streaming corpus — the corpus is never built
+    val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    val buildRight =
+      """BroadcastNestedLoopJoin Cross BuildRight \(\d+\)""".r.findAllIn(p).size
+    assert(all == buildRight && all == 2, s"all=$all buildRight=$buildRight")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q116: keep list anti-joins the marker set — no nested loop past the Lloyd's passes") {
     val p = plan("q116_semdedup_keep")
     // same contract as q115 (the dupe markers share the c_id equi-join
