@@ -87,6 +87,18 @@ object SqlCompat {
         while (i < n && sql(i) != c) { out.append(sql(i)); i += 1 }
         if (i < n) { out.append(c); i += 1 }
         lastSig = c; word.clear()
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        // line comment: copy verbatim to end of line — an apostrophe in
+        // comment prose must not open a string literal
+        while (i < n && sql(i) != '\n') { out.append(sql(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        // block comment: copy verbatim through the closing */
+        out.append("/*"); i += 2
+        while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) {
+          out.append(sql(i)); i += 1
+        }
+        if (i + 1 < n) { out.append("*/"); i += 2 }
+        else { while (i < n) { out.append(sql(i)); i += 1 } }
       } else if (c == '!' && i + 1 < n && sql(i + 1) == '~') {
         if (i + 3 < n && sql(i + 2) == '~' && sql(i + 3) == '*') {
           out.append(" NOT ILIKE "); i += 4

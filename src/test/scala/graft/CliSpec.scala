@@ -231,6 +231,12 @@ class CliSpec extends AnyFunSuite {
     assert(r("SELECT similar_to_x FROM t") == "SELECT similar_to_x FROM t")
     // '' escapes survive, and a ~ AFTER a literal is still binary
     assert(r("SELECT 'it''s' ~ 'x'") == "SELECT 'it''s' RLIKE 'x'")
+    // comments pass through verbatim: an apostrophe or ~ in comment
+    // prose neither opens a literal nor rewrites
+    assert(r("SELECT a ~ 'x' -- don't ~ rewrite 'this\nFROM t") ==
+      "SELECT a RLIKE 'x' -- don't ~ rewrite 'this\nFROM t")
+    assert(r("SELECT /* isn't a ~ op */ b ~ 'y'") ==
+      "SELECT /* isn't a ~ op */ b RLIKE 'y'")
   }
 
   test("postgres regex operators run end-to-end through AdtContext") {
