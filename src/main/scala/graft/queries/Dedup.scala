@@ -699,6 +699,96 @@ object Dedup {
                           ELSE 0 END) AS BIGINT) AS bucket
           FROM proj GROUP BY vec_id)
         SELECT bucket, count(*) AS n_vectors
-        FROM buckets GROUP BY bucket ORDER BY bucket"""))
+        FROM buckets GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- LSH RECALL/PRECISION EVAL: q42's candidate generation measured
+    // against the exact hashed-shingle jaccard ≥ 0.8 ground truth (q89's
+    // pair source) — the "measure, don't guess" harness for the dedup
+    // family, like q104/q120 for ANN. The 4×4 banding's theoretical
+    // recall at jac 0.8 is 1-(1-0.8⁴)⁴ ≈ 0.87; this query reports the
+    // corpus's actual number, so a banding-parameter change shows up as
+    // a measured recall delta, not an anecdote. Shapes are inherited
+    // unchanged from q42/q89 (linear signature passes + bucket joins);
+    // the eval adds only pair-set-sized semi-joins and 1-row aggregates.
+    Q("q121_lsh_recall",
+      (s, d) => {
+        import s.implicits._
+        val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+        val sh = hashedShingles(s, d)
+          .withColumn("n", count(lit(1)).over(byDoc))
+          .cache()
+        val exact = sh.as("a")
+          .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
+          .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
+          .select($"d1", $"d2").cache()
+        val hashed = sh.select($"doc_id", ($"h" % P31).as("h31"))
+        val minAggs = (0 until 16).map { j =>
+          min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
+        }
+        val mhWide = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+        val bandCols = (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until 4).map(r =>
+              col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
+        }
+        val bands = mhWide
+          .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
+          .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .distinct().cache()
+        val hit = exact.join(cand, Seq("d1", "d2"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select($"n_exact", $"n_cand", $"n_hit",
+            when($"n_exact" > 0, $"n_hit".cast("double") / $"n_exact")
+              .otherwise(0.0).as("recall"),
+            when($"n_cand" > 0, $"n_hit".cast("double") / $"n_cand")
+              .otherwise(0.0).as("cand_precision"))
+      },
+      Some(s"""
+        WITH $duckHashedShingles,
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
+        mh AS (
+          SELECT doc_id, j,
+            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
+          FROM shh, generate_series(0, 15) t(j)
+          GROUP BY doc_id, j),
+        bands AS (
+          SELECT doc_id, j // 4 AS band,
+            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+          FROM mh GROUP BY doc_id, j // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        hit AS (SELECT d1, d2 FROM exact SEMI JOIN cand USING (d1, d2)),
+        agg AS (
+          SELECT (SELECT count(*) FROM exact) AS n_exact,
+                 (SELECT count(*) FROM cand) AS n_cand,
+                 (SELECT count(*) FROM hit) AS n_hit)
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(n_cand AS BIGINT) AS n_cand,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE) / n_exact
+               ELSE 0.0 END AS recall,
+          CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand
+               ELSE 0.0 END AS cand_precision
+        FROM agg"""))
   )
 }
