@@ -494,7 +494,12 @@ object Extensions {
     Q("q115_semdedup",
       (s, d) => {
         import s.implicits._
-        val (assigned, _) = lloyd2(s, d)
+        // the final assignment feeds BOTH pair sides and the member
+        // count — cache it (MEMORY_AND_DISK) so the two Lloyd's corpus
+        // passes run once, not once per reference; at cluster scale this
+        // is the standard persist-between-stages materialization point
+        val (assigned0, _) = lloyd2(s, d)
+        val assigned = assigned0.cache()
         val dupes = semdedupDupes(assigned)
           .groupBy($"c_id").agg(count(lit(1)).as("n_dupes"))
         assigned.groupBy($"c_id")
@@ -528,7 +533,10 @@ object Extensions {
     Q("q116_semdedup_keep",
       (s, d) => {
         import s.implicits._
-        val (assigned, _) = lloyd2(s, d)
+        // same materialization point as q115: three references share one
+        // computation of the trained assignment
+        val (assigned0, _) = lloyd2(s, d)
+        val assigned = assigned0.cache()
         assigned
           .join(semdedupDupes(assigned).select($"ib".as("vec_id")),
             Seq("vec_id"), "left_anti")
