@@ -392,6 +392,9 @@ object Extensions {
               .orderBy(col("cos").desc, col("c_id").asc)))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("c_id"), col("v"))
+          // consumed twice (query-set derivation + probe side): persist
+          // so the centroid pass + argmin window run once
+          .cache()
         val qs = assigned.filter(col("vec_id").between(8, 12))
           .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
         assigned.join(broadcast(qs), Seq("c_id"))

@@ -189,6 +189,9 @@ object Pipeline {
             Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_id".asc)))
           .filter($"rn" === 1)
           .select($"vec_id", $"c_id", $"v")
+          // consumed twice (query-set derivation + probe side): persist
+          // so the centroid pass + argmin window run once
+          .cache()
         val qs = assigned.filter($"vec_id".between(8, 12))
           .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"))
         val probed = assigned.join(broadcast(qs), Seq("c_id"))
