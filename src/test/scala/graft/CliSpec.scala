@@ -239,6 +239,22 @@ class CliSpec extends AnyFunSuite {
       "SELECT /* isn't a ~ op */ b RLIKE 'y'")
   }
 
+  test("information_schema refresh is lazy: only referenced members rebuild") {
+    val spark = SparkTestSession.spark
+    val ctx = new AdtContext(spark)
+    // clear any members left by earlier tests, then touch only `tables`
+    Seq(InformationSchema.SettingsView, InformationSchema.RoutinesView)
+      .foreach(spark.catalog.dropTempView(_))
+    ctx.sql("SELECT count(*) FROM information_schema.tables").collect()
+    // the statement must not have paid the SET -v / listFunctions walks
+    assert(!spark.catalog.tableExists(InformationSchema.SettingsView))
+    assert(!spark.catalog.tableExists(InformationSchema.RoutinesView))
+    // touching df_settings builds it (and only what's referenced)
+    ctx.sql("SELECT count(*) FROM information_schema.df_settings").collect()
+    assert(spark.catalog.tableExists(InformationSchema.SettingsView))
+    assert(!spark.catalog.tableExists(InformationSchema.RoutinesView))
+  }
+
   test("postgres regex operators run end-to-end through AdtContext") {
     val ctx = new AdtContext(SparkTestSession.spark)
     ctx.sql("CREATE EXTERNAL TABLE pgre STORED AS PARQUET " +
