@@ -49,6 +49,7 @@ object SqlCompat {
     // keyword ends in a letter
     var lastSig: Char = 0
     val word = new StringBuilder
+    var inWord = false // word chars are adjacent — a break starts a NEW word
     var pendingCI = false // inject (?i) into the next string literal
     var pendingSimilar = false // translate the next literal as a SIMILAR TO pattern
 
@@ -81,16 +82,19 @@ object SqlCompat {
           else body.toString
         pendingSimilar = false; pendingCI = false
         out.append('\'').append(b).append('\'')
-        lastSig = '\''; word.clear()
+        lastSig = '\''; word.clear(); inWord = false
       } else if (c == '"' || c == '`') {
         out.append(c); i += 1
         while (i < n && sql(i) != c) { out.append(sql(i)); i += 1 }
         if (i < n) { out.append(c); i += 1 }
-        lastSig = c; word.clear()
+        lastSig = c; word.clear(); inWord = false
       } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
         // line comment: copy verbatim to end of line — an apostrophe in
-        // comment prose must not open a string literal
+        // comment prose must not open a string literal. The word (and
+        // lastSig) survive: a comment between operand and operator is
+        // transparent, but a word AFTER the comment starts fresh
         while (i < n && sql(i) != '\n') { out.append(sql(i)); i += 1 }
+        inWord = false
       } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
         // block comment: copy verbatim through the closing */
         out.append("/*"); i += 2
@@ -99,6 +103,7 @@ object SqlCompat {
         }
         if (i + 1 < n) { out.append("*/"); i += 2 }
         else { while (i < n) { out.append(sql(i)); i += 1 } }
+        inWord = false
       } else if (c == '!' && i + 1 < n && sql(i + 1) == '~') {
         if (i + 3 < n && sql(i + 2) == '~' && sql(i + 3) == '*') {
           out.append(" NOT ILIKE "); i += 4
@@ -109,7 +114,7 @@ object SqlCompat {
             out.append(" NOT RLIKE "); pendingCI = true; i += 3
           } else { out.append("!~*"); i += 3 }
         } else { out.append(" NOT RLIKE "); i += 2 }
-        lastSig = 'E'; word.clear()
+        lastSig = 'E'; word.clear(); inWord = false
       } else if (c == '~' && isBinaryLhsEnd(lastSig)) {
         if (i + 2 < n && sql(i + 1) == '~' && sql(i + 2) == '*') {
           out.append(" ILIKE "); i += 3
@@ -120,7 +125,7 @@ object SqlCompat {
             out.append(" RLIKE "); pendingCI = true; i += 2
           } else { out.append("~*"); i += 2 }
         } else { out.append(" RLIKE "); i += 1 }
-        lastSig = 'E'; word.clear()
+        lastSig = 'E'; word.clear(); inWord = false
       } else if ((c == 's' || c == 'S') && wordStart(sql, i)) {
         val m = SimilarTo.matcher(sql)
         m.region(i, n)
@@ -128,12 +133,22 @@ object SqlCompat {
           out.append("RLIKE")
           pendingSimilar = true
           i = m.end
-          lastSig = 'E'; word.clear()
-        } else { out.append(c); lastSig = c; word.clear(); word.append(c); i += 1 }
+          lastSig = 'E'; word.clear(); inWord = false
+        } else {
+          out.append(c); lastSig = c
+          word.clear(); word.append(c); inWord = true
+          i += 1
+        }
       } else {
         out.append(c)
-        if (c.isLetterOrDigit || c == '_') word.append(c)
-        else if (!c.isWhitespace) word.clear()
+        if (c.isLetterOrDigit || c == '_') {
+          if (!inWord) word.clear() // a break ended the previous word
+          inWord = true
+          word.append(c)
+        } else {
+          inWord = false
+          if (!c.isWhitespace) word.clear()
+        }
         if (!c.isWhitespace) lastSig = c
         i += 1
       }
@@ -143,11 +158,12 @@ object SqlCompat {
 
   /** Words that end in an identifier character but cannot end an operand
     * — a `~` after one of these is postgres unary bitwise NOT, not the
-    * binary regex operator. */
+    * binary regex operator. (`END` is deliberately absent: `CASE … END`
+    * DOES end an operand, so `END ~ 'p'` is the binary match.) */
   private val NonOperandKeywords = Set(
     "select", "where", "and", "or", "not", "when", "then", "else", "case",
     "on", "by", "as", "in", "from", "having", "join", "union", "all",
-    "distinct", "between", "is", "like", "ilike", "rlike", "end", "set",
+    "distinct", "between", "is", "like", "ilike", "rlike", "set",
     "values", "limit", "offset", "returning", "intersect", "except")
 
   private def wordStart(sql: String, i: Int): Boolean = {

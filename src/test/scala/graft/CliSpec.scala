@@ -237,6 +237,11 @@ class CliSpec extends AnyFunSuite {
       "SELECT a RLIKE 'x' -- don't ~ rewrite 'this\nFROM t")
     assert(r("SELECT /* isn't a ~ op */ b ~ 'y'") ==
       "SELECT /* isn't a ~ op */ b RLIKE 'y'")
+    // CASE … END ends an operand, so END ~ is the binary match; a ~
+    // after a bare keyword (WHERE/SELECT/AND…) stays unary
+    assert(r("SELECT CASE WHEN b THEN x ELSE y END ~ 'p'") ==
+      "SELECT CASE WHEN b THEN x ELSE y END RLIKE 'p'")
+    assert(r("SELECT x WHERE ~5 = -6") == "SELECT x WHERE ~5 = -6")
   }
 
   test("information_schema refresh is lazy: only referenced members rebuild") {
