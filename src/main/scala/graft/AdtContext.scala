@@ -26,7 +26,11 @@ final class AdtContext(val spark: SparkSession) {
     * postgres-dialect regex operators (`~`, `!~`, `SIMILAR TO`, …) are
     * rewritten onto Spark spellings ([[SqlCompat]] — the reference's
     * postgres sqlparser dialect, context.rs:29, makes them reachable);
-    * everything else is Spark SQL. */
+    * everything else is Spark SQL, parsed with standard-conforming
+    * string literals (postgres/DataFusion treat `\` in a literal as a
+    * literal character; Spark's default escape mode would silently eat
+    * the regex backslashes [[SqlCompat]] emits for `SIMILAR TO '1\%'`
+    * or an ordinary `.`). */
   def sql(statement: String): DataFrame =
     if (Ddl.matches(statement)) {
       Ddl.register(spark, Ddl.parse(statement))
@@ -42,10 +46,25 @@ final class AdtContext(val spark: SparkSession) {
           // + listFunctions walk for a query that touches only `tables`
           // is wasted driver time (metadata-bound, but needless)
           InformationSchema.refresh(spark, members)
-          spark.sql(AdtContext.InfoSchemaRef.replaceAllIn(stmt,
+          parse(AdtContext.InfoSchemaRef.replaceAllIn(stmt,
             m => s"information_schema_${m.group(1).toLowerCase}"))
-        } else spark.sql(stmt)
+        } else parse(stmt)
     }
+
+  /** `spark.sql` under `escapedStringLiterals=true` — a PARSER conf,
+    * consumed eagerly during the `spark.sql` call itself, so the
+    * set/restore scoping is sound (unlike read-path confs, which lazy
+    * execution re-reads later). Restores the caller's setting after. */
+  private def parse(stmt: String): DataFrame = {
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.sql(stmt)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** DataFusion-shaped `EXPLAIN ANALYZE`: run the inner statement to
     * completion (rows discarded executor-side — nothing is collected),

@@ -65,8 +65,12 @@ object Bench {
     // contention two rounds running (q60: 2.35 s driver vs 0.33 s
     // isolated), and the second rep costs < 3 s across the whole block
     val jitterProne = "^q(5[5-9]|6[0-2])_".r
+    // the anti-jitter floor applies only when SPARK_GRAFT_REPS is unset —
+    // an explicit reps request (e.g. =1 for true cold single-shot
+    // timings) wins over the heuristic
     def repsFor(name: String): Int =
-      math.max(reps, if (jitterProne.findFirstIn(name).isDefined) 2 else 1)
+      if (sys.env.contains("SPARK_GRAFT_REPS")) reps
+      else math.max(reps, if (jitterProne.findFirstIn(name).isDefined) 2 else 1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timings = (1 to repsFor(name)).map { _ =>
         val t0 = System.nanoTime()

@@ -40,8 +40,23 @@ object InformationSchema {
   def refresh(spark: SparkSession, members: Set[String]): Unit = {
     import spark.implicits._
     val wanted = members.map(_.toLowerCase).intersect(Members)
-    // one catalog listing feeds tables/columns/views; built only on demand
-    lazy val tables = spark.catalog.listTables().collect().toSeq
+    // one catalog listing feeds tables/columns/views; built only on
+    // demand. listTables() never returns GLOBAL temp views — they live
+    // solely under the global_temp database (which itself exists only
+    // after the first global view is created, hence the Try) — so that
+    // listing is unioned in, de-duped against the local temp views
+    // listTables("global_temp") also reports.
+    lazy val tables = {
+      val local = spark.catalog.listTables().collect().toSeq
+      val global = Try(spark.catalog.listTables("global_temp").collect())
+        .getOrElse(Array.empty).toSeq
+        .filter(t => Option(t.database).exists(_.equalsIgnoreCase("global_temp")))
+      local ++ global
+    }
+    // global temp views resolve only through their qualified name
+    def qualified(t: org.apache.spark.sql.catalog.Table): String =
+      Option(t.database).filter(_.nonEmpty)
+        .map(d => s"$d.${t.name}").getOrElse(t.name)
     if (wanted("tables"))
       tables
         .map(t => ("spark_catalog", Option(t.database).getOrElse("default"),
@@ -51,7 +66,7 @@ object InformationSchema {
     if (wanted("columns"))
       tables
         .flatMap { t =>
-          spark.catalog.listColumns(t.name).collect().zipWithIndex.map {
+          spark.catalog.listColumns(qualified(t)).collect().zipWithIndex.map {
             case (c, i) =>
               ("spark_catalog", Option(t.database).getOrElse("default"), t.name,
                 c.name, i + 1, c.dataType, c.nullable)

@@ -174,18 +174,34 @@ object SqlCompat {
 
   /** SQL `SIMILAR TO` pattern → anchored Java regex: `%`→`.*`, `_`→`.`;
     * `.` `^` `$` are ordinary characters in SIMILAR TO (escaped here);
+    * `\c` is the SQL escape (default escape character) — the escaped
+    * character becomes a LITERAL (`\%` matches `%`, not any string),
+    * regex-quoted on emit; a pattern ending in a lone `\` is rejected
+    * (postgres errors on it too — fail loudly, never silently);
     * bracket expressions pass through verbatim (including `^` negation);
-    * `| * + ? { } ( ) \` keep their shared regex meaning. */
+    * `| * + ? { } ( )` keep their shared regex meaning. */
   private[graft] def similarToRegex(pat: String): String = {
     val sb = new StringBuilder("^(?:")
+    val meta = "\\.^$|?*+()[]{}"
     var inClass = false
-    pat.foreach {
-      case '%' if !inClass => sb.append(".*")
-      case '_' if !inClass => sb.append('.')
-      case '[' if !inClass => inClass = true; sb.append('[')
-      case ']' if inClass => inClass = false; sb.append(']')
-      case c @ ('.' | '^' | '$') if !inClass => sb.append('\\').append(c)
-      case c => sb.append(c)
+    var i = 0
+    while (i < pat.length) {
+      pat(i) match {
+        case '\\' if !inClass =>
+          require(i + 1 < pat.length,
+            s"SIMILAR TO pattern must not end with escape character: $pat")
+          val n = pat(i + 1)
+          if (meta.indexOf(n.toInt) >= 0) sb.append('\\').append(n)
+          else sb.append(n)
+          i += 1
+        case '%' if !inClass => sb.append(".*")
+        case '_' if !inClass => sb.append('.')
+        case '[' if !inClass => inClass = true; sb.append('[')
+        case ']' if inClass => inClass = false; sb.append(']')
+        case c @ ('.' | '^' | '$') if !inClass => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
     }
     sb.append(")$").toString
   }

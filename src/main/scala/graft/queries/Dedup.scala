@@ -129,6 +129,41 @@ object Dedup {
       .withColumn("jac", $"i".cast("double") / ($"n1" + $"n2" - $"i"))
   }
 
+  /** The MinHash+LSH signature pipeline — q42's candidate generation,
+    * shared verbatim with the q121 recall harness so the measured
+    * operator and its measurement can never drift apart: 16
+    * universal-hash minhash permutations computed as one aggregate pass
+    * over the hashed shingles, 4 bands × 4 rows concatenated to band
+    * signatures, candidates = distinct same-bucket pairs. Returns the
+    * CACHED wide signature table (16 longs/doc — q42's n_eq
+    * verification reads it twice, q121's band self-join benefits too)
+    * and the UNcached candidate pairs (callers cache per their reuse). */
+  private def minhashCandidates(s: SparkSession, sh: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val hashed = sh.select($"doc_id", ($"h" % P31).as("h31"))
+    val minAggs = (0 until 16).map { j =>
+      min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
+    }
+    val mhWide = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .cache()
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(r =>
+          col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
+    }
+    val bands = mhWide
+      .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    (mhWide, cand)
+  }
+
   /** DuckDB mirror of [[shingles]]; `MaxShingleDf` is interpolated so the
     * declared df-cap has a single source of truth across all oracles. */
   private[queries] val duckShingles = s"""
@@ -217,36 +252,12 @@ object Dedup {
         // the same md5-derived hash bit-for-bit, so collisions — if any —
         // affect both engines identically).
         val sh = hashedShingles(s, d).cache()
-        val hashed = sh.select($"doc_id", ($"h" % P31).as("h31"))
-        // 16 universal-hash permutations h_j(x) = ((2j+1)·x + 7919j) mod P,
-        // computed as 16 min-aggregates in ONE pass over the shingles (no
-        // row multiplication — at scale this is a single map-side-combined
-        // shuffle of 16 longs per doc), then unpivoted for banding.
-        val minAggs = (0 until 16).map { j =>
-          min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
-        }
-        val mhWide = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
-          .cache() // O(16 longs)/doc; feeds banding + both sides of n_eq
-        // Band signature = the band's 4 minhashes joined as a string — a
-        // NARROW map over the wide signature table (4 rows/doc), replacing
-        // the old 16-row unpivot + collect_list re-aggregation (which cost
-        // a full extra shuffle just to reassemble what the wide row
-        // already held in order).
-        val bandCols = (0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until 4).map(r =>
-              col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
-        }
-        val bands = mhWide
-          .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
-          .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-              $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          .distinct()
-          .cache() // consumed below (candDocs, n_eq join, verified)
+        // signatures + in-bucket candidate pairs: [[minhashCandidates]]
+        // (the pipeline is SHARED with the q121 recall harness — one
+        // aggregate pass computes all 16 minhashes; only same-bucket
+        // pairs ever meet)
+        val (mhWide, candRaw) = minhashCandidates(s, sh)
+        val cand = candRaw.cache() // consumed below (candDocs, n_eq join, verified)
         // exact-jaccard verification of the CANDIDATES ONLY — the point
         // of LSH is that the quadratic shingle intersection never touches
         // non-candidate pairs. One broadcast semi-join restricts the
@@ -723,25 +734,10 @@ object Dedup {
           .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
           .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
           .select($"d1", $"d2").cache()
-        val hashed = sh.select($"doc_id", ($"h" % P31).as("h31"))
-        val minAggs = (0 until 16).map { j =>
-          min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
-        }
-        val mhWide = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
-        val bandCols = (0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until 4).map(r =>
-              col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
-        }
-        val bands = mhWide
-          .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
-          .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-              $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          .distinct().cache()
+        // THE pipeline under measurement — not a re-spelling of it:
+        // [[minhashCandidates]] is the same code q42 runs, so a banding
+        // or permutation change is automatically measured here
+        val cand = minhashCandidates(s, sh.select($"doc_id", $"h"))._2.cache()
         val hit = exact.join(cand, Seq("d1", "d2"), "left_semi")
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

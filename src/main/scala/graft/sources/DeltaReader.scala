@@ -275,12 +275,15 @@ object DeltaReader {
         val adds = cp.where(col("add").isNotNull)
         // checkpoint-side pruning (the past-10⁶-files path): the prune
         // predicate runs inside the parquet scan of the checkpoint, so
-        // only surviving adds are ever serialized to the driver. Mirrors
-        // `admitted` exactly; writers store partitionValues as a
+        // only surviving adds are ever serialized to the driver. The DF
+        // filter keeps a SUPERSET of `admitted`'s keep-set — an add whose
+        // partitionValues lack the prune key (or carry null) passes
+        // through, exactly like the JSON-tail path — and `admitted`
+        // re-applies the precise predicate when each surviving add is
+        // parsed, so over-keeping here costs driver memory only, never
+        // correctness. Writers store partitionValues as a
         // map<string,string> (spec) or an inferred struct — both shapes
-        // filter; anything else falls back to keep-all (still correct:
-        // `admitted` applies the identical predicate again when each
-        // surviving add is parsed, it just prunes driver-side then).
+        // filter; anything else falls back to keep-all.
         val pruned = prune.foldLeft(adds) { case (df, (c, vs)) =>
           val key = physNames.getOrElse(c, c)
           val access = df.schema("add").dataType match {
@@ -294,7 +297,8 @@ object DeltaReader {
               }
             case _ => None
           }
-          access.map(a => df.where(a.isin(vs.toSeq: _*))).getOrElse(df)
+          access.map(a => df.where(a.isNull || a.isin(vs.toSeq: _*)))
+            .getOrElse(df)
         }
         pruned.select(to_json(col("add")))
           .collect().foreach { r =>

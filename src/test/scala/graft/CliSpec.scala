@@ -221,6 +221,17 @@ class CliSpec extends AnyFunSuite {
       "SELECT a RLIKE '^(?:ab.*c.[0-9]|x\\.)$'")
     assert(r("SELECT a NOT SIMILAR TO 'x%'") ==
       "SELECT a NOT RLIKE '^(?:x.*)$'")
+    // \c is the SQL escape: the escaped char becomes a LITERAL —
+    // \% matches %, \_ matches _, \\ a backslash (regex-quoted)
+    assert(r("SELECT a SIMILAR TO '100\\%'") ==
+      "SELECT a RLIKE '^(?:100%)$'")
+    assert(r("SELECT a SIMILAR TO 'a\\_b'") == "SELECT a RLIKE '^(?:a_b)$'")
+    assert(r("SELECT a SIMILAR TO 'c:\\\\%'") ==
+      "SELECT a RLIKE '^(?:c:\\\\.*)$'")
+    // a pattern ending in a lone escape fails loudly (postgres errors)
+    intercept[IllegalArgumentException] {
+      SqlCompat.rewrite("SELECT a SIMILAR TO 'oops\\'")
+    }
     // untouched: unary bitwise ~, literals/quoted identifiers holding ~,
     // non-literal ci patterns (left verbatim → loud parse error),
     // identifiers merely containing the keyword
@@ -272,5 +283,16 @@ class CliSpec extends AnyFunSuite {
       "SELECT count(*) FROM pgre WHERE n_name SIMILAR TO 'NATION_2%'")
       .collect()
     assert(sim(0).getLong(0) == 6) // NATION_2 + NATION_20..24
+    // escaped wildcards and ordinary `.` survive the round trip: the
+    // emitted regex backslashes depend on AdtContext parsing literals
+    // standard-SQL-style (escapedStringLiterals), like the reference's
+    // postgres dialect — Spark's default escape mode would eat them
+    val esc = ctx.sql(
+      "SELECT '100%' SIMILAR TO '100\\%' AS e, " +
+        "'1009' SIMILAR TO '100\\%' AS f, " +
+        "'a.b' SIMILAR TO 'a.b' AS g, " +
+        "'axb' SIMILAR TO 'a.b' AS h").collect()(0)
+    assert(esc.getBoolean(0) && !esc.getBoolean(1))
+    assert(esc.getBoolean(2) && !esc.getBoolean(3))
   }
 }

@@ -331,4 +331,70 @@ class DeltaStatsSpec extends AnyFunSuite {
       Map("p" -> Set("no_such_partition")))
     assert(none.columns.toSeq == Seq("k", "p") && none.count() == 0)
   }
+
+  test("checkpoint prune keeps adds whose partitionValues lack the key (map shape)") {
+    // Spec-conforming checkpoints store partitionValues as
+    // map<string,string>; element_at returns null both for an absent key
+    // and for a null value, so the DF-side filter must keep nulls —
+    // otherwise an add missing the prune key (or a prune on a
+    // non-partition column) silently loses every checkpoint-resident
+    // file while the JSON-tail path's `admitted` keeps it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpmap").toFile
+    val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
+    val schemaJson = new StructType()
+      .add("k", LongType).add("p", StringType).json
+    val addT = new StructType()
+      .add("path", StringType)
+      .add("partitionValues", MapType(StringType, StringType))
+      .add("size", LongType)
+      .add("modificationTime", LongType)
+      .add("dataChange", BooleanType)
+    val protoT = new StructType()
+      .add("minReaderVersion", IntegerType).add("minWriterVersion", IntegerType)
+    val metaT = new StructType()
+      .add("id", StringType)
+      .add("format", new StructType()
+        .add("provider", StringType)
+        .add("options", MapType(StringType, StringType)))
+      .add("schemaString", StringType)
+      .add("partitionColumns", ArrayType(StringType))
+      .add("configuration", MapType(StringType, StringType))
+      .add("createdTime", LongType)
+    val cpT = new StructType()
+      .add("protocol", protoT).add("metaData", metaT).add("add", addT)
+    import org.apache.spark.sql.Row
+    def addRow(path: String, pv: Map[String, String]) =
+      Row(null, null, Row(path, pv, 100L, 0L, true))
+    val rows = Seq(
+      Row(Row(1, 2), null, null),
+      Row(null, Row("m", Row("parquet", Map.empty[String, String]),
+        schemaJson, Seq("p"), Map.empty[String, String], 0L), null),
+      addRow("p=7/a.parquet", Map("p" -> "7")),
+      addRow("p=8/b.parquet", Map("p" -> "8")),
+      addRow("nopart/c.parquet", Map.empty))
+    val tmp = new java.io.File(dir, ".tmp_cp")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cpT)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(logDir, f"${0L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${1L}%020d.json").toPath,
+      s"""{"add":{"path":"p=7/tail.parquet","partitionValues":{"p":"7"},"size":100,"modificationTime":0,"dataChange":true}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // prune on the partition column: p=8 drops; the key-less add is
+    // KEPT, mirroring the JSON-tail path's conservative admission
+    val snap = DeltaReader.snapshotAt(spark, dir.getAbsolutePath,
+      Long.MaxValue, Map("p" -> Set("7")))
+    assert(snap.files.map(_.path).toSet ==
+      Set("p=7/a.parquet", "nopart/c.parquet", "p=7/tail.parquet"))
+
+    // prune on a key no add carries (e.g. a non-partition column):
+    // nothing may be dropped — every value is null at the filter
+    val all = DeltaReader.snapshotAt(spark, dir.getAbsolutePath,
+      Long.MaxValue, Map("c" -> Set("x")))
+    assert(all.files.size == 4)
+  }
 }

@@ -56,6 +56,23 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(views("ext_probe_table").isEmpty)
       assert(views("ext_probe_sql_view").exists(_.contains("id * 2")))
 
+      // GLOBAL temp views surface too (they live only under the
+      // global_temp database, which listTables() alone never reports),
+      // with their defining SQL from the global registry
+      s2.sql("CREATE OR REPLACE GLOBAL TEMP VIEW ext_probe_global AS " +
+        "SELECT id + 5 AS shifted FROM ext_probe_table")
+      val gv = s2.sql("""
+        SELECT table_schema, definition FROM information_schema.views
+        WHERE table_name = 'ext_probe_global'""").collect()
+      assert(gv.length == 1)
+      assert(gv(0).getString(0) == "global_temp")
+      assert(Option(gv(0).getString(1)).exists(_.contains("id + 5")))
+      val gcols = s2.sql("""
+        SELECT column_name FROM information_schema.columns
+        WHERE table_name = 'ext_probe_global'""")
+        .collect().map(_.getString(0)).toSet
+      assert(gcols == Set("shifted"))
+
       // information_schema.df_settings: (name, value) over the session's
       // documented conf surface, current values not defaults
       s2.conf.set("spark.sql.shuffle.partitions", "7")

@@ -10,9 +10,17 @@ class PlanAuditSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val d = SparkTestSession.sfDir
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // drop cached state other suites may have left in the shared session
+    // (e.g. QueriesSpec runs q115/q116, which cache the lloyd2
+    // assignment) — a stale InMemoryRelation substituting into this
+    // query's tree would make the audited shape depend on suite order.
+    // Caches a query takes itself are re-registered during construction
+    // below, so self-cache assertions (q104 etc.) still hold.
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, d).queryExecution
       .explainString(FormattedMode)
+  }
 
   test("q2: predicates reach the parquet scan (PushedFilters)") {
     val p = plan("q2_filter")
