@@ -650,6 +650,65 @@ object Pipeline {
         FROM big JOIN corpus ON big.bg = corpus.bg
         WHERE big.doc_id < 100
         GROUP BY big.doc_id
+        ORDER BY big.doc_id""")),
+
+    // ---- Bigram LM fluency score: the CCNet-style language-model
+    // quality filter, KenLM-free — train corpus bigram transition
+    // frequencies, score each doc by its MEAN conditional likelihood
+    // P(w2|w1) = c(w1 w2)/c(w1·). Complements q119 (novelty counts
+    // corpus-UNIQUE bigrams; this weights every transition by how
+    // predictable the corpus says it is — template text scores high,
+    // word salad low). Declared exact-integer variant of the usual
+    // mean-log-prob: per-transition ppm = c(bg)·10⁶ // c(w1·), per-doc
+    // score = mean of those ppms (both floor-divs, every term < 2^53),
+    // so the cross-engine compare is bit-exact — ln is libm and off
+    // limits. Shapes at 100 TB: bigram explode → two map-side-combined
+    // count aggregates (pair key, context key) → two linear equi-joins
+    // back on the same uniformly-distributed keys → per-doc aggregate.
+    // No all-pairs stage anywhere; identical to q119's audited shape
+    // plus one more linear join.
+    Q("q122_lm_fluency",
+      (s, d) => Tables.sql(s, d, """
+        WITH t AS (
+          SELECT doc_id, split(text, ' ') AS w FROM documents
+          WHERE size(split(text, ' ')) >= 2),
+        big AS (
+          SELECT doc_id, element_at(w, i) AS w1,
+            concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg
+          FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) s AS i),
+        pair AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg),
+        ctx AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)
+        SELECT big.doc_id,
+          CAST(count(*) AS BIGINT) AS n_transitions,
+          sum(pair.n * 1000000L DIV ctx.n) DIV count(*) AS fluency_ppm
+        FROM big
+        JOIN pair ON big.bg = pair.bg
+        JOIN ctx ON big.w1 = ctx.w1
+        WHERE big.doc_id < 100
+        GROUP BY big.doc_id
+        ORDER BY big.doc_id"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        big AS (
+          SELECT doc_id, w[k] AS w1, w[k] || ' ' || w[k + 1] AS bg
+          FROM t, unnest(generate_series(1, len(w) - 1)) s(k)),
+        pair AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg),
+        ctx AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)
+        SELECT big.doc_id,
+          CAST(count(*) AS BIGINT) AS n_transitions,
+          CAST(sum(pair.n * 1000000 // ctx.n) // count(*) AS BIGINT)
+            AS fluency_ppm
+        FROM big
+        JOIN pair ON big.bg = pair.bg
+        JOIN ctx ON big.w1 = ctx.w1
+        WHERE big.doc_id < 100
+        GROUP BY big.doc_id
         ORDER BY big.doc_id"""))
   )
 }
