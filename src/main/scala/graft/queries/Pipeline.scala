@@ -709,6 +709,48 @@ object Pipeline {
         JOIN ctx ON big.w1 = ctx.w1
         WHERE big.doc_id < 100
         GROUP BY big.doc_id
-        ORDER BY big.doc_id"""))
+        ORDER BY big.doc_id""")),
+
+    // ---- Deterministic corpus shuffle + train/validation split: the
+    // last step before training — a reproducible pseudo-random total
+    // order (epoch reading order) plus a seeded 5% holdout. Shuffle key
+    // = md5_60("shuf1:" || doc_id), so the permutation is a pure
+    // function of (seed, doc_id): re-running on a regrown corpus moves
+    // nothing that didn't change. The global rank uses
+    // [[graft.plans.DistributedRank.rowNumber]] — a range exchange on
+    // the hash key plus broadcast per-partition offsets, so every
+    // executor ranks its own range (Spark's single-partition
+    // `row_number() OVER (ORDER BY …)` window would serialize the
+    // corpus through one task at any scale). The split is decided by
+    // the hash value itself, NOT the rank — membership survives
+    // repartitioning and corpus growth. Rank ≤ 100 bounds the reported
+    // head; the full-corpus variant is the same plan minus the filter.
+    Q("q123_corpus_shuffle",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.t(s, d, "documents")
+          .select($"doc_id",
+            graft.functions.Md5Long.md5_60(
+              concat(lit("shuf1:"), $"doc_id".cast("string"))).as("h"))
+        graft.plans.DistributedRank.rowNumber(
+          base, lit(0L), Seq($"h".asc, $"doc_id".asc), "shuffle_rank", 16)
+          .filter($"shuffle_rank" <= 100)
+          .select($"shuffle_rank", $"doc_id",
+            when($"h" % 20 === 0, "valid").otherwise("train").as("split"))
+          .orderBy($"shuffle_rank")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            ('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT AS h
+          FROM documents)
+        SELECT shuffle_rank, doc_id, split FROM (
+          SELECT
+            CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_rank,
+            doc_id,
+            CASE WHEN h % 20 = 0 THEN 'valid' ELSE 'train' END AS split
+          FROM h) t
+        WHERE shuffle_rank <= 100
+        ORDER BY shuffle_rank"""))
   )
 }
