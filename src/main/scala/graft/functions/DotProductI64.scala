@@ -13,14 +13,22 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * (acc,x) -> acc+x)` — allocates an intermediate array and evaluates two
   * lambda closures per element, outside whole-stage codegen's fused loop.
   * This expression generates a single primitive loop (doGenCode), keeping
-  * the ANN/dedup scoring kernels (q44/q67/q68) inside codegen. Overflow
-  * semantics: plain Java long arithmetic (callers quantize to ≤ 2^17 per
-  * element, so 64-dim dots stay far below 2^63).
+  * the ANN/dedup scoring kernels (q44/q67/q68) inside codegen, and it
+  * matches that spelling's SEMANTICS too: mismatched lengths or a null
+  * element yield NULL (zip_with pads the shorter side with null; null
+  * poisons the aggregate) — never a silently truncated or zero-padded
+  * score. The per-element null check is emitted only when an input's
+  * array type says `containsNull` — the ANN corpus columns don't, so the
+  * hot loop stays two loads + fma per element. Overflow semantics: plain
+  * Java long arithmetic (callers quantize to ≤ 2^17 per element, so
+  * 64-dim dots stay far below 2^63).
   */
 case class DotProductI64(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  // NULL on length mismatch / null element, even for non-null inputs
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -33,13 +41,19 @@ case class DotProductI64(left: Expression, right: Expression)
     }
   }
 
+  private def mayHoldNulls: Boolean = Seq(left, right).exists {
+    e => e.dataType.asInstanceOf[ArrayType].containsNull
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (mayHoldNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       acc += a.getLong(i) * b.getLong(i)
       i += 1
     }
@@ -52,13 +66,22 @@ case class DotProductI64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayHoldNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -78,6 +101,11 @@ object DotProductI64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_i64",
-      exprs => DotProductI64(exprs(0), exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          s"dot_i64 expects 2 arguments (array<bigint>, array<bigint>), " +
+            s"got ${exprs.length}")
+        DotProductI64(exprs(0), exprs(1))
+      },
       "built-in")
 }

@@ -11,15 +11,17 @@ object GapFunctions {
 
   /** DataFusion `date_bin(stride, ts, origin)`: floor `ts` into
     * `strideSeconds` buckets anchored at `originEpochSeconds`
-    * (default 2000-01-01, DuckDB time_bucket's anchor). Integer second
-    * arithmetic → engine-portable. */
+    * (default 2000-01-01, DuckDB time_bucket's anchor). Pure int64
+    * arithmetic — `pmod` gives the non-negative remainder, so the
+    * subtraction floors toward the origin for timestamps on either side
+    * of it, with no double-precision leg at any magnitude (engine-
+    * portable by construction, not by range argument). */
   def dateBinSeconds(
       ts: Column,
       strideSeconds: Long,
       originEpochSeconds: Long = 946684800L): Column = {
     val sec = unix_timestamp(ts)
-    val bucket = floor((sec - originEpochSeconds) / lit(strideSeconds).cast("double")).cast("long")
-    timestamp_seconds(bucket * strideSeconds + originEpochSeconds)
+    timestamp_seconds(sec - pmod(sec - originEpochSeconds, lit(strideSeconds)))
   }
 
   /** DataFusion `array_resize(arr, n, fill)`. */

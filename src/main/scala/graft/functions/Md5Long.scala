@@ -75,6 +75,10 @@ object Md5Long {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_60",
-      exprs => Md5Long(exprs.head),
+      exprs => {
+        require(exprs.length == 1,
+          s"md5_60 expects 1 string argument, got ${exprs.length}")
+        Md5Long(exprs.head)
+      },
       "built-in")
 }

@@ -30,6 +30,10 @@ object DistributedRank {
     * a total order within each key for deterministic numbering. */
   def rowNumber(df: DataFrame, key: Column, order: Seq[Column],
       rnCol: String, numPartitions: Int = 32): DataFrame = {
+    // withColumn REPLACES a same-named column, which would silently break
+    // the positional indexing below — reject the reserved name up front
+    require(!df.columns.contains("__rk"),
+      "DistributedRank.rowNumber: input must not contain a __rk column")
     val spark = df.sparkSession
     val keyIdx = df.columns.length // key value re-projected as last col
     val sorted = df
@@ -86,6 +90,9 @@ object DistributedRank {
     * `order` must totally order rows within each key. */
   def runningSum(df: DataFrame, key: Column, order: Seq[Column],
       value: Column, sumCol: String, numPartitions: Int = 32): DataFrame = {
+    // same reserved-name contract as rowNumber, for both scratch columns
+    require(!df.columns.contains("__rk") && !df.columns.contains("__rv"),
+      "DistributedRank.runningSum: input must not contain __rk/__rv columns")
     val spark = df.sparkSession
     val keyIdx = df.columns.length
     val valIdx = keyIdx + 1

@@ -29,6 +29,12 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The streaming package's cents rounding — floor(x·100 + 0.5), the
+    * one spelling shared by the windowed aggregate and sessionization so
+    * stream and batch kernels can never disagree on a boundary value. */
+  private[streaming] def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + lit(0.5)).cast("long")
+
   /** Streaming source over the corpus file(s). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,7 +54,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+        sum(cents(col("value"))).as("cents"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("cents"))
@@ -66,7 +72,16 @@ object EventStream {
         coalesce(col("segment"), lit("unknown")).as("segment"))
 
   /** Run the streaming query to completion over the (finite) file source
-    * via the memory sink; returns the collected result table. */
+    * via the memory sink; returns the collected result table.
+    *
+    * Output mode is `complete` here ONLY because this is a finite replay
+    * into a memory sink that must observe every window, including the
+    * last one, which no later data will ever push past the watermark —
+    * complete mode retains all aggregation state, so the module's
+    * bounded-state claim does NOT apply to this helper. A production
+    * deployment of [[dailyCounts]] on a live feed runs `append` (the
+    * watermarked plan supports it), where finalized windows emit once
+    * and their state is purged. */
   def runToCompletion(spark: SparkSession, dir: String,
       queryName: String = "events_daily"): DataFrame = {
     val q = dailyCounts(readEvents(spark, dir))

@@ -22,17 +22,34 @@ object Sessionize {
   final case class Session(
       user_id: Long, start_s: Long, end_s: Long, n_events: Long, cents: Long)
 
-  def events(spark: SparkSession, dir: String): Dataset[Event] = {
-    import spark.implicits._
-    graft.Tables.t(spark, dir, "events")
-      .select(col("user_id"),
-        unix_timestamp(col("ts")).as("epoch_s"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("value_c"))
+  /** Shared projection from any (ts: timestamp, user_id, value) events
+    * frame to the typed fold input — the single source of the
+    * epoch/cents derivation for the batch AND streaming paths. */
+  private def toEvents(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select(col("user_id"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+      EventStream.cents(col("value")).as("value_c"))
       .as[Event]
   }
 
+  def events(spark: SparkSession, dir: String): Dataset[Event] =
+    toEvents(graft.Tables.t(spark, dir, "events"))
+
   /** Fold time-ordered events on top of an optional carried-in open
-    * session; returns (closed sessions in order, open tail). */
+    * session; returns (closed sessions in order, open tail).
+    *
+    * Within one invocation the input is sorted, but a LATE event — one
+    * arriving in a later micro-batch with an epoch behind the carried
+    * session's frontier — still reaches the merge branch (its gap is
+    * negative). It is absorbed into the open session with CLAMPED
+    * bounds (start = min, last = max), never regressing the frontier:
+    * without the clamp a late arrival would drag `last_s` backward and
+    * the next on-time event could close a session with end < start.
+    * This is the declared no-watermark trade: a late event that belongs
+    * to an already-emitted session re-attributes to the open one rather
+    * than being dropped. On sorted batch input the clamp is the
+    * identity, so the batch kernel (q76's oracle) is unaffected. */
   def fold(userId: Long, carried: Option[OpenSession], sorted: Seq[Event],
       gapSeconds: Long): (Seq[Session], Option[OpenSession]) = {
     val closed = Seq.newBuilder[Session]
@@ -40,7 +57,8 @@ object Sessionize {
     sorted.foreach { e =>
       st match {
         case Some(s) if e.epoch_s - s.last_s <= gapSeconds =>
-          st = Some(OpenSession(s.start_s, e.epoch_s, s.n + 1, s.cents + e.value_c))
+          st = Some(OpenSession(math.min(s.start_s, e.epoch_s),
+            math.max(s.last_s, e.epoch_s), s.n + 1, s.cents + e.value_c))
         case Some(s) =>
           closed += Session(userId, s.start_s, s.last_s, s.n, s.cents)
           st = Some(OpenSession(e.epoch_s, e.epoch_s, 1, e.value_c))
@@ -58,16 +76,9 @@ object Sessionize {
       gapSeconds: Long = 1800L,
       queryName: String = "sessions"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(EventStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .select(col("user_id"),
-        unix_timestamp(col("ts")).as("epoch_s"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("value_c"))
-      .as[Event]
+    // same raw-nanos read recipe as the windowed aggregate, same typed
+    // projection as the batch path — no private re-spelling of either
+    val src = toEvents(EventStream.readEvents(spark, dir))
 
     val sessions = src
       .groupByKey(_.user_id)

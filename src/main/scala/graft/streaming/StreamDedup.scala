@@ -35,15 +35,20 @@ object StreamDedup {
     docs.withColumn("h", md5(col("text"))).dropDuplicates("h")
 
   /** Bounded-state dedup: event time derived deterministically from the
-    * document id, duplicates tracked within a 1-hour watermark. Event
-    * times are offset a day past the epoch — the initial watermark is
-    * epoch 0, and a row landing exactly on it would be discarded as
-    * late. */
+    * document id (1 s per id — the same clock [[StreamNearDup]] uses),
+    * duplicates tracked within a 1-hour watermark. The id-proportional
+    * clock is what makes the bound REAL: the watermark advances with the
+    * ids, so a digest's state is evicted once the frontier passes its
+    * event time + 1 h (a modular or constant clock would pin the
+    * watermark forever and the "bounded" variant would silently hold
+    * state for every digest, exactly like [[dedupExact]]). Event times
+    * are offset a day past the epoch — the initial watermark is epoch 0,
+    * and a row landing exactly on it would be discarded as late. */
   def dedupWithinWatermark(docs: DataFrame): DataFrame =
     docs
       .withColumn("h", md5(col("text")))
       .withColumn("ts",
-        timestamp_micros(col("doc_id") % 1000L + 86400L * 1000000L))
+        timestamp_micros(col("doc_id") * 1000000L + 86400L * 1000000L))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("h")
 

@@ -25,7 +25,14 @@ object StreamJoin {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** Streaming source over a directory of event parquet files. */
+  /** Streaming source over a directory of event parquet files whose `ts`
+    * is an ordinary (micro-second) parquet timestamp — i.e. a feed
+    * directory of files written by this engine or any normal producer.
+    * The CORPUS file events.parquet is NOT such a file (timestamp[ns]);
+    * reading it goes through [[EventStream.readEvents]]' raw-nanos
+    * recipe or `graft.Tables.t`, never this schema — pointing this
+    * source at the raw corpus directory fails with Spark's
+    * illegal-parquet-type error rather than misreading. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(schema)

@@ -10,13 +10,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * candidates stream out at arrival time; exact-jaccard verification
   * stays a batch pass over the sealed corpus (q42's verification stage).
   *
-  * Signature identity is EXACTLY q42's (queries/Dedup.scala): word
+  * Signature FORMULA is exactly q42's (queries/Dedup.scala): word
   * 3-gram shingles → 60-bit md5 hash mod P31 → 16 universal-hash
   * minhashes h_j(x) = ((2j+1)·x + 7919j) mod P31 → 4 bands of 4,
   * signature = comma-joined minhashes. StreamNearDupSpec pins the Scala
-  * kernel bit-for-bit against the Spark-SQL spelling of the same
-  * formula, so a candidate stream flagged here and a batch q42 run see
-  * the same buckets.
+  * kernel bit-for-bit against the Spark-SQL spelling of that formula.
+  * One DECLARED divergence from batch: q42 drops shingles whose corpus
+  * document frequency exceeds MaxShingleDf BEFORE minhashing — document
+  * frequency is a whole-corpus property no arrival-time stream can
+  * know, so the stream minhashes over ALL of a doc's shingles. On a
+  * corpus where a >50-df shingle wins an argmin, the two sides can
+  * bucket that doc differently; the batch sweep over the sealed corpus
+  * (which re-runs full q42) remains the source of truth, with the
+  * stream as the early-warning candidate feed. The analogous streaming
+  * guard against boilerplate saturation is [[MaxBucketState]] below.
   *
   * State: one [[GroupState]] per live band signature holding up to
   * [[MaxBucketState]] doc ids (declared cap — the streaming analogue of

@@ -17,6 +17,16 @@ class SessionizeSpec extends AnyFunSuite {
     val (c2, o2) = Sessionize.fold(1L, Some(OpenSession(4000, 4400, 2, 7)),
       Seq(Event(1, 4500, 3)), 1800)
     assert(c2.isEmpty && o2.contains(OpenSession(4000, 4500, 3, 10)))
+    // a LATE cross-batch event (epoch behind the carried frontier) is
+    // absorbed with clamped bounds — the frontier must never regress,
+    // or the next on-time event could close a session with end < start
+    val (c3, o3) = Sessionize.fold(1L, Some(OpenSession(4000, 4400, 2, 7)),
+      Seq(Event(1, 3900, 2), Event(1, 4600, 1)), 1800)
+    assert(c3.isEmpty && o3.contains(OpenSession(3900, 4600, 4, 10)))
+    // late event BEFORE the carried start: start clamps down to it
+    val (c4, o4) = Sessionize.fold(1L, Some(OpenSession(4000, 4400, 2, 7)),
+      Seq(Event(1, 2800, 2)), 1800)
+    assert(c4.isEmpty && o4.contains(OpenSession(2800, 4400, 3, 9)))
   }
 
   test("streamed closed sessions == batch sessions minus open tails") {

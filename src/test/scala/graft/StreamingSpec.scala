@@ -86,9 +86,13 @@ class StreamingSpec extends AnyFunSuite {
     // texts that already appeared in the base corpus
     assert(deduped.filter(col("doc_id") >= 10000L).count() == 0)
 
-    // bounded-state variant: duplicates fall inside the 1h watermark
-    // horizon (event time = doc_id % 1000 µs), so the result matches the
-    // keep-first semantics on this corpus while state stays bounded
+    // bounded-state variant: event time = 1 s per doc_id, so the
+    // watermark genuinely advances (and state is genuinely evicted on a
+    // long stream). The re-id'd duplicates sit ~10000 s past the
+    // originals but arrive in the NEXT micro-batch, and state eviction
+    // uses the watermark as of the END of the PREVIOUS batch — still
+    // behind every original's expiry — so keep-first semantics hold on
+    // this corpus while the state bound is real
     val q = StreamDedup.dedupWithinWatermark(
       StreamDedup.readDocs(spark, merged.getAbsolutePath))
       .writeStream.outputMode("append").format("memory")
