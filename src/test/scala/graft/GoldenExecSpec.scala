@@ -74,4 +74,28 @@ class GoldenExecSpec extends AnyFunSuite {
     // '_1$' matches NATION_1 alone (NATION_11/21 end in "11"/"21")
     assert(outputs(6).contains("NATION_1") && !outputs(6).contains("NATION_11"))
   }
+
+  test("golden4.sql: the postgres dialect surface through execute") {
+    val url = getClass.getResource("/queries/golden4.sql")
+    assert(url != null, "golden4.sql resource missing")
+    val spark = SparkTestSession.spark
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${NATION}", s"${SparkTestSession.sfDir}/nation.parquet"))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 7) // 1 DDL + 6 queries (last without ';')
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(0) == "++\n++")
+    assert(outputs(1).contains("| 5")) // NATION_20..24
+    assert(outputs(2).contains("| 0")) // every name ends in a digit
+    assert(outputs(3).contains("| 1")) // ~* case-insensitive exact NATION_1
+    // `~~*` = ILIKE; `\_` is a literal underscore under standard-
+    // conforming literals, `_` a wildcard → NATION_ + one char = 10 rows
+    assert(outputs(4).contains("| 10"))
+    // SIMILAR TO with an escaped underscore: NATION_10..24 = 15 rows
+    assert(outputs(5).contains("| 15"))
+    // escaped % stays literal through rewrite + parse: '100%' matches
+    assert(outputs(6).contains("true"))
+  }
 }
