@@ -364,6 +364,49 @@ object TextOps {
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // ---- Mergeable HLL sketch union (Apache DataSketches via Spark's
+    // hll_sketch_agg/hll_union_agg): THE scale architecture for distinct
+    // counting across shards — each shard aggregates an O(1)-size sketch
+    // locally and only sketches move for the union, so a 1000-executor
+    // global distinct costs one metadata-sized merge instead of a
+    // corpus-wide exchange of keys (count(DISTINCT) reshuffles every
+    // value). Checked like q53: estimates become tolerance booleans the
+    // oracle pins to true, plus a mergeability check — the union of
+    // per-shard sketches must estimate within 2% of one direct sketch
+    // over all rows (HLL union is a register-wise max, but the union
+    // gadget's internal representation is not bit-identical to a
+    // directly built sketch, so closeness is the honest contract) — so
+    // a hash-exact compare still verifies the sketch path end-to-end.
+    Q("q124_sketch_union",
+      (s, d) => Tables.sql(s, d, """
+        WITH sk AS (
+          SELECT lang, hll_sketch_agg(doc_id) AS sk,
+            count(DISTINCT doc_id) AS exact_docs
+          FROM documents GROUP BY lang),
+        uni AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS union_est,
+            sum(exact_docs) AS exact_total
+          FROM sk),
+        direct AS (
+          SELECT hll_sketch_estimate(hll_sketch_agg(doc_id)) AS direct_est
+          FROM documents)
+        SELECT lang, exact_docs,
+          abs(CAST(hll_sketch_estimate(sk) AS DOUBLE) / exact_docs - 1.0)
+            <= 0.05 AS lang_within_5pct,
+          abs(CAST((SELECT union_est FROM uni) AS DOUBLE)
+            / (SELECT direct_est FROM direct) - 1.0) <= 0.02
+            AS merge_close,
+          abs(CAST((SELECT union_est FROM uni) AS DOUBLE)
+            / (SELECT exact_total FROM uni) - 1.0) <= 0.05
+            AS union_within_5pct
+        FROM sk
+        ORDER BY lang"""),
+      Some("""
+        SELECT lang, count(DISTINCT doc_id) AS exact_docs,
+          true AS lang_within_5pct, true AS merge_close,
+          true AS union_within_5pct
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---- Text normalization (the cleaning stage every corpus pipeline
     // runs first): lowercase, strip punctuation, collapse whitespace,
     // trim — with a digest of the normalized form for downstream dedup.
