@@ -61,25 +61,32 @@ object Dedup {
       .select($"doc_id", $"s")
   }
 
-  /** doc_id → 60-bit-hashed distinct shingles, df-capped. The scale
+  /** doc_id → 60-bit-hashed distinct shingles, df-capped — over an
+    * arbitrary (doc_id, text) frame. The df cap is computed WITHIN the
+    * given frame (for the incremental q125 shapes each side caps against
+    * its own corpus; the full-corpus operators pass the whole table). */
+  private def hashedShinglesOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("s"))
+      .select(col("doc_id"), h60(col("s")).as("h"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** [[hashedShinglesOf]] over the documents table. The scale
     * variant of [[shingles]]: the corpus-wide distinct + df-window
     * exchanges move 8-byte longs instead of shingle text (production
     * minhash never shuffles shingle strings). Used by q42 and q89; the
     * DuckDB mirror is [[duckHashedShingles]]. */
-  private def hashedShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-    Tables.t(s, d, "documents")
-      .select($"doc_id", split($"text", " ").as("w"))
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
-        .as("s"))
-      .select($"doc_id", h60($"s").as("h"))
-      .distinct()
-      .withColumn("df", count(lit(1)).over(w))
-      .filter($"df" <= MaxShingleDf)
-      .select($"doc_id", $"h")
-  }
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    hashedShinglesOf(Tables.t(s, d, "documents").select(
+      col("doc_id"), col("text")))
 
   private val duckHashedShingles = s"""
     sh0 AS (
@@ -140,28 +147,39 @@ object Dedup {
     * and the UNcached candidate pairs (callers cache per their reuse). */
   private def minhashCandidates(s: SparkSession, sh: DataFrame)
       : (DataFrame, DataFrame) = {
-    import s.implicits._
-    val hashed = sh.select($"doc_id", ($"h" % P31).as("h31"))
+    val mhWide = minhashSignatures(sh).cache()
+    val bands = bandSignatures(mhWide)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    (mhWide, cand)
+  }
+
+  /** doc_id → the 16 minhash permutations as one WIDE row, computed in
+    * a single map-side-combined aggregate pass over the hashed
+    * shingles. */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), (col("h") % P31).as("h31"))
     val minAggs = (0 until 16).map { j =>
-      min((lit(2L * j + 1) * $"h31" + lit(7919L * j)) % P31).as(s"mh$j")
+      min((lit(2L * j + 1) * col("h31") + lit(7919L * j)) % P31).as(s"mh$j")
     }
-    val mhWide = hashed.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
-      .cache()
+    hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Wide signature rows → 4 (band, sig) rows per doc (a narrow map,
+    * no extra exchange). */
+  private def bandSignatures(mhWide: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until 4).map(r =>
           col(s"mh${b * 4 + r}").cast("string")): _*).as("sig"))
     }
-    val bands = mhWide
-      .select($"doc_id", explode(array(bandCols: _*)).as("bs"))
-      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
-    (mhWide, cand)
+    mhWide
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** DuckDB mirror of [[shingles]]; `MaxShingleDf` is interpolated so the
@@ -785,6 +803,103 @@ object Dedup {
                ELSE 0.0 END AS recall,
           CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand
                ELSE 0.0 END AS cand_precision
-        FROM agg"""))
+        FROM agg""")),
+
+    // ---- INCREMENTAL DEDUP: the production ingest shape — a new batch
+    // of documents is checked against the SEALED corpus without
+    // re-deduplicating the sealed side against itself. Exact phase =
+    // digest anti-lookup (left join against the sealed digest set);
+    // near phase = the q42 band signatures computed per side and joined
+    // ASYMMETRICALLY (incoming bands × sealed bands only — never sealed
+    // × sealed, which a naive full-corpus rerun pays every ingest). At
+    // 100 TB the sealed digest/band index is precomputed once and
+    // reused per increment, so ingest cost scales with the increment,
+    // not the corpus; both joins are equi-joins on uniformly
+    // distributed keys. Declared semantics: each side's shingle df cap
+    // is computed within that side (the sealed index is built once from
+    // sealed data alone; the increment cannot retroactively change it).
+    // Fixture: increment = docs ≥ 450 plus re-id'd copies of the first
+    // 50 (planted exact dupes), sealed = docs < 450.
+    Q("q125_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.t(s, d, "documents").select($"doc_id", $"text")
+        val sealedDocs = docs.filter($"doc_id" < 450)
+        val incoming = docs.filter($"doc_id" >= 450)
+          .unionAll(docs.filter($"doc_id" < 50)
+            .select(($"doc_id" + 20000L).as("doc_id"), $"text"))
+        val sealedDigests = sealedDocs.select(md5($"text").as("sh")).distinct()
+        val sealedBands =
+          bandSignatures(minhashSignatures(hashedShinglesOf(sealedDocs)))
+        val incBands =
+          bandSignatures(minhashSignatures(hashedShinglesOf(incoming)))
+        val near = incBands.as("i")
+          .join(sealedBands.as("s"),
+            $"i.band" === $"s.band" && $"i.sig" === $"s.sig")
+          .select($"i.doc_id").distinct()
+          .withColumn("near", lit(true))
+        incoming.withColumn("h", md5($"text"))
+          .join(sealedDigests, $"h" === $"sh", "left")
+          .join(near, Seq("doc_id"), "left")
+          .select($"doc_id", $"sh".isNotNull.as("exact_dup"),
+            coalesce($"near", lit(false)).as("near_candidate"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH sealed AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 450),
+        incoming AS (
+          SELECT doc_id + 20000 AS doc_id, text FROM documents
+          WHERE doc_id < 50
+          UNION ALL
+          SELECT doc_id, text FROM documents WHERE doc_id >= 450),
+        sdig AS (SELECT DISTINCT md5(text) AS h FROM sealed),
+        s_sh0 AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sealed) t0) t1
+          WHERE i <= len(w) - 2),
+        s_shh0 AS (
+          SELECT DISTINCT doc_id,
+            ('0x' || substr(md5(s), 2, 15))::BIGINT AS h FROM s_sh0),
+        s_shh AS (
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+            FROM s_shh0) t WHERE df <= $MaxShingleDf),
+        s_mh AS (
+          SELECT doc_id, j,
+            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
+          FROM s_shh, generate_series(0, 15) t(j) GROUP BY doc_id, j),
+        s_bands AS (
+          SELECT doc_id, j // 4 AS band,
+            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+          FROM s_mh GROUP BY doc_id, j // 4),
+        i_sh0 AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM incoming) t0) t1
+          WHERE i <= len(w) - 2),
+        i_shh0 AS (
+          SELECT DISTINCT doc_id,
+            ('0x' || substr(md5(s), 2, 15))::BIGINT AS h FROM i_sh0),
+        i_shh AS (
+          SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+            FROM i_shh0) t WHERE df <= $MaxShingleDf),
+        i_mh AS (
+          SELECT doc_id, j,
+            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
+          FROM i_shh, generate_series(0, 15) t(j) GROUP BY doc_id, j),
+        i_bands AS (
+          SELECT doc_id, j // 4 AS band,
+            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+          FROM i_mh GROUP BY doc_id, j // 4),
+        near AS (
+          SELECT DISTINCT i.doc_id FROM i_bands i
+          JOIN s_bands s ON i.band = s.band AND i.sig = s.sig)
+        SELECT i.doc_id,
+          md5(i.text) IN (SELECT h FROM sdig) AS exact_dup,
+          i.doc_id IN (SELECT doc_id FROM near) AS near_candidate
+        FROM incoming i ORDER BY i.doc_id"""))
   )
 }
