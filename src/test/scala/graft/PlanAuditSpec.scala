@@ -234,6 +234,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "dialect rewrite added a shuffle")
   }
 
+  test("q125: incremental dedup is all equi-joins — no nested loop, no cartesian") {
+    val p = plan("q125_incremental_dedup")
+    // digest lookup + asymmetric band join + near-flag join: every join
+    // must be hash/merge on an equi key; the sealed corpus must never
+    // meet itself through a loop join
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // both sides pay exactly one df-cap window (keyed on the shingle
+    // hash — the same distributed key as the band join)
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 2)
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
