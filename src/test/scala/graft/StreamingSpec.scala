@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStream, StreamDedup, StreamJoin}
+import graft.streaming.{EventStream, StreamAnnAssign, StreamDedup, StreamJoin}
 
 /** Streaming answer must equal the batch answer over the same events. */
 class StreamingSpec extends AnyFunSuite {
@@ -127,5 +127,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming centroid assignment matches an independent argmin") {
+    val cents = graft.queries.Extensions.trainedCentroidSeq(spark, d)
+    assert(cents.nonEmpty)
+    val streamed = StreamAnnAssign.runToCompletion(spark, d, cents, "sann_test")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent expectation: plain-Scala squared-euclidean argmin over
+    // the quantized corpus (NOT the module's fold or lloyd2's window) —
+    // exact int64 distances, lowest c_id on ties
+    val corpus = Tables.t(spark, d, "embeddings")
+      .selectExpr("vec_id", graft.queries.Extensions.QV + " AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = corpus.map { case (id, v) =>
+      id -> cents.minBy { case (c, cv) => (d2(v, cv), c) }._1
+    }.toMap
+
+    assert(streamed.size == corpus.length)
+    assert(streamed == expected)
   }
 }
