@@ -41,19 +41,24 @@ case class DotProductI64(left: Expression, right: Expression)
     }
   }
 
-  private def mayHoldNulls: Boolean = Seq(left, right).exists {
-    e => e.dataType.asInstanceOf[ArrayType].containsNull
-  }
+  // invariant for the expression's lifetime; lazy val keeps it out of
+  // the interpreted path's per-element loop (transient: recomputed
+  // after executor deserialization, never shipped)
+  @transient private lazy val mayHoldNulls: Boolean =
+    Seq(left, right).exists {
+      e => e.dataType.asInstanceOf[ArrayType].containsNull
+    }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (n != b.numElements()) return null
+    val checkNulls = mayHoldNulls // hoisted: lazy-val read out of the loop
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (mayHoldNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       acc += a.getLong(i) * b.getLong(i)
       i += 1
     }

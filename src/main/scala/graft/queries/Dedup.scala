@@ -88,20 +88,40 @@ object Dedup {
     hashedShinglesOf(Tables.t(s, d, "documents").select(
       col("doc_id"), col("text")))
 
-  private val duckHashedShingles = s"""
-    sh0 AS (
+  /** DuckDB mirror of [[hashedShinglesOf]] as a reusable CTE block over
+    * source relation `src`, CTE names prefixed with `p` — the single
+    * source of the hashed-shingle + df-cap spelling (q42/q89/q121 use
+    * the unprefixed instantiation over `documents`; q125 instantiates
+    * one block per side). */
+  private def duckShingleCtes(src: String, p: String): String = s"""
+    ${p}sh0 AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0) t1
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src) t0) t1
       WHERE i <= len(w) - 2),
-    shh0 AS (
+    ${p}shh0 AS (
       SELECT DISTINCT doc_id,
         ('0x' || substr(md5(s), 2, 15))::BIGINT AS h
-      FROM sh0),
-    shh AS (
+      FROM ${p}sh0),
+    ${p}shh AS (
       SELECT doc_id, h FROM (
-        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shh0) t2
+        SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM ${p}shh0) t2
       WHERE df <= $MaxShingleDf)"""
+
+  /** DuckDB mirror of [[minhashSignatures]] + [[bandSignatures]] over
+    * `${p}shh` — ditto, one spelling for every banding oracle. */
+  private def duckBandCtes(p: String): String = s"""
+    ${p}mh AS (
+      SELECT doc_id, j,
+        min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
+      FROM ${p}shh, generate_series(0, 15) t(j)
+      GROUP BY doc_id, j),
+    ${p}bands AS (
+      SELECT doc_id, j // 4 AS band,
+        string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM ${p}mh GROUP BY doc_id, j // 4)"""
+
+  private val duckHashedShingles = duckShingleCtes("documents", "")
 
   /** Hash-identity jaccard CTEs over [[duckHashedShingles]]' `shh`. */
   private val duckHashedJaccard = s"""
@@ -329,15 +349,7 @@ object Dedup {
       },
       Some(s"""
         WITH $duckHashedShingles,
-        mh AS (
-          SELECT doc_id, j,
-            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
-          FROM shh, generate_series(0, 15) t(j)
-          GROUP BY doc_id, j),
-        bands AS (
-          SELECT doc_id, j // 4 AS band,
-            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
-          FROM mh GROUP BY doc_id, j // 4),
+        ${duckBandCtes("")},
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b
@@ -778,15 +790,7 @@ object Dedup {
           JOIN sizes s1 ON d1 = s1.doc_id
           JOIN sizes s2 ON d2 = s2.doc_id
           WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
-        mh AS (
-          SELECT doc_id, j,
-            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
-          FROM shh, generate_series(0, 15) t(j)
-          GROUP BY doc_id, j),
-        bands AS (
-          SELECT doc_id, j // 4 AS band,
-            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
-          FROM mh GROUP BY doc_id, j // 4),
+        ${duckBandCtes("")},
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b
@@ -823,7 +827,11 @@ object Dedup {
     Q("q125_incremental_dedup",
       (s, d) => {
         import s.implicits._
+        // one materialization feeds 5 consumers (sealed digests + bands,
+        // incoming bands + exact phase + output) — without it each
+        // pipeline re-scans the parquet
         val docs = Tables.t(s, d, "documents").select($"doc_id", $"text")
+          .cache()
         val sealedDocs = docs.filter($"doc_id" < 450)
         val incoming = docs.filter($"doc_id" >= 450)
           .unionAll(docs.filter($"doc_id" < 50)
@@ -854,46 +862,10 @@ object Dedup {
           UNION ALL
           SELECT doc_id, text FROM documents WHERE doc_id >= 450),
         sdig AS (SELECT DISTINCT md5(text) AS h FROM sealed),
-        s_sh0 AS (
-          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
-                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sealed) t0) t1
-          WHERE i <= len(w) - 2),
-        s_shh0 AS (
-          SELECT DISTINCT doc_id,
-            ('0x' || substr(md5(s), 2, 15))::BIGINT AS h FROM s_sh0),
-        s_shh AS (
-          SELECT doc_id, h FROM (
-            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
-            FROM s_shh0) t WHERE df <= $MaxShingleDf),
-        s_mh AS (
-          SELECT doc_id, j,
-            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
-          FROM s_shh, generate_series(0, 15) t(j) GROUP BY doc_id, j),
-        s_bands AS (
-          SELECT doc_id, j // 4 AS band,
-            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
-          FROM s_mh GROUP BY doc_id, j // 4),
-        i_sh0 AS (
-          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-          FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i
-                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM incoming) t0) t1
-          WHERE i <= len(w) - 2),
-        i_shh0 AS (
-          SELECT DISTINCT doc_id,
-            ('0x' || substr(md5(s), 2, 15))::BIGINT AS h FROM i_sh0),
-        i_shh AS (
-          SELECT doc_id, h FROM (
-            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
-            FROM i_shh0) t WHERE df <= $MaxShingleDf),
-        i_mh AS (
-          SELECT doc_id, j,
-            min(((2*j + 1) * (h % 2147483647) + 7919*j) % 2147483647) AS mh
-          FROM i_shh, generate_series(0, 15) t(j) GROUP BY doc_id, j),
-        i_bands AS (
-          SELECT doc_id, j // 4 AS band,
-            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
-          FROM i_mh GROUP BY doc_id, j // 4),
+        ${duckShingleCtes("sealed", "s_")},
+        ${duckBandCtes("s_")},
+        ${duckShingleCtes("incoming", "i_")},
+        ${duckBandCtes("i_")},
         near AS (
           SELECT DISTINCT i.doc_id FROM i_bands i
           JOIN s_bands s ON i.band = s.band AND i.sig = s.sig)

@@ -74,15 +74,6 @@ object Extensions {
     * then contributes exactly one row per dimension. A corpus violating
     * that diverges from the oracle across the whole family and fails the
     * Verify gate loudly. */
-  /** Final trained centroids as driver-side metadata — k rows by
-    * design, sorted by c_id — for the streaming assignment path
-    * (streaming/StreamAnnAssign), which needs the centroid set as a
-    * literal because a stream cannot run the argmin window. */
-  private[graft] def trainedCentroidSeq(
-      s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
-    lloyd2(s, d)._2.select(col("c_id"), col("cv")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
-
   private def lloyd2(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.DotProductI64.register(s)
     val emb = Tables.t(s, d, "embeddings")
@@ -120,6 +111,15 @@ object Extensions {
     }
     (assigned, cents)
   }
+
+  /** Final trained centroids as driver-side metadata — k rows by
+    * design, sorted by c_id — for the streaming assignment path
+    * (streaming/StreamAnnAssign), which needs the centroid set as a
+    * literal because a stream cannot run the argmin window. */
+  private[graft] def trainedCentroidSeq(
+      s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    lloyd2(s, d)._2.select(col("c_id"), col("cv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
 
   /** The q114/q115 oracle's shared CTE chain: quantized vectors →
     * corpus-derived k + stratified seed centroids ([[SeedCtes]]) → two

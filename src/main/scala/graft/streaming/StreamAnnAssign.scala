@@ -20,10 +20,11 @@ import graft.functions.DotProductI64.dot_i64
   * array-of-structs column and the argmin is a per-row `aggregate` fold
   * over it: stateless, partition-parallel, no shuffle — the streaming
   * plan is scan → project, the cheapest possible shape per arriving
-  * vector. Distance and tie-break mirror lloyd2 exactly: exact int64
-  * squared euclidean over the quantized vectors, lowest c_id wins ties
-  * (the fold keeps the first strictly-smaller distance and the literal
-  * is sorted by c_id).
+  * vector. The comparison is ordering-equivalent to lloyd2's exact
+  * int64 squared euclidean (see [[assign]] — the per-row |v|^2 term is
+  * dropped), and ties break identically: lowest c_id wins (the fold
+  * keeps the first strictly-smaller distance and the literal is sorted
+  * by c_id).
   */
 object StreamAnnAssign {
 
@@ -41,25 +42,41 @@ object StreamAnnAssign {
 
   /** Append `c_id` = nearest centroid (exact int64 squared euclidean,
     * lowest id on ties) to a frame carrying quantized vectors in `v`.
-    * `cents` must be sorted by centroid id. */
+    * `cents` must be sorted by centroid id.
+    *
+    * The comparison drops the loop-invariant dot(v,v) term (a per-row
+    * constant cannot change the argmin) and carries each centroid's
+    * own norm as a third literal field precomputed on the driver, so
+    * the per-vector cost is exactly k dot products — the minimum any
+    * assignment can pay. A vector no centroid can score — wrong
+    * dimension or a null element makes every dot_i64 NULL — FAILS THE
+    * BATCH LOUDLY via raise_error rather than streaming out a sentinel
+    * assignment to a centroid that does not exist. */
   def assign(vectors: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
     require(cents.nonEmpty, "assign needs a non-empty centroid set")
     require(cents.map(_._1) == cents.map(_._1).sorted,
       "centroid literal must be sorted by c_id (tie-break contract)")
-    val centArr: Column = typedLit(cents)
+    val centArr: Column = typedLit(cents.map { case (c, cv) =>
+      (c, cv, cv.map(x => x * x).sum)
+    })
     val v = col("v")
-    def dist(cv: Column): Column =
-      dot_i64(v, v) - lit(2L) * dot_i64(v, cv) + dot_i64(cv, cv)
+    // dist'(c) = |c|^2 - 2 v·c  ==  |v - c|^2 - |v|^2 (same ordering)
+    def dist(x: Column): Column =
+      x.getField("_3") - lit(2L) * dot_i64(v, x.getField("_2"))
     val best = aggregate(
       centArr,
       struct(lit(-1L).as("c"), lit(Long.MaxValue).as("d")),
       (acc, x) => {
-        val d = dist(x.getField("_2"))
+        val d = dist(x)
         when(d < acc.getField("d"),
           struct(x.getField("_1").as("c"), d.as("d"))).otherwise(acc)
       },
       acc => acc.getField("c"))
-    vectors.withColumn("c_id", best)
+    vectors.withColumn("c_id",
+      when(best === lit(-1L), raise_error(concat(
+        lit("StreamAnnAssign: un-assignable vector (dimension mismatch " +
+          "or null element), vec_id="), col("vec_id").cast("string"))))
+        .otherwise(best))
   }
 
   /** Replay a finite embeddings directory through the assignment and
