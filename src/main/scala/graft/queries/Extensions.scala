@@ -35,15 +35,22 @@ object Extensions {
     * packed key h·2^31 + vec_id below 2^62, so Spark and DuckDB compute
     * identical int64 values; empty strata drop out identically on both
     * sides (fewer than k seeds is legal and deterministic). */
-  private[queries] def seedCentroids(emb: DataFrame, k: Long): DataFrame = {
+  private[queries] def seedCentroids(emb: DataFrame, k: Long): DataFrame =
+    emb.join(broadcast(seedIdsOf(emb, k)), col("vec_id") === col("c_id"))
+      .select(col("c_id"), col("v").as("cv"))
+
+  /** The seed-id half of [[seedCentroids]] — one `c_id` per non-empty
+    * stratum — shared with the PQ codebook trainer, which seeds every
+    * subspace from the same vector set (each seed contributes its
+    * sub-vector to each subspace's codebook, the classic PQ training
+    * setup of one sampled training set reused across subspaces). */
+  private[queries] def seedIdsOf(emb: DataFrame, k: Long): DataFrame = {
     val h = (col("vec_id").cast("long") * lit(1103515245L) + lit(12345L)) %
       lit(2147483647L)
-    val seedIds = emb
+    emb
       .groupBy((h % lit(k)).as("stratum"))
       .agg(min(h * lit(2147483648L) + col("vec_id")).as("skey"))
       .select((col("skey") % lit(2147483648L)).as("c_id"))
-    emb.join(broadcast(seedIds), col("vec_id") === col("c_id"))
-      .select(col("c_id"), col("v").as("cv"))
   }
 
   /** Oracle CTE block mirroring [[centroidK]] + [[seedCentroids]] over
@@ -178,6 +185,182 @@ object Extensions {
           WHERE dot > 0
             AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 400
                 >= CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) * 49)"""
+
+  // ---- PRODUCT QUANTIZATION (q126/q127/q128) -------------------------
+  // The compression half of IVF-PQ, the index family a 100 TB embedding
+  // store actually deploys (IVF routes the query to a centroid's
+  // inverted list — q68/q93/q114 — and PQ shrinks each stored vector to
+  // PqM one-byte codes so the list fits in memory). Split each 64-dim
+  // quantized vector into PqM subspaces of PqSubDim dims, train one
+  // small codebook per subspace (one exact-integer Lloyd's round over
+  // the stratified seed policy shared with lloyd2), encode the corpus as
+  // PqM codes, and score queries against codes alone via a per-query
+  // asymmetric-distance LUT — the corpus is never re-read at query time.
+  //
+  // Exact-arithmetic contract (same family rules as lloyd2): quantized
+  // |x| ≤ ~6000 ⇒ a subspace L2 distance ≤ ~1.2e9 and an ADC sum over
+  // PqM subspaces ≤ ~1e10 — exact in int64 AND in DuckDB's double
+  // list_dot_product (every term ≪ 2^53); codebook means use the one
+  // floor-div spelling; ties break on code_id everywhere.
+
+  /** Subspace count — 64 dims / [[PqSubDim]]. Production: 8–16. */
+  private[queries] val PqM = 8
+  /** Dims per subspace (the embeddings-table 64-dim contract). */
+  private[queries] val PqSubDim = 8
+
+  /** Codes per subspace, corpus-derived like [[centroidK]]: one code per
+    * ~64 vectors, floored at 8 (sf0.01 → 8, sf0.1 → 31). A production
+    * run sets the target so ks saturates at 256 (one-byte codes). */
+  private[queries] def pqKs(emb: DataFrame): Long =
+    math.max(8L, emb.count() / 64L)
+
+  /** PQ training. Returns (codebook `(sub_id, code_id, cv, n_members)`,
+    * corpus codes `(vec_id, sub_id, code_id)`), deterministic under the
+    * family's exact-integer contract.
+    *
+    * Plan shape: ONE cached corpus pass builds the (vec_id, sub_id, sv)
+    * sub-vector frame all stages read; each assignment is a broadcast
+    * join against the m·ks-row codebook followed by a partial-
+    * aggregatable lexicographic `min(struct(dist, code_id))` — map-side
+    * combine shrinks the shuffle to n·m rows, where a row_number window
+    * would shuffle the full n·m·ks expansion. */
+  private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.DotProductI64.register(s)
+    val emb = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), expr(QV).as("v"))
+    val seeds = seedIdsOf(emb, pqKs(emb))
+    val subs = emb.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+            j -> struct(j AS sub_id, slice(v, j * $PqSubDim + 1, $PqSubDim) AS sv))"""))
+      .as("x"))
+      .select(col("vec_id"), col("x.sub_id").as("sub_id"), col("x.sv").as("sv"))
+      .cache()
+    val cb0 = subs.join(broadcast(seeds), col("vec_id") === col("c_id"))
+      .select(col("sub_id"), col("c_id").as("code_id"), col("sv").as("cv"))
+    def assignTo(cb: DataFrame): DataFrame = subs
+      .join(broadcast(cb), Seq("sub_id"))
+      .withColumn("dist", expr(
+        "dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("dist"), col("code_id"))).as("best"),
+        first(col("sv")).as("sv")) // sv is constant within the group
+      .select(col("vec_id"), col("sub_id"),
+        col("best.code_id").as("code_id"), col("sv"))
+    val cb1 = assignTo(cb0)
+      .select(col("sub_id"), col("code_id"), posexplode(col("sv")))
+      .groupBy(col("sub_id"), col("code_id"), col("pos"))
+      .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"))
+      .withColumn("m", expr(
+        "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+      .groupBy(col("sub_id"), col("code_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+        .as("cv"),
+        min(col("n")).as("n_members"))
+      .cache() // tiny (≤ m·ks rows); read by the encode pass AND q126's output
+    val codes = assignTo(cb1.select(col("sub_id"), col("code_id"), col("cv")))
+      .select(col("vec_id"), col("sub_id"), col("code_id"))
+    (cb1, codes)
+  }
+
+  /** ADC scoring: approximate L2 of every corpus vector to each query
+    * (vec_id 8–12, the q120 query-set convention), computed from the
+    * PqM-code representation alone — `(q_id, vec_id, adist)`. The LUT
+    * (|q|·m·ks rows of subspace distances) is broadcast; the only
+    * corpus-sized work is one equi-join + map-side-combined sum. */
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val (cb, codes) = pqTrain(s, d)
+    val qsubs = Tables.t(s, d, "embeddings")
+      .filter(col("vec_id").between(8, 12))
+      .select(col("vec_id").as("q_id"), expr(QV).as("v"))
+      .select(col("q_id"), explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+              j -> struct(j AS sub_id, slice(v, j * $PqSubDim + 1, $PqSubDim) AS qsv))"""))
+        .as("x"))
+      .select(col("q_id"), col("x.sub_id").as("sub_id"), col("x.qsv").as("qsv"))
+    val lut = qsubs
+      .join(broadcast(cb.select(col("sub_id"), col("code_id"), col("cv"))),
+        Seq("sub_id"))
+      .withColumn("ld", expr(
+        "dot_i64(qsv, qsv) - 2L * dot_i64(qsv, cv) + dot_i64(cv, cv)"))
+      .select(col("q_id"), col("sub_id"), col("code_id"), col("ld"))
+    codes.join(broadcast(lut), Seq("sub_id", "code_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ld")).as("adist"))
+  }
+
+  /** q126/q127/q128's shared oracle chain mirroring [[pqTrain]]: corpus
+    * `w` → ks + stratified seeds → sub-vector frame → one Lloyd's round
+    * per subspace → final codebook `pcb` + corpus codes `pcodes`. */
+  private val PqCtes = s"""
+        w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        pparams AS (SELECT greatest(8, count(*) // 64) AS ks FROM w),
+        pseeds AS (
+          SELECT CAST(min(h * 2147483648 + vec_id) % 2147483648 AS BIGINT) AS c_id
+          FROM (SELECT vec_id,
+                  (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647 AS h
+                FROM w) t, pparams
+          GROUP BY h % ks),
+        psubs AS (
+          SELECT vec_id, j AS sub_id,
+            v[j * $PqSubDim + 1 : j * $PqSubDim + $PqSubDim] AS sv
+          FROM w, generate_series(0, ${PqM - 1}) t(j)),
+        pcb0 AS (
+          SELECT s.sub_id, s.vec_id AS code_id, s.sv AS cv
+          FROM psubs s JOIN pseeds ON s.vec_id = pseeds.c_id),
+        pa1 AS (
+          SELECT vec_id, sub_id, code_id, sv FROM (
+            SELECT p.vec_id, p.sub_id, c.code_id, p.sv,
+              row_number() OVER (PARTITION BY p.vec_id, p.sub_id ORDER BY
+                list_dot_product(p.sv, p.sv) - 2 * list_dot_product(p.sv, c.cv)
+                  + list_dot_product(c.cv, c.cv) ASC, c.code_id ASC) AS rn
+            FROM psubs p JOIN pcb0 c ON p.sub_id = c.sub_id) t
+          WHERE rn = 1),
+        pm1 AS (
+          SELECT sub_id, code_id, k AS dim,
+            CAST(floor(CAST(sum(sv[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+              AS BIGINT) AS m,
+            count(*) AS n
+          FROM pa1, unnest(generate_series(1, len(sv))) s(k)
+          GROUP BY sub_id, code_id, k),
+        pcb AS (
+          SELECT sub_id, code_id, list(m ORDER BY dim) AS cv,
+            CAST(min(n) AS BIGINT) AS n_members
+          FROM pm1 GROUP BY sub_id, code_id),
+        pcodes AS (
+          SELECT vec_id, sub_id, code_id FROM (
+            SELECT p.vec_id, p.sub_id, c.code_id,
+              row_number() OVER (PARTITION BY p.vec_id, p.sub_id ORDER BY
+                list_dot_product(p.sv, p.sv) - 2 * list_dot_product(p.sv, c.cv)
+                  + list_dot_product(c.cv, c.cv) ASC, c.code_id ASC) AS rn
+            FROM psubs p JOIN pcb c ON p.sub_id = c.sub_id) t
+          WHERE rn = 1)"""
+
+  /** The ADC half of the oracle over [[PqCtes]]' `pcb`/`pcodes`:
+    * query sub-vectors → LUT → summed approximate distances `padc`. */
+  private val PqAdcCtes = s"""
+        qsubs AS (
+          SELECT vec_id AS q_id, j AS sub_id,
+            v[j * $PqSubDim + 1 : j * $PqSubDim + $PqSubDim] AS qsv
+          FROM w, generate_series(0, ${PqM - 1}) t(j)
+          WHERE vec_id BETWEEN 8 AND 12),
+        lut AS (
+          SELECT q.q_id, q.sub_id, c.code_id,
+            CAST(list_dot_product(q.qsv, q.qsv)
+              - 2 * list_dot_product(q.qsv, c.cv)
+              + list_dot_product(c.cv, c.cv) AS BIGINT) AS ld
+          FROM qsubs q JOIN pcb c ON q.sub_id = c.sub_id),
+        padc AS (
+          SELECT l.q_id, p.vec_id, CAST(sum(l.ld) AS BIGINT) AS adist
+          FROM pcodes p JOIN lut l
+            ON p.sub_id = l.sub_id AND p.code_id = l.code_id
+          WHERE p.vec_id <> l.q_id
+          GROUP BY l.q_id, p.vec_id)"""
 
   /** Quantized int embedding vector column. */
   private[graft] val QV =
@@ -642,7 +825,127 @@ object Extensions {
           CAST(count(*) AS DOUBLE) / 3.0 AS recall
         FROM gt SEMI JOIN approx USING (q_id, neighbor)
         GROUP BY q_id
-        ORDER BY q_id"""))
+        ORDER BY q_id""")),
+
+    // ---- PQ CODEBOOK TRAINING: the trained per-subspace codebooks with
+    // round-1 member counts and final encode usage. See the PQ block
+    // comment above pqTrain for the design and determinism contract.
+    Q("q126_pq_train",
+      (s, d) => {
+        val (cb, codes) = pqTrain(s, d)
+        val usage = codes.groupBy(col("sub_id"), col("code_id"))
+          .agg(count(lit(1)).as("n_encoded"))
+        cb.join(broadcast(usage), Seq("sub_id", "code_id"), "left")
+          .select(col("sub_id"), col("code_id"),
+            array_join(transform(col("cv"), x => x.cast("string")), ",")
+              .as("cv_csv"),
+            col("n_members"),
+            coalesce(col("n_encoded"), lit(0L)).as("n_encoded"))
+          .orderBy(col("sub_id"), col("code_id"))
+      },
+      Some(s"""
+        WITH $PqCtes,
+        pusage AS (
+          SELECT sub_id, code_id, count(*) AS n_encoded
+          FROM pcodes GROUP BY sub_id, code_id)
+        SELECT c.sub_id, c.code_id, array_to_string(c.cv, ',') AS cv_csv,
+          c.n_members, CAST(coalesce(u.n_encoded, 0) AS BIGINT) AS n_encoded
+        FROM pcb c LEFT JOIN pusage u
+          ON c.sub_id = u.sub_id AND c.code_id = u.code_id
+        ORDER BY c.sub_id, c.code_id""")),
+
+    // ---- PQ ASYMMETRIC-DISTANCE top-k: per query, the 8 nearest corpus
+    // vectors by LUT-summed approximate L2 — the query-time half of
+    // IVF-PQ, touching only the PqM-code corpus representation. The
+    // low-card per-query window is the family's accepted top-k shape
+    // (q44/q104/q120): queries are few and broadcast by construction.
+    Q("q127_pq_adc",
+      (s, d) => {
+        val adc = pqAdc(s, d)
+        adc.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("rn") <= 8)
+          .select(col("q_id"), col("rn").cast("long").as("rank"),
+            col("vec_id").as("neighbor"), col("adist"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $PqCtes,
+        $PqAdcCtes
+        SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor, adist
+        FROM (
+          SELECT q_id, vec_id, adist,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY adist ASC, vec_id ASC) AS rn
+          FROM padc) t
+        WHERE rn <= 8
+        ORDER BY q_id, rank""")),
+
+    // ---- PQ RECALL HARNESS: exact full-precision L2 top-3 found within
+    // the ADC top-10 SHORTLIST, per query — the metric a production PQ
+    // deployment actually tunes (ADC is a shortlist stage; exact re-rank
+    // of the shortlist recovers whatever the shortlist retained). Unlike
+    // q120's semi-join spelling, zero-hit queries stay visible (a LEFT
+    // join marks hits), so the output always has one row per query.
+    Q("q128_pq_recall",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.DotProductI64.register(s)
+        val emb = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(QV).as("v"))
+        val qset = emb.filter($"vec_id".between(8, 12))
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        val gt = emb.crossJoin(broadcast(qset))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("dist", expr(
+            "dot_i64(v, v) - 2L * dot_i64(v, qv) + dot_i64(qv, qv)"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"dist".asc, $"vec_id".asc)))
+          .filter($"rn" <= 3)
+          .select($"q_id", $"vec_id".as("neighbor"))
+        val shortlist = pqAdc(s, d)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)))
+          .filter($"rn" <= 10)
+          .select($"q_id", $"vec_id".as("neighbor"), lit(1L).as("hit"))
+        gt.join(broadcast(shortlist), Seq("q_id", "neighbor"), "left")
+          .groupBy($"q_id")
+          .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+          .withColumn("recall", $"n_hits".cast("double") / 3.0)
+          .orderBy($"q_id")
+      },
+      Some(s"""
+        WITH $PqCtes,
+        $PqAdcCtes,
+        qset AS (
+          SELECT vec_id AS q_id, v AS qv FROM w
+          WHERE vec_id BETWEEN 8 AND 12),
+        gt AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, c.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(c.v, c.v) - 2 * list_dot_product(c.v, q.qv)
+                  + list_dot_product(q.qv, q.qv) ASC, c.vec_id ASC) AS rn
+            FROM w c CROSS JOIN qset q
+            WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= 3),
+        shortlist AS (
+          SELECT q_id, vec_id AS neighbor FROM (
+            SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY adist ASC, vec_id ASC) AS rn
+            FROM padc) t
+          WHERE rn <= 10)
+        SELECT g.q_id,
+          CAST(sum(CASE WHEN s.neighbor IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_hits,
+          CAST(sum(CASE WHEN s.neighbor IS NULL THEN 0 ELSE 1 END)
+            AS DOUBLE) / 3.0 AS recall
+        FROM gt g LEFT JOIN shortlist s
+          ON g.q_id = s.q_id AND g.neighbor = s.neighbor
+        GROUP BY g.q_id
+        ORDER BY g.q_id"""))
   )
 
   /** Distinct SemDeDup duplicate markers `(c_id, ib)` over a lloyd2

@@ -751,6 +751,81 @@ object Pipeline {
             CASE WHEN h % 20 = 0 THEN 'valid' ELSE 'train' END AS split
           FROM h) t
         WHERE shuffle_rank <= 100
-        ORDER BY shuffle_rank"""))
+        ORDER BY shuffle_rank""")),
+
+    // ---- MIXTURE SAMPLING: materialize q109's temperature weights as
+    // an actual downsampled corpus — the stage that turns a mixture
+    // SPEC into training DATA. Stratum (lang, source) gets a target of
+    // floor(B·w/tw) docs (B = half the corpus, w = q109's floor(sqrt(n))
+    // temperature weight, tw = Σw); a doc is kept iff its deterministic
+    // 60-bit priority clears the stratum's threshold:
+    //   md5_60("mix1:" || doc_id) · n_docs  <  target · 2^60
+    // i.e. hash-threshold (Bernoulli-by-hash) sampling at rate
+    // target/n_docs. THE scale shape: per-doc work is one hash + one
+    // broadcast-joined threshold compare — a single map-side filter, no
+    // per-stratum sort/rank, no second corpus pass; sampled counts are
+    // binomially close to target, never exactly it (declared semantics —
+    // exact-count sampling needs a per-stratum global rank, which is
+    // q123's DistributedRank shape if a consumer ever needs it).
+    // Upweighted strata (target ≥ n_docs) keep everything: h < 2^60
+    // makes the predicate universally true — no doc duplication here
+    // (epoch repetition is the trainer's job, q109 reports the shares).
+    //
+    // Exactness: h < 2^60 and n_docs ≤ corpus size push h·n_docs past
+    // int64 — the compare cross-multiplies in DECIMAL(38,0)/HUGEINT
+    // (the q115 pattern); target arithmetic is pure int64 (B·w ≤ n·√n).
+    Q("q129_mixture_sample",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.t(s, d, "documents")
+        val strata = docs.groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", floor(sqrt($"n_docs".cast("double"))).cast("long"))
+        val tot = strata.agg(sum($"w").as("tw"), sum($"n_docs").as("nd"))
+        // integer `div` mirrors DuckDB `//` (all operands positive, so
+        // truncation == floor on both); Column./ would go through double
+        val tgt = strata.crossJoin(broadcast(tot))
+          .select($"lang", $"source", $"n_docs",
+            expr("((nd div 2) * w) div tw").as("target"))
+          .cache() // metadata-sized; read by the filter pass AND the output
+
+        val kept = docs
+          .join(broadcast(tgt), Seq("lang", "source"))
+          .filter(
+            graft.functions.Md5Long.md5_60(
+              concat(lit("mix1:"), $"doc_id".cast("string")))
+              .cast("decimal(38,0)") * $"n_docs"
+              < $"target".cast("decimal(38,0)") * lit(1152921504606846976L))
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_sampled"))
+        tgt.join(broadcast(kept), Seq("lang", "source"), "left")
+          .select($"lang", $"source", $"n_docs", $"target",
+            coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""
+        WITH strata AS (
+          SELECT lang, source, count(*) AS n_docs,
+            CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+          FROM documents GROUP BY lang, source),
+        tot AS (
+          SELECT CAST(sum(w) AS BIGINT) AS tw,
+            CAST(sum(n_docs) AS BIGINT) AS nd
+          FROM strata),
+        tgt AS (
+          SELECT lang, source, n_docs, (nd // 2) * w // tw AS target
+          FROM strata, tot),
+        kept AS (
+          SELECT d.lang, d.source, count(*) AS n_sampled
+          FROM documents d JOIN tgt t ON d.lang = t.lang AND d.source = t.source
+          WHERE CAST(('0x' || substr(md5('mix1:' || CAST(d.doc_id AS VARCHAR)), 2, 15))::BIGINT
+                  AS HUGEINT) * t.n_docs
+              < CAST(t.target AS HUGEINT) * 1152921504606846976
+          GROUP BY d.lang, d.source)
+        SELECT t.lang, t.source, t.n_docs, t.target,
+          CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM tgt t LEFT JOIN kept k
+          ON t.lang = k.lang AND t.source = k.source
+        ORDER BY t.lang, t.source"""))
   )
 }

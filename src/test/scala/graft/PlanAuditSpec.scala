@@ -246,6 +246,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\(\d+\) Window""".r.findAllIn(p).size == 2)
   }
 
+  test("q126: PQ training is all broadcast equi-joins over one cached sub-vector frame") {
+    val p = plan("q126_pq_train")
+    // seed join, both assignment passes, and the usage join are hash
+    // joins building the metadata-sized side; the corpus frame is the
+    // declared cache point; no loop join anywhere in PQ training
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("InMemoryRelation"),
+      "sub-vector/codebook materialization point lost")
+    // nearest-code selection is the partial-aggregatable min(struct) —
+    // map-side combine, not a row_number window over the n·m·ks expansion
+    assert(p.contains("partial_min"))
+    assert(!p.contains("row_number"))
+  }
+
+  test("q127: ADC touches the corpus only through codes ⋈ broadcast LUT") {
+    val p = plan("q127_pq_adc")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("InMemoryRelation"))
+    // the ADC sum partial-aggregates before its shuffle
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q128: the only loop join is the exact ground truth broadcasting the query set") {
+    val p = plan("q128_pq_recall")
+    val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(all == 1, s"expected exactly the gt cross join, got $all")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q129: sampling is one broadcast-joined map-side filter over the corpus") {
+    val p = plan("q129_mixture_sample")
+    // the threshold table broadcasts; the corpus is filtered in place —
+    // no per-stratum sort/rank, no shuffle of the corpus itself
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryRelation"), "threshold materialization point lost")
+    assert(!p.contains("row_number"))
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
