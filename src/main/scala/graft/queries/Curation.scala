@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Md5Long
+
+/** Round-10 corpus-curation operators: substring-level duplicate-span
+  * detection (the Lee et al. 2022 "Deduplicating Training Data" exact-
+  * substring shape), content-defined chunking, embedding-level benchmark
+  * decontamination, and per-source document caps.
+  *
+  * Scale design (100 TB): every corpus-wide exchange is keyed on a
+  * derived 60-bit hash (gram hash, chunk digest) or a low-cardinality
+  * stratum (source). The only windows are per-document (doc_id is a
+  * high-cardinality partition key, each partition a few dozen rows) or
+  * routed through [[graft.plans.DistributedRank]] when the key is
+  * low-cardinality. No all-pairs joins anywhere: the span detector and
+  * chunker are strictly linear in corpus size.
+  */
+object Curation {
+
+  /** Span-detector gram width (word 5-grams). Production exact-substring
+    * dedup uses ~50-token windows; 5 matches this synthetic corpus's
+    * ~55-token documents so planted near-dups actually mark. */
+  private val G = 5
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- DUPLICATE-SPAN DETECTION (exact substring dedup, Lee et al.
+    // 2022 shape): mark every word 5-gram whose corpus document frequency
+    // is >= 2 (distinct-doc df — within-doc repetition is q91's metric,
+    // not this one), then merge each document's marked gram positions
+    // into maximal consecutive runs ("spans") via the gaps-and-islands
+    // window. A production pass would cut the max span out of the kept
+    // text; the operator reports the per-doc span structure.
+    //
+    // Plan: one corpus pass explodes positioned grams hashed to 60-bit
+    // longs (the shuffles move 8-byte keys, never gram text — the q42
+    // discipline); ONE exchange on the gram hash computes df; one join
+    // back on the same key keeps marked positions; the island window is
+    // per-document. Linear end to end; the gram universe is ~corpus
+    // token count, the marked subset typically far smaller.
+    Q("q130_dup_spans",
+      (s, d) => {
+        import s.implicits._
+        val wdf = Tables.t(s, d, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          // guard is load-bearing: sequence(1, n) with n < 1 DESCENDS
+          // (q101's trap) — sub-5-token docs carry no grams by decree
+          .where(size($"w") >= G)
+        val grams = wdf.select($"doc_id", explode(expr(
+          s"""transform(sequence(1, size(w) - ${G - 1}),
+                        k -> struct(k AS k, concat_ws(' ', slice(w, k, $G)) AS g))"""))
+            .as("x"))
+          .select($"doc_id", $"x.k".cast("long").as("k"),
+            Md5Long.md5_60($"x.g").as("h"))
+        val dupH = grams.select($"doc_id", $"h").distinct()
+          .groupBy($"h").agg(count(lit(1)).as("df"))
+          .where($"df" >= 2).select($"h")
+        val marked = grams.join(dupH, "h").select($"doc_id", $"k")
+        val spans = marked
+          .withColumn("isl", $"k" - row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"k")))
+          .groupBy($"doc_id", $"isl")
+          .agg(min($"k").as("k0"), max($"k").as("k1"),
+            count(lit(1)).as("n_grams_in_span"))
+        spans.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum($"n_grams_in_span").as("n_dup_grams"),
+            max($"k1" - $"k0" + lit(G.toLong)).as("max_span_tokens"))
+          .join(wdf.select($"doc_id",
+            (size($"w") - (G - 1)).cast("long").as("n_grams")), "doc_id")
+          .select($"doc_id", $"n_grams", $"n_dup_grams", $"n_spans",
+            $"max_span_tokens")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH wt AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= $G),
+        grams AS (
+          SELECT doc_id, CAST(k AS BIGINT) AS k,
+            ('0x' || substr(md5(array_to_string(w[k:k+${G - 1}], ' ')), 2, 15))::BIGINT AS h
+          FROM wt, unnest(generate_series(1, len(w) - ${G - 1})) s(k)),
+        duph AS (
+          SELECT h FROM (SELECT DISTINCT doc_id, h FROM grams) u
+          GROUP BY h HAVING count(*) >= 2),
+        marked AS (SELECT g.doc_id, g.k FROM grams g JOIN duph USING (h)),
+        spans AS (
+          SELECT doc_id, isl, min(k) AS k0, max(k) AS k1,
+            count(*) AS n_grams_in_span
+          FROM (SELECT doc_id, k,
+                  k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS isl
+                FROM marked) t
+          GROUP BY doc_id, isl)
+        SELECT s.doc_id,
+          CAST(any_value(len(wt.w) - ${G - 1}) AS BIGINT) AS n_grams,
+          CAST(sum(s.n_grams_in_span) AS BIGINT) AS n_dup_grams,
+          count(*) AS n_spans,
+          CAST(max(s.k1 - s.k0 + $G) AS BIGINT) AS max_span_tokens
+        FROM spans s JOIN wt ON s.doc_id = wt.doc_id
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id""")),
+
+    // ---- CONTENT-DEFINED CHUNKING: split each document at positions
+    // where the word's 60-bit hash ≡ 0 (mod 16) — the rolling-hash
+    // boundary rule (FastCDC shape at word granularity) that keeps chunk
+    // boundaries STABLE under edits: inserting a word early in a document
+    // shifts fixed-stride chunk frames (q103) but leaves every
+    // content-defined boundary after it unchanged, so unchanged tails
+    // still dedupe. Expected chunk length = 16 words by construction.
+    // Reports per-source chunk dedup structure (the storage-dedup ratio a
+    // CDC pass exists to measure).
+    //
+    // Plan: one token explode, a per-document running-sum window
+    // (high-cardinality key), one aggregate keyed on (doc, chunk), one on
+    // (source, digest) — every corpus-wide exchange is hash- or
+    // stratum-keyed. Linear.
+    Q("q131_cdc_chunks",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.t(s, d, "documents")
+          .select($"doc_id", $"source", posexplode(split($"text", " ")))
+          .select($"doc_id", $"source", ($"pos" + 1).cast("long").as("i"),
+            $"col".as("word"))
+          .withColumn("bnd",
+            when(Md5Long.md5_60($"word") % 16 === 0, 1L).otherwise(0L))
+        val chunks = toks
+          // chunk id = boundaries strictly BEFORE this word: inclusive
+          // running sum minus own flag — a boundary word closes its chunk
+          .withColumn("chunk", sum($"bnd").over(
+            Window.partitionBy($"doc_id").orderBy($"i")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - $"bnd")
+          .groupBy($"doc_id", $"source", $"chunk")
+          .agg(count(lit(1)).as("n_tok"),
+            expr("""md5(concat_ws(' ',
+                   transform(array_sort(collect_list(struct(i, word))),
+                             p -> p.word)))""").as("dg"))
+        chunks.groupBy($"source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct($"dg").as("n_distinct_chunks"),
+            sum($"n_tok").as("n_tokens"),
+            max($"n_tok").as("max_chunk_tokens"))
+          .withColumn("dedup_ratio",
+            $"n_distinct_chunks".cast("double") / $"n_chunks".cast("double"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, CAST(i AS BIGINT) AS i, w[i] AS word,
+            CASE WHEN ('0x' || substr(md5(w[i]), 2, 15))::BIGINT % 16 = 0
+                 THEN 1 ELSE 0 END AS bnd
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents) t,
+               unnest(generate_series(1, len(w))) s(i)),
+        chunks AS (
+          SELECT doc_id, source, chunk, count(*) AS n_tok,
+            md5(string_agg(word, ' ' ORDER BY i)) AS dg
+          FROM (SELECT doc_id, source, i, word,
+                  sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - bnd AS chunk
+                FROM toks) t
+          GROUP BY doc_id, source, chunk)
+        SELECT source, count(*) AS n_chunks,
+          CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct_chunks,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          CAST(max(n_tok) AS BIGINT) AS max_chunk_tokens,
+          CAST(count(DISTINCT dg) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS dedup_ratio
+        FROM chunks
+        GROUP BY source
+        ORDER BY source""")),
+
+    // ---- SEMANTIC DECONTAMINATION: flag every corpus vector whose
+    // cosine to ANY eval-benchmark vector (the family's vec_id 8–12
+    // query-set convention) reaches τ = 0.25 — the embedding-level twin
+    // of q97's n-gram decontamination (paraphrased leakage that shares no
+    // 5-gram still lands near the eval point in embedding space). τ is
+    // the declared demo threshold for this synthetic corpus (63 flags at
+    // sf0.01; production runs ~0.95 on real embeddings).
+    //
+    // The τ gate is EXACT (q115's contract): cos >= τ ⇔ dot > 0 ∧
+    // 16·dot² >= na·nb (τ² = 1/16), compared in DECIMAL(38,0)/HUGEINT so
+    // the boundary can't flip on float rounding. Plan: eval set is
+    // broadcast (benchmark-sized by definition); ONE corpus pass, no
+    // corpus shuffle at all — the aggregate is keyed on vec_id which the
+    // scan already distributes.
+    Q("q132_semantic_decon",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.DotProductI64.register(s)
+        val w = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(Extensions.QV).as("v"))
+        val ev = w.filter($"vec_id".between(8, 12))
+          .select($"vec_id".as("e_id"), $"v".as("ev"))
+        w.filter(!$"vec_id".between(8, 12))
+          .crossJoin(broadcast(ev))
+          .withColumn("dot", expr("dot_i64(v, ev)"))
+          .filter($"dot" > 0L)
+          .filter(expr(
+            """CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 16
+               >= CAST(dot_i64(v, v) AS DECIMAL(38,0))
+                  * CAST(dot_i64(ev, ev) AS DECIMAL(38,0))"""))
+          .groupBy($"vec_id")
+          .agg(count(lit(1)).as("n_eval_hits"), min($"e_id").as("first_eval_hit"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        ev AS (SELECT vec_id AS e_id, v AS ev FROM w
+               WHERE vec_id BETWEEN 8 AND 12),
+        hits AS (
+          SELECT c.vec_id, e.e_id
+          FROM w c CROSS JOIN ev e
+          WHERE c.vec_id NOT BETWEEN 8 AND 12
+            AND list_dot_product(c.v, e.ev) > 0
+            AND CAST(list_dot_product(c.v, e.ev) AS HUGEINT)
+                * CAST(list_dot_product(c.v, e.ev) AS HUGEINT) * 16
+                >= CAST(list_dot_product(c.v, c.v) AS HUGEINT)
+                   * CAST(list_dot_product(e.ev, e.ev) AS HUGEINT))
+        SELECT vec_id, count(*) AS n_eval_hits,
+          CAST(min(e_id) AS BIGINT) AS first_eval_hit
+        FROM hits
+        GROUP BY vec_id
+        ORDER BY vec_id""")),
+
+    // ---- PER-SOURCE DOCUMENT CAP: keep at most 15 documents per source,
+    // chosen by a deterministic content-blind hash order (the
+    // domain-balancing pass a web-corpus pipeline runs so no single
+    // domain dominates the mixture; hash order — not doc_id order — so
+    // the kept subset is an unbiased sample of each source). 15 < 25
+    // docs/source at sf0.01, so every source actually clips.
+    //
+    // The per-source ranking does NOT use a window (one task per source —
+    // ~20 reducers at any corpus scale): [[graft.plans.DistributedRank]]
+    // computes the identical row_number with range partitioning +
+    // broadcast per-partition offsets (q99/q102's discipline). The
+    // oracle keeps the window spelling — identical numbering by
+    // construction (DistributedRankSpec proves row-level equality).
+    Q("q133_source_cap",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.t(s, d, "documents")
+          .select($"doc_id", $"source",
+            Md5Long.md5_60($"doc_id".cast("string")).as("pri"))
+        graft.plans.DistributedRank
+          .rowNumber(base, $"source", Seq($"pri", $"doc_id"), "rn")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"rn" <= 15, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"rn" <= 15, $"doc_id").otherwise(0L)).as("kept_id_sum"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT,
+              doc_id) AS rn
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN rn <= 15 THEN doc_id ELSE 0 END) AS BIGINT)
+            AS kept_id_sum
+        FROM r
+        GROUP BY source
+        ORDER BY source"""))
+  )
+}

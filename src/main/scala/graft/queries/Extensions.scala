@@ -945,7 +945,46 @@ object Extensions {
         FROM gt g LEFT JOIN shortlist s
           ON g.q_id = s.q_id AND g.neighbor = s.neighbor
         GROUP BY g.q_id
-        ORDER BY g.q_id"""))
+        ORDER BY g.q_id""")),
+
+    // ---- CLUSTER-QUALITY EVAL: per-cluster within-cluster sum of
+    // squared distances (SSE) over the q114-trained assignment — the
+    // inertia metric a production IVF/k-means tuning loop watches to pick
+    // k and validate training. Exact integer arithmetic end to end: each
+    // member distance < ~4·|v|² ≈ 2^32 and a 100 TB cluster (members ≈
+    // target size, not corpus size) keeps the per-cluster sum far below
+    // 2^63, so the int64 SSE is exact on both engines.
+    //
+    // Plan: one broadcast join of the assignment against the k-row final
+    // centroid set + one aggregate keyed on c_id — nothing beyond what
+    // the training pass already shuffles.
+    Q("q134_cluster_quality",
+      (s, d) => {
+        import s.implicits._
+        val (assigned, cents) = lloyd2(s, d)
+        assigned
+          .join(broadcast(cents.select($"c_id", $"cv")), Seq("c_id"))
+          .withColumn("dist", expr(
+            "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
+          .groupBy($"c_id")
+          .agg(count(lit(1)).as("n_members"), sum($"dist").as("sse"))
+          .withColumn("mean_sse", expr(
+            "CAST(floor(CAST(sse AS DOUBLE) / CAST(n_members AS DOUBLE)) AS BIGINT)"))
+          .orderBy($"c_id")
+      },
+      Some(s"""
+        WITH $LloydCtes
+        SELECT a.c_id, count(*) AS n_members,
+          CAST(sum(list_dot_product(a.v, a.v)
+            - 2 * list_dot_product(a.v, c.cv)
+            + list_dot_product(c.cv, c.cv)) AS BIGINT) AS sse,
+          CAST(floor(CAST(sum(list_dot_product(a.v, a.v)
+              - 2 * list_dot_product(a.v, c.cv)
+              + list_dot_product(c.cv, c.cv)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_sse
+        FROM a2 a JOIN c2 c ON a.c_id = c.c_id
+        GROUP BY a.c_id
+        ORDER BY a.c_id"""))
   )
 
   /** Distinct SemDeDup duplicate markers `(c_id, ib)` over a lloyd2

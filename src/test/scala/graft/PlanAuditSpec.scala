@@ -293,6 +293,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("row_number"))
   }
 
+  test("q130: span detection never pair-joins the corpus") {
+    val p = plan("q130_dup_spans")
+    // df computation + join-back are hash-keyed equi-joins; the only
+    // acceptable join nodes are hash joins (broadcast or shuffle)
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the df aggregate partial-aggregates before its corpus-wide shuffle
+    assert(p.contains("partial_count"))
+  }
+
+  test("q132: eval set broadcasts; the corpus never shuffles pre-agg") {
+    val p = plan("q132_semantic_decon")
+    // exactly one loop join: corpus × broadcast 5-row eval set
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q133: the per-source cap uses DistributedRank, not a window") {
+    val p = plan("q133_source_cap")
+    // a `row_number() OVER (PARTITION BY source)` spelling would plan a
+    // Window node with one task per source — the shape this query exists
+    // to avoid
+    assert(!p.contains("Window"), "per-source window regressed into the plan")
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")
