@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -25,6 +26,61 @@ object Curation {
     * ~55-token documents so planted near-dups actually mark. */
   private val G = 5
 
+  /** Tokenized corpus (docs with >= G words — the sequence(1, n<1)
+    * descending trap, see q101). Shared by the span family. */
+  private def tokenized(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.t(s, d, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= G)
+  }
+
+  /** q130/q135's shared span computation: maximal runs of corpus-dup
+    * word 5-grams per document — `(doc_id, k0, k1, n_grams_in_span)`
+    * with k0/k1 the first/last gram start position (1-based). One
+    * hash-keyed df exchange + join-back, per-doc island window; see
+    * q130's header comment for the full plan story. */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = tokenized(s, d).select($"doc_id", explode(expr(
+      s"""transform(sequence(1, size(w) - ${G - 1}),
+                    k -> struct(k AS k, concat_ws(' ', slice(w, k, $G)) AS g))"""))
+        .as("x"))
+      .select($"doc_id", $"x.k".cast("long").as("k"),
+        Md5Long.md5_60($"x.g").as("h"))
+    val dupH = grams.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .where($"df" >= 2).select($"h")
+    grams.join(dupH, "h").select($"doc_id", $"k")
+      .withColumn("isl", $"k" - row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"k")))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"k").as("k0"), max($"k").as("k1"),
+        count(lit(1)).as("n_grams_in_span"))
+  }
+
+  /** DuckDB mirror of [[tokenized]] + [[dupSpans]] as a reusable CTE
+    * block: wt → grams → duph → marked → spans. */
+  private val SpanCtes = s"""
+        wt AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= $G),
+        grams AS (
+          SELECT doc_id, CAST(k AS BIGINT) AS k,
+            ('0x' || substr(md5(array_to_string(w[k:k+${G - 1}], ' ')), 2, 15))::BIGINT AS h
+          FROM wt, unnest(generate_series(1, len(w) - ${G - 1})) s(k)),
+        duph AS (
+          SELECT h FROM (SELECT DISTINCT doc_id, h FROM grams) u
+          GROUP BY h HAVING count(*) >= 2),
+        marked AS (SELECT g.doc_id, g.k FROM grams g JOIN duph USING (h)),
+        spans AS (
+          SELECT doc_id, isl, min(k) AS k0, max(k) AS k1,
+            count(*) AS n_grams_in_span
+          FROM (SELECT doc_id, k,
+                  k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS isl
+                FROM marked) t
+          GROUP BY doc_id, isl)"""
+
   val defs: Seq[Q] = Seq(
 
     // ---- DUPLICATE-SPAN DETECTION (exact substring dedup, Lee et al.
@@ -44,56 +100,18 @@ object Curation {
     Q("q130_dup_spans",
       (s, d) => {
         import s.implicits._
-        val wdf = Tables.t(s, d, "documents")
-          .select($"doc_id", split($"text", " ").as("w"))
-          // guard is load-bearing: sequence(1, n) with n < 1 DESCENDS
-          // (q101's trap) — sub-5-token docs carry no grams by decree
-          .where(size($"w") >= G)
-        val grams = wdf.select($"doc_id", explode(expr(
-          s"""transform(sequence(1, size(w) - ${G - 1}),
-                        k -> struct(k AS k, concat_ws(' ', slice(w, k, $G)) AS g))"""))
-            .as("x"))
-          .select($"doc_id", $"x.k".cast("long").as("k"),
-            Md5Long.md5_60($"x.g").as("h"))
-        val dupH = grams.select($"doc_id", $"h").distinct()
-          .groupBy($"h").agg(count(lit(1)).as("df"))
-          .where($"df" >= 2).select($"h")
-        val marked = grams.join(dupH, "h").select($"doc_id", $"k")
-        val spans = marked
-          .withColumn("isl", $"k" - row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"k")))
-          .groupBy($"doc_id", $"isl")
-          .agg(min($"k").as("k0"), max($"k").as("k1"),
-            count(lit(1)).as("n_grams_in_span"))
-        spans.groupBy($"doc_id")
+        dupSpans(s, d).groupBy($"doc_id")
           .agg(count(lit(1)).as("n_spans"),
             sum($"n_grams_in_span").as("n_dup_grams"),
             max($"k1" - $"k0" + lit(G.toLong)).as("max_span_tokens"))
-          .join(wdf.select($"doc_id",
+          .join(tokenized(s, d).select($"doc_id",
             (size($"w") - (G - 1)).cast("long").as("n_grams")), "doc_id")
           .select($"doc_id", $"n_grams", $"n_dup_grams", $"n_spans",
             $"max_span_tokens")
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH wt AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
-          WHERE len(string_split(text, ' ')) >= $G),
-        grams AS (
-          SELECT doc_id, CAST(k AS BIGINT) AS k,
-            ('0x' || substr(md5(array_to_string(w[k:k+${G - 1}], ' ')), 2, 15))::BIGINT AS h
-          FROM wt, unnest(generate_series(1, len(w) - ${G - 1})) s(k)),
-        duph AS (
-          SELECT h FROM (SELECT DISTINCT doc_id, h FROM grams) u
-          GROUP BY h HAVING count(*) >= 2),
-        marked AS (SELECT g.doc_id, g.k FROM grams g JOIN duph USING (h)),
-        spans AS (
-          SELECT doc_id, isl, min(k) AS k0, max(k) AS k1,
-            count(*) AS n_grams_in_span
-          FROM (SELECT doc_id, k,
-                  k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS isl
-                FROM marked) t
-          GROUP BY doc_id, isl)
+        WITH $SpanCtes
         SELECT s.doc_id,
           CAST(any_value(len(wt.w) - ${G - 1}) AS BIGINT) AS n_grams,
           CAST(sum(s.n_grams_in_span) AS BIGINT) AS n_dup_grams,
@@ -102,6 +120,59 @@ object Curation {
         FROM spans s JOIN wt ON s.doc_id = wt.doc_id
         GROUP BY s.doc_id
         ORDER BY s.doc_id""")),
+
+    // ---- DUPLICATE-SPAN REMOVAL: the production output of q130 — how
+    // much of each document survives after CUTTING every duplicated
+    // span (the Lee et al. pass actually applied before training).
+    // A span of grams [k0, k1] covers tokens [k0, k1 + G - 1]; adjacent
+    // spans can overlap by up to G-1 tokens, so covered token count is
+    // the exact INTERVAL UNION, computed with the classic sweep: sort a
+    // doc's spans by start, clip each at the running max end of its
+    // predecessors (one per-document window), sum the clipped lengths.
+    // Same linear plan as q130 plus one more per-doc window.
+    Q("q135_span_removal",
+      (s, d) => {
+        import s.implicits._
+        val iv = dupSpans(s, d)
+          .select($"doc_id", $"k0", ($"k1" + lit((G - 1).toLong)).as("e"))
+        val cov = iv
+          .withColumn("pe", max($"e").over(
+            Window.partitionBy($"doc_id").orderBy($"k0", $"e")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("contrib", greatest(lit(0L),
+            $"e" - greatest($"k0", coalesce($"pe", lit(0L)) + 1L) + 1L))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"), sum($"contrib").as("cut_tokens"))
+        cov.join(tokenized(s, d)
+            .select($"doc_id", size($"w").cast("long").as("n_tokens")), "doc_id")
+          .select($"doc_id", $"n_tokens", $"n_spans", $"cut_tokens",
+            ($"n_tokens" - $"cut_tokens").as("kept_tokens"))
+          .withColumn("kept_ratio",
+            $"kept_tokens".cast("double") / $"n_tokens".cast("double"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $SpanCtes,
+        iv AS (SELECT doc_id, k0, k1 + ${G - 1} AS e FROM spans),
+        cov AS (
+          SELECT doc_id, count(*) AS n_spans,
+            sum(greatest(0, e - greatest(k0, coalesce(pe, 0) + 1) + 1))
+              AS cut_tokens
+          FROM (SELECT doc_id, k0, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY k0, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+                FROM iv) t
+          GROUP BY doc_id)
+        SELECT c.doc_id,
+          CAST(any_value(len(wt.w)) AS BIGINT) AS n_tokens,
+          c.n_spans,
+          CAST(c.cut_tokens AS BIGINT) AS cut_tokens,
+          CAST(any_value(len(wt.w)) - c.cut_tokens AS BIGINT) AS kept_tokens,
+          CAST(any_value(len(wt.w)) - c.cut_tokens AS DOUBLE)
+            / CAST(any_value(len(wt.w)) AS DOUBLE) AS kept_ratio
+        FROM cov c JOIN wt ON c.doc_id = wt.doc_id
+        GROUP BY c.doc_id, c.n_spans, c.cut_tokens
+        ORDER BY c.doc_id""")),
 
     // ---- CONTENT-DEFINED CHUNKING: split each document at positions
     // where the word's 60-bit hash ≡ 0 (mod 16) — the rolling-hash
