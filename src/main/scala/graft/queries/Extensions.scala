@@ -204,9 +204,9 @@ object Extensions {
   // floor-div spelling; ties break on code_id everywhere.
 
   /** Subspace count — 64 dims / [[PqSubDim]]. Production: 8–16. */
-  private[queries] val PqM = 8
+  private[graft] val PqM = 8
   /** Dims per subspace (the embeddings-table 64-dim contract). */
-  private[queries] val PqSubDim = 8
+  private[graft] val PqSubDim = 8
 
   /** Codes per subspace, corpus-derived like [[centroidK]]: one code per
     * ~64 vectors, floored at 8 (sf0.01 → 8, sf0.1 → 31). A production
@@ -262,6 +262,18 @@ object Extensions {
       .select(col("vec_id"), col("sub_id"), col("code_id"))
     (cb1, codes)
   }
+
+  /** Trained PQ codebook as driver-side metadata — m·ks rows sorted by
+    * (sub_id, code_id) — for the streaming encode path
+    * (streaming/StreamPqEncode), which needs the codebook as a literal
+    * for the same reason StreamAnnAssign needs the centroid set: a
+    * stream cannot run the batch argmin aggregate. */
+  private[graft] def trainedCodebookSeq(
+      s: SparkSession, d: String): Seq[(Int, Long, Seq[Long])] =
+    pqTrain(s, d)._1.select(col("sub_id"), col("code_id"), col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
 
   /** ADC scoring: approximate L2 of every corpus vector to each query
     * (vec_id 8–12, the q120 query-set convention), computed from the

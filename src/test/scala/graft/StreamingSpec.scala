@@ -150,4 +150,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == corpus.length)
     assert(streamed == expected)
   }
+
+  test("streaming PQ encode matches an independent per-subspace argmin") {
+    val cb = graft.queries.Extensions.trainedCodebookSeq(spark, d)
+    assert(cb.nonEmpty)
+    val streamed = graft.streaming.StreamPqEncode
+      .runToCompletion(spark, d, cb, "spq_test")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    // independent expectation: plain-Scala squared-euclidean argmin per
+    // subspace (NOT the module's fold or pqTrain's min(struct)) — exact
+    // int64 distances, lowest code_id on ties
+    val m = graft.queries.Extensions.PqM
+    val sub = graft.queries.Extensions.PqSubDim
+    val corpus = Tables.t(spark, d, "embeddings")
+      .selectExpr("vec_id", graft.queries.Extensions.QV + " AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = corpus.map { case (id, v) =>
+      id -> (0 until m).map { j =>
+        val sv = v.slice(j * sub, j * sub + sub)
+        cb.collect { case (sj, cid, cv) if sj == j => (cid, cv) }
+          .minBy { case (cid, cv) => (d2(sv, cv), cid) }._1
+      }.toSeq
+    }.toMap
+
+    assert(streamed.size == corpus.length)
+    assert(streamed == expected)
+  }
 }
