@@ -35,6 +35,20 @@ object Curation {
       .where(size($"w") >= G)
   }
 
+  /** Positioned word 5-grams hashed to 60-bit longs — `(doc_id, k, h)`
+    * with k the 1-based gram start. The one corpus explode the span and
+    * fingerprint families share; downstream shuffles move 8-byte keys,
+    * never gram text (the q42 discipline). */
+  private def positionedGrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tokenized(s, d).select($"doc_id", explode(expr(
+      s"""transform(sequence(1, size(w) - ${G - 1}),
+                    k -> struct(k AS k, concat_ws(' ', slice(w, k, $G)) AS g))"""))
+        .as("x"))
+      .select($"doc_id", $"x.k".cast("long").as("k"),
+        Md5Long.md5_60($"x.g").as("h"))
+  }
+
   /** q130/q135's shared span computation: maximal runs of corpus-dup
     * word 5-grams per document — `(doc_id, k0, k1, n_grams_in_span)`
     * with k0/k1 the first/last gram start position (1-based). One
@@ -42,12 +56,7 @@ object Curation {
     * q130's header comment for the full plan story. */
   private def dupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grams = tokenized(s, d).select($"doc_id", explode(expr(
-      s"""transform(sequence(1, size(w) - ${G - 1}),
-                    k -> struct(k AS k, concat_ws(' ', slice(w, k, $G)) AS g))"""))
-        .as("x"))
-      .select($"doc_id", $"x.k".cast("long").as("k"),
-        Md5Long.md5_60($"x.g").as("h"))
+    val grams = positionedGrams(s, d)
     val dupH = grams.select($"doc_id", $"h").distinct()
       .groupBy($"h").agg(count(lit(1)).as("df"))
       .where($"df" >= 2).select($"h")
@@ -59,16 +68,20 @@ object Curation {
         count(lit(1)).as("n_grams_in_span"))
   }
 
-  /** DuckDB mirror of [[tokenized]] + [[dupSpans]] as a reusable CTE
-    * block: wt → grams → duph → marked → spans. */
-  private val SpanCtes = s"""
+  /** DuckDB mirror of [[tokenized]] + [[positionedGrams]]: wt → grams. */
+  private val GramCtes = s"""
         wt AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents
           WHERE len(string_split(text, ' ')) >= $G),
         grams AS (
           SELECT doc_id, CAST(k AS BIGINT) AS k,
             ('0x' || substr(md5(array_to_string(w[k:k+${G - 1}], ' ')), 2, 15))::BIGINT AS h
-          FROM wt, unnest(generate_series(1, len(w) - ${G - 1})) s(k)),
+          FROM wt, unnest(generate_series(1, len(w) - ${G - 1})) s(k))"""
+
+  /** DuckDB mirror of [[dupSpans]] as a reusable CTE block:
+    * [[GramCtes]] → duph → marked → spans. */
+  private val SpanCtes = s"""
+        $GramCtes,
         duph AS (
           SELECT h FROM (SELECT DISTINCT doc_id, h FROM grams) u
           GROUP BY h HAVING count(*) >= 2),
@@ -342,6 +355,66 @@ object Curation {
             AS kept_id_sum
         FROM r
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ---- WINNOWING FINGERPRINTS (Schleimer et al. 2003, the MOSS
+    // scheme): per document, slide a w=4-gram window over the hashed
+    // 5-gram sequence and select each window's minimal hash — the
+    // guarantee that any shared run of >= w+G-1 tokens between two
+    // documents shares at least one selected fingerprint, at ~2/(w+1)
+    // the storage of the full gram set. Tie-break is the declared
+    // leftmost-minimum variant: windows pick min by (hash, position),
+    // spelled as an int64 packed key hw·4096 + k with hw = h mod 2^48
+    // (the pack stays under 2^60 — exact int64 on both engines; k <
+    // 4096 is the declared doc-length contract of this corpus, and a
+    // production pack would widen to two int64 lanes).
+    //
+    // Plan: one gram explode + two per-document windows (running min /
+    // max) + one per-doc aggregate — zero corpus-wide exchanges beyond
+    // the doc_id-keyed ones; strictly linear. The fingerprint SETS these
+    // stats summarize are what a plagiarism/overlap index would store.
+    Q("q136_winnowing",
+      (s, d) => {
+        import s.implicits._
+        val W = 4
+        val g2 = positionedGrams(s, d)
+          .withColumn("pk", ($"h" % lit(281474976710656L)) * 4096L + $"k")
+        val sel = g2
+          .withColumn("mn", min($"pk").over(
+            Window.partitionBy($"doc_id").orderBy($"k")
+              .rowsBetween(0, W - 1)))
+          .withColumn("ng", max($"k").over(Window.partitionBy($"doc_id")))
+          // only full-width windows select (standard winnowing); docs
+          // with fewer than w grams drop out on both sides identically
+          .where($"k" <= $"ng" - (W - 1))
+          .select($"doc_id", $"ng", expr("mn div 4096").as("fp"))
+        sel.groupBy($"doc_id")
+          .agg(max($"ng").as("ng"), countDistinct($"fp").as("n_fp"))
+          .select($"doc_id", ($"ng" - (W - 1)).as("n_windows"), $"n_fp",
+            ($"n_fp".cast("double") /
+              ($"ng" - (W - 1)).cast("double")).as("density"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $GramCtes,
+        g2 AS (
+          SELECT doc_id, k, (h % 281474976710656) * 4096 + k AS pk
+          FROM grams),
+        sel AS (
+          SELECT doc_id, ng, mn // 4096 AS fp FROM (
+            SELECT doc_id, k,
+              min(pk) OVER (PARTITION BY doc_id ORDER BY k
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+              max(k) OVER (PARTITION BY doc_id) AS ng
+            FROM g2) t
+          WHERE k <= ng - 3)
+        SELECT doc_id,
+          CAST(any_value(ng) - 3 AS BIGINT) AS n_windows,
+          CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+          CAST(count(DISTINCT fp) AS DOUBLE)
+            / CAST(any_value(ng) - 3 AS DOUBLE) AS density
+        FROM sel
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

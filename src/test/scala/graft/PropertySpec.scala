@@ -107,4 +107,56 @@ object PropertySpec extends Properties("graft-kernels") {
       // cross-batch bucketing contract)
       Prop(shape) && Prop(range) && Prop(bs == StreamNearDup.bands(text))
     }
+
+  // ---- q135's interval-union sweep: the clipped-contribution formula
+  // (sort by start, clip each interval at the running max end of its
+  // predecessors, sum lengths) must equal the brute-force union size for
+  // ANY interval set — including nested, duplicated, and chained-overlap
+  // cases the corpus may never exercise.
+  private val intervalsGen = Gen.listOf(for {
+    s <- Gen.choose(1L, 50L)
+    len <- Gen.choose(1L, 12L)
+  } yield (s, s + len - 1))
+
+  property("interval-union sweep equals brute-force union size") =
+    forAll(intervalsGen) { iv =>
+      val sorted = iv.sorted // (start, end) lexicographic — the q135 ORDER BY
+      var prevEnd = 0L
+      var covered = 0L
+      sorted.foreach { case (s, e) =>
+        covered += math.max(0L, e - math.max(s, prevEnd + 1L) + 1L)
+        prevEnd = math.max(prevEnd, e)
+      }
+      covered == iv.flatMap { case (s, e) => s to e }.toSet.size
+    }
+
+  // ---- q136's winnowing guarantee (Schleimer et al. 2003): two
+  // documents sharing a token run of >= w + G - 1 tokens share at least
+  // one selected fingerprint. Reference selection mirrors the query
+  // bit-for-bit: 60-bit gram hash → mod 2^48 → packed (hash, pos) key →
+  // per-window min → div 4096.
+  private def winnowFps(words: Seq[String]): Set[Long] = {
+    val G = 5; val W = 4
+    val grams = (1 to words.length - G + 1).map { k =>
+      val h = graft.functions.Md5Long.hash60(
+        words.slice(k - 1, k - 1 + G).mkString(" ").getBytes("UTF-8"))
+      (h % 281474976710656L) * 4096L + k
+    }
+    (0 to grams.length - W).map(j => grams.slice(j, j + W).min / 4096L).toSet
+  }
+
+  private val docGen = Gen.nonEmptyListOf(Gen.oneOf(
+    "aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
+
+  property("winnowing: docs sharing a w+G-1 token run share a fingerprint") =
+    forAll(docGen, docGen, Gen.choose(0, 1000), Gen.choose(0, 1000)) {
+      (a0, b0, cutSeed, insSeed) =>
+        val run = 8 // W + G - 1
+        val a = if (a0.length >= run) a0 else a0 ++ List.fill(run - a0.length)("aa")
+        val cut = cutSeed % (a.length - run + 1)
+        val shared = a.slice(cut, cut + run)
+        val ins = insSeed % (b0.length + 1)
+        val b = b0.take(ins) ++ shared ++ b0.drop(ins)
+        (winnowFps(a) intersect winnowFps(b)).nonEmpty
+    }
 }
