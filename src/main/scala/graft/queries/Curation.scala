@@ -94,6 +94,43 @@ object Curation {
                 FROM marked) t
           GROUP BY doc_id, isl)"""
 
+  /** Winnowing window width (grams per selection window). */
+  private val W = 4
+
+  /** q136/q137's shared winnowing selection: the DISTINCT per-document
+    * fingerprint set `(doc_id, ng, fp)` (ng = gram count, rides along
+    * for q136's window accounting). See q136's header comment for the
+    * scheme and the exact int64 packed-key contract. */
+  private def winnowSel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    positionedGrams(s, d)
+      .withColumn("pk", ($"h" % lit(281474976710656L)) * 4096L + $"k")
+      .withColumn("mn", min($"pk").over(
+        Window.partitionBy($"doc_id").orderBy($"k")
+          .rowsBetween(0, W - 1)))
+      .withColumn("ng", max($"k").over(Window.partitionBy($"doc_id")))
+      // only full-width windows select (standard winnowing); docs with
+      // fewer than w grams drop out on both sides identically
+      .where($"k" <= $"ng" - (W - 1))
+      .select($"doc_id", $"ng", expr("mn div 4096").as("fp"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[winnowSel]]: [[GramCtes]] → g2 → sel. */
+  private val WinnowCtes = s"""
+        $GramCtes,
+        g2 AS (
+          SELECT doc_id, k, (h % 281474976710656) * 4096 + k AS pk
+          FROM grams),
+        sel AS (
+          SELECT DISTINCT doc_id, ng, mn // 4096 AS fp FROM (
+            SELECT doc_id, k,
+              min(pk) OVER (PARTITION BY doc_id ORDER BY k
+                ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS mn,
+              max(k) OVER (PARTITION BY doc_id) AS ng
+            FROM g2) t
+          WHERE k <= ng - ${W - 1})"""
+
   val defs: Seq[Q] = Seq(
 
     // ---- DUPLICATE-SPAN DETECTION (exact substring dedup, Lee et al.
@@ -376,45 +413,60 @@ object Curation {
     Q("q136_winnowing",
       (s, d) => {
         import s.implicits._
-        val W = 4
-        val g2 = positionedGrams(s, d)
-          .withColumn("pk", ($"h" % lit(281474976710656L)) * 4096L + $"k")
-        val sel = g2
-          .withColumn("mn", min($"pk").over(
-            Window.partitionBy($"doc_id").orderBy($"k")
-              .rowsBetween(0, W - 1)))
-          .withColumn("ng", max($"k").over(Window.partitionBy($"doc_id")))
-          // only full-width windows select (standard winnowing); docs
-          // with fewer than w grams drop out on both sides identically
-          .where($"k" <= $"ng" - (W - 1))
-          .select($"doc_id", $"ng", expr("mn div 4096").as("fp"))
-        sel.groupBy($"doc_id")
-          .agg(max($"ng").as("ng"), countDistinct($"fp").as("n_fp"))
+        winnowSel(s, d).groupBy($"doc_id")
+          .agg(max($"ng").as("ng"), count(lit(1)).as("n_fp"))
           .select($"doc_id", ($"ng" - (W - 1)).as("n_windows"), $"n_fp",
             ($"n_fp".cast("double") /
               ($"ng" - (W - 1)).cast("double")).as("density"))
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH $GramCtes,
-        g2 AS (
-          SELECT doc_id, k, (h % 281474976710656) * 4096 + k AS pk
-          FROM grams),
-        sel AS (
-          SELECT doc_id, ng, mn // 4096 AS fp FROM (
-            SELECT doc_id, k,
-              min(pk) OVER (PARTITION BY doc_id ORDER BY k
-                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
-              max(k) OVER (PARTITION BY doc_id) AS ng
-            FROM g2) t
-          WHERE k <= ng - 3)
+        WITH $WinnowCtes
         SELECT doc_id,
           CAST(any_value(ng) - 3 AS BIGINT) AS n_windows,
-          CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
-          CAST(count(DISTINCT fp) AS DOUBLE)
+          count(*) AS n_fp,
+          CAST(count(*) AS DOUBLE)
             / CAST(any_value(ng) - 3 AS DOUBLE) AS density
         FROM sel
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- WINNOWING OVERLAP PAIRS: the q136 index put to use — the
+    // plagiarism/mirror report listing document pairs that share >= 2
+    // selected fingerprints. Pairs form ONLY through fingerprint posting
+    // lists (equi-join on fp), df-capped at [2, 20] (a fingerprint in
+    // one doc can't pair; one in >20 docs is boilerplate whose pairs are
+    // uninformative and whose posting list would be the one quadratic
+    // key — the MaxShingleDf rationale, declared in the oracle). Work
+    // is Σ df² over capped lists ≤ 20·|postings| — linear-ish, the
+    // shape that survives 100 TB; the corpus never all-pairs joins.
+    Q("q137_winnow_pairs",
+      (s, d) => {
+        import s.implicits._
+        val sel = winnowSel(s, d).select($"doc_id", $"fp")
+        val capped = sel.groupBy($"fp")
+          .agg(count(lit(1)).as("df"))
+          .where($"df".between(2, 20)).select($"fp")
+        sel.select($"fp", $"doc_id".as("d1"))
+          .join(capped, "fp")
+          .join(sel.select($"fp", $"doc_id".as("d2")), "fp")
+          .where($"d1" < $"d2")
+          .groupBy($"d1", $"d2")
+          .agg(count(lit(1)).as("n_shared"))
+          .where($"n_shared" >= 2)
+          .orderBy($"d1", $"d2")
+      },
+      Some(s"""
+        WITH $WinnowCtes,
+        capped AS (
+          SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+          FROM sel a JOIN capped USING (fp) JOIN sel b USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2, n_shared FROM pairs
+        WHERE n_shared >= 2
+        ORDER BY d1, d2"""))
   )
 }
