@@ -467,6 +467,59 @@ object Curation {
           GROUP BY a.doc_id, b.doc_id)
         SELECT d1, d2, n_shared FROM pairs
         WHERE n_shared >= 2
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    // ---- TOKEN-BUDGET MATERIALIZATION: fill each language's declared
+    // token budget (3000 — languages under it keep everything, over it
+    // clip) greedily in deterministic hash order — the pass that turns
+    // q109-style mixture weights into an actual training shard: "give me
+    // B tokens of each stratum, sampled without bias". A document is
+    // kept iff its INCLUSIVE running token sum is within budget (the
+    // last document may overshoot the line and is dropped — declared,
+    // mirrored in the oracle).
+    //
+    // The running sum routes through DistributedRank.runningSum (range
+    // partitioning + broadcast offsets — q102's discipline; lang is
+    // ~5 reducers forever as a window). The oracle keeps the window
+    // spelling, identical numbers by construction.
+    Q("q138_token_budget",
+      (s, d) => {
+        import s.implicits._
+        val B = 3000L
+        val base = Tables.t(s, d, "documents")
+          .select($"doc_id", $"lang",
+            size(split($"text", " ")).cast("long").as("n_tok"),
+            Md5Long.md5_60($"doc_id".cast("string")).as("pri"))
+        graft.plans.DistributedRank
+          .runningSum(base, $"lang", Seq($"pri", $"doc_id"), $"n_tok", "run")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").as("total_tokens"),
+            sum(when($"run" <= B, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"run" <= B, $"n_tok").otherwise(0L)).as("tokens_kept"))
+          .withColumn("util", $"tokens_kept".cast("double") / B.toDouble)
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT AS pri
+          FROM documents),
+        o AS (
+          SELECT lang, n_tok,
+            sum(n_tok) OVER (PARTITION BY lang ORDER BY pri, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM t)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+          CAST(sum(CASE WHEN run <= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN run <= 3000 THEN n_tok ELSE 0 END) AS BIGINT)
+            AS tokens_kept,
+          CAST(sum(CASE WHEN run <= 3000 THEN n_tok ELSE 0 END) AS DOUBLE)
+            / 3000.0 AS util
+        FROM o
+        GROUP BY lang
+        ORDER BY lang"""))
   )
 }

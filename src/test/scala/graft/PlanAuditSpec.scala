@@ -303,6 +303,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"))
   }
 
+  test("q131: chunking joins nothing — pure map + windows + aggregates") {
+    val p = plan("q131_cdc_chunks")
+    assert(!p.contains("Join"), "CDC chunking must not join")
+    assert(p.contains("partial_count"), "rollup must map-side combine")
+  }
+
+  test("q137: overlap pairs form only through hash-keyed posting lists") {
+    val p = plan("q137_winnow_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q132: eval set broadcasts; the corpus never shuffles pre-agg") {
     val p = plan("q132_semantic_decon")
     // exactly one loop join: corpus × broadcast 5-row eval set
