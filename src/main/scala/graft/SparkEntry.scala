@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Curation, Dedup, Edge, Extensions, Funcs, Pipeline, Q, Relational, Sources, TextOps}
+import graft.queries.{Curation, Dedup, Events, Edge, Extensions, Funcs, Pipeline, Q, Relational, Sources, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{Curation, Dedup, Edge, Extensions, Funcs, Pipeline, Q, Rel
 object SparkEntry {
 
   private def allDefs: Seq[Q] =
-    Relational.defs ++ Funcs.defs ++ Dedup.defs ++ TextOps.defs ++ Sources.defs ++ Extensions.defs ++ Edge.defs ++ Pipeline.defs ++ Curation.defs
+    Relational.defs ++ Funcs.defs ++ Dedup.defs ++ TextOps.defs ++ Sources.defs ++ Extensions.defs ++ Edge.defs ++ Pipeline.defs ++ Curation.defs ++ Events.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 flavor: fact⋈fact join + broadcast dim + agg + top-k. */
