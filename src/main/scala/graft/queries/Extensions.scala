@@ -996,7 +996,70 @@ object Extensions {
             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_sse
         FROM a2 a JOIN c2 c ON a.c_id = c.c_id
         GROUP BY a.c_id
-        ORDER BY a.c_id"""))
+        ORDER BY a.c_id""")),
+
+    // ---- CLUSTER SEPARATION: q134's compactness metric paired with the
+    // between-cluster half — each trained cluster's distance to its
+    // nearest OTHER centroid (exact int64 squared L2) and the
+    // Davies-Bouldin-flavored ratio mean_sse / nn_dist (tight, separated
+    // clusters score low). The pairwise centroid table is k² METADATA
+    // rows (centroids are index parameters, never corpus-sized), so the
+    // whole between-cluster computation is a driver-trivial cross join;
+    // the only corpus pass is q134's SSE aggregate.
+    Q("q141_cluster_separation",
+      (s, d) => {
+        import s.implicits._
+        val (assigned, cents0) = lloyd2(s, d)
+        val cents = cents0.select($"c_id", $"cv").cache()
+        val nn = cents.select($"c_id", $"cv")
+          .crossJoin(cents.select($"c_id".as("o_id"), $"cv".as("ov")))
+          .filter($"c_id" =!= $"o_id")
+          .withColumn("dist", expr(
+            "dot_i64(cv, cv) - 2L * dot_i64(cv, ov) + dot_i64(ov, ov)"))
+          .groupBy($"c_id")
+          .agg(min(struct($"dist", $"o_id")).as("best"))
+          .select($"c_id", $"best.o_id".as("nn_c_id"),
+            $"best.dist".as("nn_dist"))
+        val sse = assigned
+          .join(broadcast(cents), Seq("c_id"))
+          .withColumn("dist", expr(
+            "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
+          .groupBy($"c_id")
+          .agg(count(lit(1)).as("n_members"), sum($"dist").as("sse"))
+          .withColumn("mean_sse", expr(
+            "CAST(floor(CAST(sse AS DOUBLE) / CAST(n_members AS DOUBLE)) AS BIGINT)"))
+        sse.join(broadcast(nn), Seq("c_id"))
+          .select($"c_id", $"n_members", $"nn_c_id", $"nn_dist",
+            ($"mean_sse".cast("double") / $"nn_dist".cast("double"))
+              .as("sep_ratio"))
+          .orderBy($"c_id")
+      },
+      Some(s"""
+        WITH $LloydCtes,
+        nn AS (
+          SELECT c_id, nn_c_id, nn_dist FROM (
+            SELECT a.c_id, b.c_id AS nn_c_id,
+              CAST(list_dot_product(a.cv, a.cv)
+                - 2 * list_dot_product(a.cv, b.cv)
+                + list_dot_product(b.cv, b.cv) AS BIGINT) AS nn_dist,
+              row_number() OVER (PARTITION BY a.c_id ORDER BY
+                list_dot_product(a.cv, a.cv)
+                  - 2 * list_dot_product(a.cv, b.cv)
+                  + list_dot_product(b.cv, b.cv) ASC, b.c_id ASC) AS rn
+            FROM c2 a JOIN c2 b ON a.c_id <> b.c_id) t
+          WHERE rn = 1),
+        sse AS (
+          SELECT a.c_id, count(*) AS n_members,
+            CAST(floor(CAST(sum(list_dot_product(a.v, a.v)
+                - 2 * list_dot_product(a.v, c.cv)
+                + list_dot_product(c.cv, c.cv)) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_sse
+          FROM a2 a JOIN c2 c ON a.c_id = c.c_id
+          GROUP BY a.c_id)
+        SELECT s.c_id, s.n_members, n.nn_c_id, n.nn_dist,
+          CAST(s.mean_sse AS DOUBLE) / CAST(n.nn_dist AS DOUBLE) AS sep_ratio
+        FROM sse s JOIN nn n ON s.c_id = n.c_id
+        ORDER BY s.c_id"""))
   )
 
   /** Distinct SemDeDup duplicate markers `(c_id, ib)` over a lloyd2
