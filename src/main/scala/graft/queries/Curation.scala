@@ -520,6 +520,104 @@ object Curation {
             / 3000.0 AS util
         FROM o
         GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // ---- BLOOM PRE-FILTER for incremental dedup: build a 65536-bit
+    // Bloom filter (2048 × 32-bit lanes, 3 probes from disjoint 16-bit
+    // fields of the 60-bit digest) over the SEALED corpus's digests,
+    // then probe each incoming document — "definitely new" documents
+    // skip the exact digest join entirely. THE 100 TB ingest trick: the
+    // filter is ~8 KB of metadata (vs re-shuffling the sealed corpus
+    // per ingest batch), definite-new is the overwhelming majority in
+    // practice, and the filter admits NO false negatives (n_missed is
+    // the proven-zero column). Same sealed/incoming split as q125, so
+    // the 50 planted true dups exercise the hit path.
+    //
+    // All bit arithmetic is exact and identical on both engines: lanes
+    // hold 32-bit words (no sign-bit shifts), masks via shiftleft/<<,
+    // membership via bitwise AND, the 3-probe conjunction via bool_and.
+    Q("q142_bloom_prefilter",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.t(s, d, "documents").select($"doc_id", $"text")
+        val sealedH = docs.filter($"doc_id" < 450)
+          .select(Md5Long.md5_60($"text").as("h")).distinct()
+          // feeds the bloom build AND the exact-truth join
+          .cache()
+        val incoming = docs.filter($"doc_id" >= 450)
+          .unionAll(docs.filter($"doc_id" < 50)
+            .select(($"doc_id" + 20000L).as("doc_id"), $"text"))
+          .select($"doc_id", Md5Long.md5_60($"text").as("h"))
+        val probeArr =
+          "array(h % 65536, (h div 65536) % 65536, (h div 4294967296) % 65536)"
+        val bloom = sealedH
+          .select(explode(expr(probeArr)).as("p"))
+          .select(expr("p div 32").as("lane"),
+            expr("shiftleft(1L, CAST(p % 32 AS INT))").as("mask"))
+          .groupBy($"lane").agg(expr("bit_or(mask)").as("word"))
+        val maybe = incoming
+          .select($"doc_id", explode(expr(probeArr)).as("p"))
+          .select($"doc_id", expr("p div 32").as("lane"),
+            expr("shiftleft(1L, CAST(p % 32 AS INT))").as("mask"))
+          .join(broadcast(bloom), Seq("lane"), "left")
+          .withColumn("hit",
+            (coalesce($"word", lit(0L)).bitwiseAND($"mask")) =!= 0L)
+          .groupBy($"doc_id").agg(expr("bool_and(hit)").as("maybe"))
+        incoming
+          .join(maybe, Seq("doc_id"))
+          .join(sealedH.select($"h", lit(1).as("sealed")), Seq("h"), "left")
+          .agg(count(lit(1)).as("n_probe"),
+            sum(when($"maybe", 1L).otherwise(0L)).as("n_maybe_dup"),
+            sum(when(!$"maybe", 1L).otherwise(0L)).as("n_definite_new"),
+            sum(when($"sealed".isNotNull, 1L).otherwise(0L)).as("n_true_dup"),
+            sum(when($"maybe" && $"sealed".isNull, 1L).otherwise(0L))
+              .as("n_false_pos"),
+            sum(when(!$"maybe" && $"sealed".isNotNull, 1L).otherwise(0L))
+              .as("n_missed"))
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        sealedh AS (
+          SELECT DISTINCT ('0x' || substr(md5(text), 2, 15))::BIGINT AS h
+          FROM docs WHERE doc_id < 450),
+        incoming AS (
+          SELECT doc_id, ('0x' || substr(md5(text), 2, 15))::BIGINT AS h
+          FROM docs WHERE doc_id >= 450
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id,
+            ('0x' || substr(md5(text), 2, 15))::BIGINT AS h
+          FROM docs WHERE doc_id < 50),
+        bloom AS (
+          SELECT p // 32 AS lane,
+            bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+          FROM (SELECT unnest([h % 65536, (h // 65536) % 65536,
+                              (h // 4294967296) % 65536]) AS p
+                FROM sealedh) t
+          GROUP BY p // 32),
+        maybe AS (
+          SELECT doc_id, bool_and(coalesce(word, 0) & mask <> 0) AS maybe
+          FROM (
+            SELECT i.doc_id, p // 32 AS lane,
+              CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
+            FROM (SELECT doc_id,
+                    unnest([h % 65536, (h // 65536) % 65536,
+                            (h // 4294967296) % 65536]) AS p
+                  FROM incoming) i) pr
+          LEFT JOIN bloom USING (lane)
+          GROUP BY doc_id)
+        SELECT count(*) AS n_probe,
+          CAST(sum(CASE WHEN m.maybe THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_maybe_dup,
+          CAST(sum(CASE WHEN NOT m.maybe THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_definite_new,
+          CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_true_dup,
+          CAST(sum(CASE WHEN m.maybe AND s.h IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+          CAST(sum(CASE WHEN NOT m.maybe AND s.h IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missed
+        FROM incoming i
+        JOIN maybe m USING (doc_id)
+        LEFT JOIN sealedh s ON i.h = s.h"""))
   )
 }
