@@ -88,15 +88,20 @@ object Extensions {
     var cents = seedCentroids(emb, centroidK(emb))
     var assigned: DataFrame = null // round 1 assigns before any read
     for (_ <- 1 to 2) {
+      // nearest-centroid argmin via the partial-aggregatable
+      // min(struct(dist, c_id)) — identical tie-break to a
+      // (dist ASC, c_id ASC) row_number but map-side combine shrinks the
+      // exchange to n rows where the window would shuffle the full n·k
+      // expansion (k ∝ n under centroidK ⇒ the window is O(n²/40) rows
+      // at scale). Same spelling as pqTrain's assignTo below.
       assigned = emb
         .crossJoin(broadcast(cents.select(col("c_id"), col("cv"))))
         .withColumn("dist", expr(
           "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist").asc, col("c_id").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_id"), col("v"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_id"))).as("best"),
+          first(col("v")).as("v")) // v is constant within the group
+        .select(col("vec_id"), col("best.c_id").as("c_id"), col("v"))
       // the centroid aggregate carries the member stats for free: every
       // member contributes exactly one row per dimension, so the
       // per-(cluster, dim) count IS the member count and the min vec_id
@@ -541,11 +546,14 @@ object Extensions {
           .withColumn("nc", expr("dot_i64(cv, cv)"))
           .withColumn("cos", col("dot").cast("double") /
             (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+        // max-cosine argmin via partial-aggregatable min(struct): negating
+        // the IEEE double is exact, so (-cos ASC, c_id ASC) is precisely
+        // the (cos DESC, c_id ASC) row_number tie-break — with map-side
+        // combine instead of shuffling the n·k expansion through a window
         val assigned = scored
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("cos").desc, col("c_id").asc)))
-          .filter(col("rn") === 1)
+          .groupBy(col("vec_id"))
+          .agg(min(struct((-col("cos")).as("ncos"), col("c_id"))).as("best"))
+          .select(col("vec_id"), col("best.c_id").as("c_id"))
         assigned.groupBy(col("c_id"))
           .agg(count(lit(1)).as("n_members"),
             min(col("vec_id")).as("first_member"))
@@ -590,14 +598,15 @@ object Extensions {
           .withColumn("cos", expr("dot_i64(v, cv)").cast("double") /
             (sqrt(expr("dot_i64(v, v)").cast("double")) *
               sqrt(expr("dot_i64(cv, cv)").cast("double"))))
+        // same partial-aggregatable argmin as q68 (exact -cos negation,
+        // identical tie-break); v rides along via first() as in lloyd2
         val assigned = scored
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("cos").desc, col("c_id").asc)))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_id"), col("v"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct((-col("cos")).as("ncos"), col("c_id"))).as("best"),
+            first(col("v")).as("v"))
+          .select(col("vec_id"), col("best.c_id").as("c_id"), col("v"))
           // consumed twice (query-set derivation + probe side): persist
-          // so the centroid pass + argmin window run once
+          // so the centroid pass + argmin aggregate run once
           .cache()
         val qs = assigned.filter(col("vec_id").between(8, 12))
           .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))

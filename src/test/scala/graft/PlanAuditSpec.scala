@@ -182,6 +182,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"all=$all buildRight=$buildRight")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"))
+    // the nearest-centroid argmin is the partial-aggregatable
+    // min(struct(dist, c_id)) — with k ∝ n, a row_number window here
+    // would shuffle the full n·k expansion (O(n²/40) exchange rows)
+    assert(p.contains("partial_min"))
+    assert(!p.contains("row_number"), "assignment regressed to a window argmin")
+  }
+
+  test("q68: IVF assignment argmin partial-aggregates — no window over the n·k expansion") {
+    val p = plan("q68_sim_ivf")
+    assert(p.contains("partial_min"))
+    assert(!p.contains("row_number"), "assignment regressed to a window argmin")
+    assert(!p.contains("Window"), "no window anywhere in the assignment path")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q93: probe assignment partial-aggregates; the only window is the per-query top-3") {
+    val p = plan("q93_sim_ivf_probe")
+    assert(p.contains("partial_min"))
+    // exactly one Window node — the rn<=3 probe ranking over the
+    // inverted-list candidates (bounded per query), never the n·k
+    // assignment expansion (\b excludes the WindowGroupLimit pair Spark
+    // inserts for the rank filter — those SHRINK the probe, keep them)
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).size == 1,
+      "assignment regressed to a window argmin")
   }
 
   test("q115: semdedup pairs form on the cluster-id equi-join; only centroid sides build") {
