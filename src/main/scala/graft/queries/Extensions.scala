@@ -26,6 +26,31 @@ object Extensions {
   private[queries] def centroidK(emb: DataFrame): Long =
     math.max(8L, emb.count() / TargetClusterSize)
 
+  /** Training-sample multiple: lloyd2 / pqTrain learn their codebooks on
+    * a deterministic hash-threshold sample of ~[[SampleMultiple]]·k
+    * vectors and assign the FULL corpus exactly once afterwards — the
+    * standard escape from O(n·k) training flops (with k ∝ n that is
+    * O(n²) distance evaluations at 100 TB; a bounded sample caps the
+    * Lloyd's rounds at O(k²·SampleMultiple) regardless of corpus size
+    * while the mean estimates stay ~SampleMultiple members per
+    * centroid). Production uses 64–256; the demo sets 16 so the sample
+    * path is actually exercised at the demo [[TargetClusterSize]] of 40
+    * (64·k would exceed n whenever k ≥ n/64). */
+  private[graft] val SampleMultiple = 16L
+
+  /** Integer sample percentage for a corpus of n vectors and k
+    * centroids, clamped to [1, 100] — exact integer floor-division on
+    * positive operands, so Spark's truncating `/` and DuckDB's flooring
+    * `//` agree. The predicate is the q92 portable-hash spelling
+    * (`md5_60(vec_id) % 100 < pct`): reproducible on any engine, no RNG
+    * state, and at scale a pure narrow filter on the corpus scan. */
+  private[graft] def samplePct(n: Long, k: Long): Long =
+    math.min(100L, math.max(1L, (100L * SampleMultiple * k) / n))
+
+  /** The Spark half of the training-sample predicate ([[samplePct]]). */
+  private def samplePred(pct: Long) =
+    expr(s"md5_60(CAST(vec_id AS STRING)) % 100 < $pct")
+
   /** Deterministic, SPREAD seed centroids — k strata under a
     * linear-congruential hash of vec_id, one seed per stratum (the
     * member minimizing the packed (h, vec_id) key), so seeds land
@@ -67,61 +92,62 @@ object Extensions {
           GROUP BY h % k),
         c0 AS (SELECT s.c_id, w.v AS cv FROM seedids s JOIN w ON w.vec_id = s.c_id)"""
 
-  /** Shared 2-round distributed Lloyd's iteration (q114 training output,
-    * q115 SemDeDup's cluster structure). Returns (final assignment
-    * `(vec_id, c_id, v)`, final centroids `(c_id, cv, n_members,
-    * first_member)`), under the exact integer determinism contract
-    * documented at q114. k is corpus-derived ([[centroidK]]) and the
-    * seeds stratified ([[seedCentroids]]).
+  /** Shared sample-trained distributed Lloyd's iteration (q114 training
+    * output, q115 SemDeDup's cluster structure). Two training rounds run
+    * over a deterministic hash-threshold sample of ~[[SampleMultiple]]·k
+    * vectors ([[samplePct]] — seeds drawn from the sample, since a seed
+    * centroid IS a sample vector's value); the FULL corpus is then
+    * assigned to the trained centroids exactly once. Returns (full-corpus
+    * assignment `(vec_id, c_id, v)` against the returned centroids,
+    * trained centroids `(c_id, cv)`), under the exact integer determinism
+    * contract documented at q114. k is corpus-derived ([[centroidK]]) and
+    * the seeds stratified ([[seedCentroids]]).
     *
-    * The stats riding the centroid aggregate (count/min over the
-    * per-dimension explode) are exact ONLY under the embeddings-table
-    * contract every ANN query in this family (q44/q67/q68/q93/q104)
-    * already requires: non-null, uniform-dimension vectors — each member
-    * then contributes exactly one row per dimension. A corpus violating
-    * that diverges from the oracle across the whole family and fails the
-    * Verify gate loudly. */
+    * Scale shape: the training rounds touch O(SampleMultiple·k) vectors
+    * each (bounded by the index size, not the corpus), and the corpus
+    * pays one narrow sample filter plus one assignment pass — each a
+    * broadcast join against the k-row centroid side with the
+    * partial-aggregatable argmin, never a window over the n·k expansion. */
   private def lloyd2(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.DotProductI64.register(s)
+    graft.functions.Md5Long.register(s)
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), expr(QV).as("v"))
-    var cents = seedCentroids(emb, centroidK(emb))
-    var assigned: DataFrame = null // round 1 assigns before any read
-    for (_ <- 1 to 2) {
-      // nearest-centroid argmin via the partial-aggregatable
-      // min(struct(dist, c_id)) — identical tie-break to a
-      // (dist ASC, c_id ASC) row_number but map-side combine shrinks the
-      // exchange to n rows where the window would shuffle the full n·k
-      // expansion (k ∝ n under centroidK ⇒ the window is O(n²/40) rows
-      // at scale). Same spelling as pqTrain's assignTo below.
-      assigned = emb
-        .crossJoin(broadcast(cents.select(col("c_id"), col("cv"))))
-        .withColumn("dist", expr(
-          "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("c_id"))).as("best"),
-          first(col("v")).as("v")) // v is constant within the group
-        .select(col("vec_id"), col("best.c_id").as("c_id"), col("v"))
-      // the centroid aggregate carries the member stats for free: every
-      // member contributes exactly one row per dimension, so the
-      // per-(cluster, dim) count IS the member count and the min vec_id
-      // is the cluster's first member — q114 reads them off the final
-      // centroids instead of re-deriving the assignment a third time
-      cents = assigned
-        .select(col("c_id"), col("vec_id"), posexplode(col("v")))
+    val n = emb.count()
+    val k = math.max(8L, n / TargetClusterSize)
+    // the training set is the frame both Lloyd's rounds re-read: cache it
+    // (it is the bounded ~SampleMultiple·k slice, the thing a production
+    // trainer materializes; the full corpus is never cached here)
+    val samp = emb.filter(samplePred(samplePct(n, k))).cache()
+    // nearest-centroid argmin via the partial-aggregatable
+    // min(struct(dist, c_id)) — identical tie-break to a
+    // (dist ASC, c_id ASC) row_number but map-side combine shrinks the
+    // exchange to |df| rows where a window would shuffle the full
+    // |df|·k expansion. Same spelling as pqTrain's assignTo below.
+    def assign(df: DataFrame, cs: DataFrame): DataFrame = df
+      .crossJoin(broadcast(cs.select(col("c_id"), col("cv"))))
+      .withColumn("dist", expr(
+        "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("c_id"))).as("best"),
+        first(col("v")).as("v")) // v is constant within the group
+      .select(col("vec_id"), col("best.c_id").as("c_id"), col("v"))
+    var cents = seedCentroids(samp, k)
+    for (_ <- 1 to 2)
+      cents = assign(samp, cents)
+        .select(col("c_id"), posexplode(col("v")))
         .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"),
-          min(col("vec_id")).as("mn"))
+        .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"))
         .withColumn("m", expr(
           "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
         .groupBy(col("c_id"))
         .agg(expr(
           "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
-          .as("cv"),
-          min(col("n")).as("n_members"),
-          min(col("mn")).as("first_member"))
-    }
-    (assigned, cents)
+          .as("cv"))
+    // the trained centroid set is THE index artifact — k metadata rows;
+    // cache it so multi-reference consumers (q114's stats + l1 join,
+    // q141's SSE + separation) run the sample training rounds once
+    (assign(emb, cents.cache()), cents)
   }
 
   /** Final trained centroids as driver-side metadata — k rows by
@@ -133,23 +159,42 @@ object Extensions {
     lloyd2(s, d)._2.select(col("c_id"), col("cv")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1).toSeq
 
-  /** The q114/q115 oracle's shared CTE chain: quantized vectors →
-    * corpus-derived k + stratified seed centroids ([[SeedCtes]]) → two
-    * assign/mean rounds (a2 = final assignment, c2 = final centroids). */
+  /** The q114/q115 oracle's shared CTE chain mirroring [[lloyd2]]:
+    * quantized vectors → corpus-derived k + sample pct (`tparams`) →
+    * hash-threshold training sample `ws` → stratified seeds from the
+    * sample → two assign/mean rounds over the sample (c2 = trained
+    * centroids) → ONE full-corpus assignment `af` (what consumers read,
+    * with c2). The strata/seed arithmetic is [[SeedCtes]]' applied to
+    * the sample. */
   private val LloydCtes = s"""
         w AS (
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
-        $SeedCtes,
+        tparams AS (
+          SELECT greatest(8, count(*) // 40) AS k,
+            least(100, greatest(1, (100 * $SampleMultiple
+              * greatest(8, count(*) // 40)) // count(*))) AS pct
+          FROM w),
+        ws AS (
+          SELECT vec_id, v FROM w, tparams
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 2, 15))::BIGINT
+            % 100 < pct),
+        seedids AS (
+          SELECT CAST(min(h * 2147483648 + vec_id) % 2147483648 AS BIGINT) AS c_id
+          FROM (SELECT vec_id,
+                  (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647 AS h
+                FROM ws) t, tparams
+          GROUP BY h % k),
+        c0 AS (SELECT s.c_id, ws.v AS cv FROM seedids s JOIN ws ON ws.vec_id = s.c_id),
         a1 AS (
           SELECT vec_id, c_id, v FROM (
-            SELECT w.vec_id, c.c_id, w.v,
-              row_number() OVER (PARTITION BY w.vec_id ORDER BY
-                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
+            SELECT ws.vec_id, c.c_id, ws.v,
+              row_number() OVER (PARTITION BY ws.vec_id ORDER BY
+                list_dot_product(ws.v, ws.v) - 2 * list_dot_product(ws.v, c.cv)
                   + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
-            FROM w CROSS JOIN c0 c) t
+            FROM ws CROSS JOIN c0 c) t
           WHERE rn = 1),
         m1 AS (
           SELECT c_id, k AS dim,
@@ -160,11 +205,11 @@ object Extensions {
         c1 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY c_id),
         a2 AS (
           SELECT vec_id, c_id, v FROM (
-            SELECT w.vec_id, c.c_id, w.v,
-              row_number() OVER (PARTITION BY w.vec_id ORDER BY
-                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
+            SELECT ws.vec_id, c.c_id, ws.v,
+              row_number() OVER (PARTITION BY ws.vec_id ORDER BY
+                list_dot_product(ws.v, ws.v) - 2 * list_dot_product(ws.v, c.cv)
                   + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
-            FROM w CROSS JOIN c1 c) t
+            FROM ws CROSS JOIN c1 c) t
           WHERE rn = 1),
         m2 AS (
           SELECT c_id, k AS dim,
@@ -172,10 +217,18 @@ object Extensions {
               AS BIGINT) AS m
           FROM a2, unnest(generate_series(1, len(v))) s(k)
           GROUP BY c_id, k),
-        c2 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY c_id)"""
+        c2 AS (SELECT c_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY c_id),
+        af AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, w.v) - 2 * list_dot_product(w.v, c.cv)
+                  + list_dot_product(c.cv, c.cv) ASC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN c2 c) t
+          WHERE rn = 1)"""
 
   /** Oracle CTEs mirroring [[semdedupDupes]] over the lloyd2 chain's
-    * final assignment `a2`: pairs → distinct dupe markers `dupes0`.
+    * full-corpus assignment `af`: pairs → distinct dupe markers `dupes0`.
     * (Declared before `defs` — object-init order makes later vals null
     * inside defs' interpolations.) */
   private val SemDedupDupeCtes = """
@@ -184,7 +237,7 @@ object Extensions {
             list_dot_product(a.v, b.v) AS dot,
             list_dot_product(a.v, a.v) AS na,
             list_dot_product(b.v, b.v) AS nb
-          FROM a2 a JOIN a2 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+          FROM af a JOIN af b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
         dupes0 AS (
           SELECT DISTINCT c_id, ib FROM pairs
           WHERE dot > 0
@@ -216,33 +269,41 @@ object Extensions {
   /** Codes per subspace, corpus-derived like [[centroidK]]: one code per
     * ~64 vectors, floored at 8 (sf0.01 → 8, sf0.1 → 31). A production
     * run sets the target so ks saturates at 256 (one-byte codes). */
-  private[queries] def pqKs(emb: DataFrame): Long =
-    math.max(8L, emb.count() / 64L)
+  private[graft] def pqKs(n: Long): Long = math.max(8L, n / 64L)
 
-  /** PQ training. Returns (codebook `(sub_id, code_id, cv, n_members)`,
-    * corpus codes `(vec_id, sub_id, code_id)`), deterministic under the
-    * family's exact-integer contract.
+  /** PQ training. Returns (codebook `(sub_id, code_id, cv, n_members)`
+    * — n_members counts the TRAINING-sample round — corpus codes
+    * `(vec_id, sub_id, code_id)` over the FULL corpus), deterministic
+    * under the family's exact-integer contract.
     *
     * Plan shape: ONE cached corpus pass builds the (vec_id, sub_id, sv)
-    * sub-vector frame all stages read; each assignment is a broadcast
-    * join against the m·ks-row codebook followed by a partial-
-    * aggregatable lexicographic `min(struct(dist, code_id))` — map-side
-    * combine shrinks the shuffle to n·m rows, where a row_number window
-    * would shuffle the full n·m·ks expansion. */
+    * sub-vector frame all stages read; the codebook trains on the
+    * deterministic ~[[SampleMultiple]]·ks hash-threshold slice of that
+    * frame ([[samplePct]], same policy as lloyd2) and the full corpus is
+    * encoded once. Each assignment is a broadcast join against the
+    * m·ks-row codebook followed by a partial-aggregatable lexicographic
+    * `min(struct(dist, code_id))` — map-side combine shrinks the shuffle
+    * to n·m rows, where a row_number window would shuffle the full
+    * n·m·ks expansion. */
   private def pqTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.DotProductI64.register(s)
+    graft.functions.Md5Long.register(s)
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), expr(QV).as("v"))
-    val seeds = seedIdsOf(emb, pqKs(emb))
+    val n = emb.count()
+    val ks = pqKs(n)
+    val pred = samplePred(samplePct(n, ks))
+    val seeds = seedIdsOf(emb.filter(pred), ks) // seeds live in the sample
     val subs = emb.select(col("vec_id"), explode(expr(
       s"""transform(sequence(0, ${PqM - 1}),
             j -> struct(j AS sub_id, slice(v, j * $PqSubDim + 1, $PqSubDim) AS sv))"""))
       .as("x"))
       .select(col("vec_id"), col("x.sub_id").as("sub_id"), col("x.sv").as("sv"))
       .cache()
-    val cb0 = subs.join(broadcast(seeds), col("vec_id") === col("c_id"))
+    val ssubs = subs.filter(pred) // training slice of the cached frame
+    val cb0 = ssubs.join(broadcast(seeds), col("vec_id") === col("c_id"))
       .select(col("sub_id"), col("c_id").as("code_id"), col("sv").as("cv"))
-    def assignTo(cb: DataFrame): DataFrame = subs
+    def assignTo(df: DataFrame, cb: DataFrame): DataFrame = df
       .join(broadcast(cb), Seq("sub_id"))
       .withColumn("dist", expr(
         "dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)"))
@@ -251,7 +312,7 @@ object Extensions {
         first(col("sv")).as("sv")) // sv is constant within the group
       .select(col("vec_id"), col("sub_id"),
         col("best.code_id").as("code_id"), col("sv"))
-    val cb1 = assignTo(cb0)
+    val cb1 = assignTo(ssubs, cb0)
       .select(col("sub_id"), col("code_id"), posexplode(col("sv")))
       .groupBy(col("sub_id"), col("code_id"), col("pos"))
       .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"))
@@ -263,7 +324,7 @@ object Extensions {
         .as("cv"),
         min(col("n")).as("n_members"))
       .cache() // tiny (≤ m·ks rows); read by the encode pass AND q126's output
-    val codes = assignTo(cb1.select(col("sub_id"), col("code_id"), col("cv")))
+    val codes = assignTo(subs, cb1.select(col("sub_id"), col("code_id"), col("cv")))
       .select(col("vec_id"), col("sub_id"), col("code_id"))
     (cb1, codes)
   }
@@ -308,35 +369,48 @@ object Extensions {
   }
 
   /** q126/q127/q128's shared oracle chain mirroring [[pqTrain]]: corpus
-    * `w` → ks + stratified seeds → sub-vector frame → one Lloyd's round
-    * per subspace → final codebook `pcb` + corpus codes `pcodes`. */
+    * `w` → ks + sample pct → hash-threshold training sample `pws` →
+    * stratified seeds from the sample → sub-vector frames (full `psubs`,
+    * training slice `pssubs`) → one Lloyd's round per subspace over the
+    * sample → final codebook `pcb` + FULL-corpus codes `pcodes`. */
   private val PqCtes = s"""
         w AS (
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
-        pparams AS (SELECT greatest(8, count(*) // 64) AS ks FROM w),
+        pparams AS (
+          SELECT greatest(8, count(*) // 64) AS ks,
+            least(100, greatest(1, (100 * $SampleMultiple
+              * greatest(8, count(*) // 64)) // count(*))) AS pct
+          FROM w),
+        pws AS (
+          SELECT vec_id FROM w, pparams
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 2, 15))::BIGINT
+            % 100 < pct),
         pseeds AS (
           SELECT CAST(min(h * 2147483648 + vec_id) % 2147483648 AS BIGINT) AS c_id
           FROM (SELECT vec_id,
                   (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647 AS h
-                FROM w) t, pparams
+                FROM pws) t, pparams
           GROUP BY h % ks),
         psubs AS (
           SELECT vec_id, j AS sub_id,
             v[j * $PqSubDim + 1 : j * $PqSubDim + $PqSubDim] AS sv
           FROM w, generate_series(0, ${PqM - 1}) t(j)),
+        pssubs AS (
+          SELECT p.vec_id, p.sub_id, p.sv
+          FROM psubs p SEMI JOIN pws s ON p.vec_id = s.vec_id),
         pcb0 AS (
           SELECT s.sub_id, s.vec_id AS code_id, s.sv AS cv
-          FROM psubs s JOIN pseeds ON s.vec_id = pseeds.c_id),
+          FROM pssubs s JOIN pseeds ON s.vec_id = pseeds.c_id),
         pa1 AS (
           SELECT vec_id, sub_id, code_id, sv FROM (
             SELECT p.vec_id, p.sub_id, c.code_id, p.sv,
               row_number() OVER (PARTITION BY p.vec_id, p.sub_id ORDER BY
                 list_dot_product(p.sv, p.sv) - 2 * list_dot_product(p.sv, c.cv)
                   + list_dot_product(c.cv, c.cv) ASC, c.code_id ASC) AS rn
-            FROM psubs p JOIN pcb0 c ON p.sub_id = c.sub_id) t
+            FROM pssubs p JOIN pcb0 c ON p.sub_id = c.sub_id) t
           WHERE rn = 1),
         pm1 AS (
           SELECT sub_id, code_id, k AS dim,
@@ -675,10 +749,16 @@ object Extensions {
     Q("q114_ivf_train",
       (s, d) => {
         import s.implicits._
-        val (_, cents) = lloyd2(s, d)
-        cents.select($"c_id", $"n_members",
-          $"first_member".cast("long").as("first_member"),
-          expr("aggregate(cv, 0L, (acc, x) -> acc + abs(x))").as("centroid_l1"))
+        // member stats come off the one full-corpus assignment pass; the
+        // trained centroid set joins in as k-row broadcast metadata
+        val (assigned, cents) = lloyd2(s, d)
+        assigned.groupBy($"c_id")
+          .agg(count(lit(1)).as("n_members"),
+            min($"vec_id").cast("long").as("first_member"))
+          .join(broadcast(cents.select($"c_id",
+            expr("aggregate(cv, 0L, (acc, x) -> acc + abs(x))")
+              .as("centroid_l1"))), Seq("c_id"))
+          .select($"c_id", $"n_members", $"first_member", $"centroid_l1")
           .orderBy($"c_id")
       },
       Some(s"""
@@ -687,7 +767,7 @@ object Extensions {
           CAST(min(a.vec_id) AS BIGINT) AS first_member,
           CAST(any_value(CAST(list_sum(list_transform(c.cv, x -> abs(x)))
             AS BIGINT)) AS BIGINT) AS centroid_l1
-        FROM a2 a JOIN c2 c ON a.c_id = c.c_id
+        FROM af a JOIN c2 c ON a.c_id = c.c_id
         GROUP BY a.c_id
         ORDER BY a.c_id""")),
 
@@ -734,7 +814,7 @@ object Extensions {
         SELECT a.c_id, count(*) AS n_members,
           CAST(coalesce(any_value(d.n_dupes), 0) AS BIGINT) AS n_dupes,
           CAST(count(*) - coalesce(any_value(d.n_dupes), 0) AS BIGINT) AS n_kept
-        FROM a2 a LEFT JOIN dupes d ON a.c_id = d.c_id
+        FROM af a LEFT JOIN dupes d ON a.c_id = d.c_id
         GROUP BY a.c_id
         ORDER BY a.c_id""")),
 
@@ -763,7 +843,7 @@ object Extensions {
         WITH $LloydCtes,
         $SemDedupDupeCtes
         SELECT a.c_id, a.vec_id
-        FROM a2 a ANTI JOIN dupes0 d ON a.vec_id = d.ib
+        FROM af a ANTI JOIN dupes0 d ON a.vec_id = d.ib
         ORDER BY a.c_id, a.vec_id""")),
 
     // ---- INT8 SCALAR QUANTIZATION + recall harness: compress each
@@ -1003,7 +1083,7 @@ object Extensions {
               - 2 * list_dot_product(a.v, c.cv)
               + list_dot_product(c.cv, c.cv)) AS DOUBLE)
             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_sse
-        FROM a2 a JOIN c2 c ON a.c_id = c.c_id
+        FROM af a JOIN c2 c ON a.c_id = c.c_id
         GROUP BY a.c_id
         ORDER BY a.c_id""")),
 
@@ -1063,7 +1143,7 @@ object Extensions {
                 - 2 * list_dot_product(a.v, c.cv)
                 + list_dot_product(c.cv, c.cv)) AS DOUBLE)
               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_sse
-          FROM a2 a JOIN c2 c ON a.c_id = c.c_id
+          FROM af a JOIN c2 c ON a.c_id = c.c_id
           GROUP BY a.c_id)
         SELECT s.c_id, s.n_members, n.nn_c_id, n.nn_dist,
           CAST(s.mean_sse AS DOUBLE) / CAST(n.nn_dist AS DOUBLE) AS sep_ratio

@@ -183,14 +183,17 @@ object Pipeline {
         // (corpus-derived k + stratified seeds, as q68/q93 declare —
         // Extensions.seedCentroids), probe only the query's inverted list
         val cents = Extensions.seedCentroids(emb, Extensions.centroidK(emb))
+        // partial-aggregatable argmin (exact -cos negation, same
+        // tie-break as a cos DESC / c_id ASC window) — the shuffle
+        // carries n rows, never the n·k expansion
         val assigned = emb.crossJoin(broadcast(cents))
           .withColumn("cos", cos("v", "cv"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_id".asc)))
-          .filter($"rn" === 1)
-          .select($"vec_id", $"c_id", $"v")
+          .groupBy($"vec_id")
+          .agg(min(struct((-$"cos").as("ncos"), $"c_id")).as("best"),
+            first($"v").as("v"))
+          .select($"vec_id", $"best.c_id".as("c_id"), $"v")
           // consumed twice (query-set derivation + probe side): persist
-          // so the centroid pass + argmin window run once
+          // so the centroid pass + argmin aggregate run once
           .cache()
         val qs = assigned.filter($"vec_id".between(8, 12))
           .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"))

@@ -173,13 +173,19 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q114: every Lloyd's round broadcasts the centroid side; corpus is never built") {
     val p = plan("q114_ivf_train")
-    val all = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
-    val buildRight =
-      """BroadcastNestedLoopJoin Cross BuildRight \(\d+\)""".r.findAllIn(p).size
-    // exactly one assignment pass per round (member stats ride the
-    // centroid aggregate), each building the k-row centroid side
-    assert(all == buildRight && all == 2,
-      s"all=$all buildRight=$buildRight")
+    // exactly 3 distinct assignment joins — 2 sample-training rounds +
+    // 1 full-corpus assignment — each building the k-row centroid side
+    // (the detail section has one header per node; the tree additionally
+    // reprints the training joins inside the cached trained-centroid
+    // InMemoryRelation, so count tree occurrences only to prove every
+    // cross is BuildRight)
+    val nodes = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    val treeCross = """BroadcastNestedLoopJoin Cross""".r.findAllIn(p).size
+    val treeBuildRight =
+      """BroadcastNestedLoopJoin Cross BuildRight""".r.findAllIn(p).size
+    assert(nodes == 3, s"nodes=$nodes")
+    assert(treeCross == treeBuildRight,
+      s"a non-BuildRight cross appeared: cross=$treeCross buildRight=$treeBuildRight")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"))
     // the nearest-centroid argmin is the partial-aggregatable

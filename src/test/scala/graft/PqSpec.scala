@@ -17,14 +17,23 @@ class PqSpec extends AnyFunSuite {
 
   test("q126: one codebook per subspace, full-dim codewords, encode covers the corpus") {
     val rows = run("q126_pq_train")
-    val n = Tables.t(spark, d, "embeddings").count()
+    val emb = Tables.t(spark, d, "embeddings")
+    val n = emb.count()
+    // the codebook trains on the deterministic hash-threshold sample;
+    // recompute its size with the same predicate the trainer uses
+    graft.functions.Md5Long.register(spark)
+    val pct = graft.queries.Extensions.samplePct(
+      n, graft.queries.Extensions.pqKs(n))
+    val sampN = emb.filter(org.apache.spark.sql.functions.expr(
+      s"md5_60(CAST(vec_id AS STRING)) % 100 < $pct")).count()
+    assert(sampN > 0 && sampN < n, "sample path not exercised")
     // 8 subspaces, ≤ ks codes each, every codeword PqSubDim-dimensional
     assert(rows.map(_.getInt(0)).toSet == (0 until 8).toSet)
     assert(rows.forall(_.getString(2).split(',').length == 8))
-    // per subspace: round-1 members and final encode usage each cover
-    // every corpus vector exactly once
+    // per subspace: round-1 members cover the training sample exactly
+    // once; final encode usage covers the FULL corpus exactly once
     rows.groupBy(_.getInt(0)).foreach { case (sub, rs) =>
-      assert(rs.map(_.getLong(3)).sum == n, s"sub $sub round-1 members")
+      assert(rs.map(_.getLong(3)).sum == sampN, s"sub $sub round-1 members")
       assert(rs.map(_.getLong(4)).sum == n, s"sub $sub encode usage")
     }
   }
