@@ -19,17 +19,31 @@ object Tables {
 
   /** Load one table as a DataFrame.
     *
-    * `events.ts` is parquet timestamp[ns], which Spark's reader rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
-    * (`nanosAsLong`) and integer-truncate to a microsecond timestamp —
-    * exactly what DuckDB's ns→µs conversion does, so oracle comparisons
-    * agree. Integer `DIV`, not `/`: true division would round-trip through
-    * double and lose sub-µs bits on 1.7e18-scale nanos. */
+    * `events.ts` has shipped in two generations of the corpus:
+    *  - timestamp[ns], which Spark's reader rejects outright
+    *    ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos (`nanosAsLong`)
+    *    and integer-truncate to a microsecond timestamp — exactly what
+    *    DuckDB's ns→µs conversion does, so oracle comparisons agree.
+    *    Integer `DIV`, not `/`: true division would round-trip through
+    *    double and lose sub-µs bits on 1.7e18-scale nanos.
+    *  - timestamp[us] (isAdjustedToUTC=false), which Spark reads as
+    *    TIMESTAMP_NTZ. The session timezone is pinned to UTC everywhere
+    *    (AdtContext/Verify/Bench), so casting to TIMESTAMP keeps the
+    *    identical micros value while preserving every downstream query's
+    *    TimestampType semantics — and matches DuckDB, which reads the
+    *    same column as a naive TIMESTAMP and treats it as UTC in epoch().
+    * Branching on the footer schema keeps both corpus generations valid. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already TimestampType
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -18,12 +18,15 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet carries timestamp[ns] — the stream reads it as raw
-    * nanos (same nanosAsLong contract as graft.Tables) and truncates to
-    * microseconds. */
-  val rawSchema: StructType = StructType(Seq(
+  /** events.parquet has shipped as timestamp[ns] (read as raw nanos via
+    * nanosAsLong, then truncated — same contract as graft.Tables) and as
+    * timestamp[us] (read as TIMESTAMP_NTZ, cast to TIMESTAMP under the
+    * UTC session). The streaming source needs a declared schema, so we
+    * sniff the footer once (driver-side, metadata-only) and declare the
+    * matching raw schema. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos via nanosAsLong
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -38,11 +41,16 @@ object EventStream {
   /** Streaming source over the corpus file(s). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val src = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType => src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
   }
 
   /** Daily windowed counts + cents sums per event type, 1-day watermark.

@@ -26,13 +26,13 @@ object StreamJoin {
     StructField("value", DoubleType)))
 
   /** Streaming source over a directory of event parquet files whose `ts`
-    * is an ordinary (micro-second) parquet timestamp — i.e. a feed
-    * directory of files written by this engine or any normal producer.
-    * The CORPUS file events.parquet is NOT such a file (timestamp[ns]);
-    * reading it goes through [[EventStream.readEvents]]' raw-nanos
-    * recipe or `graft.Tables.t`, never this schema — pointing this
-    * source at the raw corpus directory fails with Spark's
-    * illegal-parquet-type error rather than misreading. */
+    * is an ordinary (micro-second, UTC-adjusted) parquet timestamp — i.e.
+    * a feed directory of files written by this engine or any normal
+    * producer. The CORPUS file events.parquet is not read through this
+    * schema — it goes through [[EventStream.readEvents]] or
+    * `graft.Tables.t`, which sniff the footer and normalize `ts` across
+    * both corpus generations (timestamp[ns]-as-long and
+    * timestamp[us]/NTZ). */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(schema)
