@@ -75,4 +75,44 @@ object Multimodal {
   def framePartition(
       it: Iterator[(Long, Array[Byte])]): Iterator[FrameFeatures] =
     it.map { case (id, bytes) => frameFeatures(id, bytes) }
+
+  // ---- Perceptual hash: dHash (difference hash) over the sampled-frame
+  // grid — the classic image near-dup fingerprint (resize to a tiny
+  // grid, hash the sign of adjacent-pixel differences), computed here
+  // over the same deterministic stride-4 sampled + resized frame bytes
+  // the q94 pipeline extracts, so it is exactly oracle-checkable. A
+  // production pipeline swaps the byte grid for decoded luma pixels; the
+  // signature/blocking/verify shape downstream is unchanged.
+
+  /** 63-bit dHash. The "image" is a 9×8 grid: row r = the stride-4
+    * sampled frame at byte offset 64·r, resized (crop/pad-with-0x20) to
+    * 8 bytes — frames past EOF become all-space rows, matching the
+    * oracle's rpad(substr(…)) spelling. Bit r·7+c is set iff
+    * row[c] < row[c+1] (unsigned), i.e. 7 adjacent-pixel comparisons per
+    * row. 63 bits (9 rows × 7 comparisons), not 64, so the signature is
+    * exact in a signed BIGINT in BOTH engines — the same reason the
+    * SimHash signature (queries/Dedup.scala q43) is 60-bit. */
+  def dHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 9) {
+      val row = resize(bytes.slice(64 * r, 64 * r + 8), 8)
+      var c = 0
+      while (c < 7) {
+        if ((row(c) & 0xff) < (row(c + 1) & 0xff)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Typed per-document perceptual signature. */
+  final case class DHashSig(doc_id: Long, dh: Long)
+
+  /** Per-partition dHash (same iterator/codec seam as decode — a real
+    * decoder computes the pixel grid here, once per blob). */
+  def dhashPartition(
+      it: Iterator[(Long, Array[Byte])]): Iterator[DHashSig] =
+    it.map { case (id, bytes) => DHashSig(id, dHash(bytes)) }
 }

@@ -252,6 +252,67 @@ object TextOps {
           md5(string_agg(fr, '' ORDER BY j)) AS frame_digest
         FROM e GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Multimodal perceptual near-dup: dHash over the sampled-frame
+    // grid (operators/Multimodal.dHash — the q94 frame bytes reduced to
+    // a 9×8 grid, 63-bit adjacent-byte difference hash), then hamming<=2
+    // pairs via the SimHash pigeonhole chunk-blocking (q43,
+    // queries/Dedup.scala), here 3 chunks of 21 bits: hamming<=2 forces
+    // >=1 identical 21-bit chunk, so the (chunk, value) equi-join has
+    // 100% recall while the 2^21-value chunk space keeps buckets tiny —
+    // Σ bucket² pair work, the only pair-generation shape that survives
+    // millions of media blobs. τ=2 is measured from the corpus: the true
+    // shared-prefix near-dups land at hamming 0-2, background noise
+    // starts at 3. Signature extraction runs in the mapPartitions codec
+    // seam (one pass, per-partition decoder init); everything after it
+    // is declarative and whole-stage-codegen'd.
+    Q("q143_dhash_neardup",
+      (s, d) => {
+        import s.implicits._
+        val sig = Tables.t(s, d, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(Multimodal.dhashPartition)
+          .toDF()
+        val chunks = sig.select($"doc_id", $"dh",
+          explode(expr("sequence(0, 2)")).as("c"))
+          .withColumn("cv",
+            expr("(dh div CAST(pow(2, 21 * c) AS BIGINT)) % 2097152"))
+        val pairs = chunks.as("x")
+          .join(chunks.as("y"),
+            $"x.c" === $"y.c" && $"x.cv" === $"y.cv" &&
+              $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+            $"x.dh".as("h1"), $"y.dh".as("h2"))
+          .distinct()
+        pairs
+          .select($"d1", $"d2",
+            expr("bit_count(h1 ^ h2)").cast("int").as("hamming"))
+          .filter($"hamming" <= 2)
+          .orderBy($"d1", $"d2")
+      },
+      Some("""
+        WITH rw AS (
+          SELECT doc_id, r, rpad(substr(text, 1 + 64*r, 8), 8, ' ') AS rw
+          FROM documents, generate_series(0, 8) t(r)),
+        bits AS (
+          SELECT doc_id,
+            CASE WHEN ascii(substr(rw, c+1, 1)) < ascii(substr(rw, c+2, 1))
+                 THEN CAST(pow(2, r*7+c) AS BIGINT) ELSE 0 END AS v
+          FROM rw, generate_series(0, 6) t(c)),
+        sig AS (
+          SELECT doc_id, CAST(sum(v) AS BIGINT) AS dh
+          FROM bits GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, dh, c,
+            (dh // CAST(pow(2, 21*c) AS BIGINT)) % 2097152 AS cv
+          FROM sig, generate_series(0, 2) t(c))
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+          CAST(bit_count(xor(x.dh, y.dh)) AS INT) AS hamming
+        FROM ch x JOIN ch y
+          ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.dh, y.dh)) <= 2
+        ORDER BY d1, d2""")),
+
     // ---- Statistical aggregate family (stddev/var/corr/covar/regr).
     Q("q51_stats_agg",
       (s, d) => Tables.sql(s, d, s"""

@@ -44,6 +44,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.frame_digest.matches("[0-9a-f]{32}"))
   }
 
+  test("dHash: bit placement, padding, and locality") {
+    // all-space blob: every comparison is space vs space → no bit set
+    assert(Multimodal.dHash(Array.fill(600)(' '.toByte)) == 0L)
+    // empty blob: rows pad to all-spaces → same signature as all-space
+    assert(Multimodal.dHash(Array.empty[Byte]) == 0L)
+    // a single ascending pair in row 0 sets exactly bit 0
+    val b0 = Array.fill(600)(' '.toByte); b0(1) = 'z'.toByte
+    assert(Multimodal.dHash(b0) == 1L)
+    // the same pair moved to row r, column c sets exactly bit r*7+c
+    val b1 = Array.fill(600)(' '.toByte)
+    b1(64 * 3 + 5) = ' '.toByte; b1(64 * 3 + 6) = 'z'.toByte
+    assert(Multimodal.dHash(b1) == (1L << (3 * 7 + 5)))
+    // signature uses only the 9 sampled 8-byte rows: mutating any byte
+    // outside them leaves the hash unchanged (locality = what makes the
+    // fixed grid robust to downstream edits for shared-prefix near-dups)
+    val base = (0 until 600).map(i => (('a' + i % 26).toByte)).toArray
+    val mutated = base.clone(); mutated(32) = 'Z'.toByte; mutated(599) = '!'.toByte
+    assert(Multimodal.dHash(base) == Multimodal.dHash(mutated))
+    // 63-bit: the sign bit is never set, so BIGINT round-trips exactly
+    val desc = (0 until 600).map(i => ((255 - i % 256).toByte)).toArray
+    assert(Multimodal.dHash(desc) >= 0L)
+    // unsigned comparison: 0x7f < 0x80 as unsigned bytes → bit set
+    val us = Array.fill(600)(' '.toByte); us(0) = 0x7f.toByte; us(1) = 0x80.toByte
+    assert((Multimodal.dHash(us) & 1L) == 1L)
+  }
+
+  test("dHash near-dup pairs are symmetric-free, ordered, and within threshold") {
+    val df = SparkEntry.queries("q143_dhash_neardup")(
+      SparkTestSession.spark, SparkTestSession.sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq == Seq("d1", "d2", "hamming"))
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be d1 < d2")
+      assert(r.getInt(2) <= 2, "pairs past the declared threshold")
+    }
+  }
+
   test("multimodal query plumbs binary through mapPartitions") {
     val df = SparkEntry.queries("q50_multimodal_meta")(
       SparkTestSession.spark, SparkTestSession.sfDir)

@@ -370,4 +370,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 8,
       "per-round lineage truncation regressed — plan accumulates exchanges")
   }
+
+  test("q143: dHash pairs form via the chunk equi-join, never an all-pairs scan") {
+    val p = plan("q143_dhash_neardup")
+    // signature extraction is the declared mapPartitions codec seam …
+    assert(p.contains("MapPartitions"), "dHash signature seam lost")
+    // … and pair generation is the pigeonhole (chunk, value) equi-join —
+    // an O(n²) all-pairs spelling would plan a nested loop or cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "dHash pairing regressed to an all-pairs scan")
+  }
 }
