@@ -72,7 +72,7 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_REPS")) reps
       else math.max(reps, if (jitterProne.findFirstIn(name).isDefined) 2 else 1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timings = (1 to repsFor(name)).map { _ =>
+      def runOnce(): (Boolean, Double) = {
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -96,6 +96,16 @@ object Bench {
         System.gc()
         (ok, t)
       }
+      var timings = (1 to repsFor(name)).map(_ => runOnce())
+      // adaptive anti-jitter for the heavy tail: shared-box contention has
+      // jittered single-shot times of the slowest queries up to ~2.6x in
+      // driver runs (q89 printed 26.8 s against 10.3 s isolated), nearly
+      // reading as a code regression. Any query whose single shot exceeds
+      // 2 s gets one confirming rep, min kept — bounded at 2x the heavy
+      // tail's cost, and skipped when SPARK_GRAFT_REPS pins the policy.
+      if (!sys.env.contains("SPARK_GRAFT_REPS") && timings.size == 1 &&
+          timings.head._1 && timings.head._2 > 2.0)
+        timings = timings :+ runOnce()
       // a failed rep's fast abort must never win the min; only if every
       // rep failed does the failure time stand (keeps rc/total sane)
       val good = timings.filter(_._1).map(_._2)

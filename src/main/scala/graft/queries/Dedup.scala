@@ -44,6 +44,23 @@ object Dedup {
     * frequency filtering, cf. SCALE.md §dedup). */
   private[queries] val MaxShingleDf = 50
 
+  /** Target document count for the SAMPLED recall eval (q144). A 100 TB
+    * harness cannot afford q121's exact ground truth over the full
+    * corpus (it is the suite's most expensive query already at sf0.1);
+    * the production posture is to evaluate the pipeline on a fixed
+    * deterministic subcorpus of ~this many documents — eval cost is then
+    * O(target²-bounded) regardless of corpus size. Production uses
+    * 10^5-10^6; the demo sets 250 so the sampled path actually samples
+    * at sf0.01 (pct=50) and sf0.1 (pct=5) while sf0.001 degenerates to
+    * the full corpus (pct=100, clamped). */
+  private[queries] val EvalSampleTarget = 250L
+
+  /** Integer sample percentage for the eval subcorpus — exact positive
+    * floor-division, so Spark's truncating `/` and DuckDB's `//` agree
+    * (the Extensions.samplePct contract). */
+  private[queries] def evalPct(n: Long): Long =
+    math.min(100L, math.max(1L, (100L * EvalSampleTarget) / n))
+
   /** doc_id → distinct word-3-gram shingle strings, df-capped. The df
     * window runs on the same shuffle key (s) as every downstream shingle
     * join, so the cap costs no extra exchange. */
@@ -801,6 +818,86 @@ object Dedup {
                  (SELECT count(*) FROM cand) AS n_cand,
                  (SELECT count(*) FROM hit) AS n_hit)
         SELECT CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(n_cand AS BIGINT) AS n_cand,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE) / n_exact
+               ELSE 0.0 END AS recall,
+          CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand
+               ELSE 0.0 END AS cand_precision
+        FROM agg""")),
+
+    // ---- SAMPLED recall eval: q121's harness on a deterministic
+    // hash-threshold subcorpus — the 100 TB posture. The exact ground
+    // truth (the expensive half of q121) runs only over ~EvalSampleTarget
+    // docs picked by the portable md5_60 predicate (the q92/lloyd2
+    // spelling), and the WHOLE pipeline under measurement — df cap,
+    // minhash, banding — is re-run within the sample as its own corpus
+    // (the q125 per-side-cap precedent), so the eval measures the
+    // pipeline end-to-end at a cost independent of corpus size. Pair
+    // recall on a p-sample estimates full-corpus recall unbiasedly
+    // (every pair survives with probability p²); the returned pct column
+    // makes the draw explicit. One metadata-only count() sizes pct —
+    // the same declared driver-side pass that sizes k for the ANN family.
+    Q("q144_lsh_recall_sampled",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.Md5Long.register(s)
+        val docs = Tables.t(s, d, "documents").select($"doc_id", $"text")
+        val pct = evalPct(docs.count())
+        val sampled = docs.filter(
+          expr(s"md5_60(CAST(doc_id AS STRING)) % 100 < $pct"))
+        val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+        val sh = hashedShinglesOf(sampled)
+          .withColumn("n", count(lit(1)).over(byDoc))
+          .cache()
+        val exact = sh.as("a")
+          .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
+          .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
+          .select($"d1", $"d2").cache()
+        val cand = minhashCandidates(s, sh.select($"doc_id", $"h"))._2.cache()
+        val hit = exact.join(cand, Seq("d1", "d2"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(pct).as("pct"), $"n_exact", $"n_cand", $"n_hit",
+            when($"n_exact" > 0, $"n_hit".cast("double") / $"n_exact")
+              .otherwise(0.0).as("recall"),
+            when($"n_cand" > 0, $"n_hit".cast("double") / $"n_cand")
+              .otherwise(0.0).as("cand_precision"))
+      },
+      Some(s"""
+        WITH ep AS (
+          SELECT CAST(least(100, greatest(1, (100 * $EvalSampleTarget) // n)) AS BIGINT) AS pct
+          FROM (SELECT count(*) AS n FROM documents) t0),
+        sdocs AS (
+          SELECT doc_id, text FROM documents, ep
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT % 100 < pct),
+        ${duckShingleCtes("sdocs", "")},
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT d1, d2 FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
+        ${duckBandCtes("")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        hit AS (SELECT d1, d2 FROM exact SEMI JOIN cand USING (d1, d2)),
+        agg AS (
+          SELECT (SELECT pct FROM ep) AS pct,
+                 (SELECT count(*) FROM exact) AS n_exact,
+                 (SELECT count(*) FROM cand) AS n_cand,
+                 (SELECT count(*) FROM hit) AS n_hit)
+        SELECT CAST(pct AS BIGINT) AS pct,
+          CAST(n_exact AS BIGINT) AS n_exact,
           CAST(n_cand AS BIGINT) AS n_cand,
           CAST(n_hit AS BIGINT) AS n_hit,
           CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE) / n_exact
