@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStream, StreamAnnAssign, StreamDedup, StreamJoin}
+import graft.streaming.{EventStream, StreamAnnAssign, StreamDedup, StreamJoin, VectorIngest}
 
 /** Streaming answer must equal the batch answer over the same events. */
 class StreamingSpec extends AnyFunSuite {
@@ -148,6 +148,64 @@ class StreamingSpec extends AnyFunSuite {
     }.toMap
 
     assert(streamed.size == corpus.length)
+    assert(streamed == expected)
+  }
+
+  test("composed IVF-PQ ingest (dedup -> assign -> encode) matches the batch pipeline") {
+    // the full write path in ONE streaming query, against a feed with
+    // re-delivered vectors arriving in a LATER micro-batch: f0 = the
+    // corpus, f1 = the first 20 vectors re-id'd +10000 (an at-least-once
+    // upstream re-delivering). Dedup must drop every re-delivery across
+    // the trigger boundary; survivors must carry the exact batch
+    // assignment and codes.
+    val cents = graft.queries.Extensions.trainedCentroidSeq(spark, d)
+    val cb = graft.queries.Extensions.trainedCodebookSeq(spark, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vingest").toFile
+    val emb = Tables.t(spark, d, "embeddings")
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    Seq(
+      emb,
+      emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 10000L)
+    ).zipWithIndex.foreach { case (df, i) =>
+      val sub = new java.io.File(dir, s"f$i")
+      df.coalesce(1).write.mode("overwrite").parquet(sub.getAbsolutePath)
+      val part = sub.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(feed, s"part-$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val streamed = VectorIngest.runToCompletion(
+      spark, feed.getAbsolutePath, cents, cb, "vingest_test")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList)))
+      .toMap
+
+    // batch expectation, fully independent of the streaming modules:
+    // survivors = the original corpus (first-seen wins, and the corpus
+    // file is the earlier micro-batch), assignment and codes by
+    // plain-Scala exact int64 argmin with the lowest-id tie-break
+    val m = graft.queries.Extensions.PqM
+    val sub = graft.queries.Extensions.PqSubDim
+    val corpus = emb
+      .selectExpr("vec_id", graft.queries.Extensions.QV + " AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = corpus.map { case (id, v) =>
+      val cId = cents.minBy { case (c, cv) => (d2(v, cv), c) }._1
+      val codes = (0 until m).map { j =>
+        val sv = v.slice(j * sub, j * sub + sub)
+        cb.collect { case (sj, cid, cv) if sj == j => (cid, cv) }
+          .minBy { case (cid, cv) => (d2(sv, cv), cid) }._1
+      }.toList
+      id -> ((cId, codes))
+    }.toMap
+
+    assert(streamed.size == corpus.length,
+      "every re-delivered vector must be dropped, every original kept")
+    assert(!streamed.keySet.exists(_ >= 10000L), "a re-delivery survived dedup")
     assert(streamed == expected)
   }
 
