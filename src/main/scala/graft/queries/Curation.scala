@@ -352,12 +352,17 @@ object Curation {
         GROUP BY vec_id
         ORDER BY vec_id""")),
 
-    // ---- PER-SOURCE DOCUMENT CAP: keep at most 15 documents per source,
-    // chosen by a deterministic content-blind hash order (the
+    // ---- PER-SOURCE DOCUMENT CAP: keep at most cap documents per
+    // source, chosen by a deterministic content-blind hash order (the
     // domain-balancing pass a web-corpus pipeline runs so no single
     // domain dominates the mixture; hash order — not doc_id order — so
-    // the kept subset is an unbiased sample of each source). 15 < 25
-    // docs/source at sf0.01, so every source actually clips.
+    // the kept subset is an unbiased sample of each source). cap is
+    // CORPUS-DERIVED (r13, closing the demo-constant order): 3/5 of the
+    // mean docs-per-source, floor-div exact in both engines and clamped
+    // to >= 1 — every source above the mean clips at any corpus size
+    // (at sf0.01 this derives exactly the old demo constant 15). The
+    // two sizing counts are one metadata-cheap aggregate (the lloyd2
+    // k-derivation precedent).
     //
     // The per-source ranking does NOT use a window (one task per source —
     // ~20 reducers at any corpus scale): [[graft.plans.DistributedRank]]
@@ -368,28 +373,37 @@ object Curation {
     Q("q133_source_cap",
       (s, d) => {
         import s.implicits._
-        val base = Tables.t(s, d, "documents")
+        val docs = Tables.t(s, d, "documents")
+        val (n, nsrc) = docs
+          .agg(count(lit(1)), countDistinct($"source")).as[(Long, Long)].first()
+        val cap = math.max(1L, (3L * n) / (5L * nsrc))
+        val base = docs
           .select($"doc_id", $"source",
             Md5Long.md5_60($"doc_id".cast("string")).as("pri"))
         graft.plans.DistributedRank
           .rowNumber(base, $"source", Seq($"pri", $"doc_id"), "rn")
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(when($"rn" <= 15, 1L).otherwise(0L)).as("n_kept"),
-            sum(when($"rn" <= 15, $"doc_id").otherwise(0L)).as("kept_id_sum"))
+            sum(when($"rn" <= cap, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"rn" <= cap, $"doc_id").otherwise(0L)).as("kept_id_sum"))
           .orderBy($"source")
       },
       Some("""
-        WITH r AS (
+        WITH p AS (
+          SELECT CAST(greatest(1,
+            (3 * count(*)) // (5 * count(DISTINCT source))) AS BIGINT) AS cap
+          FROM documents),
+        r AS (
           SELECT doc_id, source,
             row_number() OVER (PARTITION BY source ORDER BY
               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT,
               doc_id) AS rn
           FROM documents)
         SELECT source, count(*) AS n_docs,
-          CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          CAST(sum(CASE WHEN rn <= 15 THEN doc_id ELSE 0 END) AS BIGINT)
-            AS kept_id_sum
+          CAST(sum(CASE WHEN rn <= (SELECT cap FROM p) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN rn <= (SELECT cap FROM p) THEN doc_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
         FROM r
         GROUP BY source
         ORDER BY source""")),
@@ -434,19 +448,23 @@ object Curation {
     // ---- WINNOWING OVERLAP PAIRS: the q136 index put to use — the
     // plagiarism/mirror report listing document pairs that share >= 2
     // selected fingerprints. Pairs form ONLY through fingerprint posting
-    // lists (equi-join on fp), df-capped at [2, 20] (a fingerprint in
-    // one doc can't pair; one in >20 docs is boilerplate whose pairs are
+    // lists (equi-join on fp), df-capped at [2, dfcap] (a fingerprint in
+    // one doc can't pair; one in more is boilerplate whose pairs are
     // uninformative and whose posting list would be the one quadratic
-    // key — the MaxShingleDf rationale, declared in the oracle). Work
-    // is Σ df² over capped lists ≤ 20·|postings| — linear-ish, the
-    // shape that survives 100 TB; the corpus never all-pairs joins.
+    // key — the MaxShingleDf rationale, declared in the oracle). dfcap
+    // is CORPUS-DERIVED (r13): a fingerprint in more than 4% of
+    // documents (n/25, clamped to >= 5) is boilerplate at any corpus
+    // size — at sf0.01 this derives exactly the old demo constant 20.
+    // Work is Σ df² over capped lists ≤ dfcap·|postings| — linear-ish,
+    // the shape that survives 100 TB; the corpus never all-pairs joins.
     Q("q137_winnow_pairs",
       (s, d) => {
         import s.implicits._
+        val dfcap = math.max(5L, Tables.t(s, d, "documents").count() / 25L)
         val sel = winnowSel(s, d).select($"doc_id", $"fp")
         val capped = sel.groupBy($"fp")
           .agg(count(lit(1)).as("df"))
-          .where($"df".between(2, 20)).select($"fp")
+          .where($"df".between(2, dfcap)).select($"fp")
         sel.select($"fp", $"doc_id".as("d1"))
           .join(capped, "fp")
           .join(sel.select($"fp", $"doc_id".as("d2")), "fp")
@@ -458,8 +476,12 @@ object Curation {
       },
       Some(s"""
         WITH $WinnowCtes,
+        dp AS (
+          SELECT CAST(greatest(5, count(*) // 25) AS BIGINT) AS dfcap
+          FROM documents),
         capped AS (
-          SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+          SELECT fp FROM sel GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND (SELECT dfcap FROM dp)),
         pairs AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
           FROM sel a JOIN capped USING (fp) JOIN sel b USING (fp)
@@ -469,14 +491,19 @@ object Curation {
         WHERE n_shared >= 2
         ORDER BY d1, d2""")),
 
-    // ---- TOKEN-BUDGET MATERIALIZATION: fill each language's declared
-    // token budget (3000 — languages under it keep everything, over it
-    // clip) greedily in deterministic hash order — the pass that turns
+    // ---- TOKEN-BUDGET MATERIALIZATION: fill each language's token
+    // budget B (languages under it keep everything, over it clip)
+    // greedily in deterministic hash order — the pass that turns
     // q109-style mixture weights into an actual training shard: "give me
     // B tokens of each stratum, sampled without bias". A document is
     // kept iff its INCLUSIVE running token sum is within budget (the
     // last document may overshoot the line and is dropped — declared,
-    // mirrored in the oracle).
+    // mirrored in the oracle). B is CORPUS-DERIVED (r13): half the mean
+    // per-language token mass — over-represented languages clip hard,
+    // under-represented ones keep everything, at any corpus size. In
+    // production B is the DECLARED mixture target ("2T tokens of en");
+    // the derivation here exists so the demo clips meaningfully at
+    // every SF, and its sizing aggregate reuses the same scan.
     //
     // The running sum routes through DistributedRank.runningSum (range
     // partitioning + broadcast offsets — q102's discipline; lang is
@@ -485,11 +512,13 @@ object Curation {
     Q("q138_token_budget",
       (s, d) => {
         import s.implicits._
-        val B = 3000L
         val base = Tables.t(s, d, "documents")
           .select($"doc_id", $"lang",
             size(split($"text", " ")).cast("long").as("n_tok"),
             Md5Long.md5_60($"doc_id".cast("string")).as("pri"))
+        val (tot, nl) = base
+          .agg(sum($"n_tok"), countDistinct($"lang")).as[(Long, Long)].first()
+        val B = math.max(1L, tot / (2L * nl))
         graft.plans.DistributedRank
           .runningSum(base, $"lang", Seq($"pri", $"doc_id"), $"n_tok", "run")
           .groupBy($"lang")
@@ -506,6 +535,11 @@ object Curation {
             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT AS pri
           FROM documents),
+        bp AS (
+          SELECT CAST(greatest(1,
+            CAST(sum(n_tok) AS BIGINT) // (2 * count(DISTINCT lang)))
+            AS BIGINT) AS b
+          FROM t),
         o AS (
           SELECT lang, n_tok,
             sum(n_tok) OVER (PARTITION BY lang ORDER BY pri, doc_id
@@ -513,11 +547,12 @@ object Curation {
           FROM t)
         SELECT lang, count(*) AS n_docs,
           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-          CAST(sum(CASE WHEN run <= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          CAST(sum(CASE WHEN run <= 3000 THEN n_tok ELSE 0 END) AS BIGINT)
-            AS tokens_kept,
-          CAST(sum(CASE WHEN run <= 3000 THEN n_tok ELSE 0 END) AS DOUBLE)
-            / 3000.0 AS util
+          CAST(sum(CASE WHEN run <= (SELECT b FROM bp) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN run <= (SELECT b FROM bp) THEN n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+          CAST(sum(CASE WHEN run <= (SELECT b FROM bp) THEN n_tok ELSE 0 END)
+            AS DOUBLE) / CAST((SELECT b FROM bp) AS DOUBLE) AS util
         FROM o
         GROUP BY lang
         ORDER BY lang""")),
