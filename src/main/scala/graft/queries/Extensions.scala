@@ -27,16 +27,23 @@ object Extensions {
     math.max(8L, emb.count() / TargetClusterSize)
 
   /** Training-sample multiple: lloyd2 / pqTrain learn their codebooks on
-    * a deterministic hash-threshold sample of ~[[SampleMultiple]]·k
-    * vectors and assign the FULL corpus exactly once afterwards — the
-    * standard escape from O(n·k) training flops (with k ∝ n that is
-    * O(n²) distance evaluations at 100 TB; a bounded sample caps the
-    * Lloyd's rounds at O(k²·SampleMultiple) regardless of corpus size
-    * while the mean estimates stay ~SampleMultiple members per
-    * centroid). Production uses 64–256; the demo sets 16 so the sample
-    * path is actually exercised at the demo [[TargetClusterSize]] of 40
-    * (64·k would exceed n whenever k ≥ n/64). */
-  private[graft] val SampleMultiple = 16L
+    * a deterministic hash-threshold sample of ~sampleMultiple·k vectors
+    * and assign the FULL corpus exactly once afterwards — the standard
+    * escape from O(n·k) training flops (with k ∝ n that is O(n²)
+    * distance evaluations at 100 TB; a bounded sample caps the Lloyd's
+    * rounds at O(k²·m) regardless of corpus size while the mean
+    * estimates stay ~m members per centroid).
+    *
+    * CORPUS-DERIVED (r13, replacing the fixed demo 16): m = 2/5 of the
+    * actual corpus/centroid ratio, clamped to [16, 256]. Production
+    * regimes (thousands of vectors per centroid) saturate at the
+    * FAISS-customary 256 training points per centroid; the demo ratio
+    * ([[TargetClusterSize]] = 40) derives exactly the old 16, keeping
+    * the sample path genuinely exercised at every test SF (m·k stays
+    * well under n). Exact positive floor-division throughout, so
+    * Spark's truncating `/` and DuckDB's flooring `//` agree. */
+  private[graft] def sampleMultiple(n: Long, k: Long): Long =
+    math.min(256L, math.max(16L, (2L * (n / k)) / 5L))
 
   /** Integer sample percentage for a corpus of n vectors and k
     * centroids, clamped to [1, 100] — exact integer floor-division on
@@ -45,7 +52,7 @@ object Extensions {
     * (`md5_60(vec_id) % 100 < pct`): reproducible on any engine, no RNG
     * state, and at scale a pure narrow filter on the corpus scan. */
   private[graft] def samplePct(n: Long, k: Long): Long =
-    math.min(100L, math.max(1L, (100L * SampleMultiple * k) / n))
+    math.min(100L, math.max(1L, (100L * sampleMultiple(n, k) * k) / n))
 
   /** The Spark half of the training-sample predicate ([[samplePct]]). */
   private def samplePred(pct: Long) =
@@ -94,7 +101,7 @@ object Extensions {
 
   /** Shared sample-trained distributed Lloyd's iteration (q114 training
     * output, q115 SemDeDup's cluster structure). Two training rounds run
-    * over a deterministic hash-threshold sample of ~[[SampleMultiple]]·k
+    * over a deterministic hash-threshold sample of ~[[sampleMultiple]]·k
     * vectors ([[samplePct]] — seeds drawn from the sample, since a seed
     * centroid IS a sample vector's value); the FULL corpus is then
     * assigned to the trained centroids exactly once. Returns (full-corpus
@@ -103,7 +110,7 @@ object Extensions {
     * contract documented at q114. k is corpus-derived ([[centroidK]]) and
     * the seeds stratified ([[seedCentroids]]).
     *
-    * Scale shape: the training rounds touch O(SampleMultiple·k) vectors
+    * Scale shape: the training rounds touch O(sampleMultiple·k) vectors
     * each (bounded by the index size, not the corpus), and the corpus
     * pays one narrow sample filter plus one assignment pass — each a
     * broadcast join against the k-row centroid side with the
@@ -116,7 +123,7 @@ object Extensions {
     val n = emb.count()
     val k = math.max(8L, n / TargetClusterSize)
     // the training set is the frame both Lloyd's rounds re-read: cache it
-    // (it is the bounded ~SampleMultiple·k slice, the thing a production
+    // (it is the bounded ~sampleMultiple·k slice, the thing a production
     // trainer materializes; the full corpus is never cached here)
     val samp = emb.filter(samplePred(samplePct(n, k))).cache()
     // nearest-centroid argmin via the partial-aggregatable
@@ -172,11 +179,14 @@ object Extensions {
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
+        tk AS (
+          SELECT count(*) AS n, greatest(8, count(*) // 40) AS k FROM w),
         tparams AS (
-          SELECT greatest(8, count(*) // 40) AS k,
-            least(100, greatest(1, (100 * $SampleMultiple
-              * greatest(8, count(*) // 40)) // count(*))) AS pct
-          FROM w),
+          SELECT k,
+            least(100, greatest(1,
+              (100 * least(256, greatest(16, (2 * (n // k)) // 5)) * k) // n))
+              AS pct
+          FROM tk),
         ws AS (
           SELECT vec_id, v FROM w, tparams
           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 2, 15))::BIGINT
@@ -278,7 +288,7 @@ object Extensions {
     *
     * Plan shape: ONE cached corpus pass builds the (vec_id, sub_id, sv)
     * sub-vector frame all stages read; the codebook trains on the
-    * deterministic ~[[SampleMultiple]]·ks hash-threshold slice of that
+    * deterministic ~[[sampleMultiple]]·ks hash-threshold slice of that
     * frame ([[samplePct]], same policy as lloyd2) and the full corpus is
     * encoded once. Each assignment is a broadcast join against the
     * m·ks-row codebook followed by a partial-aggregatable lexicographic
@@ -379,11 +389,14 @@ object Extensions {
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
+        pk AS (
+          SELECT count(*) AS n, greatest(8, count(*) // 64) AS ks FROM w),
         pparams AS (
-          SELECT greatest(8, count(*) // 64) AS ks,
-            least(100, greatest(1, (100 * $SampleMultiple
-              * greatest(8, count(*) // 64)) // count(*))) AS pct
-          FROM w),
+          SELECT ks,
+            least(100, greatest(1,
+              (100 * least(256, greatest(16, (2 * (n // ks)) // 5)) * ks) // n))
+              AS pct
+          FROM pk),
         pws AS (
           SELECT vec_id FROM w, pparams
           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 2, 15))::BIGINT
