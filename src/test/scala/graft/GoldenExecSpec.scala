@@ -75,6 +75,42 @@ class GoldenExecSpec extends AnyFunSuite {
     assert(outputs(6).contains("NATION_1") && !outputs(6).contains("NATION_11"))
   }
 
+  test("golden5.sql: the sampled ANN trainer (q114-shaped SQL) through execute") {
+    val url = getClass.getResource("/queries/golden5.sql")
+    assert(url != null, "golden5.sql resource missing")
+    val spark = SparkTestSession.spark
+    // the CLI deployment registers md5_60 via GraftExtensions
+    // (spark.sql.extensions); the shared test session registers it
+    // directly, same resolution path
+    graft.functions.Md5Long.register(spark)
+    val emb = s"${SparkTestSession.sfDir}/embeddings.parquet"
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${EMB}", emb))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 4) // 1 DDL + params + sample + trainer round
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(0) == "++\n++")
+    // the printed parameters must equal the shared Scala derivations —
+    // the CLI and the query library can never disagree on the formulas
+    val n = spark.read.parquet(emb).count()
+    val k = math.max(8L, n / 40L)
+    val pct = graft.queries.Extensions.samplePct(n, k)
+    assert(outputs(1).contains(s"| $n ") && outputs(1).contains(s"| $k ") &&
+      outputs(1).contains(s"| $pct"), outputs(1))
+    // the CLI-materialized training sample has the exact membership the
+    // trainer's predicate selects
+    val nSample = spark.read.parquet(emb)
+      .where(org.apache.spark.sql.functions.expr(
+        s"md5_60(CAST(vec_id AS STRING)) % 100 < $pct")).count()
+    assert(nSample > 0 && nSample < n, "sample path not exercised")
+    assert(outputs(2).contains(s"| $nSample"), outputs(2))
+    // one trainer round assigns every sampled vector to one of <= k
+    // stratified seeds
+    assert(outputs(3).contains(s"| $nSample"), outputs(3))
+  }
+
   test("golden4.sql: the postgres dialect surface through execute") {
     val url = getClass.getResource("/queries/golden4.sql")
     assert(url != null, "golden4.sql resource missing")
