@@ -609,6 +609,110 @@ object Pipeline {
         WHERE rank <= 3
         ORDER BY doc_id, rank""")),
 
+    // ---- BM25 top-k retrieval: the retrieval primitive a training-data
+    // pipeline runs for decontamination lookups and DSIR-style data
+    // selection — score the corpus against a query document's terms and
+    // keep the 5 best. Terms are word 3-GRAM shingles, not unigrams —
+    // the corpus's discriminative unit (its unigram vocabulary is ~31
+    // words with median df ≈ 0.8·N, all killed by any idf guard; 3-gram
+    // retrieval is also what decontamination actually matches on — the
+    // q97 convention) — carried as 60-bit md5 hashes, so every term
+    // join/aggregate moves 8-byte ints, never shingle strings (the
+    // hashedShingles discipline). The scoring is BM25 (k1=1.2, b=0.75) with the
+    // rational idf (N−df+½)/(df+½) kept EXACT: cross-multiplying idf and
+    // the tf-saturation term by 10·T turns the whole per-term score into
+    // one integer floor-division,
+    //   term_ppm = 10⁶·(2N−2df+1)·22·tf·T DIV ((2df+1)·(10·tf·T+3·T+9·dl·N)),
+    // so per-(query, doc) scores are exact integer SUMS — no libm ln, no
+    // double-summation order, bit-identical in both engines (the q118/
+    // q122 ppm discipline). Terms with df > N/2 are dropped (declared:
+    // the Lucene positive-idf guard — their weight is negligible and
+    // their posting lists are exactly the hot keys that would skew the
+    // term join at scale). Shapes: the query-term dim is metadata-sized
+    // and broadcasts; the corpus posting list streams through ONE term
+    // equi-join + a per-(q,doc) map-side-combined sum; the top-5 window
+    // partitions on q_id (bounded per query — the q44 precedent).
+    Q("q145_bm25_topk",
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, """
+        WITH tok AS (
+          SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
+            i -> md5_60(concat_ws(' ', slice(ws, i, 3))))) AS h
+          FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents) t0
+          WHERE size(ws) >= 3),
+        tf AS (
+          SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, h),
+        df AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY h),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tok GROUP BY doc_id),
+        g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+                     CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
+        qt AS (SELECT doc_id AS q_id, h FROM tf WHERE doc_id < 3),
+        m AS (
+          SELECT qt.q_id, tf.doc_id AS d_id,
+            sum(1000000L * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.tt
+                DIV ((2 * df.df + 1)
+                     * (10 * tf.tf * g.tt + 3 * g.tt + 9 * dl.dl * g.n)))
+              AS score_ppm
+          FROM qt
+          JOIN df ON qt.h = df.h
+          JOIN tf ON qt.h = tf.h AND tf.doc_id <> qt.q_id
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN g
+          WHERE df.df * 2 <= g.n
+          GROUP BY qt.q_id, tf.doc_id)
+        SELECT q_id, rank, d_id, score_ppm FROM (
+          SELECT q_id, d_id, score_ppm,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY score_ppm DESC, d_id) AS rank
+          FROM m) r
+        WHERE rank <= 5
+        ORDER BY q_id, rank""") },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               2, 15))::BIGINT AS h
+          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents) t0) t1
+          WHERE i <= len(ws) - 2 AND len(ws) >= 3),
+        tf AS (
+          SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, h),
+        df AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY h),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tok GROUP BY doc_id),
+        g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+                     CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
+        qt AS (SELECT doc_id AS q_id, h FROM tf WHERE doc_id < 3),
+        m AS (
+          SELECT qt.q_id, tf.doc_id AS d_id,
+            CAST(sum(1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.tt
+                // ((2 * df.df + 1)
+                    * (10 * tf.tf * g.tt + 3 * g.tt + 9 * dl.dl * g.n)))
+              AS BIGINT) AS score_ppm
+          FROM qt
+          JOIN df ON qt.h = df.h
+          JOIN tf ON qt.h = tf.h AND tf.doc_id <> qt.q_id
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN g
+          WHERE df.df * 2 <= g.n
+          GROUP BY qt.q_id, tf.doc_id)
+        SELECT q_id, rank, d_id, score_ppm FROM (
+          SELECT q_id, d_id, score_ppm,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score_ppm DESC, d_id) AS INT) AS rank
+          FROM m) r
+        WHERE rank <= 5
+        ORDER BY q_id, rank""")),
+
     // ---- N-gram novelty score: fraction of a doc's bigram OCCURRENCES
     // that are corpus-unique (corpus count = 1) — the cheap KenLM-free
     // proxy for "memorized boilerplate vs fresh text" a pretraining

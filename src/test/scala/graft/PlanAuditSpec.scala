@@ -371,6 +371,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-round lineage truncation regressed — plan accumulates exchanges")
   }
 
+  test("q145: BM25 retrieval is equi-joins + a group-limited top-k, never all-pairs") {
+    val p = plan("q145_bm25_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "term joins should broadcast at this SF")
+    // the only nested loop is the 1-row (n, tt) scalar-parameter dim
+    val loops = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(loops == 1, s"expected only the scalar dim loop, got $loops")
+    // the per-query top-5 is group-limited before any shuffle
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("q143: dHash pairs form via the chunk equi-join, never an all-pairs scan") {
     val p = plan("q143_dhash_neardup")
     // signature extraction is the declared mapPartitions codec seam …
