@@ -713,6 +713,102 @@ object Pipeline {
         WHERE rank <= 5
         ORDER BY q_id, rank""")),
 
+    // ---- DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection via Importance Resampling"): rank raw-corpus documents
+    // by how target-like their hashed n-gram feature profile is — the
+    // content-based data-selection pass that complements the metadata
+    // mixture ops (q109/q129/q138). Features are unigrams + bigrams
+    // hashed into 4096 buckets (the q96 feature-hashing convention);
+    // the target sample is doc_id < 50 (a "quality domain" exemplar
+    // set). Per bucket b the Laplace-smoothed importance ratio
+    //   w_ppm(b) = 10⁶·(t_b+1)·(R+B) DIV ((r_b+1)·(T+B))
+    // is ONE exact integer floor-division (t/r = target/raw counts,
+    // T/R their totals, B=4096), and a document's score is the exact
+    // integer sum Σ c_b·w_ppm(b) over its feature counts — the
+    // LINEAR-ratio variant of DSIR's log-likelihood ratio, declared so
+    // both engines agree bit-for-bit (Σ c·log w needs libm). npt
+    // divides by the doc's feature count (integer ppm) so length
+    // doesn't dominate. Shapes: the 4096-row weight table is a
+    // broadcast dim by construction; the corpus streams through one
+    // bucket equi-join + a per-doc map-side-combined sum; the final
+    // top-20 is a TakeOrdered, never a global sort.
+    Q("q146_dsir_weights",
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, """
+        WITH base AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        tok AS (
+          SELECT doc_id, explode(transform(ws, w -> md5_60(w) % 4096)) AS b
+          FROM base
+          UNION ALL
+          SELECT doc_id, explode(transform(sequence(1, size(ws) - 1),
+            i -> md5_60(concat_ws(' ', slice(ws, i, 2))) % 4096)) AS b
+          FROM base WHERE size(ws) >= 2),
+        c AS (
+          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY doc_id, b),
+        rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
+        tb AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS t
+          FROM tok WHERE doc_id < 50 GROUP BY b),
+        g AS (SELECT
+          CAST((SELECT count(*) FROM tok) AS BIGINT) AS rr,
+          CAST((SELECT count(*) FROM tok WHERE doc_id < 50) AS BIGINT) AS tt),
+        w AS (
+          SELECT rb.b,
+            1000000L * (coalesce(tb.t, 0L) + 1) * (g.rr + 4096)
+              DIV ((rb.r + 1) * (g.tt + 4096)) AS wppm
+          FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN g),
+        sc AS (
+          SELECT c.doc_id,
+            CAST(sum(c.c) AS BIGINT) AS n_feat,
+            sum(c.c * w.wppm) AS score_ppm
+          FROM c JOIN w ON c.b = w.b
+          GROUP BY c.doc_id)
+        SELECT doc_id, n_feat, score_ppm,
+          score_ppm DIV n_feat AS npt
+        FROM sc
+        ORDER BY score_ppm DIV n_feat DESC, doc_id
+        LIMIT 20""") },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tok AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(w), 2, 15))::BIGINT % 4096 AS b
+          FROM (SELECT doc_id, unnest(ws) AS w FROM base) t0
+          UNION ALL
+          SELECT doc_id,
+            ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15))::BIGINT
+              % 4096 AS b
+          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+                FROM base WHERE len(ws) >= 2) t1
+          WHERE i <= len(ws) - 1),
+        c AS (
+          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY doc_id, b),
+        rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
+        tb AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS t
+          FROM tok WHERE doc_id < 50 GROUP BY b),
+        g AS (SELECT
+          CAST((SELECT count(*) FROM tok) AS BIGINT) AS rr,
+          CAST((SELECT count(*) FROM tok WHERE doc_id < 50) AS BIGINT) AS tt),
+        w AS (
+          SELECT rb.b,
+            1000000 * (coalesce(tb.t, 0) + 1) * (g.rr + 4096)
+              // ((rb.r + 1) * (g.tt + 4096)) AS wppm
+          FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN g),
+        sc AS (
+          SELECT c.doc_id,
+            CAST(sum(c.c) AS BIGINT) AS n_feat,
+            CAST(sum(c.c * w.wppm) AS BIGINT) AS score_ppm
+          FROM c JOIN w ON c.b = w.b
+          GROUP BY c.doc_id)
+        SELECT doc_id, n_feat, score_ppm,
+          score_ppm // n_feat AS npt
+        FROM sc
+        ORDER BY score_ppm // n_feat DESC, doc_id
+        LIMIT 20""")),
+
     // ---- N-gram novelty score: fraction of a doc's bigram OCCURRENCES
     // that are corpus-unique (corpus count = 1) — the cheap KenLM-free
     // proxy for "memorized boilerplate vs fresh text" a pretraining

@@ -382,6 +382,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q146: the DSIR weight dim broadcasts; the top-20 is TakeOrdered, not a sort") {
+    val p = plan("q146_dsir_weights")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // only the 1-row (R, T) scalar dim may nested-loop
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size == 1)
+    assert(p.contains("TakeOrderedAndProject"), "global top-20 regressed to a sort")
+  }
+
   test("q143: dHash pairs form via the chunk equi-join, never an all-pairs scan") {
     val p = plan("q143_dhash_neardup")
     // signature extraction is the declared mapPartitions codec seam …
