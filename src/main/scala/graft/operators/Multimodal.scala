@@ -107,12 +107,4 @@ object Multimodal {
     h
   }
 
-  /** Typed per-document perceptual signature. */
-  final case class DHashSig(doc_id: Long, dh: Long)
-
-  /** Per-partition dHash (same iterator/codec seam as decode — a real
-    * decoder computes the pixel grid here, once per blob). */
-  def dhashPartition(
-      it: Iterator[(Long, Array[Byte])]): Iterator[DHashSig] =
-    it.map { case (id, bytes) => DHashSig(id, dHash(bytes)) }
 }

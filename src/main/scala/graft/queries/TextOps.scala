@@ -262,17 +262,19 @@ object TextOps {
     // Σ bucket² pair work, the only pair-generation shape that survives
     // millions of media blobs. τ=2 is measured from the corpus: the true
     // shared-prefix near-dups land at hamming 0-2, background noise
-    // starts at 3. Signature extraction runs in the mapPartitions codec
-    // seam (one pass, per-partition decoder init); everything after it
-    // is declarative and whole-stage-codegen'd.
+    // starts at 3. The signature is the native codegen expression
+    // functions.DHash63 (r13): post-decode signature math is pure
+    // arithmetic, so the whole scan → signature stage stays inside one
+    // WholeStageCodegen span with no object-serialization boundary (the
+    // DECODE step a real media pipeline needs stays in the q50/q94
+    // mapPartitions codec seam; the streaming twin shares the identical
+    // JVM kernel).
     Q("q143_dhash_neardup",
       (s, d) => {
         import s.implicits._
         val sig = Tables.t(s, d, "documents")
-          .select($"doc_id", encode($"text", "UTF-8").as("blob"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions(Multimodal.dhashPartition)
-          .toDF()
+          .select($"doc_id",
+            graft.functions.DHash63.dhash63(encode($"text", "UTF-8")).as("dh"))
         val chunks = sig.select($"doc_id", $"dh",
           explode(expr("sequence(0, 2)")).as("c"))
           .withColumn("cv",

@@ -70,6 +70,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert((Multimodal.dHash(us) & 1L) == 1L)
   }
 
+  test("DHash63 expression (interpreted AND codegen) equals the JVM kernel") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Tables.t(spark, SparkTestSession.sfDir, "documents")
+      .select($"doc_id", $"text").limit(100).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val viaExpr = docs.toSeq.toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.DHash63.dhash63(
+        org.apache.spark.sql.functions.encode($"text", "UTF-8")).as("dh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = docs.map { case (id, t) =>
+      id -> graft.operators.Multimodal.dHash(t.getBytes("UTF-8"))
+    }.toMap
+    assert(viaExpr == viaKernel)
+    // SQL registration path too
+    graft.functions.DHash63.register(spark)
+    val viaSql = docs.toSeq.toDF("doc_id", "text").createOrReplaceTempView("dh_t")
+    val sqlMap = spark.sql(
+      "SELECT doc_id, dhash63(encode(text, 'UTF-8')) AS dh FROM dh_t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlMap == viaKernel)
+  }
+
   test("dHash near-dup pairs are symmetric-free, ordered, and within threshold") {
     val df = SparkEntry.queries("q143_dhash_neardup")(
       SparkTestSession.spark, SparkTestSession.sfDir)

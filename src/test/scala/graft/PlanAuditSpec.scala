@@ -390,12 +390,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "global top-20 regressed to a sort")
   }
 
-  test("q143: dHash pairs form via the chunk equi-join, never an all-pairs scan") {
+  test("q143: dHash signature stays in codegen; pairs form via the chunk equi-join") {
     val p = plan("q143_dhash_neardup")
-    // signature extraction is the declared mapPartitions codec seam …
-    assert(p.contains("MapPartitions"), "dHash signature seam lost")
-    // … and pair generation is the pigeonhole (chunk, value) equi-join —
-    // an O(n²) all-pairs spelling would plan a nested loop or cartesian
+    // the signature is the native DHash63 expression — the scan →
+    // signature stage must not fall out of codegen into an object
+    // boundary (the old mapPartitions spelling cost a Deserialize/
+    // SerializeFromObject pair per corpus pass)
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      "dHash signature regressed out of codegen")
+    // pair generation is the pigeonhole (chunk, value) equi-join — an
+    // O(n²) all-pairs spelling would plan a nested loop or cartesian
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "dHash pairing regressed to an all-pairs scan")
   }
