@@ -17,33 +17,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table as a DataFrame.
-    *
-    * `events.ts` has shipped in two generations of the corpus:
-    *  - timestamp[ns], which Spark's reader rejects outright
-    *    ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos (`nanosAsLong`)
-    *    and integer-truncate to a microsecond timestamp — exactly what
-    *    DuckDB's ns→µs conversion does, so oracle comparisons agree.
-    *    Integer `DIV`, not `/`: true division would round-trip through
-    *    double and lose sub-µs bits on 1.7e18-scale nanos.
-    *  - timestamp[us] (isAdjustedToUTC=false), which Spark reads as
-    *    TIMESTAMP_NTZ. The session timezone is pinned to UTC everywhere
+  /** Parquet footer type of `events.ts` (driver-side, metadata-only) —
+    * the discriminator both the batch and streaming events readers
+    * branch on. Sets `nanosAsLong` first so a timestamp[ns] footer reads
+    * as LongType instead of throwing [PARQUET_TYPE_ILLEGAL]. */
+  private[graft] def eventsTsType(
+      spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** Normalize a raw events frame's `ts` to TimestampType across BOTH
+    * corpus generations (the ONE implementation — `t` and
+    * streaming/EventStream.readEvents both route here):
+    *  - timestamp[ns] read as raw nanos (`nanosAsLong`): integer-truncate
+    *    to a microsecond timestamp — exactly what DuckDB's ns→µs
+    *    conversion does, so oracle comparisons agree. Integer `DIV`, not
+    *    `/`: true division would round-trip through double and lose
+    *    sub-µs bits on 1.7e18-scale nanos.
+    *  - timestamp[us] (isAdjustedToUTC=false), read as TIMESTAMP_NTZ:
+    *    the session timezone is pinned to UTC everywhere
     *    (AdtContext/Verify/Bench), so casting to TIMESTAMP keeps the
     *    identical micros value while preserving every downstream query's
     *    TimestampType semantics — and matches DuckDB, which reads the
-    *    same column as a naive TIMESTAMP and treats it as UTC in epoch().
-    * Branching on the footer schema keeps both corpus generations valid. */
+    *    same column as a naive TIMESTAMP and treats it as UTC in
+    *    epoch(). */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
+
+  /** Load one table as a DataFrame (`events.ts` normalized via
+    * [[normalizeEventsTs]] — footer-sniffed, both corpus generations). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw // already TimestampType
-      }
+      eventsTsType(spark, dir) // sets nanosAsLong before the real read
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

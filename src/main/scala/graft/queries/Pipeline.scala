@@ -618,17 +618,27 @@ object Pipeline {
     // retrieval is also what decontamination actually matches on — the
     // q97 convention) — carried as 60-bit md5 hashes, so every term
     // join/aggregate moves 8-byte ints, never shingle strings (the
-    // hashedShingles discipline). The scoring is BM25 (k1=1.2, b=0.75) with the
-    // rational idf (N−df+½)/(df+½) kept EXACT: cross-multiplying idf and
-    // the tf-saturation term by 10·T turns the whole per-term score into
-    // one integer floor-division,
-    //   term_ppm = 10⁶·(2N−2df+1)·22·tf·T DIV ((2df+1)·(10·tf·T+3·T+9·dl·N)),
-    // so per-(query, doc) scores are exact integer SUMS — no libm ln, no
-    // double-summation order, bit-identical in both engines (the q118/
-    // q122 ppm discipline). Terms with df > N/2 are dropped (declared:
+    // hashedShingles discipline). The scoring is BM25 (k1=1.2, b=0.75)
+    // with the rational idf (N−df+½)/(df+½) kept exact: cross-multiply
+    // idf and the tf-saturation term, pre-reducing the length term
+    // 0.9·dl/avgdl to the integer (9·dl·N) DIV T so the corpus token
+    // total T never enters the numerator —
+    //   term_ppm = 10⁶·(2N−2df+1)·22·tf
+    //              DIV ((2df+1)·(10·tf + 3 + (9·dl·N) DIV T)).
+    // Per-(query, doc) scores are then exact integer SUMS — no libm ln,
+    // no double-summation order, bit-identical in both engines (the
+    // q118/q122 ppm discipline). Overflow envelope (documented, the PQ
+    // family's practice): the numerator needs N·tf < ~4·10¹¹·10⁶/10⁶,
+    // i.e. exact through N ≈ 4·10⁹ docs at tf ≤ 100 — the 100 TB
+    // posture — where the old ·T spelling overflowed one corpus size
+    // above the tested SFs; the inner DIV's ≤1 floor error lands in a
+    // denominator ≥ 13 and is mirrored bit-for-bit in the oracle. Terms with df > N/2 are dropped (declared:
     // the Lucene positive-idf guard — their weight is negligible and
     // their posting lists are exactly the hot keys that would skew the
-    // term join at scale). Shapes: the query-term dim is metadata-sized
+    // term join at scale; a production index tightens this guard or
+    // applies impact-ordered pruning, WAND-style, which only SHRINKS
+    // posting lists — the join shape is unchanged). Shapes: the
+    // query-term dim is metadata-sized
     // and broadcasts; the corpus posting list streams through ONE term
     // equi-join + a per-(q,doc) map-side-combined sum; the top-5 window
     // partitions on q_id (bounded per query — the q44 precedent).
@@ -653,9 +663,9 @@ object Pipeline {
         qt AS (SELECT doc_id AS q_id, h FROM tf WHERE doc_id < 3),
         m AS (
           SELECT qt.q_id, tf.doc_id AS d_id,
-            sum(1000000L * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.tt
+            sum(1000000L * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
                 DIV ((2 * df.df + 1)
-                     * (10 * tf.tf * g.tt + 3 * g.tt + 9 * dl.dl * g.n)))
+                     * (10 * tf.tf + 3 + (9 * dl.dl * g.n) DIV g.tt)))
               AS score_ppm
           FROM qt
           JOIN df ON qt.h = df.h
@@ -694,9 +704,9 @@ object Pipeline {
         qt AS (SELECT doc_id AS q_id, h FROM tf WHERE doc_id < 3),
         m AS (
           SELECT qt.q_id, tf.doc_id AS d_id,
-            CAST(sum(1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf * g.tt
+            CAST(sum(1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
                 // ((2 * df.df + 1)
-                    * (10 * tf.tf * g.tt + 3 * g.tt + 9 * dl.dl * g.n)))
+                    * (10 * tf.tf + 3 + (9 * dl.dl * g.n) // g.tt)))
               AS BIGINT) AS score_ppm
           FROM qt
           JOIN df ON qt.h = df.h

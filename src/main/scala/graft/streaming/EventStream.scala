@@ -18,12 +18,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet has shipped as timestamp[ns] (read as raw nanos via
-    * nanosAsLong, then truncated — same contract as graft.Tables) and as
-    * timestamp[us] (read as TIMESTAMP_NTZ, cast to TIMESTAMP under the
-    * UTC session). The streaming source needs a declared schema, so we
-    * sniff the footer once (driver-side, metadata-only) and declare the
-    * matching raw schema. */
+  /** events.parquet has shipped as timestamp[ns] and timestamp[us]/NTZ;
+    * the streaming source needs a declared schema, so we sniff the
+    * footer once (graft.Tables.eventsTsType — driver-side,
+    * metadata-only), declare the matching raw schema, and normalize
+    * through the SAME graft.Tables.normalizeEventsTs the batch reader
+    * uses, so batch and stream can never desynchronize on a corpus
+    * generation. */
   private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", tsType),
@@ -40,17 +41,11 @@ object EventStream {
 
   /** Streaming source over the corpus file(s). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    val src = spark.readStream
+    val tsType = graft.Tables.eventsTsType(spark, dir)
+    graft.Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    tsType match {
-      case LongType => src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => src.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => src
-    }
+      .parquet(dir))
   }
 
   /** Daily windowed counts + cents sums per event type, 1-day watermark.

@@ -174,14 +174,19 @@ object PropertySpec extends Properties("graft-kernels") {
         chunks21(h0).zip(chunks21(h1)).exists { case (a, b) => a == b }
     }
 
-  property("dHash: equal blobs hash equal; a one-bit grid change moves >=1 bit") =
-    forAll(Gen.listOfN(600, Gen.choose(32, 126)), Gen.choose(0, 8),
-      Gen.choose(0, 7)) { (bs, r, c) =>
-      val a = bs.map(_.toByte).toArray
-      val b = a.clone(); b(64 * r + c) = (b(64 * r + c) ^ 0x01).toByte
-      val ha = graft.operators.Multimodal.dHash(a)
-      graft.operators.Multimodal.dHash(a) == ha && // deterministic
-        (ha >= 0L) && (graft.operators.Multimodal.dHash(b) >= 0L)
+  property("dHash: an ascending pair planted at (r,c) sets exactly bit r*7+c") =
+    forAll(Gen.choose(0, 8), Gen.choose(0, 6)) { (r, c) =>
+      // every row strictly descending → no comparison fires → hash 0
+      val base = Array.tabulate[Byte](600)(i => (100 - (i % 64)).toByte)
+      // raise the byte RIGHT of (r, c): row r reads … (100-c), 120 … —
+      // the (c, c+1) comparison must now fire, the (c+1, c+2) one (120 >
+      // anything left in the row) and every other row must not, so the
+      // hash moves by exactly the one predicted bit: the sensitivity
+      // HALF of the kernel contract (the locality half — bytes outside
+      // the grid never matter — is MultimodalSpec's)
+      val mut = base.clone(); mut(64 * r + c + 1) = 120.toByte
+      graft.operators.Multimodal.dHash(base) == 0L &&
+        graft.operators.Multimodal.dHash(mut) == (1L << (r * 7 + c))
     }
 
   // ---- BM25 integer term score (q145): the cross-multiplied ppm

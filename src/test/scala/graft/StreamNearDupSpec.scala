@@ -11,24 +11,13 @@ class StreamNearDupSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val d = SparkTestSession.sfDir
 
-  /** Write each batch of (doc_id, text, lang) rows as one parquet file
-    * under `<tmp>/stream` with ascending modification times, so
-    * maxFilesPerTrigger=1 replays them as ordered micro-batches. */
+  /** (doc_id, text, lang) tuple batches → the shared
+    * [[StreamFixtures.writeBatches]] micro-batch replay fixture. */
   private def writeBatches(prefix: String,
       batches: Seq[Seq[(Long, String, String)]]): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    val merged = new java.io.File(dir, "stream"); merged.mkdirs()
-    batches.zipWithIndex.foreach { case (rows, i) =>
-      val sub = new java.io.File(dir, s"f$i")
-      rows.toDF("doc_id", "text", "lang").coalesce(1)
-        .write.mode("overwrite").parquet(sub.getAbsolutePath)
-      val part = sub.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(merged, s"part-$i.parquet")
-      java.nio.file.Files.copy(part.toPath, dest.toPath)
-      dest.setLastModified(1700000000000L + i * 60000L)
-    }
-    merged.getAbsolutePath
+    StreamFixtures.writeBatches(prefix,
+      batches.map(_.toDF("doc_id", "text", "lang")))
   }
 
   test("kernel band signatures match the Spark-SQL spelling exactly") {

@@ -13,19 +13,8 @@ class StreamPerceptualDedupSpec extends AnyFunSuite {
   private val d = SparkTestSession.sfDir
 
   private def writeBatches(prefix: String,
-      batches: Seq[org.apache.spark.sql.DataFrame]): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    val merged = new java.io.File(dir, "stream"); merged.mkdirs()
-    batches.zipWithIndex.foreach { case (df, i) =>
-      val sub = new java.io.File(dir, s"f$i")
-      df.coalesce(1).write.mode("overwrite").parquet(sub.getAbsolutePath)
-      val part = sub.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(merged, s"part-$i.parquet")
-      java.nio.file.Files.copy(part.toPath, dest.toPath)
-      dest.setLastModified(1700000000000L + i * 60000L)
-    }
-    merged.getAbsolutePath
-  }
+      batches: Seq[org.apache.spark.sql.DataFrame]): String =
+    StreamFixtures.writeBatches(prefix, batches)
 
   test("streamed verified pairs equal the batch q143 result across micro-batches") {
     val docs = Tables.t(spark, d, "documents").select("doc_id", "text", "lang")

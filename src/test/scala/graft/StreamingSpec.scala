@@ -58,28 +58,13 @@ class StreamingSpec extends AnyFunSuite {
     // two files: the corpus, then a re-id'd copy of its first 100 docs —
     // maxFilesPerTrigger=1 makes the duplicates arrive in a LATER batch,
     // so the dedup state must carry across triggers
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
     val docs = Tables.t(spark, d, "documents").select("doc_id", "text", "lang")
-    docs.coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(dir, "f0").getAbsolutePath)
-    docs.filter(col("doc_id") < 100)
-      .withColumn("doc_id", col("doc_id") + 10000L)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(dir, "f1").getAbsolutePath)
-    val merged = new java.io.File(dir, "stream")
-    merged.mkdirs()
-    Seq("f0", "f1").zipWithIndex.foreach { case (sub, i) =>
-      val part = new java.io.File(dir, sub).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(merged, s"part-$i.parquet")
-      java.nio.file.Files.copy(part.toPath, dest.toPath)
-      // the file source orders by modification time — pin it so the base
-      // corpus is strictly the earlier micro-batch
-      dest.setLastModified(1700000000000L + i * 60000L)
-    }
+    val merged = StreamFixtures.writeBatches("graft_sdedup", Seq(
+      docs,
+      docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000L)))
 
-    val deduped = StreamDedup.runToCompletion(
-      spark, merged.getAbsolutePath, "sdedup_test")
+    val deduped = StreamDedup.runToCompletion(spark, merged, "sdedup_test")
     val expected = docs.select(md5(col("text"))).distinct().count()
     assert(deduped.count() == expected)
     // first-seen wins: none of the re-id'd (>= 10000) copies survive for
@@ -94,7 +79,7 @@ class StreamingSpec extends AnyFunSuite {
     // behind every original's expiry — so keep-first semantics hold on
     // this corpus while the state bound is real
     val q = StreamDedup.dedupWithinWatermark(
-      StreamDedup.readDocs(spark, merged.getAbsolutePath))
+      StreamDedup.readDocs(spark, merged))
       .writeStream.outputMode("append").format("memory")
       .queryName("sdedup_wm_test").start()
     try q.processAllAvailable()
@@ -105,23 +90,13 @@ class StreamingSpec extends AnyFunSuite {
   test("stream-stream interval join matches the batch join") {
     // split events across two files so the join state must bridge
     // micro-batches (maxFilesPerTrigger=1)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sjoin").toFile
     val events = Tables.t(spark, d, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val stream = new java.io.File(dir, "stream"); stream.mkdirs()
-    Seq(col("event_id") % 2 === 0, col("event_id") % 2 === 1)
-      .zipWithIndex.foreach { case (pred, i) =>
-        val sub = new java.io.File(dir, s"f$i")
-        events.filter(pred).coalesce(1).write.mode("overwrite")
-          .parquet(sub.getAbsolutePath)
-        val part = sub.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(stream, s"part-$i.parquet")
-        java.nio.file.Files.copy(part.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + i * 60000L)
-      }
+    val stream = StreamFixtures.writeBatches("graft_sjoin", Seq(
+      events.filter(col("event_id") % 2 === 0),
+      events.filter(col("event_id") % 2 === 1)))
 
-    val streamed = StreamJoin.runToCompletion(
-      spark, stream.getAbsolutePath, "sjoin_test")
+    val streamed = StreamJoin.runToCompletion(spark, stream, "sjoin_test")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = StreamJoin.attribute(events, watermarked = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -160,24 +135,14 @@ class StreamingSpec extends AnyFunSuite {
     // assignment and codes.
     val cents = graft.queries.Extensions.trainedCentroidSeq(spark, d)
     val cb = graft.queries.Extensions.trainedCodebookSeq(spark, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_vingest").toFile
     val emb = Tables.t(spark, d, "embeddings")
-    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
-    Seq(
+    val feed = StreamFixtures.writeBatches("graft_vingest", Seq(
       emb,
       emb.filter(col("vec_id") < 20)
-        .withColumn("vec_id", col("vec_id") + 10000L)
-    ).zipWithIndex.foreach { case (df, i) =>
-      val sub = new java.io.File(dir, s"f$i")
-      df.coalesce(1).write.mode("overwrite").parquet(sub.getAbsolutePath)
-      val part = sub.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(feed, s"part-$i.parquet")
-      java.nio.file.Files.copy(part.toPath, dest.toPath)
-      dest.setLastModified(1700000000000L + i * 60000L)
-    }
+        .withColumn("vec_id", col("vec_id") + 10000L)))
 
     val streamed = VectorIngest.runToCompletion(
-      spark, feed.getAbsolutePath, cents, cb, "vingest_test")
+      spark, feed, cents, cb, "vingest_test")
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList)))
       .toMap
