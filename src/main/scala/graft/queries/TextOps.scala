@@ -25,6 +25,56 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private def sqlList(xs: Seq[String]) = xs.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** dHash signatures → verified hamming≤2 pairs — the ONE pair source
+    * q143 (the report) and q147 (the dedup map) share, so the blocking
+    * and threshold can never diverge between them. Signature = the
+    * native codegen DHash63 expression; pairing = the 3×21-bit
+    * pigeonhole chunk equi-join (exact recall at τ=2). */
+  private def dhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables.t(s, d, "documents")
+      .select($"doc_id",
+        graft.functions.DHash63.dhash63(encode($"text", "UTF-8")).as("dh"))
+    val chunks = sig.select($"doc_id", $"dh",
+      explode(expr("sequence(0, 2)")).as("c"))
+      .withColumn("cv",
+        expr("(dh div CAST(pow(2, 21 * c) AS BIGINT)) % 2097152"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        $"x.c" === $"y.c" && $"x.cv" === $"y.cv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+        $"x.dh".as("h1"), $"y.dh".as("h2"))
+      .distinct()
+      .select($"d1", $"d2",
+        expr("bit_count(h1 ^ h2)").cast("int").as("hamming"))
+      .filter($"hamming" <= 2)
+  }
+
+  /** DuckDB mirror of [[dhashPairs]] as a reusable CTE block ending in
+    * `dpairs(d1, d2, hamming)` — shared by the q143 and q147 oracles. */
+  private val DuckDhashPairs = """rw AS (
+          SELECT doc_id, r, rpad(substr(text, 1 + 64*r, 8), 8, ' ') AS rw
+          FROM documents, generate_series(0, 8) t(r)),
+        bits AS (
+          SELECT doc_id,
+            CASE WHEN ascii(substr(rw, c+1, 1)) < ascii(substr(rw, c+2, 1))
+                 THEN CAST(pow(2, r*7+c) AS BIGINT) ELSE 0 END AS v
+          FROM rw, generate_series(0, 6) t(c)),
+        sig AS (
+          SELECT doc_id, CAST(sum(v) AS BIGINT) AS dh
+          FROM bits GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, dh, c,
+            (dh // CAST(pow(2, 21*c) AS BIGINT)) % 2097152 AS cv
+          FROM sig, generate_series(0, 2) t(c)),
+        dpairs AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+            CAST(bit_count(xor(x.dh, y.dh)) AS INT) AS hamming
+          FROM ch x JOIN ch y
+            ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.dh, y.dh)) <= 2)"""
+
   val defs: Seq[Q] = Seq(
 
     // ---- Token statistics (whitespace tokens + BPE-ish regex tokens).
@@ -270,50 +320,68 @@ object TextOps {
     // mapPartitions codec seam; the streaming twin shares the identical
     // JVM kernel).
     Q("q143_dhash_neardup",
+      (s, d) => dhashPairs(s, d).orderBy(col("d1"), col("d2")),
+      Some(s"""
+        WITH $DuckDhashPairs
+        SELECT d1, d2, hamming FROM dpairs ORDER BY d1, d2""")),
+
+    // ---- Perceptual dedup MAP: connected components over the q143 pair
+    // graph (the q89 machinery applied to media blobs — 4 declared
+    // min-label rounds, each one equi-join + min-aggregate on the edge
+    // key, lineage truncated per round), emitting the actionable
+    // artifact a media ingest needs: for every blob that loses its
+    // component, the surviving representative (component min id) it
+    // deduplicates to. Blobs in no pair are implicitly kept.
+    Q("q147_dhash_keep",
       (s, d) => {
         import s.implicits._
-        val sig = Tables.t(s, d, "documents")
-          .select($"doc_id",
-            graft.functions.DHash63.dhash63(encode($"text", "UTF-8")).as("dh"))
-        val chunks = sig.select($"doc_id", $"dh",
-          explode(expr("sequence(0, 2)")).as("c"))
-          .withColumn("cv",
-            expr("(dh div CAST(pow(2, 21 * c) AS BIGINT)) % 2097152"))
-        val pairs = chunks.as("x")
-          .join(chunks.as("y"),
-            $"x.c" === $"y.c" && $"x.cv" === $"y.cv" &&
-              $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
-            $"x.dh".as("h1"), $"y.dh".as("h2"))
-          .distinct()
-        pairs
-          .select($"d1", $"d2",
-            expr("bit_count(h1 ^ h2)").cast("int").as("hamming"))
-          .filter($"hamming" <= 2)
-          .orderBy($"d1", $"d2")
+        val pairs = dhashPairs(s, d).select($"d1", $"d2").cache()
+        val edges = pairs
+          .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+          .cache()
+        var labels = edges.select($"d1".as("doc_id")).distinct()
+          .withColumn("lbl", $"doc_id")
+        for (_ <- 1 to 4) {
+          val nbrMin = edges.as("e")
+            .join(labels.as("l"), $"e.d2" === $"l.doc_id")
+            .groupBy($"e.d1").agg(min($"l.lbl").as("nbr"))
+            .withColumnRenamed("d1", "doc_id")
+          // q89's checkpoint discipline: the label frame is referenced
+          // twice per round, so lineage doubles — truncate it
+          labels = labels.join(nbrMin, Seq("doc_id"))
+            .select($"doc_id", least($"lbl", $"nbr").as("lbl"))
+            .localCheckpoint(true)
+        }
+        labels.filter($"lbl" =!= $"doc_id")
+          .select($"doc_id", $"lbl".as("kept_as"))
+          .orderBy($"doc_id")
       },
-      Some("""
-        WITH rw AS (
-          SELECT doc_id, r, rpad(substr(text, 1 + 64*r, 8), 8, ' ') AS rw
-          FROM documents, generate_series(0, 8) t(r)),
-        bits AS (
-          SELECT doc_id,
-            CASE WHEN ascii(substr(rw, c+1, 1)) < ascii(substr(rw, c+2, 1))
-                 THEN CAST(pow(2, r*7+c) AS BIGINT) ELSE 0 END AS v
-          FROM rw, generate_series(0, 6) t(c)),
-        sig AS (
-          SELECT doc_id, CAST(sum(v) AS BIGINT) AS dh
-          FROM bits GROUP BY doc_id),
-        ch AS (
-          SELECT doc_id, dh, c,
-            (dh // CAST(pow(2, 21*c) AS BIGINT)) % 2097152 AS cv
-          FROM sig, generate_series(0, 2) t(c))
-        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-          CAST(bit_count(xor(x.dh, y.dh)) AS INT) AS hamming
-        FROM ch x JOIN ch y
-          ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
-        WHERE bit_count(xor(x.dh, y.dh)) <= 2
-        ORDER BY d1, d2""")),
+      Some(s"""
+        WITH $DuckDhashPairs,
+        edges AS (SELECT d1, d2 FROM dpairs UNION ALL SELECT d2, d1 FROM dpairs),
+        l0 AS (SELECT DISTINCT d1 AS doc_id, d1 AS lbl FROM edges),
+        l1 AS (
+          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l0 l JOIN (
+            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
+            FROM edges e JOIN l0 l ON e.d2 = l.doc_id GROUP BY e.d1) m
+          USING (doc_id)),
+        l2 AS (
+          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l1 l JOIN (
+            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
+            FROM edges e JOIN l1 l ON e.d2 = l.doc_id GROUP BY e.d1) m
+          USING (doc_id)),
+        l3 AS (
+          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l2 l JOIN (
+            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
+            FROM edges e JOIN l2 l ON e.d2 = l.doc_id GROUP BY e.d1) m
+          USING (doc_id)),
+        l4 AS (
+          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l3 l JOIN (
+            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
+            FROM edges e JOIN l3 l ON e.d2 = l.doc_id GROUP BY e.d1) m
+          USING (doc_id))
+        SELECT doc_id, lbl AS kept_as FROM l4
+        WHERE lbl <> doc_id ORDER BY doc_id""")),
 
     // ---- Statistical aggregate family (stddev/var/corr/covar/regr).
     Q("q51_stats_agg",

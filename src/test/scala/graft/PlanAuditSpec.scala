@@ -390,6 +390,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "global top-20 regressed to a sort")
   }
 
+  test("q147: the perceptual dedup map bounds its lineage like q89") {
+    val p = plan("q147_dhash_keep")
+    assert(!p.contains("LocalTableScan"), "q147 has a driver-built table")
+    assert(!p.contains("CartesianProduct"))
+    // per-round localCheckpoint truncation: the FINAL plan is the last
+    // round's join + aggregate + the keep filter, never the accumulated
+    // 4-round chain
+    assert("Exchange".r.findAllIn(p).size <= 8,
+      "per-round lineage truncation regressed — plan accumulates exchanges")
+  }
+
   test("q143: dHash signature stays in codegen; pairs form via the chunk equi-join") {
     val p = plan("q143_dhash_neardup")
     // the signature is the native DHash63 expression — the scan →
