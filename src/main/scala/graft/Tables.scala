@@ -17,14 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Parquet footer type of `events.ts` (driver-side, metadata-only) —
-    * the discriminator both the batch and streaming events readers
-    * branch on. Sets `nanosAsLong` first so a timestamp[ns] footer reads
-    * as LongType instead of throwing [PARQUET_TYPE_ILLEGAL]. */
+  // sniffed `events.ts` footer type per (session, dir) — the probe costs
+  // a full footer read, so repeat events loads reuse the cached answer
+  private val tsTypes = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.DataType]()
+
+  /** Parquet footer type of `events.ts` (driver-side, metadata-only,
+    * cached per (session, dir)) — the discriminator both the batch and
+    * streaming events readers branch on. Sets `nanosAsLong` first so a
+    * timestamp[ns] footer reads as LongType instead of throwing
+    * [PARQUET_TYPE_ILLEGAL]; note the flip is SESSION-GLOBAL (and
+    * idempotent) — any caller sharing the session reads ns-parquet
+    * timestamps as raw longs afterwards, which [[normalizeEventsTs]]
+    * is the one place that interprets. */
   private[graft] def eventsTsType(
       spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    tsTypes.computeIfAbsent((spark, dir),
+      _ => spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
   }
 
   /** Normalize a raw events frame's `ts` to TimestampType across BOTH

@@ -52,7 +52,16 @@ object TextOps {
   }
 
   /** DuckDB mirror of [[dhashPairs]] as a reusable CTE block ending in
-    * `dpairs(d1, d2, hamming)` — shared by the q143 and q147 oracles. */
+    * `dpairs(d1, d2, hamming)` — shared by the q143 and q147 oracles.
+    *
+    * ASCII-corpus assumption (declared, same convention as the q94
+    * frame oracle's rpad/substr spelling): the Spark side hashes the
+    * UTF-8 BYTES of `text` while this mirror indexes CHARACTERS
+    * (substr) and compares codepoints (ascii) — the two agree exactly
+    * because the corpus is single-byte ASCII (charset a–y + space,
+    * FIXTURES.md). A multi-byte corpus would shift byte offsets vs
+    * character offsets and diverge; a byte-robust oracle would index
+    * via octet-level encode() slicing instead. */
   private val DuckDhashPairs = """rw AS (
           SELECT doc_id, r, rpad(substr(text, 1 + 64*r, 8), 8, ' ') AS rw
           FROM documents, generate_series(0, 8) t(r)),

@@ -60,10 +60,15 @@ object StreamPerceptualDedup {
     * deterministic. */
   private def admitAndVerify(seen: List[(Long, Long)],
       incoming: Seq[(Long, Long)]): (List[(Long, Long)], List[DupPair]) = {
+    // admission check and accumulation are O(1) per row (id Set + buffer
+    // append) so a hot bucket (e.g. the all-zero chunk shared by short
+    // blobs) pays only the intended Σ bucket² pairing cost, not an extra
+    // O(|seen|) scan / List rebuild per arrival
+    val seenIds = scala.collection.mutable.HashSet.from(seen.iterator.map(_._1))
     val fresh = incoming.toList.distinct.sortBy(_._1)
-      .filterNot(x => seen.exists(_._1 == x._1))
+      .filter(x => seenIds.add(x._1))
     val out = scala.collection.mutable.ListBuffer.empty[DupPair]
-    var members = seen
+    val members = scala.collection.mutable.ListBuffer.from(seen)
     fresh.foreach { case (id, dh) =>
       members.foreach { case (mid, mdh) =>
         if (mid != id) {
@@ -72,9 +77,9 @@ object StreamPerceptualDedup {
             out += DupPair(math.min(id, mid), math.max(id, mid), ham)
         }
       }
-      members = members :+ (id -> dh)
+      members += (id -> dh)
     }
-    (members, out.toList)
+    (members.toList, out.toList)
   }
 
   /** Exact verified near-dup pairs across all micro-batches seen so

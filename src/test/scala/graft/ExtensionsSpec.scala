@@ -30,6 +30,12 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0)
       assert(pair.getLong(0) == pair.getLong(1))
 
+      // dhash63 injects too, and equals the JVM kernel on the same bytes
+      val dh = s2.sql("SELECT dhash63(encode('abcdefgh', 'UTF-8')) AS h")
+        .collect()(0).getLong(0)
+      assert(dh ==
+        graft.operators.Multimodal.dHash("abcdefgh".getBytes("UTF-8")))
+
       // injected resolution rule: information_schema resolves in plain
       // spark.sql with no AdtContext wrapper
       s2.range(3).createOrReplaceTempView("ext_probe_table")

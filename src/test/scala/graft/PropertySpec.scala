@@ -189,12 +189,23 @@ object PropertySpec extends Properties("graft-kernels") {
         graft.operators.Multimodal.dHash(mut) == (1L << (r * 7 + c))
     }
 
-  // ---- BM25 integer term score (q145): the cross-multiplied ppm
-  // spelling must keep BM25's structural properties — monotonically
-  // non-decreasing in tf (saturating), monotonically non-increasing in
-  // df (idf), and bounded by (k1+1)·idf_max — or the retrieval ranking
-  // silently inverts.
+  // ---- BM25 integer term score (q145): the SHIPPED two-stage integer
+  // spelling (inner (9·dl·n) DIV tt floor, then the outer DIV — exactly
+  // Pipeline.scala's q145 expression, so a precedence/floor-placement
+  // regression in the kernel breaks this property) must keep BM25's
+  // structural properties — monotonically non-decreasing in tf
+  // (saturating), monotonically non-increasing in df (idf), positive —
+  // or the retrieval ranking silently inverts. The inner floor is
+  // constant in tf and df, so both monotonicities survive it.
   private def bm25TermPpm(tf: Long, df: Long, dl: Long,
+      n: Long, tt: Long): Long =
+    1000000L * (2 * n - 2 * df + 1) * 22 * tf /
+      ((2 * df + 1) * (10 * tf + 3 + (9 * dl * n) / tt))
+
+  /** The pre-reduced single-division rational form (the r12 spelling —
+    * overflows one corpus size above the tested SFs, kept here only as
+    * the closeness yardstick for the shipped kernel). */
+  private def bm25TermPpmRational(tf: Long, df: Long, dl: Long,
       n: Long, tt: Long): Long =
     1000000L * (2 * n - 2 * df + 1) * 22 * tf * tt /
       ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * n))
@@ -208,5 +219,17 @@ object PropertySpec extends Properties("graft-kernels") {
       s > 0 &&
         bm25TermPpm(tf + 1, df, dl, n, tt) >= s &&
         (df < 2 || bm25TermPpm(tf, df - 1, dl, n, tt) >= s)
+    }
+
+  property("bm25 ppm term: within the documented envelope of the rational form") =
+    forAll(Gen.choose(1L, 50L), Gen.choose(1L, 200L), Gen.choose(10L, 600L),
+      Gen.choose(400L, 5000L)) { (tf, df0, dl, n) =>
+      val df = math.min(df0, n / 2)
+      val tt = n * 50
+      val s = bm25TermPpm(tf, df, dl, n, tt)
+      val r = bm25TermPpmRational(tf, df, dl, n, tt)
+      // the inner floor drops <1 off a denominator factor that is >= 13,
+      // so the shipped score sits in [rational - 1, rational·(1 + 1/13) + 1]
+      s >= r - 1 && s <= r + r / 13 + 1
     }
 }
