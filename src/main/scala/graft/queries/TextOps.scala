@@ -84,6 +84,66 @@ object TextOps {
             ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.dh, y.dh)) <= 2)"""
 
+  /** Declared BPE training rounds (q148) — fixed, mirrored in the
+    * oracle, the q114/q89 iterative-operator discipline. Production
+    * runs tens of thousands of rounds with the identical per-round
+    * shape; the count is semantics, not a correctness approximation
+    * (each round's merge is exact given the previous rounds). */
+  private[graft] val BpeRounds = 6
+
+  /** Adjacent-pair counts over a wrapped-symbol segmentation frame
+    * `(cnt, seg)` — one map-side-combined aggregate, grouped on the
+    * (left, right) symbol pair. Shared by q148's training loop and
+    * BpeSpec's round-consistency check. */
+  private[graft] def bpePairCounts(seg: DataFrame): DataFrame = {
+    import seg.sparkSession.implicits._
+    seg
+      .select($"cnt",
+        split(expr("substring(seg, 2, length(seg) - 2)"), "~~").as("syms"))
+      .where(size($"syms") >= 2)
+      .select($"cnt", explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+           i -> struct(element_at(syms, i) AS l,
+                       element_at(syms, i + 1) AS r))""")).as("p"))
+      .groupBy($"p.l".as("l"), $"p.r".as("r"))
+      .agg(sum($"cnt").as("n"))
+  }
+
+  /** DuckDB mirror of the q148 training loop: the same wrapped-symbol
+    * encoding, [[BpeRounds]] chained per-round CTE triples
+    * (pair counts -> argmax -> replace), UNION ALL of the per-round
+    * winners. Chained doubly-referenced CTEs are the q89 l0..l4
+    * precedent; all scalar state per round is the ONE 1-row b_r CTE
+    * (the scalar-CTE planner discipline). */
+  private val duckBpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+          SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+          FROM (SELECT cnt, string_split(substr(seg, 2, length(seg)-2), '~~') AS syms
+                FROM w${r - 1}) t, unnest(generate_series(1, len(syms)-1)) s(i)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2),
+        b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+        w$r AS (
+          SELECT replace(seg, '~' || b.l || '~~' || b.r || '~',
+                         '~' || b.l || b.r || '~') AS seg, cnt
+          FROM w${r - 1}, b$r b)"""
+    }.mkString(",\n        ")
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS INT) AS round, l AS lft, r AS rgt, n FROM b$r")
+      .mkString("\n          UNION ALL ")
+    s"""
+        WITH w0 AS (
+          SELECT regexp_replace(w, '(.)', '~\\1~', 'g') AS seg,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+          WHERE length(w) > 0 GROUP BY w),
+        $rounds
+        SELECT * FROM (
+          $union
+        ) ORDER BY round"""
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- Token statistics (whitespace tokens + BPE-ish regex tokens).
@@ -126,6 +186,59 @@ object TextOps {
           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
           GROUP BY w) r
         WHERE rank <= 50 ORDER BY rank""")),
+
+    // ---- BPE tokenizer TRAINING (Sennrich et al. 2016) — the operator
+    // q95's frequency vocab only gestures at: learn the merge table
+    // itself. [[BpeRounds]] declared rounds (the q114 Lloyd's / q89 CC
+    // fixed-round oracle discipline), each round =
+    //   adjacent-pair count aggregate -> global argmax merge
+    //   (count DESC, left ASC, right ASC tie-break) -> re-segmentation.
+    //
+    // Corpus touched ONCE: classic BPE trains on the word-frequency
+    // table (Heaps'-law bounded — ~10^6-10^7 distinct words at 100 TB,
+    // metadata next to the corpus), so every round's pair count is a
+    // map-side-combined aggregate over the vocab, the argmax is a 1-row
+    // TakeOrdered (collected like lloyd2's centroids — THE index
+    // artifact), and the merge is a map-only literal replace over the
+    // vocab. Nothing rescans documents after the initial word count.
+    //
+    // Greedy left-to-right merge via the WRAPPED-SYMBOL encoding: a
+    // segmentation [s1..sk] is stored as '~s1~~s2~..~sk~' (every symbol
+    // wrapped in '~', a char outside the corpus alphabet), and merging
+    // (l, r) is replace(seg, '~l~~r~', '~lr~'). Literal replace is
+    // left-to-right non-overlapping in BOTH engines, and because each
+    // boundary carries TWO delimiter chars (one owned by each side), a
+    // match consumes only its own — '~a~~a~~a~' + (a,a) -> '~aa~~a~',
+    // exactly BPE's greedy scan where a freshly merged token does not
+    // re-participate in the same round. Full-wrap also makes matches
+    // exact-symbol (no prefix aliasing: (a,ab) cannot fire inside
+    // '~a~~abc~'). BpeSpec proves replace == the list-fold reference
+    // merge and that round r+1's pair counts reflect round r's merge;
+    // PropertySpec property-checks the kernel on adversarial runs.
+    Q("q148_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.t(s, d, "documents")
+          .select(explode(split($"text", " ")).as("w"))
+          .where(length($"w") > 0)
+          .groupBy($"w").agg(count(lit(1)).cast("long").as("cnt"))
+          .select($"cnt", regexp_replace($"w", "(.)", "~$1~").as("seg"))
+          .cache()
+        var seg = words
+        val merges = scala.collection.mutable.ListBuffer
+          .empty[(Int, String, String, Long)]
+        for (r <- 1 to BpeRounds) {
+          val best = bpePairCounts(seg)
+            .orderBy($"n".desc, $"l", $"r").limit(1)
+            .as[(String, String, Long)].head()
+          merges += ((r, best._1, best._2, best._3))
+          seg = seg.select($"cnt",
+            expr(s"replace(seg, '~${best._1}~~${best._2}~', " +
+              s"'~${best._1}${best._2}~')").as("seg"))
+        }
+        merges.toSeq.toDF("round", "lft", "rgt", "n").orderBy($"round")
+      },
+      Some(duckBpeOracle)),
 
     // ---- Feature hashing (the hashing-trick vectorizer): token → one of
     // 64 buckets via the portable 60-bit md5 hash, per-doc bucket counts

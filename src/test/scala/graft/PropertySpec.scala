@@ -189,6 +189,32 @@ object PropertySpec extends Properties("graft-kernels") {
         graft.operators.Multimodal.dHash(mut) == (1L << (r * 7 + c))
     }
 
+  // ---- BPE wrapped-replace merge kernel (q148): merging pair (l, r)
+  // on the '~s1~~s2~…' wrapped encoding via literal replace must equal
+  // the greedy left-to-right list merge — including shared-boundary
+  // runs ('~a~~a~~a~' merges once) and prefix aliasing ((a, ab) must
+  // not fire inside '~a~~abc~'), which is why every symbol is FULLY
+  // wrapped and each boundary carries two delimiters.
+  private def bpeGreedy(syms: List[String], l: String, r: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case a :: b :: t if a == l && b == r => out += (l + r); rest = t
+      case a :: t => out += a; rest = t
+      case Nil => ()
+    }
+    out.result()
+  }
+  private def bpeWrap(syms: Seq[String]): String = syms.map("~" + _ + "~").mkString
+
+  private val bpeSym = Gen.oneOf("a", "b", "aa", "ab", "ba", "aab")
+
+  property("bpe merge: wrapped literal replace == greedy list merge") =
+    forAll(Gen.listOf(bpeSym), bpeSym, bpeSym) { (syms, l, r) =>
+      bpeWrap(syms).replace(s"~$l~~$r~", s"~$l$r~") ==
+        bpeWrap(bpeGreedy(syms, l, r))
+    }
+
   // ---- BM25 integer term score (q145): the SHIPPED two-stage integer
   // spelling (inner (9·dl·n) DIV tt floor, then the outer DIV — exactly
   // Pipeline.scala's q145 expression, so a precedence/floor-placement
