@@ -638,10 +638,14 @@ object Pipeline {
     // term join at scale; a production index tightens this guard or
     // applies impact-ordered pruning, WAND-style, which only SHRINKS
     // posting lists — the join shape is unchanged). Shapes: the
-    // query-term dim is metadata-sized
-    // and broadcasts; the corpus posting list streams through ONE term
-    // equi-join + a per-(q,doc) map-side-combined sum; the top-5 window
-    // partitions on q_id (bounded per query — the q44 precedent).
+    // query-term dim is metadata-sized and broadcasts — the probe-query
+    // set is CORPUS-DERIVED (r14, the q133/q137/q138 discipline):
+    // max(3, n DIV 1000) lowest-id docs, sublinear in corpus size so
+    // the dim stays broadcast-sized at any SF (at sf0.01 this derives
+    // exactly the old demo constant 3); the corpus posting list streams
+    // through ONE term equi-join + a per-(q,doc) map-side-combined sum;
+    // the top-5 window partitions on q_id (bounded per query — the q44
+    // precedent).
     Q("q145_bm25_topk",
       (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, """
         WITH tok AS (
@@ -660,7 +664,8 @@ object Pipeline {
           FROM tok GROUP BY doc_id),
         g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
                      CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
-        qt AS (SELECT doc_id AS q_id, h FROM tf WHERE doc_id < 3),
+        qt AS (SELECT doc_id AS q_id, h FROM tf
+               WHERE doc_id < (SELECT greatest(CAST(3 AS BIGINT), n DIV 1000) FROM g)),
         m AS (
           SELECT qt.q_id, tf.doc_id AS d_id,
             sum(1000000L * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
@@ -701,7 +706,8 @@ object Pipeline {
           FROM tok GROUP BY doc_id),
         g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
                      CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
-        qt AS (SELECT doc_id AS q_id, h FROM tf WHERE doc_id < 3),
+        qt AS (SELECT doc_id AS q_id, h FROM tf
+               WHERE doc_id < (SELECT greatest(CAST(3 AS BIGINT), n // 1000) FROM g)),
         m AS (
           SELECT qt.q_id, tf.doc_id AS d_id,
             CAST(sum(1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
@@ -729,8 +735,13 @@ object Pipeline {
     // content-based data-selection pass that complements the metadata
     // mixture ops (q109/q129/q138). Features are unigrams + bigrams
     // hashed into 4096 buckets (the q96 feature-hashing convention);
-    // the target sample is doc_id < 50 (a "quality domain" exemplar
-    // set). Per bucket b the Laplace-smoothed importance ratio
+    // the target exemplar set ("quality domain") is CORPUS-DERIVED
+    // (r14, the q133/q137/q138 discipline): the lowest-id n DIV 10
+    // docs — a fixed 10% exemplar slice at any SF (at sf0.01 this
+    // derives exactly the old demo constant 50; in production the
+    // target is a DECLARED domain corpus — the derivation exists so
+    // the demo discriminates meaningfully at every SF). Per bucket b
+    // the Laplace-smoothed importance ratio
     //   w_ppm(b) = 10⁶·(t_b+1)·(R+B) DIV ((r_b+1)·(T+B))
     // is ONE exact integer floor-division (t/r = target/raw counts,
     // T/R their totals, B=4096), and a document's score is the exact
@@ -755,13 +766,15 @@ object Pipeline {
         c AS (
           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
           FROM tok GROUP BY doc_id, b),
+        gd AS (SELECT CAST(count(*) DIV 10 AS BIGINT) AS tgt FROM documents),
         rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
         tb AS (
           SELECT b, CAST(count(*) AS BIGINT) AS t
-          FROM tok WHERE doc_id < 50 GROUP BY b),
+          FROM tok WHERE doc_id < (SELECT tgt FROM gd) GROUP BY b),
         g AS (SELECT
           CAST((SELECT count(*) FROM tok) AS BIGINT) AS rr,
-          CAST((SELECT count(*) FROM tok WHERE doc_id < 50) AS BIGINT) AS tt),
+          CAST((SELECT count(*) FROM tok
+                WHERE doc_id < (SELECT tgt FROM gd)) AS BIGINT) AS tt),
         w AS (
           SELECT rb.b,
             1000000L * (coalesce(tb.t, 0L) + 1) * (g.rr + 4096)
@@ -795,13 +808,15 @@ object Pipeline {
         c AS (
           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
           FROM tok GROUP BY doc_id, b),
+        gd AS (SELECT CAST(count(*) // 10 AS BIGINT) AS tgt FROM documents),
         rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
         tb AS (
           SELECT b, CAST(count(*) AS BIGINT) AS t
-          FROM tok WHERE doc_id < 50 GROUP BY b),
+          FROM tok WHERE doc_id < (SELECT tgt FROM gd) GROUP BY b),
         g AS (SELECT
           CAST((SELECT count(*) FROM tok) AS BIGINT) AS rr,
-          CAST((SELECT count(*) FROM tok WHERE doc_id < 50) AS BIGINT) AS tt),
+          CAST((SELECT count(*) FROM tok
+                WHERE doc_id < (SELECT tgt FROM gd)) AS BIGINT) AS tt),
         w AS (
           SELECT rb.b,
             1000000 * (coalesce(tb.t, 0) + 1) * (g.rr + 4096)
