@@ -105,6 +105,31 @@ object Dedup {
     hashedShinglesOf(Tables.t(s, d, "documents").select(
       col("doc_id"), col("text")))
 
+  /** q89's SYMMETRIZED near-dup edge frame: hashed-shingle jaccard >=
+    * 0.8 pairs (the q42 scale identity), both directions — the input
+    * to the shared CC kernel, also exercised directly by
+    * ConnectedComponentsSpec. The pair list is cached BEFORE
+    * symmetrizing (the union references it twice, and each reference
+    * would otherwise re-run the whole jaccard pipeline); set sizes
+    * ride along as a window count over doc_id (one window exchange
+    * instead of a sizes aggregate + two pair-stream joins). */
+  private[graft] def nearDupEdges08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val sh = hashedShingles(s, d)
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .cache()
+    val pairs = sh.as("a")
+      .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
+      .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
+      .select($"d1", $"d2").cache()
+    pairs
+      .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .cache()
+  }
+
   /** DuckDB mirror of [[hashedShinglesOf]] as a reusable CTE block over
     * source relation `src`, CTE names prefixed with `p` — the single
     * source of the hashed-shingle + df-cap spelling (q42/q89/q121 use
@@ -535,50 +560,23 @@ object Dedup {
     // — near-dup clusters are dense, so real diameters are tiny. Each
     // round is one equi-join + min-aggregate on the edge key: the
     // standard scalable CC shape (cf. large-star/small-star), no driver
-    // iteration state beyond the fixed loop.
+    // iteration state beyond the fixed loop
+    // (operators/ConnectedComponents — shared with q147).
     Q("q89_dedup_clusters",
       (s, d) => {
         import s.implicits._
-        // pair source = hashed-shingle jaccard (the scale identity, same
-        // as q42); cache the pair list BEFORE symmetrizing — the union
-        // references it twice, and each reference would otherwise re-run
-        // the whole jaccard pipeline. Set sizes ride along as a window
-        // count over doc_id (same trick as jaccardPairs: one window
-        // exchange instead of a sizes aggregate + two pair-stream joins).
-        val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-        val sh = hashedShingles(s, d)
-          .withColumn("n", count(lit(1)).over(byDoc))
-          .cache()
-        val pairs = sh.as("a")
-          .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
-          .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
-          .select($"d1", $"d2").cache()
-        val edges = pairs
-          .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-          .cache()
-        var labels = edges.select($"d1".as("doc_id")).distinct()
-          .withColumn("lbl", $"doc_id")
-        for (_ <- 1 to 4) {
-          val nbrMin = edges.as("e")
-            .join(labels.as("l"), $"e.d2" === $"l.doc_id")
-            .groupBy($"e.d1").agg(min($"l.lbl").as("nbr"))
-            .withColumnRenamed("d1", "doc_id")
-          // each round references the previous labels twice, so lineage
-          // doubles per round — localCheckpoint TRUNCATES it (cache alone
-          // keeps the logical tree growing and re-planning cost compounds:
-          // measured 1.1s → 10.5s per round by round 4 with cache, ~0.1s
-          // flat with checkpoint; every-2nd-round cadence re-measured
-          // WORSE — the doubled tree costs more in planning/codegen than
-          // the saved materialization job). Same reason iterative graph
-          // jobs checkpoint every superstep; on a cluster this would be a
-          // reliable checkpoint instead of a local one.
-          labels = labels.join(nbrMin, Seq("doc_id"))
-            .select($"doc_id", least($"lbl", $"nbr").as("lbl"))
-            .localCheckpoint(true)
-        }
-        labels.groupBy($"lbl".as("cluster"))
+        // 4 fixed min-label rounds (declared, oracle-mirrored — exact
+        // for any component of diameter <= 4; ConnectedComponentsSpec
+        // proves 4-round == fixpoint on THIS text graph (its jaccard
+        // components are dense — fixpoint within one round), and the
+        // convergence-checked production variant lives next to the
+        // kernel in operators/ConnectedComponents — SCALE.md §"CC
+        // convergence"). The lineage-truncation rationale (measured
+        // 1.1s → 10.5s/round by round 4 with cache alone, ~0.1s flat
+        // with localCheckpoint) is documented at the shared kernel.
+        graft.operators.ConnectedComponents
+          .minLabelRounds(nearDupEdges08(s, d), 4)
+          .groupBy($"lbl".as("cluster"))
           .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_doc"))
           .orderBy($"cluster")
       },

@@ -30,7 +30,7 @@ object TextOps {
     * and threshold can never diverge between them. Signature = the
     * native codegen DHash63 expression; pairing = the 3×21-bit
     * pigeonhole chunk equi-join (exact recall at τ=2). */
-  private def dhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = Tables.t(s, d, "documents")
       .select($"doc_id",
@@ -49,6 +49,18 @@ object TextOps {
       .select($"d1", $"d2",
         expr("bit_count(h1 ^ h2)").cast("int").as("hamming"))
       .filter($"hamming" <= 2)
+  }
+
+  /** q147's SYMMETRIZED perceptual edge frame over [[dhashPairs]] —
+    * the input to the shared CC kernel, also exercised directly by
+    * ConnectedComponentsSpec. Cached before symmetrizing (the union
+    * references the pair list twice). */
+  private[graft] def dhashEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = dhashPairs(s, d).select($"d1", $"d2").cache()
+    pairs
+      .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      .cache()
   }
 
   /** DuckDB mirror of [[dhashPairs]] as a reusable CTE block ending in
@@ -448,33 +460,25 @@ object TextOps {
         SELECT d1, d2, hamming FROM dpairs ORDER BY d1, d2""")),
 
     // ---- Perceptual dedup MAP: connected components over the q143 pair
-    // graph (the q89 machinery applied to media blobs — 4 declared
-    // min-label rounds, each one equi-join + min-aggregate on the edge
-    // key, lineage truncated per round), emitting the actionable
-    // artifact a media ingest needs: for every blob that loses its
-    // component, the surviving representative (component min id) it
-    // deduplicates to. Blobs in no pair are implicitly kept.
+    // graph (the shared operators/ConnectedComponents kernel applied to
+    // media blobs — 4 declared min-label rounds, each one equi-join +
+    // min-aggregate on the edge key, lineage truncated per round;
+    // NOTE: on this graph the declared 4 rounds are genuinely a
+    // declared approximation — hamming-chained components can exceed
+    // diameter 4 (ConnectedComponentsSpec pins a natural sf0.001
+    // witness), which is exactly why the production posture is the
+    // convergence-checked ConnectedComponents.fixpoint — SCALE.md
+    // §"CC convergence"),
+    // emitting the actionable artifact a media ingest needs: for every
+    // blob that loses its component, the surviving representative
+    // (component min id) it deduplicates to. Blobs in no pair are
+    // implicitly kept.
     Q("q147_dhash_keep",
       (s, d) => {
         import s.implicits._
-        val pairs = dhashPairs(s, d).select($"d1", $"d2").cache()
-        val edges = pairs
-          .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-          .cache()
-        var labels = edges.select($"d1".as("doc_id")).distinct()
-          .withColumn("lbl", $"doc_id")
-        for (_ <- 1 to 4) {
-          val nbrMin = edges.as("e")
-            .join(labels.as("l"), $"e.d2" === $"l.doc_id")
-            .groupBy($"e.d1").agg(min($"l.lbl").as("nbr"))
-            .withColumnRenamed("d1", "doc_id")
-          // q89's checkpoint discipline: the label frame is referenced
-          // twice per round, so lineage doubles — truncate it
-          labels = labels.join(nbrMin, Seq("doc_id"))
-            .select($"doc_id", least($"lbl", $"nbr").as("lbl"))
-            .localCheckpoint(true)
-        }
-        labels.filter($"lbl" =!= $"doc_id")
+        graft.operators.ConnectedComponents
+          .minLabelRounds(dhashEdges(s, d), 4)
+          .filter($"lbl" =!= $"doc_id")
           .select($"doc_id", $"lbl".as("kept_as"))
           .orderBy($"doc_id")
       },
