@@ -140,6 +140,26 @@ object Sources {
       Some("""
         SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation""")),
 
+    // ---- Delta V2 checkpoint: a UUID-named spec-v2 checkpoint keeps
+    // its file actions in SIDECAR parquet files under
+    // _delta_log/_sidecars (sidecar actions in the checkpoint name
+    // them); replay = checkpoint inline state + sidecar adds + JSON
+    // tail, with the remove in the tail dropping a sidecar-declared
+    // file. This moves the reader PAST the reference's own gate
+    // posture: delta-kernel 0.13 reads these, and now so does this
+    // replay (previously a clean feature-gate reject).
+    Q("q149_delta_v2_checkpoint",
+      (s, d) => {
+        val dir = Fixtures.deltaNationV2Checkpoint(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE nation_v2cp STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT n_nationkey, n_name FROM nation_v2cp ORDER BY n_nationkey""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey >= 9 ORDER BY n_nationkey""")),
+
     // ---- Arrow IPC file scan (context.rs:42 parity) via the arrow-vector
     // classes inside Spark's own jars: footer-indexed record batches are
     // the parallelism unit. The fixture derives from nation, so the oracle

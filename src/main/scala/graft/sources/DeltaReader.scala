@@ -141,7 +141,22 @@ object DeltaReader {
           if xs.size == of && xs.map(_._2).toSet == (1 to of).toSet =>
         v -> xs.map(_._4).distinct.sorted
       }
-    val checkpoints: Map[Long, Seq[String]] = multiCps ++ singleCps
+    // V2 spec checkpoints: a single UUID-named file
+    // `v.checkpoint.<uuid>.parquet` whose file actions may live inline
+    // OR in sidecar parquet files under `_delta_log/_sidecars/`
+    // (referenced through `sidecar` actions — replayed below). Multiple
+    // UUID checkpoints can coexist at one version (writers may race);
+    // each is complete by construction, so take the lexicographically
+    // first for determinism.
+    val UuidCp = ("(\\d{20})\\.checkpoint\\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}" +
+      "-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\\.parquet").r
+    val uuidCps: Map[Long, Seq[String]] = entries
+      .flatMap {
+        case n @ UuidCp(v, _) => Some(v.toLong -> n)
+        case _ => None
+      }
+      .groupBy(_._1).map { case (v, xs) => v -> Seq(xs.map(_._2).min) }
+    val checkpoints: Map[Long, Seq[String]] = multiCps ++ singleCps ++ uuidCps
     val checkpointVersions = checkpoints.keys.toSeq.sorted
 
     val usableJson = jsonVersions.filter(_ <= maxVersion)
@@ -157,11 +172,12 @@ object DeltaReader {
 
     // Protocol gate (the delta spec's reader contract): a table whose
     // protocol demands a reader version or reader FEATURE this replay
-    // does not implement must be REJECTED, not silently misread — e.g.
-    // a v2Checkpoint table keeps its adds in sidecar files this replay
-    // would never open, so ignoring the feature flag drops data quietly.
+    // does not implement must be REJECTED, not silently misread.
+    // v2Checkpoint is SUPPORTED (r14): UUID-named checkpoints are
+    // discovered above and their sidecar file actions replayed below —
+    // the feature whose omission previously forced a clean reject.
     val SupportedReaderFeatures =
-      Set("deletionVectors", "columnMapping", "timestampNtz")
+      Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
     var protocolSeen = false
     def applyProtocol(node: JsonNode): Unit = {
       protocolSeen = true
@@ -271,39 +287,63 @@ object DeltaReader {
           .collect().foreach { r =>
             applyMeta(mapper.readTree(r.getString(0)))
           }
-      if (cp.columns.contains("add")) {
-        val adds = cp.where(col("add").isNotNull)
-        // checkpoint-side pruning (the past-10⁶-files path): the prune
-        // predicate runs inside the parquet scan of the checkpoint, so
-        // only surviving adds are ever serialized to the driver. The DF
-        // filter keeps a SUPERSET of `admitted`'s keep-set — an add whose
-        // partitionValues lack the prune key (or carry null) passes
-        // through, exactly like the JSON-tail path — and `admitted`
-        // re-applies the precise predicate when each surviving add is
-        // parsed, so over-keeping here costs driver memory only, never
-        // correctness. Writers store partitionValues as a
-        // map<string,string> (spec) or an inferred struct — both shapes
-        // filter; anything else falls back to keep-all.
-        val pruned = prune.foldLeft(adds) { case (df, (c, vs)) =>
-          val key = physNames.getOrElse(c, c)
-          val access = df.schema("add").dataType match {
-            case s: StructType => s.find(_.name == "partitionValues")
-              .map(_.dataType).flatMap {
-                case _: MapType =>
-                  Some(element_at(col("add.partitionValues"), lit(key)))
-                case pv: StructType if pv.fieldNames.contains(key) =>
-                  Some(col(s"add.partitionValues.`$key`").cast("string"))
-                case _ => None
-              }
-            case _ => None
+      // checkpoint-side add replay, shared by the checkpoint file itself
+      // and any V2 sidecar files. Checkpoint-side pruning (the
+      // past-10⁶-files path): the prune predicate runs inside the
+      // parquet scan, so only surviving adds are ever serialized to the
+      // driver. The DF filter keeps a SUPERSET of `admitted`'s keep-set
+      // — an add whose partitionValues lack the prune key (or carry
+      // null) passes through, exactly like the JSON-tail path — and
+      // `admitted` re-applies the precise predicate when each surviving
+      // add is parsed, so over-keeping here costs driver memory only,
+      // never correctness. Writers store partitionValues as a
+      // map<string,string> (spec) or an inferred struct — both shapes
+      // filter; anything else falls back to keep-all.
+      def replayAdds(src: DataFrame): Unit =
+        if (src.columns.contains("add")) {
+          val adds = src.where(col("add").isNotNull)
+          val pruned = prune.foldLeft(adds) { case (df, (c, vs)) =>
+            val key = physNames.getOrElse(c, c)
+            val access = df.schema("add").dataType match {
+              case s: StructType => s.find(_.name == "partitionValues")
+                .map(_.dataType).flatMap {
+                  case _: MapType =>
+                    Some(element_at(col("add.partitionValues"), lit(key)))
+                  case pv: StructType if pv.fieldNames.contains(key) =>
+                    Some(col(s"add.partitionValues.`$key`").cast("string"))
+                  case _ => None
+                }
+              case _ => None
+            }
+            access.map(a => df.where(a.isNull || a.isin(vs.toSeq: _*)))
+              .getOrElse(df)
           }
-          access.map(a => df.where(a.isNull || a.isin(vs.toSeq: _*)))
-            .getOrElse(df)
+          pruned.select(to_json(col("add")))
+            .collect().foreach { r =>
+              applyAdd(mapper.readTree(r.getString(0)))
+            }
         }
-        pruned.select(to_json(col("add")))
-          .collect().foreach { r =>
-            applyAdd(mapper.readTree(r.getString(0)))
+      replayAdds(cp)
+      // V2 checkpoint sidecars: the checkpoint's `sidecar` actions name
+      // parquet files under `_delta_log/_sidecars/` holding the file
+      // actions (the spec allows inline OR sidecar storage — both are
+      // replayed; sidecar `remove`s are expired-tombstone bookkeeping,
+      // ignored exactly like classic checkpoint removes). The sidecar
+      // name list is metadata-sized on the driver; all sidecar files
+      // are read in ONE multi-file parquet scan so the add replay (and
+      // its executor-side pruning) parallelizes across them, the same
+      // economics as the multi-part path.
+      if (cp.columns.contains("sidecar")) {
+        val sidecarPaths = cp.where(col("sidecar").isNotNull)
+          .select(to_json(col("sidecar")))
+          .collect().toSeq.map { r =>
+            val p = mapper.readTree(r.getString(0)).get("path").asText()
+            if (p.startsWith("/") || p.contains("://")) p
+            else new File(new File(logDir, "_sidecars"), p).getAbsolutePath
           }
+        if (sidecarPaths.nonEmpty)
+          replayAdds(spark.read.option("mergeSchema", "true")
+            .parquet(sidecarPaths: _*))
       }
     }
 

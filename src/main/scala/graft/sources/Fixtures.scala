@@ -357,6 +357,58 @@ object Fixtures {
         Seq(addJson("part-a.parquet", szA)))
     }
 
+  /** V2-spec checkpointed delta (`v2Checkpoint` reader feature): commit
+    * 0 (protocol v3 + meta + files A and B) absorbed into a UUID-named
+    * V2 checkpoint whose FILE ACTIONS live in two sidecar parquet files
+    * under `_delta_log/_sidecars/` (the checkpoint file itself carries
+    * only protocol, metaData, checkpointMetadata and the two `sidecar`
+    * pointers), then a JSON commit 1 removes file A and adds file C.
+    * Live rows = B + C (n_nationkey 9..24): a replay that ignored
+    * sidecars would see only C; one that ignored the feature flag used
+    * to reject outright. */
+  def deltaNationV2Checkpoint(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_v2cp") { dir =>
+      val protoV2 =
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+      val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
+      val schemaJson = nation.schema.json
+      val szA = oneParquetFile(nation.filter(col("n_nationkey") <= 8), dir, "part-a.parquet")
+      val szB = oneParquetFile(
+        nation.filter(col("n_nationkey").between(9, 16)), dir, "part-b.parquet")
+      val szC = oneParquetFile(nation.filter(col("n_nationkey") > 16), dir, "part-c.parquet")
+      writeCommit(dir, 0, Seq(protoV2, metaJson(schemaJson, Nil),
+        addJson("part-a.parquet", szA), addJson("part-b.parquet", szB)))
+      val logDir = new File(dir, "_delta_log")
+      val sidecarDir = new File(logDir, "_sidecars")
+      sidecarDir.mkdirs()
+      import s.implicits._
+      def writeActionParquet(dest: File, lines: Seq[String]): Long = {
+        val tmp = new File(dir, ".tmp_cp")
+        s.read.json(lines.toDS())
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+        delete(tmp)
+        dest.length()
+      }
+      val sz1 = writeActionParquet(new File(sidecarDir, "sc-1.parquet"),
+        Seq(addJson("part-a.parquet", szA)))
+      val sz2 = writeActionParquet(new File(sidecarDir, "sc-2.parquet"),
+        Seq(addJson("part-b.parquet", szB)))
+      val uuid = "0a1b2c3d-0000-4000-8000-000000000001"
+      writeActionParquet(
+        new File(logDir, f"${0L}%020d.checkpoint.$uuid.parquet"),
+        Seq(protoV2, metaJson(schemaJson, Nil),
+          """{"checkpointMetadata":{"version":0}}""",
+          s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":$sz1,"modificationTime":0}}""",
+          s"""{"sidecar":{"path":"sc-2.parquet","sizeInBytes":$sz2,"modificationTime":0}}"""))
+      Files.write(new File(logDir, "_last_checkpoint").toPath,
+        """{"version":0,"size":5}""".getBytes(StandardCharsets.UTF_8))
+      writeCommit(dir, 1, Seq(
+        """{"remove":{"path":"part-a.parquet","deletionTimestamp":1,"dataChange":true}}""",
+        addJson("part-c.parquet", szC)))
+    }
+
   private def pad4(b: Array[Byte]): Array[Byte] =
     if (b.length % 4 == 0) b else b ++ new Array[Byte](4 - b.length % 4)
 }

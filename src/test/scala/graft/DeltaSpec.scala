@@ -335,23 +335,37 @@ ${meta(kF)}
 {"add":{"path":"part-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
       dir.getAbsolutePath
     }
-    // a v2Checkpoint table keeps adds in sidecars this replay never
-    // opens — it must be rejected with an actionable error, not misread
+    // a feature this reader does not implement must be rejected with an
+    // actionable error, not misread
     val bad = intercept[IllegalArgumentException] {
       DeltaReader.load(spark, table(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""))
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["someFutureFeature"],"writerFeatures":["someFutureFeature"]}}"""))
     }
-    assert(bad.getMessage.contains("v2Checkpoint"))
+    assert(bad.getMessage.contains("someFutureFeature"))
     // reader version past the spec's current max also rejects
     val high = intercept[IllegalArgumentException] {
       DeltaReader.load(spark, table(
         """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}"""))
     }
     assert(high.getMessage.contains("minReaderVersion 4"))
-    // every feature this reader implements passes the gate
+    // every feature this reader implements passes the gate (incl.
+    // v2Checkpoint since r14 — sidecar replay is its own test below)
     val ok = DeltaReader.load(spark, table(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping","timestampNtz"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping","timestampNtz","v2Checkpoint"]}}"""))
     assert(ok.count() == 2)
+  }
+
+  test("v2Checkpoint: UUID checkpoint + sidecar adds + json tail stitch") {
+    val dir = Fixtures.deltaNationV2Checkpoint(spark, d)
+    val df = DeltaReader.load(spark, dir)
+    // live = B (sidecar add) + C (json tail add); A removed in the tail.
+    // A replay that ignored sidecar actions would return only C (8 rows)
+    assert(df.count() == 16)
+    assert(df.agg(org.apache.spark.sql.functions.min("n_nationkey")
+      .cast("long")).collect()(0).getLong(0) == 9L)
+    val snap = DeltaReader.snapshot(spark, dir)
+    assert(snap.files.map(_.path).toSet ==
+      Set("part-b.parquet", "part-c.parquet"))
   }
 
   test("run-container roaring round-trips, incl offsets section at >=4 containers") {
