@@ -24,6 +24,60 @@ object Pipeline {
     * same declared-semantics contract, mirrored in the oracle CTE). */
   private[queries] val MaxSegmentDf = 50
 
+  /** q146's DSIR training CTE chain (Spark dialect), through the
+    * 4096-row weight table `w(b, wppm)` — the ONE spelling of the
+    * hashed-feature extraction and Laplace-smoothed integer-ppm ratio,
+    * shared by the batch query and [[dsirWeightArray]] (the streaming
+    * scorer's trained-weight export). DuckDB mirror inline at q146. */
+  private[graft] val DsirCtes: String = """
+        base AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        tok AS (
+          SELECT doc_id, explode(transform(ws, w -> md5_60(w) % 4096)) AS b
+          FROM base
+          UNION ALL
+          SELECT doc_id, explode(transform(sequence(1, size(ws) - 1),
+            i -> md5_60(concat_ws(' ', slice(ws, i, 2))) % 4096)) AS b
+          FROM base WHERE size(ws) >= 2),
+        c AS (
+          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY doc_id, b),
+        gd AS (SELECT CAST(count(*) DIV 10 AS BIGINT) AS tgt FROM documents),
+        rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
+        tb AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS t
+          FROM tok WHERE doc_id < (SELECT tgt FROM gd) GROUP BY b),
+        g AS (SELECT
+          CAST((SELECT count(*) FROM tok) AS BIGINT) AS rr,
+          CAST((SELECT count(*) FROM tok
+                WHERE doc_id < (SELECT tgt FROM gd)) AS BIGINT) AS tt),
+        w AS (
+          SELECT rb.b,
+            1000000L * (coalesce(tb.t, 0L) + 1) * (g.rr + 4096)
+              DIV ((rb.r + 1) * (g.tt + 4096)) AS wppm
+          FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN g)"""
+
+  /** The trained DSIR weight table as a 4096-slot driver-side array
+    * (bucket → wppm) — THE index artifact of q146's training pass, the
+    * [[Extensions.trainedCentroidSeq]] pattern: metadata-sized by
+    * construction (4096 longs), exported for the streaming scorer
+    * (streaming/StreamDsirScore), which cannot run the corpus
+    * aggregates in-stream. Buckets no raw-corpus feature hashed into
+    * get the Laplace floor weight (t=0, r=0) so a genuinely novel
+    * stream feature scores the same smoothed mass batch training would
+    * have assigned it. */
+  private[graft] def dsirWeightArray(
+      s: org.apache.spark.sql.SparkSession, d: String): Array[Long] = {
+    graft.functions.Md5Long.register(s)
+    val default = Tables.sql(s, d, s"""
+        WITH $DsirCtes
+        SELECT 1000000L * (g.rr + 4096) DIV (g.tt + 4096) AS dw FROM g""")
+      .collect()(0).getLong(0)
+    val arr = Array.fill(4096)(default)
+    Tables.sql(s, d, s"WITH $DsirCtes SELECT b, wppm FROM w")
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- Segment-level exact dedup (CCNet-style): hash non-overlapping
@@ -754,32 +808,8 @@ object Pipeline {
     // bucket equi-join + a per-doc map-side-combined sum; the final
     // top-20 is a TakeOrdered, never a global sort.
     Q("q146_dsir_weights",
-      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, """
-        WITH base AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-        tok AS (
-          SELECT doc_id, explode(transform(ws, w -> md5_60(w) % 4096)) AS b
-          FROM base
-          UNION ALL
-          SELECT doc_id, explode(transform(sequence(1, size(ws) - 1),
-            i -> md5_60(concat_ws(' ', slice(ws, i, 2))) % 4096)) AS b
-          FROM base WHERE size(ws) >= 2),
-        c AS (
-          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-          FROM tok GROUP BY doc_id, b),
-        gd AS (SELECT CAST(count(*) DIV 10 AS BIGINT) AS tgt FROM documents),
-        rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
-        tb AS (
-          SELECT b, CAST(count(*) AS BIGINT) AS t
-          FROM tok WHERE doc_id < (SELECT tgt FROM gd) GROUP BY b),
-        g AS (SELECT
-          CAST((SELECT count(*) FROM tok) AS BIGINT) AS rr,
-          CAST((SELECT count(*) FROM tok
-                WHERE doc_id < (SELECT tgt FROM gd)) AS BIGINT) AS tt),
-        w AS (
-          SELECT rb.b,
-            1000000L * (coalesce(tb.t, 0L) + 1) * (g.rr + 4096)
-              DIV ((rb.r + 1) * (g.tt + 4096)) AS wppm
-          FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN g),
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, s"""
+        WITH $DsirCtes,
         sc AS (
           SELECT c.doc_id,
             CAST(sum(c.c) AS BIGINT) AS n_feat,

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStream, StreamAnnAssign, StreamDedup, StreamJoin, VectorIngest}
+import graft.streaming.{EventStream, StreamAnnAssign, StreamDedup, StreamDsirScore, StreamJoin, VectorIngest}
 
 /** Streaming answer must equal the batch answer over the same events. */
 class StreamingSpec extends AnyFunSuite {
@@ -102,6 +102,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming DSIR scoring matches the batch q146 trained weights") {
+    val w = graft.queries.Pipeline.dsirWeightArray(spark, d)
+    val streamed = StreamDsirScore.runToCompletion(spark, d, w, "sdsir_test")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // every corpus document is scored exactly once, in-stream
+    assert(streamed.size == Tables.t(spark, d, "documents").count())
+
+    // the shipped batch operator's rows (its top-20) must match the
+    // stream's scores bit-for-bit — same hashing, same integer weights
+    val batch = SparkEntry.queries("q146_dsir_weights")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, row) =>
+      assert(streamed(id) == row, s"doc $id diverged from batch")
+    }
   }
 
   test("streaming centroid assignment matches an independent argmin") {
