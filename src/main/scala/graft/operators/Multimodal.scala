@@ -84,6 +84,63 @@ object Multimodal {
   // production pipeline swaps the byte grid for decoded luma pixels; the
   // signature/blocking/verify shape downstream is unchanged.
 
+  // ---- Audio-envelope signature: the SECOND modality shape next to
+  // the image-grid dHash — a 1-D framed analysis of the blob as a mono
+  // byte "signal" (the q50/q94 stub-codec posture: a production
+  // pipeline swaps the raw bytes for decoded PCM samples; the framing /
+  // energy / zero-crossing math and everything downstream is
+  // unchanged). 32-sample windows at hop 16 (50% overlap — standard
+  // STFT framing), FULL frames only; sample = unsigned byte − 64 (the
+  // corpus alphabet straddles 64: letters land positive, spaces
+  // negative, so zero crossings track word boundaries the way real ZCR
+  // tracks voicing). All-integer, oracle-checkable bit-for-bit (q150).
+
+  /** Typed per-document audio-envelope features. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_frames: Int,
+      energy: Long, // Σ over frames of Σ (sample)²  — exact int64
+      zc: Long, // Σ over frames of sign changes between adjacent samples
+      peak: Long, // max frame energy (the envelope's loudest window)
+      env_digest: String) // md5 of "fe0,fe1,…" — the envelope identity
+
+  /** Framed 1-D analysis; blobs shorter than one full 32-byte window
+    * yield zero frames (callers filter them out, mirrored in the
+    * oracle's WHERE). A crossing is (c_i · c_{i+1}) < 0 — an exact-64
+    * sample (c = 0) never crosses, identically in both engines. */
+  def audioFeatures(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val nF = if (bytes.length < 32) 0 else (bytes.length - 32) / 16 + 1
+    val fes = new Array[Long](nF)
+    var zc = 0L
+    var k = 0
+    while (k < nF) {
+      val st = 16 * k
+      var fe = 0L
+      var i = 0
+      while (i < 32) {
+        val c = (bytes(st + i) & 0xff) - 64
+        fe += c.toLong * c
+        if (i < 31) {
+          val cn = (bytes(st + i + 1) & 0xff) - 64
+          if (c * cn < 0) zc += 1
+        }
+        i += 1
+      }
+      fes(k) = fe
+      k += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(fes.mkString(",").getBytes("UTF-8"))
+    AudioFeatures(id, nF, fes.sum, zc,
+      if (nF == 0) 0L else fes.max,
+      md.digest().map(b => f"$b%02x").mkString)
+  }
+
+  /** Per-partition audio pipeline (same iterator shape as decode). */
+  def audioPartition(
+      it: Iterator[(Long, Array[Byte])]): Iterator[AudioFeatures] =
+    it.map { case (id, bytes) => audioFeatures(id, bytes) }
+
   /** 63-bit dHash. The "image" is a 9×8 grid: row r = the stride-4
     * sampled frame at byte offset 64·r, resized (crop/pad-with-0x20) to
     * 8 bytes — frames past EOF become all-space rows, matching the

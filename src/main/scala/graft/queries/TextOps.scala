@@ -436,6 +436,55 @@ object TextOps {
           md5(string_agg(fr, '' ORDER BY j)) AS frame_digest
         FROM e GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- Audio-envelope signature: the multimodal family's SECOND
+    // modality shape (1-D framed signal analysis vs the image-grid
+    // dHash): 32-sample windows at hop 16 (50% overlap, standard STFT
+    // framing), per-frame integer energy + zero-crossing count over
+    // centered samples (byte − 64), per-doc envelope digest. Runs in
+    // the q94 mapPartitions codec seam (operators/Multimodal
+    // .audioFeatures — a real decoder swaps raw bytes for PCM, the
+    // framing math is unchanged); the corpus is ASCII so the DuckDB
+    // oracle expresses the identical byte math via substr/ascii (the
+    // q94 convention: fixed series bound 799 ≫ the longest corpus doc
+    // at any SF, with the frame-fits WHERE doing the real bounding).
+    // The length >= 32 filter (full-frames-only, declared) is pushed
+    // to the scan on both sides.
+    Q("q150_audio_envelope",
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "documents")
+          .filter($"doc_id" < 200 && length($"text") >= 32)
+          .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(Multimodal.audioPartition)
+          .toDF()
+          .select($"doc_id", $"n_frames", $"energy", $"zc", $"peak",
+            $"env_digest")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, k, i,
+            ascii(substr(text, 1 + 16*k + i, 1)) - 64 AS c,
+            CASE WHEN i < 31
+                 THEN ascii(substr(text, 2 + 16*k + i, 1)) - 64 END AS cn
+          FROM documents, generate_series(0, 799) t(k),
+               generate_series(0, 31) u(i)
+          WHERE doc_id < 200 AND 16 * k + 32 <= length(text)),
+        fr AS (
+          SELECT doc_id, k,
+            CAST(sum(c * c) AS BIGINT) AS fe,
+            CAST(sum(CASE WHEN cn IS NOT NULL AND c * cn < 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS zc
+          FROM s GROUP BY doc_id, k)
+        SELECT doc_id,
+          CAST(count(*) AS INT) AS n_frames,
+          CAST(sum(fe) AS BIGINT) AS energy,
+          CAST(sum(zc) AS BIGINT) AS zc,
+          CAST(max(fe) AS BIGINT) AS peak,
+          md5(string_agg(CAST(fe AS VARCHAR), ',' ORDER BY k)) AS env_digest
+        FROM fr GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Multimodal perceptual near-dup: dHash over the sampled-frame
     // grid (operators/Multimodal.dHash — the q94 frame bytes reduced to
     // a 9×8 grid, 63-bit adjacent-byte difference hash), then hamming<=2

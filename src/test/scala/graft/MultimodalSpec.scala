@@ -112,4 +112,36 @@ class MultimodalSpec extends AnyFunSuite {
       Seq("doc_id", "n_bytes", "magic", "fake_width", "fake_height"))
     assert(df.count() > 0)
   }
+
+  test("audio kernel: framing, energy, zero crossings by hand") {
+    import graft.operators.Multimodal
+    // constant signal: 48 bytes of 'a' (c = 33) -> 2 overlapping full
+    // frames, per-frame energy 32*33^2, no crossings
+    val const = Multimodal.audioFeatures(1L, Array.fill(48)('a'.toByte))
+    assert(const.n_frames == 2)
+    assert(const.energy == 2L * 32 * 33 * 33)
+    assert(const.peak == 32L * 33 * 33)
+    assert(const.zc == 0)
+
+    // 16 a's + 16 spaces + 16 a's: each frame crosses the 64-center
+    // exactly once (letters positive, spaces negative)
+    val word = Multimodal.audioFeatures(2L,
+      ("a" * 16 + " " * 16 + "a" * 16).getBytes("UTF-8"))
+    assert(word.n_frames == 2)
+    val fe = 16L * 33 * 33 + 16L * 32 * 32
+    assert(word.energy == 2 * fe && word.peak == fe)
+    assert(word.zc == 2)
+
+    // full-frames-only framing: 47 bytes -> 1 frame, 31 -> none
+    assert(Multimodal.audioFeatures(3L, Array.fill(47)('a'.toByte)).n_frames == 1)
+    val empty = Multimodal.audioFeatures(4L, Array.fill(31)('a'.toByte))
+    assert(empty.n_frames == 0 && empty.energy == 0 && empty.peak == 0)
+
+    // envelope digest identifies the frame-energy sequence, not the raw
+    // bytes: 'b'*48 differs from 'a'*48, equal signals agree
+    assert(Multimodal.audioFeatures(5L, Array.fill(48)('a'.toByte))
+      .env_digest == const.env_digest)
+    assert(Multimodal.audioFeatures(6L, Array.fill(48)('b'.toByte))
+      .env_digest != const.env_digest)
+  }
 }
