@@ -103,6 +103,36 @@ object TextOps {
     * (each round's merge is exact given the previous rounds). */
   private[graft] val BpeRounds = 6
 
+  /** Run the [[BpeRounds]]-round training loop over the word-frequency
+    * table, returning (merge table, trained vocab `(w, cnt, seg)` with
+    * the final wrapped-symbol segmentation). The ONE trainer q148 (the
+    * merge table) and q151 (the encode join) share; the vocab frame is
+    * cached — it is the Heaps-bounded tokenizer artifact, not corpus
+    * data. */
+  private[graft] def bpeTrain(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import s.implicits._
+    val words = Tables.t(s, d, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).cast("long").as("cnt"))
+      .select($"w", $"cnt", regexp_replace($"w", "(.)", "~$1~").as("seg"))
+      .cache()
+    var seg = words
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val best = bpePairCounts(seg)
+        .orderBy($"n".desc, $"l", $"r").limit(1)
+        .as[(String, String, Long)].head()
+      merges += ((r, best._1, best._2, best._3))
+      seg = seg.select($"w", $"cnt",
+        expr(s"replace(seg, '~${best._1}~~${best._2}~', " +
+          s"'~${best._1}${best._2}~')").as("seg"))
+    }
+    (merges.toSeq, seg.cache())
+  }
+
   /** Adjacent-pair counts over a wrapped-symbol segmentation frame
     * `(cnt, seg)` — one map-side-combined aggregate, grouped on the
     * (left, right) symbol pair. Shared by q148's training loop and
@@ -121,13 +151,14 @@ object TextOps {
       .agg(sum($"cnt").as("n"))
   }
 
-  /** DuckDB mirror of the q148 training loop: the same wrapped-symbol
-    * encoding, [[BpeRounds]] chained per-round CTE triples
-    * (pair counts -> argmax -> replace), UNION ALL of the per-round
-    * winners. Chained doubly-referenced CTEs are the q89 l0..l4
-    * precedent; all scalar state per round is the ONE 1-row b_r CTE
-    * (the scalar-CTE planner discipline). */
-  private val duckBpeOracle: String = {
+  /** DuckDB mirror of the q148/q151 training chain: the same
+    * wrapped-symbol encoding, [[BpeRounds]] chained per-round CTE
+    * triples (pair counts -> argmax -> replace), the word key `w`
+    * riding through every w_r so the final segmentation stays
+    * word-addressable (q151's encode join). Chained doubly-referenced
+    * CTEs are the q89 l0..l4 precedent; all scalar state per round is
+    * the ONE 1-row b_r CTE (the scalar-CTE planner discipline). */
+  private def duckBpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (
           SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
@@ -137,20 +168,24 @@ object TextOps {
           GROUP BY 1, 2),
         b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
         w$r AS (
-          SELECT replace(seg, '~' || b.l || '~~' || b.r || '~',
-                         '~' || b.l || b.r || '~') AS seg, cnt
+          SELECT w, replace(seg, '~' || b.l || '~~' || b.r || '~',
+                            '~' || b.l || b.r || '~') AS seg, cnt
           FROM w${r - 1}, b$r b)"""
     }.mkString(",\n        ")
+    s"""w0 AS (
+          SELECT w, regexp_replace(w, '(.)', '~\\1~', 'g') AS seg,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+          WHERE length(w) > 0 GROUP BY w),
+        $rounds"""
+  }
+
+  private def duckBpeOracle: String = {
     val union = (1 to BpeRounds)
       .map(r => s"SELECT CAST($r AS INT) AS round, l AS lft, r AS rgt, n FROM b$r")
       .mkString("\n          UNION ALL ")
     s"""
-        WITH w0 AS (
-          SELECT regexp_replace(w, '(.)', '~\\1~', 'g') AS seg,
-                 CAST(count(*) AS BIGINT) AS cnt
-          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-          WHERE length(w) > 0 GROUP BY w),
-        $rounds
+        WITH $duckBpeCtes
         SELECT * FROM (
           $union
         ) ORDER BY round"""
@@ -230,27 +265,57 @@ object TextOps {
     Q("q148_bpe_train",
       (s, d) => {
         import s.implicits._
-        val words = Tables.t(s, d, "documents")
-          .select(explode(split($"text", " ")).as("w"))
-          .where(length($"w") > 0)
-          .groupBy($"w").agg(count(lit(1)).cast("long").as("cnt"))
-          .select($"cnt", regexp_replace($"w", "(.)", "~$1~").as("seg"))
-          .cache()
-        var seg = words
-        val merges = scala.collection.mutable.ListBuffer
-          .empty[(Int, String, String, Long)]
-        for (r <- 1 to BpeRounds) {
-          val best = bpePairCounts(seg)
-            .orderBy($"n".desc, $"l", $"r").limit(1)
-            .as[(String, String, Long)].head()
-          merges += ((r, best._1, best._2, best._3))
-          seg = seg.select($"cnt",
-            expr(s"replace(seg, '~${best._1}~~${best._2}~', " +
-              s"'~${best._1}${best._2}~')").as("seg"))
-        }
-        merges.toSeq.toDF("round", "lft", "rgt", "n").orderBy($"round")
+        bpeTrain(s, d)._1.toDF("round", "lft", "rgt", "n").orderBy($"round")
       },
       Some(duckBpeOracle)),
+
+    // ---- BPE tokenizer ENCODE (the apply half of the q148/q151
+    // train/apply pair): segment the corpus with the trained merge
+    // table and report per-doc whitespace-token vs BPE-token counts —
+    // the operator a data pipeline runs to cost documents against a
+    // token budget under the REAL tokenizer rather than the
+    // whitespace proxy (q138's input, one level more faithful).
+    //
+    // Production shape: encoding never touches the merge loop — the
+    // trained vocab (word → final segmentation, Heaps-bounded) is a
+    // BROADCAST dim, and the corpus pays one explode + broadcast
+    // equi-join + per-doc map-side-combined sum. The oracle re-derives
+    // the identical vocab through the shared training CTE chain and
+    // joins it the same way.
+    Q("q151_bpe_encode",
+      (s, d) => {
+        import s.implicits._
+        val vocab = bpeTrain(s, d)._2
+          .select($"w", size(split(
+            expr("substring(seg, 2, length(seg) - 2)"), "~~"))
+            .cast("long").as("n_sym"))
+        Tables.t(s, d, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .where(length($"w") > 0)
+          .join(broadcast(vocab), "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+            sum($"n_sym").as("n_bpe"))
+          .withColumn("tokens_per_word_ppm",
+            expr("n_bpe * 1000000L DIV n_words"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $duckBpeCtes,
+        enc AS (
+          SELECT w, CAST(len(string_split(substr(seg, 2, length(seg)-2),
+                                          '~~')) AS BIGINT) AS n_sym
+          FROM w$BpeRounds),
+        dw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+          CAST(sum(n_sym) AS BIGINT) * 1000000 // count(*) AS tokens_per_word_ppm
+        FROM dw JOIN enc USING (w)
+        WHERE length(w) > 0
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- Feature hashing (the hashing-trick vectorizer): token → one of
     // 64 buckets via the portable 60-bit md5 hash, per-doc bucket counts

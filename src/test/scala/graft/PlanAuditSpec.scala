@@ -414,4 +414,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "dHash pairing regressed to an all-pairs scan")
   }
+
+  test("q151: the trained vocab broadcasts; the corpus never shuffles for the encode join") {
+    val p = plan("q151_bpe_encode")
+    // encode = ONE broadcast equi-join of the Heaps-bounded vocab dim
+    // against the exploded corpus, then a map-side-combined per-doc sum
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the tokenizer vocab dim regressed to a shuffle join")
+    assert(p.contains("partial_sum"), "per-doc sum lost its map-side combine")
+  }
+
+  test("streaming DSIR scorer plans stateless: no state store, no exchange") {
+    // the per-row weight-fold must stay scan → project (the
+    // StreamAnnAssign shape): any aggregate/state/exchange here means
+    // the scorer silently regressed to a stateful/shuffling plan
+    val w = new Array[Long](4096)
+    val p = graft.streaming.StreamDsirScore
+      .score(Tables.t(spark, d, "documents").select("doc_id", "text"), w)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("StateStore") &&
+      !p.contains("HashAggregate"),
+      "streaming DSIR scorer is no longer a stateless per-row fold")
+  }
 }
