@@ -425,16 +425,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "per-doc sum lost its map-side combine")
   }
 
-  test("streaming DSIR scorer plans stateless: no state store, no exchange") {
-    // the per-row weight-fold must stay scan → project (the
-    // StreamAnnAssign shape): any aggregate/state/exchange here means
-    // the scorer silently regressed to a stateful/shuffling plan
-    val w = new Array[Long](4096)
-    val p = graft.streaming.StreamDsirScore
-      .score(Tables.t(spark, d, "documents").select("doc_id", "text"), w)
+  test("streaming DSIR scorer and BPE encoder plan stateless: no state, no exchange") {
+    // the per-row folds must stay scan → project (the StreamAnnAssign
+    // shape): any aggregate/state/exchange means the operator silently
+    // regressed to a stateful/shuffling plan
+    val docs = Tables.t(spark, d, "documents").select("doc_id", "text")
+    val dsir = graft.streaming.StreamDsirScore
+      .score(docs, new Array[Long](4096))
       .queryExecution.explainString(FormattedMode)
-    assert(!p.contains("Exchange") && !p.contains("StateStore") &&
-      !p.contains("HashAggregate"),
-      "streaming DSIR scorer is no longer a stateless per-row fold")
+    val bpe = graft.streaming.StreamBpeEncode
+      .encode(docs, Seq("e" -> "r", "i" -> "n"))
+      .queryExecution.explainString(FormattedMode)
+    for ((p, name) <- Seq(dsir -> "DSIR scorer", bpe -> "BPE encoder")) {
+      assert(!p.contains("Exchange") && !p.contains("StateStore") &&
+        !p.contains("HashAggregate"),
+        s"streaming $name is no longer a stateless per-row fold")
+    }
   }
 }

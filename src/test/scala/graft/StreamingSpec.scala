@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStream, StreamAnnAssign, StreamDedup, StreamDsirScore, StreamJoin, VectorIngest}
+import graft.streaming.{EventStream, StreamAnnAssign, StreamBpeEncode, StreamDedup, StreamDsirScore, StreamJoin, VectorIngest}
 
 /** Streaming answer must equal the batch answer over the same events. */
 class StreamingSpec extends AnyFunSuite {
@@ -102,6 +102,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming BPE encode matches batch q151 under the trained merge list") {
+    // the trained artifact is the ORDERED merge list — R pairs of
+    // metadata — and the stream applies it as chained literal replaces
+    val merges = graft.queries.TextOps.bpeTrain(spark, d)._1
+      .map(t => (t._2, t._3))
+    val streamed = StreamBpeEncode.runToCompletion(spark, d, merges, "sbpe_test")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = SparkEntry.queries("q151_bpe_encode")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
   }
 
   test("streaming DSIR scoring matches the batch q146 trained weights") {
