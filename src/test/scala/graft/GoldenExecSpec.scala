@@ -75,6 +75,29 @@ class GoldenExecSpec extends AnyFunSuite {
     assert(outputs(6).contains("NATION_1") && !outputs(6).contains("NATION_11"))
   }
 
+  test("golden6.sql: the delta V2-checkpoint path through execute") {
+    val url = getClass.getResource("/queries/golden6.sql")
+    assert(url != null, "golden6.sql resource missing")
+    val spark = SparkTestSession.spark
+    val v2 = graft.sources.Fixtures
+      .deltaNationV2Checkpoint(spark, SparkTestSession.sfDir)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_V2}", v2))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 5) // 2 DDL + 3 queries (last without ';')
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs.take(2).forall(_ == "++\n++"))
+    // latest = sidecar add B + tail add C, tail remove drops A
+    assert(outputs(2).contains("| 16") && outputs(2).contains("| 9"))
+    // v0 (time travel INTO the v2 checkpoint) = sidecar adds A + B
+    assert(outputs(3).contains("| 17"))
+    // row-level read through the stitched file set
+    assert(outputs(4).contains("NATION_9") && outputs(4).contains("NATION_17")
+      && !outputs(4).contains("NATION_25"))
+  }
+
   test("golden5.sql: the sampled ANN trainer (q114-shaped SQL) through execute") {
     val url = getClass.getResource("/queries/golden5.sql")
     assert(url != null, "golden5.sql resource missing")
