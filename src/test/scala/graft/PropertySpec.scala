@@ -189,6 +189,25 @@ object PropertySpec extends Properties("graft-kernels") {
         graft.operators.Multimodal.dHash(mut) == (1L << (r * 7 + c))
     }
 
+  // ---- Audio-envelope kernel (q150): the while-loop framing must
+  // equal a naive collections-based reference (32-sample windows, hop
+  // 16, full frames only, centered at 64, crossings strict sign flips).
+  property("audio kernel == naive framed reference") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val bytes = bs.toArray
+      val frames =
+        if (bytes.length < 32) Seq.empty
+        else (0 to (bytes.length - 32) / 16)
+          .map(k => bytes.slice(16 * k, 16 * k + 32).map(b => (b & 0xff) - 64))
+      val fes = frames.map(_.map(c => c.toLong * c).sum)
+      val zc = frames.map(f =>
+        f.zip(f.tail).count { case (a, b) => a.toLong * b < 0 }.toLong).sum
+      val got = graft.operators.Multimodal.audioFeatures(7L, bytes)
+      got.n_frames == frames.size && got.energy == fes.sum &&
+        got.zc == zc && got.peak == (if (fes.isEmpty) 0L else fes.max) &&
+        got.env_digest.length == 32
+    }
+
   // ---- BPE wrapped-replace merge kernel (q148): merging pair (l, r)
   // on the '~s1~~s2~…' wrapped encoding via literal replace must equal
   // the greedy left-to-right list merge — including shared-boundary
