@@ -17,13 +17,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // sniffed `events.ts` footer type per (session, dir) — the probe costs
-  // a full footer read, so repeat events loads reuse the cached answer
+  // sniffed `events.ts` footer type, keyed by (dir, file mtime+length) —
+  // the type is a property of the FILE, not the session (so no session
+  // object is ever retained), and a regenerated corpus at the same path
+  // (the Aug-2026 ns→µs regeneration pattern) changes the key and
+  // re-sniffs instead of serving a stale answer
   private val tsTypes = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.types.DataType]()
+    (String, Long, Long), org.apache.spark.sql.types.DataType]()
 
   /** Parquet footer type of `events.ts` (driver-side, metadata-only,
-    * cached per (session, dir)) — the discriminator both the batch and
+    * cached per file identity) — the discriminator both the batch and
     * streaming events readers branch on. Sets `nanosAsLong` first so a
     * timestamp[ns] footer reads as LongType instead of throwing
     * [PARQUET_TYPE_ILLEGAL]; note the flip is SESSION-GLOBAL (and
@@ -33,7 +36,8 @@ object Tables {
   private[graft] def eventsTsType(
       spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsTypes.computeIfAbsent((spark, dir),
+    val f = new java.io.File(s"$dir/events.parquet")
+    tsTypes.computeIfAbsent((f.getAbsolutePath, f.lastModified, f.length),
       _ => spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
   }
 

@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Symmetrize a directed pair frame `(d1, d2)` into the edge frame
+    * the kernel requires, caching the pair list FIRST (the union
+    * references it twice — without the cache each reference re-runs
+    * the whole upstream pair pipeline) and the result (every round
+    * re-reads the edges). The one spelling of the precondition both
+    * q89 and q147 route through. */
+  def symmetrize(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2")).cache()
+    p.unionByName(p.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+  }
+
   /** Initial labels over a SYMMETRIZED edge frame `(d1, d2)`: every
     * endpoint labels itself. */
   private def initLabels(edges: DataFrame): DataFrame =

@@ -106,13 +106,12 @@ object Dedup {
       col("doc_id"), col("text")))
 
   /** q89's SYMMETRIZED near-dup edge frame: hashed-shingle jaccard >=
-    * 0.8 pairs (the q42 scale identity), both directions — the input
-    * to the shared CC kernel, also exercised directly by
-    * ConnectedComponentsSpec. The pair list is cached BEFORE
-    * symmetrizing (the union references it twice, and each reference
-    * would otherwise re-run the whole jaccard pipeline); set sizes
-    * ride along as a window count over doc_id (one window exchange
-    * instead of a sizes aggregate + two pair-stream joins). */
+    * 0.8 pairs (the q42 scale identity), both directions via the
+    * shared [[graft.operators.ConnectedComponents.symmetrize]] — the
+    * input to the CC kernel, also exercised directly by
+    * ConnectedComponentsSpec. Set sizes ride along as a window count
+    * over doc_id (one window exchange instead of a sizes aggregate +
+    * two pair-stream joins). */
   private[graft] def nearDupEdges08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
@@ -124,10 +123,8 @@ object Dedup {
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
       .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
-      .select($"d1", $"d2").cache()
-    pairs
-      .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .cache()
+      .select($"d1", $"d2")
+    graft.operators.ConnectedComponents.symmetrize(pairs)
   }
 
   /** DuckDB mirror of [[hashedShinglesOf]] as a reusable CTE block over

@@ -68,13 +68,18 @@ object Pipeline {
   private[graft] def dsirWeightArray(
       s: org.apache.spark.sql.SparkSession, d: String): Array[Long] = {
     graft.functions.Md5Long.register(s)
-    val default = Tables.sql(s, d, s"""
+    // ONE pass: every weight row carries the Laplace floor alongside it
+    // (g is already joined into w's chain), so the export costs a
+    // single training-chain evaluation, not a second corpus scan for
+    // the one scalar
+    val rows = Tables.sql(s, d, s"""
         WITH $DsirCtes
-        SELECT 1000000L * (g.rr + 4096) DIV (g.tt + 4096) AS dw FROM g""")
-      .collect()(0).getLong(0)
-    val arr = Array.fill(4096)(default)
-    Tables.sql(s, d, s"WITH $DsirCtes SELECT b, wppm FROM w")
-      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+        SELECT w.b AS b, w.wppm AS wppm,
+          1000000L * (g.rr + 4096) DIV (g.tt + 4096) AS dw
+        FROM w CROSS JOIN g""").collect()
+    require(rows.nonEmpty, "DSIR training produced no weight rows")
+    val arr = Array.fill(4096)(rows(0).getLong(2))
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
     arr
   }
 

@@ -51,17 +51,12 @@ object TextOps {
       .filter($"hamming" <= 2)
   }
 
-  /** q147's SYMMETRIZED perceptual edge frame over [[dhashPairs]] —
-    * the input to the shared CC kernel, also exercised directly by
-    * ConnectedComponentsSpec. Cached before symmetrizing (the union
-    * references the pair list twice). */
-  private[graft] def dhashEdges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val pairs = dhashPairs(s, d).select($"d1", $"d2").cache()
-    pairs
-      .unionByName(pairs.select($"d2".as("d1"), $"d1".as("d2")))
-      .cache()
-  }
+  /** q147's SYMMETRIZED perceptual edge frame over [[dhashPairs]] via
+    * the shared [[graft.operators.ConnectedComponents.symmetrize]] —
+    * the input to the CC kernel, also exercised directly by
+    * ConnectedComponentsSpec. */
+  private[graft] def dhashEdges(s: SparkSession, d: String): DataFrame =
+    graft.operators.ConnectedComponents.symmetrize(dhashPairs(s, d))
 
   /** DuckDB mirror of [[dhashPairs]] as a reusable CTE block ending in
     * `dpairs(d1, d2, hamming)` — shared by the q143 and q147 oracles.
@@ -122,13 +117,23 @@ object TextOps {
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, Long)]
     for (r <- 1 to BpeRounds) {
-      val best = bpePairCounts(seg)
+      // an exhausted pair table before the declared round count is a
+      // misconfiguration (BpeRounds must be ≪ the corpus's possible
+      // merges — the oracle's chained CTEs would go empty from this
+      // round on): fail loudly rather than NoSuchElement mid-query
+      val top = bpePairCounts(seg)
         .orderBy($"n".desc, $"l", $"r").limit(1)
-        .as[(String, String, Long)].head()
+        .as[(String, String, Long)].collect()
+      require(top.nonEmpty,
+        s"BPE corpus exhausted merge pairs before round $r of $BpeRounds " +
+          "— lower BpeRounds for this corpus")
+      val best = top.head
       merges += ((r, best._1, best._2, best._3))
+      // the same literal-replace kernel StreamBpeEncode.segment applies
+      // (Column form — no SQL-string splicing of symbol text)
       seg = seg.select($"w", $"cnt",
-        expr(s"replace(seg, '~${best._1}~~${best._2}~', " +
-          s"'~${best._1}${best._2}~')").as("seg"))
+        replace($"seg", lit(s"~${best._1}~~${best._2}~"),
+          lit(s"~${best._1}${best._2}~")).as("seg"))
     }
     (merges.toSeq, seg.cache())
   }

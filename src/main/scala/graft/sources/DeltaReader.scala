@@ -142,17 +142,19 @@ object DeltaReader {
         v -> xs.map(_._4).distinct.sorted
       }
     // V2 spec checkpoints: a single UUID-named file
-    // `v.checkpoint.<uuid>.parquet` whose file actions may live inline
-    // OR in sidecar parquet files under `_delta_log/_sidecars/`
-    // (referenced through `sidecar` actions — replayed below). Multiple
-    // UUID checkpoints can coexist at one version (writers may race);
-    // each is complete by construction, so take the lexicographically
-    // first for determinism.
+    // `v.checkpoint.<uuid>.{parquet|json}` (both layouts are
+    // spec-legal) whose file actions may live inline OR in sidecar
+    // parquet files under `_delta_log/_sidecars/` (referenced through
+    // `sidecar` actions — replayed below). Multiple UUID checkpoints
+    // can coexist at one version (writers may race); each is complete
+    // by construction, so take the lexicographically first for
+    // determinism (which also prefers .json over .parquet at the same
+    // version+uuid — either carries the identical state).
     val UuidCp = ("(\\d{20})\\.checkpoint\\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}" +
-      "-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\\.parquet").r
+      "-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\\.(parquet|json)").r
     val uuidCps: Map[Long, Seq[String]] = entries
       .flatMap {
-        case n @ UuidCp(v, _) => Some(v.toLong -> n)
+        case n @ UuidCp(v, _, _) => Some(v.toLong -> n)
         case _ => None
       }
       .groupBy(_._1).map { case (v, xs) => v -> Seq(xs.map(_._2).min) }
@@ -268,25 +270,6 @@ object DeltaReader {
     // the polymorphic decode goes through one compact JSON string per
     // action instead of a whole-row toJSON round-trip).
     cpVersion.foreach { v =>
-      val cpPaths = checkpoints(v)
-        .map(n => new File(logDir, n).getAbsolutePath)
-      // mergeSchema: multi-part checkpoint parts may carry disjoint
-      // action columns (one part all adds, another the metaData);
-      // without the union schema, Spark infers from ONE part's footer
-      // and the other action columns silently vanish from the replay
-      val cp = spark.read.option("mergeSchema", "true").parquet(cpPaths: _*)
-      if (cp.columns.contains("protocol"))
-        cp.where(col("protocol").isNotNull)
-          .select(to_json(col("protocol")))
-          .collect().foreach { r =>
-            applyProtocol(mapper.readTree(r.getString(0)))
-          }
-      if (cp.columns.contains("metaData"))
-        cp.where(col("metaData").isNotNull)
-          .select(to_json(col("metaData")))
-          .collect().foreach { r =>
-            applyMeta(mapper.readTree(r.getString(0)))
-          }
       // checkpoint-side add replay, shared by the checkpoint file itself
       // and any V2 sidecar files. Checkpoint-side pruning (the
       // past-10⁶-files path): the prune predicate runs inside the
@@ -323,7 +306,51 @@ object DeltaReader {
               applyAdd(mapper.readTree(r.getString(0)))
             }
         }
-      replayAdds(cp)
+
+      val names = checkpoints(v)
+      val sidecarNames = mutable.ArrayBuffer[String]()
+      if (names.forall(_.endsWith(".json"))) {
+        // JSON-layout V2 checkpoint (spec-legal next to the parquet
+        // layout): ONE metadata-sized action-per-line file — parse it
+        // exactly like a commit (adds route through `admitted`),
+        // collecting sidecar pointers for the parquet replay below
+        names.foreach { n =>
+          Files.readAllLines(new File(logDir, n).toPath, StandardCharsets.UTF_8)
+            .asScala.filter(_.nonEmpty).foreach { line =>
+              val node = mapper.readTree(line)
+              if (node.has("protocol")) applyProtocol(node.get("protocol"))
+              if (node.has("metaData")) applyMeta(node.get("metaData"))
+              if (node.has("add")) applyAdd(node.get("add"))
+              if (node.has("sidecar"))
+                sidecarNames += node.get("sidecar").get("path").asText()
+            }
+        }
+      } else {
+        val cpPaths = names.map(n => new File(logDir, n).getAbsolutePath)
+        // mergeSchema: multi-part checkpoint parts may carry disjoint
+        // action columns (one part all adds, another the metaData);
+        // without the union schema, Spark infers from ONE part's footer
+        // and the other action columns silently vanish from the replay
+        val cp = spark.read.option("mergeSchema", "true").parquet(cpPaths: _*)
+        if (cp.columns.contains("protocol"))
+          cp.where(col("protocol").isNotNull)
+            .select(to_json(col("protocol")))
+            .collect().foreach { r =>
+              applyProtocol(mapper.readTree(r.getString(0)))
+            }
+        if (cp.columns.contains("metaData"))
+          cp.where(col("metaData").isNotNull)
+            .select(to_json(col("metaData")))
+            .collect().foreach { r =>
+              applyMeta(mapper.readTree(r.getString(0)))
+            }
+        replayAdds(cp)
+        if (cp.columns.contains("sidecar"))
+          sidecarNames ++= cp.where(col("sidecar").isNotNull)
+            .select(to_json(col("sidecar")))
+            .collect().toSeq
+            .map(r => mapper.readTree(r.getString(0)).get("path").asText())
+      }
       // V2 checkpoint sidecars: the checkpoint's `sidecar` actions name
       // parquet files under `_delta_log/_sidecars/` holding the file
       // actions (the spec allows inline OR sidecar storage — both are
@@ -333,17 +360,13 @@ object DeltaReader {
       // are read in ONE multi-file parquet scan so the add replay (and
       // its executor-side pruning) parallelizes across them, the same
       // economics as the multi-part path.
-      if (cp.columns.contains("sidecar")) {
-        val sidecarPaths = cp.where(col("sidecar").isNotNull)
-          .select(to_json(col("sidecar")))
-          .collect().toSeq.map { r =>
-            val p = mapper.readTree(r.getString(0)).get("path").asText()
-            if (p.startsWith("/") || p.contains("://")) p
-            else new File(new File(logDir, "_sidecars"), p).getAbsolutePath
-          }
-        if (sidecarPaths.nonEmpty)
-          replayAdds(spark.read.option("mergeSchema", "true")
-            .parquet(sidecarPaths: _*))
+      if (sidecarNames.nonEmpty) {
+        val sidecarPaths = sidecarNames.toSeq.map { p =>
+          if (p.startsWith("/") || p.contains("://")) p
+          else new File(new File(logDir, "_sidecars"), p).getAbsolutePath
+        }
+        replayAdds(spark.read.option("mergeSchema", "true")
+          .parquet(sidecarPaths: _*))
       }
     }
 

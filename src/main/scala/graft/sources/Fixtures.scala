@@ -367,7 +367,17 @@ object Fixtures {
     * sidecars would see only C; one that ignored the feature flag used
     * to reject outright. */
   def deltaNationV2Checkpoint(s: SparkSession, d: String): String =
-    ensure(d, "delta_nation_v2cp") { dir =>
+    deltaNationV2CheckpointImpl(s, d, jsonLayout = false)
+
+  /** The JSON-layout variant of [[deltaNationV2Checkpoint]] (the spec
+    * allows `v.checkpoint.<uuid>.json` next to the parquet layout):
+    * same actions, the checkpoint file is action-per-line JSON. */
+  def deltaNationV2CheckpointJson(s: SparkSession, d: String): String =
+    deltaNationV2CheckpointImpl(s, d, jsonLayout = true)
+
+  private def deltaNationV2CheckpointImpl(
+      s: SparkSession, d: String, jsonLayout: Boolean): String =
+    ensure(d, if (jsonLayout) "delta_nation_v2cpj" else "delta_nation_v2cp") { dir =>
       val protoV2 =
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
       val nation = Tables.t(s, d, "nation").orderBy("n_nationkey")
@@ -376,9 +386,16 @@ object Fixtures {
       val szB = oneParquetFile(
         nation.filter(col("n_nationkey").between(9, 16)), dir, "part-b.parquet")
       val szC = oneParquetFile(nation.filter(col("n_nationkey") > 16), dir, "part-c.parquet")
-      writeCommit(dir, 0, Seq(protoV2, metaJson(schemaJson, Nil),
-        addJson("part-a.parquet", szA), addJson("part-b.parquet", szB)))
+      // the JSON-layout variant mimics post-cleanup reality (commit 0
+      // expired — metadata/adds live ONLY in the checkpoint+sidecars,
+      // so a reader that misses the .json checkpoint fails loudly
+      // rather than replaying around it); the parquet variant keeps
+      // commit 0 so time travel to v0 is exercised there
+      if (!jsonLayout)
+        writeCommit(dir, 0, Seq(protoV2, metaJson(schemaJson, Nil),
+          addJson("part-a.parquet", szA), addJson("part-b.parquet", szB)))
       val logDir = new File(dir, "_delta_log")
+      logDir.mkdirs()
       val sidecarDir = new File(logDir, "_sidecars")
       sidecarDir.mkdirs()
       import s.implicits._
@@ -396,12 +413,17 @@ object Fixtures {
       val sz2 = writeActionParquet(new File(sidecarDir, "sc-2.parquet"),
         Seq(addJson("part-b.parquet", szB)))
       val uuid = "0a1b2c3d-0000-4000-8000-000000000001"
-      writeActionParquet(
-        new File(logDir, f"${0L}%020d.checkpoint.$uuid.parquet"),
-        Seq(protoV2, metaJson(schemaJson, Nil),
-          """{"checkpointMetadata":{"version":0}}""",
-          s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":$sz1,"modificationTime":0}}""",
-          s"""{"sidecar":{"path":"sc-2.parquet","sizeInBytes":$sz2,"modificationTime":0}}"""))
+      val cpActions = Seq(protoV2, metaJson(schemaJson, Nil),
+        """{"checkpointMetadata":{"version":0}}""",
+        s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":$sz1,"modificationTime":0}}""",
+        s"""{"sidecar":{"path":"sc-2.parquet","sizeInBytes":$sz2,"modificationTime":0}}""")
+      if (jsonLayout)
+        Files.write(
+          new File(logDir, f"${0L}%020d.checkpoint.$uuid.json").toPath,
+          cpActions.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      else
+        writeActionParquet(
+          new File(logDir, f"${0L}%020d.checkpoint.$uuid.parquet"), cpActions)
       Files.write(new File(logDir, "_last_checkpoint").toPath,
         """{"version":0,"size":5}""".getBytes(StandardCharsets.UTF_8))
       writeCommit(dir, 1, Seq(

@@ -66,7 +66,7 @@ class BpeSpec extends AnyFunSuite {
       refMerges += ((r, l, rr, n))
       segs = segs.map { case (v, c) => (greedyMerge(v, l, rr), c) }
       segDf = segDf.select($"cnt",
-        expr(s"replace(seg, '~$l~~$rr~', '~$l$rr~')").as("seg"))
+        replace($"seg", lit(s"~$l~~$rr~"), lit(s"~$l$rr~")).as("seg"))
     }
 
     // the shipped query must produce exactly the reference merge table

@@ -52,7 +52,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     lbl
   }
 
-  private def graphs = Seq(
+  private lazy val graphs = Seq(
     "text-jaccard" -> graft.queries.Dedup
       .nearDupEdges08(SparkTestSession.spark, SparkTestSession.sfDir),
     "perceptual-dhash" -> graft.queries.TextOps

@@ -356,16 +356,23 @@ ${meta(kF)}
   }
 
   test("v2Checkpoint: UUID checkpoint + sidecar adds + json tail stitch") {
-    val dir = Fixtures.deltaNationV2Checkpoint(spark, d)
-    val df = DeltaReader.load(spark, dir)
-    // live = B (sidecar add) + C (json tail add); A removed in the tail.
-    // A replay that ignored sidecar actions would return only C (8 rows)
-    assert(df.count() == 16)
-    assert(df.agg(org.apache.spark.sql.functions.min("n_nationkey")
-      .cast("long")).collect()(0).getLong(0) == 9L)
-    val snap = DeltaReader.snapshot(spark, dir)
-    assert(snap.files.map(_.path).toSet ==
-      Set("part-b.parquet", "part-c.parquet"))
+    // both spec-legal checkpoint layouts — parquet and action-per-line
+    // JSON — must replay identically
+    for (dir <- Seq(Fixtures.deltaNationV2Checkpoint(spark, d),
+        Fixtures.deltaNationV2CheckpointJson(spark, d))) {
+      val df = DeltaReader.load(spark, dir)
+      // live = B (sidecar add) + C (json tail add); A removed in the
+      // tail. A replay that ignored sidecar actions would return only C
+      // (8 rows); the JSON-layout table has commit 0 EXPIRED (cleanup),
+      // so a reader that missed the .json checkpoint has no metaData at
+      // all and fails loudly instead of replaying around it
+      assert(df.count() == 16, dir)
+      assert(df.agg(org.apache.spark.sql.functions.min("n_nationkey")
+        .cast("long")).collect()(0).getLong(0) == 9L)
+      val snap = DeltaReader.snapshot(spark, dir)
+      assert(snap.files.map(_.path).toSet ==
+        Set("part-b.parquet", "part-c.parquet"))
+    }
   }
 
   test("run-container roaring round-trips, incl offsets section at >=4 containers") {
