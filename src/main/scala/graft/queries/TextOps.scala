@@ -322,6 +322,42 @@ object TextOps {
         WHERE length(w) > 0
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- BPE VOCABULARY (the artifact between train and encode): the
+    // distinct subword symbols of the trained segmentation, with
+    // corpus-weighted occurrence counts and frequency-ranked token ids
+    // — what a tokenizer ships as vocab.json. The symbol universe is
+    // bounded (initial alphabet + one new symbol per merge round), so
+    // the id-assigning global window runs over metadata, the q95
+    // vocabulary precedent; the corpus itself was already reduced to
+    // the word-frequency table by training.
+    Q("q152_bpe_vocab",
+      (s, d) => {
+        import s.implicits._
+        bpeTrain(s, d)._2
+          .select($"cnt", explode(split(
+            expr("substring(seg, 2, length(seg) - 2)"), "~~")).as("sym"))
+          .groupBy($"sym")
+          .agg(sum($"cnt").as("n_occ"))
+          .select(
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy($"n_occ".desc, $"sym")) - 1).as("tok_id"),
+            $"sym", $"n_occ")
+          .orderBy($"tok_id")
+      },
+      Some(s"""
+        WITH $duckBpeCtes,
+        sy AS (
+          SELECT unnest(string_split(substr(seg, 2, length(seg)-2),
+                                     '~~')) AS sym, cnt
+          FROM w$BpeRounds),
+        ag AS (
+          SELECT sym, CAST(sum(cnt) AS BIGINT) AS n_occ
+          FROM sy GROUP BY sym)
+        SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, sym) - 1 AS INT)
+                 AS tok_id,
+               sym, n_occ
+        FROM ag ORDER BY tok_id""")),
+
     // ---- Feature hashing (the hashing-trick vectorizer): token → one of
     // 64 buckets via the portable 60-bit md5 hash, per-doc bucket counts
     // as a sparse vector. No vocabulary state at all — the property that
