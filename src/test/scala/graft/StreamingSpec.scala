@@ -104,6 +104,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming audio signatures match batch q150 rows bit-for-bit") {
+    val streamed = graft.streaming.StreamAudioSig
+      .runToCompletion(spark, d, "saudio_test")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    val batch = SparkEntry.queries("q150_audio_envelope")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(batch.nonEmpty)
+    // the stream covers the whole corpus; batch q150's doc_id<200 demo
+    // bound restricts its rows — every batch row must match exactly
+    batch.foreach { case (id, row) =>
+      assert(streamed(id) == row, s"doc $id diverged from batch")
+    }
+  }
+
   test("streaming BPE encode matches batch q151 under the trained merge list") {
     // the trained artifact is the ORDERED merge list — R pairs of
     // metadata — and the stream applies it as chained literal replaces
