@@ -89,16 +89,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(shuffle == Seq("7"))
 
       // schemata lists the default database; routines lists registered
-      // functions (builtin + the injected dot_i64)
+      // functions (builtin + all three injected native expressions)
       val schemas = s2.sql(
         "SELECT schema_name FROM information_schema.schemata")
         .collect().map(_.getString(0)).toSet
       assert(schemas.contains("default"))
       val fns = s2.sql("""
         SELECT routine_name FROM information_schema.routines
-        WHERE routine_name IN ('abs', 'dot_i64')""")
+        WHERE routine_name IN ('abs', 'dot_i64', 'md5_60', 'dhash63')""")
         .collect().map(_.getString(0)).toSet
-      assert(fns == Set("abs", "dot_i64"))
+      assert(fns == Set("abs", "dot_i64", "md5_60", "dhash63"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
