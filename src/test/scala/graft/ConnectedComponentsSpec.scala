@@ -108,6 +108,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(rounds == 13)
   }
 
+  test("pointer jumping reaches the same fixpoint in O(log d) rounds") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val pairs = (0L until 12L).map(i => (i, i + 1))
+    val edges = pairs.toDF("d1", "d2")
+      .unionByName(pairs.map(_.swap).toDF("d1", "d2"))
+    val truth = (0L to 12L).map(i => i -> 0L).toSet
+
+    val (plain, plainRounds) = ConnectedComponents.fixpoint(edges)
+    val (jumped, jumpRounds) = ConnectedComponents.fixpoint(edges, jump = true)
+    assert(labelSet(plain) == truth && labelSet(jumped) == truth)
+    // hop-per-round needs 12 propagation rounds (+1 proof); doubling
+    // closes the same chain in a handful
+    assert(plainRounds == 13)
+    assert(jumpRounds <= 6 && jumpRounds < plainRounds)
+
+    // and on the real corpus graphs the jumped variant agrees with the
+    // union-find truth too
+    for ((name, g) <- graphs) {
+      val (fp, _) = ConnectedComponents.fixpoint(g, jump = true)
+      assert(labelSet(fp) == unionFind(collectEdges(g)).toSet,
+        s"$name jumped fixpoint != union-find")
+    }
+  }
+
   test("fixpoint refuses to return an under-converged labeling") {
     val s = SparkTestSession.spark
     import s.implicits._
