@@ -37,8 +37,17 @@ object Tables {
       spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val f = new java.io.File(s"$dir/events.parquet")
-    tsTypes.computeIfAbsent((f.getAbsolutePath, f.lastModified, f.length),
-      _ => spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+    // caching is a local-filesystem fast path only: a URI-style dir
+    // (lastModified == 0) gets no cache entry — a fresh probe per load
+    // beats silently pinning a type the key can't invalidate. (An
+    // in-place same-length rewrite within one mtime granule could
+    // still alias; the footer probe is the authority whenever in
+    // doubt, and costs one metadata read.)
+    if (f.lastModified == 0L)
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    else
+      tsTypes.computeIfAbsent((f.getAbsolutePath, f.lastModified, f.length),
+        _ => spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
   }
 
   /** Normalize a raw events frame's `ts` to TimestampType across BOTH

@@ -99,7 +99,12 @@ object ConnectedComponents {
     var r = 0
     while (r < maxRounds) {
       r += 1
-      val prop = round(edges, labels)
+      // with jump on, `prop` is referenced on BOTH sides of the jump
+      // join — checkpoint it first so the expensive edge-join round
+      // executes once, keeping the jump the advertised node-table-only
+      // extra cost (without this the whole round subtree runs twice)
+      val prop0 = round(edges, labels)
+      val prop = if (jump) prop0.localCheckpoint(true) else prop0
       val next0 =
         if (!jump) prop
         else prop.as("a")

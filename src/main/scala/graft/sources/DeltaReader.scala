@@ -308,49 +308,41 @@ object DeltaReader {
         }
 
       val names = checkpoints(v)
+      val cpPaths = names.map(n => new File(logDir, n).getAbsolutePath)
+      // Both checkpoint layouts load as a DataFrame and share ALL the
+      // replay logic below — which forces the protocol → metaData →
+      // adds ordering regardless of row/line order inside the file
+      // (the delta spec does not order checkpoint actions; metaData
+      // must be applied before adds so `admitted` sees physNames), and
+      // keeps inline adds flowing through the executor-side prune scan
+      // even for a JSON-layout V2 checkpoint with 10⁶ inline actions.
+      // mergeSchema (parquet): multi-part checkpoint parts may carry
+      // disjoint action columns (one part all adds, another the
+      // metaData); without the union schema, Spark infers from ONE
+      // part's footer and the other action columns silently vanish
+      // from the replay.
+      val cp =
+        if (names.forall(_.endsWith(".json"))) spark.read.json(cpPaths: _*)
+        else spark.read.option("mergeSchema", "true").parquet(cpPaths: _*)
       val sidecarNames = mutable.ArrayBuffer[String]()
-      if (names.forall(_.endsWith(".json"))) {
-        // JSON-layout V2 checkpoint (spec-legal next to the parquet
-        // layout): ONE metadata-sized action-per-line file — parse it
-        // exactly like a commit (adds route through `admitted`),
-        // collecting sidecar pointers for the parquet replay below
-        names.foreach { n =>
-          Files.readAllLines(new File(logDir, n).toPath, StandardCharsets.UTF_8)
-            .asScala.filter(_.nonEmpty).foreach { line =>
-              val node = mapper.readTree(line)
-              if (node.has("protocol")) applyProtocol(node.get("protocol"))
-              if (node.has("metaData")) applyMeta(node.get("metaData"))
-              if (node.has("add")) applyAdd(node.get("add"))
-              if (node.has("sidecar"))
-                sidecarNames += node.get("sidecar").get("path").asText()
-            }
-        }
-      } else {
-        val cpPaths = names.map(n => new File(logDir, n).getAbsolutePath)
-        // mergeSchema: multi-part checkpoint parts may carry disjoint
-        // action columns (one part all adds, another the metaData);
-        // without the union schema, Spark infers from ONE part's footer
-        // and the other action columns silently vanish from the replay
-        val cp = spark.read.option("mergeSchema", "true").parquet(cpPaths: _*)
-        if (cp.columns.contains("protocol"))
-          cp.where(col("protocol").isNotNull)
-            .select(to_json(col("protocol")))
-            .collect().foreach { r =>
-              applyProtocol(mapper.readTree(r.getString(0)))
-            }
-        if (cp.columns.contains("metaData"))
-          cp.where(col("metaData").isNotNull)
-            .select(to_json(col("metaData")))
-            .collect().foreach { r =>
-              applyMeta(mapper.readTree(r.getString(0)))
-            }
-        replayAdds(cp)
-        if (cp.columns.contains("sidecar"))
-          sidecarNames ++= cp.where(col("sidecar").isNotNull)
-            .select(to_json(col("sidecar")))
-            .collect().toSeq
-            .map(r => mapper.readTree(r.getString(0)).get("path").asText())
-      }
+      if (cp.columns.contains("protocol"))
+        cp.where(col("protocol").isNotNull)
+          .select(to_json(col("protocol")))
+          .collect().foreach { r =>
+            applyProtocol(mapper.readTree(r.getString(0)))
+          }
+      if (cp.columns.contains("metaData"))
+        cp.where(col("metaData").isNotNull)
+          .select(to_json(col("metaData")))
+          .collect().foreach { r =>
+            applyMeta(mapper.readTree(r.getString(0)))
+          }
+      replayAdds(cp)
+      if (cp.columns.contains("sidecar"))
+        sidecarNames ++= cp.where(col("sidecar").isNotNull)
+          .select(to_json(col("sidecar")))
+          .collect().toSeq
+          .map(r => mapper.readTree(r.getString(0)).get("path").asText())
       // V2 checkpoint sidecars: the checkpoint's `sidecar` actions name
       // parquet files under `_delta_log/_sidecars/` holding the file
       // actions (the spec allows inline OR sidecar storage — both are

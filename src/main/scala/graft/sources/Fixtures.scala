@@ -418,9 +418,15 @@ object Fixtures {
         s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":$sz1,"modificationTime":0}}""",
         s"""{"sidecar":{"path":"sc-2.parquet","sizeInBytes":$sz2,"modificationTime":0}}""")
       if (jsonLayout)
+        // ADVERSARIAL line order (spec-legal — the delta spec does not
+        // order checkpoint actions): sidecars/checkpointMetadata FIRST,
+        // protocol/metaData LAST, so a replay that processed lines in
+        // file order would apply file actions before it knew the schema
+        // or had run the feature gate — the reader must force
+        // protocol → metaData → adds itself
         Files.write(
           new File(logDir, f"${0L}%020d.checkpoint.$uuid.json").toPath,
-          cpActions.mkString("\n").getBytes(StandardCharsets.UTF_8))
+          cpActions.reverse.mkString("\n").getBytes(StandardCharsets.UTF_8))
       else
         writeActionParquet(
           new File(logDir, f"${0L}%020d.checkpoint.$uuid.parquet"), cpActions)
