@@ -653,6 +653,71 @@ object Curation {
             AS BIGINT) AS n_missed
         FROM incoming i
         JOIN maybe m USING (doc_id)
-        LEFT JOIN sealedh s ON i.h = s.h"""))
+        LEFT JOIN sealedh s ON i.h = s.h""")),
+
+    // ---- PER-SOURCE BOILERPLATE REPORT (RefinedWeb/CCNet line-dedup,
+    // scoped WITHIN each source): headers, navigation, license footers
+    // repeat across most documents of the SAME domain — corpus-wide df
+    // (q101) dilutes that signal across sources; this is the
+    // per-source audit that finds template-heavy domains. Segments =
+    // q101's declared 10-token lines; per (source, segment-hash) we
+    // count distinct containing docs (df) and total occurrences (occ);
+    // a source's report = repeated-segment count (df >= 2 — any
+    // within-source repetition), the RefinedWeb drop mass (occurrences
+    // of segments appearing >= 3 times in the source), and the
+    // repeated-mass ppm. Shape at 100 TB: ONE shuffle keyed on
+    // (source, h) — map-side combined — then a per-source rollup over
+    // metadata-sized groups; never cross-source, never all-pairs.
+    Q("q155_source_boilerplate",
+      (s, d) => Tables.sql(s, d, """
+        WITH base AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+        seg AS (
+          SELECT doc_id, source, md5(concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10))) AS h
+          FROM (SELECT doc_id, source, w,
+                  explode(sequence(1, CAST(size(w) / 10 AS INT))) AS k
+                FROM base WHERE size(w) >= 10)),
+        df AS (
+          SELECT source, h,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+            CAST(count(*) AS BIGINT) AS occ
+          FROM seg GROUP BY source, h),
+        docs AS (
+          SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM seg GROUP BY source)
+        SELECT df.source, docs.n_docs,
+          CAST(sum(occ) AS BIGINT) AS n_segments,
+          CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_segments,
+          CAST(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS BIGINT) AS rep_mass,
+          CAST(sum(CASE WHEN occ >= 3 THEN occ ELSE 0 END) AS BIGINT) AS n_boiler_occ,
+          CAST(1000000 * sum(CASE WHEN df >= 2 THEN occ ELSE 0 END)
+               DIV sum(occ) AS BIGINT) AS rep_ppm
+        FROM df JOIN docs ON df.source = docs.source
+        GROUP BY df.source, docs.n_docs
+        ORDER BY df.source"""),
+      Some("""
+        WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        seg AS (
+          SELECT doc_id, source,
+            md5(array_to_string(w[10 * (k - 1) + 1 : 10 * (k - 1) + 10], ' ')) AS h
+          FROM base, unnest(range(1, len(w) // 10 + 1)) AS t(k)
+          WHERE len(w) >= 10),
+        df AS (
+          SELECT source, h,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+            CAST(count(*) AS BIGINT) AS occ
+          FROM seg GROUP BY source, h),
+        docs AS (
+          SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM seg GROUP BY source)
+        SELECT df.source, docs.n_docs,
+          CAST(sum(occ) AS BIGINT) AS n_segments,
+          CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_segments,
+          CAST(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS BIGINT) AS rep_mass,
+          CAST(sum(CASE WHEN occ >= 3 THEN occ ELSE 0 END) AS BIGINT) AS n_boiler_occ,
+          CAST(1000000 * sum(CASE WHEN df >= 2 THEN occ ELSE 0 END)
+               // sum(occ) AS BIGINT) AS rep_ppm
+        FROM df JOIN docs ON df.source = docs.source
+        GROUP BY df.source, docs.n_docs
+        ORDER BY df.source"""))
   )
 }

@@ -554,6 +554,67 @@ object Edge {
           count(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ---- Z-ORDER LAYOUT (multi-dimensional clustering): the write-path
+    // operator behind Delta's `OPTIMIZE … ZORDER BY` — cluster lineitem
+    // on (l_partkey, l_suppkey) so per-file min/max stats are tight in
+    // BOTH dims and either-dim predicates skip files (single-key sort
+    // gives the second dim a ~full-range span in every file; DeltaStats
+    // then prunes nothing for it — ZOrderSpec measures the difference).
+    // Shape: dims normalize to a shared 8-bit grid via ONE cheap
+    // columnar max pre-agg (corpus-derived scales, mismatched
+    // bit-widths would let the wide dim dominate), the Morton key is 8
+    // shift-mask ops (functions.ZOrder, map-only, codegen), and the
+    // equal-count bucket id — the file id repartitionByRange(z) would
+    // produce at write time — comes from plans.DistributedRank (q123's
+    // range-exchange + broadcast offsets; NEVER a single-partition
+    // global window). Output = the layout audit: per-bucket row count +
+    // per-dim min/max/span, i.e. exactly the stats a file-skipping
+    // reader sees.
+    Q("q154_zorder_layout",
+      (s, d) => {
+        import s.implicits._
+        val raw = Tables.t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        val m = raw.agg(max($"l_partkey").as("mp"), max($"l_suppkey").as("ms"),
+          count(lit(1)).as("nt")).head()
+        val (mp, ms, nt) = (m.getLong(0), m.getLong(1), m.getLong(2))
+        val zt = raw.select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          graft.functions.ZOrder.morton(
+            expr(s"l_partkey * 256 DIV ${mp + 1}"),
+            expr(s"l_suppkey * 256 DIV ${ms + 1}")).as("z"))
+        graft.plans.DistributedRank.rowNumber(
+            zt, lit(0L), Seq($"z".asc, $"l_orderkey".asc, $"l_linenumber".asc),
+            "rk", 32)
+          .select(expr(s"CAST((rk - 1) * 32 DIV $nt AS BIGINT)").as("bucket"),
+            $"l_partkey", $"l_suppkey")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+            min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"))
+          .select($"bucket", $"n", $"min_p", $"max_p", $"min_s", $"max_s",
+            ($"max_p" - $"min_p").as("span_p"), ($"max_s" - $"min_s").as("span_s"))
+          .orderBy($"bucket")
+      },
+      Some(s"""
+        WITH p AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms,
+                          CAST(count(*) AS BIGINT) AS nt FROM lineitem),
+        zt AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, nt,
+                 ${graft.functions.ZOrder.mortonDuck(
+                   "l_partkey * 256 // (mp + 1)",
+                   "l_suppkey * 256 // (ms + 1)")} AS z
+               FROM lineitem CROSS JOIN p),
+        r AS (SELECT l_partkey, l_suppkey,
+                (CAST(row_number() OVER
+                   (ORDER BY z, l_orderkey, l_linenumber) AS BIGINT) - 1)
+                  * 32 // nt AS bucket
+              FROM zt)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+          min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
+          max(l_partkey) - min(l_partkey) AS span_p,
+          max(l_suppkey) - min(l_suppkey) AS span_s
+        FROM r GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -1168,6 +1168,151 @@ object TextOps {
           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- VIDEO SHOT-BOUNDARY DETECTION: the multimodal family's THIRD
+    // modality shape (temporal segmentation vs q143's image grid and
+    // q150's 1-D audio envelope). The blob-as-byte-stream stands in for
+    // a decoded frame sequence (declared q50/q94 stub posture): frame k
+    // = the 8 bytes at offset 16k (hop 16, full frames only), per-frame
+    // signature = the 7-bit adjacent-byte dHash row (q143's bit rule at
+    // frame granularity), and a CUT fires where consecutive frames'
+    // signatures differ in >= 6 of 7 bits (declared τ — scene change ≈
+    // near-total signature turnover; a real decoder swaps pixels into
+    // the same per-frame signature column). Shots = cut-count islands;
+    // the per-doc report carries frame/cut/shot counts, the longest
+    // shot, and an order-exact digest of the cut flags. Shape at 100 TB:
+    // one corpus pass, per-doc windows only (doc_id is high-cardinality;
+    // the q130 island discipline), signature math is a codegen
+    // higher-order fold — no seam, no object boundary, no corpus-keyed
+    // exchange beyond the doc-keyed window sort. Fixed series bound 799
+    // ≫ the longest doc at any SF (the q150 convention; the frame-fits
+    // WHERE does the real bounding).
+    Q("q156_shot_bounds",
+      (s, d) => Tables.sql(s, d, """
+        WITH f AS (
+          SELECT doc_id, k, substring(text, 1 + 16 * k, 8) AS fr
+          FROM documents
+          LATERAL VIEW explode(sequence(0, 799)) t AS k
+          WHERE doc_id < 200 AND 16 * k + 8 <= length(text)),
+        sigs AS (
+          SELECT doc_id, k,
+            aggregate(sequence(0, 6), CAST(0 AS BIGINT),
+              (acc, c) -> acc +
+                IF(ascii(substring(fr, c + 1, 1)) < ascii(substring(fr, c + 2, 1)),
+                   shiftleft(CAST(1 AS BIGINT), c), CAST(0 AS BIGINT))) AS sig
+          FROM f),
+        cuts AS (
+          SELECT doc_id, k,
+            CASE WHEN prev IS NOT NULL AND bit_count(sig ^ prev) >= 6
+                 THEN 1 ELSE 0 END AS cut
+          FROM (SELECT doc_id, k, sig,
+                  lag(sig) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+                FROM sigs)),
+        sh AS (
+          SELECT doc_id, k, cut,
+            sum(cut) OVER (PARTITION BY doc_id ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+          FROM cuts),
+        sl AS (SELECT doc_id, shot, count(*) AS len FROM sh GROUP BY doc_id, shot),
+        perdoc AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+            CAST(sum(cut) AS BIGINT) AS n_cuts,
+            md5(concat_ws('',
+              transform(array_sort(collect_list(struct(k, cut))),
+                        x -> CAST(x.cut AS STRING)))) AS cuts_digest
+          FROM sh GROUP BY doc_id),
+        shots AS (
+          SELECT doc_id, CAST(max(len) AS BIGINT) AS max_shot_len
+          FROM sl GROUP BY doc_id)
+        SELECT p.doc_id, n_frames, n_cuts, n_cuts + 1 AS n_shots,
+          max_shot_len, cuts_digest
+        FROM perdoc p JOIN shots q ON p.doc_id = q.doc_id
+        ORDER BY p.doc_id"""),
+      Some("""
+        WITH f AS (
+          SELECT doc_id, k, substr(text, 1 + 16 * k, 8) AS fr
+          FROM documents, generate_series(0, 799) t(k)
+          WHERE doc_id < 200 AND 16 * k + 8 <= length(text)),
+        sigs AS (
+          SELECT doc_id, k, CAST(sum(
+            CASE WHEN ascii(substr(fr, c + 1, 1)) < ascii(substr(fr, c + 2, 1))
+                 THEN CAST(pow(2, c) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+          FROM f, generate_series(0, 6) u(c)
+          GROUP BY doc_id, k),
+        cuts AS (
+          SELECT doc_id, k,
+            CASE WHEN prev IS NOT NULL AND bit_count(xor(sig, prev)) >= 6
+                 THEN 1 ELSE 0 END AS cut
+          FROM (SELECT doc_id, k, sig,
+                  lag(sig) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+                FROM sigs) t),
+        sh AS (
+          SELECT doc_id, k, cut,
+            sum(cut) OVER (PARTITION BY doc_id ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+          FROM cuts),
+        sl AS (SELECT doc_id, shot, count(*) AS len FROM sh GROUP BY doc_id, shot),
+        perdoc AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+            CAST(sum(cut) AS BIGINT) AS n_cuts,
+            md5(string_agg(CAST(cut AS VARCHAR), '' ORDER BY k)) AS cuts_digest
+          FROM sh GROUP BY doc_id),
+        shots AS (
+          SELECT doc_id, CAST(max(len) AS BIGINT) AS max_shot_len
+          FROM sl GROUP BY doc_id)
+        SELECT p.doc_id, n_frames, n_cuts, n_cuts + 1 AS n_shots,
+          max_shot_len, cuts_digest
+        FROM perdoc p JOIN shots q ON p.doc_id = q.doc_id
+        ORDER BY p.doc_id""")),
+
+    // ---- Verified heavy hitters (frequent items at 100 TB): pass 1 is
+    // a Misra-Gries summary (capacity [[HeavyHitterCapacity]]) whose
+    // map-side partials are <= capacity entries each and whose final
+    // merge is a driver-sized fold — candidates + the exact token total
+    // n in ONE corpus pass with NO corpus-wide token shuffle (q95's
+    // groupBy materializes the whole distribution; this never does).
+    // Pass 2 re-scans with a broadcast-literal In filter over the <=
+    // capacity candidates and exact-counts only those, keeping tokens
+    // with count·(capacity+1) > n. The MG guarantee (every token above
+    // n/(capacity+1) survives any partition layout / merge order —
+    // PropertySpec) plus exact verification makes the OUTPUT
+    // deterministic and oracle-equal to the plain exact HAVING query,
+    // even though the intermediate summary is arrival-order-dependent.
+    // Demo-corpus honesty: the synthetic vocab (31 distinct tokens)
+    // sits under the 31-counter capacity, so the sf runs never evict;
+    // the eviction/merge-subtraction paths are exercised by
+    // PropertySpec's >capacity alphabets.
+    Q("q153_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w")).as[String]
+        val (cand, n) = toks
+          .select(new graft.functions.MisraGriesAgg(HeavyHitterCapacity).toColumn)
+          .head()
+        toks.toDF("w")
+          .where(col("w").isin(cand.keys.toSeq: _*))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") * lit(HeavyHitterCapacity + 1L) > lit(n))
+          .select(col("w").as("token"), col("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+        SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok CROSS JOIN p
+        GROUP BY w, p.n
+        HAVING count(*) * 32 > p.n
+        ORDER BY cnt DESC, token"""))
   )
+
+  /** q153's Misra-Gries counter budget: detection target φ = 1/32 (report
+    * every token above n/32 of the corpus), so capacity = 1/φ − 1 = 31
+    * counters — the sketch size FOLLOWS the user-chosen threshold (the
+    * q95 top-50 / BM25 top-5 parameter class, not a corpus property).
+    * The oracle's literal 32 is this +1. */
+  private[queries] val HeavyHitterCapacity = 31
 }

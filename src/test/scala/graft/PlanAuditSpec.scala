@@ -22,6 +22,43 @@ class PlanAuditSpec extends AnyFunSuite {
       .explainString(FormattedMode)
   }
 
+  test("runtime bloom filter: a selective dim filter reaches the fact side of a shuffle join") {
+    // At 100 TB the fact side of a shuffle join cannot afford to ship
+    // rows the other side's filter already killed. Spark's runtime
+    // bloom-filter injection builds a filter from the filtered
+    // creation side and applies it BEFORE the fact exchange; the local
+    // thresholds (10 GB scan floor) are sized for clusters, so the
+    // test lowers them to observe the production plan shape on sf data
+    // (SCALE.md "Runtime filtering").
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val l = Tables.t(spark, d, "lineitem")
+      val o = Tables.t(spark, d, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val p = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum($"l_quantity"))
+        .queryExecution.explainString(FormattedMode)
+      // Spark 4 renders the injected filter as
+      // `might_contain(Subquery …, xxhash64(l_orderkey…))` in the
+      // fact-side Filter node (the bloom subquery aggregates the
+      // filtered creation side)
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$p")
+      assert(p.contains("xxhash64(l_orderkey"),
+        "the filter must probe the FACT side's join key")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q2: predicates reach the parquet scan (PushedFilters)") {
     val p = plan("q2_filter")
     assert(p.contains("PushedFilters: ["))

@@ -277,4 +277,46 @@ object PropertySpec extends Properties("graft-kernels") {
       // so the shipped score sits in [rational - 1, rational·(1 + 1/13) + 1]
       s >= r - 1 && s <= r + r / 13 + 1
     }
+
+  // ---- Misra-Gries summary (q153): the mergeable-summaries guarantee
+  // that makes the two-pass verified-heavy-hitters output deterministic.
+  // Alphabet (100 symbols, Zipf-flavored) deliberately exceeds the
+  // capacity (8) so the reduce-time decrement-all AND merge-time
+  // kth-subtraction paths both fire — the sf corpus (31-token vocab vs
+  // 31 counters) never evicts, so this is where those paths are tested.
+  private val mgStreamGen: Gen[(List[String], List[Int], Long)] = for {
+    // skew: low symbol ids drawn quadratically more often
+    syms <- Gen.listOf(Gen.choose(0, 99).map(i => s"t${(i * i) / 100}"))
+    cuts <- Gen.listOf(Gen.choose(0, math.max(0, syms.size)))
+    seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+  } yield (syms, cuts, seed)
+
+  property("misra-gries: every item above n/(m+1) survives any split+merge order; undercount <= n/(m+1)") =
+    forAll(mgStreamGen) { case (syms, cuts, seed) =>
+      val capacity = 8
+      val agg = new graft.functions.MisraGriesAgg(capacity)
+      // random partitioning into chunks, each reduced independently
+      val bounds = (cuts.map(c => math.min(c, syms.size)) :+ 0 :+ syms.size)
+        .distinct.sorted
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) =>
+        syms.slice(a, b).foldLeft(agg.zero)(agg.reduce)
+      }
+      // random merge order
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(chunks)
+      val (summary, n) =
+        if (shuffled.isEmpty) agg.zero
+        else shuffled.reduce(agg.merge)
+      val exact = syms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = n / (capacity + 1)
+      n == syms.size.toLong &&
+        summary.size <= capacity &&
+        // guarantee: true heavies always survive
+        exact.forall { case (w, c) => c <= bound || summary.contains(w) } &&
+        // estimates never overcount and undercount by at most n/(m+1)
+        summary.forall { case (w, est) =>
+          val c = exact.getOrElse(w, 0L)
+          est <= c && c - est <= bound
+        }
+    }
 }

@@ -162,6 +162,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming heavy hitters: zero false positives, guaranteed recall, ⊆ batch q153") {
+    val docs = Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // three micro-batches, arbitrary split — the MG merge rule must not care
+    val path = StreamFixtures.writeBatches("shh", Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2)))
+    val capacity = 31
+    val st = graft.streaming.StreamHeavyHitters
+      .runToCompletion(spark, path, capacity)
+
+    // exact ground truth, computed independently
+    val exact = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(st.n == n, "exact item total must ride the summary")
+    assert(st.summary.size <= capacity)
+
+    val confirmed = st.confirmed.map(_._1).toSet
+    // (1) zero false positives at the detection threshold (est never overcounts)
+    confirmed.foreach { w =>
+      assert(exact(w) * (capacity + 1) > n, s"$w emitted but not heavy")
+    }
+    // (2) guaranteed recall above twice the threshold (undercount bound)
+    exact.foreach { case (w, c) =>
+      if (c * (capacity + 1) > 2 * n)
+        assert(confirmed(w), s"$w above 2n/(m+1) but not emitted")
+    }
+    // (3) the stream's emitted set is a subset of batch q153's exact output
+    val batch = SparkEntry.queries("q153_heavy_hitters")(spark, d)
+      .collect().map(_.getString(0)).toSet
+    assert(confirmed.subsetOf(batch))
+    assert(confirmed.nonEmpty)
+  }
+
   test("streaming centroid assignment matches an independent argmin") {
     val cents = graft.queries.Extensions.trainedCentroidSeq(spark, d)
     assert(cents.nonEmpty)
