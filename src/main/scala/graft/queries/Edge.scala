@@ -556,6 +556,52 @@ object Edge {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // ---- SALTED SKEW JOIN (q107's discipline applied to the JOIN
+    // side): a fact stream where one hot key carries ~80% of all rows
+    // (declared skew map: l_orderkey%10 < 8 collapses to key 0) joins a
+    // 100-row dim. Unsalted, every hot-key row lands in ONE reducer of
+    // the shuffle join — the partition that never finishes at 100 TB.
+    // The salt spell: fact rows carry salt = l_orderkey % 8, the dim
+    // replicates ×8 (explode over the salt domain — dim cost is
+    // |dim|·S, metadata-sized), and the join key widens to (k, salt) so
+    // the hot key spreads over 8 reducers. The merge-join hint keeps
+    // the demo in the SMJ regime the spell exists for (a dim this
+    // small would otherwise broadcast and dodge the skew entirely;
+    // past the broadcast threshold the salted shape is the writer-side
+    // fix, complementing AQE's runtime skew split). The oracle is the
+    // PLAIN unsalted join — salting is proven lossless.
+    Q("q157_skew_salt_join",
+      (s, d) => {
+        import s.implicits._
+        val fact = Tables.t(s, d, "lineitem")
+          .select(
+            when($"l_orderkey" % 10 < 8, 0L)
+              .otherwise($"l_orderkey" % 100).as("k"),
+            Q.cents($"l_extendedprice").as("pc"),
+            ($"l_orderkey" % 8).cast("int").as("salt"))
+        val dim = Tables.t(s, d, "orders")
+          .groupBy(($"o_orderkey" % 100).as("k"))
+          .agg(min($"o_orderpriority").as("attr"))
+          .select($"k", $"attr", explode(expr("sequence(0, 7)")).as("salt"))
+        fact.hint("merge").join(dim, Seq("k", "salt"))
+          .groupBy($"attr")
+          .agg(count(lit(1)).as("n"), Q.unc(sum($"pc")).as("revenue"))
+          .orderBy($"attr")
+      },
+      Some("""
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                      ELSE l_orderkey % 100 END AS k,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+          FROM lineitem),
+        dim AS (
+          SELECT o_orderkey % 100 AS k, min(o_orderpriority) AS attr
+          FROM orders GROUP BY 1)
+        SELECT attr, count(*) AS n,
+          CAST(sum(pc) AS DOUBLE) / 100.0 AS revenue
+        FROM fact JOIN dim USING (k)
+        GROUP BY attr ORDER BY attr""")),
+
     // ---- Z-ORDER LAYOUT (multi-dimensional clustering): the write-path
     // operator behind Delta's `OPTIMIZE … ZORDER BY` — cluster lineitem
     // on (l_partkey, l_suppkey) so per-file min/max stats are tight in

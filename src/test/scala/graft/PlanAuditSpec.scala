@@ -59,6 +59,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q157: the salted join stays a sort-merge join keyed on (k, salt)") {
+    val p = plan("q157_skew_salt_join")
+    assert(p.contains("SortMergeJoin"), "the merge hint must hold the SMJ regime")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a broadcast would dodge the skew the salt spell addresses")
+    // the join-side exchanges hash on BOTH the key and the salt
+    assert("hashpartitioning\\(k#\\d+L?, salt#\\d+".r.findFirstIn(p).isDefined,
+      s"join exchange must partition on (k, salt):\n$p")
+  }
+
   test("q2: predicates reach the parquet scan (PushedFilters)") {
     val p = plan("q2_filter")
     assert(p.contains("PushedFilters: ["))
