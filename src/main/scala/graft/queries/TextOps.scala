@@ -91,6 +91,15 @@ object TextOps {
             ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.dh, y.dh)) <= 2)"""
 
+  /** q153's Misra-Gries counter budget: detection target φ = 1/32 (report
+    * every token above n/32 of the corpus), so capacity = 1/φ − 1 = 31
+    * counters — the sketch size FOLLOWS the user-chosen threshold (the
+    * q95 top-50 / BM25 top-5 parameter class, not a corpus property).
+    * The oracle interpolates capacity+1 so the two spellings cannot
+    * drift. Declared BEFORE `defs` — the oracle string is built at
+    * object init, and a forward-referenced object val would read as 0. */
+  private[graft] val HeavyHitterCapacity = 31
+
   /** Declared BPE training rounds (q148) — fixed, mirrored in the
     * oracle, the q114/q89 iterative-operator discipline. Production
     * runs tens of thousands of rounds with the identical per-round
@@ -1299,20 +1308,13 @@ object TextOps {
           .select(col("w").as("token"), col("cnt"))
           .orderBy(col("cnt").desc, col("token"))
       },
-      Some("""
+      Some(s"""
         WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
         SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
         FROM tok CROSS JOIN p
         GROUP BY w, p.n
-        HAVING count(*) * 32 > p.n
+        HAVING count(*) * ${HeavyHitterCapacity + 1} > p.n
         ORDER BY cnt DESC, token"""))
   )
-
-  /** q153's Misra-Gries counter budget: detection target φ = 1/32 (report
-    * every token above n/32 of the corpus), so capacity = 1/φ − 1 = 31
-    * counters — the sketch size FOLLOWS the user-chosen threshold (the
-    * q95 top-50 / BM25 top-5 parameter class, not a corpus property).
-    * The oracle's literal 32 is this +1. */
-  private[queries] val HeavyHitterCapacity = 31
 }

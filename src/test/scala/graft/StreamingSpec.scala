@@ -170,7 +170,7 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 3 === 0),
       docs.filter(col("doc_id") % 3 === 1),
       docs.filter(col("doc_id") % 3 === 2)))
-    val capacity = 31
+    val capacity = graft.queries.TextOps.HeavyHitterCapacity
     val st = graft.streaming.StreamHeavyHitters
       .runToCompletion(spark, path, capacity)
 
