@@ -38,6 +38,7 @@ object Bench {
       Fixtures.deltaNationDv(spark, sfDir)
       Fixtures.deltaNationCheckpoint(spark, sfDir)
       Fixtures.nationArrow(spark, sfDir)
+      Fixtures.ordersOrc(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}")
     }

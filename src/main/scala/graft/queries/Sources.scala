@@ -232,6 +232,33 @@ object Sources {
           CASE WHEN n_name SIMILAR TO 'NATION_(1|2)[0-9]' THEN 1 ELSE 0 END
             AS sim_2digit,
           'a~b' AS tilde_lit
-        FROM nation ORDER BY n_name"""))
+        FROM nation ORDER BY n_name""")),
+
+    // ---- ORC via DDL (Spark-native bonus format beyond the reference's
+    // factory set — the q54-JSON posture applied to §2.1): Spark's
+    // vectorized ORC reader carries the same columnar contract as
+    // parquet — schema in the footer, column pruning, predicate pushdown
+    // (the selective o_orderstatus filter reaches the ORC scan; at scale
+    // the row-group stats skip like parquet's). Fixture = the orders
+    // corpus rewritten as ORC; oracle = identical aggregate over the
+    // original parquet rows, so the format round-trips bit-exactly.
+    Q("q158_orc_scan",
+      (s, d) => {
+        val dir = Fixtures.ordersOrc(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE orders_orc STORED AS ORC LOCATION '$dir'")
+        ctx.sql("""
+          SELECT o_orderpriority, count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders_orc
+          WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -92,6 +92,10 @@ object Ddl {
           case None      => base.option("inferSchema", "true").csv(t.location)
         }
       case "JSON" | "NDJSON" => readWithSchema(spark, t, "json")
+      // Spark-native bonus beyond the reference's factory set (which has
+      // no ORC): Spark's vectorized ORC reader with predicate pushdown —
+      // the same columnar-scan contract as PARQUET, q158-checked
+      case "ORC" => readWithSchema(spark, t, "orc")
       case "ARROW" => ArrowReader.load(spark, t.location)
       case "AVRO" =>
         // mirror the reference: AVRO is registered but unusable

@@ -69,6 +69,12 @@ object Fixtures {
 
   /** Arrow IPC file of the nation table, written in TWO record batches so
     * the reader's (file, batch) parallelism is exercised. */
+  def ordersOrc(s: SparkSession, d: String): String =
+    ensure(d, "orders_orc") { dir =>
+      Tables.t(s, d, "orders")
+        .write.mode(SaveMode.Overwrite).orc(dir.getAbsolutePath)
+    }
+
   def nationArrow(s: SparkSession, d: String): String =
     ensure(d, "nation_arrow") { dir =>
       import org.apache.arrow.memory.RootAllocator

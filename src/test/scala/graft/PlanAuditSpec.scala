@@ -69,6 +69,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"join exchange must partition on (k, salt):\n$p")
   }
 
+  test("q158: the status predicate reaches the ORC scan") {
+    val p = plan("q158_orc_scan")
+    assert(p.contains("Scan orc"), "must plan as a native ORC scan")
+    assert("PushedFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined,
+      s"o_orderstatus filter must push into the ORC scan:\n$p")
+  }
+
   test("q2: predicates reach the parquet scan (PushedFilters)") {
     val p = plan("q2_filter")
     assert(p.contains("PushedFilters: ["))
