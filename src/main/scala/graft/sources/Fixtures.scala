@@ -67,14 +67,15 @@ object Fixtures {
         .parquet(dir.getAbsolutePath)
     }
 
-  /** Arrow IPC file of the nation table, written in TWO record batches so
-    * the reader's (file, batch) parallelism is exercised. */
+  /** The orders corpus rewritten as ORC (q158's fixture). */
   def ordersOrc(s: SparkSession, d: String): String =
     ensure(d, "orders_orc") { dir =>
       Tables.t(s, d, "orders")
         .write.mode(SaveMode.Overwrite).orc(dir.getAbsolutePath)
     }
 
+  /** Arrow IPC file of the nation table, written in TWO record batches so
+    * the reader's (file, batch) parallelism is exercised. */
   def nationArrow(s: SparkSession, d: String): String =
     ensure(d, "nation_arrow") { dir =>
       import org.apache.arrow.memory.RootAllocator

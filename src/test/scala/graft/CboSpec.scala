@@ -19,16 +19,6 @@ class CboSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val d = SparkTestSession.sfDir
 
-  private def withConfs(confs: Seq[(String, String)])(body: => Unit): Unit = {
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   private def leafTables(p: LogicalPlan): Set[String] =
     p.collectLeaves().flatMap(_.toString.linesIterator.take(1)).toSet
 
@@ -41,7 +31,7 @@ class CboSpec extends AnyFunSuite {
       spark.sql(s"ANALYZE TABLE ${t}_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
     }
     try {
-      withConfs(Seq(
+      SparkTestSession.withConfs(Seq(
         "spark.sql.cbo.enabled" -> "true",
         "spark.sql.cbo.joinReorder.enabled" -> "true",
         "spark.sql.cbo.planStats.enabled" -> "true",
@@ -77,6 +67,9 @@ class CboSpec extends AnyFunSuite {
     } finally {
       for (t <- Seq("lineitem", "orders", "customer"))
         spark.sql(s"DROP TABLE IF EXISTS ${t}_cbo")
+      // DROP on path-based tables removes only catalog entries — delete
+      // the CTAS data too, or each run leaves a corpus copy in /tmp
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
     }
   }
 }

@@ -30,13 +30,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // thresholds (10 GB scan floor) are sized for clusters, so the
     // test lowers them to observe the production plan shape on sf data
     // (SCALE.md "Runtime filtering").
-    val confs = Seq(
+    SparkTestSession.withConfs(Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
       import spark.implicits._
       val l = Tables.t(spark, d, "lineitem")
       val o = Tables.t(spark, d, "orders")
@@ -53,9 +50,6 @@ class PlanAuditSpec extends AnyFunSuite {
         s"no runtime bloom filter on the fact side:\n$p")
       assert(p.contains("xxhash64(l_orderkey"),
         "the filter must probe the FACT side's join key")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
