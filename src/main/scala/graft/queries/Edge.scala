@@ -630,8 +630,14 @@ object Edge {
           graft.functions.ZOrder.morton(
             expr(s"l_partkey * 256 DIV ${mp + 1}"),
             expr(s"l_suppkey * 256 DIV ${ms + 1}")).as("z"))
+        // the synthetic corpus does NOT have unique (l_orderkey,
+        // l_linenumber) pairs — order by the full key so the rank is a
+        // total order on both engines (the one surviving tie class is
+        // byte-identical duplicate rows, which are interchangeable and
+        // bucket-aggregate-invariant)
         graft.plans.DistributedRank.rowNumber(
-            zt, lit(0L), Seq($"z".asc, $"l_orderkey".asc, $"l_linenumber".asc),
+            zt, lit(0L), Seq($"z".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+              $"l_partkey".asc, $"l_suppkey".asc),
             "rk", 32)
           .select(expr(s"CAST((rk - 1) * 32 DIV $nt AS BIGINT)").as("bucket"),
             $"l_partkey", $"l_suppkey")
@@ -653,7 +659,8 @@ object Edge {
                FROM lineitem CROSS JOIN p),
         r AS (SELECT l_partkey, l_suppkey,
                 (CAST(row_number() OVER
-                   (ORDER BY z, l_orderkey, l_linenumber) AS BIGINT) - 1)
+                   (ORDER BY z, l_orderkey, l_linenumber,
+                             l_partkey, l_suppkey) AS BIGINT) - 1)
                   * 32 // nt AS bucket
               FROM zt)
         SELECT bucket, CAST(count(*) AS BIGINT) AS n,

@@ -162,6 +162,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming z-route assigns every row the batch q154 layout bucket") {
+    val B = 32
+    val raw = Tables.t(spark, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val m = raw.agg(max(col("l_partkey")), max(col("l_suppkey")),
+      count(lit(1))).head()
+    val (mp, ms, nt) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    val zt = raw.withColumn("z", graft.functions.ZOrder.morton(
+      expr(s"l_partkey * 256 DIV ${mp + 1}"),
+      expr(s"l_suppkey * 256 DIV ${ms + 1}")))
+    // q154's full-key total order (the corpus does NOT have unique
+    // (l_orderkey, l_linenumber) pairs — only byte-identical duplicate
+    // rows remain tied, and those are interchangeable)
+    val ranked = graft.plans.DistributedRank.rowNumber(
+      zt, lit(0L),
+      Seq(col("z").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_suppkey").asc), "rk", 8)
+    ranked.cache()
+    try {
+      // per distinct row, the SORTED multiset of buckets the batch
+      // layout assigns its copies (identical rows may swap buckets)
+      def grouped(rows: Array[(  (Long, Long, Long, Long), Long)]) =
+        rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val batch = grouped(ranked
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          expr(s"CAST((rk - 1) * $B DIV $nt AS BIGINT)").as("bucket"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          -> r.getLong(4)))
+      // train the layout artifact: B-1 boundary tuples, metadata-sized
+      val bs = graft.streaming.StreamZRoute.boundaries(ranked, B, nt)
+      assert(bs.size == B - 1)
+      assert(bs == bs.sortBy(b => (b.z, b.okey, b.line, b.pkey, b.skey)),
+        "boundaries must ascend in the layout's total order")
+      // route the same rows in-stream; every row must land in ITS bucket
+      val streamed = grouped(graft.streaming.StreamZRoute
+        .runToCompletion(spark, d, bs, mp, ms, "szroute_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          -> r.getLong(5)))
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"row $k diverged from the batch layout")
+      }
+    } finally ranked.unpersist()
+  }
+
   test("streaming heavy hitters: zero false positives, guaranteed recall, ⊆ batch q153") {
     val docs = Tables.t(spark, d, "documents")
       .select(col("doc_id"), col("text"), col("lang"))

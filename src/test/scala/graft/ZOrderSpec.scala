@@ -49,7 +49,8 @@ class ZOrderSpec extends AnyFunSuite {
     keyed
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy($"zk", $"l_orderkey", $"l_linenumber")).cast("long"))
+          .orderBy($"zk", $"l_orderkey", $"l_linenumber",
+            $"l_partkey", $"l_suppkey")).cast("long"))
       .select(expr(s"CAST((rk - 1) * 16 DIV $nt AS BIGINT)").as("bucket"),
         $"l_partkey", $"l_suppkey")
       .groupBy($"bucket")
