@@ -668,6 +668,78 @@ object Edge {
           min(l_suppkey) AS min_s, max(l_suppkey) AS max_s,
           max(l_partkey) - min(l_partkey) AS span_p,
           max(l_suppkey) - min(l_suppkey) AS span_s
-        FROM r GROUP BY bucket ORDER BY bucket"""))
+        FROM r GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- INCREMENTAL LAYOUT ROUTING (q154 maintained under ingest):
+    // boundaries train ONCE on the sealed corpus (l_orderkey % 7 != 0
+    // — the q125 sealed/incoming discipline), then the arriving batch
+    // routes through them WITHOUT re-ranking anything: bucket =
+    // #{boundary tuples <= row tuple} under the layout's full-key
+    // total order — the same streaming/StreamZRoute fold, here
+    // oracle-checked (the stream spec proves stream == batch; this
+    // query proves the routing math itself against DuckDB's
+    // independent tuple-comparison spelling). Output = the ingest
+    // audit: arrivals + z envelope per bucket. At 100 TB the sealed
+    // rank pass is per layout EPOCH; each increment pays one map-only
+    // pass over itself (31 tuple compares per row, a literal array).
+    Q("q159_zroute_increment",
+      (s, d) => {
+        import s.implicits._
+        val raw = Tables.t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+            $"l_partkey", $"l_suppkey")
+        val sealed0 = raw.where($"l_orderkey" % 7 =!= 0)
+        val m = sealed0.agg(max($"l_partkey").as("mp"), max($"l_suppkey").as("ms"),
+          count(lit(1)).as("nt")).head()
+        val (mp, ms, nt) = (m.getLong(0), m.getLong(1), m.getLong(2))
+        val zt = sealed0.withColumn("z", graft.functions.ZOrder.morton(
+          expr(s"l_partkey * 256 DIV ${mp + 1}"),
+          expr(s"l_suppkey * 256 DIV ${ms + 1}")))
+        val ranked = graft.plans.DistributedRank.rowNumber(
+          zt, lit(0L), Seq($"z".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+            $"l_partkey".asc, $"l_suppkey".asc), "rk", 32)
+        val bs = graft.streaming.StreamZRoute.boundaries(ranked, 32, nt)
+        graft.streaming.StreamZRoute
+          .route(raw.where($"l_orderkey" % 7 === 0), bs, mp, ms)
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_arrivals"),
+            min($"z").as("min_z"), max($"z").as("max_z"))
+          .orderBy($"bucket")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT max(l_partkey) FILTER (l_orderkey % 7 <> 0) AS mp,
+                 max(l_suppkey) FILTER (l_orderkey % 7 <> 0) AS ms,
+                 CAST(count(*) FILTER (l_orderkey % 7 <> 0) AS BIGINT) AS nt
+          FROM lineitem),
+        zt AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+            l_partkey, l_suppkey, nt,
+            ${graft.functions.ZOrder.mortonDuck(
+              "l_partkey * 256 // (mp + 1)",
+              "l_suppkey * 256 // (ms + 1)")} AS z
+          FROM lineitem CROSS JOIN p),
+        rs AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY z, l_orderkey,
+            l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rk
+          FROM zt WHERE l_orderkey % 7 <> 0),
+        bnd AS (
+          SELECT rs.z, rs.l_orderkey, rs.l_linenumber, rs.l_partkey, rs.l_suppkey
+          FROM rs JOIN generate_series(1, 31) c(b)
+            ON rs.rk = (b * rs.nt + 31) // 32 + 1),
+        inc AS (
+          SELECT *, row_number() OVER (ORDER BY z, l_orderkey,
+            l_linenumber, l_partkey, l_suppkey) AS iid
+          FROM zt WHERE l_orderkey % 7 = 0),
+        routed AS (
+          SELECT i.iid, any_value(i.z) AS z, count(b.z) AS bucket
+          FROM inc i LEFT JOIN bnd b
+            ON (b.z, b.l_orderkey, b.l_linenumber, b.l_partkey, b.l_suppkey)
+               <= (i.z, i.l_orderkey, i.l_linenumber, i.l_partkey, i.l_suppkey)
+          GROUP BY i.iid)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_arrivals,
+          min(z) AS min_z, max(z) AS max_z
+        FROM routed GROUP BY bucket ORDER BY bucket"""))
   )
 }
