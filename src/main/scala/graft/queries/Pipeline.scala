@@ -24,12 +24,13 @@ object Pipeline {
     * same declared-semantics contract, mirrored in the oracle CTE). */
   private[queries] val MaxSegmentDf = 50
 
-  /** q146's DSIR training CTE chain (Spark dialect), through the
-    * 4096-row weight table `w(b, wppm)` — the ONE spelling of the
-    * hashed-feature extraction and Laplace-smoothed integer-ppm ratio,
-    * shared by the batch query and [[dsirWeightArray]] (the streaming
-    * scorer's trained-weight export). DuckDB mirror inline at q146. */
-  private[graft] val DsirCtes: String = """
+  /** The hashed-feature extraction every content-based selection
+    * operator shares (q146 DSIR, q160/q161 domain classifier): unigrams
+    * + bigrams hashed into 4096 buckets via md5_60 (the q96
+    * feature-hashing convention), reduced to per-doc bucket counts
+    * `c(doc_id, b, c)`. Spark dialect; DuckDB mirror =
+    * [[DuckHashedFeatureCtes]]. */
+  private[graft] val HashedFeatureCtes: String = """
         base AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
         tok AS (
           SELECT doc_id, explode(transform(ws, w -> md5_60(w) % 4096)) AS b
@@ -40,7 +41,35 @@ object Pipeline {
           FROM base WHERE size(ws) >= 2),
         c AS (
           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-          FROM tok GROUP BY doc_id, b),
+          FROM tok GROUP BY doc_id, b)"""
+
+  /** DuckDB mirror of [[HashedFeatureCtes]] — shared by the q146 and
+    * q160/q161 oracles so the feature identity is spelled once per
+    * engine. */
+  private[graft] val DuckHashedFeatureCtes: String = """
+        base AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tok AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(w), 2, 15))::BIGINT % 4096 AS b
+          FROM (SELECT doc_id, unnest(ws) AS w FROM base) t0
+          UNION ALL
+          SELECT doc_id,
+            ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15))::BIGINT
+              % 4096 AS b
+          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+                FROM base WHERE len(ws) >= 2) t1
+          WHERE i <= len(ws) - 1),
+        c AS (
+          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY doc_id, b)"""
+
+  /** q146's DSIR training CTE chain (Spark dialect), through the
+    * 4096-row weight table `w(b, wppm)` — the ONE spelling of the
+    * hashed-feature extraction and Laplace-smoothed integer-ppm ratio,
+    * shared by the batch query and [[dsirWeightArray]] (the streaming
+    * scorer's trained-weight export). DuckDB mirror inline at q146. */
+  private[graft] val DsirCtes: String = s"""$HashedFeatureCtes,
         gd AS (SELECT CAST(count(*) DIV 10 AS BIGINT) AS tgt FROM documents),
         rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
         tb AS (
@@ -82,6 +111,144 @@ object Pipeline {
     rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
     arr
   }
+
+  /** Declared domain-classifier training rounds (q160) — fixed,
+    * mirrored round-for-round in the unrolled oracle CTEs, the
+    * q114/q148 iterative-operator discipline. Production pipelines
+    * (CCNet / LLaMA-style fastText quality classifiers) run the same
+    * per-round shape to convergence; the count is semantics, not an
+    * approximation — each round's update is exact given the previous
+    * rounds. */
+  private[graft] val DomainRounds = 3
+
+  /** q160's distributed batch-perceptron trainer: learn a linear
+    * separator between the corpus-derived target slice (the q146
+    * exemplar convention — lowest-id `n DIV 10` docs, label +1) and the
+    * rest (label −1) over the shared [[HashedFeatureCtes]] bucket
+    * counts. Exact integer arithmetic end to end:
+    *
+    *   margin_d = Σ_b c_db · w(b);  err = { d : y_d · margin_d ≤ 0 }
+    *   w'(b)    = w(b) + Σ_{d ∈ err} y_d · c_db
+    *
+    * (classic batch perceptron; the y·0 ≤ 0 convention makes round 1 a
+    * pure class-difference initialization from w = 0). Returns the
+    * trained 4096-slot weight array — metadata-sized by construction,
+    * the [[dsirWeightArray]] artifact pattern, exported for the
+    * streaming scorer — plus per-round (round, n_err, w_nnz, w_l1)
+    * stats.
+    *
+    * 100 TB shapes: the feature frame `c` is computed ONCE and cached
+    * (production: checkpointed); each round is one broadcast join
+    * against the 4096-row weight dim + a map-side-combined per-doc sum,
+    * then one map-side-combined per-bucket gradient sum collected as
+    * 4096 longs — R linear passes total, never an all-pairs or global
+    * sort. Scores stay within long range through ~10⁹-token corpora per
+    * the envelope in the q160 comment. */
+  private[graft] def domainTrain(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (Array[Long], Seq[(Int, Long, Long, Long)]) = {
+    graft.functions.Md5Long.register(s)
+    import s.implicits._
+    val c = Tables.sql(s, d,
+      s"WITH $HashedFeatureCtes SELECT doc_id, b, c FROM c").cache()
+    val tgt = Tables.t(s, d, "documents").count() / 10
+    val w = Array.fill(4096)(0L)
+    val stats = scala.collection.mutable.ListBuffer
+      .empty[(Int, Long, Long, Long)]
+    for (r <- 1 to DomainRounds) {
+      // labels live on the FEATURE universe (docs with ≥1 bucket) on
+      // both engines — a null-text doc has no features and is declaredly
+      // outside the training set
+      val err = bucketScores(c, w)
+        .withColumn("y",
+          when($"doc_id" < tgt, lit(1L)).otherwise(lit(-1L)))
+        .where($"y" * $"sc" <= 0)
+        .select($"doc_id", $"y")
+        .cache()
+      val nErr = err.count()
+      val grad = err.join(c, "doc_id")
+        .groupBy($"b").agg(sum($"y" * $"c").as("g"))
+        .collect()
+      err.unpersist()
+      grad.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
+      stats += ((r, nErr, w.count(_ != 0L).toLong, w.map(math.abs).sum))
+    }
+    c.unpersist()
+    (w, stats.toSeq)
+  }
+
+  /** Exact-integer linear scores `(doc_id, sc)` of a
+    * [[HashedFeatureCtes]] feature frame `c(doc_id, b, c)` against a
+    * 4096-slot weight array: one broadcast join against the weight dim
+    * + one map-side-combined per-doc sum — the shared scoring kernel of
+    * the q160 training loop and the q161 apply pass. */
+  private[graft] def bucketScores(
+      c: org.apache.spark.sql.DataFrame, w: Array[Long])
+      : org.apache.spark.sql.DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    val wDf = s.createDataFrame(
+      w.zipWithIndex.toIndexedSeq.map { case (v, b) => (b.toLong, v) })
+      .toDF("b", "w")
+    c.join(broadcast(wDf), "b")
+      .groupBy($"doc_id")
+      .agg(sum($"c" * $"w").as("sc"))
+  }
+
+  /** DuckDB mirror of the [[domainTrain]] loop, GENERATED from
+    * [[DomainRounds]] (the q148 BPE-chain discipline — one round count,
+    * two dialects, no drift): after [[DuckHashedFeatureCtes]], unrolled
+    * per-round CTE triples scores `s_r` → errors `e_r` → gradient `g_r`
+    * accumulating the weight table `w_r` via FULL JOIN (w1 is the pure
+    * class-difference round — with w=0 every label fails y·0 ≤ 0, so
+    * its gradient runs over the whole labeled universe). All sums are
+    * CAST AS BIGINT (DuckDB sums BIGINT into HUGEINT). Ends with
+    * `w{DomainRounds}` trained; shared by the q160 and q161 oracles. */
+  private[graft] val DuckDomainTrainCtes: String = {
+    val sb = new StringBuilder(
+      """par AS (
+          SELECT CAST(count(*) // 10 AS BIGINT) AS tgt FROM documents),
+        lbl AS (
+          SELECT doc_id,
+            CAST(CASE WHEN doc_id < (SELECT tgt FROM par)
+                 THEN 1 ELSE -1 END AS BIGINT) AS y
+          FROM (SELECT DISTINCT doc_id FROM c) uni),
+        w1 AS (
+          SELECT c.b, CAST(sum(lbl.y * c.c) AS BIGINT) AS w
+          FROM c JOIN lbl ON c.doc_id = lbl.doc_id GROUP BY c.b)""")
+    for (r <- 2 to DomainRounds) {
+      val p = r - 1
+      sb.append(s""",
+        s$r AS (
+          SELECT c.doc_id, CAST(sum(c.c * w$p.w) AS BIGINT) AS sc
+          FROM c JOIN w$p ON c.b = w$p.b GROUP BY c.doc_id),
+        e$r AS (
+          SELECT lbl.doc_id, lbl.y
+          FROM lbl JOIN s$r ON lbl.doc_id = s$r.doc_id
+          WHERE lbl.y * s$r.sc <= 0),
+        g$r AS (
+          SELECT c.b, CAST(sum(e$r.y * c.c) AS BIGINT) AS g
+          FROM c JOIN e$r ON c.doc_id = e$r.doc_id GROUP BY c.b),
+        w$r AS (
+          SELECT coalesce(w$p.b, g$r.b) AS b,
+            coalesce(w$p.w, 0) + coalesce(g$r.g, 0) AS w
+          FROM w$p FULL JOIN g$r ON w$p.b = g$r.b)""")
+    }
+    sb.toString
+  }
+
+  /** Generated per-round stats SELECT for the q160 oracle (round 1's
+    * error set is the whole labeled universe by the y·0 ≤ 0
+    * convention). */
+  private def duckDomainStats: String =
+    (1 to DomainRounds).map { r =>
+      val errSrc = if (r == 1) "lbl" else s"e$r"
+      s"""SELECT CAST($r AS INT) AS round,
+            (SELECT count(*) FROM $errSrc) AS n_err,
+            (SELECT count(*) FROM w$r WHERE w <> 0) AS w_nnz,
+            (SELECT CAST(coalesce(sum(abs(w)), 0) AS BIGINT) FROM w$r)
+              AS w_l1"""
+    }.mkString("\n          UNION ALL\n          ")
 
   val defs: Seq[Q] = Seq(
 
@@ -826,23 +993,8 @@ object Pipeline {
         FROM sc
         ORDER BY score_ppm DIV n_feat DESC, doc_id
         LIMIT 20""") },
-      Some("""
-        WITH base AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        tok AS (
-          SELECT doc_id,
-            ('0x' || substr(md5(w), 2, 15))::BIGINT % 4096 AS b
-          FROM (SELECT doc_id, unnest(ws) AS w FROM base) t0
-          UNION ALL
-          SELECT doc_id,
-            ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 2, 15))::BIGINT
-              % 4096 AS b
-          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
-                FROM base WHERE len(ws) >= 2) t1
-          WHERE i <= len(ws) - 1),
-        c AS (
-          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-          FROM tok GROUP BY doc_id, b),
+      Some(s"""
+        WITH $DuckHashedFeatureCtes,
         gd AS (SELECT CAST(count(*) // 10 AS BIGINT) AS tgt FROM documents),
         rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
         tb AS (
@@ -868,6 +1020,84 @@ object Pipeline {
         FROM sc
         ORDER BY score_ppm // n_feat DESC, doc_id
         LIMIT 20""")),
+
+    // ---- Domain-classifier TRAINING (the fastText/CCNet-style linear
+    // quality classifier every production curation stack trains —
+    // GPT-3/LLaMA filter web text by "does a linear model think this
+    // looks like the reference corpus"): a DomainRounds-round batch
+    // perceptron separating the corpus-derived target slice (q146's
+    // lowest-id n DIV 10 exemplar convention, label +1) from the rest
+    // (−1) over the shared hashed unigram+bigram features. Everything
+    // is exact integers (counts × accumulated count-sums), so both
+    // engines agree bit-for-bit — no learning rate, no floats. Output =
+    // the per-round training curve (n_err with the PRE-update weights;
+    // nnz/L1 of the POST-update ones). Long-overflow envelope: |w(b)| ≤
+    // R·T and |score| ≤ dl·max|w| for T total corpus tokens, so scores
+    // stay exact through T ≈ 10⁹ tokens × dl ≈ 10³ — past that the
+    // production spelling rescales w to ppm per round (same shape).
+    // Shapes at 100 TB: the feature frame is computed once and cached
+    // (production: checkpointed); each round = ONE broadcast join
+    // against the 4096-row weight dim + map-side-combined per-doc sums,
+    // then a 4096-group gradient aggregate collected as metadata — R
+    // linear passes, no global sort, no all-pairs.
+    Q("q160_domain_train",
+      (s, d) => {
+        import s.implicits._
+        val (_, stats) = domainTrain(s, d)
+        s.createDataFrame(stats)
+          .toDF("round", "n_err", "w_nnz", "w_l1")
+          .orderBy($"round")
+      },
+      Some(s"""
+        WITH $DuckHashedFeatureCtes,
+        $DuckDomainTrainCtes
+        SELECT round, n_err, w_nnz, w_l1 FROM (
+          $duckDomainStats
+        ) t ORDER BY round""")),
+
+    // ---- Domain-classifier APPLY (the filter pass of q160, the
+    // q148→q151 train→encode split): score every document with the
+    // trained weights and report the per-source confusion summary —
+    // docs predicted target-like (score > 0; score ≤ 0 reads raw, the
+    // training convention) and prediction accuracy against the derived
+    // labels. The per-source breakdown is the curation deliverable: it
+    // says which sources the classifier would up/down-weight. Shapes:
+    // one broadcast weight join + per-doc sum, one broadcast-sized
+    // join to the doc dim for `source`, one map-side-combined
+    // per-source aggregate — linear end to end.
+    Q("q161_domain_apply",
+      (s, d) => {
+        import s.implicits._
+        val (w, _) = domainTrain(s, d)
+        val c = Tables.sql(s, d,
+          s"WITH $HashedFeatureCtes SELECT doc_id, b, c FROM c")
+        val tgt = Tables.t(s, d, "documents").count() / 10
+        bucketScores(c, w)
+          .join(Tables.t(s, d, "documents").select($"doc_id", $"source"),
+            "doc_id")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"sc" > 0, 1L).otherwise(0L)).as("n_pred_target"),
+            sum(when(($"doc_id" < tgt) === ($"sc" > 0), 1L).otherwise(0L))
+              .as("n_correct"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH $DuckHashedFeatureCtes,
+        $DuckDomainTrainCtes,
+        sc AS (
+          SELECT c.doc_id, CAST(sum(c.c * w$DomainRounds.w) AS BIGINT) AS sc
+          FROM c JOIN w$DomainRounds ON c.b = w$DomainRounds.b
+          GROUP BY c.doc_id)
+        SELECT d.source AS source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN sc.sc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pred_target,
+          CAST(sum(CASE WHEN (d.doc_id < (SELECT tgt FROM par)) = (sc.sc > 0)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source""")),
 
     // ---- N-gram novelty score: fraction of a doc's bigram OCCURRENCES
     // that are corpus-unique (corpus count = 1) — the cheap KenLM-free
