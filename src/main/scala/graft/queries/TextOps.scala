@@ -91,6 +91,39 @@ object TextOps {
             ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.dh, y.dh)) <= 2)"""
 
+  /** Declared PageRank rounds (q162) — fixed, mirrored in the GENERATED
+    * oracle chain (one round count, two dialects, no drift), the
+    * q89/q147/q148 iterative-operator discipline. Production runs more
+    * rounds of the identical per-round shape; the count is semantics. */
+  private[graft] val PageRankRounds = 3
+
+  /** DuckDB mirror of the q162 PageRank loop, generated from
+    * [[PageRankRounds]]: symmetrize `dpairs`, fold degrees, init every
+    * node at 10^6 ppm, then one floored-share sum CTE per round —
+    * exactly [[graft.operators.PageRank.rounds]]'s update. Sums CAST
+    * AS BIGINT (DuckDB sums BIGINT into HUGEINT). */
+  private val DuckPageRankCtes: String = {
+    val sb = new StringBuilder("""sym AS (
+          SELECT d1 AS u, d2 AS v FROM dpairs
+          UNION ALL SELECT d2, d1 FROM dpairs),
+        deg AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+        p0 AS (SELECT u, CAST(1000000 AS BIGINT) AS pr FROM deg)""")
+    for (k <- 1 to PageRankRounds) {
+      val p = k - 1
+      sb.append(s""",
+        p$k AS (
+          SELECT s.v AS u,
+            150000 + (85 * CAST(sum(p$p.pr // deg.deg) AS BIGINT)) // 100
+              AS pr
+          FROM sym s
+          JOIN p$p ON s.u = p$p.u
+          JOIN deg ON s.u = deg.u
+          GROUP BY s.v)""")
+    }
+    sb.toString
+  }
+
   /** q153's Misra-Gries counter budget: detection target φ = 1/32 (report
     * every token above n/32 of the corpus), so capacity = 1/φ − 1 = 31
     * counters — the sketch size FOLLOWS the user-chosen threshold (the
@@ -672,6 +705,34 @@ object TextOps {
           USING (doc_id))
         SELECT doc_id, lbl AS kept_as FROM l4
         WHERE lbl <> doc_id ORDER BY doc_id""")),
+
+    // ---- PageRank centrality over the perceptual near-dup graph: rank
+    // the documents of the q143 pair graph by how central they sit in
+    // their near-dup neighbourhood — the "pick the canonical
+    // representative" signal beyond q147's arbitrary min-label
+    // survivor (a hub duplicated by many variants outranks each
+    // variant). Fixed PageRankRounds rounds of the exact-integer ppm
+    // update pr' = 150000 + (85·Σ floor-shares) DIV 100 (damping 85/100
+    // as exact rationals; see operators/PageRank.scala for the declared
+    // floor semantics and the no-dangling-mass argument — symmetric
+    // graph, deg ≥ 1 everywhere). Shapes: degrees fold into the cached
+    // edge frame once; each round = ONE equi-join + map-side-combined
+    // sum per destination, linear in |edges| — a CC round's cost
+    // envelope, lineage-truncated per round.
+    Q("q162_pagerank_centrality",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.PageRank.rounds(dhashEdges(s, d), PageRankRounds)
+          .select($"doc_id", $"deg", $"pr".as("pr_ppm"))
+          .orderBy($"pr_ppm".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(s"""
+        WITH $DuckDhashPairs,
+        $DuckPageRankCtes
+        SELECT p.u AS doc_id, deg.deg AS deg, CAST(p.pr AS BIGINT) AS pr_ppm
+        FROM p$PageRankRounds p JOIN deg ON p.u = deg.u
+        ORDER BY pr_ppm DESC, doc_id LIMIT 20""")),
 
     // ---- Statistical aggregate family (stddev/var/corr/covar/regr).
     Q("q51_stats_agg",
