@@ -259,6 +259,36 @@ object Sources {
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders
         WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Delta WRITE → read round trip: the table is produced by
+    // graft's own committing writer (sources/DeltaWriter — staged data
+    // files, hive partition dirs, one-pass per-file stats, atomic
+    // versioned commits), two appends split by order-key parity, then
+    // read back through the same DDL + DeltaReader path as q59-q62.
+    // The oracle computes the identical aggregate over the ORIGINAL
+    // parquet rows, so any row lost/duplicated/mistyped anywhere in the
+    // write path (including partition values re-typed from the writer's
+    // own paths) breaks the hash. The selective filter exercises the
+    // written stats end-to-end: o_orderstatus min/max come from the
+    // writer's aggregate and DeltaSnapshotFileIndex prunes with them.
+    Q("q163_delta_write_roundtrip",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersWritten(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE orders_written STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT o_orderpriority, count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders_written
+          WHERE o_orderstatus = 'F'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

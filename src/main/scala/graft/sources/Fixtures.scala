@@ -446,4 +446,20 @@ object Fixtures {
 
   private def pad4(b: Array[Byte]): Array[Byte] =
     if (b.length % 4 == 0) b else b ++ new Array[Byte](4 - b.length % 4)
+
+  /** A Delta table produced by GRAFT'S OWN WRITER ([[DeltaWriter]]), not
+    * the hand-rolled commit JSON above: two appends of the orders corpus
+    * split by order-key parity, hive-partitioned on o_orderpriority with
+    * real per-file stats — the full writer → reader round trip q163 and
+    * DeltaWriterSpec exercise (log replay over two commits, partition
+    * values from the writer's paths, stats from its one-pass
+    * aggregate). */
+  def deltaOrdersWritten(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_written") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0),
+        dir.getAbsolutePath, Seq("o_orderpriority"))
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0),
+        dir.getAbsolutePath, Seq("o_orderpriority"))
+    }
 }
