@@ -51,20 +51,204 @@ object DeltaWriter {
     * version. */
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil): Long = {
+    val table = new File(tablePath)
+    val version = nextVersion(table)
+    validateAgainstTable(df, tablePath, partitionBy, version)
+    val adds = stageDataFiles(df, table, version, partitionBy)
+    publish(table, version, header(df, partitionBy, version) ++ adds)
+    version
+  }
+
+  /** Partition-level overwrite (Delta `replaceWhere` restricted to
+    * partition columns — the backfill primitive: atomically swap the
+    * admitted partitions' contents for `df`'s rows). Emits `remove`
+    * actions for every live file whose partition values fall inside
+    * `partitionValues` plus `add`s for the staged replacement, in ONE
+    * commit — readers see the old or the new partition content, never a
+    * mix. Refuses rows outside the admitted partitions (the guard that
+    * makes "replace" mean replace, not "replace and also append
+    * elsewhere"). Old files stay on disk for time travel until
+    * [[vacuum]]. */
+  def replacePartitions(df: DataFrame, tablePath: String,
+      partitionValues: Map[String, Set[String]]): Long = {
     val spark = df.sparkSession
     val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.partitionColumns.nonEmpty,
+      s"$tablePath is unpartitioned — replacePartitions needs partition columns")
+    require(snap.physicalNames.isEmpty,
+      "replacePartitions does not support column-mapped tables")
+    val bad = partitionValues.keySet -- snap.partitionColumns.toSet
+    require(bad.isEmpty, s"not partition columns of $tablePath: $bad")
+    require(partitionValues.nonEmpty, "no partitions admitted")
+    val version = nextVersion(table)
+    validateAgainstTable(df, tablePath, snap.partitionColumns, version)
+    // every incoming row must land in an admitted partition
+    val inScope = partitionValues.map { case (k, vs) =>
+      col(k).cast("string").isin(vs.toSeq: _*)
+    }.reduce(_ && _)
+    val outside = df.filter(!inScope).count()
+    require(outside == 0L,
+      s"$outside rows fall outside the admitted partitions $partitionValues")
+
+    val removes = snap.files.filter { a =>
+      partitionValues.forall { case (k, vs) =>
+        a.partitionValues.get(k).flatten.exists(vs.contains)
+      }
+    }.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    val adds = stageDataFiles(df, table, version, snap.partitionColumns)
+    publish(table, version, removes ++ adds)
+    version
+  }
+
+  /** Write a classic single-part checkpoint parquet for the CURRENT
+    * version plus `_last_checkpoint`, so log replay of a long-lived
+    * table starts from one parquet scan instead of replaying every JSON
+    * commit (the reader's checkpoint path, exercised from the producing
+    * side). Protocol and metaData are carried over VERBATIM from the
+    * JSON commits (preserving table id/configuration — this writer
+    * always puts them in version 0); file actions are re-emitted from
+    * the replayed snapshot with `dataChange:false`. Remove tombstones
+    * are not carried (fine for readers of the latest version; a
+    * concurrent-vacuum coordination protocol is out of scope). Returns
+    * the checkpointed version. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Long = {
+    import spark.implicits._
+    val table = new File(tablePath)
+    val logDir = new File(table, "_delta_log")
+    val version = nextVersion(table) - 1
+    require(version >= 0L, s"no commits to checkpoint at $tablePath")
+    // last protocol/metaData lines verbatim from the JSON commits
+    var proto: Option[String] = None
+    var meta: Option[String] = None
+    Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().foreach { l =>
+          if (l.contains("\"protocol\"")) proto = Some(l)
+          if (l.contains("\"metaData\"")) meta = Some(l)
+        } finally src.close()
+      }
+    require(proto.nonEmpty && meta.nonEmpty,
+      s"protocol/metaData not found in $tablePath's JSON commits " +
+        "(checkpointing a table whose header lives only in an earlier " +
+        "checkpoint is not supported)")
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    val adds = snap.files.map { a =>
+      val pvJ = a.partitionValues.map {
+        case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+        case (k, None) => s"${jstr(k)}:null"
+      }.mkString("{", ",", "}")
+      val statsPart = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"add":{"path":"${a.path}","partitionValues":$pvJ,""" +
+        s""""size":${a.size},"modificationTime":0,""" +
+        s""""dataChange":false$statsPart}}"""
+    }
+    val lines = Seq(proto.get, meta.get) ++ adds
+    // one parquet file of action rows (schema from the JSON lines, the
+    // same layout the reader's checkpoint replay scans)
+    val tmp = new File(table, ".cp-stage")
+    if (tmp.exists()) delete(tmp)
+    spark.read.json(lines.toDS())
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val part = collectParquet(tmp).head
+    val dest = new File(logDir, f"$version%020d.checkpoint.parquet")
+    Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+    delete(tmp)
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":$version,"size":${lines.length}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    version
+  }
+
+  /** Delete every data file under the table root that the LATEST
+    * snapshot does not reference (the tombstoned leftovers of
+    * [[replacePartitions]]/[[compact]] and any orphaned files of a lost
+    * commit race). Returns the deleted relative paths. By design this
+    * breaks time travel to pre-vacuum versions; production vacuum adds
+    * a retention window (tombstone age) before deletion — a timestamp
+    * policy, not a different file walk. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Seq[String] = {
+    val table = new File(tablePath)
+    val live = DeltaReader.snapshot(spark, tablePath).files
+      .map(_.path).toSet
+    def walk(f: File, rel: String): Seq[(File, String)] =
+      if (f.getName == "_delta_log" || f.getName.startsWith(".")) Nil
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
+          .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+      else if (f.getName.endsWith(".parquet")) Seq(f -> rel)
+      else Nil
+    val dead = walk(table, "").filterNot { case (_, rel) => live.contains(rel) }
+    dead.foreach { case (f, _) =>
+      f.delete()
+      // drop now-empty partition dirs up to (not including) the root
+      var p = f.getParentFile
+      while (p != null && p != table &&
+        Option(p.listFiles()).exists(_.isEmpty)) { p.delete(); p = p.getParentFile }
+    }
+    dead.map(_._2)
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the CURRENT rows so each hive
+    * partition lands in ONE file (optionally clustered on `sortBy`
+    * within it — the poor man's `OPTIMIZE … ZORDER BY` when handed a
+    * z-value column), committing the adds plus removes of every prior
+    * file in one atomic version. Production would bin-pack to a target
+    * byte size instead of one-file-per-partition; the commit shape —
+    * rewrite, adds + removes, `dataChange:true` — is identical. Old
+    * files remain for time travel until [[vacuum]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      sortBy: Seq[String] = Nil): Long = {
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    val version = nextVersion(table)
+    val current = DeltaReader.load(spark, tablePath)
+    val clustered = {
+      val base =
+        if (snap.partitionColumns.nonEmpty)
+          current.repartition(snap.partitionColumns.map(col): _*)
+        else current.coalesce(1)
+      if (sortBy.nonEmpty) base.sortWithinPartitions(sortBy.map(col): _*)
+      else base
+    }
+    val adds = stageDataFiles(clustered, table, version, snap.partitionColumns)
+    val removes = snap.files.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    publish(table, version, removes ++ adds)
+    version
+  }
+
+  /** Next unclaimed log version (0 for a fresh table). Checkpoint files
+    * count: after log cleanup deletes the JSON commits a checkpoint
+    * covers, the version counter must continue from the checkpoint, not
+    * restart at 0 (a restarted version would be silently IGNORED by
+    * replay — the checkpoint-tail stitch only applies commits past the
+    * checkpoint version). */
+  private def nextVersion(table: File): Long = {
     val logDir = new File(table, "_delta_log")
     val existing = Option(logDir.listFiles()).getOrElse(Array.empty[File])
-      .map(_.getName).filter(_.matches("\\d{20}\\.json"))
-      .map(_.stripSuffix(".json").toLong)
-    val version = if (existing.isEmpty) 0L else existing.max + 1
+      .map(_.getName).collect {
+        case n if n.matches("\\d{20}\\.json") => n.take(20).toLong
+        case n if n.matches("\\d{20}\\.checkpoint\\..*") => n.take(20).toLong
+      }
+    if (existing.isEmpty) 0L else existing.max + 1
+  }
 
+  private def validateAgainstTable(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String], version: Long): Unit =
     if (version == 0L) {
       val missing = partitionBy.filterNot(df.schema.fieldNames.contains)
       require(missing.isEmpty,
         s"partition columns $missing absent from schema ${df.schema.fieldNames.toSeq}")
     } else {
-      val snap = DeltaReader.snapshot(spark, tablePath)
+      val snap = DeltaReader.snapshot(df.sparkSession, tablePath)
       require(snap.partitionColumns == partitionBy,
         s"append partitioning $partitionBy != table's ${snap.partitionColumns}")
       val want = snap.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -74,6 +258,13 @@ object DeltaWriter {
           s"an explicit metaData commit): table=$want df=$got")
     }
 
+  /** Stage `df`'s data files, move them into the table root, compute
+    * per-file stats in one distributed pass, and return the composed
+    * `add` action lines (nothing is committed yet — the caller owns the
+    * log line set and the publish). */
+  private def stageDataFiles(df: DataFrame, table: File, version: Long,
+      partitionBy: Seq[String]): Seq[String] = {
+    val spark = df.sparkSession
     // ---- stage + move the data files
     val staging = new File(table, s".stage-$version")
     if (staging.exists()) delete(staging)
@@ -150,7 +341,14 @@ object DeltaWriter {
         s""""size":${f.length()},"modificationTime":${f.lastModified()},""" +
         s""""dataChange":true,"stats":${jstr(stats)}}}"""
     }
-    val header = if (version == 0L) {
+    adds
+  }
+
+  /** Version-0 protocol + metaData lines (empty for later versions). */
+  private def header(df: DataFrame, partitionBy: Seq[String],
+      version: Long): Seq[String] =
+    if (version != 0L) Nil
+    else {
       val ntz = df.schema.exists(f => hasNtz(f.dataType))
       val protocol =
         if (ntz)
@@ -165,13 +363,16 @@ object DeltaWriter {
           s""""schemaString":${jstr(df.schema.json)},""" +
           s""""partitionColumns":$pc,"configuration":{},"createdTime":0}}"""
       Seq(protocol, meta)
-    } else Nil
+    }
 
-    // ---- atomic publish: temp file + rename; an existing version wins
+  /** Atomic publish: temp file + rename; an existing version wins. */
+  private def publish(table: File, version: Long,
+      lines: Seq[String]): Unit = {
+    val logDir = new File(table, "_delta_log")
     logDir.mkdirs()
     val tmp = new File(logDir, s".tmp-$version-${java.util.UUID.randomUUID()}")
     Files.write(tmp.toPath,
-      (header ++ adds).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val target = new File(logDir, f"$version%020d.json")
     try Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
     catch {
@@ -180,7 +381,6 @@ object DeltaWriter {
         throw new IllegalStateException(
           s"concurrent commit lost: version $version already exists", e)
     }
-    version
   }
 
   /** Types whose Spark cast-to-string form PROVABLY round-trips through

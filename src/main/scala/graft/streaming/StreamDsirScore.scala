@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object StreamDsirScore {
 
+  /** The per-row form of `Pipeline.HashedFeatureCtes`: the hashed
+    * unigram+bigram bucket array over a tokenized `ws` column — ONE
+    * spelling shared by the DSIR and domain-classifier stream scorers
+    * so the feature identity with the batch trainers cannot drift. */
+  private[streaming] def featsCol: Column = expr(
+    """concat(
+         transform(ws, w -> md5_60(w) % 4096),
+         CASE WHEN size(ws) >= 2 THEN
+           transform(sequence(1, size(ws) - 1),
+             i -> md5_60(concat_ws(' ', slice(ws, i, 2))) % 4096)
+         ELSE CAST(array() AS ARRAY<BIGINT>) END)""")
+
+  /** Per-row weight-table fold: Σ over the feature-bucket array of the
+    * looked-up weight — the shared scoring kernel (exact integers,
+    * multiplicity via per-occurrence array entries). */
+  private[streaming] def foldScore(wArr: Column): Column =
+    aggregate(col("feats"), lit(0L),
+      (acc, b) => acc + element_at(wArr, (b + lit(1)).cast("int")))
+
   /** Score a (doc_id, text) frame — batch or streaming — against a
     * trained 4096-slot weight array. Output: (doc_id, n_feat,
     * score_ppm, npt), the q146 row shape. */
@@ -34,18 +53,10 @@ object StreamDsirScore {
     val wArr: Column = typedLit(weights.toSeq)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("feats", expr(
-        """concat(
-             transform(ws, w -> md5_60(w) % 4096),
-             CASE WHEN size(ws) >= 2 THEN
-               transform(sequence(1, size(ws) - 1),
-                 i -> md5_60(concat_ws(' ', slice(ws, i, 2))) % 4096)
-             ELSE CAST(array() AS ARRAY<BIGINT>) END)"""))
+      .withColumn("feats", featsCol)
       .select(col("doc_id"),
         size(col("feats")).cast("long").as("n_feat"),
-        aggregate(col("feats"), lit(0L),
-          (acc, b) => acc + element_at(wArr, (b + lit(1)).cast("int")))
-          .as("score_ppm"))
+        foldScore(wArr).as("score_ppm"))
       .withColumn("npt", expr("score_ppm DIV n_feat"))
   }
 

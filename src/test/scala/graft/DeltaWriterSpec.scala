@@ -109,6 +109,110 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("replacePartitions atomically swaps one partition's content") {
+    val path = tmpTable("orders_replace")
+    val orders = Tables.t(spark, d, "orders")
+    DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+    val prio = orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).min
+    // the replacement: that partition's rows with totals zeroed
+    val repl = orders.filter(col("o_orderpriority") === prio)
+      .withColumn("o_totalprice", lit(0.0))
+    val v = DeltaWriter.replacePartitions(repl, path,
+      Map("o_orderpriority" -> Set(prio)))
+    assert(v == 1L)
+
+    val got = DeltaReader.load(spark, path)
+    // replaced partition fully swapped, every other partition untouched
+    assert(got.filter(col("o_orderpriority") === prio)
+      .agg(sum(col("o_totalprice"))).head().getDouble(0) == 0.0)
+    assert(got.filter(col("o_orderpriority") =!= prio).collect().toSet ==
+      orders.filter(col("o_orderpriority") =!= prio).collect().toSet)
+    assert(got.count() == orders.count())
+    // time travel still sees the original content
+    assert(DeltaReader.loadAt(spark, path, 0L)
+      .filter(col("o_orderpriority") === prio)
+      .agg(sum(col("o_totalprice"))).head().getDouble(0) > 0.0)
+    // rows outside the admitted partitions are refused
+    intercept[IllegalArgumentException] {
+      DeltaWriter.replacePartitions(orders, path,
+        Map("o_orderpriority" -> Set(prio)))
+    }
+  }
+
+  test("checkpoint: replay equals JSON replay, and survives JSON removal") {
+    val path = tmpTable("nation_cp")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 8), path)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 8 &&
+      col("n_nationkey") < 16), path)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 16), path)
+    val before = DeltaReader.load(spark, path).collect().toSet
+
+    assert(DeltaWriter.checkpoint(spark, path) == 2L)
+    val logDir = new File(path, "_delta_log")
+    assert(logDir.listFiles().exists(
+      _.getName == "0" * 19 + "2.checkpoint.parquet"))
+    assert(DeltaReader.load(spark, path).collect().toSet == before)
+
+    // the checkpoint alone must carry the snapshot: drop the JSON
+    // commits it covers and replay again
+    (0 to 2).foreach { v =>
+      new File(logDir, ("0" * 19 + v.toString).takeRight(20) + ".json")
+        .delete()
+    }
+    assert(DeltaReader.load(spark, path).collect().toSet == before)
+
+    // appends after a checkpoint keep working (JSON tail stitching)
+    DeltaWriter.append(nation.filter(col("n_nationkey") === 0), path)
+    assert(DeltaReader.load(spark, path).count() == before.size + 1)
+  }
+
+  test("vacuum deletes exactly the unreferenced files; reads still exact") {
+    val path = tmpTable("orders_vacuum")
+    val orders = Tables.t(spark, d, "orders")
+    DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+    val prio = orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).min
+    val repl = orders.filter(col("o_orderpriority") === prio)
+      .withColumn("o_totalprice", lit(0.0))
+    DeltaWriter.replacePartitions(repl, path,
+      Map("o_orderpriority" -> Set(prio)))
+
+    val live = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    val deleted = DeltaWriter.vacuum(spark, path)
+    // something was tombstoned, nothing live was touched
+    assert(deleted.nonEmpty)
+    assert(deleted.toSet.intersect(live).isEmpty)
+    assert(deleted.forall(_.startsWith(s"o_orderpriority=$prio")))
+    // post-vacuum reads are unchanged
+    assert(DeltaReader.load(spark, path).count() == orders.count())
+    // a second vacuum is a no-op
+    assert(DeltaWriter.vacuum(spark, path).isEmpty)
+  }
+
+  test("compact rewrites each partition into one clustered file") {
+    val path = tmpTable("orders_compact")
+    val orders = Tables.t(spark, d, "orders")
+    // two appends → ≥2 files per partition
+    DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0),
+      path, Seq("o_orderpriority"))
+    DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0),
+      path, Seq("o_orderpriority"))
+    val nPart = orders.select("o_orderpriority").distinct().count()
+    assert(DeltaReader.snapshot(spark, path).files.length > nPart)
+
+    val v = DeltaWriter.compact(spark, path, sortBy = Seq("o_orderkey"))
+    assert(v == 2L)
+    val snap = DeltaReader.snapshot(spark, path)
+    assert(snap.files.length == nPart)
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      orders.collect().toSet)
+    // clustering: each compacted file's stats carry a tight o_orderkey
+    // range — min must not exceed max, and stats exist on every file
+    assert(snap.files.forall(_.stats.exists(_.contains("o_orderkey"))))
+  }
+
   test("version-0 commit carries protocol + metaData the reader honors") {
     val path = tmpTable("nation_proto")
     val nation = Tables.t(spark, d, "nation")

@@ -162,6 +162,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming domain scoring matches the batch q160 trained margins") {
+    val (w, _) = graft.queries.Pipeline.domainTrain(spark, d)
+    val streamed = graft.streaming.StreamDomainScore
+      .runToCompletion(spark, d, w, "sdomain_test")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+
+    // every corpus document is scored exactly once, in-stream
+    assert(streamed.size == Tables.t(spark, d, "documents").count())
+
+    // batch margins through the trainer's own scoring join — every doc,
+    // bit-for-bit, plus the threshold convention
+    graft.functions.Md5Long.register(spark)
+    val c = Tables.sql(spark, d,
+      s"WITH ${graft.queries.Pipeline.HashedFeatureCtes} " +
+        "SELECT doc_id, b, c FROM c")
+    val batch = graft.queries.Pipeline.bucketScores(c, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, sc) =>
+      assert(streamed(id) == ((sc, sc > 0L)), s"doc $id diverged from batch")
+    }
+  }
+
   test("streaming z-route assigns every row the batch q154 layout bucket") {
     val B = 32
     val raw = Tables.t(spark, d, "lineitem")
