@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{AdtContext, Tables}
-import graft.sources.Fixtures
+import graft.sources.{DeltaReader, Fixtures}
 
 /** SURVEY §2.1 source coverage: CSV / NDJSON / hive-partitioned parquet /
   * direct-URL tables / Delta (log replay, removes, partition values,
@@ -289,6 +289,57 @@ object Sources {
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders
         WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Delta MAINTENANCE life cycle round trip: the fixture table
+    // has been appended twice, partition-backfilled (replacePartitions),
+    // compacted into one clustered file per partition, checkpointed,
+    // and vacuumed — five writer operations whose composed result must
+    // STILL equal the original corpus row-for-row (the oracle computes
+    // from the untouched parquet). Any loss/duplication/mistyping in
+    // remove emission, compaction rewrite, checkpoint replay, or
+    // vacuum's live-set diff breaks the hash. Grouped on o_orderstatus
+    // so the aggregate cuts across the maintenance partitioning.
+    Q("q164_delta_maintenance",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersMaintained(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE orders_maint STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT o_orderstatus, count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders_maint
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- Delta incremental CDC read: consume ONLY the second commit of
+    // the written table (versions (0..1], the odd-orderkey append) as a
+    // change feed — the incremental-ingest primitive that lets a
+    // downstream materialization or a q159-style layout router process
+    // new data without re-scanning the table. Partition columns restore
+    // typed from the adds' partitionValues (one lit().cast() projection
+    // per partition tuple in the window). Oracle = the odd half of the
+    // original corpus, so a CDC feed that leaked version-0 rows (or
+    // dropped a partition group) breaks the hash.
+    Q("q165_delta_cdc_read",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersWritten(s, d)
+        DeltaReader.loadChanges(s, dir, 0L, 1L)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 1
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -529,6 +529,74 @@ object DeltaReader {
   /** Delta paths are URL-encoded relative paths. */
   private[sources] def decodePath(p: String): String =
     java.net.URLDecoder.decode(p, "UTF-8")
+
+  /** Incremental CDC read: the rows ADDED in versions
+    * `(fromExclusive .. toInclusive]` and still live at `toInclusive` —
+    * the change feed an incremental ingest (q159's routing, a streaming
+    * backfill, a downstream materialization) consumes instead of
+    * re-scanning the table. Append-only CDC by declared contract: add
+    * actions inside the window minus files also removed inside it
+    * (update/delete feeds need deletion-vector diffing — out of scope;
+    * column-mapped tables are refused). Partition columns are restored
+    * typed from the adds' partitionValues, one `lit().cast()` projection
+    * per distinct partition-value tuple in the window — metadata-sized
+    * by construction (the window's files grouped by their partition
+    * dirs), unioned under ONE logical plan. */
+  def loadChanges(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val snap = snapshotAt(spark, tablePath, toInclusive)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "loadChanges does not support column-mapped tables")
+    val mapper = new ObjectMapper()
+    val logDir = new File(tablePath, "_delta_log")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .filter { f =>
+        val v = f.getName.take(20).toLong
+        v > fromExclusive && v <= toInclusive
+      }.sortBy(_.getName)
+    require(commits.nonEmpty || fromExclusive >= toInclusive,
+      s"no commits in ($fromExclusive, $toInclusive] at $tablePath")
+    val added = mutable.LinkedHashMap
+      .empty[String, Map[String, Option[String]]]
+    commits.foreach { f =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split('\n').filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          Option(node.get("add")).foreach { a =>
+            val pv = Option(a.get("partitionValues")).map { m =>
+              m.properties().asScala.map { e =>
+                e.getKey -> (if (e.getValue.isNull) None
+                             else Some(e.getValue.asText()))
+              }.toMap
+            }.getOrElse(Map.empty[String, Option[String]])
+            added(decodePath(a.get("path").asText())) = pv
+          }
+          Option(node.get("remove")).foreach(r =>
+            added.remove(decodePath(r.get("path").asText())))
+        }
+    }
+    val partCols = snap.partitionColumns
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => partCols.contains(f.name)))
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val byPv = added.toSeq.groupBy(_._2)
+    val parts = byPv.toSeq.map { case (pv, files) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$tablePath/${f._1}"): _*)
+      partCols.foldLeft(base) { (df, c) =>
+        val dt = snap.schema(c).dataType
+        df.withColumn(c, pv.get(c).flatten match {
+          case Some(v) => lit(v).cast(dt)
+          case None => lit(null).cast(dt)
+        })
+      }
+    }
+    parts.reduce(_ unionByName _)
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 }
 
 /** Snapshot-backed [[FileIndex]]: the delta log IS the file listing, so

@@ -462,4 +462,30 @@ object Fixtures {
       DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0),
         dir.getAbsolutePath, Seq("o_orderpriority"))
     }
+
+  /** A Delta table that has lived the FULL maintenance life cycle on
+    * graft's own writer: two appends, a partition backfill
+    * (replacePartitions), an OPTIMIZE-style compaction clustered on
+    * o_orderkey, a checkpoint, and a vacuum — final content must equal
+    * the orders corpus exactly (q164 proves it against the original
+    * rows; every op's atomic-commit semantics are pinned in
+    * DeltaWriterSpec). */
+  def deltaOrdersMaintained(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_maintained") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0),
+        path, Seq("o_orderpriority"))
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0),
+        path, Seq("o_orderpriority"))
+      val prio = orders.agg(org.apache.spark.sql.functions.min(
+        col("o_orderpriority"))).head().getString(0)
+      DeltaWriter.replacePartitions(
+        orders.filter(col("o_orderpriority") === prio), path,
+        Map("o_orderpriority" -> Set(prio)))
+      DeltaWriter.compact(s, path, sortBy = Seq("o_orderkey"))
+      DeltaWriter.checkpoint(s, path)
+      DeltaWriter.vacuum(s, path)
+      ()
+    }
 }

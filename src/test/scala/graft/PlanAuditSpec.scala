@@ -438,6 +438,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "global top-20 regressed to a sort")
   }
 
+  test("q160: the classifier weight dim broadcasts in the scoring join") {
+    // every training round scores through this exact kernel — a 4096-row
+    // weight dim regressing to a shuffle join would shuffle the corpus
+    // feature frame R times at 100 TB
+    graft.functions.Md5Long.register(spark)
+    val c = Tables.sql(spark, d,
+      s"WITH ${graft.queries.Pipeline.HashedFeatureCtes} " +
+        "SELECT doc_id, b, c FROM c")
+    val p = graft.queries.Pipeline.bucketScores(c, Array.fill(4096)(0L))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), "weight dim must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q162: PageRank's top-20 is TakeOrdered; plan size is round-independent") {
+    val p = plan("q162_pagerank_centrality")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 regressed to a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // per-round localCheckpoint truncation: a fixed exchange bound
+    // can't pin this (the cached degree dim prints its whole upstream
+    // dhash pipeline inside its InMemoryRelation), so pin the property
+    // that MATTERS — the plan must not grow with the round count
+    val edges = graft.queries.TextOps.dhashEdges(spark, d)
+    def exchanges(n: Int): Int = "Exchange".r.findAllIn(
+      graft.operators.PageRank.rounds(edges, n)
+        .queryExecution.explainString(FormattedMode)).size
+    assert(exchanges(3) == exchanges(1),
+      "per-round lineage truncation regressed — plan accumulates with rounds")
+  }
+
   test("q147: the perceptual dedup map bounds its lineage like q89") {
     val p = plan("q147_dhash_keep")
     assert(!p.contains("LocalTableScan"), "q147 has a driver-built table")
