@@ -39,6 +39,8 @@ object Bench {
       Fixtures.deltaNationCheckpoint(spark, sfDir)
       Fixtures.nationArrow(spark, sfDir)
       Fixtures.ordersOrc(spark, sfDir)
+      Fixtures.deltaOrdersWritten(spark, sfDir)
+      Fixtures.deltaOrdersMaintained(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}")
     }

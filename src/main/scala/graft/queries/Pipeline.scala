@@ -147,10 +147,28 @@ object Pipeline {
   private[graft] def domainTrain(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (Array[Long], Seq[(Int, Long, Long, Long)]) = {
+    val (w, stats, c) = domainTrainKeepFeatures(s, d)
+    c.unpersist()
+    (w, stats)
+  }
+
+  /** [[domainTrain]] variant that RETURNS the still-cached feature
+    * frame so the apply pass (q161) scores without re-running the
+    * tokenize+hash pass — the caller (or the harness's clearCache)
+    * owns the unpersist. The frame is hash-partitioned on doc_id ONCE
+    * before caching: every round's gradient join (on doc_id) and
+    * per-doc margin aggregate then REUSE that partitioning instead of
+    * re-exchanging the corpus-sized frame per round — only the
+    * doc-id-sized error frame moves. */
+  private[graft] def domainTrainKeepFeatures(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (Array[Long], Seq[(Int, Long, Long, Long)],
+         org.apache.spark.sql.DataFrame) = {
     graft.functions.Md5Long.register(s)
     import s.implicits._
     val c = Tables.sql(s, d,
-      s"WITH $HashedFeatureCtes SELECT doc_id, b, c FROM c").cache()
+      s"WITH $HashedFeatureCtes SELECT doc_id, b, c FROM c")
+      .repartition($"doc_id").cache()
     val tgt = Tables.t(s, d, "documents").count() / 10
     val w = Array.fill(4096)(0L)
     val stats = scala.collection.mutable.ListBuffer
@@ -173,8 +191,7 @@ object Pipeline {
       grad.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
       stats += ((r, nErr, w.count(_ != 0L).toLong, w.map(math.abs).sum))
     }
-    c.unpersist()
-    (w, stats.toSeq)
+    (w, stats.toSeq, c)
   }
 
   /** Exact-integer linear scores `(doc_id, sc)` of a
@@ -1068,9 +1085,9 @@ object Pipeline {
     Q("q161_domain_apply",
       (s, d) => {
         import s.implicits._
-        val (w, _) = domainTrain(s, d)
-        val c = Tables.sql(s, d,
-          s"WITH $HashedFeatureCtes SELECT doc_id, b, c FROM c")
+        // reuse the trainer's cached, doc_id-partitioned feature frame —
+        // the harness's clearCache drops it after the query materializes
+        val (w, _, c) = domainTrainKeepFeatures(s, d)
         val tgt = Tables.t(s, d, "documents").count() / 10
         bucketScores(c, w)
           .join(Tables.t(s, d, "documents").select($"doc_id", $"source"),

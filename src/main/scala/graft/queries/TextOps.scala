@@ -400,6 +400,68 @@ object TextOps {
                sym, n_occ
         FROM ag ORDER BY tok_id""")),
 
+    // ---- Tokenizer compression EVAL (the metric a tokenizer-training
+    // run actually reports — bytes/token and tokens/word, per source):
+    // encode the corpus with the q148-trained segmentation (the q151
+    // broadcast-vocab join) and aggregate the compression ratios per
+    // source in exact integer ppm. chars == bytes on this corpus
+    // (single-byte charset, the declared q143 convention), so
+    // chars_per_token_ppm IS the bytes-per-token figure tokenizer
+    // papers quote; a source whose ratio lags the corpus is the one a
+    // curation pass flags for vocab mismatch. Shapes: the vocab is
+    // Heaps-bounded metadata (broadcast); one corpus explode + join +
+    // two map-side-combined aggregates — linear, no all-pairs.
+    Q("q166_bpe_compression",
+      (s, d) => {
+        import s.implicits._
+        val vocab = bpeTrain(s, d)._2
+          .select($"w", size(split(
+            expr("substring(seg, 2, length(seg) - 2)"), "~~"))
+            .cast("long").as("n_sym"))
+        val perDoc = Tables.t(s, d, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .where(length($"w") > 0)
+          .join(broadcast(vocab), "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).cast("long").as("nw"), sum($"n_sym").as("nb"))
+        Tables.t(s, d, "documents")
+          .select($"doc_id", $"source", length($"text").cast("long").as("nc"))
+          .join(perDoc, "doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"nw").as("n_words"), sum($"nb").as("n_bpe"),
+            sum($"nc").as("n_chars"))
+          .withColumn("chars_per_token_ppm",
+            expr("n_chars * 1000000L DIV n_bpe"))
+          .withColumn("tokens_per_word_ppm",
+            expr("n_bpe * 1000000L DIV n_words"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        WITH $duckBpeCtes,
+        vocab AS (
+          SELECT w, CAST(len(string_split(substr(seg, 2, length(seg)-2),
+                                          '~~')) AS BIGINT) AS n_sym
+          FROM w$BpeRounds),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        pd AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nw,
+            CAST(sum(v.n_sym) AS BIGINT) AS nb
+          FROM tok t JOIN vocab v ON t.w = v.w
+          WHERE length(t.w) > 0 GROUP BY t.doc_id)
+        SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(pd.nw) AS BIGINT) AS n_words,
+          CAST(sum(pd.nb) AS BIGINT) AS n_bpe,
+          CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+          CAST(sum(length(d.text)) AS BIGINT) * 1000000
+            // CAST(sum(pd.nb) AS BIGINT) AS chars_per_token_ppm,
+          CAST(sum(pd.nb) AS BIGINT) * 1000000
+            // CAST(sum(pd.nw) AS BIGINT) AS tokens_per_word_ppm
+        FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+        GROUP BY d.source ORDER BY d.source""")),
+
     // ---- Feature hashing (the hashing-trick vectorizer): token → one of
     // 64 buckets via the portable 60-bit md5 hash, per-doc bucket counts
     // as a sparse vector. No vocabulary state at all — the property that

@@ -98,6 +98,30 @@ class GoldenExecSpec extends AnyFunSuite {
       && !outputs(4).contains("NATION_25"))
   }
 
+  test("golden7.sql: a writer-maintained delta table through execute") {
+    val url = getClass.getResource("/queries/golden7.sql")
+    assert(url != null, "golden7.sql resource missing")
+    val spark = SparkTestSession.spark
+    val dir = graft.sources.Fixtures
+      .deltaOrdersMaintained(spark, SparkTestSession.sfDir)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_MAINT}", dir))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 3) // 1 DDL + 2 queries (last without ';')
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(0) == "++\n++")
+    // full corpus survived the maintenance life cycle
+    val orders = Tables.t(spark, SparkTestSession.sfDir, "orders")
+    assert(outputs(1).contains(s"| ${orders.count()}"))
+    val statuses = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    statuses.foreach { case (st, n) =>
+      assert(outputs(2).contains(st) && outputs(2).contains(s"| $n"))
+    }
+  }
+
   test("golden5.sql: the sampled ANN trainer (q114-shaped SQL) through execute") {
     val url = getClass.getResource("/queries/golden5.sql")
     assert(url != null, "golden5.sql resource missing")
