@@ -23,7 +23,12 @@ object StreamDedup {
     StructField("text", StringType),
     StructField("lang", StringType)))
 
-  /** Streaming source over a directory of document parquet files. */
+  /** Streaming source over a directory of document parquet files. The
+    * DIRECTORY is the contract: every parquet file in it is read as
+    * documents (no glob filter — the watermark fixtures name their
+    * parts freely); for a mixed-table directory like a raw sf corpus,
+    * build the source with `pathGlobFilter` instead (the
+    * StreamDsirScore/StreamDeltaIngest pattern). */
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(schema)

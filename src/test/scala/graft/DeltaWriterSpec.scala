@@ -97,6 +97,22 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(df.filter(col("n_nationkey") === 3L).count() == 1L)
   }
 
+  test("loadChanges over successive windows partitions the table") {
+    val path = tmpTable("nation_cdc")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path)
+
+    val w0 = DeltaReader.loadChanges(spark, path, -1L, 0L).collect().toSet
+    val w1 = DeltaReader.loadChanges(spark, path, 0L, 1L).collect().toSet
+    // disjoint windows, and together exactly the table
+    assert(w0.intersect(w1).isEmpty)
+    assert(w0.union(w1) == nation.collect().toSet)
+    // the full-range feed equals the table too
+    assert(DeltaReader.loadChanges(spark, path, -1L, 1L).collect().toSet ==
+      w0.union(w1))
+  }
+
   test("commit guards: schema drift and partitioning drift are refused") {
     val path = tmpTable("nation_guard")
     val nation = Tables.t(spark, d, "nation")

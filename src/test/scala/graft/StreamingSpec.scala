@@ -162,6 +162,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming delta ingest lands micro-batches as atomic writer commits") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_delta_ingest")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val source = spark.readStream
+      .schema(graft.streaming.StreamDedup.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d)
+    val commits = graft.streaming.StreamDeltaIngest.runToCompletion(
+      spark, source, dir.getAbsolutePath)
+    assert(commits >= 1L)
+
+    // the landed table replays to exactly the source rows
+    val snap = graft.sources.DeltaReader.snapshot(spark, dir.getAbsolutePath)
+    assert(snap.version == commits - 1)
+    val got = graft.sources.DeltaReader.load(spark, dir.getAbsolutePath)
+      .selectExpr("doc_id", "text", "lang").collect().toSet
+    val want = Tables.t(spark, d, "documents")
+      .selectExpr("doc_id", "text", "lang").collect().toSet
+    assert(got == want)
+    // stream-landed files carry writer stats like batch-written ones
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.stats.exists(_.contains("\"numRecords\""))))
+    // and the CDC feed over the committed range is the whole ingest
+    val cdc = graft.sources.DeltaReader
+      .loadChanges(spark, dir.getAbsolutePath, -1L, snap.version)
+      .count()
+    assert(cdc == want.size.toLong)
+  }
+
   test("streaming domain scoring matches the batch q160 trained margins") {
     val (w, _) = graft.queries.Pipeline.domainTrain(spark, d)
     val streamed = graft.streaming.StreamDomainScore
