@@ -103,6 +103,26 @@ object DeltaWriter {
     version
   }
 
+  /** Full-table overwrite in ONE atomic commit: removes every live file
+    * and adds the staged replacement — the "refresh this
+    * materialization" verb (IncrementalAgg's publish step). Readers see
+    * the old or the new table, never a mix; old files remain for time
+    * travel until [[vacuum]]. Creates the table when absent. */
+  def overwrite(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val table = new File(tablePath)
+    val version = nextVersion(table)
+    validateAgainstTable(df, tablePath, partitionBy, version)
+    val removes =
+      if (version == 0L) Nil
+      else DeltaReader.snapshot(df.sparkSession, tablePath).files.map(a =>
+        s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+          s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    val adds = stageDataFiles(df, table, version, partitionBy)
+    publish(table, version, header(df, partitionBy, version) ++ removes ++ adds)
+    version
+  }
+
   /** Write a classic single-part checkpoint parquet for the CURRENT
     * version plus `_last_checkpoint`, so log replay of a long-lived
     * table starts from one parquet scan instead of replaying every JSON
