@@ -530,6 +530,43 @@ object DeltaReader {
   private[sources] def decodePath(p: String): String =
     java.net.URLDecoder.decode(p, "UTF-8")
 
+  /** Latest `txn` version recorded for `appId` — the exactly-once
+    * producer ledger ([[DeltaWriter.appendOnce]]'s check): max over the
+    * JSON commits' txn actions plus any checkpoint parquet's carried
+    * txn rows (this engine's checkpoint writer carries them verbatim,
+    * so the ledger survives log cleanup). None when the app has no
+    * record (including a not-yet-created table). */
+  def lastTxnVersion(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] = {
+    val logDir = new File(tablePath, "_delta_log")
+    val files = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+    val mapper = new ObjectMapper()
+    var best: Option[Long] = None
+    def consider(v: Long): Unit =
+      if (best.forall(_ < v)) best = Some(v)
+    files.filter(_.getName.matches("\\d{20}\\.json")).foreach { f =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split('\n').filter(_.contains("\"txn\""))
+        .foreach { l =>
+          Option(mapper.readTree(l).get("txn")).foreach { t =>
+            if (t.get("appId").asText() == appId)
+              consider(t.get("version").asLong())
+          }
+        }
+    }
+    files.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .foreach { f =>
+        val df = spark.read.parquet(f.getAbsolutePath)
+        if (df.columns.contains("txn"))
+          df.select(col("txn.appId"), col("txn.version")).collect()
+            .foreach { r =>
+              if (!r.isNullAt(0) && r.getString(0) == appId && !r.isNullAt(1))
+                consider(r.getLong(1))
+            }
+      }
+    best
+  }
+
   /** Incremental CDC read: the rows ADDED in versions
     * `(fromExclusive .. toInclusive]` and still live at `toInclusive` —
     * the change feed an incremental ingest (q159's routing, a streaming

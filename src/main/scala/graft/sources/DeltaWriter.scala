@@ -48,16 +48,42 @@ object DeltaWriter {
 
   /** Append `df` to the Delta table at `tablePath`, creating it (with
     * protocol + metaData) when no log exists. Returns the committed
-    * version. */
+    * version. `txn` stamps the commit with the delta spec's transaction
+    * identifier action `{"txn":{"appId":…,"version":…}}` — the
+    * exactly-once ledger an idempotent producer ([[appendOnce]], the
+    * streaming sink) checks before re-committing. */
   def append(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val table = new File(tablePath)
     val version = nextVersion(table)
     validateAgainstTable(df, tablePath, partitionBy, version)
     val adds = stageDataFiles(df, table, version, partitionBy)
-    publish(table, version, header(df, partitionBy, version) ++ adds)
+    val txnLine = txn.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v}}"""
+    }.toSeq
+    publish(table, version,
+      header(df, partitionBy, version) ++ txnLine ++ adds)
     version
   }
+
+  /** Idempotent append: commit `df` stamped with `(appId, txnVersion)`
+    * UNLESS the table has already recorded a txn for `appId` at or past
+    * `txnVersion` — then no-op and return None. This is what makes a
+    * redelivered micro-batch (foreachBatch is at-least-once across a
+    * crash between commit and checkpoint) converge to exactly-once:
+    * the batchId is the txn version, and the table itself is the
+    * ledger. Single-writer-per-appId assumption (the check and the
+    * commit are not one atomic step across CONCURRENT same-appId
+    * writers — exactly the constraint streaming sinks already run
+    * under: one query instance per checkpoint location). */
+  def appendOnce(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String], appId: String,
+      txnVersion: Long): Option[Long] =
+    if (DeltaReader.lastTxnVersion(df.sparkSession, tablePath, appId)
+        .exists(_ >= txnVersion)) None
+    else Some(append(df, tablePath, partitionBy,
+      txn = Some((appId, txnVersion))))
 
   /** Partition-level overwrite (Delta `replaceWhere` restricted to
     * partition columns — the backfill primitive: atomically swap the
@@ -127,13 +153,15 @@ object DeltaWriter {
     * version plus `_last_checkpoint`, so log replay of a long-lived
     * table starts from one parquet scan instead of replaying every JSON
     * commit (the reader's checkpoint path, exercised from the producing
-    * side). Protocol and metaData are carried over VERBATIM from the
-    * JSON commits (preserving table id/configuration — this writer
-    * always puts them in version 0); file actions are re-emitted from
-    * the replayed snapshot with `dataChange:false`. Remove tombstones
-    * are not carried (fine for readers of the latest version; a
-    * concurrent-vacuum coordination protocol is out of scope). Returns
-    * the checkpointed version. */
+    * side). Protocol, metaData, and the per-appId `txn` ledger are
+    * carried over from the surviving JSON commits (verbatim lines,
+    * preserving table id/configuration), falling back to the newest
+    * existing checkpoint for records that log cleanup already removed —
+    * so repeated checkpoint→cleanup cycles lose nothing; file actions
+    * are re-emitted from the replayed snapshot with
+    * `dataChange:false`. Remove tombstones are not carried (fine for
+    * readers of the latest version; a concurrent-vacuum coordination
+    * protocol is out of scope). Returns the checkpointed version. */
   def checkpoint(spark: org.apache.spark.sql.SparkSession,
       tablePath: String): Long = {
     import spark.implicits._
@@ -141,9 +169,38 @@ object DeltaWriter {
     val logDir = new File(table, "_delta_log")
     val version = nextVersion(table) - 1
     require(version >= 0L, s"no commits to checkpoint at $tablePath")
-    // last protocol/metaData lines verbatim from the JSON commits
+    // last protocol/metaData lines verbatim from the JSON commits, and
+    // the last txn line PER appId — the exactly-once producer ledger
+    // must survive the log cleanup a checkpoint enables
     var proto: Option[String] = None
     var meta: Option[String] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    // seed from the newest existing checkpoint FIRST (after log cleanup
+    // it may hold the ONLY surviving protocol/metaData/txn records);
+    // the JSON scan below then overrides with anything newer. Structs
+    // re-serialize through to_json — field order may shuffle vs the
+    // original line, which no replayer cares about.
+    Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .sortBy(_.getName).lastOption.foreach { f =>
+        val df = spark.read.parquet(f.getAbsolutePath)
+        def carry(field: String): Option[String] =
+          if (!df.columns.contains(field)) None
+          else df.filter(col(field).isNotNull)
+            .select(to_json(struct(col(field)))).collect()
+            .headOption.map(_.getString(0))
+        proto = carry("protocol").orElse(proto)
+        meta = carry("metaData").orElse(meta)
+        if (df.columns.contains("txn"))
+          df.select(col("txn.appId"), col("txn.version")).collect()
+            .foreach { r =>
+              if (!r.isNullAt(0) && !r.isNullAt(1))
+                txns(r.getString(0)) =
+                  s"""{"txn":{"appId":${jstr(r.getString(0))},""" +
+                    s""""version":${r.getLong(1)}}}"""
+            }
+      }
     Option(logDir.listFiles()).getOrElse(Array.empty[File])
       .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
       .foreach { f =>
@@ -151,12 +208,14 @@ object DeltaWriter {
         try src.getLines().foreach { l =>
           if (l.contains("\"protocol\"")) proto = Some(l)
           if (l.contains("\"metaData\"")) meta = Some(l)
+          if (l.contains("\"txn\""))
+            Option(jackson.readTree(l).get("txn")).foreach(t =>
+              txns(t.get("appId").asText()) = l)
         } finally src.close()
       }
     require(proto.nonEmpty && meta.nonEmpty,
-      s"protocol/metaData not found in $tablePath's JSON commits " +
-        "(checkpointing a table whose header lives only in an earlier " +
-        "checkpoint is not supported)")
+      s"protocol/metaData not found in $tablePath's JSON commits or " +
+        "its newest checkpoint — not a replayable delta log")
     val snap = DeltaReader.snapshot(spark, tablePath)
     val adds = snap.files.map { a =>
       val pvJ = a.partitionValues.map {
@@ -168,7 +227,7 @@ object DeltaWriter {
         s""""size":${a.size},"modificationTime":0,""" +
         s""""dataChange":false$statsPart}}"""
     }
-    val lines = Seq(proto.get, meta.get) ++ adds
+    val lines = Seq(proto.get, meta.get) ++ txns.values ++ adds
     // one parquet file of action rows (schema from the JSON lines, the
     // same layout the reader's checkpoint replay scans)
     val tmp = new File(table, ".cp-stage")

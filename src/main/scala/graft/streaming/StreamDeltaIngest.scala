@@ -9,37 +9,41 @@ import graft.sources.DeltaWriter
   * CDC-reads Delta tables can now LAND a stream in one, so a curation
   * pipeline's streaming stages (dedup → score → route) terminate in a
   * table every Delta reader — including this engine's — can scan with
-  * partition pruning and stats-based skipping.
+  * partition pruning and stats-based file skipping.
   *
-  * Shape: `foreachBatch` + [[DeltaWriter.append]]. Each non-empty
+  * Shape: `foreachBatch` + [[DeltaWriter.appendOnce]]. Each non-empty
   * micro-batch becomes ONE atomic versioned commit (readers never see a
   * partial batch); per-file stats are computed by the writer's one-pass
   * aggregate, so files landed by the stream skip-prune exactly like
   * batch-written ones; the downstream incremental consumer is
-  * `DeltaReader.loadChanges` over the committed version range — commit
-  * versions ARE the exactly-once ledger. Delivery semantics: Structured
-  * Streaming's foreachBatch is at-least-once on retry after a crash
-  * BETWEEN commit and checkpoint; production pairs the batchId with a
-  * txn-app-id action to make redelivery idempotent (the delta spec's
-  * `txn` action — a one-line extension of the writer's commit header,
-  * declared out of scope here and pinned as the caveat in SCALE.md).
-  */
+  * `DeltaReader.loadChanges` over the committed version range.
+  *
+  * Delivery semantics: EXACTLY-ONCE. foreachBatch is at-least-once on
+  * retry after a crash between commit and checkpoint, so every commit
+  * carries the delta spec's `txn` action keyed (appId, batchId) and
+  * [[DeltaWriter.appendOnce]] consults the table's own ledger before
+  * committing — a redelivered batch no-ops (DeltaWriterSpec pins the
+  * redelivery path; the ledger survives log cleanup because the
+  * checkpoint writer carries txn actions forward). Single writer per
+  * appId, the constraint a streaming query already runs under (one
+  * instance per checkpoint location). */
 object StreamDeltaIngest {
 
-  /** Attach the Delta sink to a streaming frame: every micro-batch
-    * appends one commit to `tablePath` (empty batches are skipped — no
-    * empty commits). Returns the started query's awaitable handle via
-    * the caller's own writeStream — here we run to completion over a
-    * finite source and return the committed version count. */
+  /** Attach the Delta sink to a streaming frame: every non-empty
+    * micro-batch appends one txn-stamped commit to `tablePath`
+    * (redelivered batchIds no-op). Runs the finite source to
+    * completion and returns the number of commits actually
+    * published. */
   def runToCompletion(spark: SparkSession, source: DataFrame,
-      tablePath: String, partitionBy: Seq[String] = Nil): Long = {
+      tablePath: String, partitionBy: Seq[String] = Nil,
+      appId: String = "graft-stream-ingest"): Long = {
     var commits = 0L
     val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          DeltaWriter.append(batch, tablePath, partitionBy)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty &&
+          DeltaWriter.appendOnce(batch, tablePath, partitionBy,
+            appId, batchId).nonEmpty)
           commits += 1
-        }
       }
       .start()
     try q.processAllAvailable()

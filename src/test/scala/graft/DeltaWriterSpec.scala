@@ -97,6 +97,41 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(df.filter(col("n_nationkey") === 3L).count() == 1L)
   }
 
+  test("appendOnce: a redelivered (appId, version) no-ops; the ledger survives checkpoints") {
+    val path = tmpTable("nation_txn")
+    val nation = Tables.t(spark, d, "nation")
+    val half = nation.filter(col("n_nationkey") < 12)
+
+    assert(DeltaWriter.appendOnce(half, path, Nil, "app-a", 0L).contains(0L))
+    // redelivery of the same batch: no commit, no duplicated rows
+    assert(DeltaWriter.appendOnce(half, path, Nil, "app-a", 0L).isEmpty)
+    assert(DeltaReader.load(spark, path).count() == half.count())
+    // an OLDER version is also refused (ledger is monotone)
+    assert(DeltaWriter.appendOnce(half, path, Nil, "app-a", -1L).isEmpty)
+    // a different app's ledger is independent
+    assert(DeltaWriter
+      .appendOnce(nation.filter(col("n_nationkey") >= 12), path, Nil,
+        "app-b", 0L).contains(1L))
+    assert(DeltaReader.load(spark, path).count() == nation.count())
+
+    // the ledger survives a checkpoint + log cleanup
+    DeltaWriter.checkpoint(spark, path)
+    val logDir = new File(path, "_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaReader.lastTxnVersion(spark, path, "app-a").contains(0L))
+    assert(DeltaWriter.appendOnce(half, path, Nil, "app-a", 0L).isEmpty)
+    // and a NEW batch still commits
+    assert(DeltaWriter.appendOnce(
+      nation.filter(col("n_nationkey") === 0), path, Nil, "app-a", 1L).nonEmpty)
+    assert(DeltaReader.load(spark, path).count() == nation.count() + 1)
+
+    // a SECOND checkpoint re-carries the ledger it can only find in the
+    // first checkpoint (app-b's txn lives in no surviving JSON commit)
+    DeltaWriter.checkpoint(spark, path)
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaReader.lastTxnVersion(spark, path, "app-b").contains(0L))
+  }
+
   test("loadChanges over successive windows partitions the table") {
     val path = tmpTable("nation_cdc")
     val nation = Tables.t(spark, d, "nation")
