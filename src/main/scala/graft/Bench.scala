@@ -41,6 +41,7 @@ object Bench {
       Fixtures.ordersOrc(spark, sfDir)
       Fixtures.deltaOrdersWritten(spark, sfDir)
       Fixtures.deltaOrdersMaintained(spark, sfDir)
+      Fixtures.deltaOrdersIvm(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}")
     }

@@ -340,6 +340,27 @@ object Sources {
         SELECT o_orderpriority, count(*) AS n,
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders WHERE o_orderkey % 2 = 1
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Incremental aggregate maintenance under the oracle: the
+    // fixture ran commit → refresh → commit → refresh, so the second
+    // refresh folded ONLY the second commit's rows (the CDC feed) into
+    // the materialization — and the final materialized rows must equal
+    // the oracle's full aggregate over the original corpus exactly.
+    // Any error in the CDC window, the partial-aggregate merge, or the
+    // atomic overwrite publish breaks the hash. Reading the mv is a
+    // metadata-sized delta scan (one tiny file).
+    Q("q167_incremental_agg",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIvm(s, d)
+        DeltaReader.load(s, s"$dir/mv")
+          .selectExpr("key AS o_orderpriority", "n", "total AS cents")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -488,4 +488,26 @@ object Fixtures {
       DeltaWriter.vacuum(s, path)
       ()
     }
+
+  /** An incrementally-maintained COUNT/SUM materialization exercised
+    * the way production runs it: base commit → refresh → base commit →
+    * refresh, so the SECOND refresh genuinely reads only the second
+    * commit's rows through the CDC feed (q167 proves the final
+    * materialization equals the full aggregate computed by the
+    * oracle). Layout: `<dir>/base` is the two-commit base table,
+    * `<dir>/mv` the materialization. */
+  def deltaOrdersIvm(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_ivm") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val base = new File(dir, "base").getAbsolutePath
+      val mv = new File(dir, "mv").getAbsolutePath
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0), base)
+      graft.operators.IncrementalAgg.refresh(
+        s, base, mv, "o_orderpriority", cents)
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0), base)
+      graft.operators.IncrementalAgg.refresh(
+        s, base, mv, "o_orderpriority", cents)
+      ()
+    }
 }
