@@ -37,6 +37,22 @@ class IncrementalAggSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("key") ->
         ((r.getAs[Long]("n"), r.getAs[Long]("total")))).toMap
 
+  test("composes with streaming ingest: stream → base, refresh → mv == batch agg") {
+    val base = tmp("stream_base"); val mv = tmp("stream_mv")
+    val source = spark.readStream
+      .schema(graft.streaming.StreamDedup.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d)
+    graft.streaming.StreamDeltaIngest.runToCompletion(spark, source, base)
+    IncrementalAgg.refresh(spark, base, mv, "lang", "1L")
+    val got = DeltaReader.load(spark, mv)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    val want = Tables.t(spark, d, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("incremental refresh equals full recompute after every base commit") {
     val base = tmp("base"); val mv = tmp("mv")
     val orders = Tables.t(spark, d, "orders")
