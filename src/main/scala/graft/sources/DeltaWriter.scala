@@ -85,6 +85,56 @@ object DeltaWriter {
     else Some(append(df, tablePath, partitionBy,
       txn = Some((appId, txnVersion))))
 
+  /** EXPLICIT additive schema evolution — the metaData commit the
+    * append path's unchanged-schema guard points to. The new schema
+    * must carry every existing column with its type unchanged; new
+    * columns must be nullable (old files null-fill on read — the
+    * later-metaData-wins replay semantics DeltaSpec pins on the reader
+    * side). Column drops/renames/retypes are refused: they change the
+    * meaning of already-written files and need a rewrite, not a
+    * metadata edit. The commit patches ONLY `schemaString` inside the
+    * table's last metaData action (table id, partitioning and
+    * configuration ride through verbatim), so evolution never forks
+    * table identity. Subsequent appends must carry the full new
+    * schema. */
+  def evolveSchema(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, newSchema: StructType): Long = {
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    val old = snap.schema
+    val badOld = old.fields.filterNot(f =>
+      newSchema.find(_.name == f.name).exists(_.dataType == f.dataType))
+    require(badOld.isEmpty,
+      s"schema evolution is additive-only; missing/retyped columns: " +
+        badOld.map(_.name).mkString(", "))
+    val added = newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
+    require(added.forall(_.nullable),
+      s"new columns must be nullable (old files null-fill): " +
+        added.filterNot(_.nullable).map(_.name).mkString(", "))
+    // patch schemaString inside the last metaData line, verbatim
+    // otherwise (id/partitionColumns/configuration preserved)
+    val logDir = new File(table, "_delta_log")
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    var metaLine: Option[String] = None
+    Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().foreach(l =>
+          if (l.contains("\"metaData\"")) metaLine = Some(l))
+        finally src.close()
+      }
+    require(metaLine.nonEmpty,
+      s"no metaData action found in $tablePath's JSON commits")
+    val root = jackson.readTree(metaLine.get)
+    root.get("metaData")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("schemaString", newSchema.json)
+    val version = nextVersion(table)
+    publish(table, version, Seq(jackson.writeValueAsString(root)))
+    version
+  }
+
   /** Partition-level overwrite (Delta `replaceWhere` restricted to
     * partition columns — the backfill primitive: atomically swap the
     * admitted partitions' contents for `df`'s rows). Emits `remove`

@@ -264,6 +264,43 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(snap.files.forall(_.stats.exists(_.contains("o_orderkey"))))
   }
 
+  test("explicit schema evolution: additive metaData commit, old files null-fill") {
+    val path = tmpTable("nation_evolve")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 12), path)
+
+    // non-additive evolutions are refused
+    import org.apache.spark.sql.types._
+    intercept[IllegalArgumentException] {
+      DeltaWriter.evolveSchema(spark, path,
+        StructType(nation.schema.fields.drop(1))) // drops a column
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.evolveSchema(spark, path, StructType(
+        nation.schema.fields :+ StructField("note", StringType, nullable = false)))
+    }
+
+    val evolved = StructType(
+      nation.schema.fields :+ StructField("note", StringType, nullable = true))
+    DeltaWriter.evolveSchema(spark, path, evolved)
+
+    // appends with the OLD schema are now refused; the NEW schema lands
+    intercept[IllegalArgumentException] {
+      DeltaWriter.append(nation.filter(col("n_nationkey") >= 12), path)
+    }
+    DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 12)
+        .withColumn("note", concat(lit("n"), col("n_nationkey"))), path)
+
+    val got = DeltaReader.load(spark, path)
+    assert(got.schema.fieldNames.contains("note"))
+    assert(got.count() == nation.count())
+    // old files null-fill the evolved column; new files carry it
+    assert(got.filter(col("n_nationkey") < 12 && col("note").isNull).count() == 12)
+    assert(got.filter(col("n_nationkey") >= 12 && col("note").isNotNull).count() ==
+      nation.count() - 12)
+  }
+
   test("version-0 commit carries protocol + metaData the reader honors") {
     val path = tmpTable("nation_proto")
     val nation = Tables.t(spark, d, "nation")
