@@ -124,8 +124,21 @@ object DeltaWriter {
           if (l.contains("\"metaData\"")) metaLine = Some(l))
         finally src.close()
       }
+    // after log cleanup the only metaData record may live in the newest
+    // checkpoint — same fallback [[checkpoint]] uses
+    if (metaLine.isEmpty)
+      Option(logDir.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+        .sortBy(_.getName).lastOption.foreach { f =>
+          val df = spark.read.parquet(f.getAbsolutePath)
+          if (df.columns.contains("metaData"))
+            metaLine = df.filter(col("metaData").isNotNull)
+              .select(to_json(struct(col("metaData")))).collect()
+              .headOption.map(_.getString(0))
+        }
     require(metaLine.nonEmpty,
-      s"no metaData action found in $tablePath's JSON commits")
+      s"no metaData action found in $tablePath's JSON commits or " +
+        "its newest checkpoint")
     val root = jackson.readTree(metaLine.get)
     root.get("metaData")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]

@@ -299,6 +299,16 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(got.filter(col("n_nationkey") < 12 && col("note").isNull).count() == 12)
     assert(got.filter(col("n_nationkey") >= 12 && col("note").isNotNull).count() ==
       nation.count() - 12)
+
+    // evolution still works when the metaData record survives only in a
+    // checkpoint (post-log-cleanup) — the same fallback checkpoint() uses
+    DeltaWriter.checkpoint(spark, path)
+    new File(path, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(_.delete())
+    val evolved2 = StructType(
+      evolved.fields :+ StructField("note2", StringType, nullable = true))
+    DeltaWriter.evolveSchema(spark, path, evolved2)
+    assert(DeltaReader.snapshot(spark, path).schema == evolved2)
   }
 
   test("version-0 commit carries protocol + metaData the reader honors") {
