@@ -310,15 +310,34 @@ object DeltaWriter {
   /** Delete every data file under the table root that the LATEST
     * snapshot does not reference (the tombstoned leftovers of
     * [[replacePartitions]]/[[compact]] and any orphaned files of a lost
-    * commit race). Returns the deleted relative paths. By design this
-    * breaks time travel to pre-vacuum versions; production vacuum adds
-    * a retention window (tombstone age) before deletion — a timestamp
-    * policy, not a different file walk. */
+    * commit race) and whose tombstone — or, for an orphan with no
+    * tombstone, the file itself — is older than `retainMs` (the
+    * production retention window: a concurrent reader of a pre-vacuum
+    * snapshot keeps its files until the window passes; `retainMs = 0`,
+    * the default, is the test-determinism mode that sweeps
+    * immediately). Returns the deleted relative paths. By design this
+    * breaks time travel to versions older than the window. */
   def vacuum(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String): Seq[String] = {
+      tablePath: String, retainMs: Long = 0L): Seq[String] = {
     val table = new File(tablePath)
     val live = DeltaReader.snapshot(spark, tablePath).files
       .map(_.path).toSet
+    // tombstone timestamps from the surviving JSON commits (an orphan
+    // from a lost commit race has none — its mtime stands in)
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tombstoned = scala.collection.mutable.Map.empty[String, Long]
+    Option(new File(table, "_delta_log").listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json")).foreach { f =>
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .split('\n').filter(_.contains("\"remove\"")).foreach { l =>
+            Option(jackson.readTree(l).get("remove")).foreach { r =>
+              tombstoned(DeltaReader.decodePath(r.get("path").asText())) =
+                Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)
+            }
+          }
+      }
+    val horizon = System.currentTimeMillis() - retainMs
     def walk(f: File, rel: String): Seq[(File, String)] =
       if (f.getName == "_delta_log" || f.getName.startsWith(".")) Nil
       else if (f.isDirectory)
@@ -326,7 +345,11 @@ object DeltaWriter {
           .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
       else if (f.getName.endsWith(".parquet")) Seq(f -> rel)
       else Nil
-    val dead = walk(table, "").filterNot { case (_, rel) => live.contains(rel) }
+    val dead = walk(table, "")
+      .filterNot { case (_, rel) => live.contains(rel) }
+      .filter { case (f, rel) =>
+        tombstoned.get(rel).getOrElse(f.lastModified()) <= horizon
+      }
     dead.foreach { case (f, _) =>
       f.delete()
       // drop now-empty partition dirs up to (not including) the root

@@ -242,6 +242,26 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaWriter.vacuum(spark, path).isEmpty)
   }
 
+  test("vacuum retention window keeps fresh tombstones, then releases them") {
+    val path = tmpTable("orders_vacuum_retain")
+    val orders = Tables.t(spark, d, "orders")
+    DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+    val prio = orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).min
+    DeltaWriter.replacePartitions(
+      orders.filter(col("o_orderpriority") === prio)
+        .withColumn("o_totalprice", lit(0.0)),
+      path, Map("o_orderpriority" -> Set(prio)))
+
+    // tombstones are seconds old — a 1 h retention keeps every file,
+    // so time travel to v0 still works
+    assert(DeltaWriter.vacuum(spark, path, retainMs = 3600L * 1000).isEmpty)
+    assert(DeltaReader.loadAt(spark, path, 0L).count() == orders.count())
+    // past the window (retention 0) the tombstoned files go
+    assert(DeltaWriter.vacuum(spark, path).nonEmpty)
+    assert(DeltaReader.load(spark, path).count() == orders.count())
+  }
+
   test("compact rewrites each partition into one clustered file") {
     val path = tmpTable("orders_compact")
     val orders = Tables.t(spark, d, "orders")

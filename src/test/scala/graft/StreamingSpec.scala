@@ -196,6 +196,20 @@ class StreamingSpec extends AnyFunSuite {
       .loadChanges(spark, dir.getAbsolutePath, -1L, snap.version)
       .count()
     assert(cdc == want.size.toLong)
+
+    // exactly-once through the ACTUAL foreachBatch path: a fresh query
+    // over the same source replays the same batchIds — every one must
+    // no-op against the table's txn ledger, leaving the table unchanged
+    val source2 = spark.readStream
+      .schema(graft.streaming.StreamDedup.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d)
+    val commits2 = graft.streaming.StreamDeltaIngest.runToCompletion(
+      spark, source2, dir.getAbsolutePath)
+    assert(commits2 == 0L, "redelivered batches must no-op")
+    assert(graft.sources.DeltaReader.load(spark, dir.getAbsolutePath)
+      .count() == want.size.toLong)
   }
 
   test("streaming domain scoring matches the batch q160 trained margins") {
