@@ -361,6 +361,83 @@ object Sources {
         SELECT o_orderpriority, count(*) AS n,
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Delta MERGE (upsert): the fixture's base holds orders with
+    // o_orderkey % 3 != 0; the merge source is every even-key order at
+    // doubled o_totalprice, keyed on o_orderkey. Matched rows were
+    // replaced, unmatched source rows inserted, untouched files carried
+    // forward — so the final table is exactly (even keys at 2×) ∪ (odd
+    // non-div-3 keys at 1×), which the oracle recomputes from the
+    // original corpus. Any row lost/duplicated by the touched-file
+    // discovery, the survivor anti-join, or the remove+add commit
+    // breaks the hash. (o_totalprice*2 is an exact power-of-two double
+    // scaling — bit-identical in both engines.)
+    Q("q168_delta_merge",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersMerged(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM (
+          SELECT o_orderpriority, o_totalprice * 2 AS o_totalprice
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+        ) GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Delta DELETE WHERE: copy-on-write removal of every 5th 'F'
+    // order; survivors must equal the oracle's negated-predicate filter
+    // over the original corpus (three-valued logic is irrelevant here —
+    // the corpus is null-free — but pinned in DeltaWriterSpec). Files
+    // whose stats exclude the predicate were never rewritten.
+    Q("q169_delta_delete",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersDeleted(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- Delta UPDATE … SET … WHERE: copy-on-write halving of every
+    // 'P' order's o_totalprice (exact power-of-two double scaling —
+    // bit-identical across engines); non-matching rows in touched
+    // files must pass through BIT-IDENTICAL, which the oracle's CASE
+    // recomposition checks hash-exactly. Files whose stats exclude
+    // the predicate were never rewritten.
+    Q("q170_delta_update",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersUpdated(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(round(
+            (CASE WHEN o_orderstatus = 'P' THEN o_totalprice / 2
+                  ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

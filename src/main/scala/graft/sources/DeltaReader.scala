@@ -431,7 +431,8 @@ object DeltaReader {
   /** Time travel: load the snapshot as of `version`
     * (`OPTIONS(versionAsOf='N')` through the DDL shim). */
   def loadAt(spark: SparkSession, tablePath: String,
-      version: Long, prune: Map[String, Set[String]] = Map.empty): DataFrame = {
+      version: Long, prune: Map[String, Set[String]] = Map.empty,
+      tagSourceFile: Boolean = false): DataFrame = {
     val snap = snapshotAt(spark, tablePath, version, prune)
     if (snap.files.isEmpty && prune.nonEmpty)
       // every file pruned out: an empty relation in the table's schema
@@ -519,11 +520,22 @@ object DeltaReader {
           }
           .toDF("__file", "__row")
         df.join(deleted, Seq("__file", "__row"), "left_anti")
-          .drop("__file", "__row")
+          .drop("__row")
+          .withColumnRenamed("__file", "__source_file")
       }
 
-    assembled.select(fileFields.map(f => col(scanName(f.name)).as(f.name)) ++
-      snap.partitionColumns.map(n => col(phys(n)).as(n)): _*)
+    // `tagSourceFile` (copy-on-write verbs: DeltaWriter.merge/delete)
+    // appends the absolute file URI each row came from — resolved HERE,
+    // against the pre-projection relation, because `_metadata` is a
+    // scan-relation column that does not survive the logical-name
+    // projection below.
+    val outCols =
+      fileFields.map(f => col(scanName(f.name)).as(f.name)) ++
+        snap.partitionColumns.map(n => col(phys(n)).as(n)) ++
+        (if (!tagSourceFile) Nil
+         else if (hasDv) Seq(col("__source_file"))
+         else Seq(col("_metadata.file_path").as("__source_file")))
+    assembled.select(outCols: _*)
   }
 
   /** Delta paths are URL-encoded relative paths. */

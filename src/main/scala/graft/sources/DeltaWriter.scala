@@ -127,15 +127,12 @@ object DeltaWriter {
     // after log cleanup the only metaData record may live in the newest
     // checkpoint — same fallback [[checkpoint]] uses
     if (metaLine.isEmpty)
-      Option(logDir.listFiles()).getOrElse(Array.empty[File])
-        .filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-        .sortBy(_.getName).lastOption.foreach { f =>
-          val df = spark.read.parquet(f.getAbsolutePath)
-          if (df.columns.contains("metaData"))
-            metaLine = df.filter(col("metaData").isNotNull)
-              .select(to_json(struct(col("metaData")))).collect()
-              .headOption.map(_.getString(0))
-        }
+      newestCheckpointFrame(spark, logDir).foreach { df =>
+        if (df.columns.contains("metaData"))
+          metaLine = df.filter(col("metaData").isNotNull)
+            .select(to_json(struct(col("metaData")))).collect()
+            .headOption.map(_.getString(0))
+      }
     require(metaLine.nonEmpty,
       s"no metaData action found in $tablePath's JSON commits or " +
         "its newest checkpoint")
@@ -192,6 +189,185 @@ object DeltaWriter {
     version
   }
 
+  /** MERGE (upsert): rows of `source` REPLACE target rows sharing their
+    * `keys` tuple; unmatched source rows are inserted — `WHEN MATCHED
+    * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, the shape an
+    * ingest pipeline's dedup-and-refresh step runs daily. Copy-on-write
+    * at FILE granularity, one atomic commit:
+    *
+    *  1. touched files = a key-only left-semi join of the tagged target
+    *     scan against the source's distinct keys, collected DISTINCT —
+    *     file-count-sized metadata, never row data (and the scan is
+    *     column-pruned to the key columns + file path);
+    *  2. survivors = rows of ONLY the touched files (broadcast
+    *     semi-join on the file id) anti-joined against the source keys
+    *     — untouched files are never read or rewritten, which is what
+    *     keeps a 10-row merge into a 10⁹-row table proportional to the
+    *     overlap, not the table;
+    *  3. survivors ∪ source are staged as new files (fresh one-pass
+    *     stats) and published with removes of the touched files —
+    *     readers see pre- or post-merge, never a mix.
+    *
+    * Sources with duplicate key tuples are refused (the multiple-match
+    * ambiguity Delta's own MERGE rejects). Column-mapped tables are
+    * refused (their rewrite needs physical-name staging, out of scope —
+    * same posture as [[replacePartitions]]). DV'd touched files rewrite
+    * correctly: the tagged scan already excludes DV-deleted rows, and
+    * the file-level remove retires the vector with its file. */
+  def merge(source: DataFrame, tablePath: String,
+      keys: Seq[String]): Long = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val missing = keys.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"merge keys absent from table schema: $missing")
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "merge does not support column-mapped tables")
+    val version = nextVersion(table)
+    validateAgainstTable(source, tablePath, snap.partitionColumns, version)
+    require(source.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      s"source has duplicate key tuples on $keys — upsert is ambiguous")
+
+    val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
+      tagSourceFile = true)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val touched = tagged.select(keys.map(col) :+ col("__source_file"): _*)
+      .join(srcKeys, keys, "left_semi")
+      .select("__source_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val root = table.getAbsolutePath
+    def absPath(rel: String): String =
+      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+    val removedAdds = snap.files.filter(a =>
+      touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
+    require(removedAdds.length == touched.size,
+      s"internal: ${touched.size} touched files resolved to " +
+        s"${removedAdds.length} add actions")
+
+    val survivors =
+      if (touched.isEmpty) source.limit(0)
+      else tagged
+        .join(broadcast(touched.toSeq.toDF("__source_file")),
+          Seq("__source_file"), "left_semi")
+        .drop("__source_file")
+        .join(srcKeys, keys, "left_anti")
+    val out = survivors.unionByName(
+      source.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
+    val adds = stageDataFiles(out, table, version, snap.partitionColumns)
+    val removes = removedAdds.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    publish(table, version, removes ++ adds)
+    version
+  }
+
+  /** DELETE WHERE: drop every row matching `predicate` in one atomic
+    * copy-on-write commit. Touched-file discovery is a real filtered
+    * scan, so the snapshot FileIndex's stats-based skipping prunes
+    * files whose min/max exclude the predicate BEFORE any data is read
+    * — a delete keyed on a clustered column touches only the files that
+    * can match. Untouched files are never rewritten; touched ones are
+    * rewritten without their matching rows (SQL three-valued logic:
+    * NULL-predicate rows are NOT deleted, as in `DELETE FROM t WHERE
+    * p`). Same column-mapping restriction as [[merge]]. */
+  def delete(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "delete does not support column-mapped tables")
+    val version = nextVersion(table)
+    val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
+      tagSourceFile = true)
+    val touched = tagged.filter(predicate)
+      .select("__source_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return version - 1 // nothing matches: no commit
+    val root = table.getAbsolutePath
+    def absPath(rel: String): String =
+      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+    val removedAdds = snap.files.filter(a =>
+      touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
+    require(removedAdds.length == touched.size,
+      s"internal: ${touched.size} touched files resolved to " +
+        s"${removedAdds.length} add actions")
+    val survivors = tagged
+      .join(broadcast(touched.toSeq.toDF("__source_file")),
+        Seq("__source_file"), "left_semi")
+      .drop("__source_file")
+      .filter(coalesce(!predicate, lit(true))) // NULL predicate keeps the row
+    val adds = stageDataFiles(survivors, table, version,
+      snap.partitionColumns)
+    val removes = removedAdds.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    publish(table, version, removes ++ adds)
+    version
+  }
+
+  /** UPDATE … SET … WHERE: apply `set` expressions to every row
+    * matching `predicate`, copy-on-write at file granularity like
+    * [[delete]] — the discovery scan's predicate rides the snapshot
+    * FileIndex's stats skipping, untouched files carry forward
+    * unrewritten, and touched files rewrite with non-matching rows
+    * passed through bit-identical (`when(predicate, expr)
+    * .otherwise(col)` — NULL predicates take the otherwise branch, so
+    * three-valued logic matches SQL UPDATE). Set expressions are cast
+    * back to the column's declared type (an UPDATE never drifts the
+    * schema). Updating a partition column is allowed: the staged
+    * rewrite re-buckets moved rows into their new hive directories in
+    * the same commit. */
+  def update(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import spark.implicits._
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val unknown = set.keySet.filterNot(snap.schema.fieldNames.contains)
+    require(unknown.isEmpty, s"SET targets absent from table schema: $unknown")
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "update does not support column-mapped tables")
+    val version = nextVersion(table)
+    val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
+      tagSourceFile = true)
+    val touched = tagged.filter(predicate)
+      .select("__source_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return version - 1 // nothing matches: no commit
+    val root = table.getAbsolutePath
+    def absPath(rel: String): String =
+      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+    val removedAdds = snap.files.filter(a =>
+      touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
+    require(removedAdds.length == touched.size,
+      s"internal: ${touched.size} touched files resolved to " +
+        s"${removedAdds.length} add actions")
+    val rewritten = tagged
+      .join(broadcast(touched.toSeq.toDF("__source_file")),
+        Seq("__source_file"), "left_semi")
+      .drop("__source_file")
+      .select(snap.schema.fields.toIndexedSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(predicate, e.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val adds = stageDataFiles(rewritten, table, version,
+      snap.partitionColumns)
+    val removes = removedAdds.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    publish(table, version, removes ++ adds)
+    version
+  }
+
   /** Full-table overwrite in ONE atomic commit: removes every live file
     * and adds the staged replacement — the "refresh this
     * materialization" verb (IncrementalAgg's publish step). Readers see
@@ -224,9 +400,22 @@ object DeltaWriter {
     * are re-emitted from the replayed snapshot with
     * `dataChange:false`. Remove tombstones are not carried (fine for
     * readers of the latest version; a concurrent-vacuum coordination
-    * protocol is out of scope). Returns the checkpointed version. */
+    * protocol is out of scope). Returns the checkpointed version.
+    *
+    * `parts > 1` writes the delta spec's MULTI-PART layout
+    * (`v.checkpoint.<part>.<of>.parquet`, indices 1..of) — the shape a
+    * >10⁶-file table needs so no single checkpoint file becomes a
+    * multi-GB write/read bottleneck ([[DeltaReader]] already replays
+    * multi-part sets, and ignores an incomplete one). The action rows
+    * are sharded in ONE distributed round-robin write — never a
+    * per-part driver loop — so part files are near-equal in size;
+    * schema unification across parts is the reader's job (its
+    * checkpoint scan merges part schemas, since the spec lets parts
+    * carry disjoint action columns). Part files land under dotted
+    * stage names first and are moved in ascending order, so a crashed
+    * writer leaves either an ignorable partial set or a complete one. */
   def checkpoint(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String): Long = {
+      tablePath: String, parts: Int = 1): Long = {
     import spark.implicits._
     val table = new File(tablePath)
     val logDir = new File(table, "_delta_log")
@@ -244,10 +433,7 @@ object DeltaWriter {
     // the JSON scan below then overrides with anything newer. Structs
     // re-serialize through to_json — field order may shuffle vs the
     // original line, which no replayer cares about.
-    Option(logDir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-      .sortBy(_.getName).lastOption.foreach { f =>
-        val df = spark.read.parquet(f.getAbsolutePath)
+    newestCheckpointFrame(spark, logDir).foreach { df =>
         def carry(field: String): Option[String] =
           if (!df.columns.contains(field)) None
           else df.filter(col(field).isNotNull)
@@ -290,19 +476,37 @@ object DeltaWriter {
         s""""size":${a.size},"modificationTime":0,""" +
         s""""dataChange":false$statsPart}}"""
     }
+    require(parts >= 1, s"parts must be >= 1, got $parts")
     val lines = Seq(proto.get, meta.get) ++ txns.values ++ adds
-    // one parquet file of action rows (schema from the JSON lines, the
-    // same layout the reader's checkpoint replay scans)
+    // parquet of action rows (schema from the JSON lines, the same
+    // layout the reader's checkpoint replay scans) — one file for the
+    // classic layout, a round-robin shard set for multi-part
     val tmp = new File(table, ".cp-stage")
     if (tmp.exists()) delete(tmp)
-    spark.read.json(lines.toDS())
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    val part = collectParquet(tmp).head
-    val dest = new File(logDir, f"$version%020d.checkpoint.parquet")
-    Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+    val actionRows = spark.read.json(lines.toDS())
+    (if (parts == 1) actionRows.coalesce(1)
+     else actionRows.repartition(parts))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    // round-robin may leave a partition empty when actions < parts —
+    // `of` is the count of REAL part files, keeping indices exactly 1..of
+    val written = collectParquet(tmp).sortBy(_.getName)
+    if (parts == 1) {
+      val dest = new File(logDir, f"$version%020d.checkpoint.parquet")
+      Files.move(written.head.toPath, dest.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val of = written.length
+      written.zipWithIndex.foreach { case (f, i) =>
+        val dest = new File(logDir,
+          f"$version%020d.checkpoint.${i + 1}%010d.$of%010d.parquet")
+        Files.move(f.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     delete(tmp)
+    val partsField =
+      if (parts == 1) "" else s""","parts":${written.length}"""
     Files.write(new File(logDir, "_last_checkpoint").toPath,
-      s"""{"version":$version,"size":${lines.length}}"""
+      s"""{"version":$version,"size":${lines.length}$partsField}"""
         .getBytes(StandardCharsets.UTF_8))
     version
   }
@@ -390,6 +594,32 @@ object DeltaWriter {
     version
   }
 
+  /** Whether `tablePath` already holds a committed Delta table (any
+    * JSON commit or checkpoint in its log) — the existence test
+    * ErrorIfExists/Ignore save modes branch on. */
+  def tableExists(tablePath: String): Boolean =
+    nextVersion(new File(tablePath)) > 0L
+
+  /** All parquet files of the NEWEST checkpoint version in the log —
+    * classic single-file or multi-part — as one (schema-merged) frame;
+    * None when no checkpoint exists. The carry-forward fallback
+    * [[checkpoint]] and [[evolveSchema]] use for records that log
+    * cleanup already removed. (V2 UUID checkpoints are a read-side
+    * concern: this writer never emits them, and a table it maintains
+    * carries only its own layouts.) */
+  private def newestCheckpointFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      logDir: File): Option[DataFrame] = {
+    val cpFiles = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches(
+        "\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+    cpFiles.map(_.getName.take(20)).sorted.lastOption.map { v =>
+      val parts = cpFiles.filter(_.getName.startsWith(v))
+        .map(_.getAbsolutePath).toIndexedSeq
+      spark.read.option("mergeSchema", "true").parquet(parts: _*)
+    }
+  }
+
   /** Next unclaimed log version (0 for a fresh table). Checkpoint files
     * count: after log cleanup deletes the JSON commits a checkpoint
     * covers, the version counter must continue from the checkpoint, not
@@ -470,8 +700,24 @@ object DeltaWriter {
         .toMap
     }
 
-    // ---- compose the commit
-    val adds = moved.map { rel =>
+    // ---- compose the commit. A staged file ABSENT from the stats
+    // aggregate holds zero rows (every real row carries its
+    // _metadata.file_path) — Spark's writer emits one eagerly per task
+    // even when the task's partition filtered empty, which the
+    // copy-on-write verbs (merge/delete survivors) routinely produce.
+    // A zero-row add is pure log+scan overhead: delete the file, skip
+    // the action.
+    val adds = moved.filter { rel =>
+      val f = new File(table, rel)
+      val keep = byName.contains(f.getName)
+      if (!keep) {
+        f.delete()
+        var p = f.getParentFile
+        while (p != null && p != table &&
+          Option(p.listFiles()).exists(_.isEmpty)) { p.delete(); p = p.getParentFile }
+      }
+      keep
+    }.map { rel =>
       val f = new File(table, rel)
       val segs = rel.replace(File.separatorChar, '/').split('/')
       val pv = segs.dropRight(1).map { seg =>

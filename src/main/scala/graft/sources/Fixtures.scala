@@ -463,6 +463,56 @@ object Fixtures {
         dir.getAbsolutePath, Seq("o_orderpriority"))
     }
 
+  /** A Delta table UPSERTED by graft's own merge verb: base = orders
+    * with `o_orderkey % 3 != 0`, merged with every even-key order at
+    * DOUBLED o_totalprice — so matched rows (even, not div-3) were
+    * replaced in place, unmatched source rows (even AND div-3) were
+    * inserted, and odd non-div-3 rows rode through untouched (q168
+    * proves the composed state against the original corpus; the
+    * file-granular copy-on-write semantics are pinned in
+    * DeltaWriterSpec). */
+  def deltaOrdersMerged(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_merged") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 3 =!= 0),
+        path, Seq("o_orderpriority"))
+      DeltaWriter.merge(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        path, Seq("o_orderkey"))
+      ()
+    }
+
+  /** A Delta table with rows DELETED by graft's own copy-on-write
+    * delete verb: full orders, then `DELETE WHERE o_orderstatus = 'F'
+    * AND o_orderkey % 5 = 0` (q169 proves the survivor set against the
+    * original corpus). */
+  def deltaOrdersDeleted(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_deleted") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+      DeltaWriter.delete(s, path,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+      ()
+    }
+
+  /** A Delta table UPDATED by graft's copy-on-write update verb: full
+    * orders, then `UPDATE SET o_totalprice = o_totalprice / 2 WHERE
+    * o_orderstatus = 'P'` — exact power-of-two halving, so both
+    * engines' doubles are bit-identical (q170 proves the composed
+    * state against a CASE expression over the original corpus). */
+  def deltaOrdersUpdated(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_updated") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+      DeltaWriter.update(s, path, col("o_orderstatus") === "P",
+        Map("o_totalprice" -> (col("o_totalprice") / 2)))
+      ()
+    }
+
   /** A Delta table that has lived the FULL maintenance life cycle on
     * graft's own writer: two appends, a partition backfill
     * (replacePartitions), an OPTIMIZE-style compaction clustered on

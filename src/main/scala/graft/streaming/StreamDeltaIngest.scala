@@ -32,19 +32,28 @@ object StreamDeltaIngest {
   /** Attach the Delta sink to a streaming frame: every non-empty
     * micro-batch appends one txn-stamped commit to `tablePath`
     * (redelivered batchIds no-op). Runs the finite source to
-    * completion and returns the number of commits actually
-    * published. */
+    * completion and returns the number of commits actually published.
+    * `checkpointLocation` makes the run RESUMABLE: a restarted query
+    * over the same location continues from the recorded offsets, and a
+    * batch whose offsets were planned but whose completion was never
+    * checkpointed (the crash window) is redelivered with the SAME
+    * batchId — which the table's txn ledger then no-ops
+    * (StreamingSpec's restart test drives this through a real
+    * checkpoint directory with the completion record removed). */
   def runToCompletion(spark: SparkSession, source: DataFrame,
       tablePath: String, partitionBy: Seq[String] = Nil,
-      appId: String = "graft-stream-ingest"): Long = {
+      appId: String = "graft-stream-ingest",
+      checkpointLocation: Option[String] = None): Long = {
     var commits = 0L
-    val q = source.writeStream
+    val writer = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty &&
           DeltaWriter.appendOnce(batch, tablePath, partitionBy,
             appId, batchId).nonEmpty)
           commits += 1
       }
+    val q = checkpointLocation
+      .fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     try q.processAllAvailable()
     finally q.stop()

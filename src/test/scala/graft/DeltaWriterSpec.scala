@@ -219,6 +219,90 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaReader.load(spark, path).count() == before.size + 1)
   }
 
+  test("multi-part checkpoint: sharded write replays whole, ledger survives cleanup atop it") {
+    val path = tmpTable("nation_cp_multi")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 8), path,
+      txn = Some(("mp-writer", 7L)))
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 8), path)
+    val before = DeltaReader.load(spark, path).collect().toSet
+
+    assert(DeltaWriter.checkpoint(spark, path, parts = 3) == 1L)
+    val logDir = new File(path, "_delta_log")
+    val parts = logDir.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      .sorted
+    // a complete 1..of set at the checkpointed version, never classic
+    assert(parts.length == 3 && parts.forall(_.startsWith("0" * 19 + "1")))
+    assert(!logDir.listFiles().exists(
+      _.getName == "0" * 19 + "1.checkpoint.parquet"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new File(logDir, "_last_checkpoint").toPath)).contains("\"parts\":3"))
+
+    // the sharded set alone carries the snapshot: drop the JSON commits
+    (0 to 1).foreach(v =>
+      new File(logDir, ("0" * 19 + v.toString).takeRight(20) + ".json").delete())
+    assert(DeltaReader.load(spark, path).collect().toSet == before)
+
+    // carry-forward atop a MULTI-PART newest checkpoint: with every
+    // JSON commit gone, an additive evolution must find its metaData
+    // record in the sharded set
+    val widened = org.apache.spark.sql.types.StructType(
+      DeltaReader.snapshot(spark, path).schema.fields :+
+        org.apache.spark.sql.types.StructField("n_extra",
+          org.apache.spark.sql.types.LongType, nullable = true))
+    assert(DeltaWriter.evolveSchema(spark, path, widened) == 2L)
+    val evolved = DeltaReader.load(spark, path)
+    assert(evolved.columns.contains("n_extra"))
+    assert(evolved.count() == before.size)
+
+    // and a fresh classic checkpoint must find protocol + the txn
+    // ledger in the sharded set too (2.json carries only metaData)
+    assert(DeltaWriter.checkpoint(spark, path) == 2L)
+    new File(logDir, "0" * 18 + "02.json").delete()
+    assert(DeltaReader.lastTxnVersion(spark, path, "mp-writer")
+      .contains(7L))
+    assert(DeltaReader.load(spark, path).columns.contains("n_extra"))
+    assert(DeltaReader.load(spark, path).count() == before.size)
+  }
+
+  test("df.write.format(\"graft-delta\"): every save mode reaches the writer's verbs") {
+    val path = tmpTable("fmt_sink")
+    val nation = Tables.t(spark, d, "nation")
+    val lo = nation.filter(col("n_nationkey") < 10)
+
+    // default ErrorIfExists creates the table (version 0 with header)
+    lo.write.format("graft-delta").save(path)
+    assert(DeltaReader.load(spark, path).collect().toSet == lo.collect().toSet)
+    // append stitches a second commit
+    nation.filter(col("n_nationkey") >= 10)
+      .write.format("graft-delta").mode("append").save(path)
+    assert(DeltaReader.snapshot(spark, path).version == 1L)
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.collect().toSet)
+    // errorifexists now refuses; ignore now no-ops
+    val e = intercept[Exception](lo.write.format("graft-delta").save(path))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(_.getMessage.contains("already exists")))
+    lo.write.format("graft-delta").mode("ignore").save(path)
+    assert(DeltaReader.snapshot(spark, path).version == 1L)
+    // overwrite is one atomic remove-all + add commit
+    lo.write.format("graft-delta").mode("overwrite").save(path)
+    assert(DeltaReader.load(spark, path).collect().toSet == lo.collect().toSet)
+
+    // partitionBy rides the V1 options side-channel into hive layout +
+    // typed partition values, with writer stats on every file
+    val p2 = tmpTable("fmt_part")
+    nation.write.format("graft-delta").partitionBy("n_regionkey")
+      .mode("overwrite").save(p2)
+    val snap = DeltaReader.snapshot(spark, p2)
+    assert(snap.partitionColumns == Seq("n_regionkey"))
+    assert(snap.files.forall(_.stats.exists(_.contains("\"numRecords\""))))
+    assert(DeltaReader.loadWhere(spark, p2,
+        Map("n_regionkey" -> Set("2"))).collect().toSet ==
+      nation.filter(col("n_regionkey") === 2).collect().toSet)
+  }
+
   test("vacuum deletes exactly the unreferenced files; reads still exact") {
     val path = tmpTable("orders_vacuum")
     val orders = Tables.t(spark, d, "orders")
@@ -329,6 +413,120 @@ class DeltaWriterSpec extends AnyFunSuite {
       evolved.fields :+ StructField("note2", StringType, nullable = true))
     DeltaWriter.evolveSchema(spark, path, evolved2)
     assert(DeltaReader.snapshot(spark, path).schema == evolved2)
+  }
+
+  test("merge upserts at file granularity: matched rows replaced, unmatched inserted, untouched files kept") {
+    val path = tmpTable("nation_merge")
+    val nation = Tables.t(spark, d, "nation")
+    // two files by key parity, so a merge touching only odd keys must
+    // leave the even file physically untouched
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 === 0), path)
+    val evenFiles = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 === 1), path)
+
+    // source: update three odd keys (name rewritten), insert one new
+    val src = nation.filter(col("n_nationkey").isin(1, 3, 5))
+      .withColumn("n_name", lit("updated"))
+      .unionByName(nation.filter(col("n_nationkey") === 0)
+        .withColumn("n_nationkey", lit(99))
+        .withColumn("n_name", lit("inserted")))
+    assert(DeltaWriter.merge(src, path, Seq("n_nationkey")) == 2L)
+
+    val got = DeltaReader.load(spark, path)
+    assert(got.count() == nation.count() + 1)
+    assert(got.filter(col("n_name") === "updated").count() == 3)
+    assert(got.filter(col("n_nationkey") === 99).count() == 1)
+    // rows NOT in the source are bit-identical originals
+    assert(got.filter(col("n_nationkey") % 2 === 0 &&
+        col("n_nationkey") =!= 99).collect().toSet ==
+      nation.filter(col("n_nationkey") % 2 === 0).collect().toSet)
+    // the even-keys files survived the merge physically (copy-on-write
+    // touched only the odd-keys files)
+    val after = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    assert(evenFiles.nonEmpty && evenFiles.subsetOf(after))
+
+    // duplicate source keys are refused
+    intercept[IllegalArgumentException] {
+      DeltaWriter.merge(src.unionByName(src.limit(1)), path,
+        Seq("n_nationkey"))
+    }
+    // a disjoint source is a pure insert: no removes, one new commit
+    val before = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    DeltaWriter.merge(nation.limit(1)
+      .withColumn("n_nationkey", lit(200)), path, Seq("n_nationkey"))
+    val pure = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    assert(before.subsetOf(pure) && pure.size == before.size + 1)
+  }
+
+  test("delete rewrites only files that can match; NULL-predicate rows survive") {
+    val path = tmpTable("orders_delete")
+    val orders = Tables.t(spark, d, "orders")
+    // range-clustered ingest (time-ordered appends): the later files'
+    // o_orderkey stats provably exclude the delete predicate, so the
+    // verb's filtered discovery scan must skip them and the commit must
+    // carry them forward UNREWRITTEN
+    val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    DeltaWriter.append(orders.filter(col("o_orderkey") < mx / 2), path)
+    val early = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    DeltaWriter.append(orders.filter(col("o_orderkey") >= mx / 2), path)
+    val later = DeltaReader.snapshot(spark, path).files.map(_.path).toSet -- early
+
+    val cut = mx / 4
+    val want = orders.filter(col("o_orderkey") >= cut).collect().toSet
+    assert(DeltaWriter.delete(spark, path, col("o_orderkey") < cut) == 2L)
+    assert(DeltaReader.load(spark, path).collect().toSet == want)
+    val postPaths = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    assert(later.nonEmpty && later.subsetOf(postPaths))
+    // deleting nothing publishes no commit
+    assert(DeltaWriter.delete(spark, path, col("o_orderkey") < 0L) == 2L)
+
+    // three-valued logic: NULL predicate keeps the row
+    val p2 = tmpTable("nulls_delete")
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(1L)))
+      .toDF("id", "v")
+    DeltaWriter.append(df, p2)
+    DeltaWriter.delete(spark, p2, col("v") > 5L)
+    assert(DeltaReader.load(spark, p2).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("update rewrites matching rows in place; untouched files and non-matching rows ride through") {
+    val path = tmpTable("orders_update")
+    val orders = Tables.t(spark, d, "orders")
+    val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    DeltaWriter.append(orders.filter(col("o_orderkey") < mx / 2), path)
+    val early = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    DeltaWriter.append(orders.filter(col("o_orderkey") >= mx / 2), path)
+    val later = DeltaReader.snapshot(spark, path).files.map(_.path).toSet -- early
+    val cut = mx / 4
+    val want = orders.select(
+      orders.columns.map {
+        case "o_totalprice" =>
+          when(col("o_orderkey") < cut, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice")
+        case c => col(c)
+      }.toIndexedSeq: _*).collect().toSet
+    assert(DeltaWriter.update(spark, path, col("o_orderkey") < cut,
+      Map("o_totalprice" -> (col("o_totalprice") * 2))) == 2L)
+    assert(DeltaReader.load(spark, path).collect().toSet == want)
+    // the second append's files (min key >= mx/2 > cut: stats exclude
+    // the predicate) survived the update physically unrewritten
+    val post = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    assert(later.nonEmpty && later.subsetOf(post))
+    // no-match update publishes no commit
+    assert(DeltaWriter.update(spark, path, col("o_orderkey") < 0L,
+      Map("o_totalprice" -> lit(0.0))) == 2L)
+
+    // three-valued logic: NULL predicate rows are NOT updated
+    val p2 = tmpTable("nulls_update")
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(1L)))
+      .toDF("id", "v")
+    DeltaWriter.append(df, p2)
+    DeltaWriter.update(spark, p2, col("v") > 5L, Map("id" -> lit(-1L)))
+    assert(DeltaReader.load(spark, p2).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
   test("version-0 commit carries protocol + metaData the reader honors") {

@@ -212,6 +212,103 @@ class StreamingSpec extends AnyFunSuite {
       .count() == want.size.toLong)
   }
 
+  test("streaming delta ingest resumes from a real checkpoint; the crash window redelivers exactly-once") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_delta_restart")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val srcDir = new java.io.File(base, "src")
+    val ckpt = new java.io.File(base, "ckpt")
+    val table = new java.io.File(base, "table")
+    val docs = Tables.t(spark, d, "documents")
+      .selectExpr("doc_id", "text", "lang")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def source() = spark.readStream
+      .schema(graft.streaming.StreamDedup.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+
+    // run 1 ingests the first file under a REAL checkpoint location
+    a.coalesce(1).write.mode("append").parquet(srcDir.getAbsolutePath)
+    val c1 = graft.streaming.StreamDeltaIngest.runToCompletion(
+      spark, source(), table.getAbsolutePath,
+      checkpointLocation = Some(ckpt.getAbsolutePath))
+    assert(c1 == 1L)
+
+    // the crash window, for real: the table commit landed but the
+    // sink's completion record did not — drop the newest commits/<n>
+    // so the restarted query REDELIVERS that batch (same offsets, same
+    // batchId), which must no-op against the table's txn ledger
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filter(_.getName.matches("\\d+"))
+      .maxBy(_.getName.toLong)
+    // the local-FS checksum shadow must go too, or the redelivering
+    // query's tempfile rename trips the concurrent-writer guard
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    newest.delete()
+
+    // run 2: a FRESH query over the same checkpoint sees the new file
+    // AND the redelivered batch
+    b.coalesce(1).write.mode("append").parquet(srcDir.getAbsolutePath)
+    val c2 = graft.streaming.StreamDeltaIngest.runToCompletion(
+      spark, source(), table.getAbsolutePath,
+      checkpointLocation = Some(ckpt.getAbsolutePath))
+    assert(c2 == 1L, "redelivered batch must no-op; only the new file commits")
+
+    // exactly-once: the union, no row twice, and the ledger sits at
+    // the last batchId
+    val landed = graft.sources.DeltaReader.load(spark, table.getAbsolutePath)
+    assert(landed.count() == docs.count())
+    assert(landed.select("doc_id").distinct().count() == docs.count())
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark,
+      table.getAbsolutePath, "graft-stream-ingest").contains(1L))
+  }
+
+  test("writeStream.format(\"graft-delta\") lands exactly-once through the declarative sink") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_fmt_sink")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val srcDir = new java.io.File(base, "src")
+    val ckpt = new java.io.File(base, "ckpt")
+    val table = new java.io.File(base, "table")
+    val docs = Tables.t(spark, d, "documents")
+      .selectExpr("doc_id", "text", "lang")
+    docs.coalesce(1).write.parquet(srcDir.getAbsolutePath)
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(graft.streaming.StreamDedup.schema)
+        .parquet(srcDir.getAbsolutePath)
+        .writeStream.format("graft-delta")
+        .option("path", table.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val landed = graft.sources.DeltaReader.load(spark, table.getAbsolutePath)
+    assert(landed.collect().toSet == docs.collect().toSet)
+    // a WIPED checkpoint replays batchId 0 from scratch — the table's
+    // txn ledger absorbs it (the declarative sink is the same
+    // exactly-once appendOnce path as StreamDeltaIngest)
+    del(ckpt)
+    run()
+    assert(graft.sources.DeltaReader.load(spark, table.getAbsolutePath)
+      .count() == docs.count())
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark,
+      table.getAbsolutePath,
+      s"graft-delta-sink:${table.getAbsolutePath}").contains(0L))
+  }
+
   test("streaming domain scoring matches the batch q160 trained margins") {
     val (w, _) = graft.queries.Pipeline.domainTrain(spark, d)
     val streamed = graft.streaming.StreamDomainScore
