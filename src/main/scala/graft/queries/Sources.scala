@@ -438,6 +438,30 @@ object Sources {
             (CASE WHEN o_orderstatus = 'P' THEN o_totalprice / 2
                   ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- Delta DELETE via DELETION VECTORS (merge-on-read): the same
+    // predicate as q169 but NOTHING was rewritten — the writer emitted
+    // roaring-bitmap vectors (+ the protocol escalation announcing the
+    // reader feature) and the reader's executor-side DV anti-join
+    // excludes the dead rows at scan time. Oracle identical to q169's
+    // by construction, so any divergence isolates the vector path:
+    // serialization, descriptor plumbing, or the anti-join.
+    Q("q171_delta_dv_delete",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersDvDeleted(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

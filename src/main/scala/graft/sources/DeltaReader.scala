@@ -503,7 +503,14 @@ object DeltaReader {
           .withColumn("__row", col("_metadata.row_index"))
         val specs = snap.files.flatMap { a =>
           a.deletionVector.map { dv =>
-            DvSpec(s"file:$root/${decodePath(a.path)}", dv.storageType,
+            // the join key must match `_metadata.file_path` EXACTLY —
+            // Spark emits "file:/abs/path" with RFC-encoded specials
+            // (a partition dir like `k=A B` reads as `k=A%20B`), which
+            // File.toURI reproduces; a decoded spelling would silently
+            // skip the file's vector and resurrect its dead rows
+            // (caught by the partitioned deleteWithVectors spec).
+            val uri = new File(root, decodePath(a.path)).toURI.toString
+            DvSpec(uri, dv.storageType,
               dv.pathOrInlineDv, dv.offset, dv.sizeInBytes, root)
           }
         }
@@ -520,21 +527,23 @@ object DeltaReader {
           }
           .toDF("__file", "__row")
         df.join(deleted, Seq("__file", "__row"), "left_anti")
-          .drop("__row")
           .withColumnRenamed("__file", "__source_file")
+          .withColumnRenamed("__row", "__row_index")
       }
 
-    // `tagSourceFile` (copy-on-write verbs: DeltaWriter.merge/delete)
-    // appends the absolute file URI each row came from — resolved HERE,
-    // against the pre-projection relation, because `_metadata` is a
-    // scan-relation column that does not survive the logical-name
-    // projection below.
+    // `tagSourceFile` (copy-on-write / deletion-vector verbs:
+    // DeltaWriter.merge/delete/update/deleteWithVectors) appends the
+    // absolute file URI and physical row index each row came from —
+    // resolved HERE, against the pre-projection relation, because
+    // `_metadata` is a scan-relation column that does not survive the
+    // logical-name projection below.
     val outCols =
       fileFields.map(f => col(scanName(f.name)).as(f.name)) ++
         snap.partitionColumns.map(n => col(phys(n)).as(n)) ++
         (if (!tagSourceFile) Nil
-         else if (hasDv) Seq(col("__source_file"))
-         else Seq(col("_metadata.file_path").as("__source_file")))
+         else if (hasDv) Seq(col("__source_file"), col("__row_index"))
+         else Seq(col("_metadata.file_path").as("__source_file"),
+           col("_metadata.row_index").as("__row_index")))
     assembled.select(outCols: _*)
   }
 
@@ -902,14 +911,21 @@ object DeletionVectors {
     res
   }
 
-  /** Serialize (for fixtures + round-trip tests): inverse of
-    * parseRoaringArray, array containers only. */
+  /** Serialize (fixtures, round-trip tests, AND the write side of
+    * [[graft.sources.DeltaWriter.deleteWithVectors]]): inverse of
+    * parseRoaringArray. Containers above the 4096-cardinality
+    * threshold MUST be 8 KiB bitmap containers — the portable format
+    * dispatches on cardinality, so an oversized array container would
+    * be mis-read as a bitmap. Distinct input assumed sorted-safe
+    * (dedup applied here). */
   private[graft] def serializeRoaringArray(rows: Seq[Long]): Array[Byte] = {
     require(rows.forall(_ >= 0))
-    val byHi = rows.map(r => (r >> 32, (r & 0xffffffffL).toInt))
+    val byHi = rows.distinct.map(r => (r >> 32, (r & 0xffffffffL).toInt))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val nBitmaps = if (byHi.isEmpty) 0L else byHi.keys.max + 1
-    val out = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+    val est = 16 + rows.size * 8 + byHi.size * 65536
+    val out = ByteBuffer.allocate(math.max(1 << 20, est))
+      .order(ByteOrder.LITTLE_ENDIAN)
     out.putInt(1681511377)
     out.putLong(nBitmaps)
     (0L until nBitmaps).foreach { hi =>
@@ -921,13 +937,24 @@ object DeletionVectors {
         out.putShort(k.toShort)
         out.putShort((vs.size - 1).toShort)
       }
+      def containerBytes(card: Int): Int =
+        if (card <= 4096) card * 2 else 8192
       var offset = 4 + 4 + byKey.size * 4 + byKey.size * 4
       byKey.foreach { case (_, vs) =>
         out.putInt(offset)
-        offset += vs.size * 2
+        offset += containerBytes(vs.size)
       }
       byKey.foreach { case (_, vs) =>
-        vs.foreach(v => out.putShort((v & 0xffff).toShort))
+        if (vs.size <= 4096)
+          vs.foreach(v => out.putShort((v & 0xffff).toShort))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val b = v & 0xffff
+            words(b >> 6) |= 1L << (b & 63)
+          }
+          words.foreach(out.putLong)
+        }
       }
     }
     out.flip()

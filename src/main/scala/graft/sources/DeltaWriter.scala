@@ -252,7 +252,7 @@ object DeltaWriter {
       else tagged
         .join(broadcast(touched.toSeq.toDF("__source_file")),
           Seq("__source_file"), "left_semi")
-        .drop("__source_file")
+        .drop("__source_file", "__row_index")
         .join(srcKeys, keys, "left_anti")
     val out = survivors.unionByName(
       source.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
@@ -298,7 +298,7 @@ object DeltaWriter {
     val survivors = tagged
       .join(broadcast(touched.toSeq.toDF("__source_file")),
         Seq("__source_file"), "left_semi")
-      .drop("__source_file")
+      .drop("__source_file", "__row_index")
       .filter(coalesce(!predicate, lit(true))) // NULL predicate keeps the row
     val adds = stageDataFiles(survivors, table, version,
       snap.partitionColumns)
@@ -308,6 +308,188 @@ object DeltaWriter {
     publish(table, version, removes ++ adds)
     version
   }
+
+  /** DELETE WHERE via DELETION VECTORS — the merge-on-read spelling of
+    * [[delete]]: instead of rewriting every touched file, each one is
+    * re-added (same path, same stats) with a roaring-bitmap descriptor
+    * marking its dead row indexes, in ONE atomic remove+re-add commit.
+    * At 100 TB this is THE row-level delete for hot wide files: the
+    * write cost is proportional to the DELETED ROW COUNT (the bitmap),
+    * not the touched files' bytes — a 100-row delete across ten 1 GB
+    * files writes a few hundred bitmap bytes, not 10 GB. The reader
+    * side already pays the anti-join only for snapshots that carry
+    * DVs.
+    *
+    * Mechanics:
+    *  - discovery = the same stats-skipped predicate scan as [[delete]],
+    *    but collecting `(file, row_index)` — driver memory is bounded
+    *    by the deleted-row count, the same order as the DV bytes being
+    *    built (a rewrite-style delete remains the right verb when a
+    *    predicate kills most of a table);
+    *  - a file that ALREADY carries a DV gets the union of its old and
+    *    new dead rows (the tagged scan yields post-DV rows, so new
+    *    indexes never collide with old ones);
+    *  - small bitmaps inline into the log as Z85 (`storageType:"i"`,
+    *    zero extra files); larger ones land in ONE
+    *    `deletion_vector_<uuid>.bin` per commit holding every touched
+    *    file's bitmap at its own offset (`storageType:"u"`, the delta
+    *    spec's `[version:1][per-DV: size:int32BE|data|crc32]` layout
+    *    [[DeletionVectors.deletedRows]] slices);
+    *  - [[checkpoint]] re-emits descriptors verbatim, so DVs survive
+    *    log cleanup; [[vacuum]]'s walk only considers `.parquet`, so a
+    *    DV `.bin` is never swept while its table lives.
+    *
+    * Compaction ([[compact]]) or a rewriting [[delete]] later absorbs
+    * the vectors (the tagged scan already excludes DV'd rows), which is
+    * exactly the merge-on-read → copy-on-write maintenance cycle
+    * production Delta runs. */
+  def deleteWithVectors(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column,
+      inlineMax: Int = 512): Long = {
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "deleteWithVectors does not support column-mapped tables")
+    val version = nextVersion(table)
+    val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
+      tagSourceFile = true)
+    val hit = tagged.filter(predicate)
+      .groupBy(col("__source_file"))
+      .agg(collect_list(col("__row_index")).as("__rows"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    if (hit.isEmpty) return version - 1 // nothing matches: no commit
+    val root = table.getAbsolutePath
+    def absPath(rel: String): String =
+      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+    val touched = snap.files.flatMap { a =>
+      hit.collectFirst {
+        case (uri, rows) if new java.net.URI(uri).getPath == absPath(a.path) =>
+          a -> rows
+      }
+    }
+    require(touched.length == hit.size,
+      s"internal: ${hit.size} touched files resolved to ${touched.length}")
+
+    // merged bitmap per file (old DV rows ∪ new dead rows), serialized
+    // in the reader's own RoaringBitmapArray format
+    val bitmaps = touched.map { case (a, fresh) =>
+      val old = a.deletionVector.toSeq.flatMap(dv =>
+        DeletionVectors.deletedRows(dv, root))
+      val all = (old ++ fresh).distinct.sorted
+      (a, all, DeletionVectors.serializeRoaringArray(all))
+    }
+
+    // one on-disk .bin for everything too big to inline
+    val spill = bitmaps.filter(_._3.length > inlineMax)
+    val onDisk: Map[String, (String, Int)] = if (spill.isEmpty) Map.empty
+    else {
+      val uuid = java.util.UUID.randomUUID()
+      val bbUuid = java.nio.ByteBuffer.allocate(16)
+      bbUuid.putLong(uuid.getMostSignificantBits)
+      bbUuid.putLong(uuid.getLeastSignificantBits)
+      val enc = Z85.encode(bbUuid.array())
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(1) // format version byte
+      val offsets = spill.map { case (a, _, bytes) =>
+        val off = out.size()
+        val szBuf = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.BIG_ENDIAN).putInt(bytes.length)
+        out.write(szBuf.array()); out.write(bytes)
+        val crc = new java.util.zip.CRC32(); crc.update(bytes)
+        val crcBuf = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.BIG_ENDIAN).putInt(crc.getValue.toInt)
+        out.write(crcBuf.array())
+        a.path -> (enc, off)
+      }.toMap
+      Files.write(new File(table, s"deletion_vector_$uuid.bin").toPath,
+        out.toByteArray)
+      offsets
+    }
+
+    // spec contract: a table carrying DVs must announce the reader
+    // feature — escalate the protocol IN the same commit (existing
+    // features preserved), once
+    val protoLine = dvProtocolEscalation(spark, table)
+
+    val removes = bitmaps.map { case (a, _, _) =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}"""
+    }
+    val adds = bitmaps.map { case (a, rows, bytes) =>
+      val dv = onDisk.get(a.path) match {
+        case Some((enc, off)) => DeltaReader.DvDescriptor("u", enc, off,
+          bytes.length, rows.length.toLong)
+        case None => DeltaReader.DvDescriptor("i", Z85.encode(pad4(bytes)),
+          0, bytes.length, rows.length.toLong)
+      }
+      val pvJ = a.partitionValues.map {
+        case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+        case (k, None) => s"${jstr(k)}:null"
+      }.mkString("{", ",", "}")
+      val statsPart = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"add":{"path":"${a.path}","partitionValues":$pvJ,""" +
+        s""""size":${a.size},"modificationTime":0,""" +
+        s""""dataChange":true$statsPart,"deletionVector":${dvJson(dv)}}}"""
+    }
+    publish(table, version, protoLine ++ removes ++ adds)
+    version
+  }
+
+  /** The escalated protocol line a first DV commit must carry
+    * (minReaderVersion 3 + readerFeatures incl `deletionVectors`,
+    * existing features preserved) — empty when the table already
+    * announces the feature. */
+  private def dvProtocolEscalation(
+      spark: org.apache.spark.sql.SparkSession, table: File): Seq[String] = {
+    val logDir = new File(table, "_delta_log")
+    var proto: Option[String] = None
+    newestCheckpointFrame(spark, logDir).foreach { df =>
+      if (df.columns.contains("protocol"))
+        proto = df.filter(col("protocol").isNotNull)
+          .select(to_json(struct(col("protocol")))).collect()
+          .headOption.map(_.getString(0)).orElse(proto)
+    }
+    Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().foreach(l =>
+          if (l.contains("\"protocol\"")) proto = Some(l))
+        finally src.close()
+      }
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = proto.map(jackson.readTree(_).get("protocol"))
+    def feats(field: String): Seq[String] = node.toSeq.flatMap { n =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      Option(n.get(field)).foreach { arr =>
+        val it = arr.elements()
+        while (it.hasNext) out += it.next().asText()
+      }
+      out.toSeq
+    }
+    val rf = feats("readerFeatures")
+    if (rf.contains("deletionVectors")) Nil
+    else {
+      val nrf = (rf :+ "deletionVectors").distinct
+      val nwf = (feats("writerFeatures") :+ "deletionVectors").distinct
+      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[${nrf.map(jstr).mkString(",")}],""" +
+        s""""writerFeatures":[${nwf.map(jstr).mkString(",")}]}}""")
+    }
+  }
+
+  /** Z85 needs 4-byte alignment; the roaring array parser reads only
+    * the containers it declares, so zero-padding the tail is inert. */
+  private def pad4(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length % 4 == 0) bytes
+    else bytes ++ new Array[Byte](4 - bytes.length % 4)
+
+  private[sources] def dvJson(dv: DeltaReader.DvDescriptor): String =
+    s"""{"storageType":${jstr(dv.storageType)},""" +
+      s""""pathOrInlineDv":${jstr(dv.pathOrInlineDv)},""" +
+      s""""offset":${dv.offset},"sizeInBytes":${dv.sizeInBytes},""" +
+      s""""cardinality":${dv.cardinality}}"""
 
   /** UPDATE … SET … WHERE: apply `set` expressions to every row
     * matching `predicate`, copy-on-write at file granularity like
@@ -350,7 +532,7 @@ object DeltaWriter {
     val rewritten = tagged
       .join(broadcast(touched.toSeq.toDF("__source_file")),
         Seq("__source_file"), "left_semi")
-      .drop("__source_file")
+      .drop("__source_file", "__row_index")
       .select(snap.schema.fields.toIndexedSeq.map { f =>
         set.get(f.name) match {
           case Some(e) =>
@@ -472,9 +654,13 @@ object DeltaWriter {
         case (k, None) => s"${jstr(k)}:null"
       }.mkString("{", ",", "}")
       val statsPart = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      // a DV'd file MUST re-emit its descriptor — a checkpoint that
+      // dropped it would silently resurrect the deleted rows
+      val dvPart = a.deletionVector.map(dv => s""","deletionVector":""" +
+        dvJson(dv)).getOrElse("")
       s"""{"add":{"path":"${a.path}","partitionValues":$pvJ,""" +
         s""""size":${a.size},"modificationTime":0,""" +
-        s""""dataChange":false$statsPart}}"""
+        s""""dataChange":false$statsPart$dvPart}}"""
     }
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val lines = Seq(proto.get, meta.get) ++ txns.values ++ adds

@@ -513,6 +513,25 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table whose rows were deleted by graft's own
+    * DELETION-VECTOR delete (merge-on-read: no file rewritten, dead
+    * rows marked in roaring bitmaps the reader's DV anti-join
+    * excludes): full orders, then `DELETE WHERE o_orderstatus = 'F'
+    * AND o_orderkey % 5 = 0` via [[DeltaWriter.deleteWithVectors]] —
+    * the same predicate as the copy-on-write fixture, so q171's oracle
+    * is identical to q169's while the mechanism under test is entirely
+    * different (writer-emitted vectors + protocol escalation decoded
+    * by the reader's executor-side DV path). */
+  def deltaOrdersDvDeleted(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_dv_deleted") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+      DeltaWriter.deleteWithVectors(s, path,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0)
+      ()
+    }
+
   /** A Delta table that has lived the FULL maintenance life cycle on
     * graft's own writer: two appends, a partition backfill
     * (replacePartitions), an OPTIMIZE-style compaction clustered on

@@ -529,6 +529,67 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("deleteWithVectors marks rows dead without rewriting; vectors merge, survive checkpoints, escalate protocol") {
+    val path = tmpTable("orders_dv_delete")
+    val orders = Tables.t(spark, d, "orders")
+    DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+    val preFiles = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+
+    assert(DeltaWriter.deleteWithVectors(spark, path,
+      col("o_orderkey") % 7 === 0) == 1L)
+    val want1 = orders.filter(!(col("o_orderkey") % 7 === 0)).collect().toSet
+    assert(DeltaReader.load(spark, path).collect().toSet == want1)
+    // merge-on-read: the SAME physical files live on, now carrying DVs
+    val snap1 = DeltaReader.snapshot(spark, path)
+    assert(snap1.files.map(_.path).toSet == preFiles)
+    assert(snap1.files.exists(_.deletionVector.nonEmpty))
+
+    // a second DV delete merges old and new dead rows per file
+    assert(DeltaWriter.deleteWithVectors(spark, path,
+      col("o_orderkey") % 11 === 0) == 2L)
+    val want2 = orders.filter(!(col("o_orderkey") % 7 === 0 ||
+      col("o_orderkey") % 11 === 0)).collect().toSet
+    assert(DeltaReader.load(spark, path).collect().toSet == want2)
+
+    // vectors ride through checkpoint + log cleanup (a checkpoint that
+    // dropped descriptors would resurrect the dead rows)
+    DeltaWriter.checkpoint(spark, path)
+    val logDir = new File(path, "_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaReader.load(spark, path).collect().toSet == want2)
+    // vacuum never touches live DV'd files or the .bin sidecars
+    assert(DeltaWriter.vacuum(spark, path).isEmpty)
+    assert(DeltaReader.load(spark, path).collect().toSet == want2)
+
+    // forced on-disk storage: one deletion_vector_<uuid>.bin per
+    // commit, sliced by offset, and the escalated protocol announces
+    // the reader feature
+    val p2 = tmpTable("orders_dv_disk")
+    DeltaWriter.append(orders, p2)
+    assert(DeltaWriter.deleteWithVectors(spark, p2,
+      col("o_orderstatus") === "F", inlineMax = 0) == 1L)
+    val snap2 = DeltaReader.snapshot(spark, p2)
+    val dvs = snap2.files.flatMap(_.deletionVector)
+    assert(dvs.nonEmpty && dvs.forall(_.storageType == "u"))
+    assert(new File(p2).listFiles().exists(
+      _.getName.matches("deletion_vector_.*\\.bin")))
+    assert(DeltaReader.load(spark, p2).collect().toSet ==
+      orders.filter(col("o_orderstatus") =!= "F").collect().toSet)
+    val protoJson = new File(p2, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toList)
+      .filter(_.contains("\"protocol\"")).last
+    assert(protoJson.contains("deletionVectors"))
+
+    // a DV-aware rewrite absorbs the vectors: compact leaves a clean
+    // copy-on-write table with no descriptors and the same rows
+    DeltaWriter.compact(spark, p2)
+    val snap3 = DeltaReader.snapshot(spark, p2)
+    assert(snap3.files.forall(_.deletionVector.isEmpty))
+    assert(DeltaReader.load(spark, p2).collect().toSet ==
+      orders.filter(col("o_orderstatus") =!= "F").collect().toSet)
+  }
+
   test("version-0 commit carries protocol + metaData the reader honors") {
     val path = tmpTable("nation_proto")
     val nation = Tables.t(spark, d, "nation")

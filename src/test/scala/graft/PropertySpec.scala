@@ -29,6 +29,18 @@ object PropertySpec extends Properties("graft-kernels") {
       DeletionVectors.serializeRoaringArray(set.toSeq)).toSet == set
   }
 
+  // past the 4096-cardinality threshold the serializer MUST switch to
+  // 8 KiB bitmap containers (the portable format dispatches on
+  // cardinality, so an oversized array container would be mis-read) —
+  // the write side of deleteWithVectors hits this on any large delete
+  property("roaring array round-trips dense containers (bitmap-container path)") =
+    forAll(Gen.choose(4097, 8000), Gen.choose(0, 3)) { (n, key) =>
+      val base = key.toLong * 65536L
+      val rows = (0 until n).map(i => base + i * 2L)
+      DeletionVectors.parseRoaringArray(
+        DeletionVectors.serializeRoaringArray(rows)).toSet == rows.toSet
+    }
+
   property("Md5Long.hash60 equals the hex spelling conv(substr(md5,2,15),16,10)") =
     forAll(Gen.oneOf(
       Gen.asciiPrintableStr,
