@@ -35,6 +35,14 @@ final class AdtContext(val spark: SparkSession) {
     if (Ddl.matches(statement)) {
       Ddl.register(spark, Ddl.parse(statement))
       spark.emptyDataFrame
+    } else if (graft.sources.Dml.matches(statement)) {
+      // DML over DDL-registered delta tables (DELETE/UPDATE/MERGE →
+      // DeltaWriter verbs); dialect rewrite applies so pg-style
+      // operators work in DML predicates, and MERGE's USING source
+      // runs back through THIS context
+      graft.sources.Dml.execute(spark,
+        graft.sources.Dml.parse(SqlCompat.rewrite(statement)), q => sql(q))
+      spark.emptyDataFrame
     } else AdtContext.ExplainAnalyze.findFirstMatchIn(statement) match {
       case Some(m) => analyze(m.group(1))
       case None =>

@@ -462,6 +462,31 @@ object Sources {
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- SQL DML end-to-end: the fixture ran `DELETE FROM … WHERE` +
+    // `UPDATE … SET … WHERE` as SQL STATEMENTS through AdtContext (the
+    // CLI's execute path) — parser → registry lookup → writer verbs →
+    // view re-registration. The oracle recomposes both mutations over
+    // the original corpus; q169/q170 pin the same predicates through
+    // the library calls, so a q172 divergence isolates the SQL layer.
+    Q("q172_sql_dml",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersSqlDml(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(round(
+            (CASE WHEN o_orderstatus = 'P' THEN o_totalprice / 2
+                  ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

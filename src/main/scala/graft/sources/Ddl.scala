@@ -111,8 +111,18 @@ object Ddl {
         throw new IllegalArgumentException(s"unknown format: $other")
     }
     df.createOrReplaceTempView(t.name)
+    registered.put((spark, t.name.toLowerCase), t)
     df
   }
+
+  // name → registered external table, per session — the DML layer
+  // ([[Dml]]) resolves DELETE/UPDATE/MERGE targets through this and
+  // re-registers the view after a write so queries see the new snapshot
+  private val registered = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), ExternalTable]()
+
+  def lookup(spark: SparkSession, name: String): Option[ExternalTable] =
+    Option(registered.get((spark, name.toLowerCase)))
 
   private def readWithSchema(
       spark: SparkSession, t: ExternalTable, fmt: String): DataFrame =

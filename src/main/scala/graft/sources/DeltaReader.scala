@@ -622,6 +622,12 @@ object DeltaReader {
         .split('\n').filter(_.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
           Option(node.get("add")).foreach { a =>
+            // an add carrying a deletion vector mutates pre-existing
+            // rows — not expressible as an append-only feed
+            require(Option(a.get("deletionVector")).forall(_.isNull),
+              s"loadChanges($fromExclusive, $toInclusive] at $tablePath: " +
+                "window contains a deletion-vector commit — the CDC feed " +
+                "is append-only; refresh consumers from a full snapshot")
             val pv = Option(a.get("partitionValues")).map { m =>
               m.properties().asScala.map { e =>
                 e.getKey -> (if (e.getValue.isNull) None
@@ -630,8 +636,21 @@ object DeltaReader {
             }.getOrElse(Map.empty[String, Option[String]])
             added(decodePath(a.get("path").asText())) = pv
           }
-          Option(node.get("remove")).foreach(r =>
-            added.remove(decodePath(r.get("path").asText())))
+          Option(node.get("remove")).foreach { r =>
+            val p = decodePath(r.get("path").asText())
+            // ENFORCED append-only contract (IncrementalAgg consumes
+            // this feed — feeding it a rewrite window would double-count
+            // survivor rows as new data): a remove may only cancel an
+            // add made EARLIER IN the window (same-window supersede); a
+            // remove of a pre-window file means the window mutated
+            // existing data (delete/update/merge/compact/backfill) and
+            // the feed cannot represent it.
+            require(added.contains(p),
+              s"loadChanges($fromExclusive, $toInclusive] at $tablePath: " +
+                s"window removes pre-window file $p — the CDC feed is " +
+                "append-only; refresh consumers from a full snapshot")
+            added.remove(p)
+          }
         }
     }
     val partCols = snap.partitionColumns

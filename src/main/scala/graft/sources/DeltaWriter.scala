@@ -705,13 +705,27 @@ object DeltaWriter {
     * production retention window: a concurrent reader of a pre-vacuum
     * snapshot keeps its files until the window passes; `retainMs = 0`,
     * the default, is the test-determinism mode that sweeps
-    * immediately). Returns the deleted relative paths. By design this
-    * breaks time travel to versions older than the window. */
+    * immediately). DV sidecar `.bin` files are swept by the same rule
+    * once no live descriptor references them (a compaction/rewrite
+    * absorbed the vectors); referenced ones always stay. Returns the
+    * deleted relative paths. By design this breaks time travel to
+    * versions older than the window. */
   def vacuum(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, retainMs: Long = 0L): Seq[String] = {
     val table = new File(tablePath)
-    val live = DeltaReader.snapshot(spark, tablePath).files
-      .map(_.path).toSet
+    val snapFiles = DeltaReader.snapshot(spark, tablePath).files
+    val live = snapFiles.map(_.path).toSet ++
+      // DV sidecars referenced by any LIVE descriptor stay; a .bin left
+      // behind once a compaction/rewrite absorbed its vectors is dead
+      snapFiles.flatMap(_.deletionVector)
+        .filter(_.storageType == "u").map { dv =>
+          val enc = dv.pathOrInlineDv
+          val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+          val bb = java.nio.ByteBuffer.wrap(Z85.decode(uuidPart))
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val name = s"deletion_vector_$uuid.bin"
+          if (prefix.isEmpty) name else s"$prefix/$name"
+        }
     // tombstone timestamps from the surviving JSON commits (an orphan
     // from a lost commit race has none — its mtime stands in)
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -733,7 +747,8 @@ object DeltaWriter {
       else if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
           .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
-      else if (f.getName.endsWith(".parquet")) Seq(f -> rel)
+      else if (f.getName.endsWith(".parquet") ||
+        f.getName.matches("deletion_vector_.*\\.bin")) Seq(f -> rel)
       else Nil
     val dead = walk(table, "")
       .filterNot { case (_, rel) => live.contains(rel) }

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, lit}
+
+/** SQL DML over DDL-registered Delta tables — `DELETE FROM`,
+  * `UPDATE … SET`, and the canonical upsert `MERGE INTO`, dispatched to
+  * [[DeltaWriter]]'s verbs through `AdtContext.sql`, so the CLI's
+  * execute pipeline can mutate a table it created (the reference is
+  * read-only; this is the write half its users script by hand).
+  *
+  * Scope is deliberate:
+  *  - targets must be `STORED AS DELTA` external tables registered in
+  *    THIS session (the [[Ddl]] registry carries name → location);
+  *    time-travel-pinned registrations (`versionAsOf`) refuse writes;
+  *  - `MERGE INTO` supports exactly the upsert form the verb
+  *    implements — equi-key `ON` conjunctions plus
+  *    `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    — anything else errors with the supported spelling;
+  *  - WHERE/SET expressions are Spark SQL, parsed with `expr` and
+  *    resolved against the table's frame (so every scalar function the
+  *    engine exposes works in DML predicates);
+  *  - after a write the view is RE-REGISTERED, so the next statement
+  *    in a script reads the new snapshot.
+  *
+  * Parsing is a top-level token scan (quote- and paren-aware), not a
+  * grammar: keywords inside string literals or subquery parens never
+  * split a clause.
+  */
+object Dml {
+
+  sealed trait Stmt { def table: String }
+  final case class Delete(table: String, where: Option[String]) extends Stmt
+  final case class Update(table: String, sets: Seq[(String, String)],
+      where: Option[String]) extends Stmt
+  final case class Merge(table: String, sourceQuery: String,
+      keys: Seq[String]) extends Stmt
+
+  private val DeleteP = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?\s*""".r
+  private val UpdateP = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
+  private val MergeP =
+    ("""(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+|\s+(?!USING)\w+)?\s+""" +
+      """USING\s+\((.+)\)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+""" +
+      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+
+  def matches(sql: String): Boolean = parseOpt(sql).isDefined
+
+  def parse(sql: String): Stmt = parseOpt(sql).getOrElse(
+    throw new IllegalArgumentException(s"not a DML statement: $sql"))
+
+  private def parseOpt(sql: String): Option[Stmt] = sql match {
+    case MergeP(table, source, _, on) =>
+      Some(Merge(table, source, onKeys(table, on)))
+    case DeleteP(table, tail) => whereTail(tail).map(Delete(table, _))
+    case UpdateP(table, rest) =>
+      val (setPart, where) = splitTopLevel(rest, "WHERE") match {
+        case Some((s, w)) => (s, Some(w))
+        case None => (rest, None)
+      }
+      val sets = splitTopLevelCommas(setPart).map { a =>
+        val i = topLevelIndexOf(a, '=')
+        if (i <= 0) return None
+        (a.take(i).trim, a.drop(i + 1).trim)
+      }
+      if (sets.isEmpty || sets.exists(s => s._1.isEmpty || s._2.isEmpty)) None
+      else Some(Update(table, sets, where))
+    case _ => None
+  }
+
+  /** "" → no WHERE; "WHERE p" → Some(p); anything else → not DML. */
+  private def whereTail(tail: String): Option[Option[String]] =
+    if (tail.trim.isEmpty) Some(None)
+    else {
+      val t = tail.trim
+      if (t.length > 5 && t.substring(0, 5).equalsIgnoreCase("WHERE") &&
+        t.charAt(5).isWhitespace) Some(Some(t.drop(6).trim))
+      else None
+    }
+
+  /** `t.k = s.k [AND …]` → the equi-key column list; anything that is
+    * not a conjunction of matching-name equalities is refused. */
+  private def onKeys(table: String, on: String): Seq[String] =
+    splitTopLevelAll(on, "AND").map { clause =>
+      val i = topLevelIndexOf(clause, '=')
+      require(i > 0, s"MERGE ON supports equi-key conjunctions only: $clause")
+      def colOf(s: String): String = {
+        val t = s.trim
+        val dot = t.lastIndexOf('.')
+        (if (dot >= 0) t.drop(dot + 1) else t).trim
+      }
+      val l = colOf(clause.take(i))
+      val r = colOf(clause.drop(i + 1))
+      require(l.equalsIgnoreCase(r),
+        s"MERGE ON must equate the SAME column on both sides (got $l = $r)")
+      l
+    }
+
+  /** Execute against the session's registry; `run` evaluates a nested
+    * query through the full context (MERGE's USING source). Returns the
+    * committed version. */
+  def execute(spark: SparkSession, stmt: Stmt,
+      run: String => DataFrame): Long = {
+    val t = Ddl.lookup(spark, stmt.table).getOrElse(
+      throw new IllegalArgumentException(
+        s"${stmt.table} is not a registered external table — DML targets " +
+          "must be created via CREATE EXTERNAL TABLE … STORED AS DELTA"))
+    require(t.format == "DELTA",
+      s"DML is supported only for DELTA tables; ${stmt.table} is ${t.format}")
+    require(!t.options.contains("versionasof"),
+      s"${stmt.table} is pinned to versionAsOf — a time-travel view is read-only")
+    val version = stmt match {
+      case Delete(_, where) =>
+        DeltaWriter.delete(spark, t.location,
+          where.map(expr).getOrElse(lit(true)))
+      case Update(_, sets, where) =>
+        DeltaWriter.update(spark, t.location,
+          where.map(expr).getOrElse(lit(true)),
+          sets.map { case (k, v) => k -> expr(v) }.toMap)
+      case Merge(_, source, keys) =>
+        DeltaWriter.merge(run(source), t.location, keys)
+    }
+    Ddl.register(spark, t) // the view must see the new snapshot
+    version
+  }
+
+  // ---- top-level token scanning (quotes + parens respected)
+
+  private def topLevelIndexOf(s: String, c: Char): Int = {
+    var depth = 0; var inQ = false; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false }
+      else ch match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case x if x == c && depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false }
+      else ch match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** First top-level occurrence of the WORD `kw` → (before, after). */
+  private def splitTopLevel(s: String, kw: String): Option[(String, String)] = {
+    var depth = 0; var inQ = false; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false; i += 1 }
+      else ch match {
+        case '\'' => inQ = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && i + kw.length <= s.length &&
+            s.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + kw.length == s.length || s.charAt(i + kw.length).isWhitespace))
+            return Some((s.take(i).trim, s.drop(i + kw.length).trim))
+          else i += 1
+      }
+    }
+    None
+  }
+
+  /** Split on EVERY top-level occurrence of the word `kw`. */
+  private def splitTopLevelAll(s: String, kw: String): Seq[String] =
+    splitTopLevel(s, kw) match {
+      case Some((head, tail)) => head +: splitTopLevelAll(tail, kw)
+      case None => Seq(s.trim)
+    }
+}

@@ -532,6 +532,24 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table mutated ENTIRELY through the SQL DML surface
+    * (`AdtContext.sql`: DELETE FROM + UPDATE SET dispatched through
+    * [[Dml]] to the writer verbs) — the composed state must equal the
+    * oracle's recomposition over the original corpus (q172). Same
+    * predicates as the library-call fixtures q169/q170, so a
+    * divergence isolates the SQL parsing/dispatch layer. */
+  def deltaOrdersSqlDml(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_sql_dml") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+      val ctx = new graft.AdtContext(s)
+      ctx.sql(s"CREATE EXTERNAL TABLE sql_dml_fixture STORED AS DELTA LOCATION '$path'")
+      ctx.sql("DELETE FROM sql_dml_fixture WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0")
+      ctx.sql("UPDATE sql_dml_fixture SET o_totalprice = o_totalprice / 2 WHERE o_orderstatus = 'P'")
+      ()
+    }
+
   /** A Delta table that has lived the FULL maintenance life cycle on
     * graft's own writer: two appends, a partition backfill
     * (replacePartitions), an OPTIMIZE-style compaction clustered on

@@ -588,6 +588,44 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(snap3.files.forall(_.deletionVector.isEmpty))
     assert(DeltaReader.load(spark, p2).collect().toSet ==
       orders.filter(col("o_orderstatus") =!= "F").collect().toSet)
+    // …and vacuum now sweeps the orphaned .bin (no live descriptor
+    // references it) along with the superseded data files
+    val swept = DeltaWriter.vacuum(spark, p2)
+    assert(swept.exists(_.matches("deletion_vector_.*\\.bin")))
+    assert(!new File(p2).listFiles().exists(
+      _.getName.matches("deletion_vector_.*\\.bin")))
+    assert(DeltaReader.load(spark, p2).collect().toSet ==
+      orders.filter(col("o_orderstatus") =!= "F").collect().toSet)
+  }
+
+  test("loadChanges refuses non-append windows (the CDC contract is enforced, not declared)") {
+    val path = tmpTable("nation_cdc_guard")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path)
+    DeltaWriter.delete(spark, path, col("n_nationkey") === 3)
+
+    // append-only windows still feed
+    assert(DeltaReader.loadChanges(spark, path, -1L, 1L).count() ==
+      nation.count())
+    // a window covering the delete removes a pre-window file → refused
+    val e = intercept[IllegalArgumentException](
+      DeltaReader.loadChanges(spark, path, 1L, 2L).count())
+    assert(e.getMessage.contains("append-only"))
+    // a DV commit in-window is refused too (its remove line trips the
+    // pre-window guard; the deletionVector add-guard backstops commits
+    // whose remove was itself in-window)
+    val p2 = tmpTable("nation_cdc_guard_dv")
+    DeltaWriter.append(nation, p2)
+    DeltaWriter.deleteWithVectors(spark, p2, col("n_nationkey") === 5)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaReader.loadChanges(spark, p2, 0L, 1L).count())
+    assert(e2.getMessage.contains("append-only"))
+    // the add-guard path: window covers creation AND the DV commit, so
+    // the remove cancels an in-window add and the DV add must refuse
+    val e3 = intercept[IllegalArgumentException](
+      DeltaReader.loadChanges(spark, p2, -1L, 1L).count())
+    assert(e3.getMessage.contains("deletion-vector"))
   }
 
   test("version-0 commit carries protocol + metaData the reader honors") {

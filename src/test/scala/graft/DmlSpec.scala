@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaReader, DeltaWriter, Dml}
+
+/** SQL DML layer: parsing edge cases (keywords inside literals, commas
+  * inside CASE, aliased MERGE keys), dispatch to the writer verbs with
+  * view refresh, and every refusal path. */
+class DmlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sfDir
+
+  test("parser: top-level scanning respects literals and parens") {
+    Dml.parse("DELETE FROM t WHERE name = 'a WHERE b'") match {
+      case Dml.Delete("t", Some(w)) => assert(w == "name = 'a WHERE b'")
+      case other => fail(s"$other")
+    }
+    Dml.parse(
+      "UPDATE t SET a = CASE WHEN b = 1 THEN 'x,y' ELSE c END, d = d + 1 WHERE e > 2") match {
+      case Dml.Update("t", sets, Some(w)) =>
+        assert(sets == Seq(
+          "a" -> "CASE WHEN b = 1 THEN 'x,y' ELSE c END",
+          "d" -> "d + 1"))
+        assert(w == "e > 2")
+      case other => fail(s"$other")
+    }
+    Dml.parse("DELETE FROM t") match {
+      case Dml.Delete("t", None) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("""MERGE INTO tgt USING (SELECT 1 AS k, 'v' AS s) src
+      ON tgt.k = src.k AND tgt.s = src.s
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""") match {
+      case Dml.Merge("tgt", q, keys) =>
+        assert(keys == Seq("k", "s"))
+        assert(q.contains("SELECT 1 AS k"))
+      case other => fail(s"$other")
+    }
+    // mismatched ON columns are refused
+    intercept[IllegalArgumentException](Dml.parse(
+      """MERGE INTO t USING (SELECT 1 AS k) s ON t.a = s.b
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    // non-DML stays non-DML
+    assert(!Dml.matches("SELECT * FROM deleted_things"))
+    assert(!Dml.matches("CREATE EXTERNAL TABLE x STORED AS PARQUET LOCATION '/x'"))
+  }
+
+  test("execute: DML mutates the registered delta table and refreshes the view") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_exec")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    DeltaWriter.append(Tables.t(spark, d, "nation"), dir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dml_exec STORED AS DELTA LOCATION '${dir.getAbsolutePath}'")
+    ctx.sql("DELETE FROM dml_exec WHERE n_nationkey % 2 = 1")
+    // the re-registered view sees the post-delete snapshot immediately
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_exec").head().getLong(0) == 13L)
+    ctx.sql("UPDATE dml_exec SET n_name = lower(n_name) WHERE n_regionkey = 0")
+    val renamed = ctx.sql(
+      "SELECT n_name FROM dml_exec WHERE n_regionkey = 0").collect()
+      .map(_.getString(0))
+    assert(renamed.nonEmpty && renamed.forall(n => n == n.toLowerCase))
+    // pg-dialect operators work in DML predicates (SqlCompat rewrite):
+    // only the just-lowercased region-0 names match '^nation'
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_exec WHERE n_name ~ '^nation'")
+      .head().getLong(0) == renamed.length.toLong)
+    ctx.sql("DELETE FROM dml_exec WHERE n_name ~ '^nation'")
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_exec WHERE n_name ~ '^nation'")
+      .head().getLong(0) == 0L)
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_exec").head().getLong(0) ==
+      13L - renamed.length)
+    assert(DeltaReader.snapshot(spark, dir.getAbsolutePath).version == 3L)
+  }
+
+  test("execute: refusal paths name the contract") {
+    val ctx = new AdtContext(spark)
+    val e1 = intercept[IllegalArgumentException](
+      ctx.sql("DELETE FROM never_registered WHERE x = 1"))
+    assert(e1.getMessage.contains("CREATE EXTERNAL TABLE"))
+
+    val pq = sources.Fixtures.nationCsv(spark, d)
+    ctx.sql(s"""CREATE EXTERNAL TABLE dml_csv
+      (n_nationkey INT, n_name STRING, n_regionkey INT)
+      STORED AS CSV OPTIONS(header='true') LOCATION '$pq'""")
+    val e2 = intercept[IllegalArgumentException](
+      ctx.sql("DELETE FROM dml_csv WHERE n_nationkey = 1"))
+    assert(e2.getMessage.contains("DELTA"))
+
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_tt")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    DeltaWriter.append(Tables.t(spark, d, "nation"), dir.getAbsolutePath)
+    DeltaWriter.append(Tables.t(spark, d, "nation")
+      .withColumn("n_nationkey", col("n_nationkey") + 100), dir.getAbsolutePath)
+    ctx.sql(s"""CREATE EXTERNAL TABLE dml_tt STORED AS DELTA
+      OPTIONS(versionAsOf='0') LOCATION '${dir.getAbsolutePath}'""")
+    val e3 = intercept[IllegalArgumentException](
+      ctx.sql("DELETE FROM dml_tt WHERE n_nationkey = 1"))
+    assert(e3.getMessage.contains("read-only"))
+  }
+}

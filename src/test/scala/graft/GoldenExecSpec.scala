@@ -122,6 +122,37 @@ class GoldenExecSpec extends AnyFunSuite {
     }
   }
 
+  test("golden8.sql: SQL DML (DELETE / UPDATE / MERGE) through execute") {
+    val url = getClass.getResource("/queries/golden8.sql")
+    assert(url != null, "golden8.sql resource missing")
+    val spark = SparkTestSession.spark
+    // a FRESH writable table per run — the script mutates it
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden8_tbl")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    graft.sources.DeltaWriter.append(
+      Tables.t(spark, SparkTestSession.sfDir, "nation"), dir.getAbsolutePath)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_DML}", dir.getAbsolutePath))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 6) // DDL + 3 DML + 2 SELECTs
+    val ctx = new AdtContext(SparkTestSession.spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    // DDL and all three DML statements render as empty boxes
+    assert(outputs.take(4).forall(_ == "++\n++"))
+    // 25 nations − 5 deleted + 1 merged-in = 21
+    assert(outputs(4).contains("| 21"))
+    assert(outputs(5).contains("RENAMED") && outputs(5).contains("ADDED"))
+    // the commits are real versions on disk: v0 append + 3 DML
+    assert(graft.sources.DeltaReader
+      .snapshot(spark, dir.getAbsolutePath).version == 3L)
+  }
+
   test("golden5.sql: the sampled ANN trainer (q114-shaped SQL) through execute") {
     val url = getClass.getResource("/queries/golden5.sql")
     assert(url != null, "golden5.sql resource missing")
