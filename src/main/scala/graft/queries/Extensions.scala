@@ -472,6 +472,57 @@ object Extensions {
   private val duckQV =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
 
+  /** q173's swept output dimensionalities. The 32-row sign matrix is
+    * derived once; the k-dim projection is its first k rows (a prefix of
+    * a JL matrix is itself a JL matrix), so one per-row fold serves the
+    * whole sweep via array slicing. */
+  private[graft] val JlDimSweep = Seq(8, 16, 32)
+
+  /** q174's semi-hard band width below the best positive cosine. */
+  private[graft] val HardNegMargin = 0.15
+
+  /** q175 MMR: candidate-list size and number of greedy picks. */
+  private[graft] val MmrCandidates = 8
+  private[graft] val MmrPicks = 4
+
+  /** q175's greedy rounds 2..[[MmrPicks]] — dialect-neutral (only ANSI
+    * over the cand/cc CTEs), so Spark and DuckDB share the exact CTE
+    * text and therefore the exact pick sequence. Round 1 is the pure
+    * argmax of rel; each later round scores the not-yet-picked
+    * candidates as 7·rel − 3·(max sim to the picked set). */
+  private[graft] val MmrRoundCtes: String = {
+    val r1 = """
+        sel1 AS (
+          SELECT q_id, c_id, CAST(1 AS INT) AS pick_round, rel FROM (
+            SELECT q_id, c_id, rel,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY rel DESC, c_id ASC) AS rn
+            FROM cand) t
+          WHERE rn = 1)"""
+    val rest = (2 to MmrPicks).map { r =>
+      s"""
+        pick$r AS (
+          SELECT q_id, c_id, CAST($r AS INT) AS pick_round, rel FROM (
+            SELECT c.q_id, c.c_id, c.rel,
+              row_number() OVER (PARTITION BY c.q_id
+                ORDER BY 7 * c.rel - 3 * p.pen DESC, c.c_id ASC) AS rn
+            FROM cand c JOIN (
+              SELECT cc.q_id, cc.ca, max(cc.sim) AS pen
+              FROM cc JOIN sel${r - 1} s
+                ON cc.q_id = s.q_id AND cc.cb = s.c_id
+              GROUP BY cc.q_id, cc.ca) p
+              ON c.q_id = p.q_id AND c.c_id = p.ca
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+              WHERE s2.q_id = c.q_id AND s2.c_id = c.c_id)) t
+          WHERE rn = 1),
+        sel$r AS (
+          SELECT q_id, c_id, pick_round, rel FROM sel${r - 1}
+          UNION ALL
+          SELECT q_id, c_id, pick_round, rel FROM pick$r)"""
+    }
+    (r1 +: rest).mkString(",")
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- date_bin gap function: 6-hour buckets anchored at 2000-01-01
@@ -1161,7 +1212,289 @@ object Extensions {
         SELECT s.c_id, s.n_members, n.nn_c_id, n.nn_dist,
           CAST(s.mean_sse AS DOUBLE) / CAST(n.nn_dist AS DOUBLE) AS sep_ratio
         FROM sse s JOIN nn n ON s.c_id = n.c_id
-        ORDER BY s.c_id"""))
+        ORDER BY s.c_id""")),
+
+    // ---- JOHNSON-LINDENSTRAUSS RANDOM PROJECTION (Achlioptas ±1
+    // variant, "Database-friendly random projections", PODS 2001): the
+    // standard embedding-compression step before large-scale ANN — a
+    // dense ±1 sign matrix maps 64-dim vectors down, preserving pairwise
+    // angles within the JL ε ≈ √(ln n / k) distortion bound at a
+    // fraction of the memory and dot-product cost. The sign matrix is a
+    // pure function of (row, col) via md5_60 ("jl:i:j" % 2), so BOTH
+    // engines derive the identical matrix with zero stored state and any
+    // executor re-derives it for free (no broadcast of learned state,
+    // unlike PQ/IVF). Integer math end to end: quantized int inputs ×
+    // ±1 → exact BIGINT projections (|p_j| ≤ 64·10⁴, dots ≤
+    // 32·(6.4·10⁵)² ≈ 1.3·10¹³ ≪ 2⁵³, so the DOUBLE cosine agrees
+    // bit-for-bit across engines). Deliverable = the DIMENSION SWEEP:
+    // recall@5 of projected-space top-5 vs exact 64-dim top-5 at k ∈
+    // {8,16,32}, the curve that decides how much compression the
+    // corpus's neighbor structure tolerates (this corpus's neighbor gaps
+    // are shallow — max cos ≈ 0.37 — so the curve climbs slowly; that IS
+    // the finding the eval exists to surface). One 32-row matrix serves
+    // all three k (a JL-matrix prefix is a JL matrix): the per-row fold
+    // runs once and each k reads an array SLICE. Shapes at 100 TB: the
+    // projection is a per-ROW fold (32 multiply-adds over the vector, no
+    // explode, no shuffle); the brute-force eval is the q44-style
+    // broadcast-query pass, sample-bounded by the query set.
+    Q("q173_jl_projection",
+      (s, d) => {
+        graft.functions.DotProductI64.register(s)
+        // 32×64 ±1 literal (constant-folded): derived driver-side via
+        // the SAME md5_60 bits the oracle derives in SQL — hash60 ==
+        // ('0x' || substr(md5(x), 2, 15))::BIGINT by construction.
+        val signs = (0 until JlDimSweep.max).map { j =>
+          (0 until 64).map { i =>
+            val h = graft.functions.Md5Long.hash60(
+              s"jl:$i:$j".getBytes("UTF-8"))
+            if (h % 2 == 0L) "1L" else "-1L"
+          }.mkString("array(", ", ", ")")
+        }.mkString("array(", ", ", ")")
+        def cos(a: String, b: String) =
+          s"""CAST(dot_i64($a, $b) AS DOUBLE) /
+              (sqrt(CAST(greatest(dot_i64($a, $a), 1L) AS DOUBLE)) *
+               sqrt(CAST(greatest(dot_i64($b, $b), 1L) AS DOUBLE)))"""
+        val sweep = JlDimSweep.map { k =>
+          s"""
+          approx$k AS (
+            SELECT q_id, neighbor FROM (
+              SELECT q.q_id, c.vec_id AS neighbor,
+                row_number() OVER (PARTITION BY q.q_id ORDER BY
+                  ${cos(s"slice(c.p, 1, $k)", s"slice(q.qp, 1, $k)")}
+                  DESC, c.vec_id ASC) AS rn
+              FROM wp c CROSS JOIN qset q WHERE c.vec_id <> q.q_id) t
+            WHERE rn <= 5),
+          hits$k AS (
+            SELECT CAST($k AS INT) AS out_dims,
+              CAST(sum(CASE WHEN a.neighbor IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+              count(*) AS n_pairs
+            FROM gt g LEFT JOIN approx$k a
+              ON g.q_id = a.q_id AND g.neighbor = a.neighbor)"""
+        }.mkString(",")
+        val unions = JlDimSweep.map(k => s"SELECT * FROM hits$k")
+          .mkString(" UNION ALL ")
+        Tables.sql(s, d, s"""
+        WITH w AS (SELECT vec_id, $QV AS v FROM embeddings),
+        wp AS (
+          SELECT vec_id, v,
+            transform($signs, row -> aggregate(sequence(1, 64), 0L,
+              (a, i) -> a + element_at(v, i) * element_at(row, i))) AS p
+          FROM w),
+        qset AS (SELECT vec_id AS q_id, v AS qv, p AS qp
+                 FROM wp WHERE vec_id < 10),
+        gt AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, c.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${cos("c.v", "q.qv")} DESC, c.vec_id ASC) AS rn
+            FROM wp c CROSS JOIN qset q WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= 5),
+        $sweep
+        SELECT out_dims, n_hits,
+          CAST(n_hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall
+        FROM ($unions) u
+        ORDER BY out_dims""")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_dot_product($a, $b) /
+              (sqrt(greatest(list_dot_product($a, $a), 1)) *
+               sqrt(greatest(list_dot_product($b, $b), 1)))"""
+        val sweep = JlDimSweep.map { k =>
+          s"""
+          approx$k AS (
+            SELECT q_id, neighbor FROM (
+              SELECT q.q_id, c.vec_id AS neighbor,
+                row_number() OVER (PARTITION BY q.q_id ORDER BY
+                  ${cos(s"c.p[1:$k]", s"q.qp[1:$k]")}
+                  DESC, c.vec_id ASC) AS rn
+              FROM wp c CROSS JOIN qset q WHERE c.vec_id <> q.q_id) t
+            WHERE rn <= 5),
+          hits$k AS (
+            SELECT CAST($k AS INT) AS out_dims,
+              CAST(sum(CASE WHEN a.neighbor IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+              count(*) AS n_pairs
+            FROM gt g LEFT JOIN approx$k a
+              ON g.q_id = a.q_id AND g.neighbor = a.neighbor)"""
+        }.mkString(",")
+        val unions = JlDimSweep.map(k => s"SELECT * FROM hits$k")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH w AS (SELECT vec_id, $duckQV AS v FROM embeddings),
+        sg AS (
+          SELECT i, j,
+            CASE WHEN ('0x' || substr(md5('jl:' || i || ':' || j), 2, 15))::BIGINT
+              % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM generate_series(0, 63) g1(i)
+          CROSS JOIN generate_series(0, ${JlDimSweep.max - 1}) g2(j)),
+        pr AS (
+          SELECT w.vec_id, sg.j,
+            CAST(sum(w.v[sg.i + 1] * sg.sgn) AS BIGINT) AS pj
+          FROM w CROSS JOIN sg GROUP BY w.vec_id, sg.j),
+        wp AS (
+          SELECT w.vec_id, w.v, p.p
+          FROM w JOIN (SELECT vec_id, list(pj ORDER BY j) AS p
+                       FROM pr GROUP BY vec_id) p USING (vec_id)),
+        qset AS (SELECT vec_id AS q_id, v AS qv, p AS qp
+                 FROM wp WHERE vec_id < 10),
+        gt AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, c.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                ${cos("c.v", "q.qv")} DESC, c.vec_id ASC) AS rn
+            FROM wp c CROSS JOIN qset q WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= 5),
+        $sweep
+        SELECT out_dims, n_hits,
+          CAST(n_hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall
+        FROM ($unions) u
+        ORDER BY out_dims"""
+      }),
+
+    // ---- SEMI-HARD NEGATIVE MINING (the FaceNet/contrastive-training
+    // pair-curation step, Schroff et al. 2015): for each anchor, find
+    // different-label vectors that are CLOSER than useless (within
+    // [[HardNegMargin]] of the anchor's best same-label positive) but
+    // still FARTHER than the positive — the band that actually moves a
+    // contrastive loss. Easy negatives (below the band) teach nothing;
+    // harder-than-positive negatives destabilize training. Output =
+    // top-3 semi-hard negatives per anchor with their labels and
+    // cosines. Doubles are safe cross-engine: both sides compute the
+    // identical int-dot/sqrt cosine and the identical pos−margin bound,
+    // so every comparison agrees bitwise. Shapes at 100 TB: ONE
+    // broadcast-anchor pass over the corpus (anchors are sample-bounded
+    // by construction — you mine against a training batch, not the full
+    // corpus), map-side-combined max for the positive, bounded top-3
+    // window per anchor; production swaps the corpus scan for the ANN
+    // index probe (q93) with the same band filter.
+    Q("q174_hard_negatives",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.DotProductI64.register(s)
+        val emb = Tables.t(s, d, "embeddings")
+          .select($"vec_id", $"label", expr(QV).as("v"))
+        val qset = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"v".as("qv"))
+        val scored = emb.crossJoin(broadcast(qset))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", expr("dot_i64(v, qv)").cast("double") /
+            (sqrt(expr("dot_i64(v, v)").cast("double")) *
+              sqrt(expr("dot_i64(qv, qv)").cast("double"))))
+          // consumed twice (positive max + negative band): one pass
+          .cache()
+        val pos = scored.filter($"label" === $"q_label")
+          .groupBy($"q_id").agg(max($"cos").as("pos_cos"))
+        scored.filter($"label" =!= $"q_label")
+          .join(broadcast(pos), Seq("q_id"))
+          .filter($"cos" < $"pos_cos" &&
+            $"cos" >= $"pos_cos" - lit(HardNegMargin))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+          .filter($"rn" <= 3)
+          .select($"q_id", $"rn", $"vec_id".as("neighbor"),
+            $"label".as("n_label"), $"cos")
+          .orderBy($"q_id", $"rn")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT vec_id, label, $duckQV AS v FROM embeddings),
+        qset AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+                 FROM w WHERE vec_id < 10),
+        sc AS (
+          SELECT q.q_id, q.q_label, c.vec_id, c.label,
+            list_dot_product(c.v, q.qv) /
+              (sqrt(list_dot_product(c.v, c.v)) *
+               sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM w c CROSS JOIN qset q
+          WHERE c.vec_id <> q.q_id),
+        pos AS (
+          SELECT q_id, max(cos) AS pos_cos
+          FROM sc WHERE label = q_label GROUP BY q_id)
+        SELECT q_id, rn, neighbor, n_label, cos FROM (
+          SELECT s.q_id, s.vec_id AS neighbor, s.label AS n_label, s.cos,
+            CAST(row_number() OVER (PARTITION BY s.q_id
+              ORDER BY s.cos DESC, s.vec_id ASC) AS INT) AS rn
+          FROM sc s JOIN pos p ON s.q_id = p.q_id
+          WHERE s.label <> s.q_label
+            AND s.cos < p.pos_cos
+            AND s.cos >= p.pos_cos - $HardNegMargin) t
+        WHERE rn <= 3
+        ORDER BY q_id, rn""")),
+
+    // ---- MMR DIVERSIFIED RERANK (Maximal Marginal Relevance, Carbonell
+    // & Goldstein SIGIR 1998): the standard RAG retrieval step that
+    // trades pure relevance for coverage — greedily pick k results where
+    // each pick maximizes λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s).
+    // λ = 0.7, spelled as argmax of 7·rel − 3·pen (×10 — identical
+    // argmax, only exact small-int × double products). Fixed
+    // [[MmrPicks]]-round greedy chain, the q114-Lloyd's/q148-BPE oracle
+    // discipline: each round is one CTE on both engines, ties broken on
+    // c_id, so the pick sequence is bit-deterministic. Shapes at 100 TB:
+    // candidate generation is the index probe (top-[[MmrCandidates]] per
+    // query — HERE brute-force over the corpus, production = q93's IVF
+    // probe); the rerank itself touches only k·|cand| rows per query
+    // (pen = one equi-join + max-agg per round against the ≤k-row
+    // selected set) — never the corpus. The greedy loop is inherently
+    // sequential in k but embarrassingly parallel across queries.
+    Q("q175_mmr_rerank",
+      (s, d) => {
+        graft.functions.DotProductI64.register(s)
+        Tables.sql(s, d, s"""
+        WITH w AS (SELECT vec_id, $QV AS v FROM embeddings),
+        qs AS (SELECT vec_id AS q_id, v AS qv FROM w WHERE vec_id < 4),
+        cand AS (
+          SELECT q_id, c_id, rel, v FROM (
+            SELECT q.q_id, c.vec_id AS c_id, c.v,
+              CAST(dot_i64(c.v, q.qv) AS DOUBLE) /
+                (sqrt(CAST(dot_i64(c.v, c.v) AS DOUBLE)) *
+                 sqrt(CAST(dot_i64(q.qv, q.qv) AS DOUBLE))) AS rel,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                CAST(dot_i64(c.v, q.qv) AS DOUBLE) /
+                  (sqrt(CAST(dot_i64(c.v, c.v) AS DOUBLE)) *
+                   sqrt(CAST(dot_i64(q.qv, q.qv) AS DOUBLE)))
+                DESC, c.vec_id ASC) AS rn
+            FROM w c CROSS JOIN qs q WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= $MmrCandidates),
+        cc AS (
+          SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+            CAST(dot_i64(a.v, b.v) AS DOUBLE) /
+              (sqrt(CAST(dot_i64(a.v, a.v) AS DOUBLE)) *
+               sqrt(CAST(dot_i64(b.v, b.v) AS DOUBLE))) AS sim
+          FROM cand a JOIN cand b
+            ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+        $MmrRoundCtes
+        SELECT q_id, pick_round, c_id, rel FROM sel$MmrPicks
+        ORDER BY q_id, pick_round""")
+      },
+      Some(s"""
+        WITH w AS (SELECT vec_id, $duckQV AS v FROM embeddings),
+        qs AS (SELECT vec_id AS q_id, v AS qv FROM w WHERE vec_id < 4),
+        cand AS (
+          SELECT q_id, c_id, rel, v FROM (
+            SELECT q.q_id, c.vec_id AS c_id, c.v,
+              list_dot_product(c.v, q.qv) /
+                (sqrt(list_dot_product(c.v, c.v)) *
+                 sqrt(list_dot_product(q.qv, q.qv))) AS rel,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(c.v, q.qv) /
+                  (sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(q.qv, q.qv)))
+                DESC, c.vec_id ASC) AS rn
+            FROM w c CROSS JOIN qs q WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= $MmrCandidates),
+        cc AS (
+          SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+            list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) AS sim
+          FROM cand a JOIN cand b
+            ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+        $MmrRoundCtes
+        SELECT q_id, pick_round, c_id, rel FROM sel$MmrPicks
+        ORDER BY q_id, pick_round"""))
   )
 
   /** Distinct SemDeDup duplicate markers `(c_id, ib)` over a lloyd2
