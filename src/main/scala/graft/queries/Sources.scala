@@ -487,6 +487,37 @@ object Sources {
                   ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- OPTIMIZE ZORDER round trip: the fixture table was appended in
+    // two commits whose files each span the FULL (l_partkey, l_suppkey)
+    // range (zero skipping on either dim), then rewritten by
+    // DeltaWriter.optimizeZOrder into Morton-range-clustered files. The
+    // hashed contract here is exactness through the rewrite — the
+    // grouped aggregate over the optimized table must equal the oracle's
+    // over the untouched corpus (any row lost, duplicated, or mistyped
+    // by the z rewrite breaks the hash); the layout property itself
+    // (tight per-file min/max in BOTH dims → either-dim predicates
+    // prune through DeltaSnapshotFileIndex) is deterministic-free of
+    // file boundaries and pinned in DeltaWriterSpec, the q154 split of
+    // measure-vs-persist.
+    Q("q176_delta_zorder",
+      (s, d) => {
+        val dir = Fixtures.deltaLineitemZOrdered(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy((col("l_partkey") % 16).as("pk_band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_suppkey")).cast("long").as("supp_sum"),
+            sum(expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+              .cast("long").as("qty_cents"))
+          .orderBy(col("pk_band"))
+      },
+      Some("""
+        SELECT l_partkey % 16 AS pk_band, count(*) AS n,
+          CAST(sum(l_suppkey) AS BIGINT) AS supp_sum,
+          CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+            AS qty_cents
+        FROM lineitem
+        GROUP BY l_partkey % 16 ORDER BY pk_band"""))
   )
 }

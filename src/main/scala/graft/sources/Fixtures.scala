@@ -576,6 +576,26 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table rewritten by `OPTIMIZE ZORDER` (q176): lineitem's
+    * key/dim columns appended in two stats-useless commits (each parity
+    * file spans the full (l_partkey, l_suppkey) range, so neither dim
+    * prunes anything), then [[DeltaWriter.optimizeZOrder]] re-clusters
+    * into Morton-range files whose per-file min/max are tight in BOTH
+    * dims. q176 proves the rewrite lost/duplicated nothing; the
+    * either-dim file-skipping contrast is pinned in DeltaWriterSpec. */
+  def deltaLineitemZOrdered(s: SparkSession, d: String): String =
+    ensure(d, "delta_lineitem_zordered") { dir =>
+      val li = Tables.t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(li.filter(col("l_orderkey") % 2 === 0), path)
+      DeltaWriter.append(li.filter(col("l_orderkey") % 2 =!= 0), path)
+      DeltaWriter.optimizeZOrder(s, path, "l_partkey", "l_suppkey",
+        targetFiles = 8)
+      ()
+    }
+
   /** An incrementally-maintained COUNT/SUM materialization exercised
     * the way production runs it: base commit → refresh → base commit →
     * refresh, so the SECOND refresh genuinely reads only the second

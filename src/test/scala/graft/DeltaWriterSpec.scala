@@ -3,7 +3,7 @@ package graft
 import java.io.File
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, LessThan, Literal}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -366,6 +366,48 @@ class DeltaWriterSpec extends AnyFunSuite {
     // clustering: each compacted file's stats carry a tight o_orderkey
     // range — min must not exceed max, and stats exist on every file
     assert(snap.files.forall(_.stats.exists(_.contains("o_orderkey"))))
+  }
+
+  test("optimizeZOrder: content exact, either-dim predicates prune where they couldn't before") {
+    val path = tmpTable("lineitem_zorder")
+    val li = Tables.t(spark, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"))
+    // two parity appends: each file spans the FULL range of both dims
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 === 0), path)
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 =!= 0), path)
+
+    def index = DeltaReader.load(spark, path)
+      .queryExecution.analyzed.collectFirst {
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r.location
+      }.get
+    def nFiles(fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      index.listFiles(Nil, fs).map(_.files.length).sum
+    val pk = AttributeReference("l_partkey", LongType)()
+    val sk = AttributeReference("l_suppkey", LongType)()
+    val r = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (lowP, lowS) = (Literal(r.getLong(0) / 8 + 1), Literal(r.getLong(1) / 8 + 1))
+    // before: neither dim prunes anything
+    assert(nFiles(Nil) == 2)
+    assert(nFiles(Seq(LessThan(pk, lowP))) == 2)
+    assert(nFiles(Seq(LessThan(sk, lowS))) == 2)
+
+    val v = DeltaWriter.optimizeZOrder(spark, path,
+      "l_partkey", "l_suppkey", targetFiles = 8)
+    assert(v == 2L)
+    // content exact through the rewrite
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      li.collect().toSet)
+    val total = nFiles(Nil)
+    assert(total > 1 && total <= 8)
+    // after: the SAME predicates prune files on EITHER dim — the
+    // property single-key clustering cannot deliver for the second dim
+    assert(nFiles(Seq(LessThan(pk, lowP))) < total)
+    assert(nFiles(Seq(LessThan(sk, lowS))) < total)
+    // stats exist on every rewritten file for both dims
+    val snap = DeltaReader.snapshot(spark, path)
+    assert(snap.files.forall(a => a.stats.exists(s =>
+      s.contains("l_partkey") && s.contains("l_suppkey"))))
   }
 
   test("explicit schema evolution: additive metaData commit, old files null-fill") {
