@@ -485,11 +485,14 @@ object Extensions {
   private[graft] val MmrCandidates = 8
   private[graft] val MmrPicks = 4
 
-  /** q175's greedy rounds 2..[[MmrPicks]] — dialect-neutral (only ANSI
-    * over the cand/cc CTEs), so Spark and DuckDB share the exact CTE
-    * text and therefore the exact pick sequence. Round 1 is the pure
-    * argmax of rel; each later round scores the not-yet-picked
-    * candidates as 7·rel − 3·(max sim to the picked set). */
+  /** q175's greedy rounds 2..[[MmrPicks]] as an unrolled CTE chain —
+    * the ORACLE spelling (DuckDB materializes CTEs, so the chain is
+    * cheap there; the Spark side runs the same math as cached
+    * DataFrame rounds because Spark INLINES CTEs and would re-expand
+    * the whole candidate probe at every sel reference). Round 1 is the
+    * pure argmax of rel; each later round scores the not-yet-picked
+    * candidates as 7·rel − 3·(max sim to the picked set), ties on
+    * c_id — bit-identical to the DataFrame rounds. */
   private[graft] val MmrRoundCtes: String = {
     val r1 = """
         sel1 AS (
@@ -1239,62 +1242,55 @@ object Extensions {
     // broadcast-query pass, sample-bounded by the query set.
     Q("q173_jl_projection",
       (s, d) => {
+        import s.implicits._
         graft.functions.DotProductI64.register(s)
-        // 32×64 ±1 literal (constant-folded): derived driver-side via
-        // the SAME md5_60 bits the oracle derives in SQL — hash60 ==
-        // ('0x' || substr(md5(x), 2, 15))::BIGINT by construction.
-        val signs = (0 until JlDimSweep.max).map { j =>
+        // 32×64 ±1 matrix as ONE typedLit literal (a single Literal
+        // node, not a 2048-leaf CreateArray tree — the tree form made
+        // codegen compile a pathological method per occurrence):
+        // derived driver-side via the SAME md5_60 bits the oracle
+        // derives in SQL — hash60 == ('0x'||substr(md5(x),2,15))::BIGINT
+        // by construction.
+        val signsData: Seq[Seq[Long]] = (0 until JlDimSweep.max).map { j =>
           (0 until 64).map { i =>
             val h = graft.functions.Md5Long.hash60(
               s"jl:$i:$j".getBytes("UTF-8"))
-            if (h % 2 == 0L) "1L" else "-1L"
-          }.mkString("array(", ", ", ")")
-        }.mkString("array(", ", ", ")")
+            if (h % 2 == 0L) 1L else -1L
+          }
+        }
+        // projection fold runs ONCE (cached 3-column frame); every
+        // sweep member reads an array slice of `p`.
+        val wp = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(QV).as("v"))
+          .withColumn("p", transform(typedLit(signsData), row =>
+            aggregate(sequence(lit(1), lit(64)), lit(0L),
+              (acc, i) => acc + element_at($"v", i) * element_at(row, i))))
+          .cache()
+        val qset = wp.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"p".as("qp"))
         def cos(a: String, b: String) =
-          s"""CAST(dot_i64($a, $b) AS DOUBLE) /
-              (sqrt(CAST(greatest(dot_i64($a, $a), 1L) AS DOUBLE)) *
-               sqrt(CAST(greatest(dot_i64($b, $b), 1L) AS DOUBLE)))"""
-        val sweep = JlDimSweep.map { k =>
-          s"""
-          approx$k AS (
-            SELECT q_id, neighbor FROM (
-              SELECT q.q_id, c.vec_id AS neighbor,
-                row_number() OVER (PARTITION BY q.q_id ORDER BY
-                  ${cos(s"slice(c.p, 1, $k)", s"slice(q.qp, 1, $k)")}
-                  DESC, c.vec_id ASC) AS rn
-              FROM wp c CROSS JOIN qset q WHERE c.vec_id <> q.q_id) t
-            WHERE rn <= 5),
-          hits$k AS (
-            SELECT CAST($k AS INT) AS out_dims,
-              CAST(sum(CASE WHEN a.neighbor IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_hits,
-              count(*) AS n_pairs
-            FROM gt g LEFT JOIN approx$k a
-              ON g.q_id = a.q_id AND g.neighbor = a.neighbor)"""
-        }.mkString(",")
-        val unions = JlDimSweep.map(k => s"SELECT * FROM hits$k")
-          .mkString(" UNION ALL ")
-        Tables.sql(s, d, s"""
-        WITH w AS (SELECT vec_id, $QV AS v FROM embeddings),
-        wp AS (
-          SELECT vec_id, v,
-            transform($signs, row -> aggregate(sequence(1, 64), 0L,
-              (a, i) -> a + element_at(v, i) * element_at(row, i))) AS p
-          FROM w),
-        qset AS (SELECT vec_id AS q_id, v AS qv, p AS qp
-                 FROM wp WHERE vec_id < 10),
-        gt AS (
-          SELECT q_id, neighbor FROM (
-            SELECT q.q_id, c.vec_id AS neighbor,
-              row_number() OVER (PARTITION BY q.q_id ORDER BY
-                ${cos("c.v", "q.qv")} DESC, c.vec_id ASC) AS rn
-            FROM wp c CROSS JOIN qset q WHERE c.vec_id <> q.q_id) t
-          WHERE rn <= 5),
-        $sweep
-        SELECT out_dims, n_hits,
-          CAST(n_hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall
-        FROM ($unions) u
-        ORDER BY out_dims""")
+          expr(s"dot_i64($a, $b)").cast("double") /
+            (sqrt(expr(s"greatest(dot_i64($a, $a), 1L)").cast("double")) *
+              sqrt(expr(s"greatest(dot_i64($b, $b), 1L)").cast("double")))
+        def top5(sc: org.apache.spark.sql.Column) = wp
+          .crossJoin(broadcast(qset))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("sc", sc)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"sc".desc, $"vec_id".asc)))
+          .filter($"rn" <= 5)
+          .select($"q_id", $"vec_id".as("neighbor"))
+        val gt = top5(cos("v", "qv"))
+        JlDimSweep.map { k =>
+          gt.join(top5(cos(s"slice(p, 1, $k)", s"slice(qp, 1, $k)"))
+              .withColumn("hit", lit(1)),
+              Seq("q_id", "neighbor"), "left_outer")
+            .agg(
+              sum(coalesce($"hit", lit(0))).cast("long").as("n_hits"),
+              count(lit(1)).as("n_pairs"))
+            .select(lit(k).cast("int").as("out_dims"), $"n_hits",
+              ($"n_hits".cast("double") / $"n_pairs".cast("double"))
+                .as("recall"))
+        }.reduce(_.union(_)).orderBy($"out_dims")
       },
       Some {
         def cos(a: String, b: String) =
@@ -1441,33 +1437,63 @@ object Extensions {
     // sequential in k but embarrassingly parallel across queries.
     Q("q175_mmr_rerank",
       (s, d) => {
+        import s.implicits._
         graft.functions.DotProductI64.register(s)
-        Tables.sql(s, d, s"""
-        WITH w AS (SELECT vec_id, $QV AS v FROM embeddings),
-        qs AS (SELECT vec_id AS q_id, v AS qv FROM w WHERE vec_id < 4),
-        cand AS (
-          SELECT q_id, c_id, rel, v FROM (
-            SELECT q.q_id, c.vec_id AS c_id, c.v,
-              CAST(dot_i64(c.v, q.qv) AS DOUBLE) /
-                (sqrt(CAST(dot_i64(c.v, c.v) AS DOUBLE)) *
-                 sqrt(CAST(dot_i64(q.qv, q.qv) AS DOUBLE))) AS rel,
-              row_number() OVER (PARTITION BY q.q_id ORDER BY
-                CAST(dot_i64(c.v, q.qv) AS DOUBLE) /
-                  (sqrt(CAST(dot_i64(c.v, c.v) AS DOUBLE)) *
-                   sqrt(CAST(dot_i64(q.qv, q.qv) AS DOUBLE)))
-                DESC, c.vec_id ASC) AS rn
-            FROM w c CROSS JOIN qs q WHERE c.vec_id <> q.q_id) t
-          WHERE rn <= $MmrCandidates),
-        cc AS (
-          SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
-            CAST(dot_i64(a.v, b.v) AS DOUBLE) /
-              (sqrt(CAST(dot_i64(a.v, a.v) AS DOUBLE)) *
-               sqrt(CAST(dot_i64(b.v, b.v) AS DOUBLE))) AS sim
-          FROM cand a JOIN cand b
-            ON a.q_id = b.q_id AND a.c_id <> b.c_id),
-        $MmrRoundCtes
-        SELECT q_id, pick_round, c_id, rel FROM sel$MmrPicks
-        ORDER BY q_id, pick_round""")
+        def cos(a: String, b: String) =
+          expr(s"dot_i64($a, $b)").cast("double") /
+            (sqrt(expr(s"dot_i64($a, $a)").cast("double")) *
+              sqrt(expr(s"dot_i64($b, $b)").cast("double")))
+        val w = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(QV).as("v"))
+        val qs = w.filter($"vec_id" < 4)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        // candidate probe + pairwise sims materialize ONCE (tiny
+        // frames: |qs|·MmrCandidates rows) — the greedy rounds re-read
+        // them instead of re-expanding the corpus scan per round (the
+        // CTE-chain spelling re-computes the whole probe subtree at
+        // every sel reference; the oracle keeps that spelling because
+        // DuckDB materializes CTEs, Spark inlines them)
+        val cand = w.crossJoin(broadcast(qs))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("rel", cos("v", "qv"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"rel".desc, $"vec_id".asc)))
+          .filter($"rn" <= MmrCandidates)
+          .select($"q_id", $"vec_id".as("c_id"), $"rel", $"v")
+          .cache()
+        val cc = cand.select($"q_id", $"c_id".as("ca"), $"v".as("va"))
+          .join(cand.select($"q_id", $"c_id".as("cb"), $"v".as("vb")),
+            Seq("q_id"))
+          .filter($"ca" =!= $"cb")
+          .select($"q_id", $"ca", $"cb", cos("va", "vb").as("sim"))
+          .cache()
+        val sel1 = cand
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"rel".desc, $"c_id".asc)))
+          .filter($"rn" === 1)
+          .select($"q_id", $"c_id", lit(1).cast("int").as("pick_round"),
+            $"rel")
+        val sel = (2 to MmrPicks).foldLeft(sel1) { (prev, r) =>
+          val pen = cc.join(prev.select($"q_id", $"c_id".as("cb")),
+              Seq("q_id", "cb"))
+            .groupBy($"q_id", $"ca").agg(max($"sim").as("pen"))
+          val pick = cand.as("c")
+            .join(pen.as("p"), col("c.q_id") === col("p.q_id") &&
+              col("c.c_id") === col("p.ca"))
+            .select(col("c.q_id"), col("c.c_id"), col("c.rel"),
+              col("p.pen"))
+            .join(prev.select($"q_id", $"c_id"), Seq("q_id", "c_id"),
+              "left_anti")
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"q_id")
+                .orderBy(expr("7 * rel - 3 * pen").desc, $"c_id".asc)))
+            .filter($"rn" === 1)
+            .select($"q_id", $"c_id", lit(r).cast("int").as("pick_round"),
+              $"rel")
+          prev.union(pick).localCheckpoint(false)
+        }
+        sel.select($"q_id", $"pick_round", $"c_id", $"rel")
+          .orderBy($"q_id", $"pick_round")
       },
       Some(s"""
         WITH w AS (SELECT vec_id, $duckQV AS v FROM embeddings),
