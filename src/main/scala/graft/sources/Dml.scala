@@ -3,11 +3,13 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, lit}
 
-/** SQL DML over DDL-registered Delta tables — `DELETE FROM`,
-  * `UPDATE … SET`, and the canonical upsert `MERGE INTO`, dispatched to
-  * [[DeltaWriter]]'s verbs through `AdtContext.sql`, so the CLI's
-  * execute pipeline can mutate a table it created (the reference is
-  * read-only; this is the write half its users script by hand).
+/** SQL DML + maintenance over DDL-registered Delta tables — `DELETE
+  * FROM`, `UPDATE … SET`, the canonical upsert `MERGE INTO`, plus the
+  * maintenance statements `OPTIMIZE [ZORDER BY (…)]` and `VACUUM
+  * [RETAIN n HOURS]` — dispatched to [[DeltaWriter]]'s verbs through
+  * `AdtContext.sql`, so the CLI's execute pipeline can mutate AND
+  * maintain a table it created (the reference is read-only; this is
+  * the write half its users script by hand).
   *
   * Scope is deliberate:
   *  - targets must be `STORED AS DELTA` external tables registered in
@@ -35,6 +37,15 @@ object Dml {
       where: Option[String]) extends Stmt
   final case class Merge(table: String, sourceQuery: String,
       keys: Seq[String]) extends Stmt
+  /** `OPTIMIZE t` (compact) / `OPTIMIZE t ZORDER BY (x[, y])` —
+    * 1 col = clustered compaction sort, 2 cols = Morton interleave
+    * ([[DeltaWriter.optimizeZOrder]]); >2 refused (the z spelling is
+    * 2-D). */
+  final case class Optimize(table: String, zorder: Seq[String]) extends Stmt
+  /** `VACUUM t [RETAIN n HOURS]` — missing RETAIN sweeps immediately
+    * (retainMs = 0), the library default. */
+  final case class Vacuum(table: String, retainHours: Option[Long])
+      extends Stmt
 
   private val DeleteP = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?\s*""".r
   private val UpdateP = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
@@ -43,6 +54,10 @@ object Dml {
       """USING\s+\((.+)\)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  private val OptimizeP =
+    """(?is)\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumP =
+    """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
 
   def matches(sql: String): Boolean = parseOpt(sql).isDefined
 
@@ -52,6 +67,11 @@ object Dml {
   private def parseOpt(sql: String): Option[Stmt] = sql match {
     case MergeP(table, source, _, on) =>
       Some(Merge(table, source, onKeys(table, on)))
+    case OptimizeP(table, cols) =>
+      Some(Optimize(table, Option(cols).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))))
+    case VacuumP(table, hours) =>
+      Some(Vacuum(table, Option(hours).map(_.toLong)))
     case DeleteP(table, tail) => whereTail(tail).map(Delete(table, _))
     case UpdateP(table, rest) =>
       val (setPart, where) = splitTopLevel(rest, "WHERE") match {
@@ -98,7 +118,8 @@ object Dml {
 
   /** Execute against the session's registry; `run` evaluates a nested
     * query through the full context (MERGE's USING source). Returns the
-    * committed version. */
+    * committed version (VACUUM: the deleted-file count — it publishes
+    * no commit). */
   def execute(spark: SparkSession, stmt: Stmt,
       run: String => DataFrame): Long = {
     val t = Ddl.lookup(spark, stmt.table).getOrElse(
@@ -119,6 +140,19 @@ object Dml {
           sets.map { case (k, v) => k -> expr(v) }.toMap)
       case Merge(_, source, keys) =>
         DeltaWriter.merge(run(source), t.location, keys)
+      case Optimize(_, Nil) => DeltaWriter.compact(spark, t.location)
+      case Optimize(_, Seq(one)) =>
+        DeltaWriter.compact(spark, t.location, sortBy = Seq(one))
+      case Optimize(_, Seq(x, y)) =>
+        DeltaWriter.optimizeZOrder(spark, t.location, x, y)
+      case Optimize(_, more) => throw new IllegalArgumentException(
+        "OPTIMIZE … ZORDER BY supports at most 2 columns (the Morton " +
+          s"interleave is 2-D); got (${more.mkString(", ")})")
+      case Vacuum(_, hours) =>
+        // returns the deleted-file count, not a version — vacuum
+        // publishes no commit
+        DeltaWriter.vacuum(spark, t.location,
+          hours.getOrElse(0L) * 3600000L).length.toLong
     }
     Ddl.register(spark, t) // the view must see the new snapshot
     version

@@ -79,6 +79,71 @@ class DmlSpec extends AnyFunSuite {
     assert(DeltaReader.snapshot(spark, dir.getAbsolutePath).version == 3L)
   }
 
+  test("execute: OPTIMIZE / ZORDER BY / VACUUM maintain the table through SQL") {
+    // parser shapes
+    Dml.parse("OPTIMIZE t") match {
+      case Dml.Optimize("t", Nil) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("OPTIMIZE t ZORDER BY (a, b)") match {
+      case Dml.Optimize("t", Seq("a", "b")) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("VACUUM t RETAIN 168 HOURS") match {
+      case Dml.Vacuum("t", Some(168L)) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("VACUUM t;") match {
+      case Dml.Vacuum("t", None) => ()
+      case other => fail(s"$other")
+    }
+    assert(!Dml.matches("OPTIMIZED_VIEW_OF x")) // keyword prefixes don't bind
+
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_maint")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val li = Tables.t(spark, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 === 0),
+      dir.getAbsolutePath)
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 =!= 0),
+      dir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dml_maint STORED AS DELTA LOCATION '${dir.getAbsolutePath}'")
+    val n0 = ctx.sql("SELECT count(*) AS n FROM dml_maint").head().getLong(0)
+
+    ctx.sql("OPTIMIZE dml_maint ZORDER BY (l_partkey, l_suppkey)")
+    val afterZ = DeltaReader.snapshot(spark, dir.getAbsolutePath)
+    assert(afterZ.files.length > 1 && afterZ.files.length <= 8)
+    // the re-registered view still reads exactly the same rows
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_maint").head().getLong(0) == n0)
+
+    // VACUUM through SQL releases the pre-optimize parity files: data
+    // files on disk == the live set
+    ctx.sql("VACUUM dml_maint RETAIN 0 HOURS")
+    def dataFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case x if x.isDirectory && x.getName != "_delta_log" => dataFiles(x)
+        case x if x.getName.endsWith(".parquet") => Seq(x)
+        case _ => Nil
+      }
+    assert(dataFiles(dir).size == afterZ.files.length)
+
+    // bare OPTIMIZE compacts to one file; content still exact
+    ctx.sql("OPTIMIZE dml_maint")
+    assert(DeltaReader.snapshot(spark, dir.getAbsolutePath).files.length == 1)
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_maint").head().getLong(0) == n0)
+
+    // 3-column ZORDER names the 2-D contract
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("OPTIMIZE dml_maint ZORDER BY (a, b, c)"))
+    assert(e.getMessage.contains("2"))
+  }
+
   test("execute: refusal paths name the contract") {
     val ctx = new AdtContext(spark)
     val e1 = intercept[IllegalArgumentException](

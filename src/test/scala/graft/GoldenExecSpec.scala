@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Golden `execute` flow: a multi-statement .sql file through the exact
   * splitter + AdtContext + formatter pipeline the CLI uses (FIXTURES.md
@@ -151,6 +152,44 @@ class GoldenExecSpec extends AnyFunSuite {
     // the commits are real versions on disk: v0 append + 3 DML
     assert(graft.sources.DeltaReader
       .snapshot(spark, dir.getAbsolutePath).version == 3L)
+  }
+
+  test("golden9.sql: SQL maintenance (OPTIMIZE ZORDER / VACUUM / OPTIMIZE) through execute") {
+    val url = getClass.getResource("/queries/golden9.sql")
+    assert(url != null, "golden9.sql resource missing")
+    val spark = SparkTestSession.spark
+    // a FRESH writable table per run — the script rewrites it
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden9_tbl")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val li = Tables.t(spark, SparkTestSession.sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    graft.sources.DeltaWriter.append(
+      li.filter(col("l_orderkey") % 2 === 0), dir.getAbsolutePath)
+    graft.sources.DeltaWriter.append(
+      li.filter(col("l_orderkey") % 2 =!= 0), dir.getAbsolutePath)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_MAINT2}", dir.getAbsolutePath))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 6) // DDL + ZORDER + SELECT + VACUUM + OPTIMIZE + SELECT
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    // DDL and the maintenance statements render as empty boxes
+    assert(Seq(0, 1, 3, 4).map(outputs).forall(_ == "++\n++"))
+    val n = li.count()
+    val psum = li.agg(sum(col("l_partkey"))).head().getLong(0)
+    assert(outputs(2).contains(s"| $n"))
+    assert(outputs(5).contains(s"| $n") && outputs(5).contains(s"| $psum"))
+    // the rewrites are real versions: v0/v1 appends, v2 zorder, v3 compact
+    assert(graft.sources.DeltaReader
+      .snapshot(spark, dir.getAbsolutePath).version == 3L)
+    assert(graft.sources.DeltaReader
+      .snapshot(spark, dir.getAbsolutePath).files.length == 1)
   }
 
   test("golden5.sql: the sampled ANN trainer (q114-shaped SQL) through execute") {
