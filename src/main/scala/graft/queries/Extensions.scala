@@ -478,6 +478,19 @@ object Extensions {
     * whole sweep via array slicing. */
   private[graft] val JlDimSweep = Seq(8, 16, 32)
 
+  /** The q173 Achlioptas ±1 sign matrix (outDims × 64), derived
+    * statelessly from md5_60("jl:i:j") — hash60 ==
+    * ('0x' || substr(md5(x), 2, 15))::BIGINT, so the DuckDB oracle and
+    * the streaming twin ([[graft.streaming.StreamJlProject]]) re-derive
+    * the identical matrix with zero stored state. */
+  private[graft] def jlSignMatrix(outDims: Int): Seq[Seq[Long]] =
+    (0 until outDims).map { j =>
+      (0 until 64).map { i =>
+        val h = graft.functions.Md5Long.hash60(s"jl:$i:$j".getBytes("UTF-8"))
+        if (h % 2 == 0L) 1L else -1L
+      }
+    }
+
   /** q174's semi-hard band width below the best positive cosine. */
   private[graft] val HardNegMargin = 0.15
 
@@ -1248,15 +1261,8 @@ object Extensions {
         // node, not a 2048-leaf CreateArray tree — the tree form made
         // codegen compile a pathological method per occurrence):
         // derived driver-side via the SAME md5_60 bits the oracle
-        // derives in SQL — hash60 == ('0x'||substr(md5(x),2,15))::BIGINT
-        // by construction.
-        val signsData: Seq[Seq[Long]] = (0 until JlDimSweep.max).map { j =>
-          (0 until 64).map { i =>
-            val h = graft.functions.Md5Long.hash60(
-              s"jl:$i:$j".getBytes("UTF-8"))
-            if (h % 2 == 0L) 1L else -1L
-          }
-        }
+        // derives in SQL ([[jlSignMatrix]]).
+        val signsData = jlSignMatrix(JlDimSweep.max)
         // projection fold runs ONCE (cached 3-column frame); every
         // sweep member reads an array slice of `p`.
         val wp = Tables.t(s, d, "embeddings")

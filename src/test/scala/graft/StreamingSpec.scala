@@ -420,6 +420,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(confirmed.nonEmpty)
   }
 
+  test("streaming JL projection matches an independent plain-JVM fold") {
+    val outDims = 16
+    val streamed = graft.streaming.StreamJlProject
+      .runToCompletion(spark, d, outDims, "sjl_test")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+    // independent expectation: plain-Scala multiply-add over the
+    // quantized corpus with signs re-derived from md5 directly (NOT the
+    // module's typedLit fold)
+    val corpus = Tables.t(spark, d, "embeddings")
+      .selectExpr("vec_id", graft.queries.Extensions.QV + " AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(corpus.nonEmpty && streamed.size == corpus.length)
+    corpus.foreach { case (id, v) =>
+      val expected = (0 until outDims).map { j =>
+        (0 until 64).map { i =>
+          val h = graft.functions.Md5Long.hash60(
+            s"jl:$i:$j".getBytes("UTF-8"))
+          v(i) * (if (h % 2 == 0L) 1L else -1L)
+        }.sum
+      }
+      assert(streamed(id) == expected, s"vec $id")
+    }
+  }
+
   test("streaming centroid assignment matches an independent argmin") {
     val cents = graft.queries.Extensions.trainedCentroidSeq(spark, d)
     assert(cents.nonEmpty)
