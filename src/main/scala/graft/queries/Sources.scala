@@ -518,6 +518,47 @@ object Sources {
           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
             AS qty_cents
         FROM lineitem
-        GROUP BY l_partkey % 16 ORDER BY pk_band"""))
+        GROUP BY l_partkey % 16 ORDER BY pk_band""")),
+
+    // ---- SCD TYPE-2 dimension history: the fixture dimension was
+    // maintained through three scd2Apply batches (bootstrap → rename
+    // batch with one unchanged re-delivery → region shift + brand-new
+    // key). The hashed contract is the FULL history table — every
+    // version window [valid_from, valid_to) per key, NULL = current —
+    // against an oracle that recomposes the identical history from the
+    // untouched corpus: explicit per-batch version rows + a lead()
+    // window for the closing stamps. Any wrong close/open, a version
+    // for the unchanged re-delivery, or a lost survivor breaks the
+    // hash.
+    Q("q177_scd2_history",
+      (s, d) => {
+        val dir = Fixtures.deltaNationScd2(s, d)
+        DeltaReader.load(s, dir)
+          .select(col("n_nationkey"), col("valid_from"), col("valid_to"),
+            col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey"), col("valid_from"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT n_nationkey, CAST(100 AS BIGINT) AS valid_from,
+                 n_name, n_regionkey
+          FROM nation
+          UNION ALL
+          SELECT n_nationkey, 200, n_name || '_V2', n_regionkey
+          FROM nation WHERE n_nationkey % 3 = 0
+          UNION ALL
+          SELECT n_nationkey, 300,
+            CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_V2'
+                 ELSE n_name END,
+            n_regionkey + 10
+          FROM nation WHERE n_nationkey % 2 = 0
+          UNION ALL
+          SELECT 99, 300, 'NEW NATION', 0)
+        SELECT n_nationkey, valid_from,
+          lead(valid_from) OVER (PARTITION BY n_nationkey
+            ORDER BY valid_from) AS valid_to,
+          n_name, n_regionkey
+        FROM v
+        ORDER BY n_nationkey, valid_from"""))
   )
 }

@@ -264,6 +264,124 @@ object DeltaWriter {
     version
   }
 
+  /** SCD TYPE-2 APPLY — the versioned-dimension maintenance every
+    * warehouse runs on top of a table format: the table carries the
+    * FULL HISTORY of each key as `[valid_from, valid_to)` windows
+    * (`valid_to IS NULL` = the current version), and one call applies a
+    * change batch effective at integer stamp `ts`:
+    *
+    *  - a changed key (any non-key attribute differs from its current
+    *    version, NULL-safe) closes the current row (`valid_to = ts`)
+    *    and opens a new current row (`valid_from = ts`);
+    *  - an UNCHANGED key is a no-op — re-delivering the same snapshot
+    *    creates no versions (the idempotence a snapshot-feed loader
+    *    needs);
+    *  - a brand-new key opens its first version;
+    *  - a key absent from the batch is untouched (changes-feed
+    *    semantics: absence ≠ deletion);
+    *  - out-of-order batches are REFUSED: a changed key whose current
+    *    `valid_from >= ts` throws (history must stay monotone).
+    *
+    * First call on an empty table bootstraps it (every row current at
+    * `ts`). Copy-on-write at FILE granularity, exactly [[merge]]'s
+    * discipline: only files holding a closing current row rewrite;
+    * closed + new versions land with the survivors in one atomic
+    * commit. `changes` must carry the table schema minus the validity
+    * columns. Shapes at 100 TB: discovery = one key semi-join with an
+    * any-attr-differs filter; everything else is bounded by the change
+    * batch + touched files, never the history size. */
+  def scd2Apply(changes: DataFrame, tablePath: String,
+      keys: Seq[String], ts: Long): Long = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    require(keys.nonEmpty, "scd2Apply needs at least one key column")
+    require(!changes.columns.contains("valid_from") &&
+      !changes.columns.contains("valid_to"),
+      "changes must NOT carry validity columns — the verb stamps them")
+    require(changes.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      s"change batch has duplicate key tuples on $keys")
+    val stamped = changes
+      .withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("long"))
+    if (!tableExists(tablePath)) return append(stamped, tablePath)
+
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "scd2Apply does not support column-mapped tables")
+    val attrs = snap.schema.fieldNames.toSeq
+      .filterNot(keys.contains).filterNot(Seq("valid_from", "valid_to").contains)
+    val missing = (keys ++ attrs).filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"change batch is missing columns: $missing")
+    val version = nextVersion(table)
+    validateAgainstTable(stamped, tablePath, snap.partitionColumns, version)
+
+    val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
+      tagSourceFile = true)
+    val cur = tagged.filter(col("valid_to").isNull)
+    // changed keys: current attrs differ (NULL-safe) from the batch's
+    val s = changes.select((keys ++ attrs).map(col): _*)
+      .withColumnsRenamed(attrs.map(a => a -> s"__s_$a").toMap)
+    val joined = cur.join(s, keys)
+    val differs = attrs.map(a => !(col(a) <=> col(s"__s_$a")))
+      .reduce(_ || _)
+    val lateKeys = joined.filter(differs && col("valid_from") >= ts).count()
+    require(lateKeys == 0L,
+      s"out-of-order SCD2 batch: $lateKeys changed key(s) have a current " +
+        s"version at or past ts=$ts — history must stay monotone")
+    val changedKeys = joined.filter(differs)
+      .select(keys.map(col): _*).distinct().cache()
+    val newKeys = changes.select(keys.map(col): _*)
+      .join(tagged.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .cache()
+    if (changedKeys.isEmpty && newKeys.isEmpty) {
+      // the whole batch re-delivered current state — idempotent no-op,
+      // publish NOTHING (an empty commit would still advance the
+      // version and dirty every incremental consumer's window)
+      changedKeys.unpersist(); newKeys.unpersist()
+      return snap.version
+    }
+
+    val touched = cur.join(changedKeys, keys, "left_semi")
+      .select("__source_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val root = table.getAbsolutePath
+    def absPath(rel: String): String =
+      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+    val removedAdds = snap.files.filter(a =>
+      touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
+    require(removedAdds.length == touched.size,
+      s"internal: ${touched.size} touched files resolved to " +
+        s"${removedAdds.length} add actions")
+
+    val fields = snap.schema.fieldNames.toIndexedSeq
+    val inTouched =
+      if (touched.isEmpty) tagged.limit(0)
+      else tagged.join(broadcast(touched.toSeq.toDF("__source_file")),
+        Seq("__source_file"), "left_semi")
+        .drop("__source_file", "__row_index")
+    // survivors: every touched-file row EXCEPT the closing current ones
+    val survivors = inTouched
+      .join(changedKeys, keys, "left_anti")
+      .unionByName(inTouched.filter(col("valid_to").isNotNull)
+        .join(changedKeys, keys, "left_semi"))
+    val closed = inTouched.filter(col("valid_to").isNull)
+      .join(changedKeys, keys, "left_semi")
+      .withColumn("valid_to", lit(ts))
+    val opened = stamped
+      .join(changedKeys.unionByName(newKeys), keys, "left_semi")
+    val out = Seq(survivors, closed, opened)
+      .map(_.select(fields.map(col): _*)).reduce(_.unionByName(_))
+    val adds = stageDataFiles(out, table, version, snap.partitionColumns)
+    val removes = removedAdds.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    publish(table, version, removes ++ adds)
+    changedKeys.unpersist(); newKeys.unpersist()
+    version
+  }
+
   /** DELETE WHERE: drop every row matching `predicate` in one atomic
     * copy-on-write commit. Touched-file discovery is a real filtered
     * scan, so the snapshot FileIndex's stats-based skipping prunes

@@ -596,6 +596,33 @@ object Fixtures {
       ()
     }
 
+  /** An SCD TYPE-2 nation dimension maintained by
+    * [[DeltaWriter.scd2Apply]] (q177): bootstrap at ts=100, a rename
+    * batch at ts=200 for every `%3==0` key (with key 1 re-delivered
+    * UNCHANGED — must create no version), and a region shift at ts=300
+    * for every even key plus one brand-new key. The oracle recomposes
+    * the identical history from the untouched corpus with a lead()
+    * window. */
+  def deltaNationScd2(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_scd2") { dir =>
+      import s.implicits._
+      val nation = Tables.t(s, d, "nation")
+      val path = dir.getAbsolutePath
+      DeltaWriter.scd2Apply(nation, path, Seq("n_nationkey"), 100L)
+      val b2 = nation.filter(col("n_nationkey") % 3 === 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_V2")))
+        .unionByName(nation.filter(col("n_nationkey") === 1))
+      DeltaWriter.scd2Apply(b2, path, Seq("n_nationkey"), 200L)
+      val b3 = nation.filter(col("n_nationkey") % 2 === 0)
+        .withColumn("n_name", when(col("n_nationkey") % 3 === 0,
+          concat(col("n_name"), lit("_V2"))).otherwise(col("n_name")))
+        .withColumn("n_regionkey", col("n_regionkey") + 10)
+        .unionByName(Seq((99, "NEW NATION", 0))
+          .toDF("n_nationkey", "n_name", "n_regionkey"))
+      DeltaWriter.scd2Apply(b3, path, Seq("n_nationkey"), 300L)
+      ()
+    }
+
   /** An incrementally-maintained COUNT/SUM materialization exercised
     * the way production runs it: base commit → refresh → base commit →
     * refresh, so the SECOND refresh genuinely reads only the second

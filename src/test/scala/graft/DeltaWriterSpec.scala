@@ -571,6 +571,52 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("scd2Apply: file-granular versioning, unchanged no-op, out-of-order refused") {
+    val path = tmpTable("nation_scd2_spec")
+    val nation = Tables.t(spark, d, "nation")
+    // bootstrap across TWO range files so file granularity is observable
+    val v0 = DeltaWriter.scd2Apply(
+      nation.repartitionByRange(2, col("n_nationkey")),
+      path, Seq("n_nationkey"), 100L)
+    assert(v0 == 0L)
+    val filesV0 = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    assert(filesV0.size == 2)
+
+    // identical re-delivery: NO commit published
+    assert(DeltaWriter.scd2Apply(nation, path, Seq("n_nationkey"), 150L) == 0L)
+    assert(DeltaReader.snapshot(spark, path).version == 0L)
+
+    // change ONE key (24, in the upper range file): the lower file must
+    // physically survive the commit
+    val b = nation.filter(col("n_nationkey") === 24)
+      .withColumn("n_name", lit("RENAMED"))
+    val v1 = DeltaWriter.scd2Apply(b, path, Seq("n_nationkey"), 200L)
+    assert(v1 == 1L)
+    val snap1 = DeltaReader.snapshot(spark, path)
+    assert(filesV0.intersect(snap1.files.map(_.path).toSet).size == 1)
+    val hist = DeltaReader.load(spark, path)
+    assert(hist.count() == 26L) // 25 keys + one closed version
+    val k24 = hist.filter(col("n_nationkey") === 24)
+      .select("valid_from", "valid_to", "n_name")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(k24.map(v => (v._1, v._2)) == Seq(100L -> Some(200L), 200L -> None))
+    assert(k24.head._3 != "RENAMED" && k24.last._3 == "RENAMED")
+
+    // out-of-order change batch refused (monotone history)
+    val late = intercept[IllegalArgumentException](DeltaWriter.scd2Apply(
+      nation.filter(col("n_nationkey") === 24)
+        .withColumn("n_name", lit("EVEN NEWER")),
+      path, Seq("n_nationkey"), 150L))
+    assert(late.getMessage.contains("monotone"))
+
+    // duplicate keys and validity columns in the batch are refused
+    intercept[IllegalArgumentException](DeltaWriter.scd2Apply(
+      b.unionByName(b), path, Seq("n_nationkey"), 300L))
+    intercept[IllegalArgumentException](DeltaWriter.scd2Apply(
+      b.withColumn("valid_from", lit(1L)), path, Seq("n_nationkey"), 300L))
+  }
+
   test("deleteWithVectors marks rows dead without rewriting; vectors merge, survive checkpoints, escalate protocol") {
     val path = tmpTable("orders_dv_delete")
     val orders = Tables.t(spark, d, "orders")
