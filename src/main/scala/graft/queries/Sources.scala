@@ -11,6 +11,33 @@ import graft.sources.{DeltaReader, Fixtures}
   * the same rows read from the original parquet corpus. */
 object Sources {
 
+  /** The q177 SCD2 fixture history recomposed from the untouched corpus
+    * (DuckDB dialect) — the ONE oracle spelling of what
+    * [[Fixtures.deltaNationScd2]]'s three batches must have produced,
+    * shared by q177 (history hash) and q178 (point-in-time join). */
+  private val DuckScd2HistoryCtes = """
+        v AS (
+          SELECT n_nationkey, CAST(100 AS BIGINT) AS valid_from,
+                 n_name, n_regionkey
+          FROM nation
+          UNION ALL
+          SELECT n_nationkey, 200, n_name || '_V2', n_regionkey
+          FROM nation WHERE n_nationkey % 3 = 0
+          UNION ALL
+          SELECT n_nationkey, 300,
+            CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_V2'
+                 ELSE n_name END,
+            n_regionkey + 10
+          FROM nation WHERE n_nationkey % 2 = 0
+          UNION ALL
+          SELECT 99, 300, 'NEW NATION', 0),
+        hist AS (
+          SELECT n_nationkey, valid_from,
+            lead(valid_from) OVER (PARTITION BY n_nationkey
+              ORDER BY valid_from) AS valid_to,
+            n_name, n_regionkey
+          FROM v)"""
+
   val defs: Seq[Q] = Seq(
 
     // ---- CSV via DDL with declared schema (listing.rs:83-108 semantics).
@@ -538,27 +565,53 @@ object Sources {
             col("n_name"), col("n_regionkey"))
           .orderBy(col("n_nationkey"), col("valid_from"))
       },
-      Some("""
-        WITH v AS (
-          SELECT n_nationkey, CAST(100 AS BIGINT) AS valid_from,
-                 n_name, n_regionkey
-          FROM nation
-          UNION ALL
-          SELECT n_nationkey, 200, n_name || '_V2', n_regionkey
-          FROM nation WHERE n_nationkey % 3 = 0
-          UNION ALL
-          SELECT n_nationkey, 300,
-            CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_V2'
-                 ELSE n_name END,
-            n_regionkey + 10
-          FROM nation WHERE n_nationkey % 2 = 0
-          UNION ALL
-          SELECT 99, 300, 'NEW NATION', 0)
-        SELECT n_nationkey, valid_from,
-          lead(valid_from) OVER (PARTITION BY n_nationkey
-            ORDER BY valid_from) AS valid_to,
-          n_name, n_regionkey
-        FROM v
-        ORDER BY n_nationkey, valid_from"""))
+      Some(s"""
+        WITH $DuckScd2HistoryCtes
+        SELECT n_nationkey, valid_from, valid_to, n_name, n_regionkey
+        FROM hist
+        ORDER BY n_nationkey, valid_from""")),
+
+    // ---- POINT-IN-TIME dimension join (the read side of q177's SCD2
+    // verb — "join each fact to the dim version that was current at the
+    // fact's event time"): facts derive a key and a deterministic event
+    // stamp from orders, the join is key-equi PLUS the validity-window
+    // residual (valid_from <= ts < valid_to, NULL-open current) — which
+    // is exactly how Spark executes it: ONE equi-join on the key with
+    // the range as a post-join filter, dim history broadcast. The
+    // grouped revenue by version-resolved name proves each fact bound
+    // to the right version (a fact at ts=200 must see the _V2 rename,
+    // one at ts=100 must not). Shapes at 100 TB: dim histories are
+    // metadata-sized next to facts → broadcast; a giant dim would fall
+    // back to the same equi-join shuffled on the key.
+    Q("q178_scd2_pointintime",
+      (s, d) => {
+        val dir = Fixtures.deltaNationScd2(s, d)
+        val hist = DeltaReader.load(s, dir)
+        val f = Tables.t(s, d, "orders").select(
+          (col("o_custkey") % 25).as("k"),
+          (lit(100L) + (col("o_orderkey") % 3) * 100L).as("ts"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        f.join(broadcast(hist), f("k") === hist("n_nationkey") &&
+            hist("valid_from") <= f("ts") &&
+            (hist("valid_to").isNull || f("ts") < hist("valid_to")))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""
+        WITH $DuckScd2HistoryCtes,
+        f AS (
+          SELECT o_custkey % 25 AS k,
+            CAST(100 + (o_orderkey % 3) * 100 AS BIGINT) AS ts,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+        SELECT h.n_name AS n_name, count(*) AS n,
+          CAST(sum(f.cents) AS BIGINT) AS cents
+        FROM f JOIN hist h ON f.k = h.n_nationkey
+          AND h.valid_from <= f.ts
+          AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+        GROUP BY h.n_name
+        ORDER BY n_name"""))
   )
 }
