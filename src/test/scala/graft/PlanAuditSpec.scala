@@ -503,6 +503,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "per-doc sum lost its map-side combine")
   }
 
+  test("q173/q174/q175: the ANN additions cache their one expensive pass and never go all-pairs") {
+    // q173: the projection fold runs once into a cached frame the whole
+    // dim sweep slices; the fold itself stays in codegen (no object
+    // boundary), and the broadcast-query passes must not degrade to an
+    // unbroadcast cartesian
+    val p173 = plan("q173_jl_projection")
+    assert(p173.contains("InMemoryRelation"),
+      "q173 lost its cached projection frame — the fold would rerun per sweep member")
+    assert(!p173.contains("MapPartitions") && !p173.contains("DeserializeToObject"))
+    assert(!p173.contains("CartesianProduct"))
+    // q174: one cached cosine pass consumed by both the positive max
+    // and the negative band
+    val p174 = plan("q174_hard_negatives")
+    assert(p174.contains("InMemoryRelation"),
+      "q174 lost its cached scored pass — the corpus cosine scan would run twice")
+    assert(!p174.contains("CartesianProduct"))
+    // q175: candidates and pairwise sims materialize once; the greedy
+    // rounds must never re-expand into an all-pairs or cartesian shape
+    val p175 = plan("q175_mmr_rerank")
+    assert(!p175.contains("CartesianProduct"))
+  }
+
+  test("q178: the point-in-time join is a broadcast EQUI join with the window as residual") {
+    val p = plan("q178_scd2_pointintime")
+    // if the planner failed to extract the key equi-condition the range
+    // residual would force a nested-loop join over facts × history
+    assert(p.contains("BroadcastHashJoin"),
+      "point-in-time join lost its equi-key extraction")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("streaming DSIR scorer and BPE encoder plan stateless: no state, no exchange") {
     // the per-row folds must stay scan → project (the StreamAnnAssign
     // shape): any aggregate/state/exchange means the operator silently
