@@ -103,9 +103,13 @@ object Ddl {
         throw new UnsupportedOperationException(
           "AVRO format factory is not available")
       case "DELTA" =>
-        t.options.get("versionasof") match {
-          case Some(v) => DeltaReader.loadAt(spark, t.location, v.toLong)
-          case None    => DeltaReader.load(spark, t.location)
+        (t.options.get("versionasof"), t.options.get("timestampasof")) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "versionAsOf and timestampAsOf are mutually exclusive")
+          case (Some(v), None) => DeltaReader.loadAt(spark, t.location, v.toLong)
+          case (None, Some(ts)) => DeltaReader.loadAt(spark, t.location,
+            DeltaReader.versionAtTimestamp(t.location, parseTsMillis(ts)))
+          case (None, None) => DeltaReader.load(spark, t.location)
         }
       case other =>
         throw new IllegalArgumentException(s"unknown format: $other")
@@ -123,6 +127,19 @@ object Ddl {
 
   def lookup(spark: SparkSession, name: String): Option[ExternalTable] =
     Option(registered.get((spark, name.toLowerCase)))
+
+  /** `timestampAsOf` accepts epoch millis, ISO-8601 instants
+    * (`2026-08-14T12:00:00Z`), or the SQL spelling
+    * `2026-08-14 12:00:00` (read as UTC — the engine pins the session
+    * zone to UTC everywhere). */
+  private def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("\\d+")) t.toLong
+    else scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(
+      java.time.LocalDateTime
+        .parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+  }
 
   private def readWithSchema(
       spark: SparkSession, t: ExternalTable, fmt: String): DataFrame =

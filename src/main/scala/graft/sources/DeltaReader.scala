@@ -428,6 +428,49 @@ object DeltaReader {
       version: Long = Long.MaxValue): DataFrame =
     loadAt(spark, tablePath, version, partitionValues)
 
+  /** Timestamp-based time travel: the version that was current at
+    * `tsMillis` — the LAST version whose commit stamp is <= the query
+    * stamp. Per-commit stamps come from the commit's own
+    * `commitInfo.timestamp` when present ([[DeltaWriter]] emits one on
+    * every commit; real engines do too) and fall back to the commit
+    * file's mtime for hand-written logs; stamps are adjusted to a
+    * running max first (delta-spark's rule — clock skew between
+    * commits must not make the version mapping non-monotone). Commits
+    * removed by log cleanup have no stamp: time travel reaches back
+    * only to the earliest surviving JSON commit, and a `tsMillis`
+    * before that is refused rather than silently clamped. Driver cost:
+    * one metadata-sized read per surviving commit. */
+  def versionAtTimestamp(tablePath: String, tsMillis: Long): Long = {
+    val logDir = new File(tablePath, "_delta_log")
+    require(logDir.isDirectory, s"not a delta table (no _delta_log): $tablePath")
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val raw = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .map { f =>
+        val v = f.getName.take(20).toLong
+        val declared = scala.io.Source.fromFile(f, "UTF-8")
+        val ts =
+          try declared.getLines().flatMap { line =>
+            val node = jackson.readTree(line)
+            Option(node.get("commitInfo")).flatMap(ci =>
+              Option(ci.get("timestamp")).map(_.asLong()))
+          }.nextOption()
+          finally declared.close()
+        v -> ts.getOrElse(f.lastModified())
+      }.sortBy(_._1)
+    require(raw.nonEmpty,
+      s"no JSON commits under $tablePath — their timestamps are the time " +
+        "travel index, and log cleanup removed them")
+    // enforce monotone stamps (running max)
+    val commits = raw.tail.scanLeft(raw.head) { case ((_, prevTs), (v, ts)) =>
+      v -> math.max(prevTs, ts)
+    }
+    require(tsMillis >= commits.head._2,
+      s"timestamp $tsMillis predates the earliest available commit " +
+        s"(version ${commits.head._1} at ${commits.head._2})")
+    commits.filter(_._2 <= tsMillis).map(_._1).max
+  }
+
   /** Time travel: load the snapshot as of `version`
     * (`OPTIONS(versionAsOf='N')` through the DDL shim). */
   def loadAt(spark: SparkSession, tablePath: String,

@@ -1161,8 +1161,15 @@ object DeltaWriter {
     val logDir = new File(table, "_delta_log")
     logDir.mkdirs()
     val tmp = new File(logDir, s".tmp-$version-${java.util.UUID.randomUUID()}")
+    // every commit leads with commitInfo so timestamp-based time travel
+    // (DeltaReader.versionAtTimestamp) reads a DECLARED stamp instead
+    // of falling back to file mtime; replay ignores unknown actions, so
+    // foreign readers are unaffected
+    val commitInfo =
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
+        s""""operation":"WRITE","engineInfo":"graft"}}"""
     Files.write(tmp.toPath,
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      (commitInfo +: lines).mkString("\n").getBytes(StandardCharsets.UTF_8))
     val target = new File(logDir, f"$version%020d.json")
     try Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
     catch {

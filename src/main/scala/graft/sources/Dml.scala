@@ -128,8 +128,10 @@ object Dml {
           "must be created via CREATE EXTERNAL TABLE … STORED AS DELTA"))
     require(t.format == "DELTA",
       s"DML is supported only for DELTA tables; ${stmt.table} is ${t.format}")
-    require(!t.options.contains("versionasof"),
-      s"${stmt.table} is pinned to versionAsOf — a time-travel view is read-only")
+    require(!t.options.contains("versionasof") &&
+      !t.options.contains("timestampasof"),
+      s"${stmt.table} is pinned to a time-travel snapshot " +
+        "(versionAsOf/timestampAsOf) — a time-travel view is read-only")
     val version = stmt match {
       case Delete(_, where) =>
         DeltaWriter.delete(spark, t.location,

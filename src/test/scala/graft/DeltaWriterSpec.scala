@@ -571,6 +571,37 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("timestampAsOf: commitInfo stamps index the versions; the DDL pin is read-only") {
+    val path = tmpTable("nation_ttt")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path)
+
+    assert(DeltaReader.versionAtTimestamp(path, mid) == 0L)
+    assert(DeltaReader.versionAtTimestamp(
+      path, System.currentTimeMillis()) == 1L)
+    // before the earliest surviving commit: refused, not clamped
+    intercept[IllegalArgumentException](
+      DeltaReader.versionAtTimestamp(path, mid - 86400000L))
+
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"""CREATE EXTERNAL TABLE nation_ttt STORED AS DELTA
+      OPTIONS(timestampAsOf='$mid') LOCATION '$path'""")
+    assert(ctx.sql("SELECT count(*) AS n FROM nation_ttt")
+      .head().getLong(0) == 10L)
+    // a timestamp-pinned view refuses DML like a version-pinned one
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("DELETE FROM nation_ttt WHERE n_nationkey = 1"))
+    assert(e.getMessage.contains("read-only"))
+    // the two pins are mutually exclusive
+    intercept[IllegalArgumentException](ctx.sql(
+      s"""CREATE EXTERNAL TABLE nation_ttt2 STORED AS DELTA
+        OPTIONS(versionAsOf='0', timestampAsOf='$mid') LOCATION '$path'"""))
+  }
+
   test("scd2Apply: file-granular versioning, unchanged no-op, out-of-order refused") {
     val path = tmpTable("nation_scd2_spec")
     val nation = Tables.t(spark, d, "nation")
@@ -725,8 +756,12 @@ class DeltaWriterSpec extends AnyFunSuite {
     val lines = scala.io.Source
       .fromFile(new File(path, "_delta_log/" + "0" * 19 + "0.json"))
       .getLines().toSeq
-    assert(lines.head.contains("\"protocol\""))
-    assert(lines(1).contains("\"schemaString\""))
+    // commitInfo leads every commit (the timestamp index for
+    // timestampAsOf), then protocol + metaData
+    assert(lines.head.contains("\"commitInfo\""))
+    assert(lines.head.contains("\"timestamp\""))
+    assert(lines(1).contains("\"protocol\""))
+    assert(lines(2).contains("\"schemaString\""))
     // schema parses back identically
     val snap = DeltaReader.snapshot(spark, path)
     assert(snap.schema == nation.schema)
