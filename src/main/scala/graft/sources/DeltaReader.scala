@@ -84,7 +84,11 @@ object DeltaReader {
       /** logical → parquet field id, non-empty only under
         * `delta.columnMapping.mode = id` (the scan matches parquet
         * columns by field id, not name). */
-      fieldIds: Map[String, Long] = Map.empty)
+      fieldIds: Map[String, Long] = Map.empty,
+      /** the metaData action's `configuration` map (table properties —
+        * column-mapping mode, `delta.constraints.*` CHECK constraints,
+        * …) as of this snapshot. */
+      configuration: Map[String, String] = Map.empty)
 
   // ---------------------------------------------------------------- replay
 
@@ -171,6 +175,7 @@ object DeltaReader {
     var partCols: Seq[String] = Seq.empty
     var physNames: Map[String, String] = Map.empty
     var fldIds: Map[String, Long] = Map.empty
+    var config: Map[String, String] = Map.empty
 
     // Protocol gate (the delta spec's reader contract): a table whose
     // protocol demands a reader version or reader FEATURE this replay
@@ -224,6 +229,10 @@ object DeltaReader {
         }.toMap
       partCols = Option(node.get("partitionColumns")).toSeq
         .flatMap(_.elements().asScala).map(_.asText())
+      config = Option(node.get("configuration")).map { c =>
+        c.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
     }
 
     def parseDv(node: JsonNode): Option[DvDescriptor] =
@@ -388,7 +397,7 @@ object DeltaReader {
       throw new IllegalStateException(s"no metaData action in log: $tablePath"))
     Snapshot(finalSchema, partCols,
       live.values.toSeq, usableJson.lastOption.getOrElse(0L), physNames,
-      fldIds)
+      fldIds, config)
   }
 
   // ------------------------------------------------------------- dataframe

@@ -113,6 +113,19 @@ object DeltaWriter {
         added.filterNot(_.nullable).map(_.name).mkString(", "))
     // patch schemaString inside the last metaData line, verbatim
     // otherwise (id/partitionColumns/configuration preserved)
+    patchMetaData(spark, tablePath)(meta =>
+      meta.put("schemaString", newSchema.json))
+  }
+
+  /** Carry the table's newest metaData record forward (JSON commits
+    * first, newest-checkpoint fallback after log cleanup — the same
+    * rule [[checkpoint]] uses), apply `patch` to the metaData object,
+    * and publish it as a metaData commit. Shared by [[evolveSchema]]
+    * and the CHECK-constraint verbs. */
+  private def patchMetaData(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String)(
+      patch: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Long = {
+    val table = new File(tablePath)
     val logDir = new File(table, "_delta_log")
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     var metaLine: Option[String] = None
@@ -124,8 +137,6 @@ object DeltaWriter {
           if (l.contains("\"metaData\"")) metaLine = Some(l))
         finally src.close()
       }
-    // after log cleanup the only metaData record may live in the newest
-    // checkpoint — same fallback [[checkpoint]] uses
     if (metaLine.isEmpty)
       newestCheckpointFrame(spark, logDir).foreach { df =>
         if (df.columns.contains("metaData"))
@@ -137,12 +148,57 @@ object DeltaWriter {
       s"no metaData action found in $tablePath's JSON commits or " +
         "its newest checkpoint")
     val root = jackson.readTree(metaLine.get)
-    root.get("metaData")
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      .put("schemaString", newSchema.json)
+    patch(root.get("metaData")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
     val version = nextVersion(table)
     publish(table, version, Seq(jackson.writeValueAsString(root)))
     version
+  }
+
+  /** Add a CHECK constraint (Delta's `delta.constraints.<name>` table
+    * property): `exprSql` must hold — SQL CHECK semantics, violated
+    * only when it evaluates to literal FALSE, NULL passes — for every
+    * CURRENT row (verified with one filtered count before the commit)
+    * and every future write ([[validateAgainstTable]] enforces all
+    * declared constraints on the incoming frame of append / overwrite /
+    * merge / scd2Apply). Declared as a metaData commit so any Delta
+    * reader sees the property; enforcement is this writer's. */
+  def addCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, name: String, exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier: '$name'")
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(!snap.configuration.contains(s"delta.constraints.$name"),
+      s"constraint $name already exists (drop it first)")
+    val violating = DeltaReader.load(spark, tablePath)
+      .filter(coalesce(expr(exprSql), lit(true)) === false).count()
+    require(violating == 0L,
+      s"cannot add CHECK constraint $name: $violating existing row(s) " +
+        s"violate ($exprSql)")
+    patchMetaData(spark, tablePath) { meta =>
+      val cfg = meta.get("configuration") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ => meta.putObject("configuration")
+      }
+      cfg.put(s"delta.constraints.$name", exprSql)
+      ()
+    }
+  }
+
+  /** Drop a CHECK constraint added by [[addCheckConstraint]]. */
+  def dropCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, name: String): Long = {
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.configuration.contains(s"delta.constraints.$name"),
+      s"no such constraint: $name")
+    patchMetaData(spark, tablePath) { meta =>
+      meta.get("configuration") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          o.remove(s"delta.constraints.$name")
+        case _ =>
+      }
+      ()
+    }
   }
 
   /** Partition-level overwrite (Delta `replaceWhere` restricted to
@@ -659,6 +715,9 @@ object DeltaWriter {
           case None => col(f.name)
         }
       }: _*)
+    // an UPDATE can move rows OUT of a declared CHECK range — same gate
+    // as the append-family verbs, over the rewritten (post-SET) rows
+    enforceConstraints(rewritten, snap, tablePath)
     val adds = stageDataFiles(rewritten, table, version,
       snap.partitionColumns)
     val removes = removedAdds.map(a =>
@@ -1030,7 +1089,34 @@ object DeltaWriter {
       require(want == got,
         s"schema mismatch appending to $tablePath (schema evolution needs " +
           s"an explicit metaData commit): table=$want df=$got")
+      enforceConstraints(df, snap, tablePath)
     }
+
+  /** CHECK-constraint gate shared by the write verbs: one combined
+    * violation pass (SQL semantics — only literal FALSE violates, NULL
+    * passes); the per-constraint re-count runs only on the failure
+    * path to name the culprit. */
+  private def enforceConstraints(df: DataFrame,
+      snap: DeltaReader.Snapshot, tablePath: String): Unit = {
+    val constraints = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+    if (constraints.nonEmpty) {
+      val anyViolated = constraints.values
+        .map(e => coalesce(expr(e), lit(true)) === false)
+        .reduce(_ || _)
+      if (df.filter(anyViolated).limit(1).count() > 0L) {
+        val culprits = constraints.filter { case (_, e) =>
+          df.filter(coalesce(expr(e), lit(true)) === false)
+            .limit(1).count() > 0L
+        }
+        throw new IllegalArgumentException(
+          s"write to $tablePath violates CHECK constraint(s): " +
+            culprits.map { case (n, e) => s"$n ($e)" }.mkString("; "))
+      }
+    }
+  }
 
   /** Stage `df`'s data files, move them into the table root, compute
     * per-file stats in one distributed pass, and return the composed

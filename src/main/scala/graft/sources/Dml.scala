@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions.{expr, lit}
 
 /** SQL DML + maintenance over DDL-registered Delta tables — `DELETE
   * FROM`, `UPDATE … SET`, the canonical upsert `MERGE INTO`, plus the
-  * maintenance statements `OPTIMIZE [ZORDER BY (…)]` and `VACUUM
-  * [RETAIN n HOURS]` — dispatched to [[DeltaWriter]]'s verbs through
+  * maintenance statements `OPTIMIZE [ZORDER BY (…)]`, `VACUUM
+  * [RETAIN n HOURS]`, and `ALTER TABLE … ADD/DROP CONSTRAINT` —
+  * dispatched to [[DeltaWriter]]'s verbs through
   * `AdtContext.sql`, so the CLI's execute pipeline can mutate AND
   * maintain a table it created (the reference is read-only; this is
   * the write half its users script by hand).
@@ -46,6 +47,11 @@ object Dml {
     * (retainMs = 0), the library default. */
   final case class Vacuum(table: String, retainHours: Option[Long])
       extends Stmt
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
+    * `ALTER TABLE t DROP CONSTRAINT name`. */
+  final case class AddConstraint(table: String, name: String,
+      check: String) extends Stmt
+  final case class DropConstraint(table: String, name: String) extends Stmt
 
   private val DeleteP = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?\s*""".r
   private val UpdateP = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
@@ -58,6 +64,10 @@ object Dml {
     """(?is)\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumP =
     """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
+  private val AddConstraintP =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintP =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   def matches(sql: String): Boolean = parseOpt(sql).isDefined
 
@@ -72,6 +82,10 @@ object Dml {
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))))
     case VacuumP(table, hours) =>
       Some(Vacuum(table, Option(hours).map(_.toLong)))
+    case AddConstraintP(table, name, check) =>
+      Some(AddConstraint(table, name, check.trim))
+    case DropConstraintP(table, name) =>
+      Some(DropConstraint(table, name))
     case DeleteP(table, tail) => whereTail(tail).map(Delete(table, _))
     case UpdateP(table, rest) =>
       val (setPart, where) = splitTopLevel(rest, "WHERE") match {
@@ -155,6 +169,10 @@ object Dml {
         // publishes no commit
         DeltaWriter.vacuum(spark, t.location,
           hours.getOrElse(0L) * 3600000L).length.toLong
+      case AddConstraint(_, name, check) =>
+        DeltaWriter.addCheckConstraint(spark, t.location, name, check)
+      case DropConstraint(_, name) =>
+        DeltaWriter.dropCheckConstraint(spark, t.location, name)
     }
     Ddl.register(spark, t) // the view must see the new snapshot
     version

@@ -571,6 +571,44 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("CHECK constraints: declared in metaData, enforced on every write verb") {
+    val path = tmpTable("nation_check")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation, path)
+
+    // a constraint the current rows violate is refused at declaration
+    val bad = intercept[IllegalArgumentException](
+      DeltaWriter.addCheckConstraint(spark, path, "small_key",
+        "n_nationkey < 10"))
+    assert(bad.getMessage.contains("existing"))
+
+    val v = DeltaWriter.addCheckConstraint(spark, path, "key_range",
+      "n_nationkey BETWEEN 0 AND 200")
+    assert(v == 1L)
+    assert(DeltaReader.snapshot(spark, path)
+      .configuration("delta.constraints.key_range") ==
+      "n_nationkey BETWEEN 0 AND 200")
+
+    // violating append refused naming the constraint; conforming lands
+    val viol = nation.withColumn("n_nationkey", col("n_nationkey") + 300)
+    val e = intercept[IllegalArgumentException](DeltaWriter.append(viol, path))
+    assert(e.getMessage.contains("key_range"))
+    DeltaWriter.append(
+      nation.withColumn("n_nationkey", col("n_nationkey") + 100), path)
+    // NULL passes — SQL CHECK semantics (only literal FALSE violates)
+    DeltaWriter.append(nation.limit(1)
+      .withColumn("n_nationkey", lit(null).cast("int")), path)
+    // the merge path runs the same gate
+    intercept[IllegalArgumentException](
+      DeltaWriter.merge(viol.limit(3), path, Seq("n_nationkey")))
+
+    // dropped constraint stops gating; unknown drop is refused
+    DeltaWriter.dropCheckConstraint(spark, path, "key_range")
+    DeltaWriter.append(viol.limit(1), path)
+    intercept[IllegalArgumentException](
+      DeltaWriter.dropCheckConstraint(spark, path, "nope"))
+  }
+
   test("timestampAsOf: commitInfo stamps index the versions; the DDL pin is read-only") {
     val path = tmpTable("nation_ttt")
     val nation = Tables.t(spark, d, "nation")

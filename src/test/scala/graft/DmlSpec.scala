@@ -144,6 +144,39 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2"))
   }
 
+  test("execute: CHECK constraints ride the ALTER TABLE statements and gate SQL writes") {
+    Dml.parse("ALTER TABLE t ADD CONSTRAINT c CHECK (x > 0)") match {
+      case Dml.AddConstraint("t", "c", "x > 0") => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("ALTER TABLE t DROP CONSTRAINT c;") match {
+      case Dml.DropConstraint("t", "c") => ()
+      case other => fail(s"$other")
+    }
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_check")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    DeltaWriter.append(Tables.t(spark, d, "nation"), dir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dml_check STORED AS DELTA LOCATION '${dir.getAbsolutePath}'")
+    ctx.sql("ALTER TABLE dml_check ADD CONSTRAINT key_range CHECK (n_nationkey < 100)")
+    // a SQL UPDATE that would move a row out of range is refused
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("UPDATE dml_check SET n_nationkey = 500 WHERE n_nationkey = 0"))
+    assert(e.getMessage.contains("key_range"))
+    // in-range update lands; drop releases the gate
+    ctx.sql("UPDATE dml_check SET n_nationkey = 50 WHERE n_nationkey = 0")
+    ctx.sql("ALTER TABLE dml_check DROP CONSTRAINT key_range")
+    ctx.sql("UPDATE dml_check SET n_nationkey = 500 WHERE n_nationkey = 50")
+    assert(ctx.sql(
+      "SELECT count(*) AS n FROM dml_check WHERE n_nationkey = 500")
+      .head().getLong(0) == 1L)
+  }
+
   test("execute: refusal paths name the contract") {
     val ctx = new AdtContext(spark)
     val e1 = intercept[IllegalArgumentException](
