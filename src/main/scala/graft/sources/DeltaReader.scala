@@ -63,7 +63,11 @@ object DeltaReader {
       /** per-file statistics JSON (`numRecords`/`minValues`/`maxValues`/
         * `nullCount`) as written by the committing engine; powers
         * file-level data skipping in [[DeltaSnapshotFileIndex]]. */
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      /** the add action's `tags` map (spec-optional file annotations —
+        * e.g. `optimized=zorder`, which [[DeltaWriter]]'s incremental
+        * z-order uses to recognize its own outputs). */
+      tags: Map[String, String] = Map.empty)
 
   final case class DvDescriptor(
       storageType: String, // "i" inline | "p" absolute path | "u" relative
@@ -268,7 +272,12 @@ object DeltaReader {
         // `stats` is a JSON-encoded STRING inside the add action
         val stats = Option(node.get("stats")).filterNot(_.isNull)
           .map(_.asText()).filter(_.nonEmpty)
-        live(path) = AddFile(path, size, pv, parseDv(node), stats)
+        val tags = Option(node.get("tags")).filterNot(_.isNull).map { t =>
+          t.properties().asScala
+            .filterNot(_.getValue.isNull)
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String])
+        live(path) = AddFile(path, size, pv, parseDv(node), stats, tags)
       } else live.remove(path) // newest action wins even when pruned out
     }
 
@@ -395,8 +404,13 @@ object DeltaReader {
 
     val finalSchema = schema.getOrElse(
       throw new IllegalStateException(s"no metaData action in log: $tablePath"))
+    // version: newest JSON commit, or the checkpoint's own version when
+    // log cleanup removed every JSON commit it covers (reporting 0
+    // there would make version-keyed consumers — CDC windows, the
+    // incremental-maintenance no-op return — silently restart)
     Snapshot(finalSchema, partCols,
-      live.values.toSeq, usableJson.lastOption.getOrElse(0L), physNames,
+      live.values.toSeq,
+      (cpVersion.toSeq ++ usableJson).maxOption.getOrElse(0L), physNames,
       fldIds, config)
   }
 

@@ -835,9 +835,16 @@ object DeltaWriter {
       // dropped it would silently resurrect the deleted rows
       val dvPart = a.deletionVector.map(dv => s""","deletionVector":""" +
         dvJson(dv)).getOrElse("")
+      // file tags carry through too (incremental z-order recognizes its
+      // outputs by them; losing the tag across a checkpoint would make
+      // the next incremental pass re-churn every optimized file)
+      val tagsPart =
+        if (a.tags.isEmpty) ""
+        else s""","tags":${a.tags.map { case (k, v) =>
+          s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
       s"""{"add":{"path":"${a.path}","partitionValues":$pvJ,""" +
         s""""size":${a.size},"modificationTime":0,""" +
-        s""""dataChange":false$statsPart$dvPart}}"""
+        s""""dataChange":false$statsPart$dvPart$tagsPart}}"""
     }
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val lines = Seq(proto.get, meta.get) ++ txns.values ++ adds
@@ -1024,13 +1031,118 @@ object DeltaWriter {
       .repartitionByRange(targetFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__z")
-    val adds = stageDataFiles(clustered, table, version, snap.partitionColumns)
+    val adds = stageDataFiles(clustered, table, version,
+      snap.partitionColumns, tags = ZOrderedTag)
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
     publish(table, version, removes ++ adds)
     version
   }
+
+  /** INCREMENTAL z-order maintenance — the steady-state loop that keeps
+    * an ingested table clustered without ever re-paying the full
+    * rewrite: fresh appends land unclustered (their files span ~the
+    * whole key space), and this verb rewrites ONLY those, leaving
+    * already-tight files physically untouched. The admit/skip decision
+    * AND the grid normalization come from the WRITTEN per-file stats —
+    * no data is read except the loose files being rewritten, so a pass
+    * over a 100 TB table with a 1 GB unclustered tail costs ~1 GB.
+    *
+    * A file is loose when it is NOT an optimize output (the add-action
+    * `tags` mark `optimized=zorder` — written by both z-order verbs,
+    * carried through checkpoints — which makes the loop convergent BY
+    * CONSTRUCTION: a quantile z-slice can straddle a curve
+    * discontinuity and project wide in both dims, so a purely
+    * stats-shaped rule could re-flag an already-optimized file forever)
+    * AND its stats are missing or its span exceeds `spanPermille`/1000
+    * of the global range in BOTH dims (both, not either: an
+    * unclustered ingest file is wide in both; a file tight in one dim
+    * still prunes for that dim and needn't churn). The global range is
+    * the stats-union, widened by the loose rows' own max pre-agg so
+    * out-of-range fresh keys can't overflow the grid.
+    * No loose files → NO commit (idempotent steady state). Files
+    * carrying deletion vectors are refused — rewrite those through
+    * [[optimizeZOrder]]/[[compact]], which read through DV filtering.
+    * Unpartitioned tables only: a partitioned table runs the full verb
+    * per partition, which is already incremental at that granularity. */
+  def optimizeZOrderIncremental(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, xCol: String, yCol: String,
+      targetFiles: Int = 8, spanPermille: Int = 500): Long = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    require(spanPermille > 0 && spanPermille <= 1000,
+      s"spanPermille must be in (0, 1000]: $spanPermille")
+    val table = new File(tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.partitionColumns.isEmpty,
+      "incremental z-order supports unpartitioned tables — run " +
+        "optimizeZOrder per partition otherwise")
+    def bound(a: DeltaReader.AddFile, field: String,
+        wantMax: Boolean): Option[Long] =
+      a.stats.flatMap(DeltaStats.parse).flatMap { st =>
+        (if (wantMax) st.maxValues else st.minValues).get(field)
+          .flatMap(n => scala.util.Try(n.asText().toLong).toOption)
+      }
+    final case class Bounds(nx: Long, xx: Long, ny: Long, xy: Long)
+    val bounds: Seq[(DeltaReader.AddFile, Option[Bounds])] =
+      snap.files.map { a =>
+        a -> (for {
+          nx <- bound(a, xCol, wantMax = false)
+          xx <- bound(a, xCol, wantMax = true)
+          ny <- bound(a, yCol, wantMax = false)
+          xy <- bound(a, yCol, wantMax = true)
+        } yield Bounds(nx, xx, ny, xy))
+      }
+    val known = bounds.flatMap(_._2)
+    require(known.nonEmpty,
+      "no usable column stats on any file — run the full optimizeZOrder")
+    val rangeX = math.max(1L, known.map(_.xx).max - known.map(_.nx).min)
+    val rangeY = math.max(1L, known.map(_.xy).max - known.map(_.ny).min)
+    def optimized(a: DeltaReader.AddFile): Boolean =
+      a.tags.get("optimized").contains("zorder")
+    val loose = bounds.collect {
+      case (a, None) if !optimized(a) => a
+      case (a, Some(b))
+          if !optimized(a) &&
+             (b.xx - b.nx) * 1000L > spanPermille.toLong * rangeX &&
+             (b.xy - b.ny) * 1000L > spanPermille.toLong * rangeY => a
+    }
+    if (loose.isEmpty) return snap.version // steady state: no commit
+    require(loose.forall(_.deletionVector.isEmpty),
+      "loose files carry deletion vectors — rewrite through " +
+        "optimizeZOrder/compact (they read through DV filtering)")
+    val version = nextVersion(table)
+    val root = table.getAbsolutePath
+    val looseDf = spark.read.schema(snap.schema).parquet(
+      loose.map(a =>
+        new File(root, DeltaReader.decodePath(a.path)).getAbsolutePath): _*)
+    // grid maxima: stats-union widened by the loose rows' own pre-agg
+    val m = looseDf.agg(
+      max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head()
+    require(!m.isNullAt(0) && !m.isNullAt(1),
+      s"z-order dims must not be all-NULL in the loose tail: $xCol, $yCol")
+    val mx = math.max(known.map(_.xx).max, m.getLong(0))
+    val my = math.max(known.map(_.xy).max, m.getLong(1))
+    val z = graft.functions.ZOrder.morton(
+      expr(s"CAST($xCol AS BIGINT) * 256 DIV ${mx + 1}"),
+      expr(s"CAST($yCol AS BIGINT) * 256 DIV ${my + 1}"))
+    val clustered = looseDf.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val adds = stageDataFiles(clustered, table, version, Nil,
+      tags = ZOrderedTag)
+    val removes = loose.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    publish(table, version, removes ++ adds)
+    version
+  }
+
+  /** Add-action tag both z-order verbs stamp on their outputs (and
+    * checkpoints carry through) — [[optimizeZOrderIncremental]]'s
+    * convergence marker. */
+  private val ZOrderedTag = Map("optimized" -> "zorder")
 
   /** Whether `tablePath` already holds a committed Delta table (any
     * JSON commit or checkpoint in its log) — the existence test
@@ -1123,7 +1235,8 @@ object DeltaWriter {
     * `add` action lines (nothing is committed yet — the caller owns the
     * log line set and the publish). */
   private def stageDataFiles(df: DataFrame, table: File, version: Long,
-      partitionBy: Seq[String]): Seq[String] = {
+      partitionBy: Seq[String],
+      tags: Map[String, String] = Map.empty): Seq[String] = {
     val spark = df.sparkSession
     // ---- stage + move the data files
     val staging = new File(table, s".stage-$version")
@@ -1213,9 +1326,13 @@ object DeltaWriter {
         case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
         case (k, None) => s"${jstr(k)}:null"
       }.mkString("{", ",", "}")
+      val tagsPart =
+        if (tags.isEmpty) ""
+        else s""","tags":${tags.map { case (k, v) =>
+          s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
       s"""{"add":{"path":"${segs.mkString("/")}","partitionValues":$pvJ,""" +
         s""""size":${f.length()},"modificationTime":${f.lastModified()},""" +
-        s""""dataChange":true,"stats":${jstr(stats)}}}"""
+        s""""dataChange":true,"stats":${jstr(stats)}$tagsPart}}"""
     }
     adds
   }

@@ -571,6 +571,57 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("optimizeZOrderIncremental: rewrites only the unclustered tail, steady state commits nothing") {
+    val path = tmpTable("lineitem_zorder_inc")
+    val li = Tables.t(spark, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"))
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 === 0), path)
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 =!= 0), path)
+    DeltaWriter.optimizeZOrder(spark, path, "l_partkey", "l_suppkey",
+      targetFiles = 8)
+    val tight = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+
+    // θ=1000 can never flag a file (span ≤ range): steady state, no commit
+    val vSame = DeltaWriter.optimizeZOrderIncremental(spark, path,
+      "l_partkey", "l_suppkey", spanPermille = 1000)
+    assert(vSame == DeltaReader.snapshot(spark, path).version)
+
+    // a fresh unclustered append spans the whole key space
+    val batch = li.filter(col("l_orderkey") % 7 === 0).coalesce(1)
+    DeltaWriter.append(batch, path)
+    val withTail = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+    val tail = withTail -- tight
+    assert(tail.nonEmpty)
+
+    val v = DeltaWriter.optimizeZOrderIncremental(spark, path,
+      "l_partkey", "l_suppkey", targetFiles = 4)
+    val after = DeltaReader.snapshot(spark, path)
+    // every tight file physically survived; every tail file is gone
+    assert(tight.subsetOf(after.files.map(_.path).toSet))
+    assert(after.files.map(_.path).toSet.intersect(tail).isEmpty)
+    // content exact through the incremental pass
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      li.filter(col("l_orderkey") % 2 === 0)
+        .unionByName(li.filter(col("l_orderkey") % 2 =!= 0))
+        .unionByName(batch).collect().toSet)
+    assert(v == after.version)
+    // convergence: the rewritten tail is now clustered — a second pass
+    // at the same threshold commits nothing
+    assert(DeltaWriter.optimizeZOrderIncremental(spark, path,
+      "l_partkey", "l_suppkey", targetFiles = 4) == after.version)
+    // the optimized-output tags survive a checkpoint + log cleanup, so
+    // the steady state holds across maintenance (losing them would
+    // re-churn every optimized file on the next pass)
+    DeltaWriter.checkpoint(spark, path)
+    new File(path, "_delta_log").listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json")).foreach(_.delete())
+    assert(DeltaReader.snapshot(spark, path).files
+      .forall(_.tags.get("optimized").contains("zorder")))
+    assert(DeltaWriter.optimizeZOrderIncremental(spark, path,
+      "l_partkey", "l_suppkey", targetFiles = 4) == after.version)
+  }
+
   test("CHECK constraints: declared in metaData, enforced on every write verb") {
     val path = tmpTable("nation_check")
     val nation = Tables.t(spark, d, "nation")
