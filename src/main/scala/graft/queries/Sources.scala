@@ -547,6 +547,30 @@ object Sources {
         FROM lineitem
         GROUP BY l_partkey % 16 ORDER BY pk_band""")),
 
+    // ---- RESTORE round trip: the fixture deleted every 'F' order
+    // (copy-on-write, v2) then restored to v1 — the grouped aggregate
+    // over the restored table must equal the oracle over the untouched
+    // corpus, 'F' rows included (a restore that missed a removed file,
+    // re-added a wrong one, or failed to roll the delete back breaks
+    // the hash). The deleted state remains time-travelable; the spec
+    // pins that plus the DV-rollback and vacuumed-refusal edges.
+    Q("q179_delta_restore",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersRestored(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- SCD TYPE-2 dimension history: the fixture dimension was
     // maintained through three scd2Apply batches (bootstrap → rename
     // batch with one unchanged re-delivery → region shift + brand-new

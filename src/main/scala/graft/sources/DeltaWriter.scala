@@ -825,27 +825,12 @@ object DeltaWriter {
       s"protocol/metaData not found in $tablePath's JSON commits or " +
         "its newest checkpoint — not a replayable delta log")
     val snap = DeltaReader.snapshot(spark, tablePath)
-    val adds = snap.files.map { a =>
-      val pvJ = a.partitionValues.map {
-        case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
-        case (k, None) => s"${jstr(k)}:null"
-      }.mkString("{", ",", "}")
-      val statsPart = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
-      // a DV'd file MUST re-emit its descriptor — a checkpoint that
-      // dropped it would silently resurrect the deleted rows
-      val dvPart = a.deletionVector.map(dv => s""","deletionVector":""" +
-        dvJson(dv)).getOrElse("")
-      // file tags carry through too (incremental z-order recognizes its
-      // outputs by them; losing the tag across a checkpoint would make
-      // the next incremental pass re-churn every optimized file)
-      val tagsPart =
-        if (a.tags.isEmpty) ""
-        else s""","tags":${a.tags.map { case (k, v) =>
-          s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
-      s"""{"add":{"path":"${a.path}","partitionValues":$pvJ,""" +
-        s""""size":${a.size},"modificationTime":0,""" +
-        s""""dataChange":false$statsPart$dvPart$tagsPart}}"""
-    }
+    // a DV'd file MUST re-emit its descriptor (a checkpoint that
+    // dropped it would silently resurrect the deleted rows), and tags
+    // carry through too (incremental z-order recognizes its outputs by
+    // them; losing the tag across a checkpoint would re-churn every
+    // optimized file on the next pass)
+    val adds = snap.files.map(a => addJson(a, dataChange = false))
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val lines = Seq(proto.get, meta.get) ++ txns.values ++ adds
     // parquet of action rows (schema from the JSON lines, the same
@@ -1143,6 +1128,74 @@ object DeltaWriter {
     * checkpoints carry through) — [[optimizeZOrderIncremental]]'s
     * convergence marker. */
   private val ZOrderedTag = Map("optimized" -> "zorder")
+
+  /** Serialize a live [[DeltaReader.AddFile]] back to its add-action
+    * line, every field carried (partitionValues, stats, DV descriptor,
+    * tags) — shared by [[checkpoint]] (dataChange=false) and
+    * [[restore]] (dataChange=true). */
+  private def addJson(a: DeltaReader.AddFile, dataChange: Boolean): String = {
+    val pvJ = a.partitionValues.map {
+      case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+      case (k, None) => s"${jstr(k)}:null"
+    }.mkString("{", ",", "}")
+    val statsPart = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
+    val dvPart = a.deletionVector.map(dv => s""","deletionVector":""" +
+      dvJson(dv)).getOrElse("")
+    val tagsPart =
+      if (a.tags.isEmpty) ""
+      else s""","tags":${a.tags.map { case (k, v) =>
+        s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
+    s"""{"add":{"path":"${a.path}","partitionValues":$pvJ,""" +
+      s""""size":${a.size},"modificationTime":0,""" +
+      s""""dataChange":$dataChange$statsPart$dvPart$tagsPart}}"""
+  }
+
+  /** `RESTORE TABLE … TO VERSION AS OF v`: one atomic commit that makes
+    * the CURRENT snapshot equal the version-`v` snapshot again —
+    * removes every live file the old snapshot lacks and re-adds (with
+    * their original partition values, stats, DV descriptors, and tags)
+    * every old file no longer live. History is preserved: the restore
+    * is a NEW version on top, so the pre-restore state remains time-
+    * travelable. Refused when: the old snapshot's schema differs from
+    * the current one (restoring across a schema evolution would
+    * silently drop columns — the same non-additive posture as
+    * [[evolveSchema]]); or any file to re-add was already vacuumed
+    * (named in the error — a retention window that outlives the restore
+    * horizon is the operational fix). */
+  def restore(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, version: Long): Long = {
+    val table = new File(tablePath)
+    val old = DeltaReader.snapshotAt(spark, tablePath, version)
+    val cur = DeltaReader.snapshot(spark, tablePath)
+    require(version <= cur.version,
+      s"cannot restore to future version $version (current ${cur.version})")
+    require(old.schema == cur.schema,
+      "restore across a schema change is refused (columns would be " +
+        "silently dropped/retyped) — evolve first, then restore data")
+    val curByPath = cur.files.map(a => a.path -> a).toMap
+    val oldPaths = old.files.map(_.path).toSet
+    // a path live in BOTH snapshots can still differ — a deletion
+    // vector added after `version` must be rolled back by re-emitting
+    // the OLD add action (the newest add for a path wins at replay)
+    val toAdd = old.files.filter(a =>
+      !curByPath.contains(a.path) ||
+        curByPath(a.path).deletionVector != a.deletionVector)
+    val toRemove = cur.files.filterNot(a => oldPaths.contains(a.path))
+    val missing = toAdd.map(_.path).filterNot(rel =>
+      new File(table, DeltaReader.decodePath(rel)).isFile)
+    require(missing.isEmpty,
+      s"restore to version $version needs vacuumed file(s): " +
+        s"${missing.take(5).mkString(", ")}" +
+        (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
+    val newVersion = nextVersion(table)
+    if (toAdd.isEmpty && toRemove.isEmpty) return newVersion - 1 // no-op
+    val removes = toRemove.map(a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+    publish(table, newVersion,
+      removes ++ toAdd.map(a => addJson(a, dataChange = true)))
+    newVersion
+  }
 
   /** Whether `tablePath` already holds a committed Delta table (any
     * JSON commit or checkpoint in its log) — the existence test

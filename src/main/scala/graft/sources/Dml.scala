@@ -52,6 +52,10 @@ object Dml {
   final case class AddConstraint(table: String, name: String,
       check: String) extends Stmt
   final case class DropConstraint(table: String, name: String) extends Stmt
+  /** `RESTORE TABLE t TO VERSION AS OF n` /
+    * `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`. */
+  final case class Restore(table: String, versionAsOf: Option[Long],
+      timestampAsOf: Option[String]) extends Stmt
 
   private val DeleteP = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?\s*""".r
   private val UpdateP = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
@@ -68,6 +72,10 @@ object Dml {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintP =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val RestoreVersionP =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTimestampP =
+    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   def matches(sql: String): Boolean = parseOpt(sql).isDefined
 
@@ -86,6 +94,10 @@ object Dml {
       Some(AddConstraint(table, name, check.trim))
     case DropConstraintP(table, name) =>
       Some(DropConstraint(table, name))
+    case RestoreVersionP(table, v) =>
+      Some(Restore(table, Some(v.toLong), None))
+    case RestoreTimestampP(table, ts) =>
+      Some(Restore(table, None, Some(ts)))
     case DeleteP(table, tail) => whereTail(tail).map(Delete(table, _))
     case UpdateP(table, rest) =>
       val (setPart, where) = splitTopLevel(rest, "WHERE") match {
@@ -173,6 +185,10 @@ object Dml {
         DeltaWriter.addCheckConstraint(spark, t.location, name, check)
       case DropConstraint(_, name) =>
         DeltaWriter.dropCheckConstraint(spark, t.location, name)
+      case Restore(_, v, ts) =>
+        DeltaWriter.restore(spark, t.location, v.getOrElse(
+          DeltaReader.versionAtTimestamp(t.location,
+            Ddl.parseTsMillis(ts.get))))
     }
     Ddl.register(spark, t) // the view must see the new snapshot
     version

@@ -596,6 +596,22 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table RESTORED by graft's own restore verb (q179): two
+    * appends, a copy-on-write DELETE of every 'F'-status order, then
+    * `RESTORE TO VERSION AS OF 1` — the final table must equal the
+    * untouched corpus again (the delete undone as a NEW commit, so the
+    * deleted state stays time-travelable). */
+  def deltaOrdersRestored(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_restored") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0), path)
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0), path)
+      DeltaWriter.delete(s, path, col("o_orderstatus") === "F")
+      DeltaWriter.restore(s, path, 1L)
+      ()
+    }
+
   /** An SCD TYPE-2 nation dimension maintained by
     * [[DeltaWriter.scd2Apply]] (q177): bootstrap at ts=100, a rename
     * batch at ts=200 for every `%3==0` key (with key 1 re-delivered

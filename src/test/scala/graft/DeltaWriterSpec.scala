@@ -571,6 +571,37 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("restore: snapshot equality incl DV rollback, history preserved, vacuumed refusal") {
+    val path = tmpTable("nation_restore")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path) // v0
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path) // v1
+    // v2: merge-on-read delete — same paths, new DV descriptors
+    DeltaWriter.deleteWithVectors(spark, path, col("n_nationkey") % 2 === 0)
+    val nOdd = DeltaReader.load(spark, path).count()
+    assert(nOdd < 25L)
+
+    // restore to v1 rolls the vectors back by re-emitting the old adds
+    val v3 = DeltaWriter.restore(spark, path, 1L)
+    assert(v3 == 3L)
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.collect().toSet)
+    // the deleted state stays time-travelable
+    assert(DeltaReader.loadAt(spark, path, 2L).count() == nOdd)
+    // restoring to the present is a published-nothing no-op
+    assert(DeltaWriter.restore(spark, path, 3L) == 3L)
+    // future versions refused
+    intercept[IllegalArgumentException](DeltaWriter.restore(spark, path, 9L))
+
+    // after compact + vacuum the v1 files are gone from disk: restore
+    // is refused naming the vacuumed files, not silently partial
+    DeltaWriter.compact(spark, path)
+    DeltaWriter.vacuum(spark, path)
+    val e = intercept[IllegalArgumentException](
+      DeltaWriter.restore(spark, path, 1L))
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("optimizeZOrderIncremental: rewrites only the unclustered tail, steady state commits nothing") {
     val path = tmpTable("lineitem_zorder_inc")
     val li = Tables.t(spark, d, "lineitem").select(

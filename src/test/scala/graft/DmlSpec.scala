@@ -153,6 +153,14 @@ class DmlSpec extends AnyFunSuite {
       case Dml.DropConstraint("t", "c") => ()
       case other => fail(s"$other")
     }
+    Dml.parse("RESTORE TABLE t TO VERSION AS OF 3") match {
+      case Dml.Restore("t", Some(3L), None) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("RESTORE TABLE t TO TIMESTAMP AS OF '2026-08-14 12:00:00'") match {
+      case Dml.Restore("t", None, Some("2026-08-14 12:00:00")) => ()
+      case other => fail(s"$other")
+    }
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_check")
     def del(f: java.io.File): Unit = {
       if (f.isDirectory)
