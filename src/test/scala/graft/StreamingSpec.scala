@@ -420,6 +420,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(confirmed.nonEmpty)
   }
 
+  test("streaming SCD2 ingest: versions open/close per batch; redelivery no-ops without a ledger") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_scd2")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val srcDir = new java.io.File(base, "src")
+    val ckpt = new java.io.File(base, "ckpt")
+    val table = new java.io.File(base, "table")
+    val nation = Tables.t(spark, d, "nation")
+    def source() = spark.readStream
+      .schema(nation.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+
+    // batch 0: the bootstrap snapshot
+    nation.coalesce(1).write.mode("append").parquet(srcDir.getAbsolutePath)
+    assert(graft.streaming.StreamScd2Ingest.runToCompletion(
+      spark, source(), table.getAbsolutePath, Seq("n_nationkey"),
+      checkpointLocation = Some(ckpt.getAbsolutePath)) == 1L)
+
+    // batch 1: a rename for every %3==0 key
+    nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_name", concat(col("n_name"), lit("_S2")))
+      .coalesce(1).write.mode("append").parquet(srcDir.getAbsolutePath)
+    assert(graft.streaming.StreamScd2Ingest.runToCompletion(
+      spark, source(), table.getAbsolutePath, Seq("n_nationkey"),
+      checkpointLocation = Some(ckpt.getAbsolutePath)) == 1L)
+
+    val hist = graft.sources.DeltaReader.load(spark, table.getAbsolutePath)
+    assert(hist.count() == 25L + 9L) // 25 keys + 9 closed versions
+    assert(hist.filter(col("valid_to").isNull).count() == 25L)
+    assert(hist.filter(col("n_name").endsWith("_S2"))
+      .agg(min(col("valid_from"))).head().getLong(0) == 1L)
+
+    // the crash window, for real: drop the newest sink completion
+    // record so a fresh query REDELIVERS batch 1 — scd2Apply sees
+    // attrs equal to the current versions and publishes NOTHING
+    // (exactly-once without any txn ledger)
+    val commitsDir = new java.io.File(ckpt, "commits")
+    val newest = commitsDir.listFiles().filter(_.getName.matches("\\d+"))
+      .maxBy(_.getName.toLong)
+    new java.io.File(commitsDir, s".${newest.getName}.crc").delete()
+    newest.delete()
+    assert(graft.streaming.StreamScd2Ingest.runToCompletion(
+      spark, source(), table.getAbsolutePath, Seq("n_nationkey"),
+      checkpointLocation = Some(ckpt.getAbsolutePath)) == 0L)
+    assert(graft.sources.DeltaReader.load(spark, table.getAbsolutePath)
+      .count() == 34L)
+  }
+
   test("streaming JL projection matches an independent plain-JVM fold") {
     val outDims = 16
     val streamed = graft.streaming.StreamJlProject
