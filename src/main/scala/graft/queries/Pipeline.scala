@@ -64,6 +64,39 @@ object Pipeline {
           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
           FROM tok GROUP BY doc_id, b)"""
 
+  /** q122's bigram-transition CTE chain (Spark dialect) — the corpus
+    * LM both the fluency report (q122) and the curriculum builder
+    * (q180) score against; one spelling per engine. */
+  private[graft] val FluencyCtes: String = """
+        t AS (
+          SELECT doc_id, split(text, ' ') AS w FROM documents
+          WHERE size(split(text, ' ')) >= 2),
+        big AS (
+          SELECT doc_id, element_at(w, i) AS w1,
+            concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg
+          FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) s AS i),
+        pair AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg),
+        ctx AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)"""
+
+  /** DuckDB mirror of [[FluencyCtes]]. */
+  private[graft] val DuckFluencyCtes: String = """
+        t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        big AS (
+          SELECT doc_id, w[k] AS w1, w[k] || ' ' || w[k + 1] AS bg
+          FROM t, unnest(generate_series(1, len(w) - 1)) s(k)),
+        pair AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg),
+        ctx AS (
+          SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)"""
+
+  /** q180: number of curriculum stages (quintiles of the fluency
+    * rank). */
+  private[graft] val CurriculumStages = 5
+
   /** q146's DSIR training CTE chain (Spark dialect), through the
     * 4096-row weight table `w(b, wppm)` — the ONE spelling of the
     * hashed-feature extraction and Laplace-smoothed integer-ppm ratio,
@@ -1178,18 +1211,8 @@ object Pipeline {
     // No all-pairs stage anywhere; identical to q119's audited shape
     // plus one more linear join.
     Q("q122_lm_fluency",
-      (s, d) => Tables.sql(s, d, """
-        WITH t AS (
-          SELECT doc_id, split(text, ' ') AS w FROM documents
-          WHERE size(split(text, ' ')) >= 2),
-        big AS (
-          SELECT doc_id, element_at(w, i) AS w1,
-            concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg
-          FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) s AS i),
-        pair AS (
-          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg),
-        ctx AS (
-          SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)
+      (s, d) => Tables.sql(s, d, s"""
+        WITH $FluencyCtes
         SELECT big.doc_id,
           CAST(count(*) AS BIGINT) AS n_transitions,
           sum(pair.n * 1000000L DIV ctx.n) DIV count(*) AS fluency_ppm
@@ -1199,17 +1222,8 @@ object Pipeline {
         WHERE big.doc_id < 100
         GROUP BY big.doc_id
         ORDER BY big.doc_id"""),
-      Some("""
-        WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
-          WHERE len(string_split(text, ' ')) >= 2),
-        big AS (
-          SELECT doc_id, w[k] AS w1, w[k] || ' ' || w[k + 1] AS bg
-          FROM t, unnest(generate_series(1, len(w) - 1)) s(k)),
-        pair AS (
-          SELECT bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY bg),
-        ctx AS (
-          SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)
+      Some(s"""
+        WITH $DuckFluencyCtes
         SELECT big.doc_id,
           CAST(count(*) AS BIGINT) AS n_transitions,
           CAST(sum(pair.n * 1000000 // ctx.n) // count(*) AS BIGINT)
@@ -1220,6 +1234,78 @@ object Pipeline {
         WHERE big.doc_id < 100
         GROUP BY big.doc_id
         ORDER BY big.doc_id""")),
+
+    // ---- CURRICULUM CONSTRUCTION (Bengio et al. 2009's easy-first
+    // schedule as a data-pipeline artifact): order the corpus by the
+    // q122 LM-fluency score — template-like text first, word salad
+    // last — into CurriculumStages equal-count stages, with a
+    // deterministic within-stage shuffle (q123's md5-keyed convention:
+    // the schedule is a pure function of the corpus, reproducible on
+    // any rerun). Deliverable = the full (doc_id → stage, stage_ord)
+    // reading schedule. Shapes at 100 TB: BOTH ranks come from
+    // plans.DistributedRank (range exchange + broadcast offsets — a
+    // per-stage row_number window would serialize each stage through
+    // one reducer); the stage offsets are a CurriculumStages-row
+    // driver collect (metadata-sized); everything else is the q122
+    // fluency plan.
+    Q("q180_curriculum",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.Md5Long.register(s)
+        val fl = Tables.sql(s, d, s"""
+          WITH $FluencyCtes
+          SELECT big.doc_id,
+            sum(pair.n * 1000000L DIV ctx.n) DIV count(*) AS fluency_ppm
+          FROM big
+          JOIN pair ON big.bg = pair.bg
+          JOIN ctx ON big.w1 = ctx.w1
+          GROUP BY big.doc_id""")
+        val n = fl.count()
+        val staged = graft.plans.DistributedRank.rowNumber(
+            fl, lit(0L), Seq($"fluency_ppm".desc, $"doc_id".asc), "rk", 32)
+          .withColumn("stage",
+            expr(s"CAST((rk - 1) * $CurriculumStages DIV $n AS INT)"))
+          .withColumn("sk",
+            expr("md5_60(concat('cur1:', CAST(doc_id AS STRING)))"))
+        val ranked = graft.plans.DistributedRank.rowNumber(
+          staged, lit(0L), Seq($"stage".asc, $"sk".asc, $"doc_id".asc),
+          "rk2", 32)
+        val counts = ranked.groupBy($"stage")
+          .agg(count(lit(1)).as("cnt")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        val offPairs = counts.map { case (st, c) =>
+          val o = (st, acc); acc += c; o
+        }
+        val offDf = s.createDataFrame(offPairs.toSeq).toDF("stage", "off")
+        ranked.join(broadcast(offDf), Seq("stage"))
+          .select($"doc_id", $"fluency_ppm", $"stage",
+            ($"rk2" - $"off").as("stage_ord"))
+          .orderBy($"stage", $"stage_ord")
+      },
+      Some(s"""
+        WITH $DuckFluencyCtes,
+        sc AS (
+          SELECT big.doc_id,
+            CAST(sum(pair.n * 1000000 // ctx.n) // count(*) AS BIGINT)
+              AS fluency_ppm
+          FROM big
+          JOIN pair ON big.bg = pair.bg
+          JOIN ctx ON big.w1 = ctx.w1
+          GROUP BY big.doc_id),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+        r AS (
+          SELECT sc.doc_id, sc.fluency_ppm,
+            CAST((row_number() OVER (ORDER BY sc.fluency_ppm DESC,
+              sc.doc_id ASC) - 1) * $CurriculumStages // g.n AS INT)
+              AS stage,
+            ('0x' || substr(md5('cur1:' || sc.doc_id), 2, 15))::BIGINT AS sk
+          FROM sc CROSS JOIN g)
+        SELECT doc_id, fluency_ppm, stage,
+          CAST(row_number() OVER (PARTITION BY stage
+            ORDER BY sk ASC, doc_id ASC) AS BIGINT) AS stage_ord
+        FROM r
+        ORDER BY stage, stage_ord""")),
 
     // ---- Deterministic corpus shuffle + train/validation split: the
     // last step before training — a reproducible pseudo-random total
