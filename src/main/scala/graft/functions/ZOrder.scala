@@ -53,4 +53,42 @@ object ZOrder {
       Steps.foldLeft(v) { case (e, (s, m)) => (e | (e << s)) & m }
     sp(x) | (sp(y) << 1)
   }
+
+  // ---- 3-D variant: every third bit, for OPTIMIZE ZORDER BY (a,b,c).
+  // Inputs are the shared 8-bit grid (the same normalization the 2-D
+  // path uses), so the key is 24 bits. One constant table again
+  // generates all three spellings.
+
+  /** (shift, mask) steps spreading an 8-bit value's bits to every THIRD
+    * position of a 24-bit value. */
+  private val Steps3: Seq[(Int, Long)] = Seq(
+    8 -> 0x00F00FL, 4 -> 0x0C30C3L, 2 -> 0x249249L)
+
+  /** Column spelling: spread a non-negative <=8-bit long column to
+    * every third bit. */
+  def spread3(c: Column): Column =
+    Steps3.foldLeft(c) { case (e, (s, m)) =>
+      (e.bitwiseOR(shiftleft(e, s))).bitwiseAND(lit(m))
+    }
+
+  /** Column spelling: 3-dim Morton key (x bits 0 mod 3, y 1 mod 3,
+    * z 2 mod 3). */
+  def morton3(x: Column, y: Column, z: Column): Column =
+    spread3(x).bitwiseOR(shiftleft(spread3(y), 1))
+      .bitwiseOR(shiftleft(spread3(z), 2))
+
+  /** DuckDB-dialect SQL spelling of [[spread3]] (same constants). */
+  def spread3Duck(e: String): String =
+    Steps3.foldLeft(e) { case (x, (s, m)) => s"((($x) | (($x) << $s)) & $m)" }
+
+  /** DuckDB-dialect SQL spelling of [[morton3]]. */
+  def morton3Duck(x: String, y: String, z: String): String =
+    s"(${spread3Duck(x)} | (${spread3Duck(y)} << 1) | (${spread3Duck(z)} << 2))"
+
+  /** Plain-JVM reference spelling of the 3-D key. */
+  def morton3Long(x: Long, y: Long, z: Long): Long = {
+    def sp(v: Long): Long =
+      Steps3.foldLeft(v) { case (e, (s, m)) => (e | (e << s)) & m }
+    sp(x) | (sp(y) << 1) | (sp(z) << 2)
+  }
 }

@@ -991,26 +991,42 @@ object DeltaWriter {
     * which the partition-leading range keys already give you. */
   def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, xCol: String, yCol: String,
+      targetFiles: Int): Long =
+    optimizeZOrder(spark, tablePath, Seq(xCol, yCol), targetFiles)
+
+  /** Column-list spelling: 2 dims interleave on the classic every-other
+    * -bit Morton key, 3 dims on the every-third-bit variant
+    * ([[graft.functions.ZOrder.morton3]]) — both over the same shared
+    * 8-bit grid. More than 3 dims is refused: each extra dim costs a
+    * factor of bit resolution per dim, and past 3 the per-dim locality
+    * that makes stats skipping work is gone (real engines cap similarly
+    * in practice). */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, cols: Seq[String],
       targetFiles: Int = 8): Long = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    require(cols.size == 2 || cols.size == 3,
+      s"ZORDER BY takes 2 or 3 columns (Morton interleave), got " +
+        s"(${cols.mkString(", ")})")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
     val version = nextVersion(table)
     val current = DeltaReader.load(spark, tablePath)
-    val m = current.agg(
-      max(col(xCol).cast("long")).as("mx"),
-      min(col(xCol).cast("long")).as("nx"),
-      max(col(yCol).cast("long")).as("my"),
-      min(col(yCol).cast("long")).as("ny")).head()
-    require(!m.isNullAt(0) && !m.isNullAt(2),
-      s"z-order dims must not be all-NULL: $xCol, $yCol")
-    require(m.getLong(1) >= 0L && m.getLong(3) >= 0L,
-      s"z-order dims must be non-negative: $xCol in [${m.getLong(1)}, " +
-        s"${m.getLong(0)}], $yCol in [${m.getLong(3)}, ${m.getLong(2)}]")
-    val (mx, my) = (m.getLong(0), m.getLong(2))
-    val z = graft.functions.ZOrder.morton(
-      expr(s"CAST($xCol AS BIGINT) * 256 DIV ${mx + 1}"),
-      expr(s"CAST($yCol AS BIGINT) * 256 DIV ${my + 1}"))
+    val aggs = cols.flatMap(c => Seq(
+      max(col(c).cast("long")), min(col(c).cast("long"))))
+    val m = current.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.foreach { i =>
+      require(!m.isNullAt(2 * i),
+        s"z-order dim must not be all-NULL: ${cols(i)}")
+      require(m.getLong(2 * i + 1) >= 0L,
+        s"z-order dims must be non-negative: ${cols(i)} in " +
+          s"[${m.getLong(2 * i + 1)}, ${m.getLong(2 * i)}]")
+    }
+    val grid = cols.indices.map(i => expr(
+      s"CAST(${cols(i)} AS BIGINT) * 256 DIV ${m.getLong(2 * i) + 1}"))
+    val z =
+      if (cols.size == 2) graft.functions.ZOrder.morton(grid(0), grid(1))
+      else graft.functions.ZOrder.morton3(grid(0), grid(1), grid(2))
     val keys = snap.partitionColumns.map(col) :+ col("__z")
     val clustered = current.withColumn("__z", z)
       .repartitionByRange(targetFiles, keys: _*)

@@ -38,10 +38,10 @@ object Dml {
       where: Option[String]) extends Stmt
   final case class Merge(table: String, sourceQuery: String,
       keys: Seq[String]) extends Stmt
-  /** `OPTIMIZE t` (compact) / `OPTIMIZE t ZORDER BY (x[, y])` —
-    * 1 col = clustered compaction sort, 2 cols = Morton interleave
-    * ([[DeltaWriter.optimizeZOrder]]); >2 refused (the z spelling is
-    * 2-D). */
+  /** `OPTIMIZE t` (compact) / `OPTIMIZE t ZORDER BY (x[, y[, z]])` —
+    * 1 col = clustered compaction sort, 2/3 cols = the Morton
+    * interleaves ([[DeltaWriter.optimizeZOrder]]); more refused by the
+    * verb (per-dim locality is gone past 3). */
   final case class Optimize(table: String, zorder: Seq[String]) extends Stmt
   /** `VACUUM t [RETAIN n HOURS]` — missing RETAIN sweeps immediately
     * (retainMs = 0), the library default. */
@@ -171,11 +171,9 @@ object Dml {
       case Optimize(_, Nil) => DeltaWriter.compact(spark, t.location)
       case Optimize(_, Seq(one)) =>
         DeltaWriter.compact(spark, t.location, sortBy = Seq(one))
-      case Optimize(_, Seq(x, y)) =>
-        DeltaWriter.optimizeZOrder(spark, t.location, x, y)
-      case Optimize(_, more) => throw new IllegalArgumentException(
-        "OPTIMIZE … ZORDER BY supports at most 2 columns (the Morton " +
-          s"interleave is 2-D); got (${more.mkString(", ")})")
+      case Optimize(_, cs) =>
+        // 2 or 3 columns → the Morton verbs; more refused by the verb
+        DeltaWriter.optimizeZOrder(spark, t.location, cs)
       case Vacuum(_, hours) =>
         // returns the deleted-file count, not a version — vacuum
         // publishes no commit

@@ -138,10 +138,13 @@ class DmlSpec extends AnyFunSuite {
     assert(DeltaReader.snapshot(spark, dir.getAbsolutePath).files.length == 1)
     assert(ctx.sql("SELECT count(*) AS n FROM dml_maint").head().getLong(0) == n0)
 
-    // 3-column ZORDER names the 2-D contract
+    // 3-column ZORDER runs the every-third-bit Morton variant
+    ctx.sql("OPTIMIZE dml_maint ZORDER BY (l_orderkey, l_partkey, l_suppkey)")
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_maint").head().getLong(0) == n0)
+    // 4 columns are refused naming the contract
     val e = intercept[IllegalArgumentException](
-      ctx.sql("OPTIMIZE dml_maint ZORDER BY (a, b, c)"))
-    assert(e.getMessage.contains("2"))
+      ctx.sql("OPTIMIZE dml_maint ZORDER BY (a, b, c, e)"))
+    assert(e.getMessage.contains("3"))
   }
 
   test("execute: CHECK constraints ride the ALTER TABLE statements and gate SQL writes") {

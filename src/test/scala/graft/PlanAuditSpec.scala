@@ -409,6 +409,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "per-source window regressed into the plan")
   }
 
+  test("q180: both curriculum ranks use DistributedRank, never a window") {
+    val p = plan("q180_curriculum")
+    // a global `row_number() OVER (ORDER BY …)` or a per-stage
+    // partitioned window would serialize the corpus (or each stage)
+    // through one task — the exact shapes this operator exists to avoid
+    assert(!p.contains("Window"), "curriculum rank regressed into a window")
+  }
+
   test("q89: label propagation feeds no driver-built table and bounds its exchanges") {
     val p = plan("q89_dedup_clusters")
     assert(!p.contains("LocalTableScan"), "q89 has a driver-built table")

@@ -24,6 +24,28 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("3-D morton: Column == JVM on random 8-bit triples; bits land every third position") {
+    val rnd = new scala.util.Random(43)
+    val triples = Seq.fill(300)(
+      (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong,
+        rnd.nextInt(256).toLong))
+    val got = triples.toDF("x", "y", "z")
+      .select($"x", $"y", $"z", ZOrder.morton3($"x", $"y", $"z").as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    triples.foreach { case (x, y, z) =>
+      assert(got((x, y, z)) == ZOrder.morton3Long(x, y, z))
+    }
+    // bit-interleave ground truth: bit i of x lands at 3i, y at 3i+1,
+    // z at 3i+2
+    for (i <- 0 until 8) {
+      assert(ZOrder.morton3Long(1L << i, 0, 0) == (1L << (3 * i)))
+      assert(ZOrder.morton3Long(0, 1L << i, 0) == (1L << (3 * i + 1)))
+      assert(ZOrder.morton3Long(0, 0, 1L << i) == (1L << (3 * i + 2)))
+    }
+  }
+
   test("morton interleave is monotone in each dim at fixed other dim") {
     // not a sort order, but each dim's order is preserved on its own
     // bit positions — the property that makes per-bucket min/max tight
