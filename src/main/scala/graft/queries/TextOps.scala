@@ -91,6 +91,27 @@ object TextOps {
             ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
           WHERE bit_count(xor(x.dh, y.dh)) <= 2)"""
 
+  /** DuckDB mirror of the 4-round min-label connected components over
+    * the dhash pair graph, ending in `l4(doc_id, lbl)` — generated, one
+    * round-count for both engines; shared by the q147 (dedup map) and
+    * q181 (leakage-safe split) oracles. */
+  private val DuckDhashCcCtes: String = {
+    val sb = new StringBuilder(s"""$DuckDhashPairs,
+        edges AS (SELECT d1, d2 FROM dpairs UNION ALL SELECT d2, d1 FROM dpairs),
+        l0 AS (SELECT DISTINCT d1 AS doc_id, d1 AS lbl FROM edges)""")
+    for (r <- 1 to 4) sb.append(s""",
+        l$r AS (
+          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l${r - 1} l JOIN (
+            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
+            FROM edges e JOIN l${r - 1} l ON e.d2 = l.doc_id GROUP BY e.d1) m
+          USING (doc_id))""")
+    sb.toString
+  }
+
+  /** q181's holdout fraction: eval = the md5-threshold top
+    * [[HoldoutPct]]% of cluster REPRESENTATIVES (never of raw docs). */
+  private[graft] val HoldoutPct = 10
+
   /** Declared PageRank rounds (q162) — fixed, mirrored in the GENERATED
     * oracle chain (one round count, two dialects, no drift), the
     * q89/q147/q148 iterative-operator discipline. Production runs more
@@ -742,31 +763,50 @@ object TextOps {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH $DuckDhashPairs,
-        edges AS (SELECT d1, d2 FROM dpairs UNION ALL SELECT d2, d1 FROM dpairs),
-        l0 AS (SELECT DISTINCT d1 AS doc_id, d1 AS lbl FROM edges),
-        l1 AS (
-          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l0 l JOIN (
-            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
-            FROM edges e JOIN l0 l ON e.d2 = l.doc_id GROUP BY e.d1) m
-          USING (doc_id)),
-        l2 AS (
-          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l1 l JOIN (
-            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
-            FROM edges e JOIN l1 l ON e.d2 = l.doc_id GROUP BY e.d1) m
-          USING (doc_id)),
-        l3 AS (
-          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l2 l JOIN (
-            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
-            FROM edges e JOIN l2 l ON e.d2 = l.doc_id GROUP BY e.d1) m
-          USING (doc_id)),
-        l4 AS (
-          SELECT l.doc_id, least(l.lbl, m.nbr) AS lbl FROM l3 l JOIN (
-            SELECT e.d1 AS doc_id, min(l.lbl) AS nbr
-            FROM edges e JOIN l3 l ON e.d2 = l.doc_id GROUP BY e.d1) m
-          USING (doc_id))
+        WITH $DuckDhashCcCtes
         SELECT doc_id, lbl AS kept_as FROM l4
         WHERE lbl <> doc_id ORDER BY doc_id""")),
+
+    // ---- LEAKAGE-SAFE TRAIN/EVAL SPLIT: the holdout rule every
+    // training pipeline needs but naive per-doc hashing breaks — a
+    // near-duplicate of a training doc in the eval set inflates eval
+    // scores (memorization reads as generalization). The split key is
+    // the doc's near-dup CLUSTER REPRESENTATIVE (q147's 4-round
+    // min-label CC over the dHash pair graph; singletons represent
+    // themselves), so every member of a cluster lands on the SAME side
+    // by construction: md5_60("split1:" || rep) % 100 ≥ 90 → eval.
+    // Deliverable = the full (doc_id, rep, split) assignment. Shapes at
+    // 100 TB: the CC is q147's audited bounded-round kernel; the split
+    // itself is a stateless map over rep — no shuffle beyond the CC's
+    // own, membership survives corpus growth exactly like q123's
+    // hash-threshold split.
+    Q("q181_leakage_safe_split",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.Md5Long.register(s)
+        val lbl = graft.operators.ConnectedComponents
+          .minLabelRounds(dhashEdges(s, d), 4)
+          .select($"doc_id", $"lbl")
+        Tables.t(s, d, "documents").select($"doc_id")
+          .join(lbl, Seq("doc_id"), "left_outer")
+          .withColumn("rep", coalesce($"lbl", $"doc_id"))
+          .withColumn("split", expr(
+            s"""CASE WHEN md5_60(concat('split1:', CAST(rep AS STRING)))
+                  % 100 < ${100 - HoldoutPct}
+                THEN 'train' ELSE 'eval' END"""))
+          .select($"doc_id", $"rep", $"split")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $DuckDhashCcCtes,
+        rep AS (
+          SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS rep
+          FROM documents d LEFT JOIN l4 l ON d.doc_id = l.doc_id)
+        SELECT doc_id, rep,
+          CASE WHEN ('0x' || substr(md5('split1:' || rep), 2, 15))::BIGINT
+                 % 100 < ${100 - HoldoutPct}
+               THEN 'train' ELSE 'eval' END AS split
+        FROM rep ORDER BY doc_id""")),
 
     // ---- PageRank centrality over the perceptual near-dup graph: rank
     // the documents of the q143 pair graph by how central they sit in
