@@ -547,6 +547,33 @@ object Sources {
         FROM lineitem
         GROUP BY l_partkey % 16 ORDER BY pk_band""")),
 
+    // ---- SNAPSHOT-MODE SCD2 (soft deletes): the fixture's second
+    // batch was a COMPLETE extract holding only keys < 15, so keys ≥ 15
+    // must be CLOSED with no successor (the soft delete an SCD2 history
+    // records), the renamed %3==0 keys close + reopen, and the rest
+    // stay open untouched. The oracle recomposes the exact history with
+    // explicit validity stamps (no lead() window — a close-without-
+    // successor has no following row to lead into).
+    Q("q182_scd2_snapshot",
+      (s, d) => {
+        val dir = Fixtures.deltaNationScd2Snapshot(s, d)
+        DeltaReader.load(s, dir)
+          .select(col("n_nationkey"), col("valid_from"), col("valid_to"),
+            col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey"), col("valid_from"))
+      },
+      Some("""
+        SELECT n_nationkey, CAST(100 AS BIGINT) AS valid_from,
+          CASE WHEN n_nationkey >= 15
+                 OR (n_nationkey < 15 AND n_nationkey % 3 = 0)
+               THEN CAST(200 AS BIGINT) ELSE NULL END AS valid_to,
+          n_name, n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, 200, NULL, n_name || '_V2', n_regionkey
+        FROM nation WHERE n_nationkey < 15 AND n_nationkey % 3 = 0
+        ORDER BY n_nationkey, valid_from""")),
+
     // ---- RESTORE round trip: the fixture deleted every 'F' order
     // (copy-on-write, v2) then restored to v1 — the grouped aggregate
     // over the restored table must equal the oracle over the untouched

@@ -334,7 +334,8 @@ object DeltaWriter {
     *    needs);
     *  - a brand-new key opens its first version;
     *  - a key absent from the batch is untouched (changes-feed
-    *    semantics: absence ≠ deletion);
+    *    semantics: absence ≠ deletion — the `snapshotMode` overload
+    *    flips this to snapshot-feed soft deletes);
     *  - out-of-order batches are REFUSED: a changed key whose current
     *    `valid_from >= ts` throws (history must stay monotone).
     *
@@ -347,7 +348,18 @@ object DeltaWriter {
     * any-attr-differs filter; everything else is bounded by the change
     * batch + touched files, never the history size. */
   def scd2Apply(changes: DataFrame, tablePath: String,
-      keys: Seq[String], ts: Long): Long = {
+      keys: Seq[String], ts: Long): Long =
+    scd2Apply(changes, tablePath, keys, ts, snapshotMode = false)
+
+  /** `snapshotMode = true` switches from changes-feed to SNAPSHOT-feed
+    * semantics: the batch is the COMPLETE current extract, so a key
+    * absent from it is gone from the source — its current row CLOSES at
+    * `ts` with no successor (the soft delete an SCD2 history records).
+    * Changed/unchanged/new keys behave exactly as in the default mode,
+    * including the published-nothing idempotent no-op on an identical
+    * re-delivery. */
+  def scd2Apply(changes: DataFrame, tablePath: String,
+      keys: Seq[String], ts: Long, snapshotMode: Boolean): Long = {
     val spark = changes.sparkSession
     import spark.implicits._
     require(keys.nonEmpty, "scd2Apply needs at least one key column")
@@ -386,20 +398,37 @@ object DeltaWriter {
     require(lateKeys == 0L,
       s"out-of-order SCD2 batch: $lateKeys changed key(s) have a current " +
         s"version at or past ts=$ts — history must stay monotone")
-    val changedKeys = joined.filter(differs)
-      .select(keys.map(col): _*).distinct().cache()
+    val changedKeys0 = joined.filter(differs)
+      .select(keys.map(col): _*).distinct()
     val newKeys = changes.select(keys.map(col): _*)
       .join(tagged.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .cache()
-    if (changedKeys.isEmpty && newKeys.isEmpty) {
+    // snapshot mode: a current key ABSENT from the complete extract is
+    // gone at the source — close it (no successor). The same
+    // monotonicity guard applies to the closing rows.
+    val absentKeys =
+      if (!snapshotMode) cur.limit(0).select(keys.map(col): _*)
+      else cur.select(keys.map(col): _*).distinct()
+        .join(changes.select(keys.map(col): _*), keys, "left_anti")
+    if (snapshotMode) {
+      val lateAbsent = cur.join(absentKeys, keys, "left_semi")
+        .filter(col("valid_from") >= ts).count()
+      require(lateAbsent == 0L,
+        s"out-of-order SCD2 snapshot: $lateAbsent absent key(s) have a " +
+          s"current version at or past ts=$ts — history must stay monotone")
+    }
+    // closingKeys close their current row; only changed keys reopen
+    val changedKeys = changedKeys0.cache()
+    val closingKeys = changedKeys.unionByName(absentKeys).distinct().cache()
+    if (closingKeys.isEmpty && newKeys.isEmpty) {
       // the whole batch re-delivered current state — idempotent no-op,
       // publish NOTHING (an empty commit would still advance the
       // version and dirty every incremental consumer's window)
-      changedKeys.unpersist(); newKeys.unpersist()
+      changedKeys.unpersist(); closingKeys.unpersist(); newKeys.unpersist()
       return snap.version
     }
 
-    val touched = cur.join(changedKeys, keys, "left_semi")
+    val touched = cur.join(closingKeys, keys, "left_semi")
       .select("__source_file").distinct()
       .collect().map(_.getString(0)).toSet
     val root = table.getAbsolutePath
@@ -419,11 +448,11 @@ object DeltaWriter {
         .drop("__source_file", "__row_index")
     // survivors: every touched-file row EXCEPT the closing current ones
     val survivors = inTouched
-      .join(changedKeys, keys, "left_anti")
+      .join(closingKeys, keys, "left_anti")
       .unionByName(inTouched.filter(col("valid_to").isNotNull)
-        .join(changedKeys, keys, "left_semi"))
+        .join(closingKeys, keys, "left_semi"))
     val closed = inTouched.filter(col("valid_to").isNull)
-      .join(changedKeys, keys, "left_semi")
+      .join(closingKeys, keys, "left_semi")
       .withColumn("valid_to", lit(ts))
     val opened = stamped
       .join(changedKeys.unionByName(newKeys), keys, "left_semi")
@@ -434,7 +463,7 @@ object DeltaWriter {
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
     publish(table, version, removes ++ adds)
-    changedKeys.unpersist(); newKeys.unpersist()
+    changedKeys.unpersist(); closingKeys.unpersist(); newKeys.unpersist()
     version
   }
 

@@ -596,6 +596,24 @@ object Fixtures {
       ()
     }
 
+  /** An SCD2 dimension maintained in SNAPSHOT mode (q182): bootstrap at
+    * ts=100, then a COMPLETE extract at ts=200 containing only keys
+    * < 15 (with the `%3==0` subset renamed) — so keys ≥ 15 are soft
+    * deleted (closed, no successor), renamed keys close+reopen, and
+    * the rest ride through open. */
+  def deltaNationScd2Snapshot(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_scd2_snapshot") { dir =>
+      val nation = Tables.t(s, d, "nation")
+      val path = dir.getAbsolutePath
+      DeltaWriter.scd2Apply(nation, path, Seq("n_nationkey"), 100L)
+      val extract = nation.filter(col("n_nationkey") < 15)
+        .withColumn("n_name", when(col("n_nationkey") % 3 === 0,
+          concat(col("n_name"), lit("_V2"))).otherwise(col("n_name")))
+      DeltaWriter.scd2Apply(extract, path, Seq("n_nationkey"), 200L,
+        snapshotMode = true)
+      ()
+    }
+
   /** A Delta table RESTORED by graft's own restore verb (q179): two
     * appends, a copy-on-write DELETE of every 'F'-status order, then
     * `RESTORE TO VERSION AS OF 1` — the final table must equal the

@@ -761,6 +761,28 @@ class DeltaWriterSpec extends AnyFunSuite {
       path, Seq("n_nationkey"), 150L))
     assert(late.getMessage.contains("monotone"))
 
+    // SNAPSHOT mode. First the monotone guard on the CLOSING side: key
+    // 24's current version opened at ts=200, so a complete extract
+    // missing it stamped ts=150 must be refused
+    val extract = nation.filter(col("n_nationkey") < 20)
+    val lateSnap = intercept[IllegalArgumentException](
+      DeltaWriter.scd2Apply(extract, path, Seq("n_nationkey"), 150L,
+        snapshotMode = true))
+    assert(lateSnap.getMessage.contains("monotone"))
+    // at ts=300 the extract soft-deletes keys >= 20 (closed, no
+    // successor) and touches nothing else
+    val vs = DeltaWriter.scd2Apply(extract, path, Seq("n_nationkey"),
+      300L, snapshotMode = true)
+    val h2 = DeltaReader.load(spark, path)
+    assert(h2.filter(col("valid_to").isNull).count() == 20L)
+    assert(h2.filter(col("n_nationkey") >= 20 && col("valid_to").isNull)
+      .count() == 0L)
+    assert(h2.filter(col("n_nationkey") === 24 && col("valid_to") === 300L)
+      .count() == 1L)
+    // redelivering the same extract later is a published-nothing no-op
+    assert(DeltaWriter.scd2Apply(extract, path, Seq("n_nationkey"),
+      400L, snapshotMode = true) == vs)
+
     // duplicate keys and validity columns in the batch are refused
     intercept[IllegalArgumentException](DeltaWriter.scd2Apply(
       b.unionByName(b), path, Seq("n_nationkey"), 300L))
