@@ -808,6 +808,47 @@ object TextOps {
                THEN 'train' ELSE 'eval' END AS split
         FROM rep ORDER BY doc_id""")),
 
+    // ---- SOFT DEDUP SAMPLING WEIGHTS: the gentler alternative to
+    // q147's hard removal — keep every near-duplicate but down-weight
+    // its sampling probability by its cluster size (weight_ppm =
+    // 10⁶ DIV |cluster|), so a document duplicated k× contributes ~one
+    // document's worth of expected training mass instead of k (the
+    // repetition-harm result dedup exists for), while unique wording
+    // variants still contribute their diversity. Clusters are q147's
+    // bounded-round CC over the dHash pair graph; singletons weigh
+    // 10⁶. Shapes at 100 TB: the CC is the audited kernel; the size is
+    // ONE map-side-combined count per representative joined back on
+    // rep — no new pairwise stage anywhere.
+    Q("q183_softdedup_weights",
+      (s, d) => {
+        import s.implicits._
+        val lbl = graft.operators.ConnectedComponents
+          .minLabelRounds(dhashEdges(s, d), 4)
+          .select($"doc_id", $"lbl")
+        val rep = Tables.t(s, d, "documents").select($"doc_id")
+          .join(lbl, Seq("doc_id"), "left_outer")
+          .withColumn("rep", coalesce($"lbl", $"doc_id"))
+          .select($"doc_id", $"rep")
+        val csize = rep.groupBy($"rep")
+          .agg(count(lit(1)).as("csize"))
+        rep.join(csize, Seq("rep"))
+          .select($"doc_id", $"rep", $"csize",
+            expr("1000000L DIV csize").as("weight_ppm"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $DuckDhashCcCtes,
+        rep AS (
+          SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS rep
+          FROM documents d LEFT JOIN l4 l ON d.doc_id = l.doc_id),
+        cs AS (
+          SELECT rep, CAST(count(*) AS BIGINT) AS csize
+          FROM rep GROUP BY rep)
+        SELECT r.doc_id, r.rep, cs.csize,
+          1000000 // cs.csize AS weight_ppm
+        FROM rep r JOIN cs USING (rep)
+        ORDER BY r.doc_id""")),
+
     // ---- PageRank centrality over the perceptual near-dup graph: rank
     // the documents of the q143 pair graph by how central they sit in
     // their near-dup neighbourhood — the "pick the canonical
