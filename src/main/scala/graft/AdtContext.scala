@@ -43,6 +43,34 @@ final class AdtContext(val spark: SparkSession) {
       graft.sources.Dml.execute(spark,
         graft.sources.Dml.parse(SqlCompat.rewrite(statement)), q => sql(q))
       spark.emptyDataFrame
+    } else if (AdtContext.ShowTblProps.findFirstMatchIn(statement).isDefined) {
+      // table properties from the delta metaData configuration (CHECK
+      // constraints, column-mapping mode, …) — the SQL window onto what
+      // the writer verbs declared
+      val name = AdtContext.ShowTblProps
+        .findFirstMatchIn(statement).get.group(1)
+      val t = Ddl.lookup(spark, name).getOrElse(throw new IllegalArgumentException(
+        s"$name is not a registered external table"))
+      require(t.format == "DELTA",
+        s"SHOW TBLPROPERTIES is supported for DELTA tables; $name is ${t.format}")
+      val props = graft.sources.DeltaReader.snapshot(spark, t.location)
+        .configuration.toSeq.sortBy(_._1)
+      import spark.implicits._
+      props.toDF("key", "value")
+    } else if (AdtContext.DescribeHistory.findFirstMatchIn(statement).isDefined) {
+      // the version history from the per-commit commitInfo stamps (the
+      // same index timestampAsOf resolves against); hand-written logs
+      // without commitInfo fall back to file mtime
+      val name = AdtContext.DescribeHistory
+        .findFirstMatchIn(statement).get.group(1)
+      val t = Ddl.lookup(spark, name).getOrElse(throw new IllegalArgumentException(
+        s"$name is not a registered external table"))
+      require(t.format == "DELTA",
+        s"DESCRIBE HISTORY is supported for DELTA tables; $name is ${t.format}")
+      import spark.implicits._
+      graft.sources.DeltaReader.commitHistory(t.location)
+        .toDF("version", "timestamp", "operation")
+        .orderBy(org.apache.spark.sql.functions.col("version").desc)
     } else AdtContext.ExplainAnalyze.findFirstMatchIn(statement) match {
       case Some(m) => analyze(m.group(1))
       case None =>
@@ -116,6 +144,12 @@ object AdtContext {
 
   private[graft] val ExplainAnalyze =
     "(?is)^\\s*EXPLAIN\\s+ANALYZE\\s+(.*)$".r
+
+  private[graft] val ShowTblProps =
+    "(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+(\\w+)\\s*;?\\s*$".r
+
+  private[graft] val DescribeHistory =
+    "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(\\w+)\\s*;?\\s*$".r
 
   /** Session defaults matching SURVEY §4.3's config-parity table. */
   def build(master: String = "local[*]"): AdtContext = {

@@ -464,6 +464,25 @@ object DeltaReader {
     * before that is refused rather than silently clamped. Driver cost:
     * one metadata-sized read per surviving commit. */
   def versionAtTimestamp(tablePath: String, tsMillis: Long): Long = {
+    val commits = commitHistory(tablePath)
+    require(commits.nonEmpty,
+      s"no JSON commits under $tablePath — their timestamps are the time " +
+        "travel index, and log cleanup removed them")
+    require(tsMillis >= commits.head._2,
+      s"timestamp $tsMillis predates the earliest available commit " +
+        s"(version ${commits.head._1} at ${commits.head._2})")
+    commits.filter(_._2 <= tsMillis).map(_._1).max
+  }
+
+  /** `(version, stampMillis, operation)` per surviving JSON commit,
+    * version ascending — the table's history as `DESCRIBE HISTORY`
+    * reports it and [[versionAtTimestamp]] indexes it. Stamps come
+    * from each commit's `commitInfo.timestamp` (file mtime fallback
+    * for hand-written logs) adjusted to a running max — delta-spark's
+    * rule, so clock skew between commits cannot make the
+    * version↦stamp mapping non-monotone. Operation is commitInfo's
+    * (empty when the commit carries none). */
+  def commitHistory(tablePath: String): Seq[(Long, Long, String)] = {
     val logDir = new File(tablePath, "_delta_log")
     require(logDir.isDirectory, s"not a delta table (no _delta_log): $tablePath")
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -472,26 +491,21 @@ object DeltaReader {
       .map { f =>
         val v = f.getName.take(20).toLong
         val declared = scala.io.Source.fromFile(f, "UTF-8")
-        val ts =
+        val ci =
           try declared.getLines().flatMap { line =>
             val node = jackson.readTree(line)
-            Option(node.get("commitInfo")).flatMap(ci =>
-              Option(ci.get("timestamp")).map(_.asLong()))
+            Option(node.get("commitInfo")).map(n =>
+              (Option(n.get("timestamp")).map(_.asLong()),
+                Option(n.get("operation")).map(_.asText()).getOrElse("")))
           }.nextOption()
           finally declared.close()
-        v -> ts.getOrElse(f.lastModified())
-      }.sortBy(_._1)
-    require(raw.nonEmpty,
-      s"no JSON commits under $tablePath — their timestamps are the time " +
-        "travel index, and log cleanup removed them")
-    // enforce monotone stamps (running max)
-    val commits = raw.tail.scanLeft(raw.head) { case ((_, prevTs), (v, ts)) =>
-      v -> math.max(prevTs, ts)
+        (v, ci.flatMap(_._1).getOrElse(f.lastModified()),
+          ci.map(_._2).getOrElse(""))
+      }.sortBy(_._1).toSeq
+    if (raw.isEmpty) Nil
+    else raw.tail.scanLeft(raw.head) { case ((_, prev, _), (v, ts, op)) =>
+      (v, math.max(prev, ts), op)
     }
-    require(tsMillis >= commits.head._2,
-      s"timestamp $tsMillis predates the earliest available commit " +
-        s"(version ${commits.head._1} at ${commits.head._2})")
-    commits.filter(_._2 <= tsMillis).map(_._1).max
   }
 
   /** Time travel: load the snapshot as of `version`

@@ -188,6 +188,48 @@ class DmlSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("SHOW TBLPROPERTIES / DESCRIBE HISTORY read metaData and commitInfo through SQL") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_hist")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10),
+      dir.getAbsolutePath)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10),
+      dir.getAbsolutePath)
+    DeltaWriter.addCheckConstraint(spark, dir.getAbsolutePath,
+      "nonneg_key", "n_nationkey >= 0")
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE hist_t STORED AS DELTA LOCATION '${dir.getAbsolutePath}'")
+
+    val props = ctx.sql("SHOW TBLPROPERTIES hist_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("delta.constraints.nonneg_key") == "n_nationkey >= 0")
+
+    val h = ctx.sql("DESCRIBE HISTORY hist_t").collect()
+    assert(h.length == 3) // two appends + the constraint metaData commit
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L)) // newest first
+    assert(h.forall(_.getString(2) == "WRITE"))
+    // stamps monotone non-decreasing in version order
+    val byVersion = h.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(byVersion.zip(byVersion.tail).forall { case (a, b) => a <= b })
+
+    // refusals name the contract
+    intercept[IllegalArgumentException](
+      ctx.sql("DESCRIBE HISTORY never_registered"))
+    val pq = sources.Fixtures.nationCsv(spark, d)
+    ctx.sql(s"""CREATE EXTERNAL TABLE hist_csv
+      (n_nationkey INT, n_name STRING, n_regionkey INT)
+      STORED AS CSV OPTIONS(header='true') LOCATION '$pq'""")
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("SHOW TBLPROPERTIES hist_csv"))
+    assert(e.getMessage.contains("DELTA"))
+  }
+
   test("execute: refusal paths name the contract") {
     val ctx = new AdtContext(spark)
     val e1 = intercept[IllegalArgumentException](
