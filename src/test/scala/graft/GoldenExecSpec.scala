@@ -192,6 +192,39 @@ class GoldenExecSpec extends AnyFunSuite {
       .snapshot(spark, dir.getAbsolutePath).files.length == 1)
   }
 
+  test("golden10.sql: constraint + delete + history + restore through execute") {
+    val url = getClass.getResource("/queries/golden10.sql")
+    assert(url != null, "golden10.sql resource missing")
+    val spark = SparkTestSession.spark
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden10_tbl")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    graft.sources.DeltaWriter.append(
+      Tables.t(spark, SparkTestSession.sfDir, "nation"), dir.getAbsolutePath)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_AUDIT}", dir.getAbsolutePath))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 8)
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    // DDL / constraint / delete / restore render as empty boxes
+    assert(Seq(0, 1, 3, 5).map(outputs).forall(_ == "++\n++"))
+    // the declared constraint is visible through SHOW TBLPROPERTIES
+    assert(outputs(2).contains("delta.constraints.key_nonneg") &&
+      outputs(2).contains("n_nationkey >= 0"))
+    // delete shrank the table; restore brought every row back
+    assert(outputs(4).contains("| 10"))
+    assert(outputs(6).contains("| 25"))
+    // the history trail shows all four commits, WRITE operations
+    assert(outputs(7).contains("| 3") && outputs(7).contains("| 0"))
+    assert(outputs(7).contains("WRITE"))
+  }
+
   test("golden5.sql: the sampled ANN trainer (q114-shaped SQL) through execute") {
     val url = getClass.getResource("/queries/golden5.sql")
     assert(url != null, "golden5.sql resource missing")
