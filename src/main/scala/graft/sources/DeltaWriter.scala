@@ -809,50 +809,11 @@ object DeltaWriter {
     val logDir = new File(table, "_delta_log")
     val version = nextVersion(table) - 1
     require(version >= 0L, s"no commits to checkpoint at $tablePath")
-    // last protocol/metaData lines verbatim from the JSON commits, and
-    // the last txn line PER appId — the exactly-once producer ledger
-    // must survive the log cleanup a checkpoint enables
-    var proto: Option[String] = None
-    var meta: Option[String] = None
-    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
-    // seed from the newest existing checkpoint FIRST (after log cleanup
-    // it may hold the ONLY surviving protocol/metaData/txn records);
-    // the JSON scan below then overrides with anything newer. Structs
-    // re-serialize through to_json — field order may shuffle vs the
-    // original line, which no replayer cares about.
-    newestCheckpointFrame(spark, logDir).foreach { df =>
-        def carry(field: String): Option[String] =
-          if (!df.columns.contains(field)) None
-          else df.filter(col(field).isNotNull)
-            .select(to_json(struct(col(field)))).collect()
-            .headOption.map(_.getString(0))
-        proto = carry("protocol").orElse(proto)
-        meta = carry("metaData").orElse(meta)
-        if (df.columns.contains("txn"))
-          df.select(col("txn.appId"), col("txn.version")).collect()
-            .foreach { r =>
-              if (!r.isNullAt(0) && !r.isNullAt(1))
-                txns(r.getString(0)) =
-                  s"""{"txn":{"appId":${jstr(r.getString(0))},""" +
-                    s""""version":${r.getLong(1)}}}"""
-            }
-      }
-    Option(logDir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
-      .foreach { f =>
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        try src.getLines().foreach { l =>
-          if (l.contains("\"protocol\"")) proto = Some(l)
-          if (l.contains("\"metaData\"")) meta = Some(l)
-          if (l.contains("\"txn\""))
-            Option(jackson.readTree(l).get("txn")).foreach(t =>
-              txns(t.get("appId").asText()) = l)
-        } finally src.close()
-      }
-    require(proto.nonEmpty && meta.nonEmpty,
-      s"protocol/metaData not found in $tablePath's JSON commits or " +
-        "its newest checkpoint — not a replayable delta log")
+    val (protoLine, metaLine, txnLines) =
+      carryActions(spark, logDir, tablePath)
+    val proto = Some(protoLine)
+    val meta = Some(metaLine)
+    val txns = txnLines
     val snap = DeltaReader.snapshot(spark, tablePath)
     // a DV'd file MUST re-emit its descriptor (a checkpoint that
     // dropped it would silently resurrect the deleted rows), and tags
@@ -861,7 +822,7 @@ object DeltaWriter {
     // optimized file on the next pass)
     val adds = snap.files.map(a => addJson(a, dataChange = false))
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    val lines = Seq(proto.get, meta.get) ++ txns.values ++ adds
+    val lines = Seq(proto.get, meta.get) ++ txns ++ adds
     // parquet of action rows (schema from the JSON lines, the same
     // layout the reader's checkpoint replay scans) — one file for the
     // classic layout, a round-robin shard set for multi-part
@@ -1174,6 +1135,107 @@ object DeltaWriter {
     * convergence marker. */
   private val ZOrderedTag = Map("optimized" -> "zorder")
 
+  /** The carry-forward record set every checkpoint layout must re-emit:
+    * the last protocol/metaData lines (newest-existing-checkpoint seed
+    * first — after log cleanup it may hold the ONLY surviving records —
+    * then the JSON scan overrides with anything newer) and the last txn
+    * line PER appId (the exactly-once producer ledger must survive the
+    * log cleanup a checkpoint enables). Shared by [[checkpoint]] and
+    * [[checkpointV2]]. */
+  private def carryActions(spark: org.apache.spark.sql.SparkSession,
+      logDir: File, tablePath: String): (String, String, Seq[String]) = {
+    var proto: Option[String] = None
+    var meta: Option[String] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    newestCheckpointFrame(spark, logDir).foreach { df =>
+      def carry(field: String): Option[String] =
+        if (!df.columns.contains(field)) None
+        else df.filter(col(field).isNotNull)
+          .select(to_json(struct(col(field)))).collect()
+          .headOption.map(_.getString(0))
+      proto = carry("protocol").orElse(proto)
+      meta = carry("metaData").orElse(meta)
+      if (df.columns.contains("txn"))
+        df.select(col("txn.appId"), col("txn.version")).collect()
+          .foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1))
+              txns(r.getString(0)) =
+                s"""{"txn":{"appId":${jstr(r.getString(0))},""" +
+                  s""""version":${r.getLong(1)}}}"""
+          }
+    }
+    Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().foreach { l =>
+          if (l.contains("\"protocol\"")) proto = Some(l)
+          if (l.contains("\"metaData\"")) meta = Some(l)
+          if (l.contains("\"txn\""))
+            Option(jackson.readTree(l).get("txn")).foreach(t =>
+              txns(t.get("appId").asText()) = l)
+        } finally src.close()
+      }
+    require(proto.nonEmpty && meta.nonEmpty,
+      s"protocol/metaData not found in $tablePath's JSON commits or " +
+        "its newest checkpoint — not a replayable delta log")
+    (proto.get, meta.get, txns.values.toSeq)
+  }
+
+  /** V2 (UUID-named) checkpoint with SIDECAR file actions — the layout
+    * real engines shard >10⁶-file tables into
+    * (`v.checkpoint.<uuid>.json` carrying protocol/metaData/txn +
+    * `sidecar` pointers; add actions live in parquet files under
+    * `_delta_log/_sidecars/`). This engine's reader already replays it
+    * (q149, golden6); EMITTING it closes the loop — a table this
+    * writer maintains can hand its snapshot to any v2-capable reader
+    * in the layout those readers shard best. The sidecar shard write
+    * is one distributed pass (round-robin over `sidecars` files); adds
+    * carry stats/DV descriptors/tags through [[addJson]] exactly like
+    * the classic layout. */
+  def checkpointV2(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, sidecars: Int = 2): Long = {
+    import spark.implicits._
+    require(sidecars >= 1, s"sidecars must be >= 1, got $sidecars")
+    val table = new File(tablePath)
+    val logDir = new File(table, "_delta_log")
+    val version = nextVersion(table) - 1
+    require(version >= 0L, s"no commits to checkpoint at $tablePath")
+    val (proto, meta, txns) = carryActions(spark, logDir, tablePath)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    val addLines = snap.files.map(a => addJson(a, dataChange = false))
+    val scDir = new File(logDir, "_sidecars")
+    scDir.mkdirs()
+    val sidecarActions =
+      if (addLines.isEmpty) Nil
+      else {
+        val tmp = new File(table, ".cp2-stage")
+        if (tmp.exists()) delete(tmp)
+        spark.read.json(addLines.toDS())
+          .repartition(sidecars)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+        val moved = collectParquet(tmp).sortBy(_.getName).map { f =>
+          val name = s"${java.util.UUID.randomUUID()}.parquet"
+          val dest = new File(scDir, name)
+          Files.move(f.toPath, dest.toPath)
+          s"""{"sidecar":{"path":"$name","sizeInBytes":${dest.length()},""" +
+            s""""modificationTime":${dest.lastModified()}}}"""
+        }
+        delete(tmp)
+        moved
+      }
+    val lines = Seq(proto, meta) ++ txns ++ sidecarActions
+    val dest = new File(logDir,
+      f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
+    Files.write(dest.toPath,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":$version,"size":${lines.length + addLines.length}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    version
+  }
+
   /** Serialize a live [[DeltaReader.AddFile]] back to its add-action
     * line, every field carried (partitionValues, stats, DV descriptor,
     * tags) — shared by [[checkpoint]] (dataChange=false) and
@@ -1258,13 +1320,25 @@ object DeltaWriter {
   private def newestCheckpointFrame(
       spark: org.apache.spark.sql.SparkSession,
       logDir: File): Option[DataFrame] = {
-    val cpFiles = Option(logDir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.matches(
-        "\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
-    cpFiles.map(_.getName.take(20)).sorted.lastOption.map { v =>
-      val parts = cpFiles.filter(_.getName.startsWith(v))
-        .map(_.getAbsolutePath).toIndexedSeq
-      spark.read.option("mergeSchema", "true").parquet(parts: _*)
+    val entries = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+    val classic = entries.filter(_.getName.matches(
+      "\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+    // V2 UUID checkpoints carry their protocol/metaData/txn INLINE in
+    // the top file (sidecars hold only file actions), so the top file
+    // alone is a valid carry source
+    val uuid = entries.filter(_.getName.matches(
+      "\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(json|parquet)"))
+    (classic ++ uuid).map(_.getName.take(20)).sorted.lastOption.map { v =>
+      val uuidAtV = uuid.filter(_.getName.startsWith(v))
+      if (uuidAtV.nonEmpty) {
+        val top = uuidAtV.map(_.getAbsolutePath).min // deterministic pick
+        if (top.endsWith(".json")) spark.read.json(top)
+        else spark.read.option("mergeSchema", "true").parquet(top)
+      } else {
+        val parts = classic.filter(_.getName.startsWith(v))
+          .map(_.getAbsolutePath).toIndexedSeq
+        spark.read.option("mergeSchema", "true").parquet(parts: _*)
+      }
     }
   }
 

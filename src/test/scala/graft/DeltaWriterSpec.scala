@@ -571,6 +571,41 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("checkpointV2: writer-emitted sidecar layout replays whole and seeds later carries") {
+    val path = tmpTable("nation_cpv2")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path)
+    // a DV delete so descriptors must ride the sidecar add actions
+    DeltaWriter.deleteWithVectors(spark, path, col("n_nationkey") % 5 === 0)
+    val want = DeltaReader.load(spark, path).collect().toSet
+    assert(want.size == 20)
+
+    val v = DeltaWriter.checkpointV2(spark, path, sidecars = 2)
+    assert(v == 2L)
+    val logDir = new File(path, "_delta_log")
+    assert(logDir.listFiles().exists(_.getName.matches(
+      "\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.json")))
+    assert(new File(logDir, "_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+
+    // log cleanup: the V2 layout alone replays the exact state (DVs
+    // included) and the version survives
+    logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach(_.delete())
+    assert(DeltaReader.load(spark, path).collect().toSet == want)
+    assert(DeltaReader.snapshot(spark, path).version == 2L)
+
+    // a LATER classic checkpoint must seed its protocol/metaData carry
+    // from the V2 top file (the only surviving copy)
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_nationkey", col("n_nationkey") + 100), path)
+    DeltaWriter.checkpoint(spark, path)
+    logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach(_.delete())
+    assert(DeltaReader.load(spark, path).count() == want.size + 3L)
+  }
+
   test("restore: snapshot equality incl DV rollback, history preserved, vacuumed refusal") {
     val path = tmpTable("nation_restore")
     val nation = Tables.t(spark, d, "nation")
