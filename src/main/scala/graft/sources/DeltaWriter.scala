@@ -548,11 +548,67 @@ object DeltaWriter {
     * production Delta runs. */
   def deleteWithVectors(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, predicate: org.apache.spark.sql.Column,
+      inlineMax: Int = 512): Long =
+    dvMarkDead(spark, tablePath, predicate, inlineMax) match {
+      case None => nextVersion(new File(tablePath)) - 1 // no match: no commit
+      case Some(p) =>
+        publish(p.table, p.version, p.protoLine ++ p.removes ++ p.dvAdds)
+        p.version
+    }
+
+  /** Merge-on-read UPDATE: the matched rows are marked dead with
+    * writer-emitted deletion vectors (NOTHING is rewritten in place —
+    * [[deleteWithVectors]]'s cost model: bitmap bytes ∝ matched-row
+    * count, not touched-file bytes) and their post-SET versions land as
+    * NEW files in the SAME atomic commit. The merge-on-read twin of
+    * [[update]]: a 100-row update across ten 1 GB files writes a few
+    * hundred bitmap bytes plus one small file of updated rows; a later
+    * compact/rewrite absorbs the vectors. CHECK constraints gate the
+    * post-SET rows exactly like the copy-on-write path. */
+  def updateWithVectors(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
       inlineMax: Int = 512): Long = {
+    val snap0 = DeltaReader.snapshot(spark, tablePath)
+    require(set.nonEmpty, "updateWithVectors needs at least one SET assignment")
+    val unknown = set.keySet.filterNot(snap0.schema.fieldNames.contains)
+    require(unknown.isEmpty, s"SET targets absent from table schema: $unknown")
+    dvMarkDead(spark, tablePath, predicate, inlineMax) match {
+      case None => nextVersion(new File(tablePath)) - 1 // no match: no commit
+      case Some(p) =>
+        val updated = p.tagged.filter(predicate)
+          .drop("__source_file", "__row_index")
+          .select(p.snap.schema.fields.toIndexedSeq.map { f =>
+            set.get(f.name) match {
+              case Some(e) => e.cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*)
+        enforceConstraints(updated, p.snap, tablePath)
+        val newAdds = stageDataFiles(updated, p.table, p.version,
+          p.snap.partitionColumns)
+        publish(p.table, p.version,
+          p.protoLine ++ p.removes ++ p.dvAdds ++ newAdds)
+        p.version
+    }
+  }
+
+  /** The shared merge-on-read core: build merged deletion vectors for
+    * every file holding a predicate-matched row, plus the re-add/remove
+    * action lines and protocol escalation — WITHOUT publishing (the
+    * caller owns the commit, so [[updateWithVectors]] can append its
+    * new-version files atomically alongside). None = nothing matched. */
+  private final case class DvMark(table: File,
+      snap: DeltaReader.Snapshot, tagged: DataFrame, version: Long,
+      protoLine: Seq[String], removes: Seq[String], dvAdds: Seq[String])
+
+  private def dvMarkDead(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column,
+      inlineMax: Int): Option[DvMark] = {
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
     require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "deleteWithVectors does not support column-mapped tables")
+      "merge-on-read verbs do not support column-mapped tables")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -561,7 +617,7 @@ object DeltaWriter {
       .agg(collect_list(col("__row_index")).as("__rows"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    if (hit.isEmpty) return version - 1 // nothing matches: no commit
+    if (hit.isEmpty) return None // nothing matches
     val root = table.getAbsolutePath
     def absPath(rel: String): String =
       new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
@@ -635,8 +691,7 @@ object DeltaWriter {
         s""""size":${a.size},"modificationTime":0,""" +
         s""""dataChange":true$statsPart,"deletionVector":${dvJson(dv)}}}"""
     }
-    publish(table, version, protoLine ++ removes ++ adds)
-    version
+    Some(DvMark(table, snap, tagged, version, protoLine, removes, adds))
   }
 
   /** The escalated protocol line a first DV commit must carry

@@ -571,6 +571,48 @@ class DeltaWriterSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(-1L, 2L, 3L))
   }
 
+  test("updateWithVectors: rows die by vector, post-SET versions land in the same commit") {
+    val path = tmpTable("nation_mor_update")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path)
+
+    val v = DeltaWriter.updateWithVectors(spark, path,
+      col("n_nationkey") % 5 === 0, Map("n_name" -> lit("MOR_UPDATED")))
+    assert(v == 2L)
+    val loaded = DeltaReader.load(spark, path)
+    assert(loaded.count() == 25L)
+    assert(loaded.filter(col("n_name") === "MOR_UPDATED").count() == 5L)
+    assert(loaded.filter(col("n_nationkey") % 5 === 0)
+      .filter(col("n_name") =!= "MOR_UPDATED").count() == 0L)
+    // physical shape: both original files still live (re-added with
+    // vectors), the updated rows in fresh DV-less files
+    val snap = DeltaReader.snapshot(spark, path)
+    assert(snap.files.count(_.deletionVector.isDefined) == 2)
+    assert(snap.files.count(_.deletionVector.isEmpty) >= 1)
+
+    // no match → no commit
+    assert(DeltaWriter.updateWithVectors(spark, path,
+      col("n_nationkey") === 999, Map("n_name" -> lit("X"))) == v)
+
+    // CHECK constraints gate the post-SET rows like the copy-on-write path
+    DeltaWriter.addCheckConstraint(spark, path, "name_len",
+      "length(n_name) < 30")
+    val e = intercept[IllegalArgumentException](
+      DeltaWriter.updateWithVectors(spark, path,
+        col("n_nationkey") === 1,
+        Map("n_name" -> lit("X" * 40))))
+    assert(e.getMessage.contains("name_len"))
+
+    // a compaction absorbs the vectors without changing the state
+    DeltaWriter.compact(spark, path)
+    val after = DeltaReader.load(spark, path)
+    assert(after.count() == 25L)
+    assert(after.filter(col("n_name") === "MOR_UPDATED").count() == 5L)
+    assert(DeltaReader.snapshot(spark, path).files
+      .forall(_.deletionVector.isEmpty))
+  }
+
   test("checkpointV2: writer-emitted sidecar layout replays whole and seeds later carries") {
     val path = tmpTable("nation_cpv2")
     val nation = Tables.t(spark, d, "nation")
