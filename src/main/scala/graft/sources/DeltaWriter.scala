@@ -185,6 +185,42 @@ object DeltaWriter {
     }
   }
 
+  /** Set a table property (metaData configuration entry) — e.g.
+    * `delta.enableDeletionVectors = true`, which flips the SQL
+    * DELETE/UPDATE dispatch to the merge-on-read verbs. CHECK
+    * constraints are refused here (their verbs validate the rows);
+    * column-mapping mode is immutable (the reader's layout contract
+    * was fixed at write time). */
+  def setTableProperty(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, key: String, value: String): Long = {
+    require(!key.startsWith("delta.constraints."),
+      s"use addCheckConstraint for $key — constraints validate current rows")
+    require(key != "delta.columnMapping.mode",
+      "column mapping mode is immutable after table creation")
+    patchMetaData(spark, tablePath) { meta =>
+      val cfg = meta.get("configuration") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ => meta.putObject("configuration")
+      }
+      cfg.put(key, value)
+      ()
+    }
+  }
+
+  /** Unset a table property set by [[setTableProperty]]. */
+  def unsetTableProperty(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, key: String): Long = {
+    require(!key.startsWith("delta.constraints."),
+      s"use dropCheckConstraint for $key")
+    patchMetaData(spark, tablePath) { meta =>
+      meta.get("configuration") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o.remove(key)
+        case _ =>
+      }
+      ()
+    }
+  }
+
   /** Drop a CHECK constraint added by [[addCheckConstraint]]. */
   def dropCheckConstraint(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, name: String): Long = {

@@ -56,6 +56,11 @@ object Dml {
     * `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`. */
   final case class Restore(table: String, versionAsOf: Option[Long],
       timestampAsOf: Option[String]) extends Stmt
+  /** `ALTER TABLE t SET TBLPROPERTIES ('k'='v'[, …])` / `… UNSET
+    * TBLPROPERTIES ('k'[, …])`. */
+  final case class SetProps(table: String,
+      props: Seq[(String, String)]) extends Stmt
+  final case class UnsetProps(table: String, keys: Seq[String]) extends Stmt
 
   private val DeleteP = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?\s*""".r
   private val UpdateP = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
@@ -76,6 +81,12 @@ object Dml {
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampP =
     """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val SetPropsP =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val UnsetPropsP =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val PropPair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+  private val PropKey = """\s*'([^']+)'\s*""".r
 
   def matches(sql: String): Boolean = parseOpt(sql).isDefined
 
@@ -98,6 +109,16 @@ object Dml {
       Some(Restore(table, Some(v.toLong), None))
     case RestoreTimestampP(table, ts) =>
       Some(Restore(table, None, Some(ts)))
+    case SetPropsP(table, pairs) =>
+      val raw = splitTopLevelCommas(pairs)
+      val ps = raw.collect { case PropPair(k, v) => (k, v) }
+      if (ps.isEmpty || ps.size != raw.size) None
+      else Some(SetProps(table, ps))
+    case UnsetPropsP(table, keys) =>
+      val raw = splitTopLevelCommas(keys)
+      val ks = raw.collect { case PropKey(k) => k }
+      if (ks.isEmpty || ks.size != raw.size) None
+      else Some(UnsetProps(table, ks))
     case DeleteP(table, tail) => whereTail(tail).map(Delete(table, _))
     case UpdateP(table, rest) =>
       val (setPart, where) = splitTopLevel(rest, "WHERE") match {
@@ -158,14 +179,23 @@ object Dml {
       !t.options.contains("timestampasof"),
       s"${stmt.table} is pinned to a time-travel snapshot " +
         "(versionAsOf/timestampAsOf) — a time-travel view is read-only")
+    // delta.enableDeletionVectors=true routes DELETE/UPDATE to the
+    // merge-on-read verbs (write cost ∝ matched rows), the same
+    // property switch real engines use; default stays copy-on-write
+    def morEnabled: Boolean =
+      DeltaReader.snapshot(spark, t.location)
+        .configuration.get("delta.enableDeletionVectors").contains("true")
     val version = stmt match {
       case Delete(_, where) =>
-        DeltaWriter.delete(spark, t.location,
-          where.map(expr).getOrElse(lit(true)))
+        val pred = where.map(expr).getOrElse(lit(true))
+        if (morEnabled) DeltaWriter.deleteWithVectors(spark, t.location, pred)
+        else DeltaWriter.delete(spark, t.location, pred)
       case Update(_, sets, where) =>
-        DeltaWriter.update(spark, t.location,
-          where.map(expr).getOrElse(lit(true)),
-          sets.map { case (k, v) => k -> expr(v) }.toMap)
+        val pred = where.map(expr).getOrElse(lit(true))
+        val assignments = sets.map { case (k, v) => k -> expr(v) }.toMap
+        if (morEnabled)
+          DeltaWriter.updateWithVectors(spark, t.location, pred, assignments)
+        else DeltaWriter.update(spark, t.location, pred, assignments)
       case Merge(_, source, keys) =>
         DeltaWriter.merge(run(source), t.location, keys)
       case Optimize(_, Nil) => DeltaWriter.compact(spark, t.location)
@@ -187,6 +217,13 @@ object Dml {
         DeltaWriter.restore(spark, t.location, v.getOrElse(
           DeltaReader.versionAtTimestamp(t.location,
             Ddl.parseTsMillis(ts.get))))
+      case SetProps(_, props) =>
+        props.map { case (k, v) =>
+          DeltaWriter.setTableProperty(spark, t.location, k, v)
+        }.last
+      case UnsetProps(_, keys) =>
+        keys.map(k =>
+          DeltaWriter.unsetTableProperty(spark, t.location, k)).last
     }
     Ddl.register(spark, t) // the view must see the new snapshot
     version

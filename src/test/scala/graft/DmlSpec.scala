@@ -188,6 +188,45 @@ class DmlSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("TBLPROPERTIES switch deletion-vector mode: SQL DELETE/UPDATE go merge-on-read") {
+    Dml.parse("ALTER TABLE t SET TBLPROPERTIES ('a.b'='true', 'c'='2')") match {
+      case Dml.SetProps("t", Seq(("a.b", "true"), ("c", "2"))) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("ALTER TABLE t UNSET TBLPROPERTIES ('a.b')") match {
+      case Dml.UnsetProps("t", Seq("a.b")) => ()
+      case other => fail(s"$other")
+    }
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_mor")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    DeltaWriter.append(Tables.t(spark, d, "nation"), dir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dml_mor STORED AS DELTA LOCATION '${dir.getAbsolutePath}'")
+    ctx.sql("ALTER TABLE dml_mor SET TBLPROPERTIES ('delta.enableDeletionVectors'='true')")
+    // merge-on-read DELETE: the data file stays live, rows die by vector
+    ctx.sql("DELETE FROM dml_mor WHERE n_nationkey % 5 = 0")
+    val snap1 = DeltaReader.snapshot(spark, dir.getAbsolutePath)
+    assert(snap1.files.exists(_.deletionVector.isDefined))
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_mor").head().getLong(0) == 20L)
+    // merge-on-read UPDATE: post-SET versions land in fresh files
+    ctx.sql("UPDATE dml_mor SET n_name = 'MOR' WHERE n_nationkey = 1")
+    assert(ctx.sql(
+      "SELECT n_name FROM dml_mor WHERE n_nationkey = 1").head().getString(0)
+      == "MOR")
+    // UNSET flips back to copy-on-write: the DV'd files get rewritten
+    ctx.sql("ALTER TABLE dml_mor UNSET TBLPROPERTIES ('delta.enableDeletionVectors')")
+    ctx.sql("DELETE FROM dml_mor WHERE n_nationkey = 2")
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_mor").head().getLong(0) == 19L)
+    // property visible (then gone) through SHOW TBLPROPERTIES
+    assert(!ctx.sql("SHOW TBLPROPERTIES dml_mor").collect()
+      .exists(_.getString(0) == "delta.enableDeletionVectors"))
+  }
+
   test("SHOW TBLPROPERTIES / DESCRIBE HISTORY read metaData and commitInfo through SQL") {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_hist")
     def del(f: java.io.File): Unit = {
