@@ -491,6 +491,31 @@ object Sources {
         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- Delta UPDATE via DELETION VECTORS (merge-on-read): every
+    // 'P' order's price doubled, but NOTHING was rewritten in place —
+    // the matched rows died by writer-emitted vectors and the doubled
+    // versions landed as new files in the same commit. The oracle
+    // recomposes the doubled state from the untouched corpus; q170
+    // pins the copy-on-write analogue, so a q184 divergence isolates
+    // the vector + new-file path.
+    Q("q184_delta_mor_update",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersMorUpdated(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(round(
+            (CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                  ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- SQL DML end-to-end: the fixture ran `DELETE FROM … WHERE` +
     // `UPDATE … SET … WHERE` as SQL STATEMENTS through AdtContext (the
     // CLI's execute path) — parser → registry lookup → writer verbs →

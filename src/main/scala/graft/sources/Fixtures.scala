@@ -532,6 +532,23 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table UPDATED merge-on-read (q184): every 'P'-status order
+    * doubled in price via [[DeltaWriter.updateWithVectors]] — the old
+    * rows die by writer-emitted vectors, the doubled versions land as
+    * new files, NOTHING is rewritten in place (q170 pins the analogous
+    * mutation through the copy-on-write verb, so a q184 divergence
+    * isolates the vector+new-file path). */
+  def deltaOrdersMorUpdated(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_mor_updated") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders, path, Seq("o_orderpriority"))
+      DeltaWriter.updateWithVectors(s, path,
+        col("o_orderstatus") === "P",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      ()
+    }
+
   /** A Delta table mutated ENTIRELY through the SQL DML surface
     * (`AdtContext.sql`: DELETE FROM + UPDATE SET dispatched through
     * [[Dml]] to the writer verbs) — the composed state must equal the
