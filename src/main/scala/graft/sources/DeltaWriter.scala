@@ -8,11 +8,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Append-mode Delta Lake WRITER — the committing half of
-  * [[DeltaReader]] (the reference only reads Delta; writing makes the
-  * table-format story round-trip: an ingest pipeline can land curated
-  * output as a Delta table that this engine — or any Delta reader —
-  * scans with partition pruning and stats-based file skipping).
+/** The Delta Lake WRITER — the committing half of [[DeltaReader]] (the
+  * reference only reads Delta; writing makes the table-format story
+  * round-trip: an ingest pipeline can land curated output as a Delta
+  * table that this engine — or any Delta reader — scans with partition
+  * pruning and stats-based file skipping). Beyond append, the verb set
+  * covers the full life cycle: row-level mutation (merge / delete /
+  * update, copy-on-write AND merge-on-read via writer-emitted deletion
+  * vectors), SCD Type-2 history (changes-feed and snapshot-feed),
+  * maintenance (replacePartitions / compact / optimizeZOrder +
+  * incremental / vacuum / checkpoint in classic, multi-part, and V2
+  * sidecar layouts / evolveSchema / restore), CHECK constraints and
+  * generic table properties, and timestamp-indexed commits
+  * (commitInfo) for time travel and DESCRIBE HISTORY.
   *
   * Commit protocol (the delta spec's JSON transaction log):
   *  - data files stage under `.stage-<v>`, then move into the table

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions.{expr, lit}
 /** SQL DML + maintenance over DDL-registered Delta tables — `DELETE
   * FROM`, `UPDATE … SET`, the canonical upsert `MERGE INTO`, plus the
   * maintenance statements `OPTIMIZE [ZORDER BY (…)]`, `VACUUM
-  * [RETAIN n HOURS]`, and `ALTER TABLE … ADD/DROP CONSTRAINT` —
-  * dispatched to [[DeltaWriter]]'s verbs through
+  * [RETAIN n HOURS]`, `RESTORE TABLE … TO VERSION/TIMESTAMP AS OF`,
+  * `ALTER TABLE … ADD/DROP CONSTRAINT`, and `ALTER TABLE … SET/UNSET
+  * TBLPROPERTIES` (where `delta.enableDeletionVectors=true` flips
+  * DELETE/UPDATE to the merge-on-read verbs) — dispatched to
+  * [[DeltaWriter]]'s verbs through
   * `AdtContext.sql`, so the CLI's execute pipeline can mutate AND
   * maintain a table it created (the reference is read-only; this is
   * the write half its users script by hand).
