@@ -49,8 +49,10 @@ object StreamDeltaIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty &&
           DeltaWriter.appendOnce(batch, tablePath, partitionBy,
-            appId, batchId).nonEmpty)
+            appId, batchId).nonEmpty) {
           commits += 1
+          autoOptimize(spark, tablePath)
+        }
       }
     val q = checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))
@@ -58,5 +60,28 @@ object StreamDeltaIngest {
     try q.processAllAvailable()
     finally q.stop()
     commits
+  }
+
+  /** AUTO-OPTIMIZE: when the table carries
+    * `graft.autoOptimize.zOrderCols = "x,y"` (set through
+    * `ALTER TABLE … SET TBLPROPERTIES` or the library call), every
+    * landed batch is followed by ONE incremental z-order pass — the
+    * steady-state loop that keeps a streamed table clustered without
+    * anyone scheduling maintenance. Economics are the incremental
+    * verb's: the admit/skip decision reads only written stats, a pass
+    * with nothing loose publishes nothing, and each fresh batch file
+    * (wide in both dims by construction) folds into tagged clustered
+    * files. Unpartitioned tables only (the property implies the
+    * incremental verb's contract). */
+  private def autoOptimize(spark: SparkSession, tablePath: String): Unit = {
+    val cfg = graft.sources.DeltaReader.snapshot(spark, tablePath)
+      .configuration
+    cfg.get("graft.autoOptimize.zOrderCols").foreach { spec =>
+      val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.length == 2,
+        s"graft.autoOptimize.zOrderCols must name exactly 2 columns, got '$spec'")
+      DeltaWriter.optimizeZOrderIncremental(spark, tablePath,
+        cols(0), cols(1))
+    }
   }
 }

@@ -420,6 +420,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(confirmed.nonEmpty)
   }
 
+  test("auto-optimize: a property-carrying streamed table stays z-clustered") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_autozorder")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val srcDir = new java.io.File(base, "src")
+    val ckpt = new java.io.File(base, "ckpt")
+    val table = new java.io.File(base, "table")
+    val li = Tables.t(spark, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    // seed the table + the auto-optimize property before streaming
+    graft.sources.DeltaWriter.append(
+      li.filter(col("l_orderkey") % 7 === 0).coalesce(1),
+      table.getAbsolutePath)
+    graft.sources.DeltaWriter.setTableProperty(spark,
+      table.getAbsolutePath, "graft.autoOptimize.zOrderCols",
+      "l_partkey,l_suppkey")
+    def source() = spark.readStream
+      .schema(li.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+
+    li.filter(col("l_orderkey") % 7 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir.getAbsolutePath)
+    li.filter(col("l_orderkey") % 7 === 2).coalesce(1)
+      .write.mode("append").parquet(srcDir.getAbsolutePath)
+    assert(graft.streaming.StreamDeltaIngest.runToCompletion(
+      spark, source(), table.getAbsolutePath,
+      checkpointLocation = Some(ckpt.getAbsolutePath)) == 2L)
+
+    // every live file is an optimize output — the seed and each landed
+    // batch were folded into the clustered layout as they arrived
+    val snap = graft.sources.DeltaReader.snapshot(spark,
+      table.getAbsolutePath)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.tags.get("optimized").contains("zorder")))
+    // content exact across seed + both batches
+    assert(graft.sources.DeltaReader.load(spark, table.getAbsolutePath)
+      .count() ==
+      li.filter(col("l_orderkey") % 7 <= 2).count())
+  }
+
   test("streaming SCD2 ingest: versions open/close per batch; redelivery no-ops without a ledger") {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_stream_scd2")
