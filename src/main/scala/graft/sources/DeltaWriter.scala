@@ -1154,8 +1154,12 @@ object DeltaWriter {
     * No loose files → NO commit (idempotent steady state). Files
     * carrying deletion vectors are refused — rewrite those through
     * [[optimizeZOrder]]/[[compact]], which read through DV filtering.
-    * Unpartitioned tables only: a partitioned table runs the full verb
-    * per partition, which is already incremental at that granularity. */
+    * Hive-partitioned tables work too: loose detection runs PER
+    * partition tuple (each dir is its own key space), the partition
+    * columns are restored from the add actions via metadata-sized
+    * filename→value maps (hive layout strips them from the files),
+    * and the rewrite range-partitions on (partitionCols ++ z) so each
+    * dir's tail clusters independently. */
   def optimizeZOrderIncremental(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, xCol: String, yCol: String,
       targetFiles: Int = 8, spanPermille: Int = 500): Long = {
@@ -1164,9 +1168,6 @@ object DeltaWriter {
       s"spanPermille must be in (0, 1000]: $spanPermille")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    require(snap.partitionColumns.isEmpty,
-      "incremental z-order supports unpartitioned tables — run " +
-        "optimizeZOrder per partition otherwise")
     def bound(a: DeltaReader.AddFile, field: String,
         wantMax: Boolean): Option[Long] =
       a.stats.flatMap(DeltaStats.parse).flatMap { st =>
@@ -1183,45 +1184,80 @@ object DeltaWriter {
           xy <- bound(a, yCol, wantMax = true)
         } yield Bounds(nx, xx, ny, xy))
       }
-    val known = bounds.flatMap(_._2)
-    require(known.nonEmpty,
+    val knownAll = bounds.flatMap(_._2)
+    require(knownAll.nonEmpty,
       "no usable column stats on any file — run the full optimizeZOrder")
-    val rangeX = math.max(1L, known.map(_.xx).max - known.map(_.nx).min)
-    val rangeY = math.max(1L, known.map(_.xy).max - known.map(_.ny).min)
     def optimized(a: DeltaReader.AddFile): Boolean =
       a.tags.get("optimized").contains("zorder")
-    val loose = bounds.collect {
-      case (a, None) if !optimized(a) => a
-      case (a, Some(b))
-          if !optimized(a) &&
-             (b.xx - b.nx) * 1000L > spanPermille.toLong * rangeX &&
-             (b.xy - b.ny) * 1000L > spanPermille.toLong * rangeY => a
-    }
+    // loose detection runs PER HIVE PARTITION tuple — each dir is its
+    // own key space (the full verb clusters each independently), so a
+    // file tight within its dir must not be flagged against the global
+    // range and vice versa
+    val loose: Seq[DeltaReader.AddFile] =
+      bounds.groupBy(_._1.partitionValues).values.flatMap { grp =>
+        val known = grp.flatMap(_._2)
+        if (known.isEmpty) grp.map(_._1).filterNot(optimized)
+        else {
+          val rX = math.max(1L, known.map(_.xx).max - known.map(_.nx).min)
+          val rY = math.max(1L, known.map(_.xy).max - known.map(_.ny).min)
+          grp.collect {
+            case (a, None) if !optimized(a) => a
+            case (a, Some(b))
+                if !optimized(a) &&
+                   (b.xx - b.nx) * 1000L > spanPermille.toLong * rX &&
+                   (b.xy - b.ny) * 1000L > spanPermille.toLong * rY => a
+          }
+        }
+      }.toSeq
     if (loose.isEmpty) return snap.version // steady state: no commit
     require(loose.forall(_.deletionVector.isEmpty),
       "loose files carry deletion vectors — rewrite through " +
         "optimizeZOrder/compact (they read through DV filtering)")
     val version = nextVersion(table)
     val root = table.getAbsolutePath
-    val looseDf = spark.read.schema(snap.schema).parquet(
-      loose.map(a =>
-        new File(root, DeltaReader.decodePath(a.path)).getAbsolutePath): _*)
+    def absOf(a: DeltaReader.AddFile): String =
+      new File(root, DeltaReader.decodePath(a.path)).getAbsolutePath
+    val partSet = snap.partitionColumns.toSet
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => partSet.contains(f.name)))
+    val raw = spark.read.schema(dataSchema)
+      .parquet(loose.map(absOf): _*)
+    // hive layout strips partition columns from the files — restore
+    // them from the add actions via metadata-sized filename→value maps
+    // (file names are unique per table; the loose tail is bounded)
+    val looseDf =
+      if (snap.partitionColumns.isEmpty) raw
+      else {
+        val named = raw.withColumn("__fname",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        val restored = snap.partitionColumns.foldLeft(named) { (df, pc) =>
+          val m: Map[String, String] = loose.flatMap { a =>
+            a.partitionValues.get(pc).flatten.map(v =>
+              new File(absOf(a)).getName -> v)
+          }.toMap
+          df.withColumn(pc,
+            element_at(typedLit(m), col("__fname"))
+              .cast(snap.schema(pc).dataType))
+        }
+        restored.drop("__fname")
+      }
     // grid maxima: stats-union widened by the loose rows' own pre-agg
     val m = looseDf.agg(
       max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head()
     require(!m.isNullAt(0) && !m.isNullAt(1),
       s"z-order dims must not be all-NULL in the loose tail: $xCol, $yCol")
-    val mx = math.max(known.map(_.xx).max, m.getLong(0))
-    val my = math.max(known.map(_.xy).max, m.getLong(1))
+    val mx = math.max(knownAll.map(_.xx).max, m.getLong(0))
+    val my = math.max(knownAll.map(_.xy).max, m.getLong(1))
     val z = graft.functions.ZOrder.morton(
       expr(s"CAST($xCol AS BIGINT) * 256 DIV ${mx + 1}"),
       expr(s"CAST($yCol AS BIGINT) * 256 DIV ${my + 1}"))
+    val keys = snap.partitionColumns.map(col) :+ col("__z")
     val clustered = looseDf.withColumn("__z", z)
-      .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
+      .repartitionByRange(targetFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("__z")
-    val adds = stageDataFiles(clustered, table, version, Nil,
-      tags = ZOrderedTag)
+    val adds = stageDataFiles(clustered, table, version,
+      snap.partitionColumns, tags = ZOrderedTag)
     val removes = loose.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -1545,7 +1581,17 @@ object DeltaWriter {
               .as(s"__null_${f.name}"))
       src.groupBy(col("__path")).agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => new File(new java.net.URI(r.getString(0)).getPath).getName -> r)
+        .map { r =>
+          // key by TABLE-RELATIVE path, not file name: a partitioned
+          // staged write emits the SAME part-file name into every hive
+          // dir it touches, and name-keyed stats would collide — every
+          // same-named file would carry ONE dir's min/max, and a reader
+          // pruning on those bounds could wrongly skip live rows
+          val abs = java.nio.file.Paths.get(
+            new java.net.URI(r.getString(0)).getPath)
+          table.toPath.toAbsolutePath.relativize(abs).toString
+            .replace(File.separatorChar, '/') -> r
+        }
         .toMap
     }
 
@@ -1556,9 +1602,11 @@ object DeltaWriter {
     // copy-on-write verbs (merge/delete survivors) routinely produce.
     // A zero-row add is pure log+scan overhead: delete the file, skip
     // the action.
+    def relKey(rel: String): String =
+      rel.replace(File.separatorChar, '/')
     val adds = moved.filter { rel =>
       val f = new File(table, rel)
-      val keep = byName.contains(f.getName)
+      val keep = byName.contains(relKey(rel))
       if (!keep) {
         f.delete()
         var p = f.getParentFile
@@ -1577,7 +1625,7 @@ object DeltaWriter {
         seg.take(i) ->
           (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
       }
-      val r = byName(f.getName)
+      val r = byName(relKey(rel))
       val minsJ = statFields.flatMap { sf =>
         Option(r.getAs[String](s"__min_${sf.name}"))
           .map(v => s"${jstr(sf.name)}:${jsonVal(sf.dataType, v)}")
