@@ -1035,6 +1035,8 @@ object DeltaWriter {
       sortBy: Seq[String] = Nil): Long = {
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "compact does not support column-mapped tables")
     val version = nextVersion(table)
     val current = DeltaReader.load(spark, tablePath)
     val clustered = {
@@ -1099,6 +1101,8 @@ object DeltaWriter {
         s"(${cols.mkString(", ")})")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "z-order verbs do not support column-mapped tables")
     val version = nextVersion(table)
     val current = DeltaReader.load(spark, tablePath)
     val aggs = cols.flatMap(c => Seq(
@@ -1156,10 +1160,12 @@ object DeltaWriter {
     * [[optimizeZOrder]]/[[compact]], which read through DV filtering.
     * Hive-partitioned tables work too: loose detection runs PER
     * partition tuple (each dir is its own key space), the partition
-    * columns are restored from the add actions via metadata-sized
-    * filename→value maps (hive layout strips them from the files),
-    * and the rewrite range-partitions on (partitionCols ++ z) so each
-    * dir's tail clusters independently. */
+    * columns are restored from the add actions by reading the loose
+    * tail grouped by partition tuple (hive layout strips them from the
+    * files; part-file NAMES are not unique across dirs, so a
+    * name-keyed restore would collide), and the rewrite
+    * range-partitions on (partitionCols ++ z) so each dir's tail
+    * clusters independently. */
   def optimizeZOrderIncremental(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, xCol: String, yCol: String,
       targetFiles: Int = 8, spanPermille: Int = 500): Long = {
@@ -1168,6 +1174,8 @@ object DeltaWriter {
       s"spanPermille must be in (0, 1000]: $spanPermille")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "z-order verbs do not support column-mapped tables")
     def bound(a: DeltaReader.AddFile, field: String,
         wantMax: Boolean): Option[Long] =
       a.stats.flatMap(DeltaStats.parse).flatMap { st =>
@@ -1220,27 +1228,25 @@ object DeltaWriter {
     val partSet = snap.partitionColumns.toSet
     val dataSchema = StructType(
       snap.schema.fields.filterNot(f => partSet.contains(f.name)))
-    val raw = spark.read.schema(dataSchema)
-      .parquet(loose.map(absOf): _*)
     // hive layout strips partition columns from the files — restore
-    // them from the add actions via metadata-sized filename→value maps
-    // (file names are unique per table; the loose tail is bounded)
+    // them by reading the loose tail GROUPED BY partition tuple and
+    // attaching each group's values as literals (one scan branch per
+    // distinct loose tuple, metadata-sized by this verb's bounded-tail
+    // contract). NOT a per-file-name lookup: one partitioned staged
+    // write emits the SAME part-file name into every hive dir it
+    // touches, so a basename-keyed map would last-win every colliding
+    // file onto one dir's partition values — silent row corruption
+    // (the identical collision the stageDataFiles stats keying fixed).
     val looseDf =
-      if (snap.partitionColumns.isEmpty) raw
-      else {
-        val named = raw.withColumn("__fname",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        val restored = snap.partitionColumns.foldLeft(named) { (df, pc) =>
-          val m: Map[String, String] = loose.flatMap { a =>
-            a.partitionValues.get(pc).flatten.map(v =>
-              new File(absOf(a)).getName -> v)
-          }.toMap
+      if (snap.partitionColumns.isEmpty)
+        spark.read.schema(dataSchema).parquet(loose.map(absOf): _*)
+      else loose.groupBy(_.partitionValues).map { case (pv, grp) =>
+        val g = spark.read.schema(dataSchema).parquet(grp.map(absOf): _*)
+        snap.partitionColumns.foldLeft(g) { (df, pc) =>
           df.withColumn(pc,
-            element_at(typedLit(m), col("__fname"))
-              .cast(snap.schema(pc).dataType))
+            lit(pv.get(pc).flatten.orNull).cast(snap.schema(pc).dataType))
         }
-        restored.drop("__fname")
-      }
+      }.reduce(_ unionByName _)
     // grid maxima: stats-union widened by the loose rows' own pre-agg
     val m = looseDf.agg(
       max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head()
@@ -1365,8 +1371,13 @@ object DeltaWriter {
       f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
     Files.write(dest.toPath,
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // "size" = number of actions the checkpoint holds: the carried
+    // protocol/metaData/txn lines plus the adds (which live in the
+    // sidecars — the sidecar POINTER lines are layout plumbing, not
+    // actions, so counting both pointers and adds would double-count)
     Files.write(new File(logDir, "_last_checkpoint").toPath,
-      s"""{"version":$version,"size":${lines.length + addLines.length}}"""
+      s"""{"version":$version,"size":${
+        lines.length - sidecarActions.length + addLines.length}}"""
         .getBytes(StandardCharsets.UTF_8))
     version
   }

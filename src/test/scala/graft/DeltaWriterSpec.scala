@@ -781,6 +781,40 @@ class DeltaWriterSpec extends AnyFunSuite {
       "o_custkey", "o_orderkey", targetFiles = 5) == v)
   }
 
+  test("optimizeZOrderIncremental: same-named loose files across hive dirs keep their own partition values") {
+    val path = tmpTable("zinc_same_name")
+    import spark.implicits._
+    val base = Seq((1L, 1L, "a"), (2L, 2L, "a"), (1L, 1L, "b"), (2L, 2L, "b"))
+      .toDF("x", "y", "p")
+    DeltaWriter.append(base, path, Seq("p"))
+    DeltaWriter.optimizeZOrder(spark, path, Seq("x", "y"), targetFiles = 2)
+    // one coalesced append spanning both dirs: the single write task
+    // emits the SAME part-file name into p=a and p=b, and each file is
+    // wide in BOTH dims within its dir → BOTH must be flagged loose
+    // (a restore keyed by file NAME would last-win every colliding row
+    // onto one dir's partition value — silent corruption)
+    val batch = Seq((0L, 999L, "a"), (999L, 0L, "a"),
+      (0L, 999L, "b"), (999L, 0L, "b")).toDF("x", "y", "p")
+    DeltaWriter.append(batch.coalesce(1), path, Seq("p"))
+    val tailFiles = DeltaReader.snapshot(spark, path).files
+      .filterNot(_.tags.get("optimized").contains("zorder"))
+    val names = tailFiles.map(a => new File(a.path).getName)
+    assert(names.distinct.size < names.size,
+      s"fixture must emit same-named part files across hive dirs: $names")
+
+    DeltaWriter.optimizeZOrderIncremental(spark, path, "x", "y",
+      targetFiles = 2)
+    val after = DeltaReader.snapshot(spark, path)
+    // EVERY tail file was rewritten (both colliding names flagged)…
+    assert(after.files.map(_.path).toSet
+      .intersect(tailFiles.map(_.path).toSet).isEmpty,
+      "both same-named loose files must be flagged and rewritten")
+    // …and every row kept ITS OWN dir's partition value, exactly
+    assert(DeltaReader.load(spark, path).select("x", "y", "p")
+      .collect().toSet ==
+      base.unionByName(batch).collect().toSet)
+  }
+
   test("CHECK constraints: declared in metaData, enforced on every write verb") {
     val path = tmpTable("nation_check")
     val nation = Tables.t(spark, d, "nation")
