@@ -21,20 +21,29 @@ import graft.sources.{DeltaReader, DeltaWriter}
   * materialization always sees a consistent (rows, version) pair).
   *
   * Correctness rests on COUNT/SUM being mergeable partial aggregates
-  * (append-only feed: `loadChanges` windows partition the base's rows —
-  * DeltaWriterSpec pins that) — the merge is one full-outer join of the
-  * tiny materialization with the delta window's partial aggregate.
-  * Sums stay exact integers (cents discipline). MIN/MAX would need the
-  * same shapes; AVG derives from (n, total); non-mergeable aggregates
-  * (exact distinct) need the base scan by nature.
+  * with EXACT RETRACTIONS: the full change feed (`loadChangeFeed`)
+  * emits every row mutation as signed insert/delete events, so a
+  * delete subtracts (1, value) exactly where the original insert
+  * added it — the merge is one full-outer join of the tiny
+  * materialization with the window's signed partial aggregate, and
+  * groups whose count retracts to zero are dropped (a full recompute
+  * would not contain them). Sums stay exact integers (cents
+  * discipline). MIN/MAX are NOT retractable from (n, total) state by
+  * nature — they'd need per-group value sketches or the base scan;
+  * AVG derives from (n, total); non-mergeable aggregates (exact
+  * distinct) need the base scan by nature.
   */
 object IncrementalAgg {
 
   /** Refresh (or create) the materialization at `mvPath` for
     * `SELECT key, count(*), sum(valueExpr) FROM base GROUP BY key`,
-    * folding in only base versions `(lastUpto .. latest]`. Returns the
-    * base version now reflected. No-op (returns lastUpto) when the base
-    * has nothing new. */
+    * folding in only base versions `(lastUpto .. latest]` — appends
+    * ADD, deletes/updates (copy-on-write or deletion-vector) RETRACT,
+    * layout maintenance (compact/z-order) folds in nothing. Returns
+    * the base version now reflected. No-op (returns lastUpto) when the
+    * base has nothing new. Bootstrap (no materialization yet) scans
+    * the base snapshot directly — cheaper than replaying the whole
+    * history as a feed, and immune to log cleanup. */
   def refresh(spark: SparkSession, basePath: String, mvPath: String,
       keyCol: String, valueExpr: String): Long = {
     val baseVersion = DeltaReader.snapshot(spark, basePath).version
@@ -44,9 +53,19 @@ object IncrementalAgg {
       .head().getLong(0)).getOrElse(-1L)
     if (lastUpto >= baseVersion) return lastUpto
 
-    val delta = DeltaReader.loadChanges(spark, basePath, lastUpto, baseVersion)
-      .groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n"), sum(expr(valueExpr)).as("total"))
+    val delta = prior match {
+      case None =>
+        DeltaReader.loadAt(spark, basePath, baseVersion)
+          .groupBy(col(keyCol).as("key"))
+          .agg(count(lit(1)).as("n"), sum(expr(valueExpr)).as("total"))
+      case Some(_) =>
+        val sign = when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)
+        DeltaReader.loadChangeFeed(spark, basePath, lastUpto, baseVersion)
+          .groupBy(col(keyCol).as("key"))
+          .agg(sum(sign).as("n"),
+            sum(sign * expr(valueExpr)).as("total"))
+    }
     val merged = prior match {
       case None => delta
       case Some(mv) =>
@@ -60,7 +79,8 @@ object IncrementalAgg {
               coalesce(col("d.total"), lit(0L))).as("total"))
     }
     DeltaWriter.overwrite(
-      merged.withColumn("__upto", lit(baseVersion)), mvPath)
+      merged.filter(col("n") =!= 0L) // fully-retracted groups vanish
+        .withColumn("__upto", lit(baseVersion)), mvPath)
     baseVersion
   }
 }

@@ -688,6 +688,67 @@ object Sources {
           AND h.valid_from <= f.ts
           AND (h.valid_to IS NULL OR f.ts < h.valid_to)
         GROUP BY h.n_name
-        ORDER BY n_name"""))
+        ORDER BY n_name""")),
+
+    // ---- FULL change-data-feed read over a NON-APPEND window: the
+    // fixture's history is append → DV delete (%7) → CoW update (%5,
+    // price doubled), and the query folds the whole feed (0..2] into a
+    // signed per-priority net. The DV window must emit EXACTLY the
+    // newly-dead rows (no survivor churn), and the CoW update's
+    // delete+insert pairs must cancel exactly for untouched rows — the
+    // oracle recomputes the same net from the original corpus, so a
+    // leaked survivor, a double-counted DV row, or a wrong-version
+    // event breaks the hash. This is the feed IncrementalAgg consumes
+    // with retractions (q186).
+    Q("q185_delta_cdf_read",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersCdf(s, d)
+        val sign = when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)
+        DeltaReader.loadChangeFeed(s, dir, 0L, 2L)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(sign).cast("long").as("n"),
+            sum(sign * expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+          CAST(-sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n,
+          CAST(sum(CASE
+            WHEN o_orderkey % 7 = 0
+              THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+            WHEN o_orderkey % 5 = 0
+              THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                 - CAST(round(o_totalprice * 100) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- IVM WITH RETRACTIONS: the fixture refreshed the
+    // materialization, then deleted (CoW %10=3), DV-deleted (%10=4),
+    // updated (%10=5 doubled), and compacted the base, then refreshed
+    // again — the second refresh consumed ONLY the signed change feed
+    // (the compact window folds in nothing). The final mv rows must
+    // hash-match the oracle's full recompute over the mutated corpus:
+    // a missed retraction, a double-counted rewrite survivor, or a
+    // maintenance-window leak breaks it.
+    Q("q186_incremental_agg_retract",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIvmRetract(s, d)
+        DeltaReader.load(s, s"$dir/mv")
+          .selectExpr("key AS o_orderpriority", "n", "total AS cents")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 10 NOT IN (3, 4)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

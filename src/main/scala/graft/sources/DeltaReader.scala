@@ -674,11 +674,18 @@ object DeltaReader {
     * backfill, a downstream materialization) consumes instead of
     * re-scanning the table. Append-only CDC by declared contract: add
     * actions inside the window minus files also removed inside it
-    * (update/delete feeds need deletion-vector diffing — out of scope;
-    * column-mapped tables are refused). Partition columns are restored
-    * typed from the adds' partitionValues, one `lit().cast()` projection
-    * per distinct partition-value tuple in the window — metadata-sized
-    * by construction (the window's files grouped by their partition
+    * (update/delete feeds need deletion-vector diffing — that is
+    * [[loadChangeFeed]]; column-mapped tables are refused). Layout-only
+    * commits (compact / z-order: every file action carries
+    * dataChange=false) move rows between files without changing the row
+    * multiset and are TRANSPARENT — their adds are not new data and
+    * their removes don't trip the append-only guard, so the feed
+    * composes with table maintenance (the original files stay on disk
+    * until vacuum, and this feed reads them at the version they were
+    * added). Partition columns are restored typed from the adds'
+    * partitionValues, one `lit().cast()` projection per distinct
+    * partition-value tuple in the window — metadata-sized by
+    * construction (the window's files grouped by their partition
     * dirs), unioned under ONE logical plan. */
   def loadChanges(spark: SparkSession, tablePath: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
@@ -698,9 +705,16 @@ object DeltaReader {
     val added = mutable.LinkedHashMap
       .empty[String, Map[String, Option[String]]]
     commits.foreach { f =>
-      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-        .split('\n').filter(_.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
+      val nodes = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8)
+        .split('\n').filter(_.nonEmpty).map(mapper.readTree).toSeq
+      val fileActs = nodes.flatMap(n =>
+        Option(n.get("add")).orElse(Option(n.get("remove"))))
+      // dataChange defaults true when absent (hand-written logs)
+      if (fileActs.nonEmpty && fileActs.forall(a =>
+          Option(a.get("dataChange")).exists(!_.asBoolean())))
+        () // layout-only commit (compact / z-order): transparent
+      else nodes.foreach { node =>
           Option(node.get("add")).foreach { a =>
             // an add carrying a deletion vector mutates pre-existing
             // rows — not expressible as an append-only feed
@@ -753,6 +767,193 @@ object DeltaReader {
     }
     parts.reduce(_ unionByName _)
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Full change-data-feed read over versions `(fromExclusive ..
+    * toInclusive]` — the CDC feed that composes with the WHOLE write
+    * surface, not just appends: every commit in the window is replayed
+    * into row-level change events tagged `_change_type`
+    * ('insert' | 'delete') and `_commit_version`. An update is a
+    * delete+insert pair; copy-on-write rewrites and merge-on-read
+    * deletion vectors both reduce to file/DV diffs (the DV semantics
+    * this reconciles are the reference's row-selection mapping,
+    * deltatable.rs:495-577). Layout-only commits (compact / z-order:
+    * every file action carries dataChange=false) are transparent —
+    * nothing is emitted for them, delta's CDF contract — so a consumer
+    * pays for data changes only, never maintenance churn.
+    *
+    * Per commit, per touched path, against the running pre-state
+    * (seeded from the snapshot at `fromExclusive`):
+    *  - new path            → its alive rows as inserts
+    *  - removed path        → its previously-alive rows as deletes
+    *  - same path, DV grew  → exactly the newly-dead rows as deletes
+    *    (row diff: in(postDv) ∧ ¬in(preDv)); symmetrically, newly-
+    *    alive rows as inserts when a DV shrinks (RESTORE rollback).
+    *
+    * Files are read AT THE VERSION THEY CHANGED — delta data files are
+    * immutable, so a later rewrite never alters an earlier event; a
+    * window reaching behind [[DeltaWriter.vacuum]]'s horizon fails at
+    * scan time rather than fabricating rows, and a window whose JSON
+    * commits were log-cleaned is refused up front. Driver cost: the
+    * window's action lines only; DV bitmaps decode on EXECUTORS (the
+    * same no-driver-bitmap posture as [[load]]). Scans group per
+    * (version, change, partition tuple) with per-file branches only
+    * where a DV row-diff is needed — metadata-sized for any sane
+    * window. [[graft.operators.IncrementalAgg]] consumes this feed
+    * with retractions, so a materialization follows deletes/updates
+    * without ever re-scanning the base. */
+  def loadChangeFeed(spark: SparkSession, tablePath: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val snap = snapshotAt(spark, tablePath, toInclusive)
+    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
+      "loadChangeFeed does not support column-mapped tables")
+    val jackson = new ObjectMapper()
+    val logDir = new File(tablePath, "_delta_log")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .filter { f =>
+        val v = f.getName.take(20).toLong
+        v > fromExclusive && v <= toInclusive
+      }.sortBy(_.getName)
+    val have = commits.map(_.getName.take(20).toLong).toSet
+    (math.max(0L, fromExclusive + 1) to toInclusive).foreach(v =>
+      require(have.contains(v),
+        s"loadChangeFeed($fromExclusive, $toInclusive] at $tablePath: " +
+          s"JSON commit $v is gone (log cleanup) — the change window " +
+          "cannot be replayed; bootstrap consumers from a snapshot"))
+
+    // running live state, seeded at the window start
+    val state = mutable.LinkedHashMap.empty[String, AddFile]
+    if (fromExclusive >= 0L)
+      snapshotAt(spark, tablePath, fromExclusive).files
+        .foreach(a => state(a.path) = a)
+
+    def parseDvNode(node: JsonNode): Option[DvDescriptor] =
+      Option(node.get("deletionVector")).filterNot(_.isNull).map { dv =>
+        DvDescriptor(
+          dv.get("storageType").asText(),
+          dv.get("pathOrInlineDv").asText(),
+          Option(dv.get("offset")).map(_.asInt()).getOrElse(0),
+          dv.get("sizeInBytes").asInt(),
+          dv.get("cardinality").asLong())
+      }
+    def parsePv(node: JsonNode): Map[String, Option[String]] =
+      Option(node.get("partitionValues")).map { m =>
+        m.properties().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None
+                       else Some(e.getValue.asText()))
+        }.toMap
+      }.getOrElse(Map.empty)
+
+    /** one row-producing scan unit: rows of `file` that are in
+      * `mustIn`'s DV (None = no constraint) and NOT in `mustNotIn`'s. */
+    final case class Emit(version: Long, change: String, file: AddFile,
+        mustIn: Option[DvDescriptor], mustNotIn: Option[DvDescriptor])
+    val emits = mutable.ArrayBuffer.empty[Emit]
+    commits.foreach { f =>
+      val v = f.getName.take(20).toLong
+      val nodes = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8)
+        .split('\n').filter(_.nonEmpty).map(jackson.readTree).toSeq
+      val acts: Seq[(Boolean, JsonNode)] = nodes.flatMap(n =>
+        Option(n.get("add")).map((true, _))
+          .orElse(Option(n.get("remove")).map((false, _))))
+      val layoutOnly = acts.nonEmpty && acts.forall { case (_, a) =>
+        Option(a.get("dataChange")).exists(!_.asBoolean())
+      }
+      // net per-path outcome WITHIN the commit (a DV update is
+      // remove+add of the same path in one commit: the add wins)
+      val outcome = mutable.LinkedHashMap.empty[String, Option[AddFile]]
+      acts.foreach {
+        case (true, a) =>
+          val p = decodePath(a.get("path").asText())
+          outcome(p) = Some(AddFile(p,
+            Option(a.get("size")).map(_.asLong()).getOrElse(0L),
+            parsePv(a), parseDvNode(a)))
+        case (false, r) =>
+          outcome(decodePath(r.get("path").asText())) = None
+      }
+      outcome.foreach { case (p, out) =>
+        if (!layoutOnly) (state.get(p), out) match {
+          case (None, Some(add)) =>
+            emits += Emit(v, "insert", add, None, add.deletionVector)
+          case (Some(old), None) =>
+            emits += Emit(v, "delete", old, None, old.deletionVector)
+          case (Some(old), Some(add)) =>
+            if (old.deletionVector != add.deletionVector) {
+              add.deletionVector.foreach(post => // newly-dead rows
+                emits += Emit(v, "delete", add,
+                  Some(post), old.deletionVector))
+              old.deletionVector.foreach(pre => // newly-alive (restore)
+                emits += Emit(v, "insert", add,
+                  Some(pre), add.deletionVector))
+            }
+          case (None, None) => ()
+        }
+        out match {
+          case Some(add) => state(p) = add
+          case None => state.remove(p)
+        }
+      }
+    }
+
+    val partCols = snap.partitionColumns
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => partCols.contains(f.name)))
+    val feedFields = snap.schema.fields.toIndexedSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false)
+    if (emits.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(feedFields))
+    val root = new File(tablePath).getAbsolutePath
+    def withPv(df: DataFrame, pv: Map[String, Option[String]]): DataFrame =
+      partCols.foldLeft(df) { (d2, c) =>
+        val dt = snap.schema(c).dataType
+        d2.withColumn(c, pv.get(c).flatten match {
+          case Some(x) => lit(x).cast(dt)
+          case None => lit(null).cast(dt)
+        })
+      }
+    // DV row sets decode on executors (driver never holds a bitmap)
+    def dvRows(dv: DvDescriptor): DataFrame = {
+      import spark.implicits._
+      spark.createDataset(spark.sparkContext.parallelize(
+          Seq(DvSpec("", dv.storageType, dv.pathOrInlineDv,
+            dv.offset, dv.sizeInBytes, root)), 1))
+        .flatMap(sp => DeletionVectors.deletedRows(
+          DvDescriptor(sp.storageType, sp.pathOrInlineDv, sp.offset,
+            sp.sizeInBytes, -1L), sp.tableRoot))
+        .toDF("__row")
+    }
+    val (plain, dvDiff) =
+      emits.partition(e => e.mustIn.isEmpty && e.mustNotIn.isEmpty)
+    val plainParts = plain.groupBy(e =>
+        (e.version, e.change, e.file.partitionValues)).toSeq
+      .map { case ((v, ch, pv), es) =>
+        val df = spark.read.schema(dataSchema).parquet(
+          es.map(e => new File(root, e.file.path).getAbsolutePath)
+            .toSeq: _*)
+        withPv(df, pv)
+          .withColumn("_change_type", lit(ch))
+          .withColumn("_commit_version", lit(v))
+      }
+    val dvParts = dvDiff.toSeq.map { e =>
+      // single-file scan: the physical row index alone addresses rows
+      val base = spark.read.schema(dataSchema)
+        .parquet(new File(root, e.file.path).getAbsolutePath)
+        .withColumn("__row", col("_metadata.row_index"))
+      val inOk = e.mustIn.fold(base)(dv =>
+        base.join(dvRows(dv), Seq("__row"), "left_semi"))
+      val notOk = e.mustNotIn.fold(inOk)(dv =>
+        inOk.join(dvRows(dv), Seq("__row"), "left_anti"))
+      withPv(notOk.drop("__row"), e.file.partitionValues)
+        .withColumn("_change_type", lit(e.change))
+        .withColumn("_commit_version", lit(e.version))
+    }
+    (plainParts ++ dvParts).reduce(_ unionByName _)
+      .select(feedFields.map(f => col(f.name)): _*)
   }
 }
 

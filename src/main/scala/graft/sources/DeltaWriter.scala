@@ -1047,10 +1047,13 @@ object DeltaWriter {
       if (sortBy.nonEmpty) base.sortWithinPartitions(sortBy.map(col): _*)
       else base
     }
-    val adds = stageDataFiles(clustered, table, version, snap.partitionColumns)
+    // layout-only commit: the row multiset is unchanged, so every file
+    // action carries dataChange=false and the CDC feeds skip the commit
+    val adds = stageDataFiles(clustered, table, version,
+      snap.partitionColumns, dataChange = false)
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
-        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+        s"""${System.currentTimeMillis()},"dataChange":false}}""")
     publish(table, version, removes ++ adds)
     version
   }
@@ -1125,11 +1128,13 @@ object DeltaWriter {
       .repartitionByRange(targetFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__z")
+    // layout-only commit (DVs absorbed = already-dead rows dropped):
+    // dataChange=false throughout, so the CDC feeds skip it
     val adds = stageDataFiles(clustered, table, version,
-      snap.partitionColumns, tags = ZOrderedTag)
+      snap.partitionColumns, tags = ZOrderedTag, dataChange = false)
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
-        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+        s"""${System.currentTimeMillis()},"dataChange":false}}""")
     publish(table, version, removes ++ adds)
     version
   }
@@ -1263,10 +1268,10 @@ object DeltaWriter {
       .sortWithinPartitions(keys: _*)
       .drop("__z")
     val adds = stageDataFiles(clustered, table, version,
-      snap.partitionColumns, tags = ZOrderedTag)
+      snap.partitionColumns, tags = ZOrderedTag, dataChange = false)
     val removes = loose.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
-        s"""${System.currentTimeMillis()},"dataChange":true}}""")
+        s"""${System.currentTimeMillis()},"dataChange":false}}""")
     publish(table, version, removes ++ adds)
     version
   }
@@ -1554,7 +1559,8 @@ object DeltaWriter {
     * log line set and the publish). */
   private def stageDataFiles(df: DataFrame, table: File, version: Long,
       partitionBy: Seq[String],
-      tags: Map[String, String] = Map.empty): Seq[String] = {
+      tags: Map[String, String] = Map.empty,
+      dataChange: Boolean = true): Seq[String] = {
     val spark = df.sparkSession
     // ---- stage + move the data files
     val staging = new File(table, s".stage-$version")
@@ -1662,7 +1668,7 @@ object DeltaWriter {
           s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
       s"""{"add":{"path":"${segs.mkString("/")}","partitionValues":$pvJ,""" +
         s""""size":${f.length()},"modificationTime":${f.lastModified()},""" +
-        s""""dataChange":true,"stats":${jstr(stats)}$tagsPart}}"""
+        s""""dataChange":$dataChange,"stats":${jstr(stats)}$tagsPart}}"""
     }
     adds
   }

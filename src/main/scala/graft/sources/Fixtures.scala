@@ -695,4 +695,46 @@ object Fixtures {
         s, base, mv, "o_orderpriority", cents)
       ()
     }
+
+  /** A Delta table with a NON-APPEND change history for the full CDF
+    * read (q185): v0 = the whole orders corpus, v1 = merge-on-read
+    * delete of every `o_orderkey % 7 = 0` row (deletion vectors — the
+    * minimal-feed path), v2 = copy-on-write UPDATE doubling
+    * o_totalprice where `o_orderkey % 5 = 0` (delete+insert pairs whose
+    * survivor churn must cancel exactly in any net consumer). */
+  def deltaOrdersCdf(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_cdf") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders, path)
+      DeltaWriter.deleteWithVectors(s, path, col("o_orderkey") % 7 === 0)
+      DeltaWriter.update(s, path, col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      ()
+    }
+
+  /** IVM materialization maintained THROUGH RETRACTIONS (q186): refresh
+    * after the initial append, then copy-on-write delete + deletion-
+    * vector delete + copy-on-write update + compact on the base, then
+    * one more refresh consuming the signed change feed — so the final
+    * mv reflects every mutation class incrementally (the oracle is the
+    * full recompute over the mutated corpus). */
+  def deltaOrdersIvmRetract(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_ivm_retract") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val base = new File(dir, "base").getAbsolutePath
+      val mv = new File(dir, "mv").getAbsolutePath
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      DeltaWriter.append(orders, base)
+      graft.operators.IncrementalAgg.refresh(
+        s, base, mv, "o_orderpriority", cents)
+      DeltaWriter.delete(s, base, col("o_orderkey") % 10 === 3)
+      DeltaWriter.deleteWithVectors(s, base, col("o_orderkey") % 10 === 4)
+      DeltaWriter.update(s, base, col("o_orderkey") % 10 === 5,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      DeltaWriter.compact(s, base)
+      graft.operators.IncrementalAgg.refresh(
+        s, base, mv, "o_orderpriority", cents)
+      ()
+    }
 }

@@ -1051,6 +1051,106 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("deletion-vector"))
   }
 
+  test("loadChanges: layout-only commits (compact) are transparent to the append-only feed") {
+    val path = tmpTable("nation_cdc_compact")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path) // v0
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path) // v1
+    DeltaWriter.compact(spark, path) // v2: dataChange=false throughout
+    DeltaWriter.append(nation.filter(col("n_nationkey") === 0), path) // v3
+    // a window straddling the compact feeds exactly the appended rows —
+    // the compact's removes don't trip the append-only guard and its
+    // adds are not double-counted as new data (the original v1 files
+    // stay on disk until vacuum and are read at their own version)
+    assert(DeltaReader.loadChanges(spark, path, 0L, 3L).collect().toSet ==
+      nation.filter(col("n_nationkey") >= 10)
+        .unionByName(nation.filter(col("n_nationkey") === 0))
+        .collect().toSet)
+    // a compact-only window is an empty feed
+    assert(DeltaReader.loadChanges(spark, path, 1L, 2L).count() == 0L)
+  }
+
+  /** row multiset of a DataFrame (CDF replay needs duplicate-exact
+    * comparison, which a Set would hide). */
+  private def multiset(df: org.apache.spark.sql.DataFrame)
+      : Map[org.apache.spark.sql.Row, Int] =
+    df.collect().toSeq.groupBy(identity).map { case (r, rs) => r -> rs.size }
+
+  test("loadChangeFeed: replaying any window over the pre-snapshot reproduces the post-snapshot") {
+    val path = tmpTable("nation_cdf_replay")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path) // v0
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path) // v1
+    DeltaWriter.delete(spark, path, col("n_nationkey") % 5 === 3) // v2 CoW
+    DeltaWriter.deleteWithVectors(spark, path, col("n_nationkey") === 6) // v3 MoR
+    DeltaWriter.update(spark, path, col("n_nationkey") === 2,
+      Map("n_name" -> lit("UPDATED"))) // v4 CoW update
+    DeltaWriter.compact(spark, path) // v5 layout-only
+    DeltaWriter.append(nation.filter(col("n_nationkey") === 7), path) // v6 dup row
+    val top = DeltaReader.snapshot(spark, path).version
+    assert(top == 6L)
+
+    def stateAt(v: Long): Map[org.apache.spark.sql.Row, Int] =
+      if (v < 0L) Map.empty
+      else multiset(DeltaReader.loadAt(spark, path, v)
+        .select("n_nationkey", "n_regionkey", "n_name"))
+    for (from <- -1L to top; to <- (from + 1) to top) {
+      val feed = DeltaReader.loadChangeFeed(spark, path, from, to)
+      val events = feed.select(
+        col("n_nationkey"), col("n_regionkey"), col("n_name"),
+        col("_change_type"), col("_commit_version")).collect()
+        .sortBy(_.getLong(4)) // replay applies commits in order
+      // commit versions stay inside the window
+      assert(events.forall { r =>
+        val v = r.getLong(4); v > from && v <= to
+      }, s"window ($from,$to] leaked a commit version")
+      // replay: pre + inserts − deletes == post, as multisets
+      val replayed = events.foldLeft(stateAt(from)) { (m, r) =>
+        val row = org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))
+        val deltaN = if (r.getString(3) == "insert") 1 else -1
+        val n = m.getOrElse(row, 0) + deltaN
+        assert(n >= 0, s"window ($from,$to] retracted a row it never " +
+          s"had: $row")
+        if (n == 0) m - row else m.updated(row, n)
+      }
+      assert(replayed == stateAt(to), s"window ($from,$to] replay diverged")
+    }
+  }
+
+  test("loadChangeFeed: DV windows are minimal, layout windows are empty, restore re-inserts") {
+    val path = tmpTable("nation_cdf_min")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(nation, path) // v0
+    DeltaWriter.deleteWithVectors(spark, path, col("n_nationkey") === 6) // v1
+    // the MoR delete window emits EXACTLY the newly-dead row as a
+    // delete — no survivor churn (that's the merge-on-read payoff)
+    val w1 = DeltaReader.loadChangeFeed(spark, path, 0L, 1L).collect()
+    assert(w1.length == 1)
+    assert(w1.head.getAs[String]("_change_type") == "delete")
+    assert(w1.head.getAs[Number]("n_nationkey").longValue == 6L)
+    assert(w1.head.getAs[Long]("_commit_version") == 1L)
+
+    // restore to v0 rolls the DV back: the dead row comes back as an
+    // insert (DV shrink → newly-alive diff), nothing else moves
+    DeltaWriter.restore(spark, path, 0L) // v2
+    val w2 = DeltaReader.loadChangeFeed(spark, path, 1L, 2L).collect()
+    assert(w2.map(r => (r.getAs[Number]("n_nationkey").longValue,
+      r.getAs[String]("_change_type"))).toSet == Set((6L, "insert")))
+
+    DeltaWriter.compact(spark, path) // v3: layout-only
+    assert(DeltaReader.loadChangeFeed(spark, path, 2L, 3L).count() == 0L)
+
+    // a log-cleaned window is refused, not silently partial
+    DeltaWriter.checkpoint(spark, path)
+    new File(path, "_delta_log").listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json")).foreach(_.delete())
+    val e = intercept[IllegalArgumentException](
+      DeltaReader.loadChangeFeed(spark, path, 0L, 3L).count())
+    assert(e.getMessage.contains("log cleanup"))
+  }
+
   test("version-0 commit carries protocol + metaData the reader honors") {
     val path = tmpTable("nation_proto")
     val nation = Tables.t(spark, d, "nation")

@@ -73,4 +73,35 @@ class IncrementalAggSpec extends AnyFunSuite {
       "CAST(round(o_totalprice * 100) AS BIGINT)") == 1L)
     assert(new File(mv, "_delta_log").listFiles().map(_.getName).toSet == before)
   }
+
+  test("retractions: deletes, DV deletes, updates, and compaction all keep the mv == full recompute") {
+    val base = tmp("retract_base"); val mv = tmp("retract_mv")
+    val orders = Tables.t(spark, d, "orders")
+    val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    def check(upto: Long): Unit = {
+      assert(IncrementalAgg.refresh(spark, base, mv,
+        "o_orderpriority", cents) == upto)
+      assert(mvRows(mv) == fullAgg(base))
+    }
+
+    DeltaWriter.append(orders, base); check(0L)
+    // copy-on-write delete retracts exactly the deleted rows' (1, cents)
+    DeltaWriter.delete(spark, base, col("o_orderkey") % 10 === 3); check(1L)
+    // merge-on-read delete: the DV diff feeds ONLY the newly-dead rows
+    DeltaWriter.deleteWithVectors(spark, base,
+      col("o_orderkey") % 10 === 4); check(2L)
+    // copy-on-write update = retraction + re-insert in one window
+    DeltaWriter.update(spark, base, col("o_orderkey") % 10 === 5,
+      Map("o_totalprice" -> (col("o_totalprice") * 2))); check(3L)
+    // layout maintenance folds in NOTHING (and must not double-count)
+    DeltaWriter.compact(spark, base); check(4L)
+    // append after all of the above still lands incrementally
+    DeltaWriter.append(orders.filter(col("o_orderkey") % 10 === 3), base)
+    check(5L)
+    // a group retracted to zero vanishes from the materialization,
+    // exactly like a full recompute: delete one whole priority class
+    DeltaWriter.delete(spark, base, col("o_orderpriority") === "1-URGENT")
+    check(6L)
+    assert(!mvRows(mv).contains("1-URGENT"))
+  }
 }
