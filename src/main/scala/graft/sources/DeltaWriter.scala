@@ -70,9 +70,8 @@ object DeltaWriter {
     val txnLine = txn.map { case (appId, v) =>
       s"""{"txn":{"appId":${jstr(appId)},"version":$v}}"""
     }.toSeq
-    publish(table, version,
+    publishOptimistic(table, version,
       header(df, partitionBy, version) ++ txnLine ++ adds)
-    version
   }
 
   /** Idempotent append: commit `df` stamped with `(appId, txnVersion)`
@@ -285,8 +284,7 @@ object DeltaWriter {
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
     val adds = stageDataFiles(df, table, version, snap.partitionColumns)
-    publish(table, version, removes ++ adds)
-    version
+    publishOptimistic(table, version, removes ++ adds)
   }
 
   /** MERGE (upsert): rows of `source` REPLACE target rows sharing their
@@ -360,8 +358,7 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publish(table, version, removes ++ adds)
-    version
+    publishOptimistic(table, version, removes ++ adds)
   }
 
   /** SCD TYPE-2 APPLY — the versioned-dimension maintenance every
@@ -506,9 +503,9 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publish(table, version, removes ++ adds)
+    val committed = publishOptimistic(table, version, removes ++ adds)
     changedKeys.unpersist(); closingKeys.unpersist(); newKeys.unpersist()
-    version
+    committed
   }
 
   /** DELETE WHERE: drop every row matching `predicate` in one atomic
@@ -552,8 +549,7 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publish(table, version, removes ++ adds)
-    version
+    publishOptimistic(table, version, removes ++ adds)
   }
 
   /** DELETE WHERE via DELETION VECTORS — the merge-on-read spelling of
@@ -596,8 +592,8 @@ object DeltaWriter {
     dvMarkDead(spark, tablePath, predicate, inlineMax) match {
       case None => nextVersion(new File(tablePath)) - 1 // no match: no commit
       case Some(p) =>
-        publish(p.table, p.version, p.protoLine ++ p.removes ++ p.dvAdds)
-        p.version
+        publishOptimistic(p.table, p.version,
+          p.protoLine ++ p.removes ++ p.dvAdds)
     }
 
   /** Merge-on-read UPDATE: the matched rows are marked dead with
@@ -631,9 +627,8 @@ object DeltaWriter {
         enforceConstraints(updated, p.snap, tablePath)
         val newAdds = stageDataFiles(updated, p.table, p.version,
           p.snap.partitionColumns)
-        publish(p.table, p.version,
+        publishOptimistic(p.table, p.version,
           p.protoLine ++ p.removes ++ p.dvAdds ++ newAdds)
-        p.version
     }
   }
 
@@ -851,8 +846,7 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publish(table, version, removes ++ adds)
-    version
+    publishOptimistic(table, version, removes ++ adds)
   }
 
   /** Full-table overwrite in ONE atomic commit: removes every live file
@@ -871,8 +865,8 @@ object DeltaWriter {
         s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
           s"""${System.currentTimeMillis()},"dataChange":true}}""")
     val adds = stageDataFiles(df, table, version, partitionBy)
-    publish(table, version, header(df, partitionBy, version) ++ removes ++ adds)
-    version
+    publishOptimistic(table, version,
+      header(df, partitionBy, version) ++ removes ++ adds)
   }
 
   /** Write a classic single-part checkpoint parquet for the CURRENT
@@ -1054,8 +1048,7 @@ object DeltaWriter {
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
-    publish(table, version, removes ++ adds)
-    version
+    publishOptimistic(table, version, removes ++ adds)
   }
 
   /** `OPTIMIZE … ZORDER BY (x, y)`: rewrite the table's live rows
@@ -1135,8 +1128,7 @@ object DeltaWriter {
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
-    publish(table, version, removes ++ adds)
-    version
+    publishOptimistic(table, version, removes ++ adds)
   }
 
   /** INCREMENTAL z-order maintenance — the steady-state loop that keeps
@@ -1272,8 +1264,7 @@ object DeltaWriter {
     val removes = loose.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
-    publish(table, version, removes ++ adds)
-    version
+    publishOptimistic(table, version, removes ++ adds)
   }
 
   /** Add-action tag both z-order verbs stamp on their outputs (and
@@ -1450,9 +1441,8 @@ object DeltaWriter {
     val removes = toRemove.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publish(table, newVersion,
+    publishOptimistic(table, newVersion,
       removes ++ toAdd.map(a => addJson(a, dataChange = true)))
-    newVersion
   }
 
   /** Whether `tablePath` already holds a committed Delta table (any
@@ -1562,8 +1552,10 @@ object DeltaWriter {
       tags: Map[String, String] = Map.empty,
       dataChange: Boolean = true): Seq[String] = {
     val spark = df.sparkSession
-    // ---- stage + move the data files
-    val staging = new File(table, s".stage-$version")
+    // ---- stage + move the data files (uuid suffix: two writers racing
+    // for the same version must not share — or sweep — a staging dir)
+    val staging = new File(table,
+      s".stage-$version-${java.util.UUID.randomUUID()}")
     if (staging.exists()) delete(staging)
     val w0 = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
@@ -1710,13 +1702,114 @@ object DeltaWriter {
     Files.write(tmp.toPath,
       (commitInfo +: lines).mkString("\n").getBytes(StandardCharsets.UTF_8))
     val target = new File(logDir, f"$version%020d.json")
-    try Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    // createLink, NOT move: POSIX rename() REPLACES an existing target,
+    // so an ATOMIC_MOVE would let a racing writer silently clobber a
+    // committed version. A hard link is atomic AND fails with
+    // FileAlreadyExistsException when the version is taken — the
+    // put-if-absent every delta commit protocol requires.
+    try {
+      Files.createLink(target.toPath, tmp.toPath)
+      tmp.delete()
+    } catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         tmp.delete()
         throw new IllegalStateException(
           s"concurrent commit lost: version $version already exists", e)
     }
+  }
+
+  /** Optimistic-concurrency publish — at 100× scale two jobs commit to
+    * the same table all the time, and a flat "version exists" failure
+    * would make every second job re-run its whole write. Losing a
+    * version race here instead CHECKS THE WINNERS for semantic
+    * conflicts and re-commits at the next version (the staged data
+    * files are uuid-named and already in place — a retry is one more
+    * rename, no re-stage). The compatibility matrix, derived from the
+    * commit's own action profile:
+    *
+    *  - this commit carries metaData/protocol (table creation, schema
+    *    evolution, property/constraint changes) → never retried: two
+    *    metadata writers must coordinate, and a v0 creation race means
+    *    the table may not even share a schema.
+    *  - pure APPEND (adds only) → compatible with any winner except
+    *    one that changed metaData/protocol (the staged rows were
+    *    validated against the OLD schema/constraints): append vs
+    *    append and append vs delete/optimize both land.
+    *  - LAYOUT rewrite (compact / z-order: removes+adds, all
+    *    dataChange=false) → compatible with winners that touch none of
+    *    the files it rewrites; a winner that removed or DV'd one of
+    *    them (row verb, other optimize) invalidates the staged rewrite
+    *    → refuse (re-run reads fresher state).
+    *  - ROW-LEVEL verb (removes with dataChange=true: delete / update /
+    *    merge / overwrite / restore / DV verbs) → only a LAYOUT-ONLY
+    *    winner disjoint from its removed files is compatible; any
+    *    concurrent data change may hold rows its predicate should have
+    *    seen → refuse rather than silently miss them.
+    *
+    * Bounded retries; returns the version actually committed. */
+  private[graft] def publishOptimistic(table: File, firstVersion: Long,
+      lines: Seq[String], maxRetries: Int = 10): Long = {
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mine = lines.map(jackson.readTree)
+    val iAmMetadata = mine.exists(n =>
+      n.has("metaData") || n.has("protocol"))
+    def removesOf(ns: Seq[com.fasterxml.jackson.databind.JsonNode]) =
+      ns.flatMap(n => Option(n.get("remove")))
+    def addsOf(ns: Seq[com.fasterxml.jackson.databind.JsonNode]) =
+      ns.flatMap(n => Option(n.get("add")))
+    def dc(a: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      Option(a.get("dataChange")).forall(_.asBoolean())
+    val myRemoves = removesOf(mine)
+    val myRemovedPaths = myRemoves
+      .map(r => DeltaReader.decodePath(r.get("path").asText())).toSet
+    val iAmRowVerb = myRemoves.exists(dc)
+    var v = firstVersion
+    var attempts = 0
+    while (true) {
+      try { publish(table, v, lines); return v }
+      catch {
+        case e: IllegalStateException =>
+          if (iAmMetadata) throw e // metadata writers must coordinate
+          attempts += 1
+          require(attempts <= maxRetries,
+            s"gave up after $maxRetries commit retries at $table " +
+              "(sustained write contention)")
+          val latest = nextVersion(table) - 1
+          (v to latest).foreach { w =>
+            val f = new File(table, f"_delta_log/$w%020d.json")
+            val winner = new String(Files.readAllBytes(f.toPath),
+              StandardCharsets.UTF_8)
+              .split('\n').filter(_.nonEmpty).map(jackson.readTree).toSeq
+            require(!winner.exists(n =>
+                n.has("metaData") || n.has("protocol")),
+              s"concurrent conflict at $table: commit $w changed table " +
+                "metadata while this write was staged — re-validate and " +
+                "re-run against the new table state")
+            if (myRemovedPaths.nonEmpty) {
+              val winnerPaths =
+                (removesOf(winner) ++ addsOf(winner))
+                  .map(a => DeltaReader.decodePath(a.get("path").asText()))
+                  .toSet
+              val overlap = winnerPaths.intersect(myRemovedPaths)
+              require(overlap.isEmpty,
+                s"concurrent conflict at $table: commit $w touched " +
+                  s"file(s) this write rewrites (${overlap.take(3)
+                    .mkString(", ")}) — re-run against the new state")
+              val winnerLayoutOnly = {
+                val acts = removesOf(winner) ++ addsOf(winner)
+                acts.nonEmpty && acts.forall(a => !dc(a))
+              }
+              require(!iAmRowVerb || winnerLayoutOnly ||
+                  (removesOf(winner) ++ addsOf(winner)).isEmpty,
+                s"concurrent conflict at $table: commit $w changed data " +
+                  "while this row-level write was staged — its predicate " +
+                  "may match the new rows; re-run against the new state")
+            }
+          }
+          v = latest + 1
+      }
+    }
+    v // unreachable
   }
 
   /** Types whose Spark cast-to-string form PROVABLY round-trips through

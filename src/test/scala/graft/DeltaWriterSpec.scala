@@ -815,6 +815,116 @@ class DeltaWriterSpec extends AnyFunSuite {
       base.unionByName(batch).collect().toSet)
   }
 
+  test("optimistic concurrency: a lost append race re-commits at the next version; conflicts refuse") {
+    val path = tmpTable("occ_matrix")
+    val table = new File(path)
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path) // v0
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path) // v1
+    val preCount = DeltaReader.load(spark, path).count()
+
+    // emulate an append that staged against v1 and lost the race: copy
+    // a live data file under a fresh name, commit it AT the stale
+    // version — publishOptimistic must land it at v2. (Pick the
+    // keys>=10 file so the later delete of key 3 never rewrites the
+    // copy.)
+    val anyFile = DeltaReader.snapshot(spark, path).files.find { a =>
+      spark.read.parquet(new File(path, a.path).getAbsolutePath)
+        .agg(min(col("n_nationkey"))).head().getAs[Number](0).longValue >= 10L
+    }.get
+    val src = new File(path, anyFile.path)
+    def addLine(name: String, dataChange: Boolean) =
+      s"""{"add":{"path":"$name","partitionValues":{},""" +
+        s""""size":${src.length()},"modificationTime":0,""" +
+        s""""dataChange":$dataChange}}"""
+    val dup = "occ-dup-" + src.getName
+    java.nio.file.Files.copy(src.toPath, new File(path, dup).toPath)
+    assert(DeltaWriter.publishOptimistic(table, 1L,
+      Seq(addLine(dup, dataChange = true))) == 2L)
+    assert(DeltaReader.load(spark, path).count() ==
+      preCount + spark.read.parquet(src.getAbsolutePath).count())
+
+    // a ROW-LEVEL loser whose removed file the winner touched: refuse
+    val winnerTouched = {
+      DeltaWriter.delete(spark, path, col("n_nationkey") === 3) // v3
+      val nowLive = DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+      // the delete rewrote the file holding key 3 — find a path the
+      // winner removed (live at v2, gone at v3)
+      DeltaReader.snapshotAt(spark, path, 2L).files.map(_.path)
+        .filterNot(nowLive).head
+    }
+    def removeLine(p: String, dataChange: Boolean) =
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,""" +
+        s""""dataChange":$dataChange}}"""
+    val eOverlap = intercept[IllegalArgumentException](
+      DeltaWriter.publishOptimistic(table, 3L,
+        Seq(removeLine(winnerTouched, dataChange = true))))
+    assert(eOverlap.getMessage.contains("touched file"))
+
+    // a ROW-LEVEL loser disjoint from the winner's files still refuses
+    // (the winner changed data its predicate may have matched)
+    val disjoint = DeltaReader.snapshot(spark, path).files
+      .map(_.path).find(_ == dup).get
+    val eData = intercept[IllegalArgumentException](
+      DeltaWriter.publishOptimistic(table, 3L,
+        Seq(removeLine(disjoint, dataChange = true))))
+    assert(eData.getMessage.contains("changed data"))
+
+    // a LAYOUT loser disjoint from the winner's files lands: rewrite
+    // the dup file in place (remove + re-add, dataChange=false)
+    val v = DeltaWriter.publishOptimistic(table, 3L, Seq(
+      removeLine(dup, dataChange = false),
+      addLine(dup, dataChange = false)))
+    assert(v == 4L)
+    assert(DeltaReader.snapshot(spark, path).version == 4L)
+
+    // a winner that changed METADATA refuses any retry
+    DeltaWriter.addCheckConstraint(spark, path, "nonneg",
+      "n_nationkey >= 0") // v5
+    val eMeta = intercept[IllegalArgumentException](
+      DeltaWriter.publishOptimistic(table, 5L,
+        Seq(addLine(dup + "-again", dataChange = true))))
+    assert(eMeta.getMessage.contains("metadata"))
+
+    // the other order — winner is the LAYOUT commit, loser an append:
+    // compact wins v6, the stale append still lands at v7
+    DeltaWriter.compact(spark, path) // v6
+    val dup3 = "occ-dup3-" + src.getName
+    java.nio.file.Files.copy(src.toPath, new File(path, dup3).toPath)
+    assert(DeltaWriter.publishOptimistic(table, 6L,
+      Seq(addLine(dup3, dataChange = true))) == 7L)
+
+    // a loser that itself carries metaData (v0 creation race, schema
+    // evolution) is never retried
+    val p2 = tmpTable("occ_create_race")
+    DeltaWriter.append(nation, p2) // v0 wins
+    val eCreate = intercept[IllegalStateException] {
+      val metaLine = """{"metaData":{"id":"x","format":{"provider":""" +
+        """"parquet","options":{}},"schemaString":"{}",""" +
+        """"partitionColumns":[],"configuration":{},"createdTime":0}}"""
+      DeltaWriter.publishOptimistic(new File(p2), 0L, Seq(metaLine))
+    }
+    assert(eCreate.getMessage.contains("concurrent commit lost"))
+  }
+
+  test("optimistic concurrency: racing appends through the public verb all land") {
+    val path = tmpTable("occ_race")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.limit(0), path) // v0: schema only
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try DeltaWriter.append(
+          nation.filter(col("n_nationkey") % 8 === i), path)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    assert(DeltaReader.snapshot(spark, path).version == 8L)
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.collect().toSet)
+  }
+
   test("CHECK constraints: declared in metaData, enforced on every write verb") {
     val path = tmpTable("nation_check")
     val nation = Tables.t(spark, d, "nation")
