@@ -205,8 +205,26 @@ object Dml {
       case Optimize(_, Seq(one)) =>
         DeltaWriter.compact(spark, t.location, sortBy = Seq(one))
       case Optimize(_, cs) =>
-        // 2 or 3 columns → the Morton verbs; more refused by the verb
-        DeltaWriter.optimizeZOrder(spark, t.location, cs)
+        // 2 or 3 columns → the Morton verbs; more refused by the verb.
+        // Steady-state routing: when the table carries
+        // `graft.autoOptimize.zOrderCols` naming exactly THESE columns
+        // AND already holds optimize-tagged files (an earlier full pass
+        // ran), dispatch the INCREMENTAL verb — admit/skip from written
+        // stats only, no commit when nothing is loose — so a scheduled
+        // `OPTIMIZE … ZORDER BY` in a script costs nothing at steady
+        // state. The first OPTIMIZE after tagging (no tagged files yet)
+        // and every other spelling run the full rewrite, which is what
+        // seeds the tags the incremental loop converges on.
+        val snap = DeltaReader.snapshot(spark, t.location)
+        val propCols = snap.configuration
+          .get("graft.autoOptimize.zOrderCols")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        val seeded = snap.files.exists(
+          _.tags.get("optimized").contains("zorder"))
+        if (cs.length == 2 && propCols.contains(cs) && seeded)
+          DeltaWriter.optimizeZOrderIncremental(spark, t.location,
+            cs.head, cs(1))
+        else DeltaWriter.optimizeZOrder(spark, t.location, cs)
       case Vacuum(_, hours) =>
         // returns the deleted-file count, not a version — vacuum
         // publishes no commit

@@ -147,6 +147,52 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("3"))
   }
 
+  test("execute: OPTIMIZE ZORDER routes to the incremental verb once the table is tagged") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_optroute")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val li = Tables.t(spark, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 === 0), path)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dml_route STORED AS DELTA LOCATION '$path'")
+    ctx.sql("ALTER TABLE dml_route SET TBLPROPERTIES " +
+      "('graft.autoOptimize.zOrderCols'='l_partkey,l_suppkey')")
+
+    // first OPTIMIZE: property set but no tagged files yet → FULL verb
+    // (it seeds the optimized=zorder tags the incremental loop needs)
+    ctx.sql("OPTIMIZE dml_route ZORDER BY (l_partkey, l_suppkey)")
+    val afterFull = DeltaReader.snapshot(spark, path)
+    assert(afterFull.files.forall(
+      _.tags.get("optimized").contains("zorder")))
+    val tight = afterFull.files.map(_.path).toSet
+
+    // steady state: nothing loose → the routed incremental verb
+    // publishes NO commit (a full verb would rewrite everything)
+    ctx.sql("OPTIMIZE dml_route ZORDER BY (l_partkey, l_suppkey)")
+    assert(DeltaReader.snapshot(spark, path).version == afterFull.version)
+
+    // a fresh append makes exactly one loose tail; the routed pass
+    // rewrites ONLY it — every tight file survives physically
+    DeltaWriter.append(
+      li.filter(col("l_orderkey") % 2 =!= 0).coalesce(1), path)
+    ctx.sql("OPTIMIZE dml_route ZORDER BY (l_partkey, l_suppkey)")
+    val after = DeltaReader.snapshot(spark, path)
+    assert(tight.subsetOf(after.files.map(_.path).toSet))
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_route")
+      .head().getLong(0) == li.count())
+
+    // different columns than the property → the full verb runs
+    ctx.sql("OPTIMIZE dml_route ZORDER BY (l_orderkey, l_partkey)")
+    assert(DeltaReader.snapshot(spark, path).files.map(_.path).toSet
+      .intersect(tight).isEmpty)
+  }
+
   test("execute: CHECK constraints ride the ALTER TABLE statements and gate SQL writes") {
     Dml.parse("ALTER TABLE t ADD CONSTRAINT c CHECK (x > 0)") match {
       case Dml.AddConstraint("t", "c", "x > 0") => ()

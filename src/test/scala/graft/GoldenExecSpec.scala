@@ -192,6 +192,36 @@ class GoldenExecSpec extends AnyFunSuite {
       .snapshot(spark, dir.getAbsolutePath).files.length == 1)
   }
 
+  test("golden11.sql: property-routed OPTIMIZE with a steady-state no-op commit through execute") {
+    val url = getClass.getResource("/queries/golden11.sql")
+    assert(url != null, "golden11.sql resource missing")
+    val spark = SparkTestSession.spark
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden11_tbl")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val li = Tables.t(spark, SparkTestSession.sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    graft.sources.DeltaWriter.append(li, dir.getAbsolutePath)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_ROUTED}", dir.getAbsolutePath))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 6) // DDL + SET + ZORDER + SELECT + ZORDER + HISTORY
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(3).contains(s"| ${li.count()}"))
+    // history shows exactly 3 commits — append, SET, full zorder; the
+    // SECOND OPTIMIZE routed to the incremental verb and, with nothing
+    // loose, published NOTHING (a full verb would have added a version)
+    assert(outputs(5).linesIterator.count(_.contains("WRITE")) == 3)
+    assert(graft.sources.DeltaReader
+      .snapshot(spark, dir.getAbsolutePath).version == 2L)
+  }
+
   test("golden10.sql: constraint + delete + history + restore through execute") {
     val url = getClass.getResource("/queries/golden10.sql")
     assert(url != null, "golden10.sql resource missing")
