@@ -726,6 +726,33 @@ object Sources {
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- COLUMN-MAPPED WRITER round trip: the fixture table was
+    // CREATED in delta.columnMapping.mode=name by graft's own writer
+    // (physical col-<uuid> names in the files, hive dirs, and
+    // partitionValues), appended to, and then had o_custkey RENAMED to
+    // customer_key — a metadata-only commit no unmapped layout could
+    // express. The grouped aggregate over the renamed logical column,
+    // read back through the DDL shim, must equal the oracle over the
+    // original corpus: a wrong physical resolution reads nulls, a
+    // missed partition-key mapping drops rows, a botched rename loses
+    // the column entirely.
+    Q("q187_delta_mapped_write",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersMapped(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE orders_mapped STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT o_orderpriority, count(*) AS n,
+            CAST(sum(customer_key) AS BIGINT) AS csum
+          FROM orders_mapped
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_custkey) AS BIGINT) AS csum
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- IVM WITH RETRACTIONS: the fixture refreshed the
     // materialization, then deleted (CoW %10=3), DV-deleted (%10=4),
     // updated (%10=5 doubled), and compacted the base, then refreshed

@@ -59,20 +59,63 @@ object DeltaWriter {
     * version. `txn` stamps the commit with the delta spec's transaction
     * identifier action `{"txn":{"appId":…,"version":…}}` — the
     * exactly-once ledger an idempotent producer ([[appendOnce]], the
-    * streaming sink) checks before re-committing. */
+    * streaming sink) checks before re-committing.
+    *
+    * `columnMapping = "name"` (table creation only) creates the table
+    * in `delta.columnMapping.mode = name`: every column gets a minted
+    * stable physical name (`col-<uuid>`) + field id in the schema
+    * metadata, the parquet files and partitionValues carry the
+    * PHYSICAL names, and queries keep the logical ones — the layout
+    * that makes later column renames a metadata edit instead of a
+    * table rewrite (the reference's reader semantics,
+    * deltatable.rs:136-189). Appends to an existing mapped table
+    * rename the incoming logical frame to physical at staging time
+    * automatically; `id`-mapped tables are read-only here (writing
+    * them needs parquet field-id stamping on every file). */
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      columnMapping: String = "none"): Long = {
+    require(columnMapping == "none" || columnMapping == "name",
+      s"columnMapping must be 'none' or 'name', got '$columnMapping'")
     val table = new File(tablePath)
     val version = nextVersion(table)
+    require(version == 0L || columnMapping == "none",
+      "columnMapping is fixed at table creation (version 0)")
     validateAgainstTable(df, tablePath, partitionBy, version)
-    val adds = stageDataFiles(df, table, version, partitionBy)
+    val phys: Map[String, String] =
+      if (version == 0L)
+        if (columnMapping == "name")
+          df.schema.fieldNames.map(n =>
+            n -> s"col-${java.util.UUID.randomUUID()}").toMap
+        else Map.empty
+      else {
+        val snap = DeltaReader.snapshot(df.sparkSession, tablePath)
+        require(snap.fieldIds.isEmpty,
+          "id-mapped tables are read-only for this writer (their files " +
+            "match by parquet field id, which staging does not stamp)")
+        snap.physicalNames
+      }
+    val (staged, stagedBy) = toPhysical(df, phys, partitionBy)
+    val adds = stageDataFiles(staged, table, version, stagedBy)
     val txnLine = txn.map { case (appId, v) =>
       s"""{"txn":{"appId":${jstr(appId)},"version":$v}}"""
     }.toSeq
     publishOptimistic(table, version,
-      header(df, partitionBy, version) ++ txnLine ++ adds)
+      header(df, partitionBy, version, columnMapping, phys) ++
+        txnLine ++ adds)
   }
+
+  /** Rename a logical-named frame (and its partition columns) to the
+    * table's physical column names for staging — identity for unmapped
+    * tables. The logical→physical projection is pure aliasing: zero
+    * cost in the written plan. */
+  private def toPhysical(df: DataFrame, phys: Map[String, String],
+      partitionBy: Seq[String]): (DataFrame, Seq[String]) =
+    if (phys.isEmpty) (df, partitionBy)
+    else (df.select(df.schema.fieldNames.toIndexedSeq.map(n =>
+      col(n).as(phys.getOrElse(n, n))): _*),
+      partitionBy.map(n => phys.getOrElse(n, n)))
 
   /** Idempotent append: commit `df` stamped with `(appId, txnVersion)`
     * UNLESS the table has already recorded a txn for `appId` at or past
@@ -118,10 +161,93 @@ object DeltaWriter {
     require(added.forall(_.nullable),
       s"new columns must be nullable (old files null-fill): " +
         added.filterNot(_.nullable).map(_.name).mkString(", "))
-    // patch schemaString inside the last metaData line, verbatim
-    // otherwise (id/partitionColumns/configuration preserved)
-    patchMetaData(spark, tablePath)(meta =>
-      meta.put("schemaString", newSchema.json))
+    if (snap.physicalNames.isEmpty)
+      // patch schemaString inside the last metaData line, verbatim
+      // otherwise (id/partitionColumns/configuration preserved)
+      patchMetaData(spark, tablePath)(meta =>
+        meta.put("schemaString", newSchema.json))
+    else {
+      // name-mapped table: existing fields keep their schemaString
+      // metadata VERBATIM (their physical name/id are the layout
+      // contract for already-written files); each added field mints a
+      // fresh physical name and the next column id, and maxColumnId
+      // advances — so the mapped life cycle round-trips through
+      // evolution (append → evolve → append reads back whole).
+      require(snap.fieldIds.isEmpty,
+        "id-mapped tables are read-only for this writer")
+      val oldByName = old.fields.map(f => f.name -> f).toMap
+      val maxId = math.max(
+        snap.configuration.get("delta.columnMapping.maxColumnId")
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L),
+        old.fields.map(f =>
+          if (f.metadata.contains("delta.columnMapping.id"))
+            f.metadata.getLong("delta.columnMapping.id")
+          else 0L).max)
+      var nextId = maxId
+      val mapped = StructType(newSchema.fields.map { f =>
+        oldByName.get(f.name) match {
+          case Some(existing) => existing
+          case None =>
+            nextId += 1
+            f.copy(metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("delta.columnMapping.physicalName",
+                s"col-${java.util.UUID.randomUUID()}")
+              .putLong("delta.columnMapping.id", nextId)
+              .build())
+        }
+      })
+      patchMetaData(spark, tablePath) { meta =>
+        meta.put("schemaString", mapped.json)
+        val cfg = meta.get("configuration") match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case _ => meta.putObject("configuration")
+        }
+        cfg.put("delta.columnMapping.maxColumnId", nextId.toString)
+        ()
+      }
+    }
+  }
+
+  /** Rename a column on a NAME-mapped table — the metadata-only edit
+    * column mapping exists to enable: the field keeps its physical
+    * name and id (every written file is untouched — on a 100 TB table
+    * this is one log line vs a full rewrite), only the logical name
+    * changes. Refused on unmapped tables (their files carry the
+    * logical names, so a rename there needs a rewrite) and while a
+    * CHECK constraint references the old name. Renaming a partition
+    * column updates `partitionColumns` in the same commit. */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, from: String, to: String): Long = {
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.nonEmpty,
+      "renameColumn needs a column-mapped table (mode=name) — unmapped " +
+        "files carry logical column names, so a rename needs a rewrite")
+    require(snap.fieldIds.isEmpty,
+      "id-mapped tables are read-only for this writer")
+    require(snap.schema.fieldNames.contains(from), s"no such column: $from")
+    require(!snap.schema.fieldNames.contains(to),
+      s"column already exists: $to")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"new column name must be an identifier: '$to'")
+    val refs = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") &&
+        v.matches(s".*\\b$from\\b.*") => k.stripPrefix("delta.constraints.")
+    }
+    require(refs.isEmpty,
+      s"CHECK constraint(s) reference $from: ${refs.mkString(", ")} — " +
+        "drop them first")
+    val renamed = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    patchMetaData(spark, tablePath) { meta =>
+      meta.put("schemaString", renamed.json)
+      if (snap.partitionColumns.contains(from)) {
+        val arr = meta.putArray("partitionColumns")
+        snap.partitionColumns.foreach(c =>
+          arr.add(if (c == from) to else c))
+      }
+      ()
+    }
   }
 
   /** Carry the table's newest metaData record forward (JSON commits
@@ -859,12 +985,19 @@ object DeltaWriter {
     val table = new File(tablePath)
     val version = nextVersion(table)
     validateAgainstTable(df, tablePath, partitionBy, version)
-    val removes =
-      if (version == 0L) Nil
-      else DeltaReader.snapshot(df.sparkSession, tablePath).files.map(a =>
-        s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
-          s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    val adds = stageDataFiles(df, table, version, partitionBy)
+    val (removes, phys) =
+      if (version == 0L) (Nil, Map.empty[String, String])
+      else {
+        val snap = DeltaReader.snapshot(df.sparkSession, tablePath)
+        require(snap.fieldIds.isEmpty,
+          "id-mapped tables are read-only for this writer")
+        (snap.files.map(a =>
+          s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
+            s"""${System.currentTimeMillis()},"dataChange":true}}"""),
+          snap.physicalNames)
+      }
+    val (staged, stagedBy) = toPhysical(df, phys, partitionBy)
+    val adds = stageDataFiles(staged, table, version, stagedBy)
     publishOptimistic(table, version,
       header(df, partitionBy, version) ++ removes ++ adds)
   }
@@ -1667,22 +1800,43 @@ object DeltaWriter {
 
   /** Version-0 protocol + metaData lines (empty for later versions). */
   private def header(df: DataFrame, partitionBy: Seq[String],
-      version: Long): Seq[String] =
+      version: Long, columnMapping: String = "none",
+      phys: Map[String, String] = Map.empty): Seq[String] =
     if (version != 0L) Nil
     else {
       val ntz = df.schema.exists(f => hasNtz(f.dataType))
+      val mapped = columnMapping == "name"
       val protocol =
-        if (ntz)
-          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-            """"readerFeatures":["timestampNtz"],""" +
-            """"writerFeatures":["timestampNtz"]}}"""
+        if (ntz) {
+          val feats = (if (mapped) Seq("columnMapping") else Nil) :+
+            "timestampNtz"
+          val fj = feats.map(jstr).mkString("[", ",", "]")
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":$fj,"writerFeatures":$fj}}"""
+        } else if (mapped)
+          // column mapping's classic protocol floor
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
         else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       val pc = partitionBy.map(jstr).mkString("[", ",", "]")
+      // under name mapping the schemaString's per-field metadata is the
+      // logical→physical contract every reader resolves through
+      val schemaJson =
+        if (!mapped) df.schema.json
+        else StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("delta.columnMapping.physicalName", phys(f.name))
+            .putLong("delta.columnMapping.id", (i + 1).toLong)
+            .build())
+        }).json
+      val cfg =
+        if (!mapped) "{}"
+        else s"""{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"${df.schema.size}"}"""
       val meta =
         s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
           s""""format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":${jstr(df.schema.json)},""" +
-          s""""partitionColumns":$pc,"configuration":{},"createdTime":0}}"""
+          s""""schemaString":${jstr(schemaJson)},""" +
+          s""""partitionColumns":$pc,"configuration":$cfg,"createdTime":0}}"""
       Seq(protocol, meta)
     }
 

@@ -713,6 +713,26 @@ object Fixtures {
       ()
     }
 
+  /** A COLUMN-MAPPED (mode=name) Delta table produced by graft's own
+    * writer (q187): created mapped, appended twice (parity split,
+    * hive-partitioned — dirs and partitionValues carry the minted
+    * physical names), then `o_custkey` RENAMED to `customer_key` — the
+    * metadata-only edit mapping exists for; every data file is
+    * untouched and the reader resolves the new logical name through
+    * the schemaString metadata. */
+  def deltaOrdersMapped(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_mapped") { dir =>
+      val orders = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0),
+        path, Seq("o_orderpriority"), columnMapping = "name")
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0),
+        path, Seq("o_orderpriority"))
+      DeltaWriter.renameColumn(s, path, "o_custkey", "customer_key")
+      ()
+    }
+
   /** IVM materialization maintained THROUGH RETRACTIONS (q186): refresh
     * after the initial append, then copy-on-write delete + deletion-
     * vector delete + copy-on-write update + compact on the base, then

@@ -815,6 +815,98 @@ class DeltaWriterSpec extends AnyFunSuite {
       base.unionByName(batch).collect().toSet)
   }
 
+  test("column-mapped write half: create → append → evolve → rename round-trips") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val path = tmpTable("mapped_rt")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path,
+      columnMapping = "name")
+    val snap0 = DeltaReader.snapshot(spark, path)
+    assert(snap0.physicalNames.keySet == Set("n_nationkey", "n_name"))
+    assert(snap0.physicalNames.values.forall(_.startsWith("col-")))
+    assert(snap0.configuration("delta.columnMapping.mode") == "name")
+    // the parquet files on disk carry ONLY physical names
+    val raw = spark.read.parquet(
+      new File(path, snap0.files.head.path).getAbsolutePath)
+    assert(raw.columns.forall(_.startsWith("col-")))
+    // …and queries read logical names
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.filter(col("n_nationkey") < 10).collect().toSet)
+
+    // append to the mapped table renames to physical automatically
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path)
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.collect().toSet)
+
+    // evolution mints a fresh physical name + next id for the new col
+    DeltaWriter.evolveSchema(spark, path, StructType(Seq(
+      StructField("n_nationkey",
+        nation.schema("n_nationkey").dataType, nullable = true),
+      StructField("n_name", StringType, nullable = true),
+      StructField("note", StringType, nullable = true))))
+    val snap1 = DeltaReader.snapshot(spark, path)
+    assert(snap1.physicalNames("note").startsWith("col-"))
+    assert(snap1.configuration("delta.columnMapping.maxColumnId") == "3")
+    // old columns keep their original physical names
+    assert(snap1.physicalNames("n_name") == snap0.physicalNames("n_name"))
+    // old files null-fill; a post-evolution append lands typed
+    DeltaWriter.append(
+      nation.filter(col("n_nationkey") === 0)
+        .withColumn("note", lit("tagged")), path)
+    val got = DeltaReader.load(spark, path)
+    assert(got.filter(col("note") === "tagged").count() == 1L)
+    assert(got.filter(col("note").isNull).count() == nation.count())
+
+    // rename: metadata-only — files untouched, logical name changes
+    val filesBefore = DeltaReader.snapshot(spark, path).files
+      .map(_.path).toSet
+    DeltaWriter.renameColumn(spark, path, "n_name", "nation_name")
+    val snap2 = DeltaReader.snapshot(spark, path)
+    assert(snap2.files.map(_.path).toSet == filesBefore)
+    assert(snap2.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "nation_name", "note"))
+    assert(snap2.physicalNames("nation_name") ==
+      snap0.physicalNames("n_name"))
+    assert(DeltaReader.load(spark, path)
+      .select(col("nation_name")).distinct().count() == nation.count())
+    // rename refusals: unmapped table, constraint reference
+    val eUnmapped = intercept[IllegalArgumentException] {
+      val p2 = tmpTable("unmapped_rename")
+      DeltaWriter.append(nation, p2)
+      DeltaWriter.renameColumn(spark, p2, "n_name", "x")
+    }
+    assert(eUnmapped.getMessage.contains("column-mapped"))
+
+    // row-level verbs still refuse mapped tables with a clear message
+    val eVerb = intercept[IllegalArgumentException](
+      DeltaWriter.delete(spark, path, col("n_nationkey") === 1))
+    assert(eVerb.getMessage.contains("column-mapped"))
+  }
+
+  test("column-mapped write half: partitioned mapped table stores physical dirs, prunes, round-trips") {
+    val path = tmpTable("mapped_part")
+    val orders = Tables.t(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0), path,
+      Seq("o_orderpriority"), columnMapping = "name")
+    DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0), path,
+      Seq("o_orderpriority"))
+    val snap = DeltaReader.snapshot(spark, path)
+    val physPart = snap.physicalNames("o_orderpriority")
+    // hive dirs and partitionValues keys are PHYSICAL
+    assert(new File(path).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith(s"$physPart=")))
+    assert(snap.files.forall(_.partitionValues.keySet == Set(physPart)))
+    // logical reads + partition pruning still work
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      orders.collect().toSet)
+    val urgent = DeltaReader.load(spark, path)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    assert(urgent.count() ==
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("optimistic concurrency: a lost append race re-commits at the next version; conflicts refuse") {
     val path = tmpTable("occ_matrix")
     val table = new File(path)
