@@ -761,6 +761,37 @@ object Sources {
     // hash-match the oracle's full recompute over the mutated corpus:
     // a missed retraction, a double-counted rewrite survivor, or a
     // maintenance-window leak breaks it.
+    // ---- COLUMN-MAPPED ROW-VERB surface: the fixture drove the q187
+    // layout through CoW DELETE (%7), merge-on-read DV delete (%11),
+    // CoW UPDATE (%5 doubled), compact, and a full OPTIMIZE ZORDER —
+    // every rewrite re-staged under the minted physical names. The
+    // aggregate over the renamed logical column must equal the oracle's
+    // recomposition from the original corpus: a rewrite staged under
+    // LOGICAL names would read back all-null, a missed physical
+    // partition key would drop whole hive dirs, and an unabsorbed DV
+    // would resurrect the %11 rows.
+    Q("q188_delta_mapped_verbs",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersMappedVerbs(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("customer_key")).cast("long").as("csum"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_custkey) AS BIGINT) AS csum,
+          CAST(sum(CASE WHEN o_orderkey % 5 = 0
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+            AS cents
+        FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     Q("q186_incremental_agg_retract",
       (s, d) => {
         val dir = Fixtures.deltaOrdersIvmRetract(s, d)

@@ -675,7 +675,8 @@ object DeltaReader {
     * re-scanning the table. Append-only CDC by declared contract: add
     * actions inside the window minus files also removed inside it
     * (update/delete feeds need deletion-vector diffing — that is
-    * [[loadChangeFeed]]; column-mapped tables are refused). Layout-only
+    * [[loadChangeFeed]]; name-mapped tables scan physical spellings and
+    * project back to logical, id-mapped are refused). Layout-only
     * commits (compact / z-order: every file action carries
     * dataChange=false) move rows between files without changing the row
     * multiset and are TRANSPARENT — their adds are not new data and
@@ -690,8 +691,12 @@ object DeltaReader {
   def loadChanges(spark: SparkSession, tablePath: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
     val snap = snapshotAt(spark, tablePath, toInclusive)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "loadChanges does not support column-mapped tables")
+    require(snap.fieldIds.isEmpty,
+      "loadChanges does not support id-mapped tables (their files " +
+        "resolve columns by parquet field id)")
+    // NAME-mapped tables: files + partitionValues carry physical
+    // spellings; the feed scans physical and projects back to logical
+    def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     val mapper = new ObjectMapper()
     val logDir = new File(tablePath, "_delta_log")
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])
@@ -748,8 +753,10 @@ object DeltaReader {
         }
     }
     val partCols = snap.partitionColumns
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => partCols.contains(f.name)))
+    val dataFields = snap.schema.fields.toIndexedSeq
+      .filterNot(f => partCols.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      StructField(phys(f.name), f.dataType, f.nullable)))
     if (added.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -757,9 +764,10 @@ object DeltaReader {
     val parts = byPv.toSeq.map { case (pv, files) =>
       val base = spark.read.schema(dataSchema)
         .parquet(files.map(f => s"$tablePath/${f._1}"): _*)
+        .select(dataFields.map(f => col(phys(f.name)).as(f.name)): _*)
       partCols.foldLeft(base) { (df, c) =>
         val dt = snap.schema(c).dataType
-        df.withColumn(c, pv.get(c).flatten match {
+        df.withColumn(c, pv.get(phys(c)).flatten match {
           case Some(v) => lit(v).cast(dt)
           case None => lit(null).cast(dt)
         })
@@ -805,8 +813,11 @@ object DeltaReader {
   def loadChangeFeed(spark: SparkSession, tablePath: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
     val snap = snapshotAt(spark, tablePath, toInclusive)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "loadChangeFeed does not support column-mapped tables")
+    require(snap.fieldIds.isEmpty,
+      "loadChangeFeed does not support id-mapped tables (their files " +
+        "resolve columns by parquet field id)")
+    // NAME-mapped tables: scan physical spellings, project to logical
+    def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     val jackson = new ObjectMapper()
     val logDir = new File(tablePath, "_delta_log")
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])
@@ -898,8 +909,16 @@ object DeltaReader {
     }
 
     val partCols = snap.partitionColumns
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => partCols.contains(f.name)))
+    val dataFields = snap.schema.fields.toIndexedSeq
+      .filterNot(f => partCols.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      StructField(phys(f.name), f.dataType, f.nullable)))
+    def toLogical(df: DataFrame): DataFrame = {
+      val extras = df.columns.filterNot(c =>
+        dataFields.exists(f => phys(f.name) == c)).toIndexedSeq
+      df.select(dataFields.map(f => col(phys(f.name)).as(f.name)) ++
+        extras.map(col): _*)
+    }
     val feedFields = snap.schema.fields.toIndexedSeq :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false)
@@ -911,7 +930,7 @@ object DeltaReader {
     def withPv(df: DataFrame, pv: Map[String, Option[String]]): DataFrame =
       partCols.foldLeft(df) { (d2, c) =>
         val dt = snap.schema(c).dataType
-        d2.withColumn(c, pv.get(c).flatten match {
+        d2.withColumn(c, pv.get(phys(c)).flatten match {
           case Some(x) => lit(x).cast(dt)
           case None => lit(null).cast(dt)
         })
@@ -932,9 +951,9 @@ object DeltaReader {
     val plainParts = plain.groupBy(e =>
         (e.version, e.change, e.file.partitionValues)).toSeq
       .map { case ((v, ch, pv), es) =>
-        val df = spark.read.schema(dataSchema).parquet(
+        val df = toLogical(spark.read.schema(dataSchema).parquet(
           es.map(e => new File(root, e.file.path).getAbsolutePath)
-            .toSeq: _*)
+            .toSeq: _*))
         withPv(df, pv)
           .withColumn("_change_type", lit(ch))
           .withColumn("_commit_version", lit(v))
@@ -948,7 +967,7 @@ object DeltaReader {
         base.join(dvRows(dv), Seq("__row"), "left_semi"))
       val notOk = e.mustNotIn.fold(inOk)(dv =>
         inOk.join(dvRows(dv), Seq("__row"), "left_anti"))
-      withPv(notOk.drop("__row"), e.file.partitionValues)
+      withPv(toLogical(notOk.drop("__row")), e.file.partitionValues)
         .withColumn("_change_type", lit(e.change))
         .withColumn("_commit_version", lit(e.version))
     }

@@ -54,6 +54,15 @@ import org.apache.spark.sql.types._
   */
 object DeltaWriter {
 
+  /** A lost version race where a winner carries a `txn` action for the
+    * same appId as this commit — the one conflict an idempotent
+    * producer must NOT blindly retry (the winner may be this very batch,
+    * redelivered; landing it again breaks exactly-once). Mirrors Delta's
+    * ConcurrentTransactionException. [[appendOnce]] catches it and
+    * re-checks the ledger. */
+  final class ConcurrentTransactionException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Append `df` to the Delta table at `tablePath`, creating it (with
     * protocol + metaData) when no log exists. Returns the committed
     * version. `txn` stamps the commit with the delta spec's transaction
@@ -82,6 +91,21 @@ object DeltaWriter {
     val version = nextVersion(table)
     require(version == 0L || columnMapping == "none",
       "columnMapping is fixed at table creation (version 0)")
+    // exactly-once, second gate: the ledger is re-read AFTER the commit
+    // version is pinned, so every same-appId commit BELOW `version` is
+    // visible here and every one AT-OR-ABOVE it is caught by
+    // publishOptimistic's winner scan — together the two checks leave
+    // no window for a concurrent same-appId producer to land the same
+    // batch twice (appendOnce converts this throw into a ledger
+    // re-check and a no-op).
+    txn.foreach { case (appId, tv) =>
+      if (version > 0L && DeltaReader
+          .lastTxnVersion(df.sparkSession, tablePath, appId)
+          .exists(_ >= tv))
+        throw new ConcurrentTransactionException(
+          s"txn ($appId, $tv) already recorded at $tablePath — " +
+            "redelivered batch; consult the ledger")
+    }
     validateAgainstTable(df, tablePath, partitionBy, version)
     val phys: Map[String, String] =
       if (version == 0L)
@@ -117,23 +141,61 @@ object DeltaWriter {
       col(n).as(phys.getOrElse(n, n))): _*),
       partitionBy.map(n => phys.getOrElse(n, n)))
 
+  /** Stage a LOGICAL-named frame against a possibly column-mapped
+    * table: rename to physical names (identity when unmapped) and hand
+    * off to [[stageDataFiles]] — the one seam every rewriting verb
+    * (merge / delete / update / scd2 / compact / z-order /
+    * replacePartitions) goes through, so column mapping threads the
+    * whole verb surface without each verb re-deriving the aliasing. */
+  private def stageLogical(df: DataFrame, snap: DeltaReader.Snapshot,
+      table: File, version: Long,
+      tags: Map[String, String] = Map.empty,
+      dataChange: Boolean = true): Seq[String] = {
+    val (staged, stagedBy) =
+      toPhysical(df, snap.physicalNames, snap.partitionColumns)
+    stageDataFiles(staged, table, version, stagedBy, tags, dataChange)
+  }
+
+  /** The one mapped layout the rewriting verbs still refuse: `id` mode
+    * (staging does not stamp parquet field ids — the same read-only
+    * posture as [[append]]). */
+  private def requireWritableMapping(snap: DeltaReader.Snapshot,
+      verb: String): Unit =
+    require(snap.fieldIds.isEmpty,
+      s"$verb: id-mapped tables are read-only for this writer (their " +
+        "files match by parquet field id, which staging does not stamp)")
+
   /** Idempotent append: commit `df` stamped with `(appId, txnVersion)`
     * UNLESS the table has already recorded a txn for `appId` at or past
     * `txnVersion` — then no-op and return None. This is what makes a
     * redelivered micro-batch (foreachBatch is at-least-once across a
     * crash between commit and checkpoint) converge to exactly-once:
     * the batchId is the txn version, and the table itself is the
-    * ledger. Single-writer-per-appId assumption (the check and the
-    * commit are not one atomic step across CONCURRENT same-appId
-    * writers — exactly the constraint streaming sinks already run
-    * under: one query instance per checkpoint location). */
+    * ledger. Safe under CONCURRENT same-appId writers too (zombie
+    * driver, duplicate sink instance): the ledger check and the commit
+    * are not one atomic step, but [[publishOptimistic]] refuses to
+    * retry past a winner that carries a txn for the same appId
+    * (mirroring Delta's ConcurrentTransactionException), and this verb
+    * then re-checks the ledger — if the winner already landed this
+    * batch, the duplicate converges to a no-op instead of a second
+    * commit. */
   def appendOnce(df: DataFrame, tablePath: String,
       partitionBy: Seq[String], appId: String,
       txnVersion: Long): Option[Long] =
     if (DeltaReader.lastTxnVersion(df.sparkSession, tablePath, appId)
         .exists(_ >= txnVersion)) None
-    else Some(append(df, tablePath, partitionBy,
+    else try Some(append(df, tablePath, partitionBy,
       txn = Some((appId, txnVersion))))
+    catch {
+      case e: DeltaWriter.ConcurrentTransactionException =>
+        // a same-appId winner beat us to a version — consult the
+        // ledger: redelivery of an already-landed batch no-ops, a
+        // genuinely NEWER batch from a racing producer must surface
+        // (two live instances is an operational fault, not redelivery)
+        if (DeltaReader.lastTxnVersion(df.sparkSession, tablePath, appId)
+            .exists(_ >= txnVersion)) None
+        else throw e
+    }
 
   /** EXPLICIT additive schema evolution — the metaData commit the
     * append path's unchanged-schema guard points to. The new schema
@@ -232,7 +294,8 @@ object DeltaWriter {
       s"new column name must be an identifier: '$to'")
     val refs = snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") &&
-        v.matches(s".*\\b$from\\b.*") => k.stripPrefix("delta.constraints.")
+        v.matches(s".*\\b${java.util.regex.Pattern.quote(from)}\\b.*") =>
+          k.stripPrefix("delta.constraints.")
     }
     require(refs.isEmpty,
       s"CHECK constraint(s) reference $from: ${refs.mkString(", ")} — " +
@@ -387,8 +450,7 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(spark, tablePath)
     require(snap.partitionColumns.nonEmpty,
       s"$tablePath is unpartitioned — replacePartitions needs partition columns")
-    require(snap.physicalNames.isEmpty,
-      "replacePartitions does not support column-mapped tables")
+    requireWritableMapping(snap, "replacePartitions")
     val bad = partitionValues.keySet -- snap.partitionColumns.toSet
     require(bad.isEmpty, s"not partition columns of $tablePath: $bad")
     require(partitionValues.nonEmpty, "no partitions admitted")
@@ -404,12 +466,15 @@ object DeltaWriter {
 
     val removes = snap.files.filter { a =>
       partitionValues.forall { case (k, vs) =>
-        a.partitionValues.get(k).flatten.exists(vs.contains)
+        // add-action partitionValues are keyed by PHYSICAL names under
+        // column mapping; the caller speaks logical
+        a.partitionValues.get(snap.physicalNames.getOrElse(k, k))
+          .flatten.exists(vs.contains)
       }
     }.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    val adds = stageDataFiles(df, table, version, snap.partitionColumns)
+    val adds = stageLogical(df, snap, table, version)
     publishOptimistic(table, version, removes ++ adds)
   }
 
@@ -433,9 +498,10 @@ object DeltaWriter {
     *     readers see pre- or post-merge, never a mix.
     *
     * Sources with duplicate key tuples are refused (the multiple-match
-    * ambiguity Delta's own MERGE rejects). Column-mapped tables are
-    * refused (their rewrite needs physical-name staging, out of scope —
-    * same posture as [[replacePartitions]]). DV'd touched files rewrite
+    * ambiguity Delta's own MERGE rejects). NAME-mapped tables work: the
+    * tagged scan already restores logical names and [[stageLogical]]
+    * renames the rewrite back to physical at staging (`id`-mapped stays
+    * read-only, [[append]]'s posture). DV'd touched files rewrite
     * correctly: the tagged scan already excludes DV-deleted rows, and
     * the file-level remove retires the vector with its file. */
   def merge(source: DataFrame, tablePath: String,
@@ -447,8 +513,7 @@ object DeltaWriter {
     require(keys.nonEmpty, "merge needs at least one key column")
     val missing = keys.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"merge keys absent from table schema: $missing")
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "merge does not support column-mapped tables")
+    requireWritableMapping(snap, "merge")
     val version = nextVersion(table)
     validateAgainstTable(source, tablePath, snap.partitionColumns, version)
     require(source.groupBy(keys.map(col): _*).count()
@@ -480,7 +545,7 @@ object DeltaWriter {
         .join(srcKeys, keys, "left_anti")
     val out = survivors.unionByName(
       source.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
-    val adds = stageDataFiles(out, table, version, snap.partitionColumns)
+    val adds = stageLogical(out, snap, table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -543,8 +608,7 @@ object DeltaWriter {
 
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "scd2Apply does not support column-mapped tables")
+    requireWritableMapping(snap, "scd2Apply")
     val attrs = snap.schema.fieldNames.toSeq
       .filterNot(keys.contains).filterNot(Seq("valid_from", "valid_to").contains)
     val missing = (keys ++ attrs).filterNot(changes.columns.contains)
@@ -625,7 +689,7 @@ object DeltaWriter {
       .join(changedKeys.unionByName(newKeys), keys, "left_semi")
     val out = Seq(survivors, closed, opened)
       .map(_.select(fields.map(col): _*)).reduce(_.unionByName(_))
-    val adds = stageDataFiles(out, table, version, snap.partitionColumns)
+    val adds = stageLogical(out, snap, table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -648,8 +712,7 @@ object DeltaWriter {
     import spark.implicits._
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "delete does not support column-mapped tables")
+    requireWritableMapping(snap, "delete")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -670,8 +733,7 @@ object DeltaWriter {
         Seq("__source_file"), "left_semi")
       .drop("__source_file", "__row_index")
       .filter(coalesce(!predicate, lit(true))) // NULL predicate keeps the row
-    val adds = stageDataFiles(survivors, table, version,
-      snap.partitionColumns)
+    val adds = stageLogical(survivors, snap, table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -751,8 +813,7 @@ object DeltaWriter {
             }
           }: _*)
         enforceConstraints(updated, p.snap, tablePath)
-        val newAdds = stageDataFiles(updated, p.table, p.version,
-          p.snap.partitionColumns)
+        val newAdds = stageLogical(updated, p.snap, p.table, p.version)
         publishOptimistic(p.table, p.version,
           p.protoLine ++ p.removes ++ p.dvAdds ++ newAdds)
     }
@@ -772,8 +833,7 @@ object DeltaWriter {
       inlineMax: Int): Option[DvMark] = {
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "merge-on-read verbs do not support column-mapped tables")
+    requireWritableMapping(snap, "merge-on-read verbs")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -935,8 +995,7 @@ object DeltaWriter {
     require(set.nonEmpty, "update needs at least one SET assignment")
     val unknown = set.keySet.filterNot(snap.schema.fieldNames.contains)
     require(unknown.isEmpty, s"SET targets absent from table schema: $unknown")
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "update does not support column-mapped tables")
+    requireWritableMapping(snap, "update")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -967,8 +1026,7 @@ object DeltaWriter {
     // an UPDATE can move rows OUT of a declared CHECK range — same gate
     // as the append-family verbs, over the rewritten (post-SET) rows
     enforceConstraints(rewritten, snap, tablePath)
-    val adds = stageDataFiles(rewritten, table, version,
-      snap.partitionColumns)
+    val adds = stageLogical(rewritten, snap, table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -1162,8 +1220,7 @@ object DeltaWriter {
       sortBy: Seq[String] = Nil): Long = {
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "compact does not support column-mapped tables")
+    requireWritableMapping(snap, "compact")
     val version = nextVersion(table)
     val current = DeltaReader.load(spark, tablePath)
     val clustered = {
@@ -1176,8 +1233,8 @@ object DeltaWriter {
     }
     // layout-only commit: the row multiset is unchanged, so every file
     // action carries dataChange=false and the CDC feeds skip the commit
-    val adds = stageDataFiles(clustered, table, version,
-      snap.partitionColumns, dataChange = false)
+    val adds = stageLogical(clustered, snap, table, version,
+      dataChange = false)
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
@@ -1230,8 +1287,7 @@ object DeltaWriter {
         s"(${cols.mkString(", ")})")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "z-order verbs do not support column-mapped tables")
+    requireWritableMapping(snap, "optimizeZOrder")
     val version = nextVersion(table)
     val current = DeltaReader.load(spark, tablePath)
     val aggs = cols.flatMap(c => Seq(
@@ -1256,8 +1312,8 @@ object DeltaWriter {
       .drop("__z")
     // layout-only commit (DVs absorbed = already-dead rows dropped):
     // dataChange=false throughout, so the CDC feeds skip it
-    val adds = stageDataFiles(clustered, table, version,
-      snap.partitionColumns, tags = ZOrderedTag, dataChange = false)
+    val adds = stageLogical(clustered, snap, table, version,
+      tags = ZOrderedTag, dataChange = false)
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
@@ -1304,8 +1360,10 @@ object DeltaWriter {
       s"spanPermille must be in (0, 1000]: $spanPermille")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    require(snap.physicalNames.isEmpty && snap.fieldIds.isEmpty,
-      "z-order verbs do not support column-mapped tables")
+    requireWritableMapping(snap, "optimizeZOrderIncremental")
+    // written stats and file columns are keyed by PHYSICAL names under
+    // column mapping; the caller speaks logical
+    def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     def bound(a: DeltaReader.AddFile, field: String,
         wantMax: Boolean): Option[Long] =
       a.stats.flatMap(DeltaStats.parse).flatMap { st =>
@@ -1316,10 +1374,10 @@ object DeltaWriter {
     val bounds: Seq[(DeltaReader.AddFile, Option[Bounds])] =
       snap.files.map { a =>
         a -> (for {
-          nx <- bound(a, xCol, wantMax = false)
-          xx <- bound(a, xCol, wantMax = true)
-          ny <- bound(a, yCol, wantMax = false)
-          xy <- bound(a, yCol, wantMax = true)
+          nx <- bound(a, phys(xCol), wantMax = false)
+          xx <- bound(a, phys(xCol), wantMax = true)
+          ny <- bound(a, phys(yCol), wantMax = false)
+          xy <- bound(a, phys(yCol), wantMax = true)
         } yield Bounds(nx, xx, ny, xy))
       }
     val knownAll = bounds.flatMap(_._2)
@@ -1356,8 +1414,13 @@ object DeltaWriter {
     def absOf(a: DeltaReader.AddFile): String =
       new File(root, DeltaReader.decodePath(a.path)).getAbsolutePath
     val partSet = snap.partitionColumns.toSet
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => partSet.contains(f.name)))
+    val dataFields = snap.schema.fields.toIndexedSeq
+      .filterNot(f => partSet.contains(f.name))
+    // scan schema carries the PHYSICAL spellings the files were written
+    // with; the projection below restores logical names (identity when
+    // unmapped)
+    val dataSchema = StructType(dataFields.map(f =>
+      StructField(phys(f.name), f.dataType, f.nullable)))
     // hive layout strips partition columns from the files — restore
     // them by reading the loose tail GROUPED BY partition tuple and
     // attaching each group's values as literals (one scan branch per
@@ -1367,14 +1430,17 @@ object DeltaWriter {
     // touches, so a basename-keyed map would last-win every colliding
     // file onto one dir's partition values — silent row corruption
     // (the identical collision the stageDataFiles stats keying fixed).
+    def toLogical(df: DataFrame): DataFrame =
+      df.select(dataFields.map(f => col(phys(f.name)).as(f.name)): _*)
     val looseDf =
       if (snap.partitionColumns.isEmpty)
-        spark.read.schema(dataSchema).parquet(loose.map(absOf): _*)
+        toLogical(spark.read.schema(dataSchema).parquet(loose.map(absOf): _*))
       else loose.groupBy(_.partitionValues).map { case (pv, grp) =>
-        val g = spark.read.schema(dataSchema).parquet(grp.map(absOf): _*)
+        val g = toLogical(
+          spark.read.schema(dataSchema).parquet(grp.map(absOf): _*))
         snap.partitionColumns.foldLeft(g) { (df, pc) =>
-          df.withColumn(pc,
-            lit(pv.get(pc).flatten.orNull).cast(snap.schema(pc).dataType))
+          df.withColumn(pc, lit(pv.get(phys(pc)).flatten.orNull)
+            .cast(snap.schema(pc).dataType))
         }
       }.reduce(_ unionByName _)
     // grid maxima: stats-union widened by the loose rows' own pre-agg
@@ -1392,8 +1458,8 @@ object DeltaWriter {
       .repartitionByRange(targetFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__z")
-    val adds = stageDataFiles(clustered, table, version,
-      snap.partitionColumns, tags = ZOrderedTag, dataChange = false)
+    val adds = stageLogical(clustered, snap, table, version,
+      tags = ZOrderedTag, dataChange = false)
     val removes = loose.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
@@ -1917,6 +1983,8 @@ object DeltaWriter {
     val myRemovedPaths = myRemoves
       .map(r => DeltaReader.decodePath(r.get("path").asText())).toSet
     val iAmRowVerb = myRemoves.exists(dc)
+    val myTxnAppIds = mine.flatMap(n => Option(n.get("txn")))
+      .map(_.get("appId").asText()).toSet
     var v = firstVersion
     var attempts = 0
     while (true) {
@@ -1939,6 +2007,23 @@ object DeltaWriter {
               s"concurrent conflict at $table: commit $w changed table " +
                 "metadata while this write was staged — re-validate and " +
                 "re-run against the new table state")
+            // exactly-once guard: a winner carrying a txn for one of MY
+            // appIds means another instance of the SAME idempotent
+            // producer committed concurrently (zombie driver, duplicate
+            // sink). Retrying would land the same (appId, batch) twice —
+            // the hole real Delta's ConcurrentTransactionException
+            // closes. Throw a typed conflict so appendOnce can re-check
+            // the ledger and converge to a no-op.
+            if (myTxnAppIds.nonEmpty) {
+              val clash = winner.flatMap(n => Option(n.get("txn")))
+                .map(_.get("appId").asText()).filter(myTxnAppIds)
+              if (clash.nonEmpty)
+                throw new DeltaWriter.ConcurrentTransactionException(
+                  s"concurrent transaction at $table: commit $w carries " +
+                    s"txn for appId ${clash.mkString(", ")} — another " +
+                    "instance of this producer committed concurrently; " +
+                    "re-check the transaction ledger instead of retrying")
+            }
             if (myRemovedPaths.nonEmpty) {
               val winnerPaths =
                 (removesOf(winner) ++ addsOf(winner))

@@ -733,6 +733,34 @@ object Fixtures {
       ()
     }
 
+  /** A COLUMN-MAPPED table driven through the FULL verb surface (q188):
+    * created mode=name hive-partitioned, `o_custkey` renamed, then
+    * copy-on-write DELETE (%7), merge-on-read DV delete (%11),
+    * copy-on-write UPDATE (%5, price doubled), compact, and a full
+    * OPTIMIZE ZORDER — every rewrite staged back under the minted
+    * physical names, every scan resolving them back to logical. A user
+    * who creates a mapped table keeps the whole row-verb surface. */
+  def deltaOrdersMappedVerbs(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_mapped_verbs") { dir =>
+      val orders = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0),
+        path, Seq("o_orderpriority"), columnMapping = "name")
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0),
+        path, Seq("o_orderpriority"))
+      DeltaWriter.renameColumn(s, path, "o_custkey", "customer_key")
+      DeltaWriter.delete(s, path, col("o_orderkey") % 7 === 0)
+      DeltaWriter.deleteWithVectors(s, path, col("o_orderkey") % 11 === 0)
+      DeltaWriter.update(s, path, col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      DeltaWriter.compact(s, path)
+      DeltaWriter.optimizeZOrder(s, path,
+        Seq("o_orderkey", "customer_key"), targetFiles = 4)
+      ()
+    }
+
   /** IVM materialization maintained THROUGH RETRACTIONS (q186): refresh
     * after the initial append, then copy-on-write delete + deletion-
     * vector delete + copy-on-write update + compact on the base, then

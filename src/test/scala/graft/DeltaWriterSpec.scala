@@ -1017,6 +1017,130 @@ class DeltaWriterSpec extends AnyFunSuite {
       nation.collect().toSet)
   }
 
+  test("column mapping: row verbs, merge and both CDC feeds on a name-mapped table") {
+    val path = tmpTable("mapped_verbs")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    DeltaWriter.append(nation, path, Seq("n_regionkey"),
+      columnMapping = "name") // v0
+    assert(DeltaReader.snapshot(spark, path).physicalNames.nonEmpty)
+
+    // append-only CDC resolves physical spellings back to logical
+    val feed0 = DeltaReader.loadChanges(spark, path, -1L, 0L)
+    assert(feed0.columns.toSet ==
+      Set("n_nationkey", "n_regionkey", "n_name"))
+    assert(feed0.select("n_nationkey", "n_regionkey", "n_name")
+      .collect().toSet == nation.collect().toSet)
+
+    // MoR DV delete + CoW update, each staged back under physical names
+    DeltaWriter.deleteWithVectors(spark, path,
+      col("n_nationkey") % 5 === 0) // v1
+    DeltaWriter.update(spark, path, col("n_nationkey") % 5 === 1,
+      Map("n_name" -> concat(col("n_name"), lit("!")))) // v2
+    val expect = nation.filter(col("n_nationkey") % 5 =!= 0)
+      .withColumn("n_name",
+        when(col("n_nationkey") % 5 === 1, concat(col("n_name"), lit("!")))
+          .otherwise(col("n_name")))
+    val cols = Seq("n_nationkey", "n_regionkey", "n_name")
+    assert(DeltaReader.load(spark, path).select(cols.map(col): _*)
+      .collect().toSet == expect.select(cols.map(col): _*).collect().toSet)
+
+    // full CDF over the mutation window folds v0 → current exactly
+    val cdf = DeltaReader.loadChangeFeed(spark, path, 0L, 2L)
+    val ins = cdf.filter(col("_change_type") === "insert")
+      .select(cols.map(col): _*)
+    val del = cdf.filter(col("_change_type") === "delete")
+      .select(cols.map(col): _*)
+    val folded = DeltaReader.loadAt(spark, path, 0L)
+      .select(cols.map(col): _*).exceptAll(del).unionAll(ins)
+    assert(folded.collect().toSet ==
+      expect.select(cols.map(col): _*).collect().toSet)
+
+    // merge (upsert) on the mapped table: one replace + one insert
+    val src = spark.createDataFrame(Seq(
+      (2L, 1L, "REPLACED"), (99L, 2L, "NEWLAND")))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+      .select(col("n_nationkey").cast(
+          nation.schema("n_nationkey").dataType),
+        col("n_regionkey").cast(nation.schema("n_regionkey").dataType),
+        col("n_name"))
+    DeltaWriter.merge(src, path, Seq("n_nationkey")) // v3
+    val after = DeltaReader.load(spark, path)
+    assert(after.filter(col("n_nationkey") === 2).select("n_name")
+      .head().getString(0) == "REPLACED")
+    assert(after.filter(col("n_nationkey") === 99).count() == 1L)
+
+    // id-mapped stays read-only for the verbs (hand-written id log —
+    // the refusal fires off the snapshot before any scan)
+    val idDir = new File(tmpTable("mapped_id_refuse"))
+    val idLog = new File(idDir, "_delta_log"); idLog.mkdirs()
+    val idFields =
+      """{"name":"k","type":"integer","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-x1"}}"""
+    val idSchema =
+      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${idFields.replace("\"", "\\\"")}]}"""
+    java.nio.file.Files.writeString(
+      new File(idLog, "0" * 20 + ".json").toPath,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+{"metaData":{"id":"idro","format":{"provider":"parquet","options":{}},"schemaString":"$idSchema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"1"},"createdTime":0}}""")
+    assert(intercept[IllegalArgumentException](
+      DeltaWriter.delete(spark, idDir.getAbsolutePath, col("k") === 1)
+    ).getMessage.contains("id-mapped"))
+  }
+
+  test("exactly-once: a lost race against a same-appId winner refuses the retry") {
+    val path = tmpTable("occ_txn_refuse")
+    val table = new File(path)
+    val nation = Tables.t(spark, d, "nation")
+    // v0: schema; v1: the winner — an appendOnce that committed batch 1
+    DeltaWriter.append(nation.limit(0), path)
+    assert(DeltaWriter.appendOnce(nation.filter(col("n_nationkey") < 5),
+      path, Nil, "prod", 1L).contains(1L))
+    // a stale commit carrying the SAME appId's txn must NOT be retried
+    // past the winner (it may be this very batch, redelivered) — even
+    // though as a pure append it would otherwise be compatible
+    val e = intercept[DeltaWriter.ConcurrentTransactionException](
+      DeltaWriter.publishOptimistic(table, 1L, Seq(
+        """{"txn":{"appId":"prod","version":1}}""")))
+    assert(e.getMessage.contains("prod"))
+    // a DIFFERENT appId's txn retries fine (independent producer)
+    assert(DeltaWriter.publishOptimistic(table, 1L, Seq(
+      """{"txn":{"appId":"other","version":7}}""")) == 2L)
+    assert(DeltaReader.lastTxnVersion(spark, path, "other").contains(7L))
+  }
+
+  test("exactly-once: concurrent same-appId appendOnce lands exactly one commit") {
+    val nation = Tables.t(spark, d, "nation")
+    val batch = nation.filter(col("n_nationkey") < 5)
+    val batchCount = batch.count()
+    (0 until 4).foreach { rep =>
+      val path = tmpTable(s"occ_txn_race_$rep")
+      DeltaWriter.append(nation.limit(0), path) // v0: schema only
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[Option[Long]]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 2).map { _ =>
+        new Thread(() =>
+          try results.add(DeltaWriter.appendOnce(batch, path, Nil,
+            "ingest", 1L))
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent appendOnce failed: ${errs.peek()}")
+      import scala.jdk.CollectionConverters._
+      // whichever thread wins the race, EXACTLY one commit carries the
+      // batch; the duplicate converges to None via the ledger
+      assert(results.asScala.count(_.isDefined) == 1,
+        s"rep $rep: expected exactly one committed batch, " +
+          s"got ${results.asScala.toList}")
+      assert(DeltaReader.load(spark, path).count() == batchCount)
+      assert(DeltaReader.lastTxnVersion(spark, path, "ingest")
+        .contains(1L))
+      // and a post-hoc redelivery (the sequential order) still no-ops
+      assert(DeltaWriter.appendOnce(batch, path, Nil, "ingest", 1L)
+        .isEmpty)
+    }
+  }
+
   test("CHECK constraints: declared in metaData, enforced on every write verb") {
     val path = tmpTable("nation_check")
     val nation = Tables.t(spark, d, "nation")
