@@ -28,10 +28,17 @@ import graft.sources.{DeltaReader, DeltaWriter}
   * materialization with the window's signed partial aggregate, and
   * groups whose count retracts to zero are dropped (a full recompute
   * would not contain them). Sums stay exact integers (cents
-  * discipline). MIN/MAX are NOT retractable from (n, total) state by
-  * nature — they'd need per-group value sketches or the base scan;
-  * AVG derives from (n, total); non-mergeable aggregates (exact
-  * distinct) need the base scan by nature.
+  * discipline). AVG derives from (n, total); non-mergeable aggregates
+  * (exact distinct) need the base scan by nature.
+  *
+  * MIN/MAX are NOT retractable from scalar state by nature — a delete
+  * of the stored extremum leaves the next-best value unknown.
+  * [[refreshMinMax]] draws the exact boundary: inserts merge for free
+  * (min/max are insert-mergeable), and ONLY the groups whose deleted
+  * values touch the stored extrema take a TARGETED base re-scan (a
+  * key semi-join — every untouched group keeps its state, so the cost
+  * is proportional to the retraction's blast radius, never the
+  * materialization).
   */
 object IncrementalAgg {
 
@@ -81,6 +88,77 @@ object IncrementalAgg {
     DeltaWriter.overwrite(
       merged.filter(col("n") =!= 0L) // fully-retracted groups vanish
         .withColumn("__upto", lit(baseVersion)), mvPath)
+    baseVersion
+  }
+
+  /** MIN/MAX materialization `(key, n, mn, mx, __upto)` maintained
+    * through retractions. Insert events merge into the state for free
+    * (`least`/`greatest`); a group is re-scanned from the base ONLY
+    * when a deleted value reaches its candidate extremum (delete
+    * strictly inside `(mn, mx)` cannot move either end) — the
+    * targeted-rescan spelling of the boundary [[refresh]]'s scaladoc
+    * draws. The rescan is one key-semi-joined aggregate over the base
+    * snapshot: with few touched groups the join side is broadcast-tiny
+    * and stats/partition pruning limit the scan; worst case (every
+    * group's extremum deleted) degrades to the full recompute this
+    * verb exists to avoid — the right tool for extremum-heavy churn is
+    * a per-group value sketch, documented out of scope. Same atomic
+    * publish + self-describing `__upto` contract as [[refresh]]. */
+  def refreshMinMax(spark: SparkSession, basePath: String, mvPath: String,
+      keyCol: String, valueExpr: String): Long = {
+    val baseVersion = DeltaReader.snapshot(spark, basePath).version
+    val prior: Option[DataFrame] =
+      try Some(DeltaReader.load(spark, mvPath)) catch { case _: Exception => None }
+    val lastUpto = prior.map(_.select(max(col("__upto")))
+      .head().getLong(0)).getOrElse(-1L)
+    if (lastUpto >= baseVersion) return lastUpto
+
+    def fullAgg(df: DataFrame): DataFrame =
+      df.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n"),
+          min(expr(valueExpr)).as("mn"), max(expr(valueExpr)).as("mx"))
+
+    val merged = prior match {
+      case None => fullAgg(DeltaReader.loadAt(spark, basePath, baseVersion))
+      case Some(mv) =>
+        val feed = DeltaReader.loadChangeFeed(
+          spark, basePath, lastUpto, baseVersion)
+        val ins = feed.filter(col("_change_type") === "insert")
+          .groupBy(col(keyCol).as("key"))
+          .agg(count(lit(1)).as("n_i"),
+            min(expr(valueExpr)).as("mn_i"), max(expr(valueExpr)).as("mx_i"))
+        val del = feed.filter(col("_change_type") === "delete")
+          .groupBy(col(keyCol).as("key"))
+          .agg(count(lit(1)).as("n_d"),
+            min(expr(valueExpr)).as("mn_d"), max(expr(valueExpr)).as("mx_d"))
+        val joined = mv.select(col("key"), col("n"), col("mn"), col("mx"))
+          .join(ins, Seq("key"), "full_outer")
+          .join(del, Seq("key"), "full_outer")
+          .select(col("key"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
+              coalesce(col("n_d"), lit(0L))).as("n2"),
+            // least/greatest skip NULLs: a brand-new group takes the
+            // insert bounds, an untouched group keeps its state
+            least(col("mn"), col("mn_i")).as("cand_mn"),
+            greatest(col("mx"), col("mx_i")).as("cand_mx"),
+            col("n_d"), col("mn_d"), col("mx_d"))
+          .filter(col("n2") > 0L) // fully-retracted groups vanish
+        // a delete at (or past — duplicates) a candidate extremum makes
+        // the true extremum underivable from state → targeted rescan
+        val touches = col("n_d").isNotNull &&
+          (col("mn_d") <= col("cand_mn") || col("mx_d") >= col("cand_mx"))
+        val kept = joined.filter(!touches)
+          .select(col("key"), col("n2").as("n"),
+            col("cand_mn").as("mn"), col("cand_mx").as("mx"))
+        val rescanKeys = joined.filter(touches).select(col("key"))
+        val rescanned = fullAgg(
+          DeltaReader.loadAt(spark, basePath, baseVersion)
+            .join(broadcast(rescanKeys),
+              col(keyCol) === rescanKeys("key"), "left_semi"))
+        kept.unionByName(rescanned)
+    }
+    DeltaWriter.overwrite(
+      merged.withColumn("__upto", lit(baseVersion)), mvPath)
     baseVersion
   }
 }

@@ -792,6 +792,34 @@ object Sources {
         WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- MIN/MAX IVM THROUGH RETRACTIONS: min/max are not
+    // retractable from scalar state, so the refresh merges insert
+    // bounds for free and re-scans ONLY the groups whose deleted
+    // values touched a stored extremum (the delete/update classes in
+    // the fixture are chosen to force both the free-merge and the
+    // rescan paths). The final mv must hash-match the oracle's full
+    // recompute: a missed extremum retraction leaves a stale min/max,
+    // an over-eager rescan is invisible here but the spec pins its
+    // targeting.
+    Q("q189_incremental_minmax_retract",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIvmMinMax(s, d)
+        DeltaReader.load(s, s"$dir/mv")
+          .selectExpr("key AS o_orderpriority", "n", "mn", "mx")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          min(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mn,
+          max(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mx
+        FROM orders
+        WHERE o_orderkey % 10 NOT IN (3, 4)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     Q("q186_incremental_agg_retract",
       (s, d) => {
         val dir = Fixtures.deltaOrdersIvmRetract(s, d)

@@ -172,7 +172,11 @@ object DeltaReader {
     val usableJson = jsonVersions.filter(_ <= maxVersion)
     require(maxVersion == Long.MaxValue || usableJson.nonEmpty ||
       checkpointVersions.exists(_ <= maxVersion),
-      s"no log entries at or before version $maxVersion")
+      s"no log entries at or before version $maxVersion at $tablePath — " +
+        s"the earliest replayable version is ${(jsonVersions ++
+          checkpointVersions).minOption.getOrElse(0L)}; history below it " +
+        "was removed by log-retention cleanup (DeltaWriter.cleanupLogs / " +
+        "delta.logRetentionDuration) or never existed")
     val cpVersion = checkpointVersions.filter(_ <= maxVersion).lastOption
     val live = mutable.LinkedHashMap[String, AddFile]()
     var schema: Option[StructType] = None

@@ -1205,7 +1205,109 @@ object DeltaWriter {
       while (p != null && p != table &&
         Option(p.listFiles()).exists(_.isEmpty)) { p.delete(); p = p.getParentFile }
     }
+    // crash hygiene: a writer killed in the stage→publish window leaves
+    // a `.stage-<v>-<uuid>` dot-dir (killed mid-stage; never read by
+    // replay) and/or a `_delta_log/.tmp-…` commit draft (killed before
+    // the hard-link publish; never matched by replay) — swept once past
+    // the same retention horizon (a LIVE writer's in-flight stage dir
+    // inside the window is left alone)
+    Option(table.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage-") &&
+        f.lastModified() <= horizon)
+      .foreach(delete)
+    Option(new File(table, "_delta_log").listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith(".tmp-") &&
+        f.lastModified() <= horizon)
+      .foreach(_.delete())
     dead.map(_._2)
+  }
+
+  /** Retention-driven LOG cleanup — the delta protocol's
+    * `delta.logRetentionDuration` made operational. JSON commits that
+    * are (a) at or below the NEWEST complete checkpoint (replay below
+    * it never needs them) and (b) older than the retention window are
+    * deleted, as a CONTIGUOUS PREFIX of the log — commit stamps are
+    * running-max monotone ([[DeltaReader.commitHistory]]), and
+    * prefix-ness guarantees a later replay can never start from a
+    * mid-history JSON commit with no checkpoint beneath it. No
+    * checkpoint → nothing is removable (returns Nil). Checkpoint files
+    * themselves stay: versions AT an older checkpoint remain
+    * time-travelable; versions below the horizon with no checkpoint
+    * are refused by the reader NAMING the cleanup
+    * ([[DeltaReader.snapshotAt]]'s earliest-replayable message), and
+    * [[DeltaReader.loadChangeFeed]] refuses change windows that reach
+    * into cleaned history. At 100 TB this is what keeps a years-old
+    * high-churn table's `_delta_log` listing O(retention window), not
+    * O(table age) — driver cost is one directory listing plus the
+    * commitHistory stamps. `retainMs` defaults to the table's
+    * `delta.logRetentionDuration` property (`interval N
+    * minutes|hours|days|weeks`, delta-spark's spelling, or plain
+    * millis), then 30 days. Returns the deleted commit file names. */
+  def cleanupLogs(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, retainMs: Option[Long] = None): Seq[String] = {
+    val table = new File(tablePath)
+    val logDir = new File(table, "_delta_log")
+    require(logDir.isDirectory,
+      s"not a delta table (no _delta_log): $tablePath")
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    val window = retainMs
+      .orElse(snap.configuration.get("delta.logRetentionDuration")
+        .map(parseRetention))
+      .getOrElse(30L * 24 * 3600 * 1000)
+    require(window >= 0L, s"negative retention window: $window ms")
+    val horizon = System.currentTimeMillis() - window
+    val entries = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .map(_.getName)
+    // newest COMPLETE checkpoint in any layout (classic single-file,
+    // multi-part with the full 1..of part set, V2 uuid) — the same
+    // completeness rules the reader's replay applies
+    val single = entries.collect {
+      case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+        n.take(20).toLong
+    }
+    val MultiCp = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val multi = entries.flatMap {
+      case MultiCp(v, part, of) =>
+        scala.util.Try((v.toLong, part.toInt, of.toInt)).toOption
+      case _ => None
+    }.groupBy(t => (t._1, t._3)).collect {
+      case ((v, of), xs) if xs.map(_._2).toSet == (1 to of).toSet => v
+    }
+    val UuidCp = ("(\\d{20})\\.checkpoint\\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}" +
+      "-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\\.(parquet|json)").r
+    val uuid = entries.collect { case UuidCp(v, _, _) => v.toLong }
+    (single ++ multi ++ uuid).maxOption match {
+      case None => Nil // nothing is safely removable without a checkpoint
+      case Some(newestCp) =>
+        val expired = DeltaReader.commitHistory(tablePath)
+          .takeWhile { case (v, ts, _) => v <= newestCp && ts <= horizon }
+        expired.map { case (v, _, _) =>
+          val f = new File(logDir, f"$v%020d.json")
+          f.delete()
+          f.getName
+        }
+    }
+  }
+
+  /** `delta.logRetentionDuration` spellings: `interval N
+    * minutes|hours|days|weeks` (delta-spark's form) or plain millis. */
+  private[sources] def parseRetention(s: String): Long = {
+    val IntervalP =
+      """(?i)\s*interval\s+(\d+)\s+(minute|hour|day|week)s?\s*""".r
+    s match {
+      case IntervalP(n, unit) =>
+        val ms = unit.toLowerCase match {
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+          case "week" => 7L * 86400000L
+        }
+        n.toLong * ms
+      case _ => scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot parse delta.logRetentionDuration: '$s'"))
+    }
   }
 
   /** OPTIMIZE-style compaction: rewrite the CURRENT rows so each hive
@@ -1354,10 +1456,24 @@ object DeltaWriter {
     * clusters independently. */
   def optimizeZOrderIncremental(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, xCol: String, yCol: String,
-      targetFiles: Int = 8, spanPermille: Int = 500): Long = {
+      targetFiles: Int = 8, spanPermille: Int = 500): Long =
+    optimizeZOrderIncremental(spark, tablePath, Seq(xCol, yCol),
+      targetFiles, spanPermille)
+
+  /** Column-list spelling — 2 dims (every-other-bit Morton) or 3 dims
+    * (every-third-bit, [[graft.functions.ZOrder.morton3]]), matching
+    * the full verb's dimensionality so a 3-column-tagged table gets a
+    * steady-state incremental loop too. Loose = untagged ∧
+    * (stats-missing ∨ wide in EVERY dim). */
+  def optimizeZOrderIncremental(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, cols: Seq[String], targetFiles: Int,
+      spanPermille: Int): Long = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     require(spanPermille > 0 && spanPermille <= 1000,
       s"spanPermille must be in (0, 1000]: $spanPermille")
+    require(cols.size == 2 || cols.size == 3,
+      s"incremental z-order takes 2 or 3 columns (Morton interleave), " +
+        s"got (${cols.mkString(", ")})")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
     requireWritableMapping(snap, "optimizeZOrderIncremental")
@@ -1370,15 +1486,15 @@ object DeltaWriter {
         (if (wantMax) st.maxValues else st.minValues).get(field)
           .flatMap(n => scala.util.Try(n.asText().toLong).toOption)
       }
-    final case class Bounds(nx: Long, xx: Long, ny: Long, xy: Long)
-    val bounds: Seq[(DeltaReader.AddFile, Option[Bounds])] =
+    // per file: per-dim (min, max), present only when EVERY dim has
+    // usable stats
+    val bounds: Seq[(DeltaReader.AddFile, Option[Seq[(Long, Long)]])] =
       snap.files.map { a =>
-        a -> (for {
-          nx <- bound(a, phys(xCol), wantMax = false)
-          xx <- bound(a, phys(xCol), wantMax = true)
-          ny <- bound(a, phys(yCol), wantMax = false)
-          xy <- bound(a, phys(yCol), wantMax = true)
-        } yield Bounds(nx, xx, ny, xy))
+        val bs = cols.map(c => for {
+          lo <- bound(a, phys(c), wantMax = false)
+          hi <- bound(a, phys(c), wantMax = true)
+        } yield (lo, hi))
+        a -> (if (bs.forall(_.isDefined)) Some(bs.map(_.get)) else None)
       }
     val knownAll = bounds.flatMap(_._2)
     require(knownAll.nonEmpty,
@@ -1394,14 +1510,14 @@ object DeltaWriter {
         val known = grp.flatMap(_._2)
         if (known.isEmpty) grp.map(_._1).filterNot(optimized)
         else {
-          val rX = math.max(1L, known.map(_.xx).max - known.map(_.nx).min)
-          val rY = math.max(1L, known.map(_.xy).max - known.map(_.ny).min)
+          val ranges = cols.indices.map(i => math.max(1L,
+            known.map(_(i)._2).max - known.map(_(i)._1).min))
           grp.collect {
             case (a, None) if !optimized(a) => a
             case (a, Some(b))
-                if !optimized(a) &&
-                   (b.xx - b.nx) * 1000L > spanPermille.toLong * rX &&
-                   (b.xy - b.ny) * 1000L > spanPermille.toLong * rY => a
+                if !optimized(a) && cols.indices.forall(i =>
+                  (b(i)._2 - b(i)._1) * 1000L >
+                    spanPermille.toLong * ranges(i)) => a
           }
         }
       }.toSeq
@@ -1444,15 +1560,17 @@ object DeltaWriter {
         }
       }.reduce(_ unionByName _)
     // grid maxima: stats-union widened by the loose rows' own pre-agg
-    val m = looseDf.agg(
-      max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head()
-    require(!m.isNullAt(0) && !m.isNullAt(1),
-      s"z-order dims must not be all-NULL in the loose tail: $xCol, $yCol")
-    val mx = math.max(knownAll.map(_.xx).max, m.getLong(0))
-    val my = math.max(knownAll.map(_.xy).max, m.getLong(1))
-    val z = graft.functions.ZOrder.morton(
-      expr(s"CAST($xCol AS BIGINT) * 256 DIV ${mx + 1}"),
-      expr(s"CAST($yCol AS BIGINT) * 256 DIV ${my + 1}"))
+    val m = looseDf.agg(max(col(cols.head).cast("long")),
+      cols.tail.map(c => max(col(c).cast("long"))): _*).head()
+    cols.indices.foreach(i => require(!m.isNullAt(i),
+      s"z-order dims must not be all-NULL in the loose tail: ${cols(i)}"))
+    val grid = cols.indices.map { i =>
+      val mx = math.max(knownAll.map(_(i)._2).max, m.getLong(i))
+      expr(s"CAST(`${cols(i)}` AS BIGINT) * 256 DIV ${mx + 1}")
+    }
+    val z =
+      if (cols.size == 2) graft.functions.ZOrder.morton(grid(0), grid(1))
+      else graft.functions.ZOrder.morton3(grid(0), grid(1), grid(2))
     val keys = snap.partitionColumns.map(col) :+ col("__z")
     val clustered = looseDf.withColumn("__z", z)
       .repartitionByRange(targetFiles, keys: _*)
@@ -1566,13 +1684,14 @@ object DeltaWriter {
       f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
     Files.write(dest.toPath,
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    // "size" = number of actions the checkpoint holds: the carried
-    // protocol/metaData/txn lines plus the adds (which live in the
-    // sidecars — the sidecar POINTER lines are layout plumbing, not
-    // actions, so counting both pointers and adds would double-count)
+    // "size" = the action count OF THE MANIFEST FILE ITSELF (protocol +
+    // metaData + txn + sidecar pointer actions) — the convention a
+    // foreign reader can cross-check by counting the manifest's lines
+    // (ADVICE r15: engines validate size against the manifest; sidecar
+    // CONTENTS are sized by their own sizeInBytes fields, and this
+    // engine's reader discovers checkpoints by listing, never by size)
     Files.write(new File(logDir, "_last_checkpoint").toPath,
-      s"""{"version":$version,"size":${
-        lines.length - sidecarActions.length + addLines.length}}"""
+      s"""{"version":$version,"size":${lines.length}}"""
         .getBytes(StandardCharsets.UTF_8))
     version
   }

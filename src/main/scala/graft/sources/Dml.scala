@@ -50,6 +50,11 @@ object Dml {
     * (retainMs = 0), the library default. */
   final case class Vacuum(table: String, retainHours: Option[Long])
       extends Stmt
+  /** `VACUUM t LOGS [RETAIN n HOURS]` — retention-driven LOG cleanup
+    * ([[DeltaWriter.cleanupLogs]]); missing RETAIN defers to the
+    * table's `delta.logRetentionDuration` (then 30 days). */
+  final case class CleanupLogs(table: String, retainHours: Option[Long])
+      extends Stmt
   /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
     * `ALTER TABLE t DROP CONSTRAINT name`. */
   final case class AddConstraint(table: String, name: String,
@@ -65,29 +70,36 @@ object Dml {
       props: Seq[(String, String)]) extends Stmt
   final case class UnsetProps(table: String, keys: Seq[String]) extends Stmt
 
-  private val DeleteP = """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(.*?)\s*;?\s*""".r
-  private val UpdateP = """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
+  /** A table identifier: bare word, pg-style "quoted" (any chars), or a
+    * dot-qualified mix of both — captured whole, normalized by
+    * [[unquote]]. Quoting gets a DML statement the registry's
+    * actionable refusal instead of falling through to Spark's parser. */
+  private val Id = """((?:"[^"]+"|\w+)(?:\.(?:"[^"]+"|\w+))*)"""
+  private val DeleteP = raw"""(?is)\s*DELETE\s+FROM\s+$Id\s*(.*?)\s*;?\s*""".r
+  private val UpdateP = raw"""(?is)\s*UPDATE\s+$Id\s+SET\s+(.+?)\s*;?\s*""".r
   private val MergeP =
-    ("""(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+|\s+(?!USING)\w+)?\s+""" +
+    (raw"""(?is)\s*MERGE\s+INTO\s+$Id(?:\s+AS\s+\w+|\s+(?!USING)\w+)?\s+""" +
       """USING\s+\((.+)\)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   private val OptimizeP =
-    """(?is)\s*OPTIMIZE\s+(\w+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    raw"""(?is)\s*OPTIMIZE\s+$Id\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumLogsP =
+    raw"""(?is)\s*VACUUM\s+$Id\s+LOGS\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
   private val VacuumP =
-    """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
+    raw"""(?is)\s*VACUUM\s+$Id\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
   private val AddConstraintP =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintP =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val RestoreVersionP =
-    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampP =
-    """(?is)\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val SetPropsP =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropsP =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val PropPair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
   private val PropKey = """\s*'([^']+)'\s*""".r
 
@@ -96,33 +108,44 @@ object Dml {
   def parse(sql: String): Stmt = parseOpt(sql).getOrElse(
     throw new IllegalArgumentException(s"not a DML statement: $sql"))
 
+  /** `"My.Table"` → `My.Table`; `sch."tab le"` → `sch.tab le` — quotes
+    * stripped per dot-separated part, parts rejoined (the registry key
+    * the DDL shim stores). */
+  private def unquote(name: String): String =
+    """"[^"]+"|\w+""".r.findAllIn(name)
+      .map(p => if (p.startsWith("\"")) p.substring(1, p.length - 1) else p)
+      .mkString(".")
+
   private def parseOpt(sql: String): Option[Stmt] = sql match {
     case MergeP(table, source, _, on) =>
-      Some(Merge(table, source, onKeys(table, on)))
+      Some(Merge(unquote(table), source, onKeys(table, on)))
     case OptimizeP(table, cols) =>
-      Some(Optimize(table, Option(cols).toSeq
+      Some(Optimize(unquote(table), Option(cols).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))))
+    case VacuumLogsP(table, hours) =>
+      Some(CleanupLogs(unquote(table), Option(hours).map(_.toLong)))
     case VacuumP(table, hours) =>
-      Some(Vacuum(table, Option(hours).map(_.toLong)))
+      Some(Vacuum(unquote(table), Option(hours).map(_.toLong)))
     case AddConstraintP(table, name, check) =>
-      Some(AddConstraint(table, name, check.trim))
+      Some(AddConstraint(unquote(table), name, check.trim))
     case DropConstraintP(table, name) =>
-      Some(DropConstraint(table, name))
+      Some(DropConstraint(unquote(table), name))
     case RestoreVersionP(table, v) =>
-      Some(Restore(table, Some(v.toLong), None))
+      Some(Restore(unquote(table), Some(v.toLong), None))
     case RestoreTimestampP(table, ts) =>
-      Some(Restore(table, None, Some(ts)))
+      Some(Restore(unquote(table), None, Some(ts)))
     case SetPropsP(table, pairs) =>
       val raw = splitTopLevelCommas(pairs)
       val ps = raw.collect { case PropPair(k, v) => (k, v) }
       if (ps.isEmpty || ps.size != raw.size) None
-      else Some(SetProps(table, ps))
+      else Some(SetProps(unquote(table), ps))
     case UnsetPropsP(table, keys) =>
       val raw = splitTopLevelCommas(keys)
       val ks = raw.collect { case PropKey(k) => k }
       if (ks.isEmpty || ks.size != raw.size) None
-      else Some(UnsetProps(table, ks))
-    case DeleteP(table, tail) => whereTail(tail).map(Delete(table, _))
+      else Some(UnsetProps(unquote(table), ks))
+    case DeleteP(table, tail) =>
+      whereTail(tail).map(Delete(unquote(table), _))
     case UpdateP(table, rest) =>
       val (setPart, where) = splitTopLevel(rest, "WHERE") match {
         case Some((s, w)) => (s, Some(w))
@@ -134,7 +157,7 @@ object Dml {
         (a.take(i).trim, a.drop(i + 1).trim)
       }
       if (sets.isEmpty || sets.exists(s => s._1.isEmpty || s._2.isEmpty)) None
-      else Some(Update(table, sets, where))
+      else Some(Update(unquote(table), sets, where))
     case _ => None
   }
 
@@ -207,29 +230,47 @@ object Dml {
       case Optimize(_, cs) =>
         // 2 or 3 columns → the Morton verbs; more refused by the verb.
         // Steady-state routing: when the table carries
-        // `graft.autoOptimize.zOrderCols` naming exactly THESE columns
-        // AND already holds optimize-tagged files (an earlier full pass
-        // ran), dispatch the INCREMENTAL verb — admit/skip from written
-        // stats only, no commit when nothing is loose — so a scheduled
-        // `OPTIMIZE … ZORDER BY` in a script costs nothing at steady
-        // state. The first OPTIMIZE after tagging (no tagged files yet)
-        // and every other spelling run the full rewrite, which is what
-        // seeds the tags the incremental loop converges on.
+        // `graft.autoOptimize.zOrderCols` naming these columns (matched
+        // AS A SET, case-insensitive — `y,x` vs `x,y` must not silently
+        // re-pay the full rewrite) AND already holds optimize-tagged
+        // files (an earlier full pass ran), dispatch the INCREMENTAL
+        // verb — admit/skip from written stats only, no commit when
+        // nothing is loose — so a scheduled `OPTIMIZE … ZORDER BY` in a
+        // script costs nothing at steady state. The incremental call
+        // uses the PROPERTY's column order, keeping the curve spelling
+        // consistent with the seeded layout. The first OPTIMIZE after
+        // tagging (no tagged files yet) and every other spelling run
+        // the full rewrite, which seeds the tags the incremental loop
+        // converges on. A deletion vector on a LOOSE (untagged) file
+        // also falls back to the full rewrite: the incremental verb
+        // refuses DV'd loose files, while the full pass absorbs the
+        // vectors (ADVICE r15).
         val snap = DeltaReader.snapshot(spark, t.location)
         val propCols = snap.configuration
           .get("graft.autoOptimize.zOrderCols")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         val seeded = snap.files.exists(
           _.tags.get("optimized").contains("zorder"))
-        if (cs.length == 2 && propCols.contains(cs) && seeded)
+        val colsMatch = propCols.exists(p =>
+          p.map(_.toLowerCase).toSet == cs.map(_.toLowerCase).toSet)
+        val dvOnLoose = snap.files.exists(a =>
+          a.deletionVector.nonEmpty &&
+            !a.tags.get("optimized").contains("zorder"))
+        if (colsMatch && seeded && !dvOnLoose &&
+            (cs.length == 2 || cs.length == 3))
           DeltaWriter.optimizeZOrderIncremental(spark, t.location,
-            cs.head, cs(1))
+            propCols.get, 8, 500)
         else DeltaWriter.optimizeZOrder(spark, t.location, cs)
       case Vacuum(_, hours) =>
         // returns the deleted-file count, not a version — vacuum
         // publishes no commit
         DeltaWriter.vacuum(spark, t.location,
           hours.getOrElse(0L) * 3600000L).length.toLong
+      case CleanupLogs(_, hours) =>
+        // returns the deleted-commit count — log cleanup publishes no
+        // commit either
+        DeltaWriter.cleanupLogs(spark, t.location,
+          hours.map(_ * 3600000L)).length.toLong
       case AddConstraint(_, name, check) =>
         DeltaWriter.addCheckConstraint(spark, t.location, name, check)
       case DropConstraint(_, name) =>

@@ -761,6 +761,33 @@ object Fixtures {
       ()
     }
 
+  /** MIN/MAX IVM maintained THROUGH RETRACTIONS (q189): a
+    * `(key, n, mn, mx)` materialization of order cents per priority,
+    * refreshed, then hit with copy-on-write delete (%10=3 — certain to
+    * retract some group extrema), DV delete (%10=4), copy-on-write
+    * update (%10=5 doubled: retracts old values AND inserts new maxima)
+    * and compact, then refreshed again — the second refresh merges
+    * insert bounds for free and re-scans ONLY extremum-touched groups.
+    * Oracle = the full recompute over the mutated corpus. */
+  def deltaOrdersIvmMinMax(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_ivm_minmax") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val base = new File(dir, "base").getAbsolutePath
+      val mv = new File(dir, "mv").getAbsolutePath
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      DeltaWriter.append(orders, base)
+      graft.operators.IncrementalAgg.refreshMinMax(
+        s, base, mv, "o_orderpriority", cents)
+      DeltaWriter.delete(s, base, col("o_orderkey") % 10 === 3)
+      DeltaWriter.deleteWithVectors(s, base, col("o_orderkey") % 10 === 4)
+      DeltaWriter.update(s, base, col("o_orderkey") % 10 === 5,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      DeltaWriter.compact(s, base)
+      graft.operators.IncrementalAgg.refreshMinMax(
+        s, base, mv, "o_orderpriority", cents)
+      ()
+    }
+
   /** IVM materialization maintained THROUGH RETRACTIONS (q186): refresh
     * after the initial append, then copy-on-write delete + deletion-
     * vector delete + copy-on-write update + compact on the base, then

@@ -78,10 +78,10 @@ object StreamDeltaIngest {
       .configuration
     cfg.get("graft.autoOptimize.zOrderCols").foreach { spec =>
       val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
-      require(cols.length == 2,
-        s"graft.autoOptimize.zOrderCols must name exactly 2 columns, got '$spec'")
+      require(cols.length == 2 || cols.length == 3,
+        s"graft.autoOptimize.zOrderCols must name 2 or 3 columns, got '$spec'")
       DeltaWriter.optimizeZOrderIncremental(spark, tablePath,
-        cols(0), cols(1))
+        cols.toSeq, 8, 500)
     }
   }
 }

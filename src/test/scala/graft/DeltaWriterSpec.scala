@@ -878,10 +878,14 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
     assert(eUnmapped.getMessage.contains("column-mapped"))
 
-    // row-level verbs still refuse mapped tables with a clear message
-    val eVerb = intercept[IllegalArgumentException](
-      DeltaWriter.delete(spark, path, col("n_nationkey") === 1))
-    assert(eVerb.getMessage.contains("column-mapped"))
+    // r16: the row verbs now WORK on name-mapped tables — a delete
+    // through the renamed logical schema re-stages under physical names
+    val pre = DeltaReader.load(spark, path).count()
+    DeltaWriter.delete(spark, path, col("n_nationkey") === 1)
+    val post = DeltaReader.load(spark, path)
+    assert(post.count() == pre - 1)
+    assert(post.filter(col("n_nationkey") === 1).isEmpty)
+    assert(post.filter(col("nation_name").isNull).isEmpty)
   }
 
   test("column-mapped write half: partitioned mapped table stores physical dirs, prunes, round-trips") {
@@ -1015,6 +1019,90 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaReader.snapshot(spark, path).version == 8L)
     assert(DeltaReader.load(spark, path).collect().toSet ==
       nation.collect().toSet)
+  }
+
+  test("crash between stage and publish: no partial commit visible, retry converges, vacuum sweeps") {
+    val path = tmpTable("crash_window")
+    val table = new File(path)
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 12), path) // v0
+    val before = DeltaReader.load(spark, path).collect().toSet
+
+    // a writer killed at each point of the stage→publish window leaves
+    // exactly one of these on-disk states — reproduce all three:
+    // (1) killed MID-STAGE: the dot staging dir with part files inside
+    val stage = new File(table,
+      s".stage-7-${java.util.UUID.randomUUID()}")
+    stage.mkdirs()
+    val src = new File(path, DeltaReader.snapshot(spark, path).files.head.path)
+    java.nio.file.Files.copy(src.toPath,
+      new File(stage, "part-000.parquet").toPath)
+    // (2) killed AFTER THE MOVE: uuid-named data files in the table
+    // root with no add action published
+    val orphan = new File(table,
+      s"part-crash-${java.util.UUID.randomUUID()}.parquet")
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+    // (3) killed BEFORE THE HARD-LINK: a commit draft under _delta_log
+    val tmp = new File(table,
+      "_delta_log/.tmp-1-" + java.util.UUID.randomUUID())
+    java.nio.file.Files.writeString(tmp.toPath, """{"add":{}}""")
+
+    // NO partial commit is visible — replay ignores all three
+    assert(DeltaReader.snapshot(spark, path).version == 0L)
+    assert(DeltaReader.load(spark, path).collect().toSet == before)
+
+    // the retry converges: a fresh append lands at v1, rows exact
+    // (uuid staging/part names guarantee no collision with the debris)
+    assert(DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 12), path) == 1L)
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.collect().toSet)
+
+    // vacuum sweeps the crash debris once past retention; reads exact
+    DeltaWriter.vacuum(spark, path, 0L)
+    assert(!stage.exists() && !orphan.exists() && !tmp.exists())
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.collect().toSet)
+  }
+
+  test("cleanupLogs: retention-driven prefix removal behind the newest checkpoint") {
+    val path = tmpTable("log_cleanup")
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path) // v0
+    DeltaWriter.append(nation.filter(
+      col("n_nationkey") >= 10 && col("n_nationkey") < 20), path) // v1
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 20), path) // v2
+
+    // no checkpoint yet: nothing is safely removable
+    assert(DeltaWriter.cleanupLogs(spark, path, Some(0L)).isEmpty)
+    DeltaWriter.checkpoint(spark, path) // checkpoint at v2
+    DeltaWriter.delete(spark, path, col("n_nationkey") === 0) // v3
+    // a day-long window: nothing old enough
+    assert(DeltaWriter.cleanupLogs(spark, path, Some(86400000L)).isEmpty)
+    // the table's own delta.logRetentionDuration drives the default
+    DeltaWriter.setTableProperty(spark, path,
+      "delta.logRetentionDuration", "interval 30 days") // v4
+    assert(DeltaWriter.cleanupLogs(spark, path, None).isEmpty)
+
+    // zero window: exactly the prefix at-or-below the checkpoint goes
+    val gone = DeltaWriter.cleanupLogs(spark, path, Some(0L))
+    assert(gone.toSet ==
+      (0L to 2L).map(v => f"$v%020d.json").toSet)
+    // the current snapshot still reads whole (checkpoint + JSON tail)
+    assert(DeltaReader.load(spark, path).count() == nation.count() - 1)
+    // time travel below the horizon is refused NAMING the cleanup
+    val e = intercept[IllegalArgumentException](
+      DeltaReader.snapshotAt(spark, path, 1L))
+    assert(e.getMessage.contains("earliest replayable"))
+    // a CDF window reaching into cleaned history is refused
+    val e2 = intercept[IllegalArgumentException](
+      DeltaReader.loadChangeFeed(spark, path, 1L, 3L))
+    assert(e2.getMessage.contains("log cleanup"))
+    // a post-horizon CDF window still replays (seeded off the checkpoint)
+    assert(DeltaReader.loadChangeFeed(spark, path, 2L, 3L)
+      .filter(col("_change_type") === "delete").count() >= 1L)
+    // idempotent second pass
+    assert(DeltaWriter.cleanupLogs(spark, path, Some(0L)).isEmpty)
   }
 
   test("column mapping: row verbs, merge and both CDC feeds on a name-mapped table") {

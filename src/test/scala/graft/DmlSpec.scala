@@ -193,6 +193,120 @@ class DmlSpec extends AnyFunSuite {
       .intersect(tight).isEmpty)
   }
 
+  test("parser: quoted and qualified identifiers normalize; refusals stay actionable") {
+    Dml.parse("""DELETE FROM "My Table" WHERE x = 1""") match {
+      case Dml.Delete("My Table", Some(w)) => assert(w == "x = 1")
+      case other => fail(s"$other")
+    }
+    Dml.parse("""UPDATE sch."t 2" SET a = 1""") match {
+      case Dml.Update("sch.t 2", sets, None) => assert(sets == Seq("a" -> "1"))
+      case other => fail(s"$other")
+    }
+    Dml.parse("""VACUUM "t" LOGS RETAIN 1 HOURS""") match {
+      case Dml.CleanupLogs("t", Some(1L)) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("VACUUM t LOGS") match {
+      case Dml.CleanupLogs("t", None) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("VACUUM t RETAIN 2 HOURS") match {
+      case Dml.Vacuum("t", Some(2L)) => ()
+      case other => fail(s"$other")
+    }
+    // a quoted unregistered target gets the registry's actionable
+    // refusal, not a fall-through to Spark's parser
+    val e = intercept[IllegalArgumentException](Dml.execute(spark,
+      Dml.parse("""DELETE FROM "nope.q" WHERE 1 = 1"""),
+      s => fail(s"unexpected subquery: $s")))
+    assert(e.getMessage.contains("not a registered external table"))
+  }
+
+  test("execute: VACUUM LOGS cleans the commit prefix through SQL") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_logs")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 12), path) // v0
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 12), path) // v1
+    DeltaWriter.checkpoint(spark, path) // at v1
+    DeltaWriter.delete(spark, path, col("n_nationkey") === 3) // v2
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dml_logs STORED AS DELTA LOCATION '$path'")
+    ctx.sql("VACUUM dml_logs LOGS RETAIN 0 HOURS")
+    val names = new java.io.File(path, "_delta_log").listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.json")).sorted
+    assert(names.toSeq == Seq(f"${2L}%020d.json"))
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_logs").head().getLong(0)
+      == nation.count() - 1)
+  }
+
+  test("execute: incremental ZORDER routing is set-matched, 3-D-capable, and falls back on loose DVs") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_zroute3")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val li = Tables.t(spark, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    DeltaWriter.append(li.filter(col("l_orderkey") % 2 === 0), path)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dml_z3 STORED AS DELTA LOCATION '$path'")
+    ctx.sql("ALTER TABLE dml_z3 SET TBLPROPERTIES " +
+      "('graft.autoOptimize.zOrderCols'='l_orderkey,l_partkey,l_suppkey')")
+
+    // first pass (transposed spelling): no tags yet → FULL 3-D verb seeds
+    ctx.sql("OPTIMIZE dml_z3 ZORDER BY (l_suppkey, l_orderkey, l_partkey)")
+    val seeded = DeltaReader.snapshot(spark, path)
+    assert(seeded.files.forall(_.tags.get("optimized").contains("zorder")))
+
+    // steady state in ANOTHER column order: the set-matched route runs
+    // the 3-D incremental verb, which publishes NO commit (the full
+    // verb always commits a rewrite)
+    ctx.sql("OPTIMIZE dml_z3 ZORDER BY (l_partkey, l_suppkey, l_orderkey)")
+    assert(DeltaReader.snapshot(spark, path).version == seeded.version)
+
+    // a fresh loose tail: the routed 3-D incremental pass rewrites ONLY
+    // it — tight files survive physically
+    DeltaWriter.append(
+      li.filter(col("l_orderkey") % 2 =!= 0).coalesce(1), path)
+    ctx.sql("OPTIMIZE dml_z3 ZORDER BY (l_orderkey, l_partkey, l_suppkey)")
+    val after = DeltaReader.snapshot(spark, path)
+    assert(seeded.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet))
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_z3").head().getLong(0)
+      == li.count())
+
+    // a deletion vector on a LOOSE file: the incremental verb would
+    // refuse — routing must fall back to the FULL rewrite, which
+    // absorbs the vector (ADVICE r15)
+    DeltaWriter.append(
+      li.filter(col("l_orderkey") % 2 === 0).limit(500).coalesce(1), path)
+    val loosePre = DeltaReader.snapshot(spark, path).files
+      .filterNot(_.tags.get("optimized").contains("zorder"))
+    assert(loosePre.nonEmpty)
+    DeltaWriter.deleteWithVectors(spark, path,
+      col("l_orderkey") % 2 === 0 && col("l_partkey") % 3 === 0)
+    assert(DeltaReader.snapshot(spark, path).files
+      .exists(a => a.deletionVector.nonEmpty &&
+        !a.tags.get("optimized").contains("zorder")))
+    val expect = DeltaReader.load(spark, path).count()
+    ctx.sql("OPTIMIZE dml_z3 ZORDER BY (l_orderkey, l_partkey, l_suppkey)")
+    val absorbed = DeltaReader.snapshot(spark, path)
+    assert(absorbed.files.forall(_.deletionVector.isEmpty))
+    assert(absorbed.files.forall(_.tags.get("optimized").contains("zorder")))
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_z3").head().getLong(0)
+      == expect)
+  }
+
   test("execute: CHECK constraints ride the ALTER TABLE statements and gate SQL writes") {
     Dml.parse("ALTER TABLE t ADD CONSTRAINT c CHECK (x > 0)") match {
       case Dml.AddConstraint("t", "c", "x > 0") => ()

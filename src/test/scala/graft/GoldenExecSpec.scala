@@ -222,6 +222,44 @@ class GoldenExecSpec extends AnyFunSuite {
       .snapshot(spark, dir.getAbsolutePath).version == 2L)
   }
 
+  test("golden12.sql: retention log cleanup (VACUUM LOGS) through execute") {
+    val url = getClass.getResource("/queries/golden12.sql")
+    assert(url != null, "golden12.sql resource missing")
+    val spark = SparkTestSession.spark
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden12_tbl")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val nation = Tables.t(spark, SparkTestSession.sfDir, "nation")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 12), path) // v0
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 12), path) // v1
+    graft.sources.DeltaWriter.checkpoint(spark, path) // at v1
+    graft.sources.DeltaWriter.delete(
+      spark, path, col("n_nationkey") === 3) // v2
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_LOGS}", path))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 5) // DDL + SELECT + VACUUM LOGS + SELECT + HISTORY
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(1).contains(s"| ${nation.count() - 1}"))
+    // the cleanup removed exactly the checkpoint-covered prefix …
+    val survivors = new java.io.File(path, "_delta_log").listFiles()
+      .map(_.getName).filter(_.matches("\\d{20}\\.json")).sorted
+    assert(survivors.toSeq == Seq(f"${2L}%020d.json"))
+    // … the table still reads whole through the refreshed view …
+    assert(outputs(3).contains(s"| ${nation.count() - 1}"))
+    // … and history reports only the surviving commit
+    assert(outputs(4).linesIterator.count(_.contains("WRITE")) == 1)
+  }
+
   test("golden10.sql: constraint + delete + history + restore through execute") {
     val url = getClass.getResource("/queries/golden10.sql")
     assert(url != null, "golden10.sql resource missing")

@@ -104,4 +104,56 @@ class IncrementalAggSpec extends AnyFunSuite {
     check(6L)
     assert(!mvRows(mv).contains("1-URGENT"))
   }
+
+  test("refreshMinMax: extrema follow retractions; untouched groups skip the rescan") {
+    val base = tmp("minmax_base"); val mv = tmp("minmax_mv")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+    def full(): Map[Long, (Long, Long, Long)] =
+      DeltaReader.load(spark, base)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)), min(col("n_nationkey")), max(col("n_nationkey")))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def mvNow(): Map[Long, (Long, Long, Long)] =
+      DeltaReader.load(spark, mv)
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("mn"),
+            r.getAs[Long]("mx")))).toMap
+    def check(upto: Long): Unit = {
+      assert(IncrementalAgg.refreshMinMax(spark, base, mv,
+        "n_regionkey", "n_nationkey") == upto)
+      assert(mvNow() == full())
+    }
+
+    DeltaWriter.append(nation, base); check(0L)
+    // insert-only window: bounds merge for free (a larger key appended
+    // into one region)
+    DeltaWriter.append(spark.createDataFrame(Seq((90L, 0L)))
+      .toDF("n_nationkey", "n_regionkey")
+      .select(col("n_nationkey").cast(
+          nation.schema("n_nationkey").dataType),
+        col("n_regionkey").cast(nation.schema("n_regionkey").dataType)),
+      base); check(1L)
+    // delete STRICTLY INSIDE one group's (mn, mx): no rescan needed,
+    // state merge alone must stay exact
+    val mid = DeltaReader.load(spark, base)
+      .filter(col("n_regionkey") === 0)
+      .orderBy(col("n_nationkey")).collect().map(_.getLong(0))
+    DeltaWriter.delete(spark, base, col("n_nationkey") === mid(1))
+    check(2L)
+    // delete AT a group's max (the appended 90): extremum retraction
+    // forces the targeted rescan and the next-best value surfaces
+    DeltaWriter.delete(spark, base, col("n_nationkey") === 90)
+    check(3L)
+    // DV delete at a min + update relocating values, then compaction
+    val minKey = full()(1L)._2
+    DeltaWriter.deleteWithVectors(spark, base,
+      col("n_nationkey") === minKey); check(4L)
+    DeltaWriter.compact(spark, base); check(5L)
+    // a whole group retracted to zero vanishes
+    DeltaWriter.delete(spark, base, col("n_regionkey") === 2); check(6L)
+    assert(!mvNow().contains(2L))
+  }
 }

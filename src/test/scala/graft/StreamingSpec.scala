@@ -383,6 +383,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally ranked.unpersist()
   }
 
+  test("streaming z-route is schema-generic: a second table routes row-for-row against its batch layout") {
+    import org.apache.spark.sql.types._
+    val B = 16
+    val raw = Tables.t(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val m = raw.agg(max(col("o_custkey")), max(col("o_orderkey")),
+      count(lit(1))).head()
+    val (mc, mo, nt) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    def zOf = graft.functions.ZOrder.morton(
+      expr(s"o_custkey * 256 DIV ${mc + 1}"),
+      expr(s"o_orderkey * 256 DIV ${mo + 1}"))
+    val keys = Seq("o_orderkey", "o_custkey")
+    val ranked = graft.plans.DistributedRank.rowNumber(
+      raw.withColumn("z", zOf), lit(0L),
+      Seq(col("z").asc, col("o_orderkey").asc, col("o_custkey").asc),
+      "rk", 8)
+    ranked.cache()
+    try {
+      // o_orderkey is unique — a per-key bucket map is exact
+      val batch = ranked.select(col("o_orderkey"),
+        expr(s"CAST((rk - 1) * $B DIV $nt AS BIGINT)").as("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bs = graft.streaming.StreamZRoute.boundaryTuples(
+        ranked, keys, B, nt)
+      assert(bs.size == B - 1)
+      assert(bs == bs.sorted(Ordering.Implicits.seqOrdering[Seq, Long]),
+        "boundaries must ascend in the layout's total order")
+      val rows = spark.readStream
+        .schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType))))
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(d)
+      val q = graft.streaming.StreamZRoute.route(rows, zOf, keys, bs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("szroute_generic").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val streamed = spark.table("szroute_generic")
+        .select(col("o_orderkey"), col("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (k, b) =>
+        assert(streamed(k) == b, s"order $k diverged from the batch layout")
+      }
+    } finally ranked.unpersist()
+  }
+
   test("streaming heavy hitters: zero false positives, guaranteed recall, ⊆ batch q153") {
     val docs = Tables.t(spark, d, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
