@@ -195,10 +195,21 @@ object Pipeline {
   private val domainMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
       (Array[Long], Seq[(Int, Long, Long, Long)])]()
+  /** Consumer accessor — trains only if no trainer ran yet. */
   private[graft] def domainTrainShared(
       s: org.apache.spark.sql.SparkSession, d: String)
       : (Array[Long], Seq[(Int, Long, Long, Long)]) =
     domainMemo.computeIfAbsent(d, _ => domainTrain(s, d))
+  /** Trainer spelling — ALWAYS trains and refreshes the memo, so the
+    * trainer query's own benchmark time reflects the real training
+    * cost on every rep (min-of-reps must not read the memo back). */
+  private[graft] def domainTrainPublish(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (Array[Long], Seq[(Int, Long, Long, Long)]) = {
+    val r = domainTrain(s, d)
+    domainMemo.put(d, r)
+    r
+  }
 
   /** [[domainTrain]] variant that RETURNS the still-cached feature
     * frame so the apply pass (q161) scores without re-running the
@@ -1118,7 +1129,7 @@ object Pipeline {
     Q("q160_domain_train",
       (s, d) => {
         import s.implicits._
-        val (_, stats) = domainTrainShared(s, d)
+        val (_, stats) = domainTrainPublish(s, d)
         s.createDataFrame(stats)
           .toDF("round", "n_err", "w_nnz", "w_l1")
           .orderBy($"round")
