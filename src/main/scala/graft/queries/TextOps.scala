@@ -51,12 +51,26 @@ object TextOps {
       .filter($"hamming" <= 2)
   }
 
+  /** SHARED-ARTIFACT accessor (r16, PLANS.md): the pair graph read
+    * from its materialized per-corpus parquet — `publish = true` (the
+    * q147 publisher) recomputes and rewrites every call so its bench
+    * time stays the true kernel cost; consumers (q162/q181/q183) read
+    * the pair-count-sized file. q143 (the report) keeps computing the
+    * kernel live — it IS the pair deliverable. */
+  private[graft] def dhashPairsShared(s: SparkSession, d: String,
+      publish: Boolean = false): DataFrame =
+    s.read.parquet(graft.sources.Fixtures
+      .dhashPairsArtifact(d, rebuild = publish)(dhashPairs(s, d)))
+
   /** q147's SYMMETRIZED perceptual edge frame over [[dhashPairs]] via
     * the shared [[graft.operators.ConnectedComponents.symmetrize]] —
     * the input to the CC kernel, also exercised directly by
-    * ConnectedComponentsSpec. */
-  private[graft] def dhashEdges(s: SparkSession, d: String): DataFrame =
-    graft.operators.ConnectedComponents.symmetrize(dhashPairs(s, d))
+    * ConnectedComponentsSpec. Reads the shared pair artifact;
+    * `publish = true` for the q147 publisher. */
+  private[graft] def dhashEdges(s: SparkSession, d: String,
+      publish: Boolean = false): DataFrame =
+    graft.operators.ConnectedComponents.symmetrize(
+      dhashPairsShared(s, d, publish))
 
   /** DuckDB mirror of [[dhashPairs]] as a reusable CTE block ending in
     * `dpairs(d1, d2, hamming)` — shared by the q143 and q147 oracles.
@@ -782,7 +796,7 @@ object TextOps {
       (s, d) => {
         import s.implicits._
         graft.operators.ConnectedComponents
-          .minLabelRounds(dhashEdges(s, d), 4)
+          .minLabelRounds(dhashEdges(s, d, publish = true), 4)
           .filter($"lbl" =!= $"doc_id")
           .select($"doc_id", $"lbl".as("kept_as"))
           .orderBy($"doc_id")
