@@ -820,6 +820,35 @@ object Sources {
         WHERE o_orderkey % 10 NOT IN (3, 4)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- ID-MAPPED WRITER surface (r16): same life cycle as q188 but
+    // in delta.columnMapping.mode=id — every staged file carries
+    // parquet FIELD IDS and scans resolve columns by id, not name, so
+    // a rewrite that forgot to stamp ids (or stamped the wrong ones)
+    // reads back all-null and breaks the hash. The rename is the
+    // id-contract showcase: the field keeps its id, only the logical
+    // name moves.
+    Q("q190_delta_id_mapped_verbs",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIdMapped(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("customer_key")).cast("long").as("csum"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_custkey) AS BIGINT) AS csum,
+          CAST(sum(CASE WHEN o_orderkey % 4 = 0
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+            AS cents
+        FROM orders
+        WHERE o_orderkey % 9 <> 0 AND o_orderkey % 13 <> 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     Q("q186_incremental_agg_retract",
       (s, d) => {
         val dir = Fixtures.deltaOrdersIvmRetract(s, d)

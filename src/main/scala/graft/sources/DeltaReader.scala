@@ -695,12 +695,16 @@ object DeltaReader {
   def loadChanges(spark: SparkSession, tablePath: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
     val snap = snapshotAt(spark, tablePath, toInclusive)
-    require(snap.fieldIds.isEmpty,
-      "loadChanges does not support id-mapped tables (their files " +
-        "resolve columns by parquet field id)")
     // NAME-mapped tables: files + partitionValues carry physical
-    // spellings; the feed scans physical and projects back to logical
+    // spellings; the feed scans physical and projects back to logical.
+    // ID-mapped tables resolve file columns by parquet field id (the
+    // same native path [[loadAt]] uses — scan keeps logical names,
+    // fields tagged with their id, session read flag on); their
+    // partitionValues keys stay physical either way.
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
+    val idMode = snap.fieldIds.nonEmpty
+    if (idMode)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val mapper = new ObjectMapper()
     val logDir = new File(tablePath, "_delta_log")
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])
@@ -760,15 +764,21 @@ object DeltaReader {
     val dataFields = snap.schema.fields.toIndexedSeq
       .filterNot(f => partCols.contains(f.name))
     val dataSchema = StructType(dataFields.map(f =>
-      StructField(phys(f.name), f.dataType, f.nullable)))
+      if (idMode) StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", snap.fieldIds(f.name)).build())
+      else StructField(phys(f.name), f.dataType, f.nullable)))
     if (added.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val byPv = added.toSeq.groupBy(_._2)
     val parts = byPv.toSeq.map { case (pv, files) =>
-      val base = spark.read.schema(dataSchema)
+      val scanned = spark.read.schema(dataSchema)
         .parquet(files.map(f => s"$tablePath/${f._1}"): _*)
-        .select(dataFields.map(f => col(phys(f.name)).as(f.name)): _*)
+      val base =
+        if (idMode) scanned // already logical (field-id resolution)
+        else scanned
+          .select(dataFields.map(f => col(phys(f.name)).as(f.name)): _*)
       partCols.foldLeft(base) { (df, c) =>
         val dt = snap.schema(c).dataType
         df.withColumn(c, pv.get(phys(c)).flatten match {
@@ -817,11 +827,12 @@ object DeltaReader {
   def loadChangeFeed(spark: SparkSession, tablePath: String,
       fromExclusive: Long, toInclusive: Long): DataFrame = {
     val snap = snapshotAt(spark, tablePath, toInclusive)
-    require(snap.fieldIds.isEmpty,
-      "loadChangeFeed does not support id-mapped tables (their files " +
-        "resolve columns by parquet field id)")
-    // NAME-mapped tables: scan physical spellings, project to logical
+    // NAME-mapped: scan physical spellings, project to logical.
+    // ID-mapped: native parquet field-id resolution (loadAt's path).
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
+    val idMode = snap.fieldIds.nonEmpty
+    if (idMode)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val jackson = new ObjectMapper()
     val logDir = new File(tablePath, "_delta_log")
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])
@@ -916,13 +927,18 @@ object DeltaReader {
     val dataFields = snap.schema.fields.toIndexedSeq
       .filterNot(f => partCols.contains(f.name))
     val dataSchema = StructType(dataFields.map(f =>
-      StructField(phys(f.name), f.dataType, f.nullable)))
-    def toLogical(df: DataFrame): DataFrame = {
-      val extras = df.columns.filterNot(c =>
-        dataFields.exists(f => phys(f.name) == c)).toIndexedSeq
-      df.select(dataFields.map(f => col(phys(f.name)).as(f.name)) ++
-        extras.map(col): _*)
-    }
+      if (idMode) StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", snap.fieldIds(f.name)).build())
+      else StructField(phys(f.name), f.dataType, f.nullable)))
+    def toLogical(df: DataFrame): DataFrame =
+      if (idMode) df // already logical (field-id resolution)
+      else {
+        val extras = df.columns.filterNot(c =>
+          dataFields.exists(f => phys(f.name) == c)).toIndexedSeq
+        df.select(dataFields.map(f => col(phys(f.name)).as(f.name)) ++
+          extras.map(col): _*)
+      }
     val feedFields = snap.schema.fields.toIndexedSeq :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false)

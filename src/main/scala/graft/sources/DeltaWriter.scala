@@ -79,14 +79,18 @@ object DeltaWriter {
     * table rewrite (the reference's reader semantics,
     * deltatable.rs:136-189). Appends to an existing mapped table
     * rename the incoming logical frame to physical at staging time
-    * automatically; `id`-mapped tables are read-only here (writing
-    * them needs parquet field-id stamping on every file). */
+    * automatically. `columnMapping = "id"` (r16) additionally mints
+    * field ids 1..n and stamps them into every staged parquet file
+    * ([[toPhysical]]), so the reader's native field-id resolution —
+    * the delta `id` contract — matches columns however they are
+    * named. */
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       columnMapping: String = "none"): Long = {
-    require(columnMapping == "none" || columnMapping == "name",
-      s"columnMapping must be 'none' or 'name', got '$columnMapping'")
+    require(columnMapping == "none" || columnMapping == "name" ||
+      columnMapping == "id",
+      s"columnMapping must be 'none', 'name' or 'id', got '$columnMapping'")
     val table = new File(tablePath)
     val version = nextVersion(table)
     require(version == 0L || columnMapping == "none",
@@ -107,20 +111,23 @@ object DeltaWriter {
             "redelivered batch; consult the ledger")
     }
     validateAgainstTable(df, tablePath, partitionBy, version)
-    val phys: Map[String, String] =
-      if (version == 0L)
-        if (columnMapping == "name")
-          df.schema.fieldNames.map(n =>
+    val (phys, fids): (Map[String, String], Map[String, Long]) =
+      if (version == 0L) {
+        val minted =
+          if (columnMapping == "none") Map.empty[String, String]
+          else df.schema.fieldNames.map(n =>
             n -> s"col-${java.util.UUID.randomUUID()}").toMap
-        else Map.empty
-      else {
+        val ids =
+          if (columnMapping == "id")
+            df.schema.fieldNames.zipWithIndex
+              .map { case (n, i) => n -> (i + 1).toLong }.toMap
+          else Map.empty[String, Long]
+        (minted, ids)
+      } else {
         val snap = DeltaReader.snapshot(df.sparkSession, tablePath)
-        require(snap.fieldIds.isEmpty,
-          "id-mapped tables are read-only for this writer (their files " +
-            "match by parquet field id, which staging does not stamp)")
-        snap.physicalNames
+        (snap.physicalNames, snap.fieldIds)
       }
-    val (staged, stagedBy) = toPhysical(df, phys, partitionBy)
+    val (staged, stagedBy) = toPhysical(df, phys, fids, partitionBy)
     val adds = stageDataFiles(staged, table, version, stagedBy)
     val txnLine = txn.map { case (appId, v) =>
       s"""{"txn":{"appId":${jstr(appId)},"version":$v}}"""
@@ -133,13 +140,31 @@ object DeltaWriter {
   /** Rename a logical-named frame (and its partition columns) to the
     * table's physical column names for staging — identity for unmapped
     * tables. The logical→physical projection is pure aliasing: zero
-    * cost in the written plan. */
+    * cost in the written plan. For `id`-mapped tables each column also
+    * carries `parquet.field.id` metadata and the session's parquet
+    * field-id WRITE flag is enabled (a declared session-level side
+    * effect, the writer twin of [[DeltaReader.loadAt]]'s read flag —
+    * inert for schemas without the metadata), so every staged file is
+    * stamped with the ids the delta `id` contract resolves columns
+    * by. */
   private def toPhysical(df: DataFrame, phys: Map[String, String],
+      fieldIds: Map[String, Long],
       partitionBy: Seq[String]): (DataFrame, Seq[String]) =
-    if (phys.isEmpty) (df, partitionBy)
-    else (df.select(df.schema.fieldNames.toIndexedSeq.map(n =>
-      col(n).as(phys.getOrElse(n, n))): _*),
-      partitionBy.map(n => phys.getOrElse(n, n)))
+    if (phys.isEmpty && fieldIds.isEmpty) (df, partitionBy)
+    else {
+      if (fieldIds.nonEmpty)
+        df.sparkSession.conf
+          .set("spark.sql.parquet.fieldId.write.enabled", "true")
+      (df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
+        val c = col(n)
+        fieldIds.get(n) match {
+          case Some(id) => c.as(phys.getOrElse(n, n),
+            new MetadataBuilder().putLong("parquet.field.id", id).build())
+          case None => c.as(phys.getOrElse(n, n))
+        }
+      }: _*),
+        partitionBy.map(n => phys.getOrElse(n, n)))
+    }
 
   /** Stage a LOGICAL-named frame against a possibly column-mapped
     * table: rename to physical names (identity when unmapped) and hand
@@ -151,19 +176,10 @@ object DeltaWriter {
       table: File, version: Long,
       tags: Map[String, String] = Map.empty,
       dataChange: Boolean = true): Seq[String] = {
-    val (staged, stagedBy) =
-      toPhysical(df, snap.physicalNames, snap.partitionColumns)
+    val (staged, stagedBy) = toPhysical(df, snap.physicalNames,
+      snap.fieldIds, snap.partitionColumns)
     stageDataFiles(staged, table, version, stagedBy, tags, dataChange)
   }
-
-  /** The one mapped layout the rewriting verbs still refuse: `id` mode
-    * (staging does not stamp parquet field ids — the same read-only
-    * posture as [[append]]). */
-  private def requireWritableMapping(snap: DeltaReader.Snapshot,
-      verb: String): Unit =
-    require(snap.fieldIds.isEmpty,
-      s"$verb: id-mapped tables are read-only for this writer (their " +
-        "files match by parquet field id, which staging does not stamp)")
 
   /** Idempotent append: commit `df` stamped with `(appId, txnVersion)`
     * UNLESS the table has already recorded a txn for `appId` at or past
@@ -234,9 +250,9 @@ object DeltaWriter {
       // contract for already-written files); each added field mints a
       // fresh physical name and the next column id, and maxColumnId
       // advances — so the mapped life cycle round-trips through
-      // evolution (append → evolve → append reads back whole).
-      require(snap.fieldIds.isEmpty,
-        "id-mapped tables are read-only for this writer")
+      // evolution (append → evolve → append reads back whole). In `id`
+      // mode the same minting applies (physicalName AND id), and later
+      // appends stamp the new field's id into their files.
       val oldByName = old.fields.map(f => f.name -> f).toMap
       val maxId = math.max(
         snap.configuration.get("delta.columnMapping.maxColumnId")
@@ -283,10 +299,9 @@ object DeltaWriter {
       tablePath: String, from: String, to: String): Long = {
     val snap = DeltaReader.snapshot(spark, tablePath)
     require(snap.physicalNames.nonEmpty,
-      "renameColumn needs a column-mapped table (mode=name) — unmapped " +
-        "files carry logical column names, so a rename needs a rewrite")
-    require(snap.fieldIds.isEmpty,
-      "id-mapped tables are read-only for this writer")
+      "renameColumn needs a column-mapped table (mode=name or id) — " +
+        "unmapped files carry logical column names, so a rename needs " +
+        "a rewrite")
     require(snap.schema.fieldNames.contains(from), s"no such column: $from")
     require(!snap.schema.fieldNames.contains(to),
       s"column already exists: $to")
@@ -450,7 +465,6 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(spark, tablePath)
     require(snap.partitionColumns.nonEmpty,
       s"$tablePath is unpartitioned — replacePartitions needs partition columns")
-    requireWritableMapping(snap, "replacePartitions")
     val bad = partitionValues.keySet -- snap.partitionColumns.toSet
     require(bad.isEmpty, s"not partition columns of $tablePath: $bad")
     require(partitionValues.nonEmpty, "no partitions admitted")
@@ -498,10 +512,10 @@ object DeltaWriter {
     *     readers see pre- or post-merge, never a mix.
     *
     * Sources with duplicate key tuples are refused (the multiple-match
-    * ambiguity Delta's own MERGE rejects). NAME-mapped tables work: the
-    * tagged scan already restores logical names and [[stageLogical]]
-    * renames the rewrite back to physical at staging (`id`-mapped stays
-    * read-only, [[append]]'s posture). DV'd touched files rewrite
+    * ambiguity Delta's own MERGE rejects). Mapped tables work in BOTH
+    * modes: the tagged scan already restores logical names and
+    * [[stageLogical]] renames the rewrite back to physical at staging
+    * (`id` mode additionally stamps field ids). DV'd touched files rewrite
     * correctly: the tagged scan already excludes DV-deleted rows, and
     * the file-level remove retires the vector with its file. */
   def merge(source: DataFrame, tablePath: String,
@@ -513,7 +527,6 @@ object DeltaWriter {
     require(keys.nonEmpty, "merge needs at least one key column")
     val missing = keys.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"merge keys absent from table schema: $missing")
-    requireWritableMapping(snap, "merge")
     val version = nextVersion(table)
     validateAgainstTable(source, tablePath, snap.partitionColumns, version)
     require(source.groupBy(keys.map(col): _*).count()
@@ -608,7 +621,6 @@ object DeltaWriter {
 
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    requireWritableMapping(snap, "scd2Apply")
     val attrs = snap.schema.fieldNames.toSeq
       .filterNot(keys.contains).filterNot(Seq("valid_from", "valid_to").contains)
     val missing = (keys ++ attrs).filterNot(changes.columns.contains)
@@ -712,7 +724,6 @@ object DeltaWriter {
     import spark.implicits._
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    requireWritableMapping(snap, "delete")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -833,7 +844,6 @@ object DeltaWriter {
       inlineMax: Int): Option[DvMark] = {
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    requireWritableMapping(snap, "merge-on-read verbs")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -995,7 +1005,6 @@ object DeltaWriter {
     require(set.nonEmpty, "update needs at least one SET assignment")
     val unknown = set.keySet.filterNot(snap.schema.fieldNames.contains)
     require(unknown.isEmpty, s"SET targets absent from table schema: $unknown")
-    requireWritableMapping(snap, "update")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -1043,18 +1052,17 @@ object DeltaWriter {
     val table = new File(tablePath)
     val version = nextVersion(table)
     validateAgainstTable(df, tablePath, partitionBy, version)
-    val (removes, phys) =
-      if (version == 0L) (Nil, Map.empty[String, String])
+    val (removes, phys, fids) =
+      if (version == 0L)
+        (Nil, Map.empty[String, String], Map.empty[String, Long])
       else {
         val snap = DeltaReader.snapshot(df.sparkSession, tablePath)
-        require(snap.fieldIds.isEmpty,
-          "id-mapped tables are read-only for this writer")
         (snap.files.map(a =>
           s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
             s"""${System.currentTimeMillis()},"dataChange":true}}"""),
-          snap.physicalNames)
+          snap.physicalNames, snap.fieldIds)
       }
-    val (staged, stagedBy) = toPhysical(df, phys, partitionBy)
+    val (staged, stagedBy) = toPhysical(df, phys, fids, partitionBy)
     val adds = stageDataFiles(staged, table, version, stagedBy)
     publishOptimistic(table, version,
       header(df, partitionBy, version) ++ removes ++ adds)
@@ -1322,7 +1330,6 @@ object DeltaWriter {
       sortBy: Seq[String] = Nil): Long = {
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    requireWritableMapping(snap, "compact")
     val version = nextVersion(table)
     val current = DeltaReader.load(spark, tablePath)
     val clustered = {
@@ -1389,7 +1396,6 @@ object DeltaWriter {
         s"(${cols.mkString(", ")})")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    requireWritableMapping(snap, "optimizeZOrder")
     val version = nextVersion(table)
     val current = DeltaReader.load(spark, tablePath)
     val aggs = cols.flatMap(c => Seq(
@@ -1476,7 +1482,6 @@ object DeltaWriter {
         s"got (${cols.mkString(", ")})")
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    requireWritableMapping(snap, "optimizeZOrderIncremental")
     // written stats and file columns are keyed by PHYSICAL names under
     // column mapping; the caller speaks logical
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
@@ -1990,7 +1995,7 @@ object DeltaWriter {
     if (version != 0L) Nil
     else {
       val ntz = df.schema.exists(f => hasNtz(f.dataType))
-      val mapped = columnMapping == "name"
+      val mapped = columnMapping == "name" || columnMapping == "id"
       val protocol =
         if (ntz) {
           val feats = (if (mapped) Seq("columnMapping") else Nil) :+
@@ -2015,7 +2020,7 @@ object DeltaWriter {
         }).json
       val cfg =
         if (!mapped) "{}"
-        else s"""{"delta.columnMapping.mode":"name",""" +
+        else s"""{"delta.columnMapping.mode":"$columnMapping",""" +
           s""""delta.columnMapping.maxColumnId":"${df.schema.size}"}"""
       val meta =
         s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +

@@ -783,6 +783,35 @@ object Fixtures {
       ()
     }
 
+  /** An ID-MAPPED (mode=id) table driven through the full verb surface
+    * (q190): created mode=id hive-partitioned — every staged parquet
+    * file stamped with parquet field ids, the delta `id` contract —
+    * then `o_custkey` renamed, CoW DELETE (%9), merge-on-read DV
+    * delete (%13), CoW UPDATE (%4, price doubled), compact, OPTIMIZE
+    * ZORDER. Scans resolve columns by FIELD ID (names in the files are
+    * irrelevant), so a missed id stamp on any rewrite reads back
+    * null. */
+  def deltaOrdersIdMapped(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_id_mapped") { dir =>
+      val orders = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0),
+        path, Seq("o_orderpriority"), columnMapping = "id")
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0),
+        path, Seq("o_orderpriority"))
+      DeltaWriter.renameColumn(s, path, "o_custkey", "customer_key")
+      DeltaWriter.delete(s, path, col("o_orderkey") % 9 === 0)
+      DeltaWriter.deleteWithVectors(s, path, col("o_orderkey") % 13 === 0)
+      DeltaWriter.update(s, path, col("o_orderkey") % 4 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      DeltaWriter.compact(s, path)
+      DeltaWriter.optimizeZOrder(s, path,
+        Seq("o_orderkey", "customer_key"), targetFiles = 4)
+      ()
+    }
+
   /** MIN/MAX IVM maintained THROUGH RETRACTIONS (q189): a
     * `(key, n, mn, mx)` materialization of order cents per priority,
     * refreshed, then hit with copy-on-write delete (%10=3 — certain to

@@ -1158,21 +1158,54 @@ class DeltaWriterSpec extends AnyFunSuite {
       .head().getString(0) == "REPLACED")
     assert(after.filter(col("n_nationkey") === 99).count() == 1L)
 
-    // id-mapped stays read-only for the verbs (hand-written id log —
-    // the refusal fires off the snapshot before any scan)
-    val idDir = new File(tmpTable("mapped_id_refuse"))
-    val idLog = new File(idDir, "_delta_log"); idLog.mkdirs()
-    val idFields =
-      """{"name":"k","type":"integer","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-x1"}}"""
-    val idSchema =
-      s"""{\\"type\\":\\"struct\\",\\"fields\\":[${idFields.replace("\"", "\\\"")}]}"""
-    java.nio.file.Files.writeString(
-      new File(idLog, "0" * 20 + ".json").toPath,
-      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
-{"metaData":{"id":"idro","format":{"provider":"parquet","options":{}},"schemaString":"$idSchema","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"1"},"createdTime":0}}""")
-    assert(intercept[IllegalArgumentException](
-      DeltaWriter.delete(spark, idDir.getAbsolutePath, col("k") === 1)
-    ).getMessage.contains("id-mapped"))
+  }
+
+  test("id-mapped write half: create, append, rename, row verbs and CDF all work (r16)") {
+    val path = tmpTable("mapped_id_verbs")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 === 0), path,
+      Seq("n_regionkey"), columnMapping = "id") // v0
+    val snap0 = DeltaReader.snapshot(spark, path)
+    assert(snap0.fieldIds.nonEmpty && snap0.physicalNames.nonEmpty)
+    // the staged parquet really carries field ids (read one footer with
+    // a WRONG-named id-tagged schema: field-id resolution must match)
+    val anyFile = new File(path, snap0.files.head.path).getAbsolutePath
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val probe = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("renamed_probe",
+        nation.schema("n_nationkey").dataType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            snap0.fieldIds("n_nationkey")).build())))).parquet(anyFile)
+    assert(probe.filter(col("renamed_probe").isNotNull).count() > 0)
+
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 =!= 0), path,
+      Seq("n_regionkey")) // v1
+    DeltaWriter.renameColumn(spark, path, "n_name", "nation_name") // v2
+    DeltaWriter.delete(spark, path, col("n_nationkey") % 5 === 0) // v3
+    DeltaWriter.update(spark, path, col("n_nationkey") % 5 === 1,
+      Map("nation_name" -> concat(col("nation_name"), lit("!")))) // v4
+    val expect = nation.filter(col("n_nationkey") % 5 =!= 0)
+      .withColumn("n_name",
+        when(col("n_nationkey") % 5 === 1, concat(col("n_name"), lit("!")))
+          .otherwise(col("n_name")))
+      .withColumnRenamed("n_name", "nation_name")
+    val cols = Seq("n_nationkey", "n_regionkey", "nation_name")
+    assert(DeltaReader.load(spark, path).select(cols.map(col): _*)
+      .collect().toSet == expect.select(cols.map(col): _*).collect().toSet)
+
+    // the full CDF folds v1 → current exactly (field-id scans inside)
+    val cdf = DeltaReader.loadChangeFeed(spark, path, 1L, 4L)
+    val ins = cdf.filter(col("_change_type") === "insert")
+      .select(cols.map(col): _*)
+    val del = cdf.filter(col("_change_type") === "delete")
+      .select(cols.map(col): _*)
+    val folded = DeltaReader.loadAt(spark, path, 1L)
+      .withColumnRenamed("n_name", "nation_name")
+      .select(cols.map(col): _*).exceptAll(del).unionAll(ins)
+    assert(folded.collect().toSet ==
+      expect.select(cols.map(col): _*).collect().toSet)
   }
 
   test("exactly-once: a lost race against a same-appId winner refuses the retry") {
