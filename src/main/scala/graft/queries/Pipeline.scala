@@ -93,6 +93,80 @@ object Pipeline {
         ctx AS (
           SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)"""
 
+  /** q145's BM25 CTE chain (Spark dialect) — hashed word-3-gram
+    * terms, exact-integer BM25 (k1=1.2, b=0.75, rational idf kept as a
+    * cross-multiplied integer — see q145's derivation comment),
+    * corpus-derived broadcast query set; `m` = per-(q_id, d_id)
+    * integer score_ppm. Shared by the lexical retriever (q145) and the
+    * hybrid RRF fusion (q192); one spelling per engine. */
+  private[graft] val Bm25Ctes: String = """tok AS (
+          SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
+            i -> md5_60(concat_ws(' ', slice(ws, i, 3))))) AS h
+          FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents) t0
+          WHERE size(ws) >= 3),
+        tf AS (
+          SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, h),
+        df AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY h),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tok GROUP BY doc_id),
+        g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+                     CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
+        qt AS (SELECT doc_id AS q_id, h FROM tf
+               WHERE doc_id < (SELECT greatest(CAST(3 AS BIGINT), n DIV 1000) FROM g)),
+        m AS (
+          SELECT qt.q_id, tf.doc_id AS d_id,
+            sum(1000000L * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
+                DIV ((2 * df.df + 1)
+                     * (10 * tf.tf + 3 + (9 * dl.dl * g.n) DIV g.tt)))
+              AS score_ppm
+          FROM qt
+          JOIN df ON qt.h = df.h
+          JOIN tf ON qt.h = tf.h AND tf.doc_id <> qt.q_id
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN g
+          WHERE df.df * 2 <= g.n
+          GROUP BY qt.q_id, tf.doc_id)"""
+
+  /** DuckDB mirror of [[Bm25Ctes]]. */
+  private[graft] val DuckBm25Ctes: String = """tok AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               2, 15))::BIGINT AS h
+          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents) t0) t1
+          WHERE i <= len(ws) - 2 AND len(ws) >= 3),
+        tf AS (
+          SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, h),
+        df AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY h),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tok GROUP BY doc_id),
+        g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+                     CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
+        qt AS (SELECT doc_id AS q_id, h FROM tf
+               WHERE doc_id < (SELECT greatest(CAST(3 AS BIGINT), n // 1000) FROM g)),
+        m AS (
+          SELECT qt.q_id, tf.doc_id AS d_id,
+            CAST(sum(1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
+                // ((2 * df.df + 1)
+                    * (10 * tf.tf + 3 + (9 * dl.dl * g.n) // g.tt)))
+              AS BIGINT) AS score_ppm
+          FROM qt
+          JOIN df ON qt.h = df.h
+          JOIN tf ON qt.h = tf.h AND tf.doc_id <> qt.q_id
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN g
+          WHERE df.df * 2 <= g.n
+          GROUP BY qt.q_id, tf.doc_id)"""
+
   /** q180: number of curriculum stages (quintiles of the fluency
     * rank). */
   private[graft] val CurriculumStages = 5
@@ -959,38 +1033,8 @@ object Pipeline {
     // the top-5 window partitions on q_id (bounded per query — the q44
     // precedent).
     Q("q145_bm25_topk",
-      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, """
-        WITH tok AS (
-          SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
-            i -> md5_60(concat_ws(' ', slice(ws, i, 3))))) AS h
-          FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents) t0
-          WHERE size(ws) >= 3),
-        tf AS (
-          SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
-          FROM tok GROUP BY doc_id, h),
-        df AS (
-          SELECT h, CAST(count(*) AS BIGINT) AS df
-          FROM tf GROUP BY h),
-        dl AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-          FROM tok GROUP BY doc_id),
-        g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
-                     CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
-        qt AS (SELECT doc_id AS q_id, h FROM tf
-               WHERE doc_id < (SELECT greatest(CAST(3 AS BIGINT), n DIV 1000) FROM g)),
-        m AS (
-          SELECT qt.q_id, tf.doc_id AS d_id,
-            sum(1000000L * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
-                DIV ((2 * df.df + 1)
-                     * (10 * tf.tf + 3 + (9 * dl.dl * g.n) DIV g.tt)))
-              AS score_ppm
-          FROM qt
-          JOIN df ON qt.h = df.h
-          JOIN tf ON qt.h = tf.h AND tf.doc_id <> qt.q_id
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN g
-          WHERE df.df * 2 <= g.n
-          GROUP BY qt.q_id, tf.doc_id)
+      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, s"""
+        WITH $Bm25Ctes
         SELECT q_id, rank, d_id, score_ppm FROM (
           SELECT q_id, d_id, score_ppm,
             row_number() OVER (PARTITION BY q_id
@@ -998,46 +1042,110 @@ object Pipeline {
           FROM m) r
         WHERE rank <= 5
         ORDER BY q_id, rank""") },
-      Some("""
-        WITH tok AS (
-          SELECT doc_id,
-            ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
-               2, 15))::BIGINT AS h
-          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
-                FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                      FROM documents) t0) t1
-          WHERE i <= len(ws) - 2 AND len(ws) >= 3),
-        tf AS (
-          SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
-          FROM tok GROUP BY doc_id, h),
-        df AS (
-          SELECT h, CAST(count(*) AS BIGINT) AS df
-          FROM tf GROUP BY h),
-        dl AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-          FROM tok GROUP BY doc_id),
-        g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
-                     CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
-        qt AS (SELECT doc_id AS q_id, h FROM tf
-               WHERE doc_id < (SELECT greatest(CAST(3 AS BIGINT), n // 1000) FROM g)),
-        m AS (
-          SELECT qt.q_id, tf.doc_id AS d_id,
-            CAST(sum(1000000 * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
-                // ((2 * df.df + 1)
-                    * (10 * tf.tf + 3 + (9 * dl.dl * g.n) // g.tt)))
-              AS BIGINT) AS score_ppm
-          FROM qt
-          JOIN df ON qt.h = df.h
-          JOIN tf ON qt.h = tf.h AND tf.doc_id <> qt.q_id
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN g
-          WHERE df.df * 2 <= g.n
-          GROUP BY qt.q_id, tf.doc_id)
+      Some(s"""
+        WITH $DuckBm25Ctes
         SELECT q_id, rank, d_id, score_ppm FROM (
           SELECT q_id, d_id, score_ppm,
             CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY score_ppm DESC, d_id) AS INT) AS rank
           FROM m) r
+        WHERE rank <= 5
+        ORDER BY q_id, rank""")),
+
+    // ---- Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    // 2009): the fusion pass a retrieval-backed pipeline (RAG indexing,
+    // decontamination lookups, semantic dedup candidate generation)
+    // runs over its two retrievers — the exact-integer BM25 lexical
+    // list (q145's scorer, shared CTE chain) and the exact-cosine
+    // dense list (q44's scorer; doc_id/vec_id are the same id space by
+    // corpus construction) — fused as RRF_ppm = Σ_lists 10⁶ DIV
+    // (60 + rank), each rank from its list's own ordering, lists
+    // capped at top-100 BEFORE fusion. The cap is the scale contract:
+    // fusion consumes top-k LISTS, never full rankings — each
+    // retriever ships k rows per query to the fuser, so the fuse
+    // stage's cost is queries×k regardless of corpus size (the
+    // retrievers themselves keep their own scale shapes: posting-list
+    // join, broadcast query set). Cross-engine determinism: ranks are
+    // integers, contributions integer floor divisions, the fused score
+    // an exact integer sum (the q118/q145 ppm discipline); the dense
+    // list's double-cosine ORDERING is the q44-proven bit-identical
+    // one, and doubles never surface in the output.
+    Q("q192_hybrid_rrf",
+      (s, d) => { graft.functions.Md5Long.register(s)
+        graft.functions.DotProductI64.register(s); Tables.sql(s, d, s"""
+        WITH $Bm25Ctes,
+        lex AS (
+          SELECT q_id, d_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY score_ppm DESC, d_id) AS rank
+          FROM m),
+        ev AS (
+          SELECT vec_id, transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        vq AS (SELECT vec_id AS q_id, v AS qv FROM ev
+               WHERE vec_id < (SELECT greatest(CAST(3 AS BIGINT), n DIV 1000) FROM g)),
+        dense AS (
+          SELECT q_id, d_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, d_id) AS rank
+          FROM (
+            SELECT vq.q_id, ev.vec_id AS d_id,
+              CAST(dot_i64(ev.v, vq.qv) AS DOUBLE)
+                / (sqrt(CAST(dot_i64(ev.v, ev.v) AS DOUBLE))
+                   * sqrt(CAST(dot_i64(vq.qv, vq.qv) AS DOUBLE))) AS cos
+            FROM ev CROSS JOIN vq WHERE ev.vec_id <> vq.q_id) sc),
+        fused AS (
+          SELECT q_id, d_id, CAST(sum(ppm) AS BIGINT) AS rrf_ppm FROM (
+            SELECT q_id, d_id, 1000000L DIV (60 + rank) AS ppm
+            FROM lex WHERE rank <= 100
+            UNION ALL
+            SELECT q_id, d_id, 1000000L DIV (60 + rank) AS ppm
+            FROM dense WHERE rank <= 100) u
+          GROUP BY q_id, d_id)
+        SELECT q_id, rank, d_id, rrf_ppm FROM (
+          SELECT q_id, d_id, rrf_ppm,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf_ppm DESC, d_id) AS rank
+          FROM fused) r
+        WHERE rank <= 5
+        ORDER BY q_id, rank""") },
+      Some(s"""
+        WITH $DuckBm25Ctes,
+        lex AS (
+          SELECT q_id, d_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY score_ppm DESC, d_id) AS rank
+          FROM m),
+        ev AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        vq AS (SELECT vec_id AS q_id, v AS qv FROM ev
+               WHERE vec_id < (SELECT greatest(CAST(3 AS BIGINT), n // 1000) FROM g)),
+        dense AS (
+          SELECT q_id, d_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, d_id) AS rank
+          FROM (
+            SELECT vq.q_id, ev.vec_id AS d_id,
+              list_dot_product(ev.v, vq.qv)
+                / (sqrt(list_dot_product(ev.v, ev.v))
+                   * sqrt(list_dot_product(vq.qv, vq.qv))) AS cos
+            FROM ev CROSS JOIN vq WHERE ev.vec_id <> vq.q_id) sc),
+        fused AS (
+          SELECT q_id, d_id, CAST(sum(ppm) AS BIGINT) AS rrf_ppm FROM (
+            SELECT q_id, d_id, 1000000 // (60 + rank) AS ppm
+            FROM lex WHERE rank <= 100
+            UNION ALL
+            SELECT q_id, d_id, 1000000 // (60 + rank) AS ppm
+            FROM dense WHERE rank <= 100) u
+          GROUP BY q_id, d_id)
+        SELECT q_id, rank, d_id, rrf_ppm FROM (
+          SELECT q_id, d_id, rrf_ppm,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf_ppm DESC, d_id) AS INT) AS rank
+          FROM fused) r
         WHERE rank <= 5
         ORDER BY q_id, rank""")),
 
@@ -1188,6 +1296,75 @@ object Pipeline {
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         FROM sc JOIN documents d ON sc.doc_id = d.doc_id
         GROUP BY d.source ORDER BY d.source""")),
+
+    // ---- Classifier evaluation: tie-aware ROC AUC of the trained
+    // domain classifier's margins against the training labels — the
+    // eval pass a data-curation pipeline runs before trusting a
+    // quality/domain filter at corpus scale. Computed as the
+    // Mann-Whitney U statistic over PER-SCORE GROUPS, not per-row
+    // ranks: one groupBy(sc) collapse (distinct margins, typically ≪
+    // corpus), one running-sum window over those groups, one global
+    // sum — the global ORDER BY touches group rows only, so the plan
+    // survives a corpus-scale eval split where a per-row rank window
+    // would single-partition the corpus. Ties get average ranks kept
+    // EXACT in integers by working with doubled ranks: a positive in a
+    // tie group of size n starting after cb rows contributes
+    // 2·r̄ = 2·(cb+1) + n − 1, so
+    //   auc_ppm = 10⁶·(Σ_pos 2r̄ − npos·(npos+1)) DIV (2·npos·nneg)
+    // is one exact floor division (the ppm discipline — no doubles
+    // cross engines). Labels are q160's own: target = lowest-id n/10
+    // exemplar docs, universe = docs with ≥1 feature.
+    Q("q193_classifier_auc",
+      (s, d) => {
+        import s.implicits._
+        val w = domainTrainShared(s, d)._1
+        val c = domainFeatures(s, d)
+        val tgt = Tables.t(s, d, "documents").count() / 10
+        val grouped = bucketScores(c, w)
+          .select($"sc", when($"doc_id" < tgt, 1L).otherwise(0L).as("y"))
+          .groupBy($"sc")
+          .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
+        val asc = org.apache.spark.sql.expressions.Window
+          .orderBy($"sc")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        grouped
+          .withColumn("cb", coalesce(sum($"n").over(asc), lit(0L)))
+          .agg(
+            sum($"npos" * (lit(2L) * ($"cb" + 1L) + $"n" - 1L)).as("r2"),
+            sum($"npos").as("np"),
+            sum($"n" - $"npos").as("nn"))
+          .select(
+            expr("1000000L * (r2 - np * (np + 1)) DIV (2 * np * nn)")
+              .as("auc_ppm"),
+            $"np".as("n_target"), $"nn".as("n_rest"))
+      },
+      Some(s"""
+        WITH $DuckHashedFeatureCtes,
+        $DuckDomainTrainCtes,
+        sc AS (
+          SELECT c.doc_id, CAST(sum(c.c * w$DomainRounds.w) AS BIGINT) AS sc
+          FROM c JOIN w$DomainRounds ON c.b = w$DomainRounds.b
+          GROUP BY c.doc_id),
+        grouped AS (
+          SELECT sc, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN doc_id < (SELECT tgt FROM par)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS npos
+          FROM sc GROUP BY sc),
+        rk AS (
+          SELECT n, npos,
+            CAST(coalesce(sum(n) OVER (ORDER BY sc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb
+          FROM grouped),
+        t AS (
+          SELECT CAST(sum(npos * (2 * (cb + 1) + n - 1)) AS BIGINT) AS r2,
+            CAST(sum(npos) AS BIGINT) AS np,
+            CAST(sum(n - npos) AS BIGINT) AS nn
+          FROM rk)
+        SELECT CAST(1000000 * (r2 - np * (np + 1)) // (2 * np * nn)
+            AS BIGINT) AS auc_ppm,
+          np AS n_target, nn AS n_rest
+        FROM t""")),
 
     // ---- N-gram novelty score: fraction of a doc's bigram OCCURRENCES
     // that are corpus-unique (corpus count = 1) — the cheap KenLM-free

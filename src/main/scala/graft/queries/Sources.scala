@@ -849,6 +849,29 @@ object Sources {
         WHERE o_orderkey % 9 <> 0 AND o_orderkey % 13 <> 0
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- Delta as a STRUCTURED STREAMING SOURCE (DeltaStreamSource):
+    // the fixture replicates the two-commit partitioned orders table
+    // through readStream(graft-delta) → writeStream(graft-delta) — a
+    // paced commit-version-offset replay landing in txn-ledger
+    // exactly-once commits — and the query proves the replica IS the
+    // corpus. The reference has no streaming surface; this is the
+    // forward extension of its Delta read path (deltatable.rs:136-189).
+    Q("q191_delta_stream_read",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersReplicated(s, d)
+        val ctx = new AdtContext(s)
+        ctx.sql(s"CREATE EXTERNAL TABLE orders_replica STORED AS DELTA LOCATION '$dir'")
+        ctx.sql("""
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+          FROM orders_replica
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     Q("q186_incremental_agg_retract",
       (s, d) => {
         val dir = Fixtures.deltaOrdersIvmRetract(s, d)

@@ -812,6 +812,33 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table REPLICATED from [[deltaOrdersWritten]] through the
+    * full declarative streaming pipeline — `readStream.format
+    * ("graft-delta")` (the commit-version-offset source, paced by
+    * maxFilesPerTrigger) into `writeStream.format("graft-delta")` (the
+    * txn-ledger exactly-once sink) — so the replica holds exactly the
+    * source's rows iff commit-window replay and atomic micro-batch
+    * commits compose losslessly end to end (q191 proves the composed
+    * state against the original corpus). */
+  def deltaOrdersReplicated(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_replica") { dir =>
+      val src = deltaOrdersWritten(s, d)
+      // the offset checkpoint lives OUTSIDE the replica dir; a stale
+      // one from an aborted build would resume offsets against the
+      // freshly-wiped replica, so it is rebuilt with the table
+      val ckpt = new File(dir.getParentFile, "delta_orders_replica_ckpt")
+      delete(ckpt)
+      val q = s.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "8").load(src)
+        .writeStream.format("graft-delta")
+        .option("path", dir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .partitionBy("o_orderpriority")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+
   /** MIN/MAX IVM maintained THROUGH RETRACTIONS (q189): a
     * `(key, n, mn, mx)` materialization of order cents per priority,
     * refreshed, then hit with copy-on-write delete (%10=3 — certain to

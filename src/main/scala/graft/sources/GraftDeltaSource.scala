@@ -2,11 +2,13 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.graftbridge.BatchFrameBridge
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
+
+import graft.streaming.DeltaStreamSource
 
 /** `df.write.format("graft-delta")` — the standard DataFrameWriter
   * entry into [[DeltaWriter]], so landing a Delta table needs no
@@ -43,9 +45,39 @@ import org.apache.spark.sql.types.StructType
   * carry — a format-based read would silently resurrect DV-deleted
   * rows, so none is offered. */
 class GraftDeltaSource extends CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  private def pathOf(parameters: Map[String, String], verb: String): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      s"graft-delta: a table path is required — $verb"))
+
+  /** `spark.readStream.format("graft-delta").load(path)` — the Delta
+    * STREAMING SOURCE ([[DeltaStreamSource]]): offsets are commit
+    * versions, batches are exact log windows planned through
+    * [[DeltaReader.loadChanges]], maintenance commits are transparent
+    * and change commits refuse (or skip, `skipChangeCommits=true`).
+    * The schema is always the table's own logical snapshot schema —
+    * a user-declared schema cannot widen what the log defines. */
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters,
+      "spark.readStream.format(\"graft-delta\").load(path)")
+    (s"${shortName()}[$path]", DeltaReader.snapshot(ctx.sparkSession, path).schema)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters,
+      "spark.readStream.format(\"graft-delta\").load(path)")
+    new DeltaStreamSource(ctx.sparkSession, path,
+      parameters.getOrElse("startingVersion", "earliest"),
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("skipChangeCommits").exists(_.toBoolean))
+  }
 
   /** `df.writeStream.format("graft-delta").option("path", …).start()`
     * — the declarative spelling of [[graft.streaming.StreamDeltaIngest]]:

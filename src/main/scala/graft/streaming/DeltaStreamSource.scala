@@ -1,0 +1,204 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftbridge.StreamFrameBridge
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.DeltaReader
+
+/** Delta table as a STRUCTURED STREAMING SOURCE —
+  * `spark.readStream.format("graft-delta").load(path)` tails the
+  * commit log, the read twin of the exactly-once sink
+  * ([[graft.sources.GraftDeltaSource]]): together they make a
+  * table-to-table replication / derived-table pipeline one
+  * `readStream → transform → writeStream` statement, with end-to-end
+  * exactly-once from the engine's offset checkpoint (this side) and
+  * the table's txn ledger (that side). The reference has no streaming
+  * surface at all; this extends its Delta family
+  * (deltatable.rs:136-189 read semantics) the way Structured
+  * Streaming extends batch.
+  *
+  * Offsets are COMMIT VERSIONS (`LongOffset(v)` = "versions ≤ v
+  * emitted"), so a batch is an exact, deterministic log window and a
+  * crash-redelivered `getBatch(start, end]` replays bit-identically —
+  * delta data files are immutable and [[DeltaReader.loadChanges]]
+  * reads each add at the version it landed. Per commit the driver
+  * parses ONLY the action lines (metadata-sized); row data never
+  * touches the driver.
+  *
+  * Commit classes, from the commit's own action profile (the same
+  * taxonomy the OCC conflict matrix uses):
+  *  - metadata/txn-only and LAYOUT commits (every file action
+  *    `dataChange=false`: compact, z-order) are TRANSPARENT — a
+  *    consumer pays for data, never maintenance churn;
+  *  - APPEND commits (new files only) stream through;
+  *  - CHANGE commits (delete/update/merge rewrites, deletion vectors)
+  *    REFUSE by default — this source is append-only, a row it
+  *    emitted is never retracted — naming the two real options:
+  *    `skipChangeCommits=true` (delta's own escape hatch: the whole
+  *    commit is skipped, downstream keeps the pre-image) or the batch
+  *    row-level feed [[DeltaReader.loadChangeFeed]] + IncrementalAgg
+  *    for consumers that need retractions.
+  *
+  * Admission control: `maxFilesPerTrigger` caps a micro-batch's data
+  * files at COMMIT granularity (a commit is this writer's atomic
+  * batch quantum, so it is never split; the first data commit always
+  * admits — progress is guaranteed). `startingVersion` = `earliest`
+  * (default: replay the full retained log), `latest` (tail only), or
+  * a version number. A start behind the log-retention horizon refuses
+  * naming the cleanup, not fabricating rows. */
+final class DeltaStreamSource(
+    spark: SparkSession,
+    tablePath: String,
+    startingVersion: String,
+    maxFilesPerTrigger: Option[Int],
+    skipChangeCommits: Boolean) extends Source {
+
+  private val mapper = new ObjectMapper()
+  private val logDir = new File(tablePath, "_delta_log")
+  require(logDir.isDirectory,
+    s"graft-delta stream: no Delta table at $tablePath (no _delta_log)")
+
+  /** Logical schema at source creation — pinned for the query's
+    * lifetime; a mid-stream schema change refuses (below) rather than
+    * silently emitting differently-shaped rows into a running plan. */
+  override val schema: StructType =
+    DeltaReader.snapshot(spark, tablePath).schema
+
+  /** Exclusive lower bound of the first batch. */
+  private val startPosition: Long = startingVersion.toLowerCase match {
+    case "earliest" => -1L
+    case "latest" => latestVersion().getOrElse(-1L)
+    case v =>
+      require(v.matches("\\d+"),
+        s"graft-delta stream: startingVersion must be 'earliest', " +
+          s"'latest' or a version number, got '$startingVersion'")
+      v.toLong - 1L
+  }
+
+  /** Highest version already handed to the engine (pacing cursor —
+    * redelivery after restart goes through getBatch's explicit
+    * offsets, never this). */
+  private var position: Long = startPosition
+
+  private def latestVersion(): Option[Long] = {
+    val names = Option(logDir.list()).getOrElse(Array.empty[String])
+      .filter(_.matches("\\d{20}\\.json"))
+    if (names.isEmpty) None else Some(names.map(_.take(20).toLong).max)
+  }
+
+  private sealed trait Kind
+  private case object Transparent extends Kind // metadata-only / layout
+  private final case class Append(nFiles: Int) extends Kind
+  private case object Change extends Kind // rewrite / delete / DV
+
+  /** Commit jsons are immutable — classification memoizes forever. */
+  private val kinds = mutable.Map.empty[Long, Kind]
+
+  private def kindOf(v: Long): Kind = kinds.getOrElseUpdate(v, {
+    val f = new File(logDir, f"$v%020d.json")
+    require(f.exists(),
+      s"graft-delta stream at $tablePath: commit $v is no longer in " +
+        "_delta_log (log-retention cleanup) — restart with option " +
+        "startingVersion set to a retained version (or 'latest') and " +
+        "backfill consumers from a batch snapshot")
+    val nodes = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).map(mapper.readTree).toSeq
+    val adds = nodes.flatMap(n => Option(n.get("add")))
+    val removes = nodes.flatMap(n => Option(n.get("remove")))
+    // dataChange defaults true when absent (hand-written logs)
+    def dataChange(a: JsonNode): Boolean =
+      Option(a.get("dataChange")).forall(_.asBoolean())
+    if ((adds ++ removes).forall(a => !dataChange(a))) Transparent
+    else {
+      val addedHere = adds.map(_.get("path").asText()).toSet
+      val mutates =
+        adds.exists(a =>
+          Option(a.get("deletionVector")).exists(!_.isNull)) ||
+        removes.exists(r => dataChange(r) &&
+          !addedHere.contains(r.get("path").asText()))
+      if (mutates) Change else Append(adds.count(dataChange))
+    }
+  })
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = latestVersion().getOrElse(return None)
+    val from = math.max(position, startPosition)
+    if (latest <= from) return None
+    val budget = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    var files = 0
+    var end = from
+    var admitted = false
+    var v = from + 1
+    var open = true
+    while (open && v <= latest) {
+      val n = kindOf(v) match {
+        case Append(k) => k
+        case Change => 1 // progress quantum; getBatch refuses or skips
+        case Transparent => 0
+      }
+      if (n > 0 && admitted && files + n > budget) open = false
+      else {
+        files += n; admitted = admitted || n > 0; end = v; v += 1
+      }
+    }
+    if (end > from) { position = end; Some(LongOffset(end)) } else None
+  }
+
+  private def ver(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val s = start.map(ver).getOrElse(startPosition)
+    val e = ver(end)
+    position = math.max(position, e)
+    // maximal spans of non-Change commits; each span is one
+    // loadChanges plan (layout commits inside are transparent there)
+    val spans = mutable.ArrayBuffer.empty[(Long, Long)]
+    var spanStart = -1L
+    (s + 1) to e foreach { v =>
+      kindOf(v) match {
+        case Change if !skipChangeCommits =>
+          throw new IllegalStateException(
+            s"graft-delta stream at $tablePath: commit $v changes " +
+              "existing rows (delete/update/merge or deletion vector) " +
+              "— this source is append-only. Set option " +
+              "skipChangeCommits=true to skip such commits, or consume " +
+              "row-level changes with DeltaReader.loadChangeFeed")
+        case Change =>
+          if (spanStart >= 0) { spans += ((spanStart, v - 1)); spanStart = -1 }
+        case _ => if (spanStart < 0) spanStart = v
+      }
+    }
+    if (spanStart >= 0) spans += ((spanStart, e))
+    val batch = spans.toSeq
+      .map { case (a, b) => DeltaReader.loadChanges(spark, tablePath, a - 1, b) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    require(batch.schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
+      schema.fields.toSeq.map(f => (f.name, f.dataType)),
+      s"graft-delta stream at $tablePath: table schema changed inside " +
+        s"window ($s, $e] — restart the streaming query to pick up the " +
+        "new schema")
+    StreamFrameBridge.asStreamingBatch(batch)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftDeltaStreamSource[$tablePath]"
+}

@@ -691,4 +691,160 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == corpus.length)
     assert(streamed == expected)
   }
+
+  // ---- graft-delta STREAMING SOURCE (DeltaStreamSource): the read
+  // twin of the declarative sink. Offsets are commit versions; batches
+  // replay exact log windows through loadChanges.
+
+  private def streamBase(name: String): java.io.File = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), name)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    base.mkdirs()
+    base
+  }
+
+  test("readStream.format(\"graft-delta\") replays the log and tails new commits") {
+    val base = streamBase("graft_stream_src_tail")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), table)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+        .repartition(1), table)
+    val q = spark.readStream.format("graft-delta").load(table)
+      .writeStream.format("memory").queryName("delta_src_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_src_tail").collect().toSet ==
+        nation.filter(col("n_nationkey") < 20).collect().toSet)
+      // tail: a commit landed AFTER the stream started is picked up by
+      // the next trigger, exactly the new rows
+      graft.sources.DeltaWriter.append(
+        nation.filter(col("n_nationkey") >= 20).repartition(1), table)
+      q.processAllAvailable()
+      assert(spark.table("delta_src_tail").collect().toSet ==
+        nation.collect().toSet)
+    } finally q.stop()
+  }
+
+  test("graft-delta source paces by maxFilesPerTrigger at commit granularity") {
+    val base = streamBase("graft_stream_src_pace")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val slices = Seq(
+      nation.filter(col("n_nationkey") < 10),
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+      nation.filter(col("n_nationkey") >= 20))
+    slices.foreach(s =>
+      graft.sources.DeltaWriter.append(s.repartition(1), table))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(table)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count(); if (n > 0) batches += n; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // one single-file commit per micro-batch: a commit is the atomic
+    // quantum, never split, and the budget admits exactly one here
+    assert(batches.toSeq == slices.map(_.count()))
+  }
+
+  test("graft-delta source refuses change commits by default and skips them on request") {
+    val base = streamBase("graft_stream_src_change")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), table)
+    graft.sources.DeltaWriter.delete(spark, table,
+      col("n_nationkey") === 3)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 20).repartition(1), table)
+    val q1 = spark.readStream.format("graft-delta").load(table)
+      .writeStream.format("memory").queryName("delta_src_refuse")
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    assert(err.getMessage.contains("append-only") ||
+      Option(err.getCause).exists(_.getMessage.contains("append-only")))
+    // skipChangeCommits: the WHOLE change commit is skipped (delta's
+    // own semantics) — downstream keeps the pre-image of commit 0 and
+    // still gets the later append
+    val q2 = spark.readStream.format("graft-delta")
+      .option("skipChangeCommits", "true").load(table)
+      .writeStream.format("memory").queryName("delta_src_skip")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("delta_src_skip").collect().toSet ==
+      nation.filter(col("n_nationkey") < 10 || col("n_nationkey") >= 20)
+        .collect().toSet)
+  }
+
+  test("graft-delta source startingVersion=latest tails only commits after start") {
+    val base = streamBase("graft_stream_src_latest")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 20).repartition(1), table)
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "latest").load(table)
+      .writeStream.format("memory").queryName("delta_src_latest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_src_latest").isEmpty)
+      graft.sources.DeltaWriter.append(
+        nation.filter(col("n_nationkey") >= 20).repartition(1), table)
+      q.processAllAvailable()
+      assert(spark.table("delta_src_latest").collect().toSet ==
+        nation.filter(col("n_nationkey") >= 20).collect().toSet)
+    } finally q.stop()
+  }
+
+  test("source->sink table replication is exactly-once across a checkpointed restart") {
+    val base = streamBase("graft_stream_src_repl")
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val dst = new java.io.File(base, "dst").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), src)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+        .repartition(1), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("graft-delta")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(graft.sources.DeltaReader.load(spark, dst).collect().toSet ==
+      nation.filter(col("n_nationkey") < 20).collect().toSet)
+    // restart the SAME pipeline after the source table grew: the
+    // engine's offset checkpoint resumes the source past the already-
+    // replicated commits and the sink's txn ledger guards redelivery —
+    // the replica converges to the source with zero duplicates
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 20).repartition(1), src)
+    run()
+    val replica = graft.sources.DeltaReader.load(spark, dst)
+    assert(replica.collect().toSet == nation.collect().toSet)
+    assert(replica.count() == nation.count())
+  }
 }
