@@ -872,6 +872,38 @@ object Sources {
           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- STREAMING change-data-feed: the q185 window replayed through
+    // the CDF mode of the streaming source (readChangeFeed=true), one
+    // micro-batch per change commit, events landed by the exactly-once
+    // sink — the same signed aggregate over the LANDED event table must
+    // equal q185's oracle, proving the feed's per-window state seeding
+    // and DV row-diffs survive micro-batch boundaries.
+    Q("q194_delta_stream_cdf",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersCdfStreamed(s, d)
+        val sign = when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(sign).cast("long").as("n"),
+            sum(sign * expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+          CAST(-sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n,
+          CAST(sum(CASE
+            WHEN o_orderkey % 7 = 0
+              THEN -CAST(round(o_totalprice * 100) AS BIGINT)
+            WHEN o_orderkey % 5 = 0
+              THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                 - CAST(round(o_totalprice * 100) AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     Q("q186_incremental_agg_retract",
       (s, d) => {
         val dir = Fixtures.deltaOrdersIvmRetract(s, d)

@@ -735,6 +735,32 @@ object Fixtures {
       ()
     }
 
+  /** The q185 change history REPLAYED THROUGH THE STREAMING CDF SOURCE
+    * (q194): `readStream(graft-delta, readChangeFeed=true,
+    * startingVersion=1, maxFilesPerTrigger=1)` over [[deltaOrdersCdf]]
+    * — several micro-batches by construction — with each batch of
+    * row-level events landed by the exactly-once sink, so the landed
+    * event table equals the batch `loadChangeFeed(0, 2]` iff
+    * commit-version offsets, per-window state seeding, and DV
+    * row-diffs compose across micro-batch boundaries. */
+  def deltaOrdersCdfStreamed(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_cdf_streamed") { dir =>
+      val src = deltaOrdersCdf(s, d)
+      val ckpt = new File(dir.getParentFile, "delta_orders_cdf_streamed_ckpt")
+      delete(ckpt)
+      val q = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .writeStream.format("graft-delta")
+        .option("path", dir.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ()
+    }
+
   /** A COLUMN-MAPPED (mode=name) Delta table produced by graft's own
     * writer (q187): created mapped, appended twice (parity split,
     * hive-partitioned — dirs and partitionValues carry the minted

@@ -65,7 +65,15 @@ class GraftDeltaSource extends CreatableRelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     val path = pathOf(parameters,
       "spark.readStream.format(\"graft-delta\").load(path)")
-    (s"${shortName()}[$path]", DeltaReader.snapshot(ctx.sparkSession, path).schema)
+    val base = DeltaReader.snapshot(ctx.sparkSession, path).schema
+    val out =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) base
+      else StructType(base.fields.toIndexedSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    (s"${shortName()}[$path]", out)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -76,7 +84,8 @@ class GraftDeltaSource extends CreatableRelationProvider
     new DeltaStreamSource(ctx.sparkSession, path,
       parameters.getOrElse("startingVersion", "earliest"),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
-      parameters.get("skipChangeCommits").exists(_.toBoolean))
+      parameters.get("skipChangeCommits").exists(_.toBoolean),
+      parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   /** `df.writeStream.format("graft-delta").option("path", …).start()`

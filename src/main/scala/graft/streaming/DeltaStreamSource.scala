@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamFrameBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sources.DeltaReader
 
@@ -45,9 +45,18 @@ import graft.sources.DeltaReader
   *    REFUSE by default — this source is append-only, a row it
   *    emitted is never retracted — naming the two real options:
   *    `skipChangeCommits=true` (delta's own escape hatch: the whole
-  *    commit is skipped, downstream keeps the pre-image) or the batch
-  *    row-level feed [[DeltaReader.loadChangeFeed]] + IncrementalAgg
-  *    for consumers that need retractions.
+  *    commit is skipped, downstream keeps the pre-image) or the
+  *    row-level change feed below for consumers that need retractions.
+  *
+  * `readChangeFeed=true` switches the source to the CHANGE-DATA-FEED:
+  * batches are [[DeltaReader.loadChangeFeed]] windows — row-level
+  * events tagged `_change_type` ('insert' | 'delete') and
+  * `_commit_version` — so change commits stream through as exact
+  * retraction pairs instead of refusing, and a downstream
+  * materialization (the IncrementalAgg fold) follows deletes/updates
+  * without ever re-scanning the base. `startingVersion=earliest`
+  * replays the table's full retained history as inserts (the initial
+  * snapshot IS version 0's events); `latest`/N tail from there.
   *
   * Admission control: `maxFilesPerTrigger` caps a micro-batch's data
   * files at COMMIT granularity (a commit is this writer's atomic
@@ -61,7 +70,13 @@ final class DeltaStreamSource(
     tablePath: String,
     startingVersion: String,
     maxFilesPerTrigger: Option[Int],
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    readChangeFeed: Boolean = false) extends Source {
+
+  require(!(skipChangeCommits && readChangeFeed),
+    "graft-delta stream: skipChangeCommits and readChangeFeed are " +
+      "mutually exclusive — the change feed EMITS change commits as " +
+      "row-level events, there is nothing to skip")
 
   private val mapper = new ObjectMapper()
   private val logDir = new File(tablePath, "_delta_log")
@@ -70,9 +85,15 @@ final class DeltaStreamSource(
 
   /** Logical schema at source creation — pinned for the query's
     * lifetime; a mid-stream schema change refuses (below) rather than
-    * silently emitting differently-shaped rows into a running plan. */
-  override val schema: StructType =
-    DeltaReader.snapshot(spark, tablePath).schema
+    * silently emitting differently-shaped rows into a running plan.
+    * CDF mode appends delta's event columns. */
+  override val schema: StructType = {
+    val base = DeltaReader.snapshot(spark, tablePath).schema
+    if (!readChangeFeed) base
+    else StructType(base.fields.toIndexedSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+  }
 
   /** Exclusive lower bound of the first batch. */
   private val startPosition: Long = startingVersion.toLowerCase match {
@@ -99,7 +120,9 @@ final class DeltaStreamSource(
   private sealed trait Kind
   private case object Transparent extends Kind // metadata-only / layout
   private final case class Append(nFiles: Int) extends Kind
-  private case object Change extends Kind // rewrite / delete / DV
+  // rewrite / delete / DV; nFiles = data-changing file actions (the
+  // CDF scan-work proxy the pacing budget charges)
+  private final case class Change(nFiles: Int) extends Kind
 
   /** Commit jsons are immutable — classification memoizes forever. */
   private val kinds = mutable.Map.empty[Long, Kind]
@@ -127,7 +150,8 @@ final class DeltaStreamSource(
           Option(a.get("deletionVector")).exists(!_.isNull)) ||
         removes.exists(r => dataChange(r) &&
           !addedHere.contains(r.get("path").asText()))
-      if (mutates) Change else Append(adds.count(dataChange))
+      if (mutates) Change((adds ++ removes).count(dataChange))
+      else Append(adds.count(dataChange))
     }
   })
 
@@ -144,7 +168,7 @@ final class DeltaStreamSource(
     while (open && v <= latest) {
       val n = kindOf(v) match {
         case Append(k) => k
-        case Change => 1 // progress quantum; getBatch refuses or skips
+        case Change(k) => math.max(1, k) // getBatch refuses/skips/feeds
         case Transparent => 0
       }
       if (n > 0 && admitted && files + n > budget) open = false
@@ -164,36 +188,44 @@ final class DeltaStreamSource(
     val s = start.map(ver).getOrElse(startPosition)
     val e = ver(end)
     position = math.max(position, e)
-    // maximal spans of non-Change commits; each span is one
-    // loadChanges plan (layout commits inside are transparent there)
-    val spans = mutable.ArrayBuffer.empty[(Long, Long)]
-    var spanStart = -1L
-    (s + 1) to e foreach { v =>
-      kindOf(v) match {
-        case Change if !skipChangeCommits =>
-          throw new IllegalStateException(
-            s"graft-delta stream at $tablePath: commit $v changes " +
-              "existing rows (delete/update/merge or deletion vector) " +
-              "— this source is append-only. Set option " +
-              "skipChangeCommits=true to skip such commits, or consume " +
-              "row-level changes with DeltaReader.loadChangeFeed")
-        case Change =>
-          if (spanStart >= 0) { spans += ((spanStart, v - 1)); spanStart = -1 }
-        case _ => if (spanStart < 0) spanStart = v
-      }
-    }
-    if (spanStart >= 0) spans += ((spanStart, e))
-    val batch = spans.toSeq
-      .map { case (a, b) => DeltaReader.loadChanges(spark, tablePath, a - 1, b) }
-      .reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val batch =
+      if (readChangeFeed) DeltaReader.loadChangeFeed(spark, tablePath, s, e)
+      else appendOnlyBatch(s, e)
     require(batch.schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
       schema.fields.toSeq.map(f => (f.name, f.dataType)),
       s"graft-delta stream at $tablePath: table schema changed inside " +
         s"window ($s, $e] — restart the streaming query to pick up the " +
         "new schema")
     StreamFrameBridge.asStreamingBatch(batch)
+  }
+
+  /** Append-only batch for window `(s, e]`: maximal spans of
+    * non-Change commits, each one [[DeltaReader.loadChanges]] plan
+    * (layout commits inside are transparent there); Change commits
+    * refuse, or drop whole with `skipChangeCommits`. */
+  private def appendOnlyBatch(s: Long, e: Long): DataFrame = {
+    val spans = mutable.ArrayBuffer.empty[(Long, Long)]
+    var spanStart = -1L
+    (s + 1) to e foreach { v =>
+      kindOf(v) match {
+        case Change(_) if !skipChangeCommits =>
+          throw new IllegalStateException(
+            s"graft-delta stream at $tablePath: commit $v changes " +
+              "existing rows (delete/update/merge or deletion vector) " +
+              "— this source is append-only. Set option " +
+              "skipChangeCommits=true to skip such commits, or " +
+              "readChangeFeed=true to stream row-level change events")
+        case Change(_) =>
+          if (spanStart >= 0) { spans += ((spanStart, v - 1)); spanStart = -1 }
+        case _ => if (spanStart < 0) spanStart = v
+      }
+    }
+    if (spanStart >= 0) spans += ((spanStart, e))
+    spans.toSeq
+      .map { case (a, b) => DeltaReader.loadChanges(spark, tablePath, a - 1, b) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   override def commit(end: OffsetV1): Unit = ()

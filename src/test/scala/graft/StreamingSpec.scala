@@ -847,4 +847,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(replica.collect().toSet == nation.collect().toSet)
     assert(replica.count() == nation.count())
   }
+
+  test("graft-delta source readChangeFeed streams row-level events matching the batch feed") {
+    val base = streamBase("graft_stream_src_cdf")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 20).repartition(1), table)
+    graft.sources.DeltaWriter.deleteWithVectors(spark, table,
+      col("n_nationkey") % 4 === 1)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 20).repartition(1), table)
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "1").load(table)
+      .writeStream.format("memory").queryName("delta_src_cdf")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("delta_src_cdf").collect().toSet
+    val batch = graft.sources.DeltaReader
+      .loadChangeFeed(spark, table, -1L, 2L).collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // the two change-handling modes are mutually exclusive
+    val err = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true").load(table)
+        .writeStream.format("memory").queryName("delta_src_cdf_bad")
+        .outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("mutually exclusive")))
+  }
 }
