@@ -872,6 +872,36 @@ object Sources {
           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- SHALLOW CLONE: the fixture clones the q185 table zero-copy
+    // (version-0 adds reference the source's files by ABSOLUTE path —
+    // the delta protocol's absolute-path allowance) and then diverges
+    // with a copy-on-write DELETE that rewrites only touched absolute
+    // files into the clone. The aggregate over the clone must equal
+    // the oracle recomposition of (DV-delete %7, update-double %5,
+    // clone, delete %3) over the untouched corpus — a wrong path
+    // resolution drops files, a botched DV re-address ("u"→"p")
+    // resurrects dead rows, a clone that mutated the source breaks
+    // q185/q194 instead.
+    Q("q195_delta_clone",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersCloned(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CASE WHEN o_orderkey % 5 = 0
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- STREAMING change-data-feed: the q185 window replayed through
     // the CDF mode of the streaming source (readChangeFeed=true), one
     // micro-batch per change commit, events landed by the exactly-once

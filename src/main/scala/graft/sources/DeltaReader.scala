@@ -593,7 +593,8 @@ object DeltaReader {
             // File.toURI reproduces; a decoded spelling would silently
             // skip the file's vector and resurrect its dead rows
             // (caught by the partitioned deleteWithVectors spec).
-            val uri = new File(root, decodePath(a.path)).toURI.toString
+            val uri = new File(resolved(root, decodePath(a.path)))
+              .toURI.toString
             DvSpec(uri, dv.storageType,
               dv.pathOrInlineDv, dv.offset, dv.sizeInBytes, root)
           }
@@ -634,6 +635,16 @@ object DeltaReader {
   /** Delta paths are URL-encoded relative paths. */
   private[sources] def decodePath(p: String): String =
     java.net.URLDecoder.decode(p, "UTF-8")
+
+  /** Resolve an already-decoded file-action path against the table
+    * root. Delta paths are table-relative OR ABSOLUTE — the shallow-
+    * clone contract ([[DeltaWriter.cloneShallow]]): a cloned table's
+    * version-0 adds point into the source table by absolute path, so
+    * every scan site resolves through here instead of blindly
+    * prefixing the root. */
+  private[sources] def resolved(root: String, decoded: String): String =
+    if (decoded.startsWith("/")) decoded
+    else new File(root, decoded).getAbsolutePath
 
   /** Latest `txn` version recorded for `appId` — the exactly-once
     * producer ledger ([[DeltaWriter.appendOnce]]'s check): max over the
@@ -774,7 +785,8 @@ object DeltaReader {
     val byPv = added.toSeq.groupBy(_._2)
     val parts = byPv.toSeq.map { case (pv, files) =>
       val scanned = spark.read.schema(dataSchema)
-        .parquet(files.map(f => s"$tablePath/${f._1}"): _*)
+        .parquet(files.map(f =>
+          resolved(new File(tablePath).getAbsolutePath, f._1)): _*)
       val base =
         if (idMode) scanned // already logical (field-id resolution)
         else scanned
@@ -972,8 +984,7 @@ object DeltaReader {
         (e.version, e.change, e.file.partitionValues)).toSeq
       .map { case ((v, ch, pv), es) =>
         val df = toLogical(spark.read.schema(dataSchema).parquet(
-          es.map(e => new File(root, e.file.path).getAbsolutePath)
-            .toSeq: _*))
+          es.map(e => resolved(root, e.file.path)).toSeq: _*))
         withPv(df, pv)
           .withColumn("_change_type", lit(ch))
           .withColumn("_commit_version", lit(v))
@@ -981,7 +992,7 @@ object DeltaReader {
     val dvParts = dvDiff.toSeq.map { e =>
       // single-file scan: the physical row index alone addresses rows
       val base = spark.read.schema(dataSchema)
-        .parquet(new File(root, e.file.path).getAbsolutePath)
+        .parquet(resolved(root, e.file.path))
         .withColumn("__row", col("_metadata.row_index"))
       val inOk = e.mustIn.fold(base)(dv =>
         base.join(dvRows(dv), Seq("__row"), "left_semi"))
@@ -1016,7 +1027,8 @@ private[sources] class DeltaSnapshotFileIndex(
 
   private def statusOf(a: DeltaReader.AddFile): FileStatus =
     new FileStatus(a.size, false, 1, 128L * 1024 * 1024, 0L,
-      new Path(s"file:$root/${DeltaReader.decodePath(a.path)}"))
+      new Path("file:" + DeltaReader.resolved(
+        root, DeltaReader.decodePath(a.path))))
 
   /** Driver-retained state is bounded deliberately: the raw `stats` JSON
     * strings — the dominant per-file cost of a snapshot on wide tables
@@ -1040,7 +1052,8 @@ private[sources] class DeltaSnapshotFileIndex(
     }
 
   private val allInputFiles: Array[String] =
-    snap.files.map(a => s"file:$root/${DeltaReader.decodePath(a.path)}").toArray
+    snap.files.map(a => "file:" +
+    DeltaReader.resolved(root, DeltaReader.decodePath(a.path))).toArray
 
   private val totalBytes: Long = snap.files.map(_.size).sum
 

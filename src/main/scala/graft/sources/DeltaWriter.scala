@@ -542,7 +542,7 @@ object DeltaWriter {
       .collect().map(_.getString(0)).toSet
     val root = table.getAbsolutePath
     def absPath(rel: String): String =
-      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+      DeltaReader.resolved(root, DeltaReader.decodePath(rel))
     val removedAdds = snap.files.filter(a =>
       touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
     require(removedAdds.length == touched.size,
@@ -676,7 +676,7 @@ object DeltaWriter {
       .collect().map(_.getString(0)).toSet
     val root = table.getAbsolutePath
     def absPath(rel: String): String =
-      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+      DeltaReader.resolved(root, DeltaReader.decodePath(rel))
     val removedAdds = snap.files.filter(a =>
       touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
     require(removedAdds.length == touched.size,
@@ -733,7 +733,7 @@ object DeltaWriter {
     if (touched.isEmpty) return version - 1 // nothing matches: no commit
     val root = table.getAbsolutePath
     def absPath(rel: String): String =
-      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+      DeltaReader.resolved(root, DeltaReader.decodePath(rel))
     val removedAdds = snap.files.filter(a =>
       touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
     require(removedAdds.length == touched.size,
@@ -855,7 +855,7 @@ object DeltaWriter {
     if (hit.isEmpty) return None // nothing matches
     val root = table.getAbsolutePath
     def absPath(rel: String): String =
-      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+      DeltaReader.resolved(root, DeltaReader.decodePath(rel))
     val touched = snap.files.flatMap { a =>
       hit.collectFirst {
         case (uri, rows) if new java.net.URI(uri).getPath == absPath(a.path) =>
@@ -1014,7 +1014,7 @@ object DeltaWriter {
     if (touched.isEmpty) return version - 1 // nothing matches: no commit
     val root = table.getAbsolutePath
     def absPath(rel: String): String =
-      new File(root, DeltaReader.decodePath(rel)).getAbsolutePath
+      DeltaReader.resolved(root, DeltaReader.decodePath(rel))
     val removedAdds = snap.files.filter(a =>
       touched.exists(t => new java.net.URI(t).getPath == absPath(a.path)))
     require(removedAdds.length == touched.size,
@@ -1533,7 +1533,7 @@ object DeltaWriter {
     val version = nextVersion(table)
     val root = table.getAbsolutePath
     def absOf(a: DeltaReader.AddFile): String =
-      new File(root, DeltaReader.decodePath(a.path)).getAbsolutePath
+      DeltaReader.resolved(root, DeltaReader.decodePath(a.path))
     val partSet = snap.partitionColumns.toSet
     val dataFields = snap.schema.fields.toIndexedSeq
       .filterNot(f => partSet.contains(f.name))
@@ -1754,7 +1754,8 @@ object DeltaWriter {
         curByPath(a.path).deletionVector != a.deletionVector)
     val toRemove = cur.files.filterNot(a => oldPaths.contains(a.path))
     val missing = toAdd.map(_.path).filterNot(rel =>
-      new File(table, DeltaReader.decodePath(rel)).isFile)
+      new File(DeltaReader.resolved(table.getAbsolutePath,
+        DeltaReader.decodePath(rel))).isFile)
     require(missing.isEmpty,
       s"restore to version $version needs vacuumed file(s): " +
         s"${missing.take(5).mkString(", ")}" +
@@ -1766,6 +1767,76 @@ object DeltaWriter {
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
     publishOptimistic(table, newVersion,
       removes ++ toAdd.map(a => addJson(a, dataChange = true)))
+  }
+
+  /** SHALLOW CLONE: create a NEW table at `tablePath` whose version-0
+    * commit references every live file of the source's current
+    * snapshot BY ABSOLUTE PATH — zero bytes copied, the delta
+    * protocol's allowance that an add's `path` may be absolute (every
+    * scan site resolves through [[DeltaReader.resolved]]). The clone
+    * carries the source's protocol and metaData VERBATIM (schema,
+    * partitioning, column mapping, CHECK constraints, properties —
+    * the raw action lines, not a re-derivation) under a FRESH table
+    * id, with stats and tags riding on every add, so file skipping
+    * and incremental z-order admit/skip work on the clone from birth.
+    * From version 0 the histories diverge independently:
+    *
+    *  - writes to the clone land relative files in its OWN dir;
+    *  - a row verb on the clone rewrites touched source files INTO
+    *    the clone and removes the absolute reference — source bytes
+    *    are never modified;
+    *  - the clone's vacuum can never delete source data by
+    *    construction: its walk covers only the clone's dir, and an
+    *    absolute-path tombstone matches nothing in that walk;
+    *  - time travel on the clone starts at ITS version 0 (delta's
+    *    CLONE semantics — history does not follow).
+    *
+    * Live relative ("u") deletion vectors are re-addressed as
+    * absolute ("p") descriptors pointing at the source's sidecar
+    * `.bin` files — same bitmap bytes, same offsets, no copy; inline
+    * ("i") vectors ride verbatim. The flip side of zero-copy is a
+    * LIVENESS DEPENDENCY, same as every shallow-clone implementation:
+    * a vacuum on the SOURCE may delete files the clone still
+    * references (the source's log does not know about clone readers),
+    * failing the clone's scans at read time — deep-copy via
+    * overwrite(load(clone)) is the decoupling escape hatch. */
+  def cloneShallow(spark: org.apache.spark.sql.SparkSession,
+      sourcePath: String, tablePath: String): Long = {
+    val srcTable = new File(sourcePath)
+    require(new File(srcTable, "_delta_log").isDirectory,
+      s"cloneShallow: no Delta table at $sourcePath")
+    val table = new File(tablePath)
+    require(nextVersion(table) == 0L,
+      s"cloneShallow: a Delta table already exists at $tablePath")
+    val snap = DeltaReader.snapshot(spark, sourcePath)
+    val (proto, metaRaw, _) =
+      carryActions(spark, new File(srcTable, "_delta_log"), sourcePath)
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaRoot = jackson.readTree(metaRaw)
+    metaRoot.get("metaData")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("id", java.util.UUID.randomUUID().toString)
+    val srcRoot = srcTable.getAbsolutePath
+    val adds = snap.files.map { a =>
+      val abs = DeltaReader.resolved(srcRoot, DeltaReader.decodePath(a.path))
+      val dv = a.deletionVector.map {
+        case d if d.storageType == "u" =>
+          // re-address the table-relative sidecar absolutely: same
+          // [version byte][size][data][crc] layout, same offset — the
+          // "p" read path slices identically
+          val enc = d.pathOrInlineDv
+          val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+          val bb = java.nio.ByteBuffer.wrap(Z85.decode(uuidPart))
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val dir = if (prefix.isEmpty) srcRoot else s"$srcRoot/$prefix"
+          d.copy(storageType = "p",
+            pathOrInlineDv = s"$dir/deletion_vector_$uuid.bin")
+        case d => d
+      }
+      addJson(a.copy(path = abs, deletionVector = dv), dataChange = true)
+    }
+    publish(table, 0L, proto +: jackson.writeValueAsString(metaRoot) +: adds)
+    0L
   }
 
   /** Whether `tablePath` already holds a committed Delta table (any

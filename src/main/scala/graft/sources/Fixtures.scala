@@ -735,6 +735,22 @@ object Fixtures {
       ()
     }
 
+  /** A SHALLOW CLONE of [[deltaOrdersCdf]] that then DIVERGED (q195):
+    * version 0 references the source's post-DV-delete post-update
+    * snapshot by absolute path (zero bytes copied, "u" vectors
+    * re-addressed "p"), then a copy-on-write DELETE of every
+    * `o_orderkey % 3 = 0` row rewrote only the touched absolute files
+    * INTO the clone — the source and its q185/q194 windows stay
+    * byte-identical. */
+  def deltaOrdersCloned(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_cloned") { dir =>
+      val src = deltaOrdersCdf(s, d)
+      DeltaWriter.cloneShallow(s, src, dir.getAbsolutePath)
+      DeltaWriter.delete(s, dir.getAbsolutePath,
+        col("o_orderkey") % 3 === 0)
+      ()
+    }
+
   /** The q185 change history REPLAYED THROUGH THE STREAMING CDF SOURCE
     * (q194): `readStream(graft-delta, readChangeFeed=true,
     * startingVersion=1, maxFilesPerTrigger=1)` over [[deltaOrdersCdf]]

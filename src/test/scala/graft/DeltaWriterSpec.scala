@@ -1617,4 +1617,71 @@ class DeltaWriterSpec extends AnyFunSuite {
     val snap = DeltaReader.snapshot(spark, path)
     assert(snap.schema == nation.schema)
   }
+
+  test("shallow clone is zero-copy, reads equal, and diverges independently of the source") {
+    val src = tmpTable("clone_src")
+    val dst = tmpTable("clone_dst")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 15).repartition(1), src)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 15).repartition(1), src)
+    // a live deletion vector in the source: the clone must re-address
+    // its relative sidecar as an absolute "p" descriptor
+    DeltaWriter.deleteWithVectors(spark, src, col("n_nationkey") % 6 === 2)
+    val expected = nation.filter(col("n_nationkey") % 6 =!= 2)
+
+    DeltaWriter.cloneShallow(spark, src, dst)
+    assert(DeltaReader.load(spark, dst).collect().toSet ==
+      expected.collect().toSet)
+    // zero copy: the clone dir holds ONLY its log — no data files
+    def dataFiles(root: File): Set[String] = {
+      def walk(f: File): Seq[File] =
+        if (f.getName == "_delta_log") Nil
+        else if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    assert(dataFiles(new File(dst)).isEmpty)
+    val srcFilesBefore = dataFiles(new File(src))
+
+    // writes to the clone land in the clone; the source never changes
+    DeltaWriter.append(
+      nation.filter(col("n_nationkey") % 6 === 2).repartition(1), dst)
+    assert(DeltaReader.load(spark, dst).collect().toSet ==
+      nation.collect().toSet)
+    assert(DeltaReader.load(spark, src).collect().toSet ==
+      expected.collect().toSet)
+
+    // a row verb on the clone rewrites touched SOURCE files INTO the
+    // clone and leaves source bytes untouched
+    DeltaWriter.delete(spark, dst, col("n_nationkey") >= 20)
+    assert(DeltaReader.load(spark, dst).collect().toSet ==
+      nation.filter(col("n_nationkey") < 20).collect().toSet)
+    assert(dataFiles(new File(src)) == srcFilesBefore)
+    assert(DeltaReader.load(spark, src).collect().toSet ==
+      expected.collect().toSet)
+
+    // the clone's vacuum cannot touch source data: its walk covers only
+    // the clone dir, and absolute tombstones match nothing there
+    DeltaWriter.vacuum(spark, dst, retainMs = 0L)
+    assert(dataFiles(new File(src)) == srcFilesBefore)
+    assert(DeltaReader.load(spark, src).collect().toSet ==
+      expected.collect().toSet)
+    assert(DeltaReader.load(spark, dst).collect().toSet ==
+      nation.filter(col("n_nationkey") < 20).collect().toSet)
+
+    // clone history starts at ITS version 0 = the source state at clone
+    // time, still readable after the clone diverged
+    assert(DeltaReader.loadAt(spark, dst, 0L).collect().toSet ==
+      expected.collect().toSet)
+
+    // refusals: clone onto an existing table, clone from a non-table
+    intercept[IllegalArgumentException] {
+      DeltaWriter.cloneShallow(spark, src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.cloneShallow(spark, tmpTable("clone_nowhere"), tmpTable("clone_dst2"))
+    }
+  }
 }
