@@ -64,6 +64,13 @@ object Dml {
     * `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`. */
   final case class Restore(table: String, versionAsOf: Option[Long],
       timestampAsOf: Option[String]) extends Stmt
+  /** `CREATE TABLE t SHALLOW CLONE src LOCATION '<path>'` — zero-copy
+    * clone ([[DeltaWriter.cloneShallow]]): `table` is the NEW name the
+    * clone registers under, `source` must be a registered DELTA table.
+    * LOCATION is required — there is no managed warehouse; the
+    * external-table contract names every table's directory. */
+  final case class ShallowClone(table: String, source: String,
+      location: String) extends Stmt
   /** `ALTER TABLE t SET TBLPROPERTIES ('k'='v'[, …])` / `… UNSET
     * TBLPROPERTIES ('k'[, …])`. */
   final case class SetProps(table: String,
@@ -96,6 +103,8 @@ object Dml {
     raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampP =
     raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val ShallowCloneP =
+    raw"""(?is)\s*CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val SetPropsP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropsP =
@@ -134,6 +143,8 @@ object Dml {
       Some(Restore(unquote(table), Some(v.toLong), None))
     case RestoreTimestampP(table, ts) =>
       Some(Restore(unquote(table), None, Some(ts)))
+    case ShallowCloneP(target, source, loc) =>
+      Some(ShallowClone(unquote(target), unquote(source), loc))
     case SetPropsP(table, pairs) =>
       val raw = splitTopLevelCommas(pairs)
       val ps = raw.collect { case PropPair(k, v) => (k, v) }
@@ -195,6 +206,24 @@ object Dml {
     * no commit). */
   def execute(spark: SparkSession, stmt: Stmt,
       run: String => DataFrame): Long = {
+    stmt match {
+      // the clone's TARGET is by definition unregistered — resolve the
+      // SOURCE through the registry, clone, then register the target so
+      // the next statement in the script reads it
+      case ShallowClone(target, source, loc) =>
+        val srcT = Ddl.lookup(spark, source).getOrElse(
+          throw new IllegalArgumentException(
+            s"$source is not a registered external table — SHALLOW CLONE " +
+              "sources must be created via CREATE EXTERNAL TABLE … " +
+              "STORED AS DELTA"))
+        require(srcT.format == "DELTA",
+          s"SHALLOW CLONE supports DELTA sources only; $source is ${srcT.format}")
+        val v = DeltaWriter.cloneShallow(spark, srcT.location, loc)
+        Ddl.register(spark, Ddl.ExternalTable(
+          target, "DELTA", loc, None, Nil, Map.empty))
+        return v
+      case _ => ()
+    }
     val t = Ddl.lookup(spark, stmt.table).getOrElse(
       throw new IllegalArgumentException(
         s"${stmt.table} is not a registered external table — DML targets " +

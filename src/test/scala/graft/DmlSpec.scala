@@ -459,4 +459,37 @@ class DmlSpec extends AnyFunSuite {
       ctx.sql("DELETE FROM dml_tt WHERE n_nationkey = 1"))
     assert(e3.getMessage.contains("read-only"))
   }
+
+  test("execute: CREATE TABLE ... SHALLOW CLONE clones zero-copy and registers the target") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_clone")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val srcDir = new java.io.File(base, "src")
+    val dstDir = new java.io.File(base, "dst")
+    DeltaWriter.append(Tables.t(spark, d, "nation"), srcDir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE clone_src STORED AS DELTA LOCATION '${srcDir.getAbsolutePath}'")
+    ctx.sql(s"CREATE TABLE clone_dst SHALLOW CLONE clone_src LOCATION '${dstDir.getAbsolutePath}'")
+    // the clone registered: the NEXT statement reads it, content equal
+    assert(ctx.sql("SELECT count(*) AS n FROM clone_dst").head().getLong(0) == 25L)
+    // zero copy on disk, and writes through SQL diverge independently
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.getName == "_delta_log") Nil
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    assert(parquets(dstDir).isEmpty)
+    ctx.sql("DELETE FROM clone_dst WHERE n_nationkey >= 10")
+    assert(ctx.sql("SELECT count(*) AS n FROM clone_dst").head().getLong(0) == 10L)
+    assert(ctx.sql("SELECT count(*) AS n FROM clone_src").head().getLong(0) == 25L)
+    // a non-delta / unregistered source refuses with the contract
+    val e = intercept[IllegalArgumentException] {
+      ctx.sql(s"CREATE TABLE c2 SHALLOW CLONE nowhere LOCATION '${base.getAbsolutePath}/c2'")
+    }
+    assert(e.getMessage.contains("not a registered external table"))
+  }
 }
