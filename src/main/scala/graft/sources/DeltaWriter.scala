@@ -1801,16 +1801,49 @@ object DeltaWriter {
     * failing the clone's scans at read time — deep-copy via
     * overwrite(load(clone)) is the decoupling escape hatch. */
   def cloneShallow(spark: org.apache.spark.sql.SparkSession,
-      sourcePath: String, tablePath: String): Long = {
+      sourcePath: String, tablePath: String,
+      versionAsOf: Option[Long] = None): Long = {
     val srcTable = new File(sourcePath)
     require(new File(srcTable, "_delta_log").isDirectory,
       s"cloneShallow: no Delta table at $sourcePath")
     val table = new File(tablePath)
     require(nextVersion(table) == 0L,
       s"cloneShallow: a Delta table already exists at $tablePath")
-    val snap = DeltaReader.snapshot(spark, sourcePath)
-    val (proto, metaRaw, _) =
-      carryActions(spark, new File(srcTable, "_delta_log"), sourcePath)
+    val snap = versionAsOf match {
+      case Some(v) => DeltaReader.snapshotAt(spark, sourcePath, v)
+      case None => DeltaReader.snapshot(spark, sourcePath)
+    }
+    val (proto, metaRaw, _) = versionAsOf match {
+      case None =>
+        carryActions(spark, new File(srcTable, "_delta_log"), sourcePath)
+      case Some(v) =>
+        // a TIME-TRAVEL clone must carry the protocol/metaData AS OF
+        // that version (a later schema evolution or property change
+        // does not belong to the cloned state): last lines at-or-below
+        // v among the RETAINED JSON commits — a horizon below v means
+        // the records live only in a newer checkpoint, whose carried
+        // tops may postdate v, so refuse naming the cleanup instead of
+        // cloning a chimera
+        var proto: Option[String] = None
+        var meta: Option[String] = None
+        Option(new File(srcTable, "_delta_log").listFiles())
+          .getOrElse(Array.empty[File])
+          .filter(_.getName.matches("\\d{20}\\.json"))
+          .filter(_.getName.take(20).toLong <= v).sortBy(_.getName)
+          .foreach { f =>
+            val s = scala.io.Source.fromFile(f, "UTF-8")
+            try s.getLines().foreach { l =>
+              if (l.contains("\"protocol\"")) proto = Some(l)
+              if (l.contains("\"metaData\"")) meta = Some(l)
+            } finally s.close()
+          }
+        require(proto.nonEmpty && meta.nonEmpty,
+          s"cloneShallow: protocol/metaData at-or-below version $v are " +
+            s"no longer in $sourcePath's JSON commits (log-retention " +
+            "cleanup) — clone the current version, or a version at or " +
+            "past the retained horizon")
+        (proto.get, meta.get, Nil)
+    }
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaRoot = jackson.readTree(metaRaw)
     metaRoot.get("metaData")

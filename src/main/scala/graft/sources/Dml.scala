@@ -70,7 +70,7 @@ object Dml {
     * LOCATION is required — there is no managed warehouse; the
     * external-table contract names every table's directory. */
   final case class ShallowClone(table: String, source: String,
-      location: String) extends Stmt
+      location: String, versionAsOf: Option[Long] = None) extends Stmt
   /** `ALTER TABLE t SET TBLPROPERTIES ('k'='v'[, …])` / `… UNSET
     * TBLPROPERTIES ('k'[, …])`. */
   final case class SetProps(table: String,
@@ -104,7 +104,8 @@ object Dml {
   private val RestoreTimestampP =
     raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val ShallowCloneP =
-    raw"""(?is)\s*CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+    (raw"""(?is)\s*CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id\s*""" +
+      raw"""(?:VERSION\s+AS\s+OF\s+(\d+)\s+)?LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val SetPropsP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropsP =
@@ -143,8 +144,9 @@ object Dml {
       Some(Restore(unquote(table), Some(v.toLong), None))
     case RestoreTimestampP(table, ts) =>
       Some(Restore(unquote(table), None, Some(ts)))
-    case ShallowCloneP(target, source, loc) =>
-      Some(ShallowClone(unquote(target), unquote(source), loc))
+    case ShallowCloneP(target, source, v, loc) =>
+      Some(ShallowClone(unquote(target), unquote(source), loc,
+        Option(v).map(_.toLong)))
     case SetPropsP(table, pairs) =>
       val raw = splitTopLevelCommas(pairs)
       val ps = raw.collect { case PropPair(k, v) => (k, v) }
@@ -210,7 +212,7 @@ object Dml {
       // the clone's TARGET is by definition unregistered — resolve the
       // SOURCE through the registry, clone, then register the target so
       // the next statement in the script reads it
-      case ShallowClone(target, source, loc) =>
+      case ShallowClone(target, source, loc, vAsOf) =>
         val srcT = Ddl.lookup(spark, source).getOrElse(
           throw new IllegalArgumentException(
             s"$source is not a registered external table — SHALLOW CLONE " +
@@ -218,7 +220,7 @@ object Dml {
               "STORED AS DELTA"))
         require(srcT.format == "DELTA",
           s"SHALLOW CLONE supports DELTA sources only; $source is ${srcT.format}")
-        val v = DeltaWriter.cloneShallow(spark, srcT.location, loc)
+        val v = DeltaWriter.cloneShallow(spark, srcT.location, loc, vAsOf)
         Ddl.register(spark, Ddl.ExternalTable(
           target, "DELTA", loc, None, Nil, Map.empty))
         return v

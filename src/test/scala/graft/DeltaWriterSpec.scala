@@ -1684,4 +1684,32 @@ class DeltaWriterSpec extends AnyFunSuite {
       DeltaWriter.cloneShallow(spark, tmpTable("clone_nowhere"), tmpTable("clone_dst2"))
     }
   }
+
+  test("shallow clone VERSION AS OF clones the historical snapshot with as-of metadata") {
+    val src = tmpTable("clonev_src")
+    val dst = tmpTable("clonev_dst")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10).repartition(1), src)   // v0
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+      .repartition(1), src)                                                          // v1
+    DeltaWriter.delete(spark, src, col("n_nationkey") >= 15)                          // v2
+    DeltaWriter.cloneShallow(spark, src, dst, versionAsOf = Some(1L))
+    // the clone IS the v1 snapshot, even though the source has moved on
+    assert(graft.sources.DeltaReader.load(spark, dst).collect().toSet ==
+      nation.filter(col("n_nationkey") < 20).collect().toSet)
+    assert(graft.sources.DeltaReader.load(spark, src).collect().toSet ==
+      nation.filter(col("n_nationkey") < 15).collect().toSet)
+
+    // a version clone below the retained log horizon refuses naming the
+    // cleanup: checkpoint + log cleanup removes the early JSON commits
+    // that carry the as-of metaData
+    DeltaWriter.checkpoint(spark, src)
+    DeltaWriter.cleanupLogs(spark, src, retainMs = Some(0L))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.cloneShallow(spark, src, tmpTable("clonev_dst2"),
+        versionAsOf = Some(0L))
+    }
+    assert(e.getMessage.contains("log-retention"))
+  }
 }

@@ -491,5 +491,9 @@ class DmlSpec extends AnyFunSuite {
       ctx.sql(s"CREATE TABLE c2 SHALLOW CLONE nowhere LOCATION '${base.getAbsolutePath}/c2'")
     }
     assert(e.getMessage.contains("not a registered external table"))
+    // VERSION AS OF rides the same statement: clone the pre-delete v0
+    val v0Dir = new java.io.File(base, "v0")
+    ctx.sql(s"CREATE TABLE clone_v0 SHALLOW CLONE clone_src VERSION AS OF 0 LOCATION '${v0Dir.getAbsolutePath}'")
+    assert(ctx.sql("SELECT count(*) AS n FROM clone_v0").head().getLong(0) == 25L)
   }
 }
