@@ -872,6 +872,34 @@ object Sources {
           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- GENERATED COLUMNS: the fixture declares
+    // `o_year = year(o_orderdate)` as a generated PARTITION column at
+    // create, appends once WITHOUT the column (the writer computes it),
+    // and then shifts o_orderdate on %10=6 rows — the generated key
+    // must follow its source (rows re-bucket into new year dirs). The
+    // year histogram over the table must equal the oracle recomputing
+    // year() over the shifted corpus: a missed computation nulls a
+    // partition, a stale generated value after the update lands rows
+    // in the wrong year.
+    Q("q196_delta_generated",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersGenerated(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_year").cast("long").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"))
+          .orderBy(col("o_year"))
+      },
+      Some("""
+        SELECT CAST(year(shifted) AS BIGINT) AS o_year,
+          count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 10 = 6
+              THEN o_orderdate + INTERVAL 365 DAY
+              ELSE o_orderdate END AS shifted
+          FROM orders) t
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- SHALLOW CLONE: the fixture clones the q185 table zero-copy
     // (version-0 adds reference the source's files by ABSOLUTE path —
     // the delta protocol's absolute-path allowance) and then diverges

@@ -84,10 +84,11 @@ object DeltaWriter {
     * ([[toPhysical]]), so the reader's native field-id resolution —
     * the delta `id` contract — matches columns however they are
     * named. */
-  def append(df: DataFrame, tablePath: String,
+  def append(rawDf: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
-      columnMapping: String = "none"): Long = {
+      columnMapping: String = "none",
+      generated: Map[String, String] = Map.empty): Long = {
     require(columnMapping == "none" || columnMapping == "name" ||
       columnMapping == "id",
       s"columnMapping must be 'none', 'name' or 'id', got '$columnMapping'")
@@ -95,6 +96,12 @@ object DeltaWriter {
     val version = nextVersion(table)
     require(version == 0L || columnMapping == "none",
       "columnMapping is fixed at table creation (version 0)")
+    require(generated.isEmpty || version == 0L,
+      "generation expressions are declared at table creation (version 0); " +
+        "later appends read them from the table schema")
+    require(generated.isEmpty || columnMapping == "none",
+      "generated columns compose with unmapped tables only")
+    val df = applyGenerated(rawDf, tablePath, version, generated)
     // exactly-once, second gate: the ledger is re-read AFTER the commit
     // version is pinned, so every same-appId commit BELOW `version` is
     // visible here and every one AT-OR-ABOVE it is caught by
@@ -812,6 +819,12 @@ object DeltaWriter {
     require(set.nonEmpty, "updateWithVectors needs at least one SET assignment")
     val unknown = set.keySet.filterNot(snap0.schema.fieldNames.contains)
     require(unknown.isEmpty, s"SET targets absent from table schema: $unknown")
+    // generated-column invariant, same contract as [[update]]
+    val gens = generationExpressions(snap0.schema)
+    val genHit = set.keySet.intersect(gens.keySet)
+    require(genHit.isEmpty,
+      s"cannot SET generated column(s) ${genHit.mkString(", ")} — " +
+        "update their source columns; the writer recomputes them")
     dvMarkDead(spark, tablePath, predicate, inlineMax) match {
       case None => nextVersion(new File(tablePath)) - 1 // no match: no commit
       case Some(p) =>
@@ -823,6 +836,7 @@ object DeltaWriter {
               case None => col(f.name)
             }
           }: _*)
+          .transform(df2 => recomputeGenerated(df2, p.snap.schema, gens))
         enforceConstraints(updated, p.snap, tablePath)
         val newAdds = stageLogical(updated, p.snap, p.table, p.version)
         publishOptimistic(p.table, p.version,
@@ -1005,6 +1019,15 @@ object DeltaWriter {
     require(set.nonEmpty, "update needs at least one SET assignment")
     val unknown = set.keySet.filterNot(snap.schema.fieldNames.contains)
     require(unknown.isEmpty, s"SET targets absent from table schema: $unknown")
+    // generated columns keep their invariant through updates: a direct
+    // SET on one is refused, and whenever a SET touches a row every
+    // generated column is recomputed from its expression (its source
+    // columns may just have changed)
+    val gens = generationExpressions(snap.schema)
+    val genHit = set.keySet.intersect(gens.keySet)
+    require(genHit.isEmpty,
+      s"cannot SET generated column(s) ${genHit.mkString(", ")} — " +
+        "update their source columns; the writer recomputes them")
     val version = nextVersion(table)
     val tagged = DeltaReader.loadAt(spark, tablePath, Long.MaxValue,
       tagSourceFile = true)
@@ -1032,6 +1055,11 @@ object DeltaWriter {
           case None => col(f.name)
         }
       }: _*)
+      // generated columns recompute OVER the post-SET rows (their
+      // source columns may just have changed); for rows the predicate
+      // did not touch the expression reproduces the held invariant
+      // bit-identically, so pass-through stays exact
+      .transform(df2 => recomputeGenerated(df2, snap.schema, gens))
     // an UPDATE can move rows OUT of a declared CHECK range — same gate
     // as the append-family verbs, over the rewritten (post-SET) rows
     enforceConstraints(rewritten, snap, tablePath)
@@ -1925,6 +1953,68 @@ object DeltaWriter {
       }
     if (existing.isEmpty) 0L else existing.max + 1
   }
+
+  /** GENERATED COLUMNS (delta's `delta.generationExpression` field
+    * metadata): at CREATE the declared columns are COMPUTED by the
+    * writer (they must not arrive in the frame) and their expressions
+    * stamped into the schemaString, so any reader sees the contract;
+    * on every later append the expressions are read back from the
+    * table schema — an absent generated column is computed, a PROVIDED
+    * one is validated cell-for-cell against its expression (null-safe)
+    * and refused on the first divergence, delta's own semantics. The
+    * canonical use is a derived partition column (`o_year =
+    * year(o_orderdate)`): writers supply only the source column and
+    * partition pruning on the generated key comes free. [[update]]
+    * keeps the invariant by recomputing generated columns whenever a
+    * SET touches their row (and refusing a direct SET on one). */
+  private def applyGenerated(df: DataFrame, tablePath: String,
+      version: Long, declared: Map[String, String]): DataFrame =
+    if (version == 0L) {
+      val clash = declared.keySet.intersect(df.columns.toSet)
+      require(clash.isEmpty,
+        s"generated columns are computed by the writer — remove " +
+          s"${clash.mkString(", ")} from the incoming frame")
+      declared.foldLeft(df) { case (acc, (c, g)) =>
+        acc.withColumn(c, expr(g).as(c, new MetadataBuilder()
+          .putString("delta.generationExpression", g).build()))
+      }
+    } else {
+      val gens = generationExpressions(
+        DeltaReader.snapshot(df.sparkSession, tablePath).schema)
+      gens.foldLeft(df) { case (acc, (c, g)) =>
+        if (!acc.columns.contains(c)) acc.withColumn(c, expr(g))
+        else {
+          val bad = acc.filter(!(col(c) <=> expr(g))).count()
+          require(bad == 0L,
+            s"$bad row(s) violate generated column $c = $g at " +
+              s"$tablePath — omit the column (the writer computes it) " +
+              "or provide exactly the generated values")
+          acc
+        }
+      }
+    }
+
+  /** Recompute every generated column over an already-SET frame —
+    * the second stage of [[update]]/[[updateWithVectors]]'s rewrite:
+    * generation expressions must see the POST-SET source columns. */
+  private def recomputeGenerated(df: DataFrame, schema: StructType,
+      gens: Map[String, String]): DataFrame =
+    if (gens.isEmpty) df
+    else df.select(schema.fields.toIndexedSeq.map { f =>
+      gens.get(f.name) match {
+        case Some(g) => expr(g).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+
+  /** The `col → generation expression` map a table schema declares
+    * (empty for tables without generated columns). */
+  private[sources] def generationExpressions(
+      schema: StructType): Map[String, String] =
+    schema.fields.iterator.flatMap(f =>
+      if (f.metadata.contains("delta.generationExpression"))
+        Some(f.name -> f.metadata.getString("delta.generationExpression"))
+      else None).toMap
 
   private def validateAgainstTable(df: DataFrame, tablePath: String,
       partitionBy: Seq[String], version: Long): Unit =

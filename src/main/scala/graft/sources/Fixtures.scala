@@ -735,6 +735,29 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table with a GENERATED partition column (q196):
+    * `o_year = year(o_orderdate)` declared at create — the canonical
+    * derived-time-partitioning shape. The first append computes and
+    * stamps it, the second append does NOT carry the column (the
+    * writer computes it from the declared expression), and an UPDATE
+    * then shifts `o_orderdate` on some rows — the generated partition
+    * key must follow the source column (rows re-bucket into their new
+    * year dirs in the same commit). */
+  def deltaOrdersGenerated(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_generated") { dir =>
+      val orders = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0), path,
+        Seq("o_year"), generated = Map("o_year" -> "year(o_orderdate)"))
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0), path,
+        Seq("o_year"))
+      DeltaWriter.update(s, path, col("o_orderkey") % 10 === 6,
+        Map("o_orderdate" -> expr("o_orderdate + INTERVAL 365 DAYS")))
+      ()
+    }
+
   /** A SHALLOW CLONE of [[deltaOrdersCdf]] that then DIVERGED (q195):
     * version 0 references the source's post-DV-delete post-update
     * snapshot by absolute path (zero bytes copied, "u" vectors

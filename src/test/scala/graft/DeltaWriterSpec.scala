@@ -1712,4 +1712,64 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("log-retention"))
   }
+
+  test("generated columns: computed at create, enforced on append, recomputed on update") {
+    val path = tmpTable("gen_cols")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path,
+      Seq("rk10"), generated = Map("rk10" -> "n_regionkey * 10"))
+    // declared at create: computed, stamped into the schema, readable
+    val snap = DeltaReader.snapshot(spark, path)
+    assert(snap.schema("rk10").metadata.getString("delta.generationExpression")
+      == "n_regionkey * 10")
+    def check(): Unit = {
+      val rows = DeltaReader.load(spark, path).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(
+        r.getAs[Number]("rk10").longValue ==
+          r.getAs[Number]("n_regionkey").longValue * 10))
+    }
+    check()
+    // append WITHOUT the column: the writer computes it
+    DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20),
+      path, Seq("rk10"))
+    check()
+    // append WITH consistent values: accepted
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 20)
+      .withColumn("rk10", col("n_regionkey") * 10), path, Seq("rk10"))
+    check()
+    assert(DeltaReader.load(spark, path).count() == 25L)
+    // append with DIVERGENT values: refused, nothing committed
+    val before = DeltaReader.snapshot(spark, path).version
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.append(nation.limit(3).withColumn("rk10", lit(-1L)),
+        path, Seq("rk10"))
+    }
+    assert(e.getMessage.contains("generated column rk10"))
+    assert(DeltaReader.snapshot(spark, path).version == before)
+    // a direct SET on the generated column refuses
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWriter.update(spark, path, col("n_nationkey") === 3,
+        Map("rk10" -> lit(999L)))
+    }
+    assert(e2.getMessage.contains("cannot SET generated column"))
+    // a SET on the SOURCE column recomputes the generated partition key
+    // and re-buckets the row into its new dir
+    DeltaWriter.update(spark, path, col("n_nationkey") === 3,
+      Map("n_regionkey" -> lit(7L)))
+    check()
+    val moved = DeltaReader.load(spark, path)
+      .filter(col("n_nationkey") === 3).collect()
+    assert(moved.length == 1 &&
+      moved.head.getAs[Number]("rk10").longValue == 70L)
+    // merge-on-read update keeps the same invariant
+    DeltaWriter.updateWithVectors(spark, path, col("n_nationkey") === 4,
+      Map("n_regionkey" -> lit(6L)))
+    check()
+    assert(DeltaReader.load(spark, path)
+      .filter(col("n_nationkey") === 4).head()
+      .getAs[Number]("rk10").longValue == 60L)
+  }
 }
