@@ -132,7 +132,7 @@ object Ddl {
     * (`2026-08-14T12:00:00Z`), or the SQL spelling
     * `2026-08-14 12:00:00` (read as UTC — the engine pins the session
     * zone to UTC everywhere). */
-  private[sources] def parseTsMillis(s: String): Long = {
+  private[graft] def parseTsMillis(s: String): Long = {
     val t = s.trim
     if (t.matches("\\d+")) t.toLong
     else scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(

@@ -85,7 +85,8 @@ class GraftDeltaSource extends CreatableRelationProvider
       parameters.getOrElse("startingVersion", "earliest"),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
-      parameters.get("readChangeFeed").exists(_.toBoolean))
+      parameters.get("readChangeFeed").exists(_.toBoolean),
+      parameters.get("startingTimestamp"))
   }
 
   /** `df.writeStream.format("graft-delta").option("path", …).start()`

@@ -71,7 +71,13 @@ final class DeltaStreamSource(
     startingVersion: String,
     maxFilesPerTrigger: Option[Int],
     skipChangeCommits: Boolean,
-    readChangeFeed: Boolean = false) extends Source {
+    readChangeFeed: Boolean = false,
+    startingTimestamp: Option[String] = None) extends Source {
+
+  require(startingTimestamp.isEmpty ||
+    startingVersion.equalsIgnoreCase("earliest"),
+    "graft-delta stream: startingVersion and startingTimestamp are " +
+      "mutually exclusive — pick one start spelling")
 
   require(!(skipChangeCommits && readChangeFeed),
     "graft-delta stream: skipChangeCommits and readChangeFeed are " +
@@ -95,15 +101,25 @@ final class DeltaStreamSource(
       StructField("_commit_version", LongType, nullable = false))
   }
 
-  /** Exclusive lower bound of the first batch. */
-  private val startPosition: Long = startingVersion.toLowerCase match {
-    case "earliest" => -1L
-    case "latest" => latestVersion().getOrElse(-1L)
-    case v =>
-      require(v.matches("\\d+"),
-        s"graft-delta stream: startingVersion must be 'earliest', " +
-          s"'latest' or a version number, got '$startingVersion'")
-      v.toLong - 1L
+  /** Exclusive lower bound of the first batch. `startingTimestamp`
+    * resolves to the FIRST commit whose (monotone) declared stamp is
+    * at-or-after the given time — delta's own streaming semantics;
+    * a timestamp past the head means "future commits only". */
+  private val startPosition: Long = startingTimestamp match {
+    case Some(ts) =>
+      val millis = graft.sources.Ddl.parseTsMillis(ts)
+      DeltaReader.commitHistory(tablePath)
+        .find(_._2 >= millis).map(_._1 - 1L)
+        .orElse(latestVersion()).getOrElse(-1L)
+    case None => startingVersion.toLowerCase match {
+      case "earliest" => -1L
+      case "latest" => latestVersion().getOrElse(-1L)
+      case v =>
+        require(v.matches("\\d+"),
+          s"graft-delta stream: startingVersion must be 'earliest', " +
+            s"'latest' or a version number, got '$startingVersion'")
+        v.toLong - 1L
+    }
   }
 
   /** Highest version already handed to the engine (pacing cursor —

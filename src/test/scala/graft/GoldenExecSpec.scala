@@ -260,6 +260,35 @@ class GoldenExecSpec extends AnyFunSuite {
     assert(outputs(4).linesIterator.count(_.contains("WRITE")) == 1)
   }
 
+  test("golden13.sql: shallow clone + divergence + VERSION AS OF through execute") {
+    val url = getClass.getResource("/queries/golden13.sql")
+    assert(url != null, "golden13.sql resource missing")
+    val spark = SparkTestSession.spark
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden13")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val srcDir = new java.io.File(base, "src")
+    graft.sources.DeltaWriter.append(
+      Tables.t(spark, SparkTestSession.sfDir, "nation"), srcDir.getAbsolutePath)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${CLONE_SRC}", srcDir.getAbsolutePath)
+        .replace("${CLONE_DST}", new java.io.File(base, "dst").getAbsolutePath)
+        .replace("${CLONE_V0}", new java.io.File(base, "v0").getAbsolutePath))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 8)
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(2).contains("| 25"))  // full clone
+    assert(outputs(4).contains("| 10"))  // clone diverged
+    assert(outputs(5).contains("| 25"))  // source untouched
+    assert(outputs(7).contains("| 25"))  // VERSION AS OF 0 = pre-divergence
+  }
+
   test("golden10.sql: constraint + delete + history + restore through execute") {
     val url = getClass.getResource("/queries/golden10.sql")
     assert(url != null, "golden10.sql resource missing")

@@ -884,4 +884,39 @@ class StreamingSpec extends AnyFunSuite {
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(err).exists(_.contains("mutually exclusive")))
   }
+
+  test("graft-delta source startingTimestamp starts at the first commit at-or-after the stamp") {
+    val base = streamBase("graft_stream_src_ts")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), table)   // v0
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10).repartition(1), table)  // v1
+    val q = spark.readStream.format("graft-delta")
+      .option("startingTimestamp", betweenMs.toString).load(table)
+      .writeStream.format("memory").queryName("delta_src_ts")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // only v1 (the first commit stamped at-or-after the cut) streamed
+    assert(spark.table("delta_src_ts").collect().toSet ==
+      nation.filter(col("n_nationkey") >= 10).collect().toSet)
+    // the two start spellings are mutually exclusive
+    val err = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-delta")
+        .option("startingTimestamp", betweenMs.toString)
+        .option("startingVersion", "latest").load(table)
+        .writeStream.format("memory").queryName("delta_src_ts_bad")
+        .outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("mutually exclusive")))
+  }
 }
