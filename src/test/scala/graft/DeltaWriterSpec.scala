@@ -1772,4 +1772,27 @@ class DeltaWriterSpec extends AnyFunSuite {
       .filter(col("n_nationkey") === 4).head()
       .getAs[Number]("rk10").longValue == 60L)
   }
+
+  test("a clone's own checkpoint and log cleanup preserve absolute-path adds") {
+    val src = tmpTable("clone_ckpt_src")
+    val dst = tmpTable("clone_ckpt_dst")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.repartition(1), src)
+    DeltaWriter.cloneShallow(spark, src, dst)
+    DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 3)
+        .withColumn("n_nationkey", col("n_nationkey") + 100), dst)
+    val expected = DeltaReader.load(spark, dst).collect().toSet
+    // checkpoint serializes the absolute-path adds; cleanup removes the
+    // JSON prefix; replay from the checkpoint must still resolve the
+    // source's files absolutely
+    DeltaWriter.checkpoint(spark, dst)
+    DeltaWriter.cleanupLogs(spark, dst, retainMs = Some(0L))
+    assert(DeltaReader.load(spark, dst).collect().toSet == expected)
+    // and the clone's vacuum after cleanup still leaves the source whole
+    DeltaWriter.vacuum(spark, dst, retainMs = 0L)
+    assert(DeltaReader.load(spark, src).count() == 25L)
+    assert(DeltaReader.load(spark, dst).collect().toSet == expected)
+  }
 }

@@ -919,4 +919,25 @@ class StreamingSpec extends AnyFunSuite {
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(err).exists(_.contains("mutually exclusive")))
   }
+
+  test("graft-delta source streams a column-mapped table in logical names") {
+    val base = streamBase("graft_stream_src_mapped")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 15).repartition(1), table,
+      columnMapping = "name")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 15).repartition(1), table)
+    val q = spark.readStream.format("graft-delta").load(table)
+      .writeStream.format("memory").queryName("delta_src_mapped")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // files carry physical col-<uuid> names; the stream must project
+    // back to the logical spellings, whole
+    val got = spark.table("delta_src_mapped")
+    assert(got.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(got.collect().toSet == nation.collect().toSet)
+  }
 }
