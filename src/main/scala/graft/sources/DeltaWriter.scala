@@ -1979,18 +1979,13 @@ object DeltaWriter {
           .putString("delta.generationExpression", g).build()))
       }
     } else {
+      // compute ABSENT generated columns; PROVIDED ones validate in
+      // [[validateAgainstTable]] (one combined pass, shared with every
+      // verb that lands rows — merge, overwrite, scd2)
       val gens = generationExpressions(
         DeltaReader.snapshot(df.sparkSession, tablePath).schema)
       gens.foldLeft(df) { case (acc, (c, g)) =>
-        if (!acc.columns.contains(c)) acc.withColumn(c, expr(g))
-        else {
-          val bad = acc.filter(!(col(c) <=> expr(g))).count()
-          require(bad == 0L,
-            s"$bad row(s) violate generated column $c = $g at " +
-              s"$tablePath — omit the column (the writer computes it) " +
-              "or provide exactly the generated values")
-          acc
-        }
+        if (!acc.columns.contains(c)) acc.withColumn(c, expr(g)) else acc
       }
     }
 
@@ -2032,6 +2027,24 @@ object DeltaWriter {
         s"schema mismatch appending to $tablePath (schema evolution needs " +
           s"an explicit metaData commit): table=$want df=$got")
       enforceConstraints(df, snap, tablePath)
+      // generated-column invariant, enforced for EVERY verb that lands
+      // rows (append validates provided values here; merge/overwrite/
+      // scd2 frames carry the column by schema equality): one combined
+      // null-safe pass, the culprit re-probed only on failure
+      val gens = generationExpressions(snap.schema)
+      if (gens.nonEmpty) {
+        val anyBad = gens.map { case (c, g) => !(col(c) <=> expr(g)) }
+          .reduce(_ || _)
+        if (!df.filter(anyBad).isEmpty) {
+          val culprit = gens.find { case (c, g) =>
+            !df.filter(!(col(c) <=> expr(g))).isEmpty }.get
+          throw new IllegalArgumentException(
+            s"rows violate generated column ${culprit._1} = " +
+              s"${culprit._2} at $tablePath — omit the column where " +
+              "the verb computes it (append), or provide exactly the " +
+              "generated values")
+        }
+      }
     }
 
   /** CHECK-constraint gate shared by the write verbs: one combined

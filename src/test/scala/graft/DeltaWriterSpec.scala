@@ -1744,7 +1744,7 @@ class DeltaWriterSpec extends AnyFunSuite {
     // append with DIVERGENT values: refused, nothing committed
     val before = DeltaReader.snapshot(spark, path).version
     val e = intercept[IllegalArgumentException] {
-      DeltaWriter.append(nation.limit(3).withColumn("rk10", lit(-1L)),
+      DeltaWriter.append(nation.limit(3).withColumn("rk10", lit(-1).cast("int")),
         path, Seq("rk10"))
     }
     assert(e.getMessage.contains("generated column rk10"))
@@ -1771,6 +1771,26 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaReader.load(spark, path)
       .filter(col("n_nationkey") === 4).head()
       .getAs[Number]("rk10").longValue == 60L)
+    // MERGE enforces it too: a consistent upsert source lands, a
+    // divergent one refuses before any commit
+    DeltaWriter.merge(
+      nation.filter(col("n_nationkey") === 5)
+        .withColumn("n_name", lit("MERGED"))
+        .withColumn("rk10", col("n_regionkey") * 10),
+      path, Seq("n_nationkey"))
+    check()
+    assert(DeltaReader.load(spark, path)
+      .filter(col("n_nationkey") === 5).head()
+      .getAs[String]("n_name") == "MERGED")
+    val vBefore = DeltaReader.snapshot(spark, path).version
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaWriter.merge(
+        nation.filter(col("n_nationkey") === 6)
+          .withColumn("rk10", lit(-1).cast("int")),
+        path, Seq("n_nationkey"))
+    }
+    assert(e3.getMessage.contains("generated column rk10"))
+    assert(DeltaReader.snapshot(spark, path).version == vBefore)
   }
 
   test("a clone's own checkpoint and log cleanup preserve absolute-path adds") {
