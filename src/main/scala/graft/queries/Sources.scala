@@ -872,6 +872,32 @@ object Sources {
           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- STREAMING IVM: the fixture maintains a COUNT/SUM
+    // materialization purely from the CDF streaming source (one
+    // micro-batch per change commit, checkpointed restart after the
+    // base moved on — StreamIvm's exactly-once comes from commit-window
+    // offsets × the mv's own __upto guard, no txn ledger). The mv must
+    // equal the oracle recomputation over the mutated corpus: a missed
+    // retraction inflates a group, a double-folded redelivery doubles
+    // one, a dropped window loses one.
+    Q("q197_stream_ivm",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIvmStreamed(s, d)
+        DeltaReader.load(s, s"$dir/mv")
+          .selectExpr("key AS o_orderpriority", "n", "total AS cents")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(CASE WHEN o_orderkey % 10 = 2
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS cents
+        FROM orders
+        WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 14 = 0)
+          AND o_orderkey % 9 <> 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- GENERATED COLUMNS: the fixture declares
     // `o_year = year(o_orderdate)` as a generated PARTITION column at
     // create, appends once WITHOUT the column (the writer computes it),

@@ -735,6 +735,38 @@ object Fixtures {
       ()
     }
 
+  /** A COUNT/SUM materialization maintained by the STREAMING IVM
+    * pipeline (q197): base = even-key orders hit by a DV delete and a
+    * copy-on-write doubling update, folded via
+    * `graft.streaming.StreamIvm` (CDF source, one micro-batch per
+    * change commit); the base then moves on (odd-key append + CoW
+    * delete) and the SAME checkpointed pipeline restarts, folding only
+    * the new commits. The materialization under `mv/` must equal the
+    * oracle recomputation over the mutated corpus. */
+  def deltaOrdersIvmStreamed(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_ivm_streamed") { dir =>
+      val orders = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val base = new File(dir, "base").getAbsolutePath
+      val mv = new File(dir, "mv").getAbsolutePath
+      val ckpt = new File(dir.getParentFile, "delta_orders_ivm_streamed_ckpt")
+      delete(ckpt)
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0), base)
+      DeltaWriter.deleteWithVectors(s, base, col("o_orderkey") % 14 === 0)
+      DeltaWriter.update(s, base, col("o_orderkey") % 10 === 2,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      graft.streaming.StreamIvm.runToCompletion(s, base, mv,
+        "o_orderpriority", cents, Some(ckpt.getAbsolutePath),
+        maxFilesPerTrigger = Some(1))
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 =!= 0), base)
+      DeltaWriter.delete(s, base, col("o_orderkey") % 9 === 0)
+      graft.streaming.StreamIvm.runToCompletion(s, base, mv,
+        "o_orderpriority", cents, Some(ckpt.getAbsolutePath),
+        maxFilesPerTrigger = Some(1))
+      ()
+    }
+
   /** A Delta table with a GENERATED partition column (q196):
     * `o_year = year(o_orderdate)` declared at create — the canonical
     * derived-time-partitioning shape. The first append computes and

@@ -940,4 +940,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
     assert(got.collect().toSet == nation.collect().toSet)
   }
+
+  test("streaming IVM: the CDF source keeps a COUNT/SUM materialization exact through mutations") {
+    val base = streamBase("graft_stream_ivm")
+    val tbl = new java.io.File(base, "base").getAbsolutePath
+    val mv = new java.io.File(base, "mv").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val orders = Tables.t(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    graft.sources.DeltaWriter.append(
+      orders.filter(col("o_orderkey") % 2 === 0), tbl)
+    graft.sources.DeltaWriter.deleteWithVectors(spark, tbl,
+      col("o_orderkey") % 14 === 0)
+    graft.sources.DeltaWriter.update(spark, tbl, col("o_orderkey") % 10 === 2,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    def expected() = graft.sources.DeltaReader.load(spark, tbl)
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def mvState() = graft.sources.DeltaReader.load(spark, mv)
+      .select("key", "n", "total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val v1 = graft.streaming.StreamIvm.runToCompletion(spark, tbl, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)",
+      Some(ckpt), maxFilesPerTrigger = Some(1))
+    assert(v1 == graft.sources.DeltaReader.snapshot(spark, tbl).version)
+    assert(mvState() == expected())
+    // the base moves on (append + delete); the SAME checkpointed
+    // pipeline restarts and folds ONLY the new commits
+    graft.sources.DeltaWriter.append(
+      orders.filter(col("o_orderkey") % 2 =!= 0), tbl)
+    graft.sources.DeltaWriter.delete(spark, tbl, col("o_orderkey") % 9 === 0)
+    val v2 = graft.streaming.StreamIvm.runToCompletion(spark, tbl, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)",
+      Some(ckpt), maxFilesPerTrigger = Some(1))
+    assert(v2 == graft.sources.DeltaReader.snapshot(spark, tbl).version)
+    assert(mvState() == expected())
+    // a redelivered window is an idempotent no-op (the crash-between-
+    // fold-and-checkpoint path): folding the last window again changes
+    // nothing
+    val replay = graft.sources.DeltaReader.loadChangeFeed(spark, tbl,
+      v2 - 1, v2)
+    val before = mvState()
+    graft.streaming.StreamIvm.foldBatch(replay, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")
+    assert(mvState() == before)
+  }
 }
