@@ -1075,10 +1075,13 @@ object DeltaWriter {
     * materialization" verb (IncrementalAgg's publish step). Readers see
     * the old or the new table, never a mix; old files remain for time
     * travel until [[vacuum]]. Creates the table when absent. */
-  def overwrite(df: DataFrame, tablePath: String,
+  def overwrite(rawDf: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil): Long = {
     val table = new File(tablePath)
     val version = nextVersion(table)
+    // same generated-column symmetry as [[append]]: an absent declared
+    // column is computed, a provided one validates below
+    val df = applyGenerated(rawDf, tablePath, version, Map.empty)
     validateAgainstTable(df, tablePath, partitionBy, version)
     val (removes, phys, fids) =
       if (version == 0L)

@@ -93,6 +93,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q192: both retriever sides broadcast their small dims; top-k rides group-limit pushdown") {
+    // the lexical side's term/df/dl/params dims must broadcast (the
+    // posting-list join is the only corpus-sized exchange) and the
+    // dense side's query-vector set must broadcast through the cross
+    // join — a shuffled cartesian or a sort-merge term join would not
+    // survive a corpus-scale fan-in. rank <= k must reach the window
+    // as a WindowGroupLimit so no full per-query ranking materializes.
+    val p = plan("q192_hybrid_rrf")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("q57: hive partition filter prunes at the scan") {
     val p = plan("q57_partitioned_parquet")
     assert(p.contains("PartitionFilters") && p.contains("l_returnflag"))

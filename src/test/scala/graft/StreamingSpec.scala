@@ -987,4 +987,25 @@ class StreamingSpec extends AnyFunSuite {
       "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")
     assert(mvState() == before)
   }
+
+  test("the streaming source tails a SHALLOW CLONE (absolute-path adds) whole") {
+    val base = streamBase("graft_stream_src_clone")
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val dst = new java.io.File(base, "dst").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 20).repartition(1), src)
+    graft.sources.DeltaWriter.cloneShallow(spark, src, dst)
+    // the clone diverges with its own append; the stream over the
+    // CLONE must read the absolute-path v0 adds AND the relative v1
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 20).repartition(1), dst)
+    val q = spark.readStream.format("graft-delta").load(dst)
+      .writeStream.format("memory").queryName("delta_src_clone")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("delta_src_clone").collect().toSet ==
+      nation.collect().toSet)
+  }
 }
