@@ -54,41 +54,93 @@ object IncrementalAgg {
   def refresh(spark: SparkSession, basePath: String, mvPath: String,
       keyCol: String, valueExpr: String): Long = {
     val baseVersion = DeltaReader.snapshot(spark, basePath).version
-    val prior: Option[DataFrame] =
-      try Some(DeltaReader.load(spark, mvPath)) catch { case _: Exception => None }
-    val lastUpto = prior.map(_.select(max(col("__upto")))
-      .head().getLong(0)).getOrElse(-1L)
+    val lastUpto = watermark(spark, mvPath).getOrElse(-1L)
     if (lastUpto >= baseVersion) return lastUpto
+    if (lastUpto < 0L) {
+      // bootstrap: snapshot scan, cheaper than replaying history as a
+      // feed and immune to log cleanup
+      val boot = DeltaReader.loadAt(spark, basePath, baseVersion)
+        .groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n"), sum(expr(valueExpr)).as("total"))
+      publishMv(boot, mvPath, baseVersion)
+    } else {
+      val sign = when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)
+      val delta = DeltaReader.loadChangeFeed(spark, basePath,
+        lastUpto, baseVersion)
+        .groupBy(col(keyCol).as("key"))
+        .agg(sum(sign).as("n"),
+          sum(sign * expr(valueExpr)).as("total"))
+      publishMv(mergeDelta(spark, mvPath, delta), mvPath, baseVersion)
+    }
+    baseVersion
+  }
 
-    val delta = prior match {
-      case None =>
-        DeltaReader.loadAt(spark, basePath, baseVersion)
-          .groupBy(col(keyCol).as("key"))
-          .agg(count(lit(1)).as("n"), sum(expr(valueExpr)).as("total"))
-      case Some(_) =>
-        val sign = when(col("_change_type") === "insert", 1L)
-          .otherwise(-1L)
-        DeltaReader.loadChangeFeed(spark, basePath, lastUpto, baseVersion)
-          .groupBy(col(keyCol).as("key"))
-          .agg(sum(sign).as("n"),
-            sum(sign * expr(valueExpr)).as("total"))
-    }
-    val merged = prior match {
-      case None => delta
-      case Some(mv) =>
-        mv.select(col("key"), col("n"), col("total")).as("m")
-          .join(delta.as("d"), col("m.key") === col("d.key"), "full_outer")
-          .select(
-            coalesce(col("m.key"), col("d.key")).as("key"),
-            (coalesce(col("m.n"), lit(0L)) +
-              coalesce(col("d.n"), lit(0L))).as("n"),
-            (coalesce(col("m.total"), lit(0L)) +
-              coalesce(col("d.total"), lit(0L))).as("total"))
-    }
+  /** The base version the materialization reflects: the
+    * `graft.ivm.upto` table property first (published ATOMICALLY with
+    * every fold — so it survives even an all-groups-retracted, 0-row
+    * state), the rows' `__upto` as the legacy fallback. None = no
+    * materialization yet. */
+  private[graft] def watermark(spark: SparkSession,
+      mvPath: String): Option[Long] =
+    if (!DeltaWriter.tableExists(mvPath)) None
+    else DeltaReader.snapshot(spark, mvPath)
+      .configuration.get(UptoProp).map(_.toLong)
+      .orElse {
+        val row = DeltaReader.load(spark, mvPath)
+          .select(max(col("__upto"))).head()
+        if (row.isNullAt(0)) None else Some(row.getLong(0))
+      }
+
+  private[graft] val UptoProp = "graft.ivm.upto"
+
+  /** Merge a signed `(key, n, total)` delta into the existing
+    * materialization: one full-outer join against the group-count-sized
+    * state, NULL-SAFE on the key (a NULL group must merge, not
+    * duplicate), fully-retracted groups dropped. */
+  private def mergeDelta(spark: SparkSession, mvPath: String,
+      delta: DataFrame): DataFrame =
+    DeltaReader.load(spark, mvPath)
+      .select(col("key"), col("n"), col("total")).as("m")
+      .join(delta.as("d"), col("m.key") <=> col("d.key"), "full_outer")
+      .select(
+        coalesce(col("m.key"), col("d.key")).as("key"),
+        (coalesce(col("m.n"), lit(0L)) +
+          coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("m.total"), lit(0L)) +
+          coalesce(col("d.total"), lit(0L))).as("total"))
+
+  /** Atomic publish: rows (+ legacy `__upto` column) AND the watermark
+    * property land in ONE overwrite commit. */
+  private def publishMv(merged: DataFrame, mvPath: String,
+      upto: Long): Unit = {
     DeltaWriter.overwrite(
       merged.filter(col("n") =!= 0L) // fully-retracted groups vanish
-        .withColumn("__upto", lit(baseVersion)), mvPath)
-    baseVersion
+        .withColumn("__upto", lit(upto)), mvPath,
+      properties = Map(UptoProp -> upto.toString))
+    ()
+  }
+
+  /** Fold ONE exact commit-window of signed CDF events (the streaming
+    * source's batch shape — `_change_type`/`_commit_version` columns)
+    * into the materialization; `upto` = the window's top version.
+    * Idempotent: a window at-or-below the current watermark no-ops —
+    * the redelivery guard [[graft.streaming.StreamIvm]]'s exactly-once
+    * rests on. Bootstrap folds the window as the initial state (the
+    * streaming source replays history as inserts from version 0). */
+  private[graft] def foldEvents(events: DataFrame, mvPath: String,
+      keyCol: String, valueExpr: String, upto: Long): Long = {
+    val spark = events.sparkSession
+    val last = watermark(spark, mvPath)
+    if (last.exists(_ >= upto)) return last.get // redelivered: no-op
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = events
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(sign).as("n"), sum(sign * expr(valueExpr)).as("total"))
+    val merged =
+      if (last.isEmpty) delta else mergeDelta(spark, mvPath, delta)
+    publishMv(merged, mvPath, upto)
+    upto
   }
 
   /** MIN/MAX materialization `(key, n, mn, mx, __upto)` maintained

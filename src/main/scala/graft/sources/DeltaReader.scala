@@ -518,11 +518,15 @@ object DeltaReader {
       version: Long, prune: Map[String, Set[String]] = Map.empty,
       tagSourceFile: Boolean = false): DataFrame = {
     val snap = snapshotAt(spark, tablePath, version, prune)
-    if (snap.files.isEmpty && prune.nonEmpty)
-      // every file pruned out: an empty relation in the table's schema
+    if (snap.files.isEmpty)
+      // no live files — every file pruned out, or the table is
+      // legitimately EMPTY (a delete that matched every row, an IVM
+      // materialization whose groups all retracted): an empty relation
+      // in the table's schema, not a refusal — the metaData commit is
+      // what proves a delta table exists here, snapshotAt already
+      // failed if it does not
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    require(snap.files.nonEmpty, s"delta table has no live files: $tablePath")
 
     // Under column mapping the parquet files and partitionValues keys use
     // physical names. `name` mode: the scan runs on physical names and

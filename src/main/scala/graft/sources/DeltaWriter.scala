@@ -101,6 +101,7 @@ object DeltaWriter {
         "later appends read them from the table schema")
     require(generated.isEmpty || columnMapping == "none",
       "generated columns compose with unmapped tables only")
+    val providedGenerated = rawDf.columns.toSet
     val df = applyGenerated(rawDf, tablePath, version, generated)
     // exactly-once, second gate: the ledger is re-read AFTER the commit
     // version is pinned, so every same-appId commit BELOW `version` is
@@ -117,7 +118,8 @@ object DeltaWriter {
           s"txn ($appId, $tv) already recorded at $tablePath — " +
             "redelivered batch; consult the ledger")
     }
-    validateAgainstTable(df, tablePath, partitionBy, version)
+    validateAgainstTable(df, tablePath, partitionBy, version,
+      generatedToCheck = Some(providedGenerated))
     val (phys, fids): (Map[String, String], Map[String, Long]) =
       if (version == 0L) {
         val minted =
@@ -1076,13 +1078,21 @@ object DeltaWriter {
     * the old or the new table, never a mix; old files remain for time
     * travel until [[vacuum]]. Creates the table when absent. */
   def overwrite(rawDf: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      /** table properties published ATOMICALLY with the data swap (one
+        * commit carries the patched metaData + removes + adds) — the
+        * hook [[graft.operators.IncrementalAgg]] uses to ride its
+        * watermark in the same commit as the rows it describes; a
+        * separate setTableProperty commit would open a torn-state
+        * window between the two. */
+      properties: Map[String, String] = Map.empty): Long = {
     val table = new File(tablePath)
     val version = nextVersion(table)
     // same generated-column symmetry as [[append]]: an absent declared
     // column is computed, a provided one validates below
     val df = applyGenerated(rawDf, tablePath, version, Map.empty)
-    validateAgainstTable(df, tablePath, partitionBy, version)
+    validateAgainstTable(df, tablePath, partitionBy, version,
+      generatedToCheck = Some(rawDf.columns.toSet))
     val (removes, phys, fids) =
       if (version == 0L)
         (Nil, Map.empty[String, String], Map.empty[String, Long])
@@ -1095,8 +1105,33 @@ object DeltaWriter {
       }
     val (staged, stagedBy) = toPhysical(df, phys, fids, partitionBy)
     val adds = stageDataFiles(staged, table, version, stagedBy)
+    // a non-create overwrite carrying properties re-emits the latest
+    // metaData with the patched configuration IN THIS commit
+    val metaPatch =
+      if (properties.isEmpty || version == 0L) Nil
+      else Seq(patchedMetaLine(df.sparkSession, tablePath, properties))
     publishOptimistic(table, version,
-      header(df, partitionBy, version) ++ removes ++ adds)
+      header(df, partitionBy, version, extraProps = properties) ++
+        metaPatch ++ removes ++ adds)
+  }
+
+  /** The table's latest metaData line with `props` merged into its
+    * configuration — the INLINE spelling of [[patchMetaData]] for verbs
+    * that must publish the patch atomically with other actions. */
+  private def patchedMetaLine(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, props: Map[String, String]): String = {
+    val (_, metaRaw, _) = carryActions(spark,
+      new File(tablePath, "_delta_log"), tablePath)
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = jackson.readTree(metaRaw)
+    val meta = root.get("metaData")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cfg = meta.get("configuration") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => meta.putObject("configuration")
+    }
+    props.foreach { case (k, v) => cfg.put(k, v) }
+    jackson.writeValueAsString(root)
   }
 
   /** Write a classic single-part checkpoint parquet for the CURRENT
@@ -1881,8 +1916,19 @@ object DeltaWriter {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       .put("id", java.util.UUID.randomUUID().toString)
     val srcRoot = srcTable.getAbsolutePath
+    require(!srcRoot.contains("%"),
+      s"cloneShallow: source root must not contain '%' ($srcRoot) — " +
+        "add paths keep their percent-encoding and readers decode once")
     val adds = snap.files.map { a =>
-      val abs = DeltaReader.resolved(srcRoot, DeltaReader.decodePath(a.path))
+      // keep the action's ORIGINAL percent-encoding: every scan site
+      // URL-decodes an add path exactly once, so the absolute spelling
+      // must stay encoded (a pre-decoded path with escaped specials —
+      // 'k=x%3Dy' partition dirs — would double-decode to a missing
+      // file); a source add that is ALREADY absolute (clone of a
+      // clone) rides verbatim
+      val abs =
+        if (DeltaReader.decodePath(a.path).startsWith("/")) a.path
+        else s"$srcRoot/${a.path}"
       val dv = a.deletionVector.map {
         case d if d.storageType == "u" =>
           // re-address the table-relative sidecar absolutely: same
@@ -2015,7 +2061,12 @@ object DeltaWriter {
       else None).toMap
 
   private def validateAgainstTable(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String], version: Long): Unit =
+      partitionBy: Seq[String], version: Long,
+      /** generated columns to validate — None = all declared; append/
+        * overwrite pass ONLY the columns the caller's frame PROVIDED,
+        * so the writer-computed ones (tautologically consistent) don't
+        * cost a second full pass over the frame. */
+      generatedToCheck: Option[Set[String]] = None): Unit =
     if (version == 0L) {
       val missing = partitionBy.filterNot(df.schema.fieldNames.contains)
       require(missing.isEmpty,
@@ -2035,6 +2086,7 @@ object DeltaWriter {
       // scd2 frames carry the column by schema equality): one combined
       // null-safe pass, the culprit re-probed only on failure
       val gens = generationExpressions(snap.schema)
+        .filter { case (c, _) => generatedToCheck.forall(_.contains(c)) }
       if (gens.nonEmpty) {
         val anyBad = gens.map { case (c, g) => !(col(c) <=> expr(g)) }
           .reduce(_ || _)
@@ -2201,7 +2253,8 @@ object DeltaWriter {
   /** Version-0 protocol + metaData lines (empty for later versions). */
   private def header(df: DataFrame, partitionBy: Seq[String],
       version: Long, columnMapping: String = "none",
-      phys: Map[String, String] = Map.empty): Seq[String] =
+      phys: Map[String, String] = Map.empty,
+      extraProps: Map[String, String] = Map.empty): Seq[String] =
     if (version != 0L) Nil
     else {
       val ntz = df.schema.exists(f => hasNtz(f.dataType))
@@ -2228,10 +2281,14 @@ object DeltaWriter {
             .putLong("delta.columnMapping.id", (i + 1).toLong)
             .build())
         }).json
-      val cfg =
-        if (!mapped) "{}"
-        else s"""{"delta.columnMapping.mode":"$columnMapping",""" +
-          s""""delta.columnMapping.maxColumnId":"${df.schema.size}"}"""
+      val cfgEntries =
+        (if (!mapped) Map.empty[String, String]
+         else Map("delta.columnMapping.mode" -> columnMapping,
+           "delta.columnMapping.maxColumnId" -> df.schema.size.toString)) ++
+          extraProps
+      val cfg = cfgEntries
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
       val meta =
         s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
           s""""format":{"provider":"parquet","options":{}},""" +

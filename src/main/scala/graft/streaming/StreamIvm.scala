@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.BatchFrameBridge
 
-import graft.sources.{DeltaReader, DeltaWriter}
-
 /** STREAMING materialized-view maintenance — the round's CDF streaming
   * source composed with [[graft.operators.IncrementalAgg]]'s signed
   * fold: a grouped COUNT/SUM materialization of a Delta base table is
@@ -18,13 +16,14 @@ import graft.sources.{DeltaReader, DeltaWriter}
   *  1. the source's offsets are COMMIT VERSIONS, so every micro-batch
   *     is an exact, non-overlapping commit window whose events carry
   *     `_commit_version`;
-  *  2. the materialization is SELF-DESCRIBING (`__upto` = the highest
-  *     base version folded in, [[graft.operators.IncrementalAgg]]'s
-  *     contract) and each fold publishes rows + new `__upto` in ONE
-  *     atomic overwrite commit;
+  *  2. the materialization is SELF-DESCRIBING — the `graft.ivm.upto`
+  *     table property (and the legacy `__upto` column) records the
+  *     highest base version folded in, published ATOMICALLY with the
+  *     rows in one overwrite commit, so the watermark survives even an
+  *     all-groups-retracted 0-row state;
   *  3. a batch redelivered after a crash between fold and offset
-  *     checkpoint replays the SAME window — `__upto ≥` its top version
-  *     and the fold no-ops.
+  *     checkpoint replays the SAME window — the watermark is at or
+  *     past its top version and the fold no-ops.
   *
   * Cost per trigger: the window's events (grouped map-side) + a
   * full-outer join against the group-count-sized materialization —
@@ -37,7 +36,7 @@ object StreamIvm {
     * micro-batch into the materialization at `mvPath`; returns the
     * base version the materialization now reflects. Resumable via
     * `checkpointLocation`: a restart continues from the recorded
-    * offsets and redelivered windows no-op against `__upto`. */
+    * offsets and redelivered windows no-op against the watermark. */
   def runToCompletion(spark: SparkSession, basePath: String,
       mvPath: String, keyCol: String, valueExpr: String,
       checkpointLocation: Option[String] = None,
@@ -56,48 +55,32 @@ object StreamIvm {
       .fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     try q.processAllAvailable() finally q.stop()
-    DeltaReader.load(spark, mvPath)
-      .select(max(col("__upto"))).head().getLong(0)
+    graft.operators.IncrementalAgg.watermark(spark, mvPath).getOrElse(-1L)
   }
 
   /** Fold one exact commit-window of signed CDF events into the
-    * materialization. Idempotent by the `__upto` guard — the
-    * redelivery no-op of the exactly-once argument above. */
+    * materialization — [[graft.operators.IncrementalAgg.foldEvents]]
+    * with the batch frame CACHED first: the window plan (snapshot
+    * seeding + per-commit scans + DV diffs) executes once, not once
+    * per action (emptiness probe, top-version read, fold aggregate).
+    * Idempotent by the watermark guard — the redelivery no-op of the
+    * exactly-once argument above. */
   private[graft] def foldBatch(events: DataFrame, mvPath: String,
       keyCol: String, valueExpr: String): Long = {
-    if (events.isEmpty)
-      return currentUpto(events.sparkSession, mvPath).getOrElse(-1L)
-    val upto = events.select(max(col("_commit_version"))).head().getLong(0)
-    val spark = events.sparkSession
-    val prior: Option[DataFrame] =
-      try Some(DeltaReader.load(spark, mvPath)) catch { case _: Exception => None }
-    val last = prior.map(_.select(max(col("__upto"))).head().getLong(0))
-      .getOrElse(-1L)
-    if (last >= upto) return last // redelivered window: no-op
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val delta = events
-      .groupBy(col(keyCol).as("key"))
-      .agg(sum(sign).as("n"), sum(sign * expr(valueExpr)).as("total"))
-    val merged = prior match {
-      case None => delta
-      case Some(mv) =>
-        mv.select(col("key"), col("n"), col("total")).as("m")
-          .join(delta.as("d"), col("m.key") === col("d.key"), "full_outer")
-          .select(
-            coalesce(col("m.key"), col("d.key")).as("key"),
-            (coalesce(col("m.n"), lit(0L)) +
-              coalesce(col("d.n"), lit(0L))).as("n"),
-            (coalesce(col("m.total"), lit(0L)) +
-              coalesce(col("d.total"), lit(0L))).as("total"))
+    val cached = events.cache()
+    try {
+      if (cached.isEmpty)
+        graft.operators.IncrementalAgg
+          .watermark(cached.sparkSession, mvPath).getOrElse(-1L)
+      else {
+        val upto = cached.select(max(col("_commit_version")))
+          .head().getLong(0)
+        graft.operators.IncrementalAgg
+          .foldEvents(cached, mvPath, keyCol, valueExpr, upto)
+      }
+    } finally {
+      cached.unpersist()
+      ()
     }
-    DeltaWriter.overwrite(
-      merged.filter(col("n") =!= 0L)
-        .withColumn("__upto", lit(upto)), mvPath)
-    upto
   }
-
-  private def currentUpto(spark: SparkSession, mvPath: String): Option[Long] =
-    try Some(DeltaReader.load(spark, mvPath)
-      .select(max(col("__upto"))).head().getLong(0))
-    catch { case _: Exception => None }
 }

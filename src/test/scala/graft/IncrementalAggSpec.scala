@@ -156,4 +156,44 @@ class IncrementalAggSpec extends AnyFunSuite {
     DeltaWriter.delete(spark, base, col("n_regionkey") === 2); check(6L)
     assert(!mvNow().contains(2L))
   }
+
+  test("watermark survives a fully-retracted 0-row state; NULL group keys merge, never duplicate") {
+    import spark.implicits._
+    val base = tmp("retract_all_base")
+    val mv = tmp("retract_all_mv")
+    // seed with a NULL-key group alongside real keys
+    val rows = Seq(
+      (1L, 100.0, "A"), (2L, 50.0, "A"), (3L, 25.0, null.asInstanceOf[String]))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    DeltaWriter.append(rows, base)
+    IncrementalAgg.refresh(spark, base, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")
+    assert(mvRows(mv) == Map[String, (Long, Long)]("A" -> ((2L, 15000L)),
+      (null: String) -> ((1L, 2500L))))
+    // retract EVERYTHING: the mv goes to zero data rows but the
+    // watermark rides the table property, atomically with the swap
+    DeltaWriter.delete(spark, base, lit(true))
+    val v1 = IncrementalAgg.refresh(spark, base, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")
+    assert(DeltaReader.load(spark, mv).count() == 0L)
+    assert(IncrementalAgg.watermark(spark, mv).contains(v1))
+    // a later feed folds INCREMENTALLY from the retained watermark —
+    // no NPE on the empty state, no bootstrap double-count — and the
+    // NULL group merges into ONE row across two separate folds
+    DeltaWriter.append(Seq((4L, 10.0, null.asInstanceOf[String]))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority"), base)
+    IncrementalAgg.refresh(spark, base, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")
+    DeltaWriter.append(Seq((5L, 20.0, null.asInstanceOf[String]))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority"), base)
+    IncrementalAgg.refresh(spark, base, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)")
+    assert(mvRows(mv) == Map[String, (Long, Long)]((null: String) -> ((2L, 3000L))))
+    // and a redelivered window no-ops against the property watermark
+    val w = IncrementalAgg.watermark(spark, mv).get
+    val replay = DeltaReader.loadChangeFeed(spark, base, w - 1, w)
+    IncrementalAgg.foldEvents(replay, mv,
+      "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)", w)
+    assert(mvRows(mv) == Map[String, (Long, Long)]((null: String) -> ((2L, 3000L))))
+  }
 }
