@@ -1903,11 +1903,26 @@ object DeltaWriter {
               if (l.contains("\"metaData\"")) meta = Some(l)
             } finally s.close()
           }
+        if (proto.isEmpty || meta.isEmpty)
+          // the lines live only in a checkpoint: any checkpoint at
+          // c ≤ v is a valid as-of source (it cannot carry metadata
+          // postdating v)
+          newestCheckpointFrame(spark,
+            new File(srcTable, "_delta_log"), Some(v)).foreach { df =>
+            def carry(field: String): Option[String] =
+              if (!df.columns.contains(field)) None
+              else df.filter(col(field).isNotNull)
+                .select(to_json(struct(col(field)))).collect()
+                .headOption.map(_.getString(0))
+            if (proto.isEmpty) proto = carry("protocol")
+            if (meta.isEmpty) meta = carry("metaData")
+          }
         require(proto.nonEmpty && meta.nonEmpty,
           s"cloneShallow: protocol/metaData at-or-below version $v are " +
-            s"no longer in $sourcePath's JSON commits (log-retention " +
-            "cleanup) — clone the current version, or a version at or " +
-            "past the retained horizon")
+            s"no longer in $sourcePath's retained JSON commits or any " +
+            "checkpoint at-or-below it (log-retention cleanup) — clone " +
+            "the current version, or a version at or past the retained " +
+            "horizon")
         (proto.get, meta.get, Nil)
     }
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1964,7 +1979,11 @@ object DeltaWriter {
     * carries only its own layouts.) */
   private def newestCheckpointFrame(
       spark: org.apache.spark.sql.SparkSession,
-      logDir: File): Option[DataFrame] = {
+      logDir: File,
+      /** consider only checkpoints at-or-below this version — the
+        * as-of carry source [[cloneShallow]]'s time-travel clone reads
+        * (a checkpoint at c ≤ v cannot carry metadata postdating v). */
+      maxVersion: Option[Long] = None): Option[DataFrame] = {
     val entries = Option(logDir.listFiles()).getOrElse(Array.empty[File])
     val classic = entries.filter(_.getName.matches(
       "\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
@@ -1973,7 +1992,9 @@ object DeltaWriter {
     // alone is a valid carry source
     val uuid = entries.filter(_.getName.matches(
       "\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(json|parquet)"))
-    (classic ++ uuid).map(_.getName.take(20)).sorted.lastOption.map { v =>
+    (classic ++ uuid).map(_.getName.take(20))
+      .filter(v => maxVersion.forall(v.toLong <= _))
+      .sorted.lastOption.map { v =>
       val uuidAtV = uuid.filter(_.getName.startsWith(v))
       if (uuidAtV.nonEmpty) {
         val top = uuidAtV.map(_.getAbsolutePath).min // deterministic pick

@@ -1711,6 +1711,16 @@ class DeltaWriterSpec extends AnyFunSuite {
         versionAsOf = Some(0L))
     }
     assert(e.getMessage.contains("log-retention"))
+    // but a version AT-OR-PAST a retained checkpoint clones fine: the
+    // checkpoint at c ≤ v is a valid as-of metadata source (it cannot
+    // carry records postdating v)
+    val ckptV = DeltaReader.snapshot(spark, src).version
+    DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 20).repartition(1), src)
+    val dst3 = tmpTable("clonev_dst3")
+    DeltaWriter.cloneShallow(spark, src, dst3, versionAsOf = Some(ckptV))
+    assert(graft.sources.DeltaReader.load(spark, dst3).collect().toSet ==
+      nation.filter(col("n_nationkey") < 15).collect().toSet)
   }
 
   test("generated columns: computed at create, enforced on append, recomputed on update") {
