@@ -159,10 +159,7 @@ object IncrementalAgg {
   def refreshMinMax(spark: SparkSession, basePath: String, mvPath: String,
       keyCol: String, valueExpr: String): Long = {
     val baseVersion = DeltaReader.snapshot(spark, basePath).version
-    val prior: Option[DataFrame] =
-      try Some(DeltaReader.load(spark, mvPath)) catch { case _: Exception => None }
-    val lastUpto = prior.map(_.select(max(col("__upto")))
-      .head().getLong(0)).getOrElse(-1L)
+    val lastUpto = watermark(spark, mvPath).getOrElse(-1L)
     if (lastUpto >= baseVersion) return lastUpto
 
     def fullAgg(df: DataFrame): DataFrame =
@@ -170,23 +167,29 @@ object IncrementalAgg {
         .agg(count(lit(1)).as("n"),
           min(expr(valueExpr)).as("mn"), max(expr(valueExpr)).as("mx"))
 
-    val merged = prior match {
-      case None => fullAgg(DeltaReader.loadAt(spark, basePath, baseVersion))
-      case Some(mv) =>
+    val merged =
+      if (lastUpto < 0L)
+        fullAgg(DeltaReader.loadAt(spark, basePath, baseVersion))
+      else {
+        val mv = DeltaReader.load(spark, mvPath)
+          .select(col("key"), col("n"), col("mn"), col("mx"))
         val feed = DeltaReader.loadChangeFeed(
           spark, basePath, lastUpto, baseVersion)
         val ins = feed.filter(col("_change_type") === "insert")
-          .groupBy(col(keyCol).as("key"))
+          .groupBy(col(keyCol).as("k_i"))
           .agg(count(lit(1)).as("n_i"),
             min(expr(valueExpr)).as("mn_i"), max(expr(valueExpr)).as("mx_i"))
         val del = feed.filter(col("_change_type") === "delete")
-          .groupBy(col(keyCol).as("key"))
+          .groupBy(col(keyCol).as("k_d"))
           .agg(count(lit(1)).as("n_d"),
             min(expr(valueExpr)).as("mn_d"), max(expr(valueExpr)).as("mx_d"))
-        val joined = mv.select(col("key"), col("n"), col("mn"), col("mx"))
-          .join(ins, Seq("key"), "full_outer")
-          .join(del, Seq("key"), "full_outer")
-          .select(col("key"),
+        // NULL-SAFE key joins ([[mergeDelta]]'s contract): a NULL group
+        // must merge with its deltas, never split into duplicate rows
+        val joined = mv
+          .join(ins, col("key") <=> col("k_i"), "full_outer")
+          .join(del, coalesce(col("key"), col("k_i")) <=> col("k_d"),
+            "full_outer")
+          .select(coalesce(col("key"), col("k_i"), col("k_d")).as("key"),
             (coalesce(col("n"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
               coalesce(col("n_d"), lit(0L))).as("n2"),
             // least/greatest skip NULLs: a brand-new group takes the
@@ -206,11 +209,10 @@ object IncrementalAgg {
         val rescanned = fullAgg(
           DeltaReader.loadAt(spark, basePath, baseVersion)
             .join(broadcast(rescanKeys),
-              col(keyCol) === rescanKeys("key"), "left_semi"))
+              col(keyCol) <=> rescanKeys("key"), "left_semi"))
         kept.unionByName(rescanned)
-    }
-    DeltaWriter.overwrite(
-      merged.withColumn("__upto", lit(baseVersion)), mvPath)
+      }
+    publishMv(merged, mvPath, baseVersion)
     baseVersion
   }
 }

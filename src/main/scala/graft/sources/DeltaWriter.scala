@@ -150,20 +150,18 @@ object DeltaWriter {
     * table's physical column names for staging — identity for unmapped
     * tables. The logical→physical projection is pure aliasing: zero
     * cost in the written plan. For `id`-mapped tables each column also
-    * carries `parquet.field.id` metadata and the session's parquet
-    * field-id WRITE flag is enabled (a declared session-level side
-    * effect, the writer twin of [[DeltaReader.loadAt]]'s read flag —
-    * inert for schemas without the metadata), so every staged file is
-    * stamped with the ids the delta `id` contract resolves columns
-    * by. */
+    * carries `parquet.field.id` metadata; [[stageDataFiles]] detects
+    * that metadata and enables the parquet field-id WRITE flag scoped
+    * to the staged write only (the write is EAGER, so a save/restore
+    * brackets it exactly — unlike [[DeltaReader.loadAt]]'s read flag,
+    * which lazy scans force to stay session-level), so every staged
+    * file is stamped with the ids the delta `id` contract resolves
+    * columns by. */
   private def toPhysical(df: DataFrame, phys: Map[String, String],
       fieldIds: Map[String, Long],
       partitionBy: Seq[String]): (DataFrame, Seq[String]) =
     if (phys.isEmpty && fieldIds.isEmpty) (df, partitionBy)
     else {
-      if (fieldIds.nonEmpty)
-        df.sparkSession.conf
-          .set("spark.sql.parquet.fieldId.write.enabled", "true")
       (df.select(df.schema.fieldNames.toIndexedSeq.map { n =>
         val c = col(n)
         fieldIds.get(n) match {
@@ -1931,9 +1929,13 @@ object DeltaWriter {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       .put("id", java.util.UUID.randomUUID().toString)
     val srcRoot = srcTable.getAbsolutePath
-    require(!srcRoot.contains("%"),
-      s"cloneShallow: source root must not contain '%' ($srcRoot) — " +
-        "add paths keep their percent-encoding and readers decode once")
+    // readers decode add paths with URLDecoder, which rewrites both
+    // %XX escapes AND '+' (→ space) — a root containing either would
+    // decode to a nonexistent path on every scan of the clone
+    require(!srcRoot.contains("%") && !srcRoot.contains("+"),
+      s"cloneShallow: source root must not contain '%' or '+' " +
+        s"($srcRoot) — add paths keep their percent-encoding and " +
+        "readers URL-decode once ('+' decodes to a space)")
     val adds = snap.files.map { a =>
       // keep the action's ORIGINAL percent-encoding: every scan site
       // URL-decodes an add path exactly once, so the absolute spelling
@@ -2163,9 +2165,25 @@ object DeltaWriter {
     val staging = new File(table,
       s".stage-$version-${java.util.UUID.randomUUID()}")
     if (staging.exists()) delete(staging)
-    val w0 = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
-      .parquet(staging.getAbsolutePath)
+    // id-mapped staging (schema fields tagged parquet.field.id) needs
+    // the parquet field-id WRITE flag; ParquetFileFormat.prepareWrite
+    // copies it from the SESSION conf, so a writer option can't carry
+    // it — but this write is EAGER, so scope it save/restore-tight
+    // instead of leaking a session-wide mutation
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val needsFieldIds =
+      df.schema.fields.exists(_.metadata.contains("parquet.field.id"))
+    val prevFieldId =
+      if (needsFieldIds) spark.conf.getOption(fieldIdKey) else None
+    if (needsFieldIds) spark.conf.set(fieldIdKey, "true")
+    try {
+      val w0 = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
+        .parquet(staging.getAbsolutePath)
+    } finally if (needsFieldIds) prevFieldId match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
     val moved = collectParquet(staging).map { f =>
       val rel = staging.toPath.relativize(f.toPath).toString
       val dest = new File(table, rel)

@@ -81,7 +81,7 @@ class GraftDeltaSource extends CreatableRelationProvider
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters,
       "spark.readStream.format(\"graft-delta\").load(path)")
-    new DeltaStreamSource(ctx.sparkSession, path,
+    new DeltaStreamSource(ctx.sparkSession, path, metadataPath,
       parameters.getOrElse("startingVersion", "earliest"),
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("skipChangeCommits").exists(_.toBoolean),

@@ -68,6 +68,7 @@ import graft.sources.DeltaReader
 final class DeltaStreamSource(
     spark: SparkSession,
     tablePath: String,
+    metadataPath: String,
     startingVersion: String,
     maxFilesPerTrigger: Option[Int],
     skipChangeCommits: Boolean,
@@ -101,31 +102,73 @@ final class DeltaStreamSource(
       StructField("_commit_version", LongType, nullable = false))
   }
 
+  /** Durable source state under the query's checkpoint
+    * (`metadataPath`, the engine-assigned per-source directory): the
+    * ONCE-resolved start position and the highest offset ever planned,
+    * one atomically-replaced text file. Without it a restart after all
+    * batches committed would re-resolve `latest`/`startingTimestamp`
+    * starts (jumping past a checkpointed-but-unprocessed batch 0 —
+    * silent row loss) or rewind the pacing cursor to the start (a
+    * `maxFilesPerTrigger` getOffset then returns an offset BELOW the
+    * engine-committed one and already-committed windows re-plan as NEW
+    * batchIds, which the exactly-once sink's txn ledger lands again).
+    * The FileStreamSource discipline: resolve once, floor forever. */
+  private val stateFile: File = {
+    val p = if (metadataPath.startsWith("file:"))
+      new java.net.URI(metadataPath).getPath else metadataPath
+    new File(p, "graft-delta-source-state")
+  }
+
+  private val restored: Option[(Long, Long)] =
+    if (!stateFile.isFile) None
+    else {
+      val parts = new String(Files.readAllBytes(stateFile.toPath),
+        StandardCharsets.UTF_8).trim.split(' ')
+      Some((parts(0).toLong, parts(1).toLong))
+    }
+
   /** Exclusive lower bound of the first batch. `startingTimestamp`
     * resolves to the FIRST commit whose (monotone) declared stamp is
     * at-or-after the given time — delta's own streaming semantics;
-    * a timestamp past the head means "future commits only". */
-  private val startPosition: Long = startingTimestamp match {
-    case Some(ts) =>
-      val millis = graft.sources.Ddl.parseTsMillis(ts)
-      DeltaReader.commitHistory(tablePath)
-        .find(_._2 >= millis).map(_._1 - 1L)
-        .orElse(latestVersion()).getOrElse(-1L)
-    case None => startingVersion.toLowerCase match {
-      case "earliest" => -1L
-      case "latest" => latestVersion().getOrElse(-1L)
-      case v =>
-        require(v.matches("\\d+"),
-          s"graft-delta stream: startingVersion must be 'earliest', " +
-            s"'latest' or a version number, got '$startingVersion'")
-        v.toLong - 1L
+    * a timestamp past the head means "future commits only". Resolved
+    * exactly once per checkpoint: restarts restore the stored value. */
+  private val startPosition: Long = restored.map(_._1).getOrElse {
+    startingTimestamp match {
+      case Some(ts) =>
+        val millis = graft.sources.Ddl.parseTsMillis(ts)
+        DeltaReader.commitHistory(tablePath)
+          .find(_._2 >= millis).map(_._1 - 1L)
+          .orElse(latestVersion()).getOrElse(-1L)
+      case None => startingVersion.toLowerCase match {
+        case "earliest" => -1L
+        case "latest" => latestVersion().getOrElse(-1L)
+        case v =>
+          require(v.matches("\\d+"),
+            s"graft-delta stream: startingVersion must be 'earliest', " +
+              s"'latest' or a version number, got '$startingVersion'")
+          v.toLong - 1L
+      }
     }
   }
 
-  /** Highest version already handed to the engine (pacing cursor —
-    * redelivery after restart goes through getBatch's explicit
-    * offsets, never this). */
-  private var position: Long = startPosition
+  /** Highest version already handed to the engine (pacing cursor) —
+    * restored at construction and floored monotone, so getOffset can
+    * never re-plan a window the engine already committed. */
+  private var position: Long =
+    math.max(restored.map(_._2).getOrElse(startPosition), startPosition)
+
+  private def persist(): Unit = {
+    Files.createDirectories(stateFile.toPath.getParent)
+    val tmp = new File(stateFile.getParentFile,
+      ".graft-delta-source-state.tmp")
+    Files.write(tmp.toPath,
+      s"$startPosition $position".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, stateFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  if (restored.isEmpty) persist() // pin the resolved start immediately
 
   private def latestVersion(): Option[Long] = {
     val names = Option(logDir.list()).getOrElse(Array.empty[String])
@@ -192,7 +235,9 @@ final class DeltaStreamSource(
         files += n; admitted = admitted || n > 0; end = v; v += 1
       }
     }
-    if (end > from) { position = end; Some(LongOffset(end)) } else None
+    if (end > from) {
+      position = end; persist(); Some(LongOffset(end))
+    } else None
   }
 
   private def ver(o: OffsetV1): Long = o match {
@@ -203,7 +248,7 @@ final class DeltaStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val s = start.map(ver).getOrElse(startPosition)
     val e = ver(end)
-    position = math.max(position, e)
+    if (e > position) { position = e; persist() }
     val batch =
       if (readChangeFeed) DeltaReader.loadChangeFeed(spark, tablePath, s, e)
       else appendOnlyBatch(s, e)
@@ -244,7 +289,12 @@ final class DeltaStreamSource(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def commit(end: OffsetV1): Unit = {
+    // floor the durable cursor at every engine-committed offset too —
+    // belt-and-braces against a crash between getOffset and persist
+    val e = ver(end)
+    if (e > position) { position = e; persist() }
+  }
 
   override def stop(): Unit = ()
 

@@ -1683,6 +1683,16 @@ class DeltaWriterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeltaWriter.cloneShallow(spark, tmpTable("clone_nowhere"), tmpTable("clone_dst2"))
     }
+    // a source root containing '+' would URL-decode to a space on every
+    // scan of the clone (URLDecoder rewrites '+', not just %XX) — refuse
+    // up front like '%'
+    val plusRoot = new File(tmpTable("clone_plus_dir"), "a+b")
+    val plusSrc = new File(plusRoot, "t").getAbsolutePath
+    DeltaWriter.append(nation.limit(3).repartition(1), plusSrc)
+    val plusErr = intercept[IllegalArgumentException] {
+      DeltaWriter.cloneShallow(spark, plusSrc, tmpTable("clone_plus_dst"))
+    }
+    assert(plusErr.getMessage.contains("'+'"))
   }
 
   test("shallow clone VERSION AS OF clones the historical snapshot with as-of metadata") {

@@ -157,6 +157,44 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!mvNow().contains(2L))
   }
 
+  test("refreshMinMax: NULL group keys merge; watermark survives a fully-retracted 0-row state") {
+    import spark.implicits._
+    val base = tmp("minmax_null_base"); val mv = tmp("minmax_null_mv")
+    def mvNow(): Map[String, (Long, Long, Long)] =
+      DeltaReader.load(spark, mv)
+        .collect().map(r => r.getAs[String]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("mn"),
+            r.getAs[Long]("mx")))).toMap
+    // seed a NULL-key group alongside a real one
+    DeltaWriter.append(Seq((10L, "A"), (5L, "A"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("v", "k"), base)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v")
+    assert(mvNow() == Map("A" -> ((2L, 5L, 10L)),
+      (null: String) -> ((1L, 7L, 7L))))
+    // insert into the NULL group: must MERGE into one row, not duplicate
+    DeltaWriter.append(Seq((3L, null.asInstanceOf[String])).toDF("v", "k"), base)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v")
+    assert(mvNow() == Map("A" -> ((2L, 5L, 10L)),
+      (null: String) -> ((2L, 3L, 7L))))
+    // delete the NULL group's extremum: the targeted rescan must find
+    // the NULL-keyed rows (null-safe semi-join), surfacing next-best 7
+    DeltaWriter.delete(spark, base, col("v") === 3L)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v")
+    assert(mvNow() == Map("A" -> ((2L, 5L, 10L)),
+      (null: String) -> ((1L, 7L, 7L))))
+    // retract EVERYTHING: watermark rides the table property through
+    // the 0-row state, and the next refresh folds incrementally (no
+    // NPE, no bootstrap double-count)
+    DeltaWriter.delete(spark, base, lit(true))
+    val v = IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v")
+    assert(DeltaReader.load(spark, mv).count() == 0L)
+    assert(IncrementalAgg.watermark(spark, mv).contains(v))
+    DeltaWriter.append(Seq((42L, "B")).toDF("v", "k"), base)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v")
+    assert(mvNow() == Map("B" -> ((1L, 42L, 42L))))
+  }
+
   test("watermark survives a fully-retracted 0-row state; NULL group keys merge, never duplicate") {
     import spark.implicits._
     val base = tmp("retract_all_base")

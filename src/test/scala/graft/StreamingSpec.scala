@@ -848,6 +848,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(replica.count() == nation.count())
   }
 
+  test("graft-delta source restart: pacing cursor never rewinds; latest-start resolves once per checkpoint") {
+    val base = streamBase("graft_stream_src_restart")
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+
+    // (a) paced replication, restart AFTER all batches committed: the
+    // durable cursor floors getOffset at the committed offset, so no
+    // already-committed window re-plans as a new batchId (which the
+    // sink's txn ledger would land again — duplicate rows)
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val dst = new java.io.File(base, "dst").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), src)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+        .repartition(1), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.format("graft-delta")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(graft.sources.DeltaReader.load(spark, dst).count() ==
+      nation.filter(col("n_nationkey") < 20).count())
+    run() // idle restart: nothing new → nothing re-planned
+    assert(graft.sources.DeltaReader.load(spark, dst).count() ==
+      nation.filter(col("n_nationkey") < 20).count())
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 20).repartition(1), src)
+    run() // growth after the idle restart still lands exactly once
+    assert(graft.sources.DeltaReader.load(spark, dst).collect().toSet ==
+      nation.collect().toSet)
+    assert(graft.sources.DeltaReader.load(spark, dst).count() ==
+      nation.count())
+
+    // (b) startingVersion=latest is resolved ONCE, at first start, and
+    // restored at restart — commits landed while the query was DOWN are
+    // after the pinned start and must stream, not be skipped by a
+    // re-resolved head
+    val src2 = new java.io.File(base, "src2").getAbsolutePath
+    val dst2 = new java.io.File(base, "dst2").getAbsolutePath
+    val ckpt2 = new java.io.File(base, "ckpt2").getAbsolutePath
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 20).repartition(1), src2)
+    def run2(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "latest").load(src2)
+        .writeStream.format("graft-delta")
+        .option("path", dst2)
+        .option("checkpointLocation", ckpt2)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run2() // pins the start at the current head; nothing to emit yet
+    assert(!graft.sources.DeltaWriter.tableExists(dst2) ||
+      graft.sources.DeltaReader.load(spark, dst2).isEmpty)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 20).repartition(1), src2)
+    run2()
+    assert(graft.sources.DeltaReader.load(spark, dst2).collect().toSet ==
+      nation.filter(col("n_nationkey") >= 20).collect().toSet)
+  }
+
   test("graft-delta source readChangeFeed streams row-level events matching the batch feed") {
     val base = streamBase("graft_stream_src_cdf")
     val table = new java.io.File(base, "table").getAbsolutePath
