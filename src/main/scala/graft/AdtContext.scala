@@ -57,6 +57,32 @@ final class AdtContext(val spark: SparkSession) {
         .configuration.toSeq.sortBy(_._1)
       import spark.implicits._
       props.toDF("key", "value")
+    } else if (AdtContext.DescribeDetail.findFirstMatchIn(statement).isDefined) {
+      // the table-level metadata window (delta's DESCRIBE DETAIL shape):
+      // ONE row — format, location, createdAt (earliest RETAINED commit's
+      // stamp — commit 0 unless log cleanup swept it), lastModified
+      // (latest commit's stamp), partition columns, live-file count and
+      // byte total from the snapshot's own add actions (no filesystem
+      // stats), and the full properties map. Everything is driver-held
+      // log metadata — zero data files touched.
+      val name = AdtContext.DescribeDetail
+        .findFirstMatchIn(statement).get.group(1)
+      val t = Ddl.lookup(spark, name).getOrElse(throw new IllegalArgumentException(
+        s"$name is not a registered external table"))
+      require(t.format == "DELTA",
+        s"DESCRIBE DETAIL is supported for DELTA tables; $name is ${t.format}")
+      val snap = graft.sources.DeltaReader.snapshot(spark, t.location)
+      val hist = graft.sources.DeltaReader.commitHistory(t.location)
+      import spark.implicits._
+      Seq(("delta", t.location,
+        new java.sql.Timestamp(hist.minBy(_._1)._2),
+        new java.sql.Timestamp(hist.maxBy(_._1)._2),
+        snap.partitionColumns,
+        snap.files.size.toLong,
+        snap.files.map(_.size).sum,
+        snap.configuration))
+        .toDF("format", "location", "createdAt", "lastModified",
+          "partitionColumns", "numFiles", "sizeInBytes", "properties")
     } else if (AdtContext.DescribeHistory.findFirstMatchIn(statement).isDefined) {
       // the version history from the per-commit commitInfo stamps (the
       // same index timestampAsOf resolves against); hand-written logs
@@ -150,6 +176,9 @@ object AdtContext {
 
   private[graft] val DescribeHistory =
     "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(\\w+)\\s*;?\\s*$".r
+
+  private[graft] val DescribeDetail =
+    "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(\\w+)\\s*;?\\s*$".r
 
   /** Session defaults matching SURVEY §4.3's config-parity table. */
   def build(master: String = "local[*]"): AdtContext = {

@@ -25,9 +25,14 @@ object Output {
   private def render(v: Any): String = v match {
     case null                => ""
     case b: Array[Byte]      => b.map(x => f"$x%02x").mkString
-    case s: Seq[_]           => s.map(render).mkString("[", ", ", "]")
-    case m: Map[_, _]        => m.map { case (k, x) => s"${render(k)}: ${render(x)}" }
-                                  .mkString("{", ", ", "}")
+    // collection.Seq/Map, not the 2.13 immutable default aliases: Spark
+    // hands array columns back as mutable.ArraySeq, which the immutable
+    // pattern silently misses (falling through to ArraySeq(…).toString)
+    case s: scala.collection.Seq[_] =>
+      s.map(render).mkString("[", ", ", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => s"${render(k)}: ${render(x)}" }
+        .mkString("{", ", ", "}")
     case other               => other.toString
   }
 }

@@ -161,58 +161,101 @@ object IncrementalAgg {
     val baseVersion = DeltaReader.snapshot(spark, basePath).version
     val lastUpto = watermark(spark, mvPath).getOrElse(-1L)
     if (lastUpto >= baseVersion) return lastUpto
-
-    def fullAgg(df: DataFrame): DataFrame =
-      df.groupBy(col(keyCol).as("key"))
-        .agg(count(lit(1)).as("n"),
-          min(expr(valueExpr)).as("mn"), max(expr(valueExpr)).as("mx"))
-
     val merged =
       if (lastUpto < 0L)
-        fullAgg(DeltaReader.loadAt(spark, basePath, baseVersion))
-      else {
-        val mv = DeltaReader.load(spark, mvPath)
-          .select(col("key"), col("n"), col("mn"), col("mx"))
-        val feed = DeltaReader.loadChangeFeed(
-          spark, basePath, lastUpto, baseVersion)
-        val ins = feed.filter(col("_change_type") === "insert")
-          .groupBy(col(keyCol).as("k_i"))
-          .agg(count(lit(1)).as("n_i"),
-            min(expr(valueExpr)).as("mn_i"), max(expr(valueExpr)).as("mx_i"))
-        val del = feed.filter(col("_change_type") === "delete")
-          .groupBy(col(keyCol).as("k_d"))
-          .agg(count(lit(1)).as("n_d"),
-            min(expr(valueExpr)).as("mn_d"), max(expr(valueExpr)).as("mx_d"))
-        // NULL-SAFE key joins ([[mergeDelta]]'s contract): a NULL group
-        // must merge with its deltas, never split into duplicate rows
-        val joined = mv
-          .join(ins, col("key") <=> col("k_i"), "full_outer")
-          .join(del, coalesce(col("key"), col("k_i")) <=> col("k_d"),
-            "full_outer")
-          .select(coalesce(col("key"), col("k_i"), col("k_d")).as("key"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
-              coalesce(col("n_d"), lit(0L))).as("n2"),
-            // least/greatest skip NULLs: a brand-new group takes the
-            // insert bounds, an untouched group keeps its state
-            least(col("mn"), col("mn_i")).as("cand_mn"),
-            greatest(col("mx"), col("mx_i")).as("cand_mx"),
-            col("n_d"), col("mn_d"), col("mx_d"))
-          .filter(col("n2") > 0L) // fully-retracted groups vanish
-        // a delete at (or past — duplicates) a candidate extremum makes
-        // the true extremum underivable from state → targeted rescan
-        val touches = col("n_d").isNotNull &&
-          (col("mn_d") <= col("cand_mn") || col("mx_d") >= col("cand_mx"))
-        val kept = joined.filter(!touches)
-          .select(col("key"), col("n2").as("n"),
-            col("cand_mn").as("mn"), col("cand_mx").as("mx"))
-        val rescanKeys = joined.filter(touches).select(col("key"))
-        val rescanned = fullAgg(
-          DeltaReader.loadAt(spark, basePath, baseVersion)
-            .join(broadcast(rescanKeys),
-              col(keyCol) <=> rescanKeys("key"), "left_semi"))
-        kept.unionByName(rescanned)
-      }
+        fullMinMaxAgg(DeltaReader.loadAt(spark, basePath, baseVersion),
+          keyCol, valueExpr)
+      else mergeMinMax(spark, mvPath,
+        DeltaReader.loadChangeFeed(spark, basePath, lastUpto, baseVersion),
+        DeltaReader.loadAt(spark, basePath, baseVersion),
+        keyCol, valueExpr, bootstrap = false)
     publishMv(merged, mvPath, baseVersion)
     baseVersion
+  }
+
+  private def fullMinMaxAgg(df: DataFrame, keyCol: String,
+      valueExpr: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        min(expr(valueExpr)).as("mn"), max(expr(valueExpr)).as("mx"))
+
+  /** The MIN/MAX merge both the poll verb ([[refreshMinMax]]) and the
+    * streaming fold ([[foldEventsMinMax]]) share: fold one signed
+    * change window into the materialization, with targeted rescans
+    * against `base` — the base SNAPSHOT AT THE WINDOW'S TOP VERSION
+    * (immutable, so a redelivered window rescans identically).
+    * `bootstrap` substitutes an empty state for a not-yet-created
+    * materialization — the window then IS the initial state, with
+    * same-window deletes (a multi-commit first window) still routed
+    * through the exact rescan path. */
+  private def mergeMinMax(spark: SparkSession, mvPath: String,
+      feed: DataFrame, base: DataFrame, keyCol: String, valueExpr: String,
+      bootstrap: Boolean): DataFrame = {
+    val mv =
+      if (bootstrap) fullMinMaxAgg(base.limit(0), keyCol, valueExpr)
+      else DeltaReader.load(spark, mvPath)
+        .select(col("key"), col("n"), col("mn"), col("mx"))
+    val ins = feed.filter(col("_change_type") === "insert")
+      .groupBy(col(keyCol).as("k_i"))
+      .agg(count(lit(1)).as("n_i"),
+        min(expr(valueExpr)).as("mn_i"), max(expr(valueExpr)).as("mx_i"))
+    val del = feed.filter(col("_change_type") === "delete")
+      .groupBy(col(keyCol).as("k_d"))
+      .agg(count(lit(1)).as("n_d"),
+        min(expr(valueExpr)).as("mn_d"), max(expr(valueExpr)).as("mx_d"))
+    // NULL-SAFE key joins ([[mergeDelta]]'s contract): a NULL group
+    // must merge with its deltas, never split into duplicate rows
+    val joined = mv
+      .join(ins, col("key") <=> col("k_i"), "full_outer")
+      .join(del, coalesce(col("key"), col("k_i")) <=> col("k_d"),
+        "full_outer")
+      .select(coalesce(col("key"), col("k_i"), col("k_d")).as("key"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n_i"), lit(0L)) -
+          coalesce(col("n_d"), lit(0L))).as("n2"),
+        // least/greatest skip NULLs: a brand-new group takes the
+        // insert bounds, an untouched group keeps its state
+        least(col("mn"), col("mn_i")).as("cand_mn"),
+        greatest(col("mx"), col("mx_i")).as("cand_mx"),
+        col("n_d"), col("mn_d"), col("mx_d"))
+      .filter(col("n2") > 0L) // fully-retracted groups vanish
+    // a delete at (or past — duplicates) a candidate extremum makes
+    // the true extremum underivable from state → targeted rescan.
+    // All-NULL deletes (mn_d/mx_d NULL — min/max skip NULLs) cannot
+    // move the bounds; coalesce(…, false) routes them into `kept`
+    // instead of NULL-dropping the group from BOTH branches.
+    val touches = col("n_d").isNotNull &&
+      coalesce(
+        col("mn_d") <= col("cand_mn") || col("mx_d") >= col("cand_mx"),
+        lit(false))
+    val kept = joined.filter(!touches)
+      .select(col("key"), col("n2").as("n"),
+        col("cand_mn").as("mn"), col("cand_mx").as("mx"))
+    val rescanKeys = joined.filter(touches).select(col("key"))
+    val rescanned = fullMinMaxAgg(
+      base.join(broadcast(rescanKeys),
+        col(keyCol) <=> rescanKeys("key"), "left_semi"),
+      keyCol, valueExpr)
+    kept.unionByName(rescanned)
+  }
+
+  /** Fold ONE exact commit-window of signed CDF events into the
+    * MIN/MAX materialization — [[foldEvents]]'s extremum twin, the
+    * per-trigger verb [[graft.streaming.StreamIvm]]'s MIN/MAX pipeline
+    * rides. Needs `basePath` (unlike the COUNT/SUM fold): an extremum
+    * retraction is not derivable from scalar state, so touched groups
+    * take a targeted rescan of the base snapshot AT `upto` — the
+    * window's own top version, an immutable read, so a redelivered
+    * window rescans bit-identically and the watermark no-op keeps the
+    * fold exactly-once. */
+  private[graft] def foldEventsMinMax(events: DataFrame, basePath: String,
+      mvPath: String, keyCol: String, valueExpr: String, upto: Long): Long = {
+    val spark = events.sparkSession
+    val last = watermark(spark, mvPath)
+    if (last.exists(_ >= upto)) return last.get // redelivered: no-op
+    val merged = mergeMinMax(spark, mvPath, events,
+      DeltaReader.loadAt(spark, basePath, upto),
+      keyCol, valueExpr, bootstrap = last.isEmpty)
+    publishMv(merged, mvPath, upto)
+    upto
   }
 }

@@ -1056,60 +1056,85 @@ object Pipeline {
     // 2009): the fusion pass a retrieval-backed pipeline (RAG indexing,
     // decontamination lookups, semantic dedup candidate generation)
     // runs over its two retrievers — the exact-integer BM25 lexical
-    // list (q145's scorer, shared CTE chain) and the exact-cosine
-    // dense list (q44's scorer; doc_id/vec_id are the same id space by
+    // list (q145's scorer, shared CTE chain) and the IVF-PROBED dense
+    // list (q93's operator; doc_id/vec_id are the same id space by
     // corpus construction) — fused as RRF_ppm = Σ_lists 10⁶ DIV
     // (60 + rank), each rank from its list's own ordering, lists
-    // capped at top-100 BEFORE fusion. The cap is the scale contract:
-    // fusion consumes top-k LISTS, never full rankings — each
-    // retriever ships k rows per query to the fuser, so the fuse
-    // stage's cost is queries×k regardless of corpus size (the
-    // retrievers themselves keep their own scale shapes: posting-list
-    // join, broadcast query set). Cross-engine determinism: ranks are
-    // integers, contributions integer floor divisions, the fused score
-    // an exact integer sum (the q118/q145 ppm discipline); the dense
-    // list's double-cosine ORDERING is the q44-proven bit-identical
-    // one, and doubles never surface in the output.
+    // capped at top-100 BEFORE fusion.
+    //
+    // Scale shape (r18, replacing the brute-force dense leg): BOTH
+    // retrievers now produce their lists without touching the full
+    // corpus per query. The lexical leg is the posting-list equi-join;
+    // the dense leg assigns the corpus to its max-cosine seed centroid
+    // ONCE (broadcast k-row centroid set + the partial-aggregatable
+    // argmin — the shuffle carries n rows, never the n·k expansion)
+    // and each query then scans ONLY its own centroid's inverted list,
+    // so the per-query candidate pool — and the top-100 window's
+    // partition — is cluster-sized (k ∝ N keeps clusters ~constant),
+    // never corpus-sized. The probe's recall loss vs the exact scan is
+    // DECLARED ANN semantics, mirrored bit-for-bit in the oracle and
+    // quantified by q198's sampled recall harness. Fusion still
+    // consumes top-k LISTS: each retriever ships ≤100 rows per query
+    // to the fuser, so the fuse stage's cost is queries×k regardless
+    // of corpus size. Cross-engine determinism: ranks are integers,
+    // contributions integer floor divisions, the fused score an exact
+    // integer sum (the q118/q145 ppm discipline); the dense cosine
+    // ORDERING is the q44-proven bit-identical one (exact int64 dots
+    // cast to double), and doubles never surface in the output.
     Q("q192_hybrid_rrf",
-      (s, d) => { graft.functions.Md5Long.register(s)
-        graft.functions.DotProductI64.register(s); Tables.sql(s, d, s"""
-        WITH $Bm25Ctes,
-        lex AS (
+      (s, d) => {
+        import s.implicits._
+        graft.functions.Md5Long.register(s)
+        graft.functions.DotProductI64.register(s)
+        def cos(a: String, b: String) =
+          expr(s"dot_i64($a, $b)").cast("double") /
+            (sqrt(expr(s"dot_i64($a, $a)").cast("double")) *
+              sqrt(expr(s"dot_i64($b, $b)").cast("double")))
+        // lexical leg: shared BM25 chain, ranked per query
+        val lex = Tables.sql(s, d, s"""
+          WITH $Bm25Ctes
           SELECT q_id, d_id,
             row_number() OVER (PARTITION BY q_id
               ORDER BY score_ppm DESC, d_id) AS rank
-          FROM m),
-        ev AS (
-          SELECT vec_id, transform(embedding,
-            x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
-          FROM embeddings),
-        vq AS (SELECT vec_id AS q_id, v AS qv FROM ev
-               WHERE vec_id < (SELECT greatest(CAST(3 AS BIGINT), n DIV 1000) FROM g)),
-        dense AS (
-          SELECT q_id, d_id,
-            row_number() OVER (PARTITION BY q_id
-              ORDER BY cos DESC, d_id) AS rank
-          FROM (
-            SELECT vq.q_id, ev.vec_id AS d_id,
-              CAST(dot_i64(ev.v, vq.qv) AS DOUBLE)
-                / (sqrt(CAST(dot_i64(ev.v, ev.v) AS DOUBLE))
-                   * sqrt(CAST(dot_i64(vq.qv, vq.qv) AS DOUBLE))) AS cos
-            FROM ev CROSS JOIN vq WHERE ev.vec_id <> vq.q_id) sc),
-        fused AS (
-          SELECT q_id, d_id, CAST(sum(ppm) AS BIGINT) AS rrf_ppm FROM (
-            SELECT q_id, d_id, 1000000L DIV (60 + rank) AS ppm
-            FROM lex WHERE rank <= 100
-            UNION ALL
-            SELECT q_id, d_id, 1000000L DIV (60 + rank) AS ppm
-            FROM dense WHERE rank <= 100) u
-          GROUP BY q_id, d_id)
-        SELECT q_id, rank, d_id, rrf_ppm FROM (
-          SELECT q_id, d_id, rrf_ppm,
-            row_number() OVER (PARTITION BY q_id
-              ORDER BY rrf_ppm DESC, d_id) AS rank
-          FROM fused) r
-        WHERE rank <= 5
-        ORDER BY q_id, rank""") },
+          FROM m""")
+        // dense leg: q93's IVF probe. Query set = the q145 derivation
+        // (lowest-id max(3, n DIV 1000) docs — one metadata-cheap
+        // driver count, the centroidK precedent).
+        val emb = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(Extensions.QV).as("v"))
+        val qCut = math.max(3L, Tables.t(s, d, "documents").count() / 1000L)
+        val cents = Extensions.seedCentroids(emb, Extensions.centroidK(emb))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("cos", cos("v", "cv"))
+          .groupBy($"vec_id")
+          .agg(min(struct((-$"cos").as("ncos"), $"c_id")).as("best"),
+            first($"v").as("v"))
+          .select($"vec_id", $"best.c_id".as("c_id"), $"v")
+          // consumed twice (query-set derivation + probe side): persist
+          // so the centroid pass + argmin aggregate run once
+          .cache()
+        val qs = assigned.filter($"vec_id" < qCut)
+          .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"))
+        val dense = assigned.join(broadcast(qs), Seq("c_id"))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", cos("v", "qv"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+          .select($"q_id", $"vec_id".as("d_id"), $"rank")
+        // fuse the two CAPPED lists — queries×k rows in, top-5 out
+        val fused = lex.filter($"rank" <= 100)
+          .unionByName(dense.filter($"rank" <= 100))
+          .select($"q_id", $"d_id",
+            expr("1000000L DIV (60 + rank)").as("ppm"))
+          .groupBy($"q_id", $"d_id")
+          .agg(sum($"ppm").cast("long").as("rrf_ppm"))
+        fused
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"rrf_ppm".desc, $"d_id".asc)))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"rank", $"d_id", $"rrf_ppm")
+          .orderBy($"q_id", $"rank")
+      },
       Some(s"""
         WITH $DuckBm25Ctes,
         lex AS (
@@ -1117,22 +1142,33 @@ object Pipeline {
             row_number() OVER (PARTITION BY q_id
               ORDER BY score_ppm DESC, d_id) AS rank
           FROM m),
-        ev AS (
+        w AS (
           SELECT vec_id, list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
           FROM embeddings),
-        vq AS (SELECT vec_id AS q_id, v AS qv FROM ev
+        ${Extensions.SeedCtes},
+        assigned AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, c.cv) /
+                  (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                DESC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN c0 c) t
+          WHERE rn = 1),
+        vq AS (SELECT c_id, vec_id AS q_id, v AS qv FROM assigned
                WHERE vec_id < (SELECT greatest(CAST(3 AS BIGINT), n // 1000) FROM g)),
         dense AS (
           SELECT q_id, d_id,
             row_number() OVER (PARTITION BY q_id
               ORDER BY cos DESC, d_id) AS rank
           FROM (
-            SELECT vq.q_id, ev.vec_id AS d_id,
-              list_dot_product(ev.v, vq.qv)
-                / (sqrt(list_dot_product(ev.v, ev.v))
-                   * sqrt(list_dot_product(vq.qv, vq.qv))) AS cos
-            FROM ev CROSS JOIN vq WHERE ev.vec_id <> vq.q_id) sc),
+            SELECT q.q_id, a.vec_id AS d_id,
+              list_dot_product(a.v, q.qv)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM assigned a JOIN vq q USING (c_id)
+            WHERE a.vec_id <> q.q_id) sc),
         fused AS (
           SELECT q_id, d_id, CAST(sum(ppm) AS BIGINT) AS rrf_ppm FROM (
             SELECT q_id, d_id, 1000000 // (60 + rank) AS ppm
@@ -1148,6 +1184,143 @@ object Pipeline {
           FROM fused) r
         WHERE rank <= 5
         ORDER BY q_id, rank""")),
+
+    // ---- SAMPLED dense-shortlist recall (the eval harness q192's
+    // probe trade demands — q144's sampled pattern applied to the ANN
+    // leg): on a deterministic ~EvalSampleTarget-doc hash-threshold
+    // subcorpus, run the WHOLE dense retriever under measurement —
+    // sample-derived k, stratified seeds, centroid assignment, probe —
+    // as its own corpus, and score its top-10 per query against the
+    // exact brute-force top-10 within the same sample. Eval cost is
+    // O(target²)-bounded regardless of corpus size (the exact ground
+    // truth — the expensive half — never touches the full corpus); the
+    // pct column makes the draw explicit. Query set = the sample's
+    // max(3, m DIV 1000) lowest ids (q192's derivation applied to the
+    // sample; the ordering window runs over the bounded sample only).
+    // recall = hits/|gt| per query, an identical IEEE divide on both
+    // engines; queries whose probe list misses everything still emit
+    // (left join + coalesce 0).
+    Q("q198_dense_recall_sampled",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.Md5Long.register(s)
+        graft.functions.DotProductI64.register(s)
+        def cos(a: String, b: String) =
+          expr(s"dot_i64($a, $b)").cast("double") /
+            (sqrt(expr(s"dot_i64($a, $a)").cast("double")) *
+              sqrt(expr(s"dot_i64($b, $b)").cast("double")))
+        val embAll = Tables.t(s, d, "embeddings")
+          .select($"vec_id", expr(Extensions.QV).as("v"))
+        val pct = Dedup.evalPct(embAll.count())
+        val emb = embAll.filter(
+          expr(s"md5_60(CAST(vec_id AS STRING)) % 100 < $pct")).cache()
+        val m = emb.count()
+        val qn = math.max(3L, m / 1000L)
+        val qset = emb
+          .withColumn("qrn", row_number().over(Window.orderBy($"vec_id".asc)))
+          .filter($"qrn" <= qn)
+          .select($"vec_id".as("q_id"), $"v".as("qv"))
+        // exact ground truth: broadcast query set × the bounded sample
+        val gt = emb.crossJoin(broadcast(qset))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", cos("v", "qv"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+          .filter($"rn" <= 10)
+          .select($"q_id", $"vec_id".as("neighbor"))
+          .cache()
+        // the retriever under measurement: q192's dense leg, sample-trained
+        val cents = Extensions.seedCentroids(emb, Extensions.centroidK(emb))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("cos", cos("v", "cv"))
+          .groupBy($"vec_id")
+          .agg(min(struct((-$"cos").as("ncos"), $"c_id")).as("best"),
+            first($"v").as("v"))
+          .select($"vec_id", $"best.c_id".as("c_id"), $"v")
+          .cache()
+        val qs = assigned.join(broadcast(qset),
+            $"vec_id" === $"q_id")
+          .select($"c_id", $"q_id", $"v".as("pqv"))
+        val probed = assigned.join(broadcast(qs), Seq("c_id"))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", cos("v", "pqv"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
+          .filter($"rn" <= 10)
+          .select($"q_id", $"vec_id".as("neighbor"))
+        val hits = gt.join(probed, Seq("q_id", "neighbor"), "left_semi")
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+        gt.groupBy($"q_id").agg(count(lit(1)).as("n_gt"))
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(pct).as("pct"), $"q_id", $"n_gt",
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (coalesce($"n_hits", lit(0L)).cast("double") /
+              $"n_gt".cast("double")).as("recall"))
+          .orderBy($"q_id")
+      },
+      Some(s"""
+        WITH w0 AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+          FROM embeddings),
+        ep AS (
+          SELECT CAST(least(100, greatest(1,
+            (100 * ${Dedup.EvalSampleTarget}) // n)) AS BIGINT) AS pct
+          FROM (SELECT count(*) AS n FROM w0) t0),
+        w AS (
+          SELECT vec_id, v FROM w0, ep
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 2, 15))::BIGINT
+            % 100 < pct),
+        qn AS (SELECT greatest(CAST(3 AS BIGINT), count(*) // 1000) AS q FROM w),
+        qset AS (
+          SELECT vec_id AS q_id, v AS qv FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM w) t, qn
+          WHERE rn <= q),
+        gt AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, c.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(c.v, q.qv) /
+                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                DESC, c.vec_id ASC) AS rn
+            FROM w c CROSS JOIN qset q
+            WHERE c.vec_id <> q.q_id) t
+          WHERE rn <= 10),
+        ${Extensions.SeedCtes},
+        assigned AS (
+          SELECT vec_id, c_id, v FROM (
+            SELECT w.vec_id, c.c_id, w.v,
+              row_number() OVER (PARTITION BY w.vec_id ORDER BY
+                list_dot_product(w.v, c.cv) /
+                  (sqrt(list_dot_product(w.v, w.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                DESC, c.c_id ASC) AS rn
+            FROM w CROSS JOIN c0 c) t
+          WHERE rn = 1),
+        qs AS (
+          SELECT a.c_id, a.vec_id AS q_id, a.v AS pqv
+          FROM assigned a JOIN qset q ON a.vec_id = q.q_id),
+        probed AS (
+          SELECT q_id, neighbor FROM (
+            SELECT q.q_id, a.vec_id AS neighbor,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                list_dot_product(a.v, q.pqv) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.pqv, q.pqv)))
+                DESC, a.vec_id ASC) AS rn
+            FROM assigned a JOIN qs q USING (c_id)
+            WHERE a.vec_id <> q.q_id) t
+          WHERE rn <= 10),
+        hits AS (
+          SELECT q_id, count(*) AS n_hits
+          FROM gt SEMI JOIN probed USING (q_id, neighbor)
+          GROUP BY q_id),
+        ngt AS (SELECT q_id, count(*) AS n_gt FROM gt GROUP BY q_id)
+        SELECT CAST((SELECT pct FROM ep) AS BIGINT) AS pct,
+          n.q_id, CAST(n.n_gt AS BIGINT) AS n_gt,
+          CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+          CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(n.n_gt AS DOUBLE) AS recall
+        FROM ngt n LEFT JOIN hits h ON n.q_id = h.q_id
+        ORDER BY n.q_id""")),
 
     // ---- DSIR-style importance weights (Xie et al. 2023, "Data
     // Selection via Importance Resampling"): rank raw-corpus documents

@@ -695,7 +695,9 @@ object DeltaReader {
     * actions inside the window minus files also removed inside it
     * (update/delete feeds need deletion-vector diffing — that is
     * [[loadChangeFeed]]; name-mapped tables scan physical spellings and
-    * project back to logical, id-mapped are refused). Layout-only
+    * project back to logical, id-mapped tables resolve file columns by
+    * parquet field id — q190 drives the full id-mapped life cycle
+    * through this feed). Layout-only
     * commits (compact / z-order: every file action carries
     * dataChange=false) move rows between files without changing the row
     * multiset and are TRANSPARENT — their adds are not new data and

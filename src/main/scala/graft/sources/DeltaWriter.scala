@@ -1877,52 +1877,7 @@ object DeltaWriter {
       case Some(v) => DeltaReader.snapshotAt(spark, sourcePath, v)
       case None => DeltaReader.snapshot(spark, sourcePath)
     }
-    val (proto, metaRaw, _) = versionAsOf match {
-      case None =>
-        carryActions(spark, new File(srcTable, "_delta_log"), sourcePath)
-      case Some(v) =>
-        // a TIME-TRAVEL clone must carry the protocol/metaData AS OF
-        // that version (a later schema evolution or property change
-        // does not belong to the cloned state): last lines at-or-below
-        // v among the RETAINED JSON commits — a horizon below v means
-        // the records live only in a newer checkpoint, whose carried
-        // tops may postdate v, so refuse naming the cleanup instead of
-        // cloning a chimera
-        var proto: Option[String] = None
-        var meta: Option[String] = None
-        Option(new File(srcTable, "_delta_log").listFiles())
-          .getOrElse(Array.empty[File])
-          .filter(_.getName.matches("\\d{20}\\.json"))
-          .filter(_.getName.take(20).toLong <= v).sortBy(_.getName)
-          .foreach { f =>
-            val s = scala.io.Source.fromFile(f, "UTF-8")
-            try s.getLines().foreach { l =>
-              if (l.contains("\"protocol\"")) proto = Some(l)
-              if (l.contains("\"metaData\"")) meta = Some(l)
-            } finally s.close()
-          }
-        if (proto.isEmpty || meta.isEmpty)
-          // the lines live only in a checkpoint: any checkpoint at
-          // c ≤ v is a valid as-of source (it cannot carry metadata
-          // postdating v)
-          newestCheckpointFrame(spark,
-            new File(srcTable, "_delta_log"), Some(v)).foreach { df =>
-            def carry(field: String): Option[String] =
-              if (!df.columns.contains(field)) None
-              else df.filter(col(field).isNotNull)
-                .select(to_json(struct(col(field)))).collect()
-                .headOption.map(_.getString(0))
-            if (proto.isEmpty) proto = carry("protocol")
-            if (meta.isEmpty) meta = carry("metaData")
-          }
-        require(proto.nonEmpty && meta.nonEmpty,
-          s"cloneShallow: protocol/metaData at-or-below version $v are " +
-            s"no longer in $sourcePath's retained JSON commits or any " +
-            "checkpoint at-or-below it (log-retention cleanup) — clone " +
-            "the current version, or a version at or past the retained " +
-            "horizon")
-        (proto.get, meta.get, Nil)
-    }
+    val (proto, metaRaw) = cloneCarry(spark, srcTable, sourcePath, versionAsOf)
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaRoot = jackson.readTree(metaRaw)
     metaRoot.get("metaData")
@@ -1962,6 +1917,160 @@ object DeltaWriter {
       }
       addJson(a.copy(path = abs, deletionVector = dv), dataChange = true)
     }
+    publish(table, 0L, proto +: jackson.writeValueAsString(metaRoot) +: adds)
+    0L
+  }
+
+  /** The protocol + metaData action lines a clone's version 0 carries
+    * VERBATIM from its source — current head via [[carryActions]], or
+    * AS OF `versionAsOf` (a later schema evolution or property change
+    * does not belong to the cloned state): last lines at-or-below v
+    * among the RETAINED JSON commits, falling back to any checkpoint
+    * at c ≤ v (which cannot carry metadata postdating v); a horizon
+    * wholly above v refuses naming the cleanup instead of cloning a
+    * chimera. Shared by [[cloneShallow]] and [[cloneDeep]]. */
+  private def cloneCarry(spark: org.apache.spark.sql.SparkSession,
+      srcTable: File, sourcePath: String,
+      versionAsOf: Option[Long]): (String, String) = versionAsOf match {
+    case None =>
+      val (p, m, _) =
+        carryActions(spark, new File(srcTable, "_delta_log"), sourcePath)
+      (p, m)
+    case Some(v) =>
+      var proto: Option[String] = None
+      var meta: Option[String] = None
+      Option(new File(srcTable, "_delta_log").listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.matches("\\d{20}\\.json"))
+        .filter(_.getName.take(20).toLong <= v).sortBy(_.getName)
+        .foreach { f =>
+          val s = scala.io.Source.fromFile(f, "UTF-8")
+          try s.getLines().foreach { l =>
+            if (l.contains("\"protocol\"")) proto = Some(l)
+            if (l.contains("\"metaData\"")) meta = Some(l)
+          } finally s.close()
+        }
+      if (proto.isEmpty || meta.isEmpty)
+        newestCheckpointFrame(spark,
+          new File(srcTable, "_delta_log"), Some(v)).foreach { df =>
+          def carry(field: String): Option[String] =
+            if (!df.columns.contains(field)) None
+            else df.filter(col(field).isNotNull)
+              .select(to_json(struct(col(field)))).collect()
+              .headOption.map(_.getString(0))
+          if (proto.isEmpty) proto = carry("protocol")
+          if (meta.isEmpty) meta = carry("metaData")
+        }
+      require(proto.nonEmpty && meta.nonEmpty,
+        s"clone: protocol/metaData at-or-below version $v are " +
+          s"no longer in $sourcePath's retained JSON commits or any " +
+          "checkpoint at-or-below it (log-retention cleanup) — clone " +
+          "the current version, or a version at or past the retained " +
+          "horizon")
+      (proto.get, meta.get)
+  }
+
+  /** DEEP CLONE: create a NEW table at `tablePath` whose version-0
+    * commit references physical COPIES of every live file of the
+    * source snapshot — the decoupling twin of [[cloneShallow]]. The
+    * clone carries the source's protocol and metaData verbatim under
+    * a fresh table id (same carry as the shallow verb, stats and tags
+    * riding on every add), but owns every byte it references, so the
+    * shallow clone's one liveness coupling is gone BY CONSTRUCTION: a
+    * vacuum on the source — or deleting the source table outright —
+    * can never break this clone's scans.
+    *
+    * The copy itself is a DISTRIBUTED job (the file list parallelized
+    * over the cluster, one copy per task), not a driver loop — at
+    * 100 TB the bytes move executor-side with the cluster's aggregate
+    * bandwidth; the driver handles only the metadata-sized add list.
+    *
+    * Deletion vectors follow their files: relative ("u") sidecars are
+    * copied under the same relative spelling (descriptor verbatim),
+    * inline ("i") bitmaps ride in the log, and absolute ("p")
+    * descriptors — a deep clone OF a shallow clone — are copied in
+    * and re-addressed as table-relative "u", which is exactly the
+    * escape hatch the shallow clone's scaladoc promises: deep-cloning
+    * a shallow clone heals its source-vacuum dependency. */
+  def cloneDeep(spark: org.apache.spark.sql.SparkSession,
+      sourcePath: String, tablePath: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val srcTable = new File(sourcePath)
+    require(new File(srcTable, "_delta_log").isDirectory,
+      s"cloneDeep: no Delta table at $sourcePath")
+    val table = new File(tablePath)
+    require(nextVersion(table) == 0L,
+      s"cloneDeep: a Delta table already exists at $tablePath")
+    val snap = versionAsOf match {
+      case Some(v) => DeltaReader.snapshotAt(spark, sourcePath, v)
+      case None => DeltaReader.snapshot(spark, sourcePath)
+    }
+    val (proto, metaRaw) = cloneCarry(spark, srcTable, sourcePath, versionAsOf)
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaRoot = jackson.readTree(metaRaw)
+    metaRoot.get("metaData")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("id", java.util.UUID.randomUUID().toString)
+    val srcRoot = srcTable.getAbsolutePath
+    // copy plan (srcAbsolute → cloneRelative, both DECODED spellings) +
+    // the re-addressed adds. Relative source adds keep their relative
+    // path (and original percent-encoding) verbatim; absolute ones —
+    // the source is itself a shallow clone — get a fresh
+    // collision-free relative name in the clone root.
+    val plan = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val adds = snap.files.zipWithIndex.map { case (a, i) =>
+      val decoded = DeltaReader.decodePath(a.path)
+      val (src, destEnc) =
+        if (!decoded.startsWith("/")) (s"$srcRoot/$decoded", a.path)
+        else {
+          val base = a.path.substring(a.path.lastIndexOf('/') + 1)
+          (decoded, f"deep_$i%05d_$base")
+        }
+      plan += ((src, DeltaReader.decodePath(destEnc)))
+      val dv = a.deletionVector.map {
+        case d if d.storageType == "u" =>
+          // sidecar rides under the same relative spelling — copy it,
+          // keep the descriptor verbatim (offsets into the copied
+          // bytes are unchanged)
+          val enc = d.pathOrInlineDv
+          val (prefix, uuidPart) = enc.splitAt(enc.length - 20)
+          val bb = java.nio.ByteBuffer.wrap(Z85.decode(uuidPart))
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val name = s"deletion_vector_$uuid.bin"
+          val rel = if (prefix.isEmpty) name else s"$prefix/$name"
+          plan += ((s"$srcRoot/$rel", rel))
+          d
+        case d if d.storageType == "p" =>
+          // absolute sidecar (shallow-clone source): copy it into the
+          // clone root and re-address table-relative — the healed form
+          val binName = new File(d.pathOrInlineDv).getName
+          val uuid = java.util.UUID.fromString(binName
+            .stripPrefix("deletion_vector_").stripSuffix(".bin"))
+          val bbUuid = java.nio.ByteBuffer.allocate(16)
+          bbUuid.putLong(uuid.getMostSignificantBits)
+          bbUuid.putLong(uuid.getLeastSignificantBits)
+          plan += ((d.pathOrInlineDv, binName))
+          d.copy(storageType = "u",
+            pathOrInlineDv = Z85.encode(bbUuid.array()))
+        case d => d // inline "i": the bitmap lives in the log line
+      }
+      addJson(a.copy(path = destEnc, deletionVector = dv),
+        dataChange = true)
+    }
+    // the distributed copy: executor-side byte movement (local-FS
+    // spelling of a distcp; shared storage on a real cluster), the
+    // same sidecar deduped once
+    val destRoot = table.getAbsolutePath
+    val work = plan.distinct.toSeq
+    if (work.nonEmpty)
+      spark.sparkContext
+        .parallelize(work, math.min(work.size, 64))
+        .foreach { case (src, rel) =>
+          val dst = new File(destRoot, rel)
+          Files.createDirectories(dst.getParentFile.toPath)
+          Files.copy(new File(src).toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
     publish(table, 0L, proto +: jackson.writeValueAsString(metaRoot) +: adds)
     0L
   }
@@ -2151,6 +2260,44 @@ object DeltaWriter {
     }
   }
 
+  /** Per-session REF-COUNTED guard for the session-global parquet
+    * field-id WRITE flag: the first entrant saves + sets, only the
+    * LAST exit restores, so overlapping id-mapped staged writes on the
+    * same SparkSession can never clear the flag out from under each
+    * other (staged files missing field ids would be unresolvable by an
+    * id-mapped reader). Keyed by session — a concurrent write on a
+    * DIFFERENT session (e.g. a streaming micro-batch clone) gets its
+    * own save/set/restore. */
+  private object FieldIdWriteGuard {
+    private val key = "spark.sql.parquet.fieldId.write.enabled"
+    private val state = scala.collection.mutable.Map
+      .empty[org.apache.spark.sql.SparkSession, (Int, Option[String])]
+    def withFlag[A](spark: org.apache.spark.sql.SparkSession,
+        needed: Boolean)(body: => A): A =
+      if (!needed) body
+      else {
+        state.synchronized {
+          state.get(spark) match {
+            case None =>
+              state(spark) = (1, spark.conf.getOption(key))
+              spark.conf.set(key, "true")
+            case Some((depth, saved)) => state(spark) = (depth + 1, saved)
+          }
+        }
+        try body
+        finally state.synchronized {
+          val (depth, saved) = state(spark)
+          if (depth == 1) {
+            state.remove(spark)
+            saved match {
+              case Some(v) => spark.conf.set(key, v)
+              case None => spark.conf.unset(key)
+            }
+          } else state(spark) = (depth - 1, saved)
+        }
+      }
+  }
+
   /** Stage `df`'s data files, move them into the table root, compute
     * per-file stats in one distributed pass, and return the composed
     * `add` action lines (nothing is committed yet — the caller owns the
@@ -2168,21 +2315,16 @@ object DeltaWriter {
     // id-mapped staging (schema fields tagged parquet.field.id) needs
     // the parquet field-id WRITE flag; ParquetFileFormat.prepareWrite
     // copies it from the SESSION conf, so a writer option can't carry
-    // it — but this write is EAGER, so scope it save/restore-tight
-    // instead of leaking a session-wide mutation
-    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    // it — but this write is EAGER, so scope it through the
+    // ref-counted [[FieldIdWriteGuard]] (a plain save/restore races:
+    // two concurrent id-mapped writes on one session could have one
+    // thread's finally-restore clear the flag mid-write for the other)
     val needsFieldIds =
       df.schema.fields.exists(_.metadata.contains("parquet.field.id"))
-    val prevFieldId =
-      if (needsFieldIds) spark.conf.getOption(fieldIdKey) else None
-    if (needsFieldIds) spark.conf.set(fieldIdKey, "true")
-    try {
+    FieldIdWriteGuard.withFlag(spark, needsFieldIds) {
       val w0 = df.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0)
         .parquet(staging.getAbsolutePath)
-    } finally if (needsFieldIds) prevFieldId match {
-      case Some(v) => spark.conf.set(fieldIdKey, v)
-      case None => spark.conf.unset(fieldIdKey)
     }
     val moved = collectParquet(staging).map { f =>
       val rel = staging.toPath.relativize(f.toPath).toString

@@ -71,6 +71,12 @@ object Dml {
     * external-table contract names every table's directory. */
   final case class ShallowClone(table: String, source: String,
       location: String, versionAsOf: Option[Long] = None) extends Stmt
+  /** `CREATE TABLE t [DEEP] CLONE src LOCATION '<path>'` — an
+    * unqualified CLONE is DEEP (delta's own default): the clone owns
+    * physical copies of every live file ([[DeltaWriter.cloneDeep]]),
+    * fully decoupled from the source's vacuum/lifecycle. */
+  final case class DeepClone(table: String, source: String,
+      location: String, versionAsOf: Option[Long] = None) extends Stmt
   /** `ALTER TABLE t SET TBLPROPERTIES ('k'='v'[, …])` / `… UNSET
     * TBLPROPERTIES ('k'[, …])`. */
   final case class SetProps(table: String,
@@ -105,6 +111,9 @@ object Dml {
     raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val ShallowCloneP =
     (raw"""(?is)\s*CREATE\s+TABLE\s+$Id\s+SHALLOW\s+CLONE\s+$Id\s*""" +
+      raw"""(?:VERSION\s+AS\s+OF\s+(\d+)\s+)?LOCATION\s+'([^']+)'\s*;?\s*""").r
+  private val DeepCloneP =
+    (raw"""(?is)\s*CREATE\s+TABLE\s+$Id\s+(?:DEEP\s+)?CLONE\s+$Id\s*""" +
       raw"""(?:VERSION\s+AS\s+OF\s+(\d+)\s+)?LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val SetPropsP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
@@ -146,6 +155,9 @@ object Dml {
       Some(Restore(unquote(table), None, Some(ts)))
     case ShallowCloneP(target, source, v, loc) =>
       Some(ShallowClone(unquote(target), unquote(source), loc,
+        Option(v).map(_.toLong)))
+    case DeepCloneP(target, source, v, loc) =>
+      Some(DeepClone(unquote(target), unquote(source), loc,
         Option(v).map(_.toLong)))
     case SetPropsP(table, pairs) =>
       val raw = splitTopLevelCommas(pairs)
@@ -221,6 +233,18 @@ object Dml {
         require(srcT.format == "DELTA",
           s"SHALLOW CLONE supports DELTA sources only; $source is ${srcT.format}")
         val v = DeltaWriter.cloneShallow(spark, srcT.location, loc, vAsOf)
+        Ddl.register(spark, Ddl.ExternalTable(
+          target, "DELTA", loc, None, Nil, Map.empty))
+        return v
+      case DeepClone(target, source, loc, vAsOf) =>
+        val srcT = Ddl.lookup(spark, source).getOrElse(
+          throw new IllegalArgumentException(
+            s"$source is not a registered external table — CLONE " +
+              "sources must be created via CREATE EXTERNAL TABLE … " +
+              "STORED AS DELTA"))
+        require(srcT.format == "DELTA",
+          s"CLONE supports DELTA sources only; $source is ${srcT.format}")
+        val v = DeltaWriter.cloneDeep(spark, srcT.location, loc, vAsOf)
         Ddl.register(spark, Ddl.ExternalTable(
           target, "DELTA", loc, None, Nil, Map.empty))
         return v

@@ -86,7 +86,24 @@ class GraftDeltaSource extends CreatableRelationProvider
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       parameters.get("readChangeFeed").exists(_.toBoolean),
-      parameters.get("startingTimestamp"))
+      parameters.get("startingTimestamp"),
+      parameters.get("maxBytesPerTrigger").map(parseBytes))
+  }
+
+  /** `maxBytesPerTrigger` spellings: a plain byte count or a k/m/g
+    * binary-suffixed one (`"10k"` = 10240). */
+  private def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case _ => (t, 1L)
+    }
+    val v = num.toLong * mult
+    require(v > 0, s"graft-delta stream: maxBytesPerTrigger must be " +
+      s"positive, got '$s'")
+    v
   }
 
   /** `df.writeStream.format("graft-delta").option("path", …).start()`

@@ -59,12 +59,17 @@ import graft.sources.DeltaReader
   * snapshot IS version 0's events); `latest`/N tail from there.
   *
   * Admission control: `maxFilesPerTrigger` caps a micro-batch's data
-  * files at COMMIT granularity (a commit is this writer's atomic
-  * batch quantum, so it is never split; the first data commit always
-  * admits — progress is guaranteed). `startingVersion` = `earliest`
-  * (default: replay the full retained log), `latest` (tail only), or
-  * a version number. A start behind the log-retention horizon refuses
-  * naming the cleanup, not fabricating rows. */
+  * files, `maxBytesPerTrigger` its data BYTES (from the add actions'
+  * own `size` fields — metadata the driver already holds, no
+  * filesystem stats), both at COMMIT granularity (a commit is this
+  * writer's atomic batch quantum, so it is never split; the first
+  * data commit always admits — progress is guaranteed even when one
+  * commit alone exceeds either budget, delta's own soft-max
+  * semantics). Set together, whichever budget fills first closes the
+  * batch. `startingVersion` = `earliest` (default: replay the full
+  * retained log), `latest` (tail only), or a version number. A start
+  * behind the log-retention horizon refuses naming the cleanup, not
+  * fabricating rows. */
 final class DeltaStreamSource(
     spark: SparkSession,
     tablePath: String,
@@ -73,7 +78,8 @@ final class DeltaStreamSource(
     maxFilesPerTrigger: Option[Int],
     skipChangeCommits: Boolean,
     readChangeFeed: Boolean = false,
-    startingTimestamp: Option[String] = None) extends Source {
+    startingTimestamp: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   require(startingTimestamp.isEmpty ||
     startingVersion.equalsIgnoreCase("earliest"),
@@ -104,15 +110,17 @@ final class DeltaStreamSource(
 
   /** Durable source state under the query's checkpoint
     * (`metadataPath`, the engine-assigned per-source directory): the
-    * ONCE-resolved start position and the highest offset ever planned,
-    * one atomically-replaced text file. Without it a restart after all
-    * batches committed would re-resolve `latest`/`startingTimestamp`
-    * starts (jumping past a checkpointed-but-unprocessed batch 0 —
-    * silent row loss) or rewind the pacing cursor to the start (a
-    * `maxFilesPerTrigger` getOffset then returns an offset BELOW the
-    * engine-committed one and already-committed windows re-plan as NEW
-    * batchIds, which the exactly-once sink's txn ledger lands again).
-    * The FileStreamSource discipline: resolve once, floor forever. */
+    * ONCE-resolved start position and the highest ENGINE-COMMITTED
+    * offset, one atomically-replaced text file. Without it a restart
+    * after all batches committed would re-resolve
+    * `latest`/`startingTimestamp` starts (jumping past a
+    * checkpointed-but-unprocessed batch 0 — silent row loss) or rewind
+    * the pacing cursor to the start (a `maxFilesPerTrigger` getOffset
+    * then returns an offset BELOW the engine-committed one and
+    * already-committed windows re-plan as NEW batchIds, which the
+    * exactly-once sink's txn ledger lands again). The FileStreamSource
+    * discipline: resolve once, floor forever — but the floor only
+    * advances on engine commit (see [[commit]]), never on planning. */
   private val stateFile: File = {
     val p = if (metadataPath.startsWith("file:"))
       new java.net.URI(metadataPath).getPath else metadataPath
@@ -122,9 +130,20 @@ final class DeltaStreamSource(
   private val restored: Option[(Long, Long)] =
     if (!stateFile.isFile) None
     else {
-      val parts = new String(Files.readAllBytes(stateFile.toPath),
-        StandardCharsets.UTF_8).trim.split(' ')
-      Some((parts(0).toLong, parts(1).toLong))
+      val raw = new String(Files.readAllBytes(stateFile.toPath),
+        StandardCharsets.UTF_8).trim
+      val parts = raw.split(' ')
+      try {
+        require(parts.length == 2,
+          s"expected 2 space-separated longs, got ${parts.length} field(s)")
+        Some((parts(0).toLong, parts(1).toLong))
+      } catch {
+        case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
+          throw new IllegalStateException(
+            s"graft-delta stream: corrupt source state file $stateFile " +
+              s"(content: '$raw'): ${e.getMessage}. Delete the file (or " +
+              "the whole checkpoint) to re-resolve the start position", e)
+      }
     }
 
   /** Exclusive lower bound of the first batch. `startingTimestamp`
@@ -151,10 +170,25 @@ final class DeltaStreamSource(
     }
   }
 
-  /** Highest version already handed to the engine (pacing cursor) —
-    * restored at construction and floored monotone, so getOffset can
-    * never re-plan a window the engine already committed. */
+  /** Highest version already handed to the engine (in-memory pacing
+    * cursor) — floored monotone across getOffset/getBatch/commit, so
+    * a later getOffset never re-plans a window the engine already saw
+    * within this process. */
   private var position: Long =
+    math.max(restored.map(_._2).getOrElse(startPosition), startPosition)
+
+  /** Durable floor: the highest ENGINE-COMMITTED offset, persisted
+    * only from [[commit]]. Persisting planned-but-uncommitted offsets
+    * (the old getOffset-time persist) opened a withholding window: a
+    * crash after our persist but before the engine WAL'd the offset
+    * restored `position` past versions the engine never planned, and
+    * getOffset then returned None for them until the NEXT base commit
+    * — indefinitely on a quiescent table. Re-offering a
+    * planned-but-uncommitted window after restart is SAFE (the version
+    * window is deterministic: immutable commit jsons + deterministic
+    * pacing re-plan the same end, and WAL'd batches replay under the
+    * same batchId, deduped by the sink ledger); skipping is not. */
+  private var committedFloor: Long =
     math.max(restored.map(_._2).getOrElse(startPosition), startPosition)
 
   private def persist(): Unit = {
@@ -162,7 +196,7 @@ final class DeltaStreamSource(
     val tmp = new File(stateFile.getParentFile,
       ".graft-delta-source-state.tmp")
     Files.write(tmp.toPath,
-      s"$startPosition $position".getBytes(StandardCharsets.UTF_8))
+      s"$startPosition $committedFloor".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp.toPath, stateFile.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -178,10 +212,12 @@ final class DeltaStreamSource(
 
   private sealed trait Kind
   private case object Transparent extends Kind // metadata-only / layout
-  private final case class Append(nFiles: Int) extends Kind
+  // bytes = the data-changing ADD actions' own `size` fields (what a
+  // consumer will scan); removes carry no reliable size and charge 0
+  private final case class Append(nFiles: Int, bytes: Long) extends Kind
   // rewrite / delete / DV; nFiles = data-changing file actions (the
   // CDF scan-work proxy the pacing budget charges)
-  private final case class Change(nFiles: Int) extends Kind
+  private final case class Change(nFiles: Int, bytes: Long) extends Kind
 
   /** Commit jsons are immutable — classification memoizes forever. */
   private val kinds = mutable.Map.empty[Long, Kind]
@@ -209,8 +245,10 @@ final class DeltaStreamSource(
           Option(a.get("deletionVector")).exists(!_.isNull)) ||
         removes.exists(r => dataChange(r) &&
           !addedHere.contains(r.get("path").asText()))
-      if (mutates) Change((adds ++ removes).count(dataChange))
-      else Append(adds.count(dataChange))
+      val bytes = adds.filter(dataChange)
+        .map(a => Option(a.get("size")).map(_.asLong()).getOrElse(0L)).sum
+      if (mutates) Change((adds ++ removes).count(dataChange), bytes)
+      else Append(adds.count(dataChange), bytes)
     }
   })
 
@@ -219,24 +257,31 @@ final class DeltaStreamSource(
     val from = math.max(position, startPosition)
     if (latest <= from) return None
     val budget = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var files = 0
+    var bytes = 0L
     var end = from
     var admitted = false
     var v = from + 1
     var open = true
     while (open && v <= latest) {
-      val n = kindOf(v) match {
-        case Append(k) => k
-        case Change(k) => math.max(1, k) // getBatch refuses/skips/feeds
-        case Transparent => 0
+      val (n, b) = kindOf(v) match {
+        case Append(k, sz) => (k, sz)
+        case Change(k, sz) => (math.max(1, k), sz) // getBatch refuses/skips/feeds
+        case Transparent => (0, 0L)
       }
-      if (n > 0 && admitted && files + n > budget) open = false
+      // both budgets are soft maxima at commit granularity: the first
+      // data commit always admits (progress), after that a commit that
+      // would overflow EITHER budget closes the batch
+      if (n > 0 && admitted && (files + n > budget || bytes + b > byteBudget))
+        open = false
       else {
-        files += n; admitted = admitted || n > 0; end = v; v += 1
+        files += n; bytes += b; admitted = admitted || n > 0; end = v; v += 1
       }
     }
     if (end > from) {
-      position = end; persist(); Some(LongOffset(end))
+      // in-memory floor only — durability waits for the engine's commit
+      position = end; Some(LongOffset(end))
     } else None
   }
 
@@ -248,7 +293,10 @@ final class DeltaStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val s = start.map(ver).getOrElse(startPosition)
     val e = ver(end)
-    if (e > position) { position = e; persist() }
+    // engine-WAL'd replay after restart: floor the pacing cursor so
+    // the next getOffset continues past this window (in-memory only;
+    // the durable floor still waits for commit())
+    if (e > position) position = e
     val batch =
       if (readChangeFeed) DeltaReader.loadChangeFeed(spark, tablePath, s, e)
       else appendOnlyBatch(s, e)
@@ -269,14 +317,14 @@ final class DeltaStreamSource(
     var spanStart = -1L
     (s + 1) to e foreach { v =>
       kindOf(v) match {
-        case Change(_) if !skipChangeCommits =>
+        case Change(_, _) if !skipChangeCommits =>
           throw new IllegalStateException(
             s"graft-delta stream at $tablePath: commit $v changes " +
               "existing rows (delete/update/merge or deletion vector) " +
               "— this source is append-only. Set option " +
               "skipChangeCommits=true to skip such commits, or " +
               "readChangeFeed=true to stream row-level change events")
-        case Change(_) =>
+        case Change(_, _) =>
           if (spanStart >= 0) { spans += ((spanStart, v - 1)); spanStart = -1 }
         case _ => if (spanStart < 0) spanStart = v
       }
@@ -290,10 +338,12 @@ final class DeltaStreamSource(
   }
 
   override def commit(end: OffsetV1): Unit = {
-    // floor the durable cursor at every engine-committed offset too —
-    // belt-and-braces against a crash between getOffset and persist
+    // the ONLY durable-persist site: `end` is engine-committed (in the
+    // engine's commit log), so restoring it can never withhold a
+    // version the engine still needs to plan
     val e = ver(end)
-    if (e > position) { position = e; persist() }
+    if (e > position) position = e
+    if (e > committedFloor) { committedFloor = e; persist() }
   }
 
   override def stop(): Unit = ()

@@ -58,6 +58,38 @@ object StreamIvm {
     graft.operators.IncrementalAgg.watermark(spark, mvPath).getOrElse(-1L)
   }
 
+  /** The MIN/MAX twin of [[runToCompletion]]: keeps a
+    * `(key, n, mn, mx)` extremum materialization exact through the
+    * same CDF pipeline. Extremum retractions are not derivable from
+    * scalar state, so each fold may take a TARGETED rescan — a
+    * key-semi-joined aggregate over the base snapshot AT the window's
+    * top version (an immutable read: redelivered windows rescan
+    * bit-identically, so the watermark no-op still carries
+    * exactly-once). Untouched groups never re-scan; per-trigger cost =
+    * the window's events + the mv-sized join + the touched groups'
+    * files (stats/partition pruning bound the rescan). */
+  def runToCompletionMinMax(spark: SparkSession, basePath: String,
+      mvPath: String, keyCol: String, valueExpr: String,
+      checkpointLocation: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): Long = {
+    val reader = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load(basePath)
+    val writer = src.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        foldBatchMinMax(BatchFrameBridge.rewrap(batch), basePath, mvPath,
+          keyCol, valueExpr)
+        ()
+    }
+    val q = checkpointLocation
+      .fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.IncrementalAgg.watermark(spark, mvPath).getOrElse(-1L)
+  }
+
   /** Fold one exact commit-window of signed CDF events into the
     * materialization — [[graft.operators.IncrementalAgg.foldEvents]]
     * with the batch frame CACHED first: the window plan (snapshot
@@ -77,6 +109,28 @@ object StreamIvm {
           .head().getLong(0)
         graft.operators.IncrementalAgg
           .foldEvents(cached, mvPath, keyCol, valueExpr, upto)
+      }
+    } finally {
+      cached.unpersist()
+      ()
+    }
+  }
+
+  /** [[foldBatch]]'s MIN/MAX twin —
+    * [[graft.operators.IncrementalAgg.foldEventsMinMax]] under the
+    * same cache + emptiness-probe discipline. */
+  private[graft] def foldBatchMinMax(events: DataFrame, basePath: String,
+      mvPath: String, keyCol: String, valueExpr: String): Long = {
+    val cached = events.cache()
+    try {
+      if (cached.isEmpty)
+        graft.operators.IncrementalAgg
+          .watermark(cached.sparkSession, mvPath).getOrElse(-1L)
+      else {
+        val upto = cached.select(max(col("_commit_version")))
+          .head().getLong(0)
+        graft.operators.IncrementalAgg
+          .foldEventsMinMax(cached, basePath, mvPath, keyCol, valueExpr, upto)
       }
     } finally {
       cached.unpersist()

@@ -1208,6 +1208,53 @@ class DeltaWriterSpec extends AnyFunSuite {
       expect.select(cols.map(col): _*).collect().toSet)
   }
 
+  test("concurrent id-mapped appends: every staged file keeps parquet field ids; flag restored (r18 guard)") {
+    val pathA = tmpTable("mapped_id_conc_a")
+    val pathB = tmpTable("mapped_id_conc_b")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    DeltaWriter.append(nation.limit(0), pathA, Nil, columnMapping = "id")
+    DeltaWriter.append(nation.limit(0), pathB, Nil, columnMapping = "id")
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val before = spark.conf.getOption(key)
+    // several rounds of two OVERLAPPING id-mapped appends on the same
+    // session — under a plain save/restore one thread's finally could
+    // clear the session flag mid-write for the other, staging files
+    // WITHOUT field ids that an id-mapped reader then can't resolve;
+    // the ref-counted guard makes the last exit restore instead
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      (1 to 3).foreach { _ =>
+        val fa = Future(DeltaWriter.append(
+          nation.filter(col("n_nationkey") % 2 === 0), pathA))
+        val fb = Future(DeltaWriter.append(
+          nation.filter(col("n_nationkey") % 2 =!= 0), pathB))
+        Await.result(fa, Duration.Inf); Await.result(fb, Duration.Inf)
+      }
+    } finally pool.shutdown()
+    assert(spark.conf.getOption(key) == before) // last exit restored
+    // every data file in BOTH tables resolves by field id (the q190
+    // wrong-named id-tagged probe, per file)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    Seq(pathA, pathB).foreach { path =>
+      val snap = DeltaReader.snapshot(spark, path)
+      val fid = snap.fieldIds("n_nationkey")
+      snap.files.foreach { f =>
+        val probe = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("renamed_probe",
+            nation.schema("n_nationkey").dataType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", fid).build()))))
+          .parquet(new File(path, f.path).getAbsolutePath)
+        assert(probe.filter(col("renamed_probe").isNotNull).count() > 0,
+          s"file ${f.path} of $path staged without parquet field ids")
+      }
+    }
+  }
+
   test("exactly-once: a lost race against a same-appId winner refuses the retry") {
     val path = tmpTable("occ_txn_refuse")
     val table = new File(path)
@@ -1731,6 +1778,85 @@ class DeltaWriterSpec extends AnyFunSuite {
     DeltaWriter.cloneShallow(spark, src, dst3, versionAsOf = Some(ckptV))
     assert(graft.sources.DeltaReader.load(spark, dst3).collect().toSet ==
       nation.filter(col("n_nationkey") < 15).collect().toSet)
+  }
+
+  test("deep clone owns its bytes: a source vacuum cannot break it; deep-cloning a shallow clone heals the coupling") {
+    def dataFiles(root: File): Set[String] = {
+      def walk(f: File): Seq[File] =
+        if (f.getName == "_delta_log") Nil
+        else if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val src = tmpTable("dclone_src")
+    val dst = tmpTable("dclone_dst")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 15).repartition(1), src)
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 15).repartition(1), src)
+    // a live "u" deletion vector: its sidecar must be COPIED with the
+    // clone, descriptor unchanged
+    DeltaWriter.deleteWithVectors(spark, src, col("n_nationkey") % 6 === 2)
+    val expected = nation.filter(col("n_nationkey") % 6 =!= 2)
+
+    DeltaWriter.cloneDeep(spark, src, dst)
+    assert(DeltaReader.load(spark, dst).collect().toSet ==
+      expected.collect().toSet)
+    // the clone OWNS copies (contrast: shallow's dir holds only its log)
+    assert(dataFiles(new File(dst)) == dataFiles(new File(src)))
+
+    // the decoupling contract: rewrite the source and vacuum its old
+    // bytes away — the deep clone keeps reading its own copies
+    DeltaWriter.overwrite(nation.limit(1), src)
+    DeltaWriter.vacuum(spark, src, retainMs = 0L)
+    assert(DeltaReader.load(spark, dst).collect().toSet ==
+      expected.collect().toSet)
+    // and the clone's own vacuum keeps its live files AND the copied
+    // DV sidecar (both are in its live set)
+    DeltaWriter.vacuum(spark, dst, retainMs = 0L)
+    assert(DeltaReader.load(spark, dst).collect().toSet ==
+      expected.collect().toSet)
+
+    // healing a SHALLOW clone: deep clone re-addresses the shallow's
+    // absolute file references (and its "p" deletion vectors) into
+    // clone-owned relative copies — the escape hatch for the shallow
+    // clone's source-vacuum liveness coupling
+    val src2 = tmpTable("dclone_src2")
+    val shal = tmpTable("dclone_shal")
+    val healed = tmpTable("dclone_healed")
+    DeltaWriter.append(nation.repartition(2), src2)
+    DeltaWriter.deleteWithVectors(spark, src2, col("n_nationkey") === 7)
+    val expected2 = nation.filter(col("n_nationkey") =!= 7)
+    DeltaWriter.cloneShallow(spark, src2, shal)
+    DeltaWriter.cloneDeep(spark, shal, healed)
+    // no absolute references survive in the healed log: every add is
+    // table-relative and every DV descriptor is "u" or "i"
+    val healedSnap = DeltaReader.snapshot(spark, healed)
+    assert(healedSnap.files.forall(a =>
+      !java.net.URLDecoder.decode(a.path, "UTF-8").startsWith("/")))
+    assert(healedSnap.files.flatMap(_.deletionVector)
+      .forall(_.storageType != "p"))
+    // destroy the original source entirely — the healed clone reads on
+    DeltaWriter.overwrite(nation.limit(1), src2)
+    DeltaWriter.vacuum(spark, src2, retainMs = 0L)
+    assert(DeltaReader.load(spark, healed).collect().toSet ==
+      expected2.collect().toSet)
+
+    // VERSION AS OF deep-clones the historical snapshot's bytes
+    val dstV = tmpTable("dclone_v0")
+    DeltaWriter.cloneDeep(spark, dst, dstV, versionAsOf = Some(0L))
+    assert(DeltaReader.load(spark, dstV).collect().toSet ==
+      expected.collect().toSet)
+
+    // refusals mirror the shallow verb
+    intercept[IllegalArgumentException] {
+      DeltaWriter.cloneDeep(spark, src, dst)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.cloneDeep(spark, tmpTable("dclone_nowhere"),
+        tmpTable("dclone_dst2"))
+    }
   }
 
   test("generated columns: computed at create, enforced on append, recomputed on update") {

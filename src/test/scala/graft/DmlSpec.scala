@@ -429,6 +429,46 @@ class DmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DELTA"))
   }
 
+  test("DESCRIBE DETAIL reports the snapshot's metadata in one typed row") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_detail")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+    DeltaWriter.append(nation.filter(col("n_nationkey") < 10),
+      path, Seq("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") >= 10),
+      path, Seq("n_regionkey"))
+    DeltaWriter.setTableProperty(spark, path, "graft.owner", "dml-spec")
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE detail_t STORED AS DELTA LOCATION '$path'")
+
+    val df = ctx.sql("DESCRIBE DETAIL detail_t")
+    assert(df.columns.toSeq == Seq("format", "location", "createdAt",
+      "lastModified", "partitionColumns", "numFiles", "sizeInBytes",
+      "properties"))
+    val r = df.head()
+    val snap = DeltaReader.snapshot(spark, path)
+    assert(r.getString(0) == "delta")
+    assert(r.getString(1) == path)
+    // createdAt = commit 0's stamp, lastModified = the property commit's
+    val hist = DeltaReader.commitHistory(path)
+    assert(r.getTimestamp(2).getTime == hist.minBy(_._1)._2)
+    assert(r.getTimestamp(3).getTime == hist.maxBy(_._1)._2)
+    assert(r.getSeq[String](4) == Seq("n_regionkey"))
+    assert(r.getLong(5) == snap.files.length.toLong)
+    assert(r.getLong(6) == snap.files.map(_.size).sum)
+    assert(r.getMap[String, String](7).get("graft.owner").contains("dml-spec"))
+
+    // refusals name the contract
+    intercept[IllegalArgumentException](
+      ctx.sql("DESCRIBE DETAIL never_registered"))
+  }
+
   test("execute: refusal paths name the contract") {
     val ctx = new AdtContext(spark)
     val e1 = intercept[IllegalArgumentException](
@@ -495,5 +535,40 @@ class DmlSpec extends AnyFunSuite {
     val v0Dir = new java.io.File(base, "v0")
     ctx.sql(s"CREATE TABLE clone_v0 SHALLOW CLONE clone_src VERSION AS OF 0 LOCATION '${v0Dir.getAbsolutePath}'")
     assert(ctx.sql("SELECT count(*) AS n FROM clone_v0").head().getLong(0) == 25L)
+  }
+
+  test("execute: CREATE TABLE ... [DEEP] CLONE copies bytes and registers the target") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_dclone")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val srcDir = new java.io.File(base, "src")
+    val dstDir = new java.io.File(base, "dst")
+    DeltaWriter.append(Tables.t(spark, d, "nation"), srcDir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dclone_src STORED AS DELTA LOCATION '${srcDir.getAbsolutePath}'")
+    // DEEP keyword and bare CLONE are the same (deep) verb
+    ctx.sql(s"CREATE TABLE dclone_dst DEEP CLONE dclone_src LOCATION '${dstDir.getAbsolutePath}'")
+    assert(ctx.sql("SELECT count(*) AS n FROM dclone_dst").head().getLong(0) == 25L)
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.getName == "_delta_log") Nil
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    // the deep clone OWNS copies on disk
+    assert(parquets(dstDir).nonEmpty)
+    // bare CLONE spelling + VERSION AS OF (before the vacuum below —
+    // a deep clone can only copy bytes that still exist)
+    val v0Dir = new java.io.File(base, "v0")
+    ctx.sql(s"CREATE TABLE dclone_v0 CLONE dclone_src VERSION AS OF 0 LOCATION '${v0Dir.getAbsolutePath}'")
+    assert(ctx.sql("SELECT count(*) AS n FROM dclone_v0").head().getLong(0) == 25L)
+    // a source rewrite + vacuum cannot break either deep clone
+    ctx.sql("DELETE FROM dclone_src WHERE n_nationkey >= 1")
+    ctx.sql("VACUUM dclone_src RETAIN 0 HOURS")
+    assert(ctx.sql("SELECT count(*) AS n FROM dclone_dst").head().getLong(0) == 25L)
+    assert(ctx.sql("SELECT count(*) AS n FROM dclone_v0").head().getLong(0) == 25L)
   }
 }

@@ -289,6 +289,39 @@ class GoldenExecSpec extends AnyFunSuite {
     assert(outputs(7).contains("| 25"))  // VERSION AS OF 0 = pre-divergence
   }
 
+  test("golden14.sql: DESCRIBE DETAIL through execute") {
+    val url = getClass.getResource("/queries/golden14.sql")
+    assert(url != null, "golden14.sql resource missing")
+    val spark = SparkTestSession.spark
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden14_tbl")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val nation = Tables.t(spark, SparkTestSession.sfDir, "nation")
+    graft.sources.DeltaWriter.append(nation, path, Seq("n_regionkey"))
+    graft.sources.DeltaWriter.setTableProperty(
+      spark, path, "graft.owner", "golden14")
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_DETAIL}", path))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 3) // DDL + SELECT + DESCRIBE DETAIL
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(1).contains(s"| ${nation.count()}"))
+    val snap = graft.sources.DeltaReader.snapshot(spark, path)
+    val detail = outputs(2)
+    assert(detail.contains("| delta"))
+    assert(detail.contains("[n_regionkey]"))
+    assert(detail.contains(s"| ${snap.files.length}"))
+    assert(detail.contains(s"| ${snap.files.map(_.size).sum}"))
+    assert(detail.contains("graft.owner: golden14"))
+  }
+
   test("golden10.sql: constraint + delete + history + restore through execute") {
     val url = getClass.getResource("/queries/golden10.sql")
     assert(url != null, "golden10.sql resource missing")

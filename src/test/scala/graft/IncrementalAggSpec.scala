@@ -195,6 +195,49 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(mvNow() == Map("B" -> ((1L, 42L, 42L))))
   }
 
+  test("refreshMinMax: NULL-VALUED deletes keep the group (they cannot move the bounds)") {
+    import spark.implicits._
+    val base = tmp("minmax_nullval_base"); val mv = tmp("minmax_nullval_mv")
+    def full(): Map[String, (Long, Option[Long], Option[Long])] =
+      DeltaReader.load(spark, base)
+        .groupBy(col("k"))
+        .agg(count(lit(1)), min(col("v")), max(col("v")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    def mvNow(): Map[String, (Long, Option[Long], Option[Long])] =
+      DeltaReader.load(spark, mv)
+        .collect().map(r => r.getAs[String]("key") ->
+          ((r.getAs[Long]("n"),
+            if (r.isNullAt(r.fieldIndex("mn"))) None
+            else Some(r.getAs[Long]("mn")),
+            if (r.isNullAt(r.fieldIndex("mx"))) None
+            else Some(r.getAs[Long]("mx"))))).toMap
+    def check(): Unit = assert(mvNow() == full())
+    // group A carries a NULL value among real ones; group B is all-NULL
+    DeltaWriter.append(Seq(
+      (1L, Some(1L), "A"), (2L, Some(2L), "A"), (3L, None, "A"),
+      (4L, None, "B"), (5L, None, "B")).toDF("id", "v", "k"), base)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v"); check()
+    // delete A's NULL row: mn_d/mx_d are NULL (min/max skip NULLs) —
+    // the group must LAND IN `kept` with unchanged bounds, not vanish
+    // from both branches on a NULL `touches` predicate (the regression)
+    DeltaWriter.delete(spark, base, col("id") === 3L)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v"); check()
+    assert(mvNow()("A") == ((2L, Some(1L), Some(2L))))
+    // delete one of B's NULL rows: all-NULL group shrinks, stays NULL-bounded
+    DeltaWriter.delete(spark, base, col("id") === 4L)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v"); check()
+    assert(mvNow()("B") == ((1L, None, None)))
+    // mixed window: a NULL-valued insert + an extremum delete in the
+    // same group — the rescan's fullAgg must skip NULLs exactly
+    DeltaWriter.append(Seq((6L, None: Option[Long], "A")).toDF("id", "v", "k"), base)
+    DeltaWriter.delete(spark, base, col("v") === 2L)
+    IncrementalAgg.refreshMinMax(spark, base, mv, "k", "v"); check()
+    assert(mvNow()("A") == ((2L, Some(1L), Some(1L))))
+  }
+
   test("watermark survives a fully-retracted 0-row state; NULL group keys merge, never duplicate") {
     import spark.implicits._
     val base = tmp("retract_all_base")

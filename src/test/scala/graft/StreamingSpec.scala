@@ -759,6 +759,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches.toSeq == slices.map(_.count()))
   }
 
+  test("graft-delta source paces by maxBytesPerTrigger from the adds' own size fields") {
+    val base = streamBase("graft_stream_src_pace_bytes")
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    // mixed sizes: two SMALL commits (2 rows each), one LARGE (the rest)
+    val slices = Seq(
+      nation.filter(col("n_nationkey") < 2),
+      nation.filter(col("n_nationkey") >= 2 && col("n_nationkey") < 4),
+      nation.filter(col("n_nationkey") >= 4))
+    slices.foreach(s =>
+      graft.sources.DeltaWriter.append(s.repartition(1), table))
+    // per-commit add bytes straight from the log (what the source charges)
+    val sizeRe = """"size":(\d+)""".r
+    def commitBytes(v: Long): Long = {
+      val f = new java.io.File(table, f"_delta_log/$v%020d.json")
+      sizeRe.findAllMatchIn(
+        new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        .map(_.group(1).toLong).sum
+    }
+    val (s0, s1) = (commitBytes(0), commitBytes(1))
+    // budget fits the two small commits exactly — the large third would
+    // overflow and must close the first batch; it then rides alone
+    // (first data commit always admits, even over-budget)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", (s0 + s1).toString).load(table)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count(); if (n > 0) batches += n; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.toSeq == Seq(
+      slices(0).count() + slices(1).count(), slices(2).count()))
+    // suffixed spelling parses (1g admits everything in one batch)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", "1g").load(table)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count(); if (n > 0) all += n; ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(all.toSeq == Seq(nation.count()))
+  }
+
   test("graft-delta source refuses change commits by default and skips them on request") {
     val base = streamBase("graft_stream_src_change")
     val table = new java.io.File(base, "table").getAbsolutePath
@@ -914,6 +960,47 @@ class StreamingSpec extends AnyFunSuite {
     run2()
     assert(graft.sources.DeltaReader.load(spark, dst2).collect().toSet ==
       nation.filter(col("n_nationkey") >= 20).collect().toSet)
+  }
+
+  test("graft-delta source durability: planning never persists (commit does); corrupt state refuses with the file named") {
+    val base = streamBase("graft_stream_src_durability")
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val meta = new java.io.File(base, "meta").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), src)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10).repartition(1), src)
+    def mk() = new graft.streaming.DeltaStreamSource(
+      spark, src, meta, "earliest", Some(1), false)
+    def v(o: Option[org.apache.spark.sql.execution.streaming.Offset]): Long =
+      o.get.json.trim.toLong
+    val s1 = mk()
+    val off1 = s1.getOffset
+    assert(off1.nonEmpty)
+    // crash BEFORE the engine WALs the planned offset: a fresh source
+    // from the same checkpoint must RE-OFFER the same deterministic
+    // window — planning must not have advanced the durable floor, or
+    // these versions would be withheld until the next base commit
+    // (indefinitely on a quiescent table)
+    val s2 = mk()
+    val off2 = s2.getOffset
+    assert(off2.nonEmpty && v(off2) == v(off1))
+    // the engine commits the window: ONLY now does the floor persist,
+    // and a fresh source plans strictly past it
+    s2.commit(off2.get)
+    val s3 = mk()
+    val off3 = s3.getOffset
+    assert(off3.nonEmpty && v(off3) > v(off2))
+    // corrupt/truncated state file: construction refuses with an
+    // actionable message naming the file, not an index/parse blowup
+    val stateF = new java.io.File(meta, "graft-delta-source-state")
+    java.nio.file.Files.write(stateF.toPath,
+      "garbage".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] { mk() }
+    assert(e.getMessage.contains("graft-delta-source-state"))
+    assert(e.getMessage.contains("re-resolve"))
   }
 
   test("graft-delta source readChangeFeed streams row-level events matching the batch feed") {
