@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{DeltaReader, DeltaWriter}
@@ -114,10 +115,14 @@ object IncrementalAgg {
     * property land in ONE overwrite commit. */
   private def publishMv(merged: DataFrame, mvPath: String,
       upto: Long): Unit = {
-    DeltaWriter.overwrite(
+    try DeltaWriter.overwrite(
       merged.filter(col("n") =!= 0L) // fully-retracted groups vanish
         .withColumn("__upto", lit(upto)), mvPath,
       properties = Map(UptoProp -> upto.toString))
+    finally {
+      pendingUnpersist.foreach(_.unpersist())
+      pendingUnpersist = None
+    }
     ()
   }
 
@@ -218,6 +223,9 @@ object IncrementalAgg {
         greatest(col("mx"), col("mx_i")).as("cand_mx"),
         col("n_d"), col("mn_d"), col("mx_d"))
       .filter(col("n2") > 0L) // fully-retracted groups vanish
+      // group-count-sized; persisted so the kept/rescan branches (and
+      // the rescan-count diagnostic) scan the feed ONCE, not per branch
+      .persist()
     // a delete at (or past — duplicates) a candidate extremum makes
     // the true extremum underivable from state → targeted rescan.
     // All-NULL deletes (mn_d/mx_d NULL — min/max skip NULLs) cannot
@@ -231,11 +239,203 @@ object IncrementalAgg {
       .select(col("key"), col("n2").as("n"),
         col("cand_mn").as("mn"), col("cand_mx").as("mx"))
     val rescanKeys = joined.filter(touches).select(col("key"))
+    lastRescanGroups = rescanKeys.count() // materializes the persist
     val rescanned = fullMinMaxAgg(
       base.join(broadcast(rescanKeys),
         col(keyCol) <=> rescanKeys("key"), "left_semi"),
       keyCol, valueExpr)
+    pendingUnpersist = Some(joined)
     kept.unionByName(rescanned)
+  }
+
+  /** The persisted per-merge join, released by [[publishMv]] after the
+    * atomic overwrite consumed it (single-writer refresh model). */
+  private var pendingUnpersist: Option[DataFrame] = None
+
+  /** How many groups the LAST MIN/MAX refresh re-scanned — the
+    * observable the sketched verb's rescan-avoidance contract is
+    * spec'd against (diagnostic only; single-writer refresh model). */
+  private[graft] var lastRescanGroups: Long = -1L
+
+  /** MIN/MAX maintenance with per-group VALUE SKETCHES — the
+    * documented ESCALATION for extremum-heavy churn (the boundary
+    * [[refreshMinMax]]'s scaladoc draws): the materialization is
+    * `(key, n, mn, mx, lo, hi)` where `lo` holds the group's k
+    * smallest values (an ascending multiset PREFIX) and `hi` its k
+    * largest, so a deleted extremum usually just pops the sketch — the
+    * next-best value is already in state — instead of forcing a base
+    * rescan. A rescan happens ONLY when a sketch EXHAUSTS: k deletes
+    * landed at one extreme end of one group inside a single refresh
+    * window (or the bounded delete-collection overflowed — see below).
+    * [[lastRescanGroups]] is the observable; the spec contrasts it
+    * against the scalar verb on the same churn.
+    *
+    * The exactness argument, per group and per refresh window:
+    *  - `lo` is maintained as a true prefix: the merge pool is
+    *    `lo_state ∪ ins_lo` cut at the conservative boundary (the
+    *    smaller last-element of any TRUNCATED side; a side holding its
+    *    whole multiset contributes no cut) — every merged-multiset
+    *    value at-or-below the cut is in the pool, so subtracting the
+    *    at-or-below-cut deletes (one instance each — they provably
+    *    match) leaves a valid prefix, truncated back to k;
+    *  - deletes are collected BOUNDED: the 2k+1 smallest (largest for
+    *    `hi`) per group; a pool of ≤ 2k elements is provably exhausted
+    *    by 2k+1 applicable deletes, so an overflowing collection
+    *    routes to the rescan instead of silently under-subtracting;
+    *  - NULL values never enter a sketch (min/max skip NULLs; ranking
+    *    is nulls-last so they displace nothing) but do count in `n`,
+    *    which only makes the cut conservative — the prefix property
+    *    holds, the sketch just regrows lazily;
+    *  - `hi` runs the same machinery on NEGATED values (stored
+    *    un-negated, ascending).
+    *
+    * Values are cast to LONG (the cents discipline — the sketch verb
+    * is for integral measures; Long.MinValue excluded by the
+    * negation). Same atomic publish, `__upto` watermark and targeted
+    * key-semi-joined rescan as the scalar verb. */
+  def refreshMinMaxSketched(spark: SparkSession, basePath: String,
+      mvPath: String, keyCol: String, valueExpr: String,
+      k: Int = 8): Long = {
+    require(k >= 1, s"refreshMinMaxSketched: k must be >= 1, got $k")
+    val baseVersion = DeltaReader.snapshot(spark, basePath).version
+    val lastUpto = watermark(spark, mvPath).getOrElse(-1L)
+    if (lastUpto >= baseVersion) return lastUpto
+    val cap = 2 * k + 1
+    val vv = expr(valueExpr).cast("long")
+
+    // (key, n, mn, mx, lo, hi) over a full scan: one shuffle, the two
+    // rank columns ride the same key partitioning, the collects are
+    // rank-bounded (never whole-group memory)
+    def fullSketchAgg(df: DataFrame, bound: Int): DataFrame =
+      df.select(col(keyCol).as("key"), vv.as("v"))
+        .withColumn("ra", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("v").asc_nulls_last)))
+        .withColumn("rd", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("v").desc_nulls_last)))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"),
+          sort_array(collect_list(when(col("ra") <= bound, col("v"))))
+            .as("lo"),
+          sort_array(collect_list(when(col("rd") <= bound, col("v"))))
+            .as("hi"))
+
+    val merged =
+      if (lastUpto < 0L)
+        fullSketchAgg(DeltaReader.loadAt(spark, basePath, baseVersion), k)
+      else {
+        val feed = DeltaReader.loadChangeFeed(
+          spark, basePath, lastUpto, baseVersion)
+        val ins = fullSketchAgg(
+          feed.filter(col("_change_type") === "insert"), k)
+          .select(col("key").as("k_i"), col("n").as("n_i"),
+            col("lo").as("ins_lo"), col("hi").as("ins_hi"))
+        val del = fullSketchAgg(
+          feed.filter(col("_change_type") === "delete"), cap)
+          .select(col("key").as("k_d"), col("n").as("n_d"),
+            col("lo").as("del_lo"), col("hi").as("del_hi"))
+        val mv = DeltaReader.load(spark, mvPath)
+          .select(col("key"), col("n"), col("lo"), col("hi"))
+        val emptyArr = typedLit(Seq.empty[Long])
+        val joined = mv
+          .join(ins, col("key") <=> col("k_i"), "full_outer")
+          .join(del, coalesce(col("key"), col("k_i")) <=> col("k_d"),
+            "full_outer")
+          .select(coalesce(col("key"), col("k_i"), col("k_d")).as("key"),
+            coalesce(col("n"), lit(0L)).as("n0"),
+            coalesce(col("lo"), emptyArr).as("lo0"),
+            coalesce(col("hi"), emptyArr).as("hi0"),
+            coalesce(col("n_i"), lit(0L)).as("n_i"),
+            coalesce(col("ins_lo"), emptyArr).as("ins_lo"),
+            coalesce(col("ins_hi"), emptyArr).as("ins_hi"),
+            coalesce(col("n_d"), lit(0L)).as("n_d"),
+            coalesce(col("del_lo"), emptyArr).as("del_lo"),
+            coalesce(col("del_hi"), emptyArr).as("del_hi"))
+          .withColumn("n2",
+            col("n0") + col("n_i") - col("n_d"))
+          .filter(col("n2") > 0L) // fully-retracted groups vanish
+          // the lo machinery, then the same on negated values for hi
+          // (negation first so ONE spelling serves both ends)
+          .withColumn("nhi0", expr("array_sort(transform(hi0, x -> -x))"))
+          .withColumn("ins_nhi",
+            expr("array_sort(transform(ins_hi, x -> -x))"))
+          .withColumn("del_nhi",
+            expr("array_sort(transform(del_hi, x -> -x))"))
+          .persist()
+
+        // per end: the conservative cut (NULL = no cut: both sides
+        // hold their whole multisets), the cut-filtered merge pool,
+        // the one-instance-per-delete multiset subtraction, and the
+        // exhaustion/overflow rescan test
+        def endCols(df: DataFrame, st: String, in: String, dl: String,
+            suffix: String): DataFrame = df
+          // a side is TRUNCATED only when nonempty: an EMPTY sketch
+          // with a positive count is an all-NULL-valued multiset —
+          // every publish path (full agg, kept-branch slice) emits a
+          // nonempty sketch whenever a non-null value exists — so it
+          // is COMPLETE over non-nulls and contributes no cut
+          .withColumn(s"cut$suffix", expr(s"""
+            CASE WHEN n0 > size($st) AND size($st) > 0
+                   AND n_i > size($in) AND size($in) > 0
+                   THEN least(element_at($st, -1), element_at($in, -1))
+                 WHEN n0 > size($st) AND size($st) > 0
+                   THEN element_at($st, -1)
+                 WHEN n_i > size($in) AND size($in) > 0
+                   THEN element_at($in, -1)
+                 ELSE CAST(NULL AS BIGINT) END"""))
+          .withColumn(s"pool$suffix", expr(s"""
+            filter(array_sort(concat($st, $in)),
+              x -> cut$suffix IS NULL OR x <= cut$suffix)"""))
+          .withColumn(s"left$suffix", expr(s"""
+            aggregate(
+              filter($dl, x -> cut$suffix IS NULL OR x <= cut$suffix),
+              pool$suffix,
+              (acc, d) -> CASE WHEN array_position(acc, d) > 0 THEN
+                concat(
+                  slice(acc, 1, CAST(array_position(acc, d) AS INT) - 1),
+                  slice(acc, CAST(array_position(acc, d) AS INT) + 1,
+                    size(acc)))
+                ELSE acc END)"""))
+          // rescan iff the sketch stops PROVING the extremum: the pool
+          // emptied while a cut hides unknown values, or the bounded
+          // delete collection filled (size == cap: maybe-uncollected
+          // deletes could under-subtract) with its reach at-or-below
+          // the cut. An empty pool under NO cut is complete knowledge
+          // — the group's non-null values are genuinely gone — and
+          // publishes as an empty sketch with NULL extrema, no rescan.
+          .withColumn(s"rescan$suffix", expr(s"""
+            CASE WHEN size(left$suffix) = 0 AND cut$suffix IS NOT NULL
+                   THEN true
+                 WHEN size($dl) < $cap THEN false
+                 WHEN cut$suffix IS NULL THEN true
+                 ELSE element_at($dl, -1) <= cut$suffix END"""))
+
+        val scored = endCols(
+          endCols(joined, "lo0", "ins_lo", "del_lo", "_lo"),
+          "nhi0", "ins_nhi", "del_nhi", "_hi")
+        val touched = col("rescan_lo") || col("rescan_hi")
+        val kept = scored.filter(!touched)
+          .withColumn("new_lo", expr(s"slice(left_lo, 1, $k)"))
+          .withColumn("new_hi", expr(
+            s"array_sort(transform(slice(left_hi, 1, $k), x -> -x))"))
+          .select(col("key"), col("n2").as("n"),
+            // empty sketch (all surviving rows NULL-valued) → NULL
+            // extrema, exactly what min/max over the group computes
+            expr("""CASE WHEN size(new_lo) = 0 THEN CAST(NULL AS BIGINT)
+                 ELSE element_at(new_lo, 1) END""").as("mn"),
+            expr("""CASE WHEN size(new_hi) = 0 THEN CAST(NULL AS BIGINT)
+                 ELSE element_at(new_hi, -1) END""").as("mx"),
+            col("new_lo").as("lo"), col("new_hi").as("hi"))
+        val rescanKeys = scored.filter(touched).select(col("key"))
+        lastRescanGroups = rescanKeys.count() // materializes the persist
+        val rescanned = fullSketchAgg(
+          DeltaReader.loadAt(spark, basePath, baseVersion)
+            .join(broadcast(rescanKeys),
+              col(keyCol) <=> rescanKeys("key"), "left_semi"), k)
+        pendingUnpersist = Some(joined) // the persisted frame itself
+        kept.unionByName(rescanned)
+      }
+    publishMv(merged, mvPath, baseVersion)
+    baseVersion
   }
 
   /** Fold ONE exact commit-window of signed CDF events into the

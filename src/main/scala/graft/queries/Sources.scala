@@ -898,6 +898,90 @@ object Sources {
           AND o_orderkey % 9 <> 0
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- STREAMING MIN/MAX IVM: q189's extremum-retraction classes
+    // (DV delete, copy-on-write delete, doubling update, compaction)
+    // driven through the CDF STREAMING pipeline instead of the poll
+    // verb — one micro-batch per change commit, a checkpointed restart
+    // after the base moved on, targeted rescans riding the base
+    // snapshot AT each window's top version. The mv must hash-match
+    // the oracle's full recompute over the mutated corpus: a missed
+    // extremum retraction leaves a stale bound, a rescan against the
+    // wrong (later) snapshot folds rows the window hasn't seen, a
+    // redelivered window double-counts.
+    Q("q199_stream_ivm_minmax",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIvmMinMaxStreamed(s, d)
+        DeltaReader.load(s, s"$dir/mv")
+          .selectExpr("key AS o_orderpriority", "n", "mn", "mx")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          min(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mn,
+          max(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mx
+        FROM orders
+        WHERE o_orderkey % 10 NOT IN (3, 4)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- SKETCHED MIN/MAX IVM: the q189 churn maintained by
+    // refreshMinMaxSketched — per-group bounded value sketches make
+    // the extremum retractions rescan-free (IncrementalAggSpec pins
+    // the rescan-count contrast; THIS query pins exactness: the
+    // sketch-merged extrema must hash-match the oracle's full
+    // recompute over the mutated corpus, so a wrong cut, an
+    // under-subtracted delete, or a missed exhaustion all break the
+    // hash, not just the cost model).
+    Q("q200_ivm_minmax_sketched",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIvmMinMaxSketched(s, d)
+        DeltaReader.load(s, s"$dir/mv")
+          .selectExpr("key AS o_orderpriority", "n", "mn", "mx")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          min(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mn,
+          max(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mx
+        FROM orders
+        WHERE o_orderkey % 10 NOT IN (3, 4)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- CONVERT TO DELTA: the migration verb — a plain
+    // hive-partitioned parquet dir gains a delta log IN PLACE (zero
+    // bytes moved, stats computed over the existing files), then a
+    // REAL delta DELETE mutates it. The aggregate must equal the
+    // oracle over (orders minus the deleted class): a file missed by
+    // conversion drops rows, a mis-parsed partition dir shifts groups,
+    // wrong per-file stats would let the delete's pruning skip a live
+    // file and resurrect deleted rows.
+    Q("q201_convert_to_delta",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersConverted(s, d)
+        DeltaReader.load(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_custkey")).cast("long").as("csum"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_custkey) AS BIGINT) AS csum,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders
+        WHERE o_orderkey % 6 <> 0
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- GENERATED COLUMNS: the fixture declares
     // `o_year = year(o_orderdate)` as a generated PARTITION column at
     // create, appends once WITHOUT the column (the writer computes it),

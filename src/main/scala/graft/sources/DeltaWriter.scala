@@ -1391,11 +1391,65 @@ object DeltaWriter {
     * rewrite, adds + removes, `dataChange:true` — is identical. Old
     * files remain for time travel until [[vacuum]]. */
   def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      sortBy: Seq[String] = Nil): Long = {
+      sortBy: Seq[String] = Nil,
+      /** partition-SCOPED maintenance (`OPTIMIZE … WHERE`): rewrite
+        * only the files whose PARTITION VALUES satisfy this predicate
+        * — at 100 TB a whole-table OPTIMIZE is not an operation, so
+        * real maintenance runs one recent-partition scope at a time.
+        * The predicate may reference partition columns ONLY (a row
+        * predicate would make the rewrite row-selective — that is
+        * DELETE's job); files outside the scope are untouched by
+        * construction, not rewritten-and-re-added. */
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
     val version = nextVersion(table)
-    val current = DeltaReader.load(spark, tablePath)
+    val scoped = where.map { pred =>
+      require(snap.partitionColumns.nonEmpty,
+        s"compact: OPTIMIZE … WHERE needs a partitioned table; " +
+          s"$tablePath has no partition columns")
+      // evaluate the predicate once per FILE over its typed partition
+      // values (driver holds the add list already; this is
+      // metadata-sized work, no data I/O). The frame carries ONLY the
+      // partition columns, so analysis itself enforces the
+      // partition-columns-only contract — a row-column reference fails
+      // to resolve and is rethrown with the contract named.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val rows = snap.files.zipWithIndex.map { case (a, i) =>
+        Row.fromSeq(i.toLong +: snap.partitionColumns.map { c =>
+          a.partitionValues.get(snap.physicalNames.getOrElse(c, c))
+            .flatten.orNull
+        })
+      }
+      val raw = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        StructType(StructField("__i", org.apache.spark.sql.types.LongType)
+          +: snap.partitionColumns.map(c => StructField(c, StringType))))
+      val typed = raw.select(col("__i") +: snap.partitionColumns.map(c =>
+        col(c).cast(snap.schema(c).dataType).as(c)): _*)
+      try typed.filter(pred).select(col("__i")).collect()
+        .map(_.getLong(0).toInt).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"compact: the OPTIMIZE predicate may reference partition " +
+              s"columns only (${snap.partitionColumns.mkString(", ")})", e)
+      }
+    }
+    val targetFiles = scoped match {
+      case Some(idx) => snap.files.zipWithIndex.collect {
+        case (a, i) if idx(i) => a
+      }
+      case None => snap.files
+    }
+    if (targetFiles.isEmpty) return version - 1 // nothing in scope: no-op
+    val current = where match {
+      // a pure-partition predicate prunes the scan to exactly the
+      // scoped files — the rewrite never reads outside its scope
+      case Some(pred) => DeltaReader.load(spark, tablePath).filter(pred)
+      case None => DeltaReader.load(spark, tablePath)
+    }
     val clustered = {
       val base =
         if (snap.partitionColumns.nonEmpty)
@@ -1408,7 +1462,7 @@ object DeltaWriter {
     // action carries dataChange=false and the CDC feeds skip the commit
     val adds = stageLogical(clustered, snap, table, version,
       dataChange = false)
-    val removes = snap.files.map(a =>
+    val removes = targetFiles.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
     publishOptimistic(table, version, removes ++ adds)
@@ -2075,6 +2129,58 @@ object DeltaWriter {
     0L
   }
 
+  /** CONVERT TO DELTA: create a delta log IN PLACE over an existing
+    * parquet directory — zero bytes copied or moved, the migration
+    * verb that upgrades a plain listing-scan table to the full delta
+    * surface (DML, time travel, OPTIMIZE, constraints, streaming)
+    * without rewriting 100 TB of data. Version 0 references every
+    * parquet file under the root at its existing (possibly
+    * hive-partitioned) path, with per-file stats computed by the same
+    * ONE distributed pass staged writes use, so skip-pruning works
+    * from the first post-convert scan. Partition columns and their
+    * types come from Spark's own partition discovery over the
+    * directory layout; a layout where files disagree on partitioning
+    * depth/keys refuses rather than guessing. Zero-row parquet files
+    * are skipped (never referenced) but NOT deleted — they are the
+    * user's files; note a later VACUUM sweeps unreferenced files past
+    * retention, which is exactly delta's post-convert semantics. */
+  def convertToDelta(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Long = {
+    val table = new File(tablePath)
+    require(table.isDirectory,
+      s"convertToDelta: no directory at $tablePath")
+    require(nextVersion(table) == 0L,
+      s"convertToDelta: a Delta table already exists at $tablePath")
+    val rels = collectParquet(table)
+      .map(f => table.toPath.relativize(f.toPath).toString
+        .replace(File.separatorChar, '/'))
+      .filterNot(_.split('/').exists(_.startsWith(".")))
+    require(rels.nonEmpty,
+      s"convertToDelta: no parquet files under $tablePath")
+    def keysOf(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"convertToDelta: directory segment '$seg' under " +
+          s"'$rel' is not a hive partition dir (k=v) — mixed layouts " +
+          "cannot convert")
+        seg.take(i)
+      }
+    val partCols = keysOf(rels.head)
+    require(rels.forall(r => keysOf(r) == partCols),
+      s"convertToDelta: inconsistent partition layout under $tablePath " +
+        s"— expected every file under ${partCols.mkString("/")} dirs")
+    // schema by discovery: data fields from the footers, partition
+    // columns (typed) from the directory names
+    val full = spark.read.parquet(table.getAbsolutePath)
+    val partSet = partCols.toSet
+    val dataFields =
+      full.schema.fields.filterNot(f => partSet(f.name)).toIndexedSeq
+    val adds = composeAddActions(spark, table, rels, dataFields,
+      Map.empty, dataChange = true, deleteEmpties = false)
+    publish(table, 0L, header(full, partCols, 0L) ++ adds)
+    0L
+  }
+
   /** Whether `tablePath` already holds a committed Delta table (any
     * JSON commit or checkpoint in its log) — the existence test
     * ErrorIfExists/Ignore save modes branch on. */
@@ -2334,10 +2440,23 @@ object DeltaWriter {
       rel
     }
     delete(staging)
-
-    // ---- one distributed pass: per-file numRecords / min / max / nullCount
     val partSet = partitionBy.toSet
     val dataFields = df.schema.fields.filterNot(f => partSet.contains(f.name))
+    composeAddActions(spark, table, moved, dataFields.toIndexedSeq, tags,
+      dataChange, deleteEmpties = true)
+  }
+
+  /** Per-file stats (ONE distributed pass) + the composed `add` action
+    * lines for `rels` (table-relative parquet paths, already in place
+    * under `table`). Shared by the staged-write path and
+    * [[convertToDelta]] — the latter must not delete a user's
+    * zero-row files, only skip referencing them. */
+  private def composeAddActions(spark: org.apache.spark.sql.SparkSession,
+      table: File, rels: Seq[String],
+      dataFields: Seq[org.apache.spark.sql.types.StructField],
+      tags: Map[String, String], dataChange: Boolean,
+      deleteEmpties: Boolean): Seq[String] = {
+    val moved = rels
     val statFields = dataFields.filter(f => statWritable(f.dataType))
     val byName = if (moved.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
     else {
@@ -2382,7 +2501,7 @@ object DeltaWriter {
     val adds = moved.filter { rel =>
       val f = new File(table, rel)
       val keep = byName.contains(relKey(rel))
-      if (!keep) {
+      if (!keep && deleteEmpties) {
         f.delete()
         var p = f.getParentFile
         while (p != null && p != table &&

@@ -963,6 +963,81 @@ object Fixtures {
       ()
     }
 
+  /** MIN/MAX materialization maintained by the STREAMING IVM pipeline
+    * (q199): the q189 mutation classes driven through
+    * `StreamIvm.runToCompletionMinMax` — a DV delete lands before the
+    * first run (extremum retractions cross micro-batch boundaries),
+    * then the base takes a copy-on-write delete, a doubling update
+    * (retracts old values AND inserts new maxima) and a compaction,
+    * and the SAME checkpointed pipeline restarts, folding only the new
+    * commits with targeted rescans riding the base snapshot at each
+    * window's top version. Final corpus — and therefore the oracle —
+    * is exactly q189's. */
+  def deltaOrdersIvmMinMaxStreamed(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_ivm_minmax_streamed") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val base = new File(dir, "base").getAbsolutePath
+      val mv = new File(dir, "mv").getAbsolutePath
+      val ckpt = new File(dir.getParentFile,
+        "delta_orders_ivm_minmax_streamed_ckpt")
+      delete(ckpt)
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      DeltaWriter.append(orders, base)
+      DeltaWriter.deleteWithVectors(s, base, col("o_orderkey") % 10 === 4)
+      graft.streaming.StreamIvm.runToCompletionMinMax(s, base, mv,
+        "o_orderpriority", cents, Some(ckpt.getAbsolutePath),
+        maxFilesPerTrigger = Some(1))
+      DeltaWriter.delete(s, base, col("o_orderkey") % 10 === 3)
+      DeltaWriter.update(s, base, col("o_orderkey") % 10 === 5,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      DeltaWriter.compact(s, base)
+      graft.streaming.StreamIvm.runToCompletionMinMax(s, base, mv,
+        "o_orderpriority", cents, Some(ckpt.getAbsolutePath),
+        maxFilesPerTrigger = Some(1))
+      ()
+    }
+
+  /** The q189 churn maintained by the SKETCHED MIN/MAX verb (q200):
+    * same base mutations, but the materialization carries per-group
+    * k=8 value sketches (`refreshMinMaxSketched`) — extremum deletes
+    * pop the sketch instead of rescanning; the final (key, n, mn, mx)
+    * must still hash-match the oracle's full recompute, proving the
+    * sketch path exact, not just cheap. */
+  def deltaOrdersIvmMinMaxSketched(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_ivm_minmax_sketched") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val base = new File(dir, "base").getAbsolutePath
+      val mv = new File(dir, "mv").getAbsolutePath
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      DeltaWriter.append(orders, base)
+      graft.operators.IncrementalAgg.refreshMinMaxSketched(
+        s, base, mv, "o_orderpriority", cents)
+      DeltaWriter.delete(s, base, col("o_orderkey") % 10 === 3)
+      DeltaWriter.deleteWithVectors(s, base, col("o_orderkey") % 10 === 4)
+      DeltaWriter.update(s, base, col("o_orderkey") % 10 === 5,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      DeltaWriter.compact(s, base)
+      graft.operators.IncrementalAgg.refreshMinMaxSketched(
+        s, base, mv, "o_orderpriority", cents)
+      ()
+    }
+
+  /** A plain hive-partitioned parquet directory CONVERTED to delta in
+    * place (q201): written by the ordinary parquet writer (no log),
+    * migrated by `convertToDelta` (version 0 references the existing
+    * files where they lie, stats computed), then mutated by a REAL
+    * delta DELETE — proving the converted table carries the full verb
+    * surface, and that conversion preserved every row/partition. */
+  def deltaOrdersConverted(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_converted") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(dir.getAbsolutePath)
+      DeltaWriter.convertToDelta(s, dir.getAbsolutePath)
+      DeltaWriter.delete(s, dir.getAbsolutePath, col("o_orderkey") % 6 === 0)
+      ()
+    }
+
   /** IVM materialization maintained THROUGH RETRACTIONS (q186): refresh
     * after the initial append, then copy-on-write delete + deletion-
     * vector delete + copy-on-write update + compact on the base, then

@@ -1859,6 +1859,114 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-scoped OPTIMIZE WHERE rewrites only the matching partitions") {
+    val path = tmpTable("opt_where")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    // two appends → two files PER partition dir
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 === 0),
+      path, Seq("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 =!= 0),
+      path, Seq("n_regionkey"))
+    val before = DeltaReader.snapshot(spark, path)
+    def partOf(a: graft.sources.DeltaReader.AddFile): String =
+      a.partitionValues("n_regionkey").get
+    assert(before.files.count(a => partOf(a) == "1") == 2)
+
+    val v = DeltaWriter.compact(spark, path,
+      where = Some(col("n_regionkey") === 1))
+    assert(v == 2L)
+    val after = DeltaReader.snapshot(spark, path)
+    // region 1 compacted to one file; every OTHER partition's files are
+    // THE SAME adds — untouched, not rewritten-and-re-added
+    assert(after.files.count(a => partOf(a) == "1") == 1)
+    assert(after.files.filter(a => partOf(a) != "1").map(_.path).toSet ==
+      before.files.filter(a => partOf(a) != "1").map(_.path).toSet)
+    // content exact; the commit is LAYOUT-ONLY (CDC windows skip it)
+    assert(DeltaReader.load(spark, path).collect().toSet ==
+      nation.collect().toSet)
+    val feed = DeltaReader.loadChangeFeed(spark, path, 1L, 2L)
+    assert(feed.isEmpty)
+
+    // scoped no-op: a predicate matching nothing publishes no commit
+    assert(DeltaWriter.compact(spark, path,
+      where = Some(col("n_regionkey") === 99)) == 2L)
+    assert(DeltaReader.snapshot(spark, path).version == 2L)
+
+    // refusals: row predicate, unpartitioned table
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWriter.compact(spark, path,
+        where = Some(col("n_nationkey") > 3))
+    }
+    assert(e1.getMessage.contains("partition columns only"))
+    val flat = tmpTable("opt_where_flat")
+    DeltaWriter.append(nation, flat)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWriter.compact(spark, flat,
+        where = Some(col("n_regionkey") === 1))
+    }
+    assert(e2.getMessage.contains("partitioned"))
+  }
+
+  test("convert to delta: in-place migration preserves rows, moves nothing, computes stats, and unlocks the verb surface") {
+    def dataFiles(root: File): Map[String, Long] = {
+      def walk(f: File): Seq[File] =
+        if (f.getName == "_delta_log" || f.getName.startsWith(".")) Nil
+        else if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(root).map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+
+    // hive-partitioned plain parquet → delta, zero movement
+    val dir = tmpTable("convert_part")
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(dir)
+    val before = dataFiles(new File(dir))
+    assert(DeltaWriter.convertToDelta(spark, dir) == 0L)
+    assert(dataFiles(new File(dir)) == before) // same files, untouched
+    assert(DeltaReader.load(spark, dir).collect().toSet ==
+      nation.collect().toSet)
+    val snap = DeltaReader.snapshot(spark, dir)
+    assert(snap.partitionColumns == Seq("n_regionkey"))
+    // typed partition values restored, stats riding every add
+    assert(snap.files.nonEmpty && snap.files.forall(_.stats.nonEmpty))
+    assert(snap.files.forall(_.partitionValues.keySet == Set("n_regionkey")))
+    // the converted table carries the REAL verb surface: DELETE,
+    // OPTIMIZE, time travel back to the converted state
+    DeltaWriter.delete(spark, dir, col("n_nationkey") % 5 === 0)
+    assert(DeltaReader.load(spark, dir).collect().toSet ==
+      nation.filter(col("n_nationkey") % 5 =!= 0).collect().toSet)
+    assert(DeltaReader.loadAt(spark, dir, 0L).collect().toSet ==
+      nation.collect().toSet)
+
+    // unpartitioned convert
+    val flat = tmpTable("convert_flat")
+    nation.write.mode("overwrite").parquet(flat)
+    DeltaWriter.convertToDelta(spark, flat)
+    assert(DeltaReader.load(spark, flat).collect().toSet ==
+      nation.collect().toSet)
+    assert(DeltaReader.snapshot(spark, flat).partitionColumns.isEmpty)
+
+    // refusals: double convert, no parquet files, mixed layout
+    intercept[IllegalArgumentException] {
+      DeltaWriter.convertToDelta(spark, flat)
+    }
+    val empty = tmpTable("convert_empty")
+    new File(empty).mkdirs()
+    intercept[IllegalArgumentException] {
+      DeltaWriter.convertToDelta(spark, empty)
+    }
+    val mixed = tmpTable("convert_mixed")
+    nation.limit(3).write.parquet(mixed)
+    nation.limit(3).write.mode("append")
+      .partitionBy("n_regionkey").parquet(mixed)
+    intercept[IllegalArgumentException] {
+      DeltaWriter.convertToDelta(spark, mixed)
+    }
+  }
+
   test("generated columns: computed at create, enforced on append, recomputed on update") {
     val path = tmpTable("gen_cols")
     val nation = Tables.t(spark, d, "nation")

@@ -82,11 +82,11 @@ class DmlSpec extends AnyFunSuite {
   test("execute: OPTIMIZE / ZORDER BY / VACUUM maintain the table through SQL") {
     // parser shapes
     Dml.parse("OPTIMIZE t") match {
-      case Dml.Optimize("t", Nil) => ()
+      case Dml.Optimize("t", Nil, None) => ()
       case other => fail(s"$other")
     }
     Dml.parse("OPTIMIZE t ZORDER BY (a, b)") match {
-      case Dml.Optimize("t", Seq("a", "b")) => ()
+      case Dml.Optimize("t", Seq("a", "b"), None) => ()
       case other => fail(s"$other")
     }
     Dml.parse("VACUUM t RETAIN 168 HOURS") match {
@@ -535,6 +535,81 @@ class DmlSpec extends AnyFunSuite {
     val v0Dir = new java.io.File(base, "v0")
     ctx.sql(s"CREATE TABLE clone_v0 SHALLOW CLONE clone_src VERSION AS OF 0 LOCATION '${v0Dir.getAbsolutePath}'")
     assert(ctx.sql("SELECT count(*) AS n FROM clone_v0").head().getLong(0) == 25L)
+  }
+
+  test("execute: OPTIMIZE ... WHERE scopes the rewrite through SQL") {
+    Dml.parse("OPTIMIZE t WHERE p = 1") match {
+      case Dml.Optimize("t", Nil, Some("p = 1")) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("OPTIMIZE t WHERE p = 1 ZORDER BY (a)") match {
+      case Dml.Optimize("t", Seq("a"), Some("p = 1")) => ()
+      case other => fail(s"$other")
+    }
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_optwhere")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 === 0),
+      path, Seq("n_regionkey"))
+    DeltaWriter.append(nation.filter(col("n_nationkey") % 2 =!= 0),
+      path, Seq("n_regionkey"))
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE opt_scoped STORED AS DELTA LOCATION '$path'")
+    ctx.sql("OPTIMIZE opt_scoped WHERE n_regionkey = 1")
+    val snap = DeltaReader.snapshot(spark, path)
+    assert(snap.files.count(
+      _.partitionValues("n_regionkey").contains("1")) == 1)
+    assert(snap.files.count(
+      _.partitionValues("n_regionkey").contains("2")) == 2)
+    assert(ctx.sql("SELECT count(*) AS n FROM opt_scoped").head().getLong(0) == 25L)
+    // clustered 1-col sort takes a scope too; the Morton verbs refuse it
+    ctx.sql("OPTIMIZE opt_scoped WHERE n_regionkey = 2 ZORDER BY (n_nationkey)")
+    assert(ctx.sql("SELECT count(*) AS n FROM opt_scoped").head().getLong(0) == 25L)
+    val e = intercept[IllegalArgumentException](ctx.sql(
+      "OPTIMIZE opt_scoped WHERE n_regionkey = 1 ZORDER BY (n_nationkey, n_regionkey)"))
+    assert(e.getMessage.contains("INCREMENTAL"))
+  }
+
+  test("execute: CONVERT TO DELTA migrates a registered parquet table and flips its registration") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_convert")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val dir = new java.io.File(base, "t")
+    Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.partitionBy("n_regionkey").parquet(dir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE conv_t STORED AS PARQUET LOCATION '${dir.getAbsolutePath}'")
+    assert(ctx.sql("SELECT count(*) AS n FROM conv_t").head().getLong(0) == 25L)
+    // DML against the parquet registration refuses with the contract
+    val pre = intercept[IllegalArgumentException] {
+      ctx.sql("DELETE FROM conv_t WHERE n_nationkey = 0")
+    }
+    assert(pre.getMessage.contains("DELTA"))
+    // convert in place; the SAME name now takes the delta verb surface
+    ctx.sql("CONVERT TO DELTA conv_t")
+    ctx.sql("DELETE FROM conv_t WHERE n_nationkey >= 20")
+    assert(ctx.sql("SELECT count(*) AS n FROM conv_t").head().getLong(0) == 20L)
+    assert(ctx.sql("DESCRIBE DETAIL conv_t").head().getString(0) == "delta")
+    // refusals: unregistered, non-parquet source
+    intercept[IllegalArgumentException] {
+      ctx.sql("CONVERT TO DELTA never_registered")
+    }
+    val again = intercept[IllegalArgumentException] {
+      ctx.sql("CONVERT TO DELTA conv_t") // now DELTA — refuse, not re-log
+    }
+    assert(again.getMessage.contains("already"))
   }
 
   test("execute: CREATE TABLE ... [DEEP] CLONE copies bytes and registers the target") {

@@ -157,6 +157,92 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!mvNow().contains(2L))
   }
 
+  test("refreshMinMaxSketched: extremum deletes pop the sketch (zero rescans) where the scalar verb rescans; exhaustion still rescans exactly") {
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+    def full(base: String): Map[Long, (Long, Long, Long)] =
+      DeltaReader.load(spark, base)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)), min(col("n_nationkey")), max(col("n_nationkey")))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def mvNow(mv: String): Map[Long, (Long, Long, Long)] =
+      DeltaReader.load(spark, mv)
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("mn"),
+            r.getAs[Long]("mx")))).toMap
+
+    // the SAME churn driven through both verbs on twin tables
+    val baseA = tmp("mmsk_base_a"); val mvA = tmp("mmsk_mv_a") // scalar
+    val baseB = tmp("mmsk_base_b"); val mvB = tmp("mmsk_mv_b") // sketched
+    def applyBoth(f: String => Unit): Unit = { f(baseA); f(baseB) }
+    def refreshBoth(upto: Long): (Long, Long) = {
+      assert(IncrementalAgg.refreshMinMax(spark, baseA, mvA,
+        "n_regionkey", "n_nationkey") == upto)
+      val scalarRescans = IncrementalAgg.lastRescanGroups
+      assert(IncrementalAgg.refreshMinMaxSketched(spark, baseB, mvB,
+        "n_regionkey", "n_nationkey", k = 3) == upto)
+      val sketchRescans = IncrementalAgg.lastRescanGroups
+      assert(mvNow(mvA) == full(baseA))
+      assert(mvNow(mvB) == full(baseB))
+      (scalarRescans, sketchRescans)
+    }
+
+    // PARTITIONED by the group key, so copy-on-write churn stays inside
+    // the touched group (an unpartitioned single-file table would churn
+    // every group's extrema on any delete — both verbs then rescan/absorb
+    // everything, and the contrast this spec exists for disappears)
+    applyBoth(b => DeltaWriter.append(nation, b, Seq("n_regionkey")))
+    refreshBoth(0L) // bootstrap (no merge ran; counters are stale here)
+
+    // ONE extremum delete per window: the scalar verb must rescan the
+    // touched group, the sketch pops its second-best for free
+    val maxKey = full(baseA)(1L)._3
+    applyBoth(b => DeltaWriter.delete(spark, b,
+      col("n_nationkey") === maxKey))
+    val (s1, k1) = refreshBoth(1L)
+    assert(s1 == 1L, s"scalar verb should rescan the touched group, got $s1")
+    assert(k1 == 0L, s"sketch should absorb one extremum delete, got $k1")
+
+    // a second single-extremum delete in a fresh window: still free
+    val minKey = full(baseA)(0L)._2
+    applyBoth(b => DeltaWriter.deleteWithVectors(spark, b,
+      col("n_nationkey") === minKey))
+    val (s2, k2) = refreshBoth(2L)
+    assert(s2 == 1L && k2 == 0L, s"got scalar=$s2 sketch=$k2")
+
+    // EXHAUSTION: delete more than k=3 values off one group's top end
+    // in one window — the sketch must detect it cannot prove the new
+    // max and take the targeted rescan (and stay exact)
+    val top4 = DeltaReader.load(spark, baseA)
+      .filter(col("n_regionkey") === 2)
+      .orderBy(col("n_nationkey").desc).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    applyBoth(b => DeltaWriter.delete(spark, b,
+      col("n_nationkey").isin(top4: _*)))
+    val (s3, k3) = refreshBoth(3L)
+    assert(s3 == 1L, s"got $s3")
+    assert(k3 == 1L, s"exhausted sketch must rescan exactly its group, got $k3")
+
+    // insert-only window regrows the popped sketches for free
+    applyBoth(b => DeltaWriter.append(spark.range(2)
+      .select((col("id") + 90L).as("n_nationkey"), lit(0L).as("n_regionkey")),
+      b, Seq("n_regionkey")))
+    val (s4, k4) = refreshBoth(4L)
+    assert(s4 == 0L && k4 == 0L, s"got scalar=$s4 sketch=$k4")
+
+    // and the regrown sketch again absorbs an extremum delete
+    applyBoth(b => DeltaWriter.delete(spark, b, col("n_nationkey") === 91L))
+    val (s5, k5) = refreshBoth(5L)
+    assert(s5 == 1L && k5 == 0L, s"got scalar=$s5 sketch=$k5")
+
+    // whole-group retraction vanishes from both
+    applyBoth(b => DeltaWriter.delete(spark, b, col("n_regionkey") === 3))
+    refreshBoth(6L)
+    assert(!mvNow(mvA).contains(3L) && !mvNow(mvB).contains(3L))
+  }
+
   test("refreshMinMax: NULL group keys merge; watermark survives a fully-retracted 0-row state") {
     import spark.implicits._
     val base = tmp("minmax_null_base"); val mv = tmp("minmax_null_mv")

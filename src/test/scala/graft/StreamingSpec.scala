@@ -1143,6 +1143,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(mvState() == before)
   }
 
+  test("streaming MIN/MAX IVM: extremum retractions across micro-batches, checkpointed restart, redelivery no-op") {
+    val base = streamBase("graft_stream_ivm_minmax")
+    val tbl = new java.io.File(base, "base").getAbsolutePath
+    val mv = new java.io.File(base, "mv").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    val orders = Tables.t(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    graft.sources.DeltaWriter.append(orders, tbl)
+    // a DV delete BEFORE the first run: the retraction arrives in a
+    // LATER micro-batch than the inserts it retracts
+    graft.sources.DeltaWriter.deleteWithVectors(spark, tbl,
+      col("o_orderkey") % 10 === 4)
+    def expected() = graft.sources.DeltaReader.load(spark, tbl)
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("n"),
+        min(expr(cents)).as("mn"), max(expr(cents)).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def mvState() = graft.sources.DeltaReader.load(spark, mv)
+      .select("key", "n", "mn", "mx")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val v1 = graft.streaming.StreamIvm.runToCompletionMinMax(spark, tbl, mv,
+      "o_orderpriority", cents, Some(ckpt), maxFilesPerTrigger = Some(1))
+    assert(v1 == graft.sources.DeltaReader.snapshot(spark, tbl).version)
+    assert(mvState() == expected())
+    // the base moves on with EXTREMUM-KILLING mutations (CoW delete,
+    // doubling update that retracts old values and inserts new maxima,
+    // a transparent compaction); the SAME checkpointed pipeline
+    // restarts and folds only the new commits
+    graft.sources.DeltaWriter.delete(spark, tbl, col("o_orderkey") % 10 === 3)
+    graft.sources.DeltaWriter.compact(spark, tbl)
+    graft.sources.DeltaWriter.update(spark, tbl, col("o_orderkey") % 10 === 5,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    val v2 = graft.streaming.StreamIvm.runToCompletionMinMax(spark, tbl, mv,
+      "o_orderpriority", cents, Some(ckpt), maxFilesPerTrigger = Some(1))
+    assert(v2 == graft.sources.DeltaReader.snapshot(spark, tbl).version)
+    assert(mvState() == expected())
+    // a redelivered window is an idempotent no-op even on the MIN/MAX
+    // path (the rescan reads the base AT the window's top version, and
+    // the watermark guard rejects the replay outright)
+    val changeV = graft.sources.DeltaReader.commitHistory(tbl)
+      .map(_._1).filter(_ <= v2).max
+    val replay = graft.sources.DeltaReader.loadChangeFeed(spark, tbl,
+      changeV - 1, changeV)
+    val before = mvState()
+    graft.streaming.StreamIvm.foldBatchMinMax(replay, tbl, mv,
+      "o_orderpriority", cents)
+    assert(mvState() == before)
+  }
+
   test("the streaming source tails a SHALLOW CLONE (absolute-path adds) whole") {
     val base = streamBase("graft_stream_src_clone")
     val src = new java.io.File(base, "src").getAbsolutePath
