@@ -57,6 +57,50 @@ final class AdtContext(val spark: SparkSession) {
         .configuration.toSeq.sortBy(_._1)
       import spark.implicits._
       props.toDF("key", "value")
+    } else if (AdtContext.VacuumDryRun.findFirstMatchIn(statement).isDefined) {
+      // the preview of the one irreversible verb: the files a real
+      // VACUUM would delete, as rows, with nothing touched (delta's own
+      // DRY RUN shape). Falls here, not into Dml: the destructive
+      // spelling stays in the DML dispatch, the query-shaped preview
+      // returns a frame.
+      val m = AdtContext.VacuumDryRun.findFirstMatchIn(statement).get
+      val t = Ddl.lookup(spark, m.group(1)).getOrElse(
+        throw new IllegalArgumentException(
+          s"${m.group(1)} is not a registered external table"))
+      require(t.format == "DELTA",
+        s"VACUUM is supported for DELTA tables; ${m.group(1)} is ${t.format}")
+      val retain = Option(m.group(2)).map(_.toLong * 3600000L).getOrElse(0L)
+      import spark.implicits._
+      graft.sources.DeltaWriter
+        .vacuum(spark, t.location, retain, dryRun = true)
+        .sorted.toDF("path")
+    } else if (AdtContext.ShowPartitions.findFirstMatchIn(statement).isDefined) {
+      // distinct live partition tuples, TYPED from the metaData schema
+      // — read off the snapshot's add actions (driver-held metadata,
+      // zero data I/O); unpartitioned tables refuse naming the fact
+      val name = AdtContext.ShowPartitions
+        .findFirstMatchIn(statement).get.group(1)
+      val t = Ddl.lookup(spark, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name is not a registered external table"))
+      require(t.format == "DELTA",
+        s"SHOW PARTITIONS is supported for DELTA tables; $name is ${t.format}")
+      val snap = graft.sources.DeltaReader.snapshot(spark, t.location)
+      require(snap.partitionColumns.nonEmpty,
+        s"$name is not a partitioned table")
+      val pcols = snap.partitionColumns
+      val rows = snap.files.map(a => org.apache.spark.sql.Row.fromSeq(
+        pcols.map(c => a.partitionValues
+          .get(snap.physicalNames.getOrElse(c, c)).flatten.orNull)))
+        .distinct
+      val raw = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        org.apache.spark.sql.types.StructType(pcols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+      raw.select(pcols.map(c => org.apache.spark.sql.functions.col(c)
+          .cast(snap.schema(c).dataType).as(c)): _*)
+        .orderBy(pcols.map(org.apache.spark.sql.functions.col): _*)
     } else if (AdtContext.DescribeDetail.findFirstMatchIn(statement).isDefined) {
       // the table-level metadata window (delta's DESCRIBE DETAIL shape):
       // ONE row — format, location, createdAt (earliest RETAINED commit's
@@ -179,6 +223,13 @@ object AdtContext {
 
   private[graft] val DescribeDetail =
     "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(\\w+)\\s*;?\\s*$".r
+
+  private[graft] val VacuumDryRun =
+    ("(?is)^\\s*VACUUM\\s+(\\w+)\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS?)?" +
+      "\\s+DRY\\s+RUN\\s*;?\\s*$").r
+
+  private[graft] val ShowPartitions =
+    "(?is)^\\s*SHOW\\s+PARTITIONS\\s+(\\w+)\\s*;?\\s*$".r
 
   /** Session defaults matching SURVEY §4.3's config-parity table. */
   def build(master: String = "local[*]"): AdtContext = {

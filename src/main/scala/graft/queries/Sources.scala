@@ -982,6 +982,31 @@ object Sources {
         WHERE o_orderkey % 6 <> 0
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- COPY INTO: the landing-zone ingest verb — two waves of
+    // plain parquet files loaded exactly once each through the
+    // per-file txn ledger (the middle re-run is a published-nothing
+    // no-op). The aggregate must equal the whole corpus: a skipped new
+    // file drops rows, a re-ingested old file doubles them, and
+    // either breaks the hash.
+    Q("q202_copy_into",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersCopied(s, d)
+        DeltaReader.load(s, s"$dir/table")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).cast("long").as("key_sum"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- GENERATED COLUMNS: the fixture declares
     // `o_year = year(o_orderdate)` as a generated PARTITION column at
     // create, appends once WITHOUT the column (the writer computes it),

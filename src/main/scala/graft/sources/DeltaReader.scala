@@ -687,6 +687,39 @@ object DeltaReader {
     best
   }
 
+  /** Every recorded txn appId with the given prefix — ONE scan of the
+    * retained JSON commits plus any checkpoint's carried txn rows
+    * (same durability as [[lastTxnVersion]], amortized over a whole
+    * ledger family instead of one appId per scan). COPY INTO's
+    * already-ingested-file set reads through this. */
+  def txnAppIds(spark: SparkSession, tablePath: String,
+      prefix: String): Set[String] = {
+    val logDir = new File(tablePath, "_delta_log")
+    val files = Option(logDir.listFiles()).getOrElse(Array.empty[File])
+    val mapper = new ObjectMapper()
+    val out = scala.collection.mutable.Set.empty[String]
+    files.filter(_.getName.matches("\\d{20}\\.json")).foreach { f =>
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split('\n').filter(_.contains("\"txn\""))
+        .foreach { l =>
+          Option(mapper.readTree(l).get("txn")).foreach { t =>
+            val id = t.get("appId").asText()
+            if (id.startsWith(prefix)) out += id
+          }
+        }
+    }
+    files.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .foreach { f =>
+        val df = spark.read.parquet(f.getAbsolutePath)
+        if (df.columns.contains("txn"))
+          df.select(col("txn.appId")).collect().foreach { r =>
+            if (!r.isNullAt(0) && r.getString(0).startsWith(prefix))
+              out += r.getString(0)
+          }
+      }
+    out.toSet
+  }
+
   /** Incremental CDC read: the rows ADDED in versions
     * `(fromExclusive .. toInclusive]` and still live at `toInclusive` —
     * the change feed an incremental ingest (q159's routing, a streaming

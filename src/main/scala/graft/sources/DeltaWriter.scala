@@ -220,6 +220,82 @@ object DeltaWriter {
         else throw e
     }
 
+  /** COPY INTO: idempotent BATCH file ingestion — the landing-zone
+    * verb for pipelines that drop files into a directory and load them
+    * exactly once WITHOUT a streaming checkpoint. Every source file
+    * ever ingested is recorded as a per-file `txn` action
+    * (`appId = "graft-copy-into:<absolute path>"`) in the SAME atomic
+    * commit that lands its rows, so the ingestion ledger is the
+    * table's own log: re-running COPY INTO skips recorded files (a
+    * no-op publishes nothing), new files land in one commit, and the
+    * ledger survives checkpoint + log cleanup because the checkpoint
+    * writer carries txn actions forward (the appendOnce durability,
+    * proven in DeltaWriterSpec). Identity is the file PATH — a file
+    * modified in place is NOT reloaded (delta's own COPY INTO
+    * posture); `force = true` ignores the ledger and reloads
+    * everything. CSV/NDJSON sources read under the TABLE's declared
+    * schema (no inference drift); parquet under its own footers
+    * projected to the table's columns. The target must exist — COPY
+    * INTO is ingestion, not table creation. Two concurrent COPY INTOs
+    * racing on the SAME new files is an operational fault (two live
+    * loaders), same stance as the streaming sink's ledger.
+    * Returns (committed version if anything landed, ingested files). */
+  def copyInto(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, sourceDir: String, format: String = "parquet",
+      force: Boolean = false): (Option[Long], Seq[String]) = {
+    require(tableExists(tablePath),
+      s"copyInto: no Delta table at $tablePath — COPY INTO ingests " +
+        "into an existing table (CREATE it first)")
+    val src = new File(sourceDir)
+    require(src.isDirectory, s"copyInto: no source directory at $sourceDir")
+    val ext = format.toLowerCase match {
+      case "parquet" => ".parquet"
+      case "csv" => ".csv"
+      case "json" | "ndjson" => ".json"
+      case other => throw new IllegalArgumentException(
+        s"copyInto: FILEFORMAT must be PARQUET, CSV or JSON, got '$other'")
+    }
+    def walk(f: File): Seq[File] =
+      if (f.getName.startsWith(".") || f.getName == "_delta_log") Nil
+      else if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(ext)) Seq(f) else Nil
+    val found = walk(src).map(_.getAbsolutePath).sorted
+    require(found.nonEmpty,
+      s"copyInto: no *$ext files under $sourceDir")
+    val prefix = "graft-copy-into:"
+    val already =
+      if (force) Set.empty[String]
+      else DeltaReader.txnAppIds(spark, tablePath, prefix)
+        .map(_.stripPrefix(prefix))
+    val fresh = found.filterNot(already)
+    if (fresh.isEmpty) return (None, Nil)
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    val reader = format.toLowerCase match {
+      case "parquet" => spark.read
+      case "csv" => spark.read.schema(snap.schema).option("header", "true")
+      case _ => spark.read.schema(snap.schema)
+    }
+    val raw = format.toLowerCase match {
+      case "parquet" => reader.parquet(fresh: _*)
+      case "csv" => reader.csv(fresh: _*)
+      case _ => reader.json(fresh: _*)
+    }
+    // project to the table's exact column set/order — a source file
+    // with extra columns refuses in the select, missing ones refuse in
+    // the analyzer, both naming the column
+    val df = raw.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val table = new File(tablePath)
+    val version = nextVersion(table)
+    validateAgainstTable(df, tablePath, snap.partitionColumns, version,
+      generatedToCheck = Some(df.columns.toSet))
+    val adds = stageLogical(df, snap, table, version)
+    val txns = fresh.map(p =>
+      s"""{"txn":{"appId":${jstr(prefix + p)},"version":1}}""")
+    val v = publishOptimistic(table, version, txns ++ adds)
+    (Some(v), fresh)
+  }
+
   /** EXPLICIT additive schema evolution — the metaData commit the
     * append path's unchanged-schema guard points to. The new schema
     * must carry every existing column with its type unchanged; new
@@ -1226,7 +1302,12 @@ object DeltaWriter {
     * deleted relative paths. By design this breaks time travel to
     * versions older than the window. */
   def vacuum(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, retainMs: Long = 0L): Seq[String] = {
+      tablePath: String, retainMs: Long = 0L,
+      /** `VACUUM … DRY RUN`: report the files the sweep WOULD delete
+        * without touching anything — the operational preview every
+        * irreversible sweep deserves (vacuum is the one verb that
+        * destroys time travel and can break shallow clones). */
+      dryRun: Boolean = false): Seq[String] = {
     val table = new File(tablePath)
     val snapFiles = DeltaReader.snapshot(spark, tablePath).files
     val live = snapFiles.map(_.path).toSet ++
@@ -1270,6 +1351,7 @@ object DeltaWriter {
       .filter { case (f, rel) =>
         tombstoned.get(rel).getOrElse(f.lastModified()) <= horizon
       }
+    if (dryRun) return dead.map(_._2)
     dead.foreach { case (f, _) =>
       f.delete()
       // drop now-empty partition dirs up to (not including) the root

@@ -88,6 +88,12 @@ object Dml {
     * registration flips to DELTA, so the next statement can run DML /
     * maintenance / time travel against it. */
   final case class ConvertToDelta(table: String) extends Stmt
+  /** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+    * [FORCE = TRUE]` — idempotent batch file ingestion
+    * ([[DeltaWriter.copyInto]]): files load exactly once, keyed by
+    * path in the table's own txn ledger. */
+  final case class CopyInto(table: String, from: String,
+      fileFormat: String, force: Boolean) extends Stmt
   /** `ALTER TABLE t SET TBLPROPERTIES ('k'='v'[, …])` / `… UNSET
     * TBLPROPERTIES ('k'[, …])`. */
   final case class SetProps(table: String,
@@ -129,6 +135,9 @@ object Dml {
       raw"""(?:VERSION\s+AS\s+OF\s+(\d+)\s+)?LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val ConvertP =
     raw"""(?is)\s*CONVERT\s+TO\s+DELTA\s+$Id\s*;?\s*""".r
+  private val CopyIntoP =
+    (raw"""(?is)\s*COPY\s+INTO\s+$Id\s+FROM\s+'([^']+)'\s+""" +
+      raw"""FILEFORMAT\s*=\s*(\w+)(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*;?\s*""").r
   private val SetPropsP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val UnsetPropsP =
@@ -176,6 +185,9 @@ object Dml {
         Option(v).map(_.toLong)))
     case ConvertP(table) =>
       Some(ConvertToDelta(unquote(table)))
+    case CopyIntoP(table, from, fmt, force) =>
+      Some(CopyInto(unquote(table), from, fmt.toLowerCase,
+        Option(force).exists(_.equalsIgnoreCase("TRUE"))))
     case SetPropsP(table, pairs) =>
       val raw = splitTopLevelCommas(pairs)
       val ps = raw.collect { case PropPair(k, v) => (k, v) }
@@ -381,6 +393,11 @@ object Dml {
       case UnsetProps(_, keys) =>
         keys.map(k =>
           DeltaWriter.unsetTableProperty(spark, t.location, k)).last
+      case CopyInto(_, from, fmt, force) =>
+        // no-op (every file already ingested) reports the current
+        // version — the statement is idempotent by design
+        DeltaWriter.copyInto(spark, t.location, from, fmt, force)._1
+          .getOrElse(DeltaReader.snapshot(spark, t.location).version)
     }
     Ddl.register(spark, t) // the view must see the new snapshot
     version

@@ -1038,6 +1038,27 @@ object Fixtures {
       ()
     }
 
+  /** A landing-zone COPY INTO life cycle (q202): wave 1 of plain
+    * parquet files ingested into a schema-only table, the SAME call
+    * re-run (idempotent no-op against the per-file txn ledger), wave 2
+    * dropped into the same landing root and ingested — only the new
+    * files land. The final table must equal the whole corpus. */
+  def deltaOrdersCopied(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_copied") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val landing = new File(dir, "landing")
+      val tbl = new File(dir, "table").getAbsolutePath
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(2)
+        .write.parquet(new File(landing, "w1").getAbsolutePath)
+      DeltaWriter.append(orders.limit(0), tbl) // schema-only create
+      DeltaWriter.copyInto(s, tbl, landing.getAbsolutePath)
+      DeltaWriter.copyInto(s, tbl, landing.getAbsolutePath) // no-op
+      orders.filter(col("o_orderkey") % 2 =!= 0).repartition(2)
+        .write.parquet(new File(landing, "w2").getAbsolutePath)
+      DeltaWriter.copyInto(s, tbl, landing.getAbsolutePath)
+      ()
+    }
+
   /** IVM materialization maintained THROUGH RETRACTIONS (q186): refresh
     * after the initial append, then copy-on-write delete + deletion-
     * vector delete + copy-on-write update + compact on the base, then

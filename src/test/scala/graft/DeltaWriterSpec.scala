@@ -1859,6 +1859,74 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY INTO ingests each landing file exactly once; FORCE reloads; CSV reads under the table schema") {
+    val root = new File(tmpTable("copy_into"))
+    val landing = new File(root, "landing")
+    val tbl = new File(root, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.limit(0), tbl) // schema-only create
+    nation.filter(col("n_nationkey") < 10).repartition(2)
+      .write.parquet(new File(landing, "w1").getAbsolutePath)
+
+    val (v1, f1) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v1.nonEmpty && f1.size == 2)
+    assert(DeltaReader.load(spark, tbl).collect().toSet ==
+      nation.filter(col("n_nationkey") < 10).collect().toSet)
+
+    // idempotent: the same call publishes NOTHING
+    val (v2, f2) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v2.isEmpty && f2.isEmpty)
+    assert(DeltaReader.snapshot(spark, tbl).version == v1.get)
+
+    // a second wave lands ONLY the new files
+    nation.filter(col("n_nationkey") >= 10).repartition(2)
+      .write.parquet(new File(landing, "w2").getAbsolutePath)
+    val (v3, f3) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v3.nonEmpty && f3.size == 2 && f3.forall(_.contains("w2")))
+    assert(DeltaReader.load(spark, tbl).collect().toSet ==
+      nation.collect().toSet)
+
+    // the ledger survives checkpoint + log cleanup (txn carry)
+    DeltaWriter.checkpoint(spark, tbl)
+    DeltaWriter.cleanupLogs(spark, tbl, retainMs = Some(0L))
+    val (v4, f4) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v4.isEmpty && f4.isEmpty)
+
+    // FORCE ignores the ledger: every file reloads, rows double
+    val (v5, f5) = DeltaWriter.copyInto(spark, tbl,
+      landing.getAbsolutePath, force = true)
+    assert(v5.nonEmpty && f5.size == 4)
+    assert(DeltaReader.load(spark, tbl).count() == nation.count() * 2)
+
+    // CSV sources read under the TABLE's schema — no inference drift
+    val csvTbl = new File(root, "csvtable").getAbsolutePath
+    val csvLanding = new File(root, "csvlanding")
+    DeltaWriter.append(nation.limit(0), csvTbl)
+    nation.coalesce(1).write.option("header", "true")
+      .csv(csvLanding.getAbsolutePath)
+    val (cv, cf) = DeltaWriter.copyInto(spark, csvTbl,
+      csvLanding.getAbsolutePath, format = "csv")
+    assert(cv.nonEmpty && cf.nonEmpty)
+    assert(DeltaReader.load(spark, csvTbl).collect().toSet ==
+      nation.collect().toSet)
+
+    // refusals: missing table, missing dir, no matching files, format
+    intercept[IllegalArgumentException] {
+      DeltaWriter.copyInto(spark, new File(root, "nowhere").getAbsolutePath,
+        landing.getAbsolutePath)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.copyInto(spark, tbl, new File(root, "nodir").getAbsolutePath)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.copyInto(spark, tbl, csvLanding.getAbsolutePath) // no .parquet there
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath, format = "orc")
+    }
+  }
+
   test("partition-scoped OPTIMIZE WHERE rewrites only the matching partitions") {
     val path = tmpTable("opt_where")
     val nation = Tables.t(spark, d, "nation")

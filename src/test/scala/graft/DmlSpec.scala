@@ -612,6 +612,91 @@ class DmlSpec extends AnyFunSuite {
     assert(again.getMessage.contains("already"))
   }
 
+  test("VACUUM DRY RUN previews without deleting; SHOW PARTITIONS lists typed live tuples") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_dryrun")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation, path, Seq("n_regionkey"))
+    DeltaWriter.delete(spark, path, col("n_regionkey") === 4) // tombstones
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dry_t STORED AS DELTA LOCATION '$path'")
+
+    // the preview lists exactly the files a real vacuum would sweep —
+    // and sweeps nothing (counts and files unchanged after)
+    def diskParquets(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.getName == "_delta_log") 0
+        else if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(dir)
+    }
+    val before = diskParquets()
+    val preview = ctx.sql("VACUUM dry_t DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    assert(preview.nonEmpty && preview.forall(_.contains("n_regionkey=4")))
+    assert(diskParquets() == before) // nothing deleted
+    // a retention window past the tombstones previews empty
+    assert(ctx.sql("VACUUM dry_t RETAIN 168 HOURS DRY RUN").count() == 0L)
+    // the real sweep deletes exactly the previewed set
+    ctx.sql("VACUUM dry_t RETAIN 0 HOURS")
+    assert(diskParquets() == before - preview.size)
+
+    // SHOW PARTITIONS: live typed tuples, region 4 gone post-delete
+    val parts = ctx.sql("SHOW PARTITIONS dry_t")
+    assert(parts.columns.toSeq == Seq("n_regionkey"))
+    assert(parts.collect().map(_.get(0).toString.toLong).toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+    // unpartitioned tables refuse naming the fact
+    val flat = new java.io.File(dir.getParentFile, "graft_dml_dryrun_flat")
+    del(flat)
+    DeltaWriter.append(nation, flat.getAbsolutePath)
+    ctx.sql(s"CREATE EXTERNAL TABLE dry_flat STORED AS DELTA LOCATION '${flat.getAbsolutePath}'")
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("SHOW PARTITIONS dry_flat"))
+    assert(e.getMessage.contains("not a partitioned"))
+  }
+
+  test("execute: COPY INTO loads landing files exactly once through SQL") {
+    Dml.parse("COPY INTO t FROM '/landing/x' FILEFORMAT = PARQUET") match {
+      case Dml.CopyInto("t", "/landing/x", "parquet", false) => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("COPY INTO t FROM '/l' FILEFORMAT = CSV FORCE = TRUE") match {
+      case Dml.CopyInto("t", "/l", "csv", true) => ()
+      case other => fail(s"$other")
+    }
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_copy")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val landing = new java.io.File(base, "landing")
+    val tbl = new java.io.File(base, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.limit(0), tbl)
+    nation.repartition(2).write.parquet(landing.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE copy_t STORED AS DELTA LOCATION '$tbl'")
+    ctx.sql(s"COPY INTO copy_t FROM '${landing.getAbsolutePath}' FILEFORMAT = PARQUET")
+    assert(ctx.sql("SELECT count(*) AS n FROM copy_t").head().getLong(0) == 25L)
+    // idempotent through SQL too: count unchanged, no new version
+    val v = DeltaReader.snapshot(spark, tbl).version
+    ctx.sql(s"COPY INTO copy_t FROM '${landing.getAbsolutePath}' FILEFORMAT = PARQUET")
+    assert(ctx.sql("SELECT count(*) AS n FROM copy_t").head().getLong(0) == 25L)
+    assert(DeltaReader.snapshot(spark, tbl).version == v)
+  }
+
   test("execute: CREATE TABLE ... [DEEP] CLONE copies bytes and registers the target") {
     val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_dclone")
     def del(f: java.io.File): Unit = {
