@@ -65,6 +65,12 @@ object Dml {
   final case class AddConstraint(table: String, name: String,
       check: String) extends Stmt
   final case class DropConstraint(table: String, name: String) extends Stmt
+  /** `ALTER TABLE t ADD COLUMNS (c1 TYPE [, c2 TYPE …])` — the SQL
+    * spelling of [[DeltaWriter.evolveSchema]]'s additive-only
+    * evolution: new columns are nullable (old files null-fill on
+    * read), name collisions refuse, the commit patches only the
+    * metaData schemaString. */
+  final case class AddColumns(table: String, colsDdl: String) extends Stmt
   /** `RESTORE TABLE t TO VERSION AS OF n` /
     * `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`. */
   final case class Restore(table: String, versionAsOf: Option[Long],
@@ -123,6 +129,8 @@ object Dml {
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val AddColumnsP =
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+ADD\s+COLUMNS?\s*\(([^)]+)\)\s*;?\s*""".r
   private val RestoreVersionP =
     raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampP =
@@ -173,6 +181,8 @@ object Dml {
       Some(AddConstraint(unquote(table), name, check.trim))
     case DropConstraintP(table, name) =>
       Some(DropConstraint(unquote(table), name))
+    case AddColumnsP(table, cols) =>
+      Some(AddColumns(unquote(table), cols.trim))
     case RestoreVersionP(table, v) =>
       Some(Restore(unquote(table), Some(v.toLong), None))
     case RestoreTimestampP(table, ts) =>
@@ -378,6 +388,21 @@ object Dml {
         // commit either
         DeltaWriter.cleanupLogs(spark, t.location,
           hours.map(_ * 3600000L)).length.toLong
+      case AddColumns(_, colsDdl) =>
+        val added =
+          try org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"ADD COLUMNS: unparseable column list '$colsDdl' — " +
+                "expected 'name TYPE[, name TYPE …]'", e)
+          }
+        val old = DeltaReader.snapshot(spark, t.location).schema
+        val dup = added.fieldNames.filter(old.fieldNames.contains)
+        require(dup.isEmpty,
+          s"ADD COLUMNS: column(s) already exist: ${dup.mkString(", ")}")
+        DeltaWriter.evolveSchema(spark, t.location,
+          org.apache.spark.sql.types.StructType(
+            old.fields ++ added.fields))
       case AddConstraint(_, name, check) =>
         DeltaWriter.addCheckConstraint(spark, t.location, name, check)
       case DropConstraint(_, name) =>

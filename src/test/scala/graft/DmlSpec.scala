@@ -612,6 +612,44 @@ class DmlSpec extends AnyFunSuite {
     assert(again.getMessage.contains("already"))
   }
 
+  test("execute: ALTER TABLE ADD COLUMNS evolves additively through SQL") {
+    Dml.parse("ALTER TABLE t ADD COLUMNS (score BIGINT, tag STRING)") match {
+      case Dml.AddColumns("t", ddl) =>
+        assert(ddl == "score BIGINT, tag STRING")
+      case other => fail(s"$other")
+    }
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_addcols")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    val path = dir.getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation, path)
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE addcols_t STORED AS DELTA LOCATION '$path'")
+    ctx.sql("ALTER TABLE addcols_t ADD COLUMNS (score BIGINT)")
+    // old files null-fill the new column through the refreshed view
+    val rows = ctx.sql("SELECT n_nationkey, score FROM addcols_t").collect()
+    assert(rows.length == 25 && rows.forall(_.isNullAt(1)))
+    // the evolved column is writable: UPDATE sets it, the scan reads it
+    ctx.sql("UPDATE addcols_t SET score = CAST(n_nationkey * 10 AS BIGINT) WHERE n_regionkey = 0")
+    val scored = ctx.sql(
+      "SELECT n_nationkey, score FROM addcols_t WHERE n_regionkey = 0").collect()
+    assert(scored.nonEmpty && scored.forall(r =>
+      r.getLong(1) == r.getAs[Number](0).longValue * 10))
+    // refusals: collision, garbage DDL
+    val e1 = intercept[IllegalArgumentException](
+      ctx.sql("ALTER TABLE addcols_t ADD COLUMNS (n_name STRING)"))
+    assert(e1.getMessage.contains("already exist"))
+    val e2 = intercept[IllegalArgumentException](
+      ctx.sql("ALTER TABLE addcols_t ADD COLUMNS (broken)"))
+    assert(e2.getMessage.contains("unparseable"))
+  }
+
   test("VACUUM DRY RUN previews without deleting; SHOW PARTITIONS lists typed live tuples") {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_dryrun")
     def del(f: java.io.File): Unit = {

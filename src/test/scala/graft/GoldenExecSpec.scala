@@ -322,6 +322,41 @@ class GoldenExecSpec extends AnyFunSuite {
     assert(detail.contains("graft.owner: golden14"))
   }
 
+  test("golden15.sql: CONVERT TO DELTA + COPY INTO + ADD COLUMNS + SHOW PARTITIONS through execute") {
+    val url = getClass.getResource("/queries/golden15.sql")
+    assert(url != null, "golden15.sql resource missing")
+    val spark = SparkTestSession.spark
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden15")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val nation = Tables.t(spark, SparkTestSession.sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val convertDir = new java.io.File(base, "table")
+    val landing = new java.io.File(base, "landing")
+    nation.filter(col("n_nationkey") < 12)
+      .write.partitionBy("n_regionkey").parquet(convertDir.getAbsolutePath)
+    nation.filter(col("n_nationkey") >= 12).repartition(2)
+      .write.parquet(landing.getAbsolutePath)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${CONVERT_DIR}", convertDir.getAbsolutePath)
+        .replace("${LANDING}", landing.getAbsolutePath))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 8)
+    val ctx = new AdtContext(spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    assert(outputs(4).contains("| 25")) // convert half + copied half
+    // partition window lists every live region
+    assert((0 to 4).forall(r => outputs(6).contains(s"| $r")))
+    // history: convert v0 + ONE copy v1 + add-columns v2 — the second
+    // COPY INTO published nothing
+    assert(outputs(7).linesIterator.count(_.contains("WRITE")) == 3)
+  }
+
   test("golden10.sql: constraint + delete + history + restore through execute") {
     val url = getClass.getResource("/queries/golden10.sql")
     assert(url != null, "golden10.sql resource missing")
