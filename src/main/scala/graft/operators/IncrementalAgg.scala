@@ -300,41 +300,62 @@ object IncrementalAgg {
     val baseVersion = DeltaReader.snapshot(spark, basePath).version
     val lastUpto = watermark(spark, mvPath).getOrElse(-1L)
     if (lastUpto >= baseVersion) return lastUpto
-    val cap = 2 * k + 1
-    val vv = expr(valueExpr).cast("long")
-
-    // (key, n, mn, mx, lo, hi) over a full scan: one shuffle, the two
-    // rank columns ride the same key partitioning, the collects are
-    // rank-bounded (never whole-group memory)
-    def fullSketchAgg(df: DataFrame, bound: Int): DataFrame =
-      df.select(col(keyCol).as("key"), vv.as("v"))
-        .withColumn("ra", row_number().over(
-          Window.partitionBy(col("key")).orderBy(col("v").asc_nulls_last)))
-        .withColumn("rd", row_number().over(
-          Window.partitionBy(col("key")).orderBy(col("v").desc_nulls_last)))
-        .groupBy(col("key"))
-        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"),
-          sort_array(collect_list(when(col("ra") <= bound, col("v"))))
-            .as("lo"),
-          sort_array(collect_list(when(col("rd") <= bound, col("v"))))
-            .as("hi"))
-
     val merged =
       if (lastUpto < 0L)
-        fullSketchAgg(DeltaReader.loadAt(spark, basePath, baseVersion), k)
-      else {
-        val feed = DeltaReader.loadChangeFeed(
-          spark, basePath, lastUpto, baseVersion)
+        fullSketchAgg(DeltaReader.loadAt(spark, basePath, baseVersion),
+          keyCol, valueExpr, k)
+      else mergeMinMaxSketched(spark, mvPath,
+        DeltaReader.loadChangeFeed(spark, basePath, lastUpto, baseVersion),
+        DeltaReader.loadAt(spark, basePath, baseVersion),
+        keyCol, valueExpr, k, bootstrap = false)
+    publishMv(merged, mvPath, baseVersion)
+    baseVersion
+  }
+
+  /** (key, n, mn, mx, lo, hi) over a full scan: one shuffle, the two
+    * rank columns ride the same key partitioning, the collects are
+    * rank-bounded (never whole-group memory). */
+  private def fullSketchAgg(df: DataFrame, keyCol: String,
+      valueExpr: String, bound: Int): DataFrame = {
+    val vv = expr(valueExpr).cast("long")
+    df.select(col(keyCol).as("key"), vv.as("v"))
+      .withColumn("ra", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").asc_nulls_last)))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc_nulls_last)))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"),
+        sort_array(collect_list(when(col("ra") <= bound, col("v"))))
+          .as("lo"),
+        sort_array(collect_list(when(col("rd") <= bound, col("v"))))
+          .as("hi"))
+  }
+
+  /** The SKETCHED merge both the poll verb and the streaming fold
+    * share — one signed window folded into the sketch-carrying
+    * materialization, rescans against `base` (the snapshot AT the
+    * window's top version). See [[refreshMinMaxSketched]] for the
+    * exactness argument. */
+  private def mergeMinMaxSketched(spark: SparkSession, mvPath: String,
+      feed: DataFrame, base: DataFrame, keyCol: String, valueExpr: String,
+      k: Int, bootstrap: Boolean): DataFrame = {
+    val cap = 2 * k + 1
         val ins = fullSketchAgg(
-          feed.filter(col("_change_type") === "insert"), k)
+          feed.filter(col("_change_type") === "insert"),
+          keyCol, valueExpr, k)
           .select(col("key").as("k_i"), col("n").as("n_i"),
             col("lo").as("ins_lo"), col("hi").as("ins_hi"))
         val del = fullSketchAgg(
-          feed.filter(col("_change_type") === "delete"), cap)
+          feed.filter(col("_change_type") === "delete"),
+          keyCol, valueExpr, cap)
           .select(col("key").as("k_d"), col("n").as("n_d"),
             col("lo").as("del_lo"), col("hi").as("del_hi"))
-        val mv = DeltaReader.load(spark, mvPath)
-          .select(col("key"), col("n"), col("lo"), col("hi"))
+        val mv =
+          if (bootstrap)
+            fullSketchAgg(base.limit(0), keyCol, valueExpr, k)
+              .select(col("key"), col("n"), col("lo"), col("hi"))
+          else DeltaReader.load(spark, mvPath)
+            .select(col("key"), col("n"), col("lo"), col("hi"))
         val emptyArr = typedLit(Seq.empty[Long])
         val joined = mv
           .join(ins, col("key") <=> col("k_i"), "full_outer")
@@ -428,14 +449,31 @@ object IncrementalAgg {
         val rescanKeys = scored.filter(touched).select(col("key"))
         lastRescanGroups = rescanKeys.count() // materializes the persist
         val rescanned = fullSketchAgg(
-          DeltaReader.loadAt(spark, basePath, baseVersion)
-            .join(broadcast(rescanKeys),
-              col(keyCol) <=> rescanKeys("key"), "left_semi"), k)
+          base.join(broadcast(rescanKeys),
+            col(keyCol) <=> rescanKeys("key"), "left_semi"),
+          keyCol, valueExpr, k)
         pendingUnpersist = Some(joined) // the persisted frame itself
         kept.unionByName(rescanned)
-      }
-    publishMv(merged, mvPath, baseVersion)
-    baseVersion
+  }
+
+  /** [[foldEventsMinMax]]'s SKETCHED twin — the per-trigger verb for
+    * extremum-heavy churn on a stream: one signed CDF window folded
+    * into the sketch-carrying materialization, rescans riding the base
+    * snapshot AT `upto`, same watermark no-op exactly-once. */
+  private[graft] def foldEventsMinMaxSketched(events: DataFrame,
+      basePath: String, mvPath: String, keyCol: String, valueExpr: String,
+      upto: Long, k: Int = 8): Long = {
+    val spark = events.sparkSession
+    val last = watermark(spark, mvPath)
+    if (last.exists(_ >= upto)) return last.get // redelivered: no-op
+    // bootstrap substitutes an empty state — a first window carrying
+    // deletes (multi-commit replay) still routes through the exact
+    // rescan path, like the scalar fold
+    val merged = mergeMinMaxSketched(spark, mvPath, events,
+      DeltaReader.loadAt(spark, basePath, upto),
+      keyCol, valueExpr, k, bootstrap = last.isEmpty)
+    publishMv(merged, mvPath, upto)
+    upto
   }
 
   /** Fold ONE exact commit-window of signed CDF events into the

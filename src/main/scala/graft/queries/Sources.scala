@@ -982,6 +982,31 @@ object Sources {
         WHERE o_orderkey % 6 <> 0
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- STREAMING SKETCHED MIN/MAX IVM: the fourth cell of the
+    // {poll, stream} × {scalar, sketched} extremum-maintenance matrix
+    // — q199's checkpointed CDF pipeline, but each trigger folds
+    // through the value sketches (rescans only on per-window
+    // exhaustion). Hash-matching the same full-recompute oracle proves
+    // the sketch algebra exact across micro-batch boundaries too.
+    Q("q203_stream_ivm_minmax_sketched",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersIvmMinMaxSketchStreamed(s, d)
+        DeltaReader.load(s, s"$dir/mv")
+          .selectExpr("key AS o_orderpriority", "n", "mn", "mx")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+          min(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mn,
+          max(CASE WHEN o_orderkey % 10 = 5
+            THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+            ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS mx
+        FROM orders
+        WHERE o_orderkey % 10 NOT IN (3, 4)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- COPY INTO: the landing-zone ingest verb — two waves of
     // plain parquet files loaded exactly once each through the
     // per-file txn ledger (the middle re-run is a published-nothing

@@ -997,6 +997,34 @@ object Fixtures {
       ()
     }
 
+  /** The q199 pipeline under the SKETCHED fold (q203) — the fourth
+    * cell of the {poll, stream} × {scalar, sketched} matrix: same base
+    * mutations, same checkpointed restart, but each trigger pops
+    * sketches instead of rescanning. The oracle stays q189's. */
+  def deltaOrdersIvmMinMaxSketchStreamed(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_ivm_minmax_sk_streamed") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val base = new File(dir, "base").getAbsolutePath
+      val mv = new File(dir, "mv").getAbsolutePath
+      val ckpt = new File(dir.getParentFile,
+        "delta_orders_ivm_minmax_sk_streamed_ckpt")
+      delete(ckpt)
+      val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+      DeltaWriter.append(orders, base)
+      DeltaWriter.deleteWithVectors(s, base, col("o_orderkey") % 10 === 4)
+      graft.streaming.StreamIvm.runToCompletionMinMaxSketched(s, base, mv,
+        "o_orderpriority", cents, Some(ckpt.getAbsolutePath),
+        maxFilesPerTrigger = Some(1))
+      DeltaWriter.delete(s, base, col("o_orderkey") % 10 === 3)
+      DeltaWriter.update(s, base, col("o_orderkey") % 10 === 5,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      DeltaWriter.compact(s, base)
+      graft.streaming.StreamIvm.runToCompletionMinMaxSketched(s, base, mv,
+        "o_orderpriority", cents, Some(ckpt.getAbsolutePath),
+        maxFilesPerTrigger = Some(1))
+      ()
+    }
+
   /** The q189 churn maintained by the SKETCHED MIN/MAX verb (q200):
     * same base mutations, but the materialization carries per-group
     * k=8 value sketches (`refreshMinMaxSketched`) — extremum deletes

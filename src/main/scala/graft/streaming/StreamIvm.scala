@@ -90,6 +90,44 @@ object StreamIvm {
     graft.operators.IncrementalAgg.watermark(spark, mvPath).getOrElse(-1L)
   }
 
+  /** [[runToCompletionMinMax]] with per-group VALUE SKETCHES
+    * ([[graft.operators.IncrementalAgg.refreshMinMaxSketched]]'s
+    * streaming twin): on extremum-heavy churn the typical trigger pops
+    * sketches instead of touching the base at all — rescans fire only
+    * on per-window sketch exhaustion, so a stream of extremum deletes
+    * costs window events + the mv join per trigger, not a base read. */
+  def runToCompletionMinMaxSketched(spark: SparkSession, basePath: String,
+      mvPath: String, keyCol: String, valueExpr: String,
+      checkpointLocation: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None, k: Int = 8): Long = {
+    val reader = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .load(basePath)
+    val writer = src.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val cached = BatchFrameBridge.rewrap(batch).cache()
+        try {
+          if (!cached.isEmpty) {
+            val upto = cached.select(max(col("_commit_version")))
+              .head().getLong(0)
+            graft.operators.IncrementalAgg.foldEventsMinMaxSketched(
+              cached, basePath, mvPath, keyCol, valueExpr, upto, k)
+          }
+        } finally {
+          cached.unpersist()
+          ()
+        }
+        ()
+    }
+    val q = checkpointLocation
+      .fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.IncrementalAgg.watermark(spark, mvPath).getOrElse(-1L)
+  }
+
   /** Fold one exact commit-window of signed CDF events into the
     * materialization — [[graft.operators.IncrementalAgg.foldEvents]]
     * with the batch frame CACHED first: the window plan (snapshot

@@ -243,6 +243,50 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(!mvNow(mvA).contains(3L) && !mvNow(mvB).contains(3L))
   }
 
+  test("refreshMinMaxSketched: duplicate values at the extremum subtract one instance per delete, never all") {
+    val base = tmp("mmsk_dup_base"); val mv = tmp("mmsk_dup_mv")
+    import spark.implicits._
+    // group 'a': min value 1 appears THREE times; max 9 twice
+    val rows = Seq(
+      ("a", 1L, 0L), ("a", 1L, 1L), ("a", 1L, 2L),
+      ("a", 5L, 3L), ("a", 9L, 4L), ("a", 9L, 5L),
+      ("b", 4L, 6L), ("b", 7L, 7L))
+      .toDF("k", "v", "id")
+    DeltaWriter.append(rows, base, Seq("k"))
+    def check(): Unit = {
+      val full = DeltaReader.load(spark, base)
+        .groupBy(col("k")).agg(count(lit(1)), min(col("v")), max(col("v")))
+        .collect().map(r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val got = DeltaReader.load(spark, mv)
+        .collect().map(r => r.getAs[String]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))))
+        .toMap
+      assert(got == full)
+    }
+    IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 2)
+    check()
+    // delete ONE of the three tied minima: min must STAY 1 (two copies
+    // remain) — array_remove-style remove-all would wrongly pop to 5.
+    // With k=2 the sketch held [1,1]; one instance subtracts, one stays.
+    DeltaWriter.deleteWithVectors(spark, base, col("id") === 0L)
+    IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 2)
+    check()
+    assert(IncrementalAgg.lastRescanGroups == 0L)
+    // delete the second tied min: sketch [1,1] minus both copies
+    // EXHAUSTS under a cut (value 5 unknown to a k=2 lo sketch after
+    // two pops) — the rescan path must fire and still land exactly
+    DeltaWriter.deleteWithVectors(spark, base, col("id") === 1L)
+    IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 2)
+    check()
+    // tied MAX side: delete one 9, max stays 9
+    DeltaWriter.deleteWithVectors(spark, base, col("id") === 4L)
+    IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 2)
+    check()
+    assert(IncrementalAgg.lastRescanGroups == 0L)
+  }
+
   test("refreshMinMax: NULL group keys merge; watermark survives a fully-retracted 0-row state") {
     import spark.implicits._
     val base = tmp("minmax_null_base"); val mv = tmp("minmax_null_mv")

@@ -95,16 +95,25 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q192: both retriever sides broadcast their small dims; top-k rides group-limit pushdown") {
     // the lexical side's term/df/dl/params dims must broadcast (the
-    // posting-list join is the only corpus-sized exchange) and the
-    // dense side's query-vector set must broadcast through the cross
-    // join — a shuffled cartesian or a sort-merge term join would not
-    // survive a corpus-scale fan-in. rank <= k must reach the window
-    // as a WindowGroupLimit so no full per-query ranking materializes.
+    // posting-list join is the only corpus-sized exchange). The dense
+    // leg is the r18 IVF probe: the ONLY nested-loop join in the plan
+    // is the corpus × BROADCAST-CENTROID assignment pass (k rows on
+    // the broadcast side, collapsed by a partial-aggregatable argmin
+    // before any shuffle), and the per-query probe itself is a
+    // broadcast HASH join on c_id — the r16 corpus×queries cross join
+    // is gone, so no shuffled cartesian and no second NLJ may appear.
+    // rank <= k must reach the windows as WindowGroupLimit so no full
+    // per-query ranking materializes. (The plan's other nested-loop
+    // joins are all 1-row scalar-param or k-row centroid broadcasts —
+    // the probe fingerprint below is what rules out a corpus×queries
+    // dense leg coming back.)
     val p = plan("q192_hybrid_rrf")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
-    assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("WindowGroupLimit"))
+    // the dense candidate join is a broadcast HASH join keyed
+    // c_id = c_id (each query scans only its centroid's inverted list)
+    assert("""Left keys \[1\]: \[c_id""".r.findFirstIn(p).isDefined)
   }
 
   test("q57: hive partition filter prunes at the scan") {

@@ -1197,6 +1197,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(mvState() == before)
   }
 
+  test("streaming SKETCHED MIN/MAX IVM: extremum churn folds rescan-free per trigger, stays exact across restart") {
+    val base = streamBase("graft_stream_ivm_minmax_sk")
+    val tbl = new java.io.File(base, "base").getAbsolutePath
+    val mv = new java.io.File(base, "mv").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    val orders = Tables.t(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    graft.sources.DeltaWriter.append(orders, tbl)
+    graft.sources.DeltaWriter.deleteWithVectors(spark, tbl,
+      col("o_orderkey") % 10 === 4)
+    def expected() = graft.sources.DeltaReader.load(spark, tbl)
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("n"),
+        min(expr(cents)).as("mn"), max(expr(cents)).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def mvState() = graft.sources.DeltaReader.load(spark, mv)
+      .select("key", "n", "mn", "mx")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val v1 = graft.streaming.StreamIvm.runToCompletionMinMaxSketched(
+      spark, tbl, mv, "o_orderpriority", cents, Some(ckpt),
+      maxFilesPerTrigger = Some(1))
+    assert(v1 == graft.sources.DeltaReader.snapshot(spark, tbl).version)
+    assert(mvState() == expected())
+    // SINGLE-ROW extremum churn between runs: delete the one globally
+    // most expensive surviving order (a per-group extremum delete in
+    // its group) — the sketched fold must absorb it with ZERO rescans
+    val maxKey = graft.sources.DeltaReader.load(spark, tbl)
+      .orderBy(expr(cents).desc).limit(1)
+      .select(col("o_orderkey")).head().getLong(0)
+    graft.sources.DeltaWriter.deleteWithVectors(spark, tbl,
+      col("o_orderkey") === maxKey)
+    val v2 = graft.streaming.StreamIvm.runToCompletionMinMaxSketched(
+      spark, tbl, mv, "o_orderpriority", cents, Some(ckpt),
+      maxFilesPerTrigger = Some(1))
+    assert(v2 == graft.sources.DeltaReader.snapshot(spark, tbl).version)
+    assert(mvState() == expected())
+    assert(graft.operators.IncrementalAgg.lastRescanGroups == 0L,
+      s"a single extremum delete must pop the sketch, not rescan " +
+        s"(got ${graft.operators.IncrementalAgg.lastRescanGroups})")
+    // redelivered window: idempotent no-op through the sketched fold
+    val before = mvState()
+    val replay = graft.sources.DeltaReader.loadChangeFeed(spark, tbl,
+      v2 - 1, v2)
+    graft.operators.IncrementalAgg.foldEventsMinMaxSketched(
+      replay, tbl, mv, "o_orderpriority", cents, v2)
+    assert(mvState() == before)
+  }
+
   test("the streaming source tails a SHALLOW CLONE (absolute-path adds) whole") {
     val base = streamBase("graft_stream_src_clone")
     val src = new java.io.File(base, "src").getAbsolutePath
