@@ -88,19 +88,11 @@ final class AdtContext(val spark: SparkSession) {
       val snap = graft.sources.DeltaReader.snapshot(spark, t.location)
       require(snap.partitionColumns.nonEmpty,
         s"$name is not a partitioned table")
-      val pcols = snap.partitionColumns
-      val rows = snap.files.map(a => org.apache.spark.sql.Row.fromSeq(
-        pcols.map(c => a.partitionValues
-          .get(snap.physicalNames.getOrElse(c, c)).flatten.orNull)))
-        .distinct
-      val raw = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1),
-        org.apache.spark.sql.types.StructType(pcols.map(c =>
-          org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType))))
-      raw.select(pcols.map(c => org.apache.spark.sql.functions.col(c)
-          .cast(snap.schema(c).dataType).as(c)): _*)
-        .orderBy(pcols.map(org.apache.spark.sql.functions.col): _*)
+      // the same typed frame OPTIMIZE … WHERE scopes against, distinct'd
+      graft.sources.DeltaReader.partitionValuesFrame(spark, snap)
+        .drop("__i").distinct()
+        .orderBy(snap.partitionColumns
+          .map(org.apache.spark.sql.functions.col): _*)
     } else if (AdtContext.DescribeDetail.findFirstMatchIn(statement).isDefined) {
       // the table-level metadata window (delta's DESCRIBE DETAIL shape):
       // ONE row — format, location, createdAt (earliest RETAINED commit's

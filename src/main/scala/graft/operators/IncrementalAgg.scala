@@ -249,13 +249,26 @@ object IncrementalAgg {
   }
 
   /** The persisted per-merge join, released by [[publishMv]] after the
-    * atomic overwrite consumed it (single-writer refresh model). */
-  private var pendingUnpersist: Option[DataFrame] = None
+    * atomic overwrite consumed it. THREAD-LOCAL: set and cleared
+    * within one refresh/fold call chain on one thread, so two
+    * concurrent maintenance pipelines (e.g. two StreamIvm queries on
+    * different MVs, each on its own micro-batch thread) can never
+    * release each other's persisted frame mid-consumption. */
+  private val pendingUnpersistTl =
+    new ThreadLocal[Option[DataFrame]] {
+      override def initialValue(): Option[DataFrame] = None
+    }
+  private def pendingUnpersist: Option[DataFrame] = pendingUnpersistTl.get()
+  private def pendingUnpersist_=(v: Option[DataFrame]): Unit =
+    pendingUnpersistTl.set(v)
 
   /** How many groups the LAST MIN/MAX refresh re-scanned — the
     * observable the sketched verb's rescan-avoidance contract is
-    * spec'd against (diagnostic only; single-writer refresh model). */
-  private[graft] var lastRescanGroups: Long = -1L
+    * spec'd against. DIAGNOSTIC ONLY: a plain volatile (readable from
+    * the driver thread after a streaming fold ran on its micro-batch
+    * thread), meaningful only when one maintenance pipeline runs at a
+    * time — concurrent refreshes interleave their counts. */
+  @volatile private[graft] var lastRescanGroups: Long = -1L
 
   /** MIN/MAX maintenance with per-group VALUE SKETCHES — the
     * documented ESCALATION for extremum-heavy churn (the boundary

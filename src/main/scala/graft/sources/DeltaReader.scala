@@ -121,52 +121,7 @@ object DeltaReader {
     val jsonVersions = entries
       .collect { case n if n.matches("\\d{20}\\.json") => n.take(20).toLong }
       .sorted
-    // checkpoint files: classic single-file `v.checkpoint.parquet` and
-    // multi-part `v.checkpoint.<part>.<of>.parquet` (real writers shard
-    // large checkpoints; the kernel reads all parts of one version). A
-    // multi-part checkpoint is usable only when EVERY part is present —
-    // a partially-written one must be ignored, falling back to an older
-    // checkpoint or pure JSON replay.
-    val singleCps: Map[Long, Seq[String]] = entries
-      .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-        n.take(20).toLong -> n }
-      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
-    val MultiCp = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
-    // complete = the part INDICES cover exactly 1..of — counting files
-    // would accept a malformed log whose parts are out of range (e.g.
-    // parts {2,3} labeled "of 2") and silently drop actions. Filename
-    // numbers are untrusted: a 10-digit field can overflow Int (skip the
-    // file, don't crash replay), and the size pre-check bounds the
-    // 1..of set by the number of REAL part files before it is built.
-    val multiCps: Map[Long, Seq[String]] = entries
-      .flatMap {
-        case n @ MultiCp(v, part, of) =>
-          scala.util.Try((v.toLong, part.toInt, of.toInt, n)).toOption
-        case _ => None
-      }
-      .groupBy(t => (t._1, t._3))
-      .collect { case ((v, of), xs)
-          if xs.size == of && xs.map(_._2).toSet == (1 to of).toSet =>
-        v -> xs.map(_._4).distinct.sorted
-      }
-    // V2 spec checkpoints: a single UUID-named file
-    // `v.checkpoint.<uuid>.{parquet|json}` (both layouts are
-    // spec-legal) whose file actions may live inline OR in sidecar
-    // parquet files under `_delta_log/_sidecars/` (referenced through
-    // `sidecar` actions — replayed below). Multiple UUID checkpoints
-    // can coexist at one version (writers may race); each is complete
-    // by construction, so take the lexicographically first for
-    // determinism (which also prefers .json over .parquet at the same
-    // version+uuid — either carries the identical state).
-    val UuidCp = ("(\\d{20})\\.checkpoint\\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}" +
-      "-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\\.(parquet|json)").r
-    val uuidCps: Map[Long, Seq[String]] = entries
-      .flatMap {
-        case n @ UuidCp(v, _, _) => Some(v.toLong -> n)
-        case _ => None
-      }
-      .groupBy(_._1).map { case (v, xs) => v -> Seq(xs.map(_._2).min) }
-    val checkpoints: Map[Long, Seq[String]] = multiCps ++ singleCps ++ uuidCps
+    val checkpoints: Map[Long, Seq[String]] = checkpointsOf(entries)
     val checkpointVersions = checkpoints.keys.toSeq.sorted
 
     val usableJson = jsonVersions.filter(_ <= maxVersion)
@@ -674,17 +629,111 @@ object DeltaReader {
           }
         }
     }
-    files.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-      .foreach { f =>
-        val df = spark.read.parquet(f.getAbsolutePath)
-        if (df.columns.contains("txn"))
-          df.select(col("txn.appId"), col("txn.version")).collect()
-            .foreach { r =>
-              if (!r.isNullAt(0) && r.getString(0) == appId && !r.isNullAt(1))
-                consider(r.getLong(1))
-            }
-      }
+    newestCheckpointTxns(spark, logDir).foreach { case (id, v) =>
+      if (id == appId) consider(v)
+    }
     best
+  }
+
+  /** Version → the file names of each COMPLETE checkpoint at that
+    * version, across every layout this reader supports: classic
+    * single-file `v.checkpoint.parquet`, multi-part
+    * `v.checkpoint.<part>.<of>.parquet` (usable only when the part
+    * INDICES cover exactly 1..of — counting files would accept a
+    * malformed log whose parts are out of range and silently drop
+    * actions; filename numbers are untrusted, overflow skips the
+    * file), and V2 UUID `v.checkpoint.<uuid>.{parquet|json}` (multiple
+    * UUID checkpoints can coexist at one version — take the
+    * lexicographically first for determinism, which also prefers .json
+    * over .parquet of the identical state). Shared by the snapshot
+    * replay and the txn-ledger reads, so a ledger consumer can never
+    * see FEWER checkpoints than replay does. */
+  private def checkpointsOf(entries: Seq[String]): Map[Long, Seq[String]] = {
+    val singleCps: Map[Long, Seq[String]] = entries
+      .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+        n.take(20).toLong -> n }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    val MultiCp = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val multiCps: Map[Long, Seq[String]] = entries
+      .flatMap {
+        case n @ MultiCp(v, part, of) =>
+          scala.util.Try((v.toLong, part.toInt, of.toInt, n)).toOption
+        case _ => None
+      }
+      .groupBy(t => (t._1, t._3))
+      .collect { case ((v, of), xs)
+          if xs.size == of && xs.map(_._2).toSet == (1 to of).toSet =>
+        v -> xs.map(_._4).distinct.sorted
+      }
+    val UuidCp = ("(\\d{20})\\.checkpoint\\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}" +
+      "-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\\.(parquet|json)").r
+    val uuidCps: Map[Long, Seq[String]] = entries
+      .flatMap {
+        case n @ UuidCp(v, _, _) => Some(v.toLong -> n)
+        case _ => None
+      }
+      .groupBy(_._1).map { case (v, xs) => v -> Seq(xs.map(_._2).min) }
+    multiCps ++ singleCps ++ uuidCps
+  }
+
+  /** The `(appId, version)` txn rows carried by the NEWEST complete
+    * checkpoint (any layout — the V2 top file carries txn INLINE, its
+    * sidecars hold only file actions). The durability read both
+    * [[lastTxnVersion]] and [[txnAppIds]] layer under the retained
+    * JSON commits: reading only single-file checkpoints here would
+    * silently lose the ledger on multi-part/V2 tables the snapshot
+    * replay itself handles. */
+  private def newestCheckpointTxns(spark: SparkSession,
+      logDir: File): Seq[(String, Long)] = {
+    val entries = Option(logDir.listFiles())
+      .getOrElse(Array.empty[File]).toSeq.map(_.getName)
+    val cps = checkpointsOf(entries)
+    if (cps.isEmpty) return Nil
+    val files = cps(cps.keys.max)
+    files.flatMap { n =>
+      val f = new File(logDir, n)
+      if (n.endsWith(".json"))
+        new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+          .split('\n').filter(_.contains("\"txn\""))
+          .flatMap(l => Option(mapper.readTree(l).get("txn")).map(t =>
+            (t.get("appId").asText(), t.get("version").asLong())))
+          .toSeq
+      else {
+        val df = spark.read.parquet(f.getAbsolutePath)
+        if (!df.columns.contains("txn")) Nil
+        else df.select(col("txn.appId"), col("txn.version")).collect()
+          .toSeq.collect {
+            case r if !r.isNullAt(0) && !r.isNullAt(1) =>
+              (r.getString(0), r.getLong(1))
+          }
+      }
+    }
+  }
+
+  /** One row per LIVE file: `__i` (the file's index in `snap.files`)
+    * plus the partition columns TYPED per the metaData schema —
+    * partition values looked up under column mapping's physical
+    * spellings, NULL for `__HIVE_DEFAULT_PARTITION__`-style absent
+    * values. The shared frame partition-scoped maintenance
+    * (`OPTIMIZE … WHERE`) filters and `SHOW PARTITIONS` distincts —
+    * driver-held metadata, zero data I/O. */
+  def partitionValuesFrame(spark: SparkSession,
+      snap: Snapshot): org.apache.spark.sql.DataFrame = {
+    val pcols = snap.partitionColumns
+    require(pcols.nonEmpty, "partitionValuesFrame: unpartitioned snapshot")
+    val rows = snap.files.zipWithIndex.map { case (a, i) =>
+      org.apache.spark.sql.Row.fromSeq(i.toLong +: pcols.map(c =>
+        a.partitionValues.get(snap.physicalNames.getOrElse(c, c))
+          .flatten.orNull))
+    }
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(
+        StructField("__i", org.apache.spark.sql.types.LongType)
+          +: pcols.map(c => StructField(c,
+            org.apache.spark.sql.types.StringType))))
+    raw.select(col("__i") +: pcols.map(c =>
+      col(c).cast(snap.schema(c).dataType).as(c)): _*)
   }
 
   /** Every recorded txn appId with the given prefix — ONE scan of the
@@ -708,15 +757,9 @@ object DeltaReader {
           }
         }
     }
-    files.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-      .foreach { f =>
-        val df = spark.read.parquet(f.getAbsolutePath)
-        if (df.columns.contains("txn"))
-          df.select(col("txn.appId")).collect().foreach { r =>
-            if (!r.isNullAt(0) && r.getString(0).startsWith(prefix))
-              out += r.getString(0)
-          }
-      }
+    newestCheckpointTxns(spark, logDir).foreach { case (id, _) =>
+      if (id.startsWith(prefix)) out += id
+    }
     out.toSet
   }
 

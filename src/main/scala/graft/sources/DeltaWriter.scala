@@ -261,8 +261,10 @@ object DeltaWriter {
         Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
       else if (f.getName.endsWith(ext)) Seq(f) else Nil
     val found = walk(src).map(_.getAbsolutePath).sorted
-    require(found.nonEmpty,
-      s"copyInto: no *$ext files under $sourceDir")
+    // an empty (drained) landing dir is the STEADY STATE of a pipeline
+    // that archives loaded files — the scheduled rerun must no-op, not
+    // throw (only a missing DIRECTORY is a caller error, above)
+    if (found.isEmpty) return (None, Nil)
     val prefix = "graft-copy-into:"
     val already =
       if (force) Set.empty[String]
@@ -271,19 +273,25 @@ object DeltaWriter {
     val fresh = found.filterNot(already)
     if (fresh.isEmpty) return (None, Nil)
     val snap = DeltaReader.snapshot(spark, tablePath)
-    val reader = format.toLowerCase match {
-      case "parquet" => spark.read
-      case "csv" => spark.read.schema(snap.schema).option("header", "true")
-      case _ => spark.read.schema(snap.schema)
-    }
     val raw = format.toLowerCase match {
-      case "parquet" => reader.parquet(fresh: _*)
-      case "csv" => reader.csv(fresh: _*)
-      case _ => reader.json(fresh: _*)
+      case "parquet" => spark.read.parquet(fresh: _*)
+      case "csv" =>
+        // NAME-based binding: read the header as column NAMES
+        // (all-string), then cast per the table's schema — a producer
+        // reordering its columns still binds correctly and a missing
+        // column refuses in the analyzer naming it. (A pinned-schema
+        // read under Spark's default enforceSchema ignores header
+        // names and binds POSITIONALLY — a reordered landing file
+        // would load silently wrong data.)
+        spark.read.option("header", "true").csv(fresh: _*)
+          .select(snap.schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+      case _ => spark.read.schema(snap.schema).json(fresh: _*)
     }
     // project to the table's exact column set/order — a source file
-    // with extra columns refuses in the select, missing ones refuse in
-    // the analyzer, both naming the column
+    // MISSING a table column refuses in the analyzer naming it; extra
+    // source columns are dropped (COPY INTO is lenient on supersets —
+    // the table schema is the contract, not the landing files')
     val df = raw.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
     val table = new File(tablePath)
     val version = nextVersion(table)
@@ -1491,25 +1499,12 @@ object DeltaWriter {
         s"compact: OPTIMIZE … WHERE needs a partitioned table; " +
           s"$tablePath has no partition columns")
       // evaluate the predicate once per FILE over its typed partition
-      // values (driver holds the add list already; this is
-      // metadata-sized work, no data I/O). The frame carries ONLY the
-      // partition columns, so analysis itself enforces the
-      // partition-columns-only contract — a row-column reference fails
-      // to resolve and is rethrown with the contract named.
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{StringType, StructField, StructType}
-      val rows = snap.files.zipWithIndex.map { case (a, i) =>
-        Row.fromSeq(i.toLong +: snap.partitionColumns.map { c =>
-          a.partitionValues.get(snap.physicalNames.getOrElse(c, c))
-            .flatten.orNull
-        })
-      }
-      val raw = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1),
-        StructType(StructField("__i", org.apache.spark.sql.types.LongType)
-          +: snap.partitionColumns.map(c => StructField(c, StringType))))
-      val typed = raw.select(col("__i") +: snap.partitionColumns.map(c =>
-        col(c).cast(snap.schema(c).dataType).as(c)): _*)
+      // values ([[DeltaReader.partitionValuesFrame]] — driver-held
+      // metadata, no data I/O). The frame carries ONLY the partition
+      // columns, so analysis itself enforces the partition-columns-only
+      // contract — a row-column reference fails to resolve and is
+      // rethrown with the contract named.
+      val typed = DeltaReader.partitionValuesFrame(spark, snap)
       try typed.filter(pred).select(col("__i")).collect()
         .map(_.getLong(0).toInt).toSet
       catch {
@@ -2538,7 +2533,7 @@ object DeltaWriter {
       dataFields: Seq[org.apache.spark.sql.types.StructField],
       tags: Map[String, String], dataChange: Boolean,
       deleteEmpties: Boolean): Seq[String] = {
-    val moved = rels
+    val moved = rels // table-relative paths, already in their final place
     val statFields = dataFields.filter(f => statWritable(f.dataType))
     val byName = if (moved.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
     else {

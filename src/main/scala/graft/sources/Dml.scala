@@ -129,8 +129,10 @@ object Dml {
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  // greedy (.+) like AddConstraintP: parameterized types — DECIMAL(p,s),
+  // VARCHAR(n) — carry inner parens the non-greedy [^)]+ would cut at
   private val AddColumnsP =
-    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+ADD\s+COLUMNS?\s*\(([^)]+)\)\s*;?\s*""".r
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
   private val RestoreVersionP =
     raw"""(?is)\s*RESTORE\s+TABLE\s+$Id\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTimestampP =
@@ -397,7 +399,11 @@ object Dml {
                 "expected 'name TYPE[, name TYPE …]'", e)
           }
         val old = DeltaReader.snapshot(spark, t.location).schema
-        val dup = added.fieldNames.filter(old.fieldNames.contains)
+        // CASE-INSENSITIVE collision check: Spark resolves names
+        // case-insensitively by default, so a case-variant duplicate
+        // would commit a schema whose every later read is ambiguous
+        val oldLower = old.fieldNames.map(_.toLowerCase).toSet
+        val dup = added.fieldNames.filter(n => oldLower(n.toLowerCase))
         require(dup.isEmpty,
           s"ADD COLUMNS: column(s) already exist: ${dup.mkString(", ")}")
         DeltaWriter.evolveSchema(spark, t.location,

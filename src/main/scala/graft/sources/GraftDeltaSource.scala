@@ -94,6 +94,9 @@ class GraftDeltaSource extends CreatableRelationProvider
     * binary-suffixed one (`"10k"` = 10240). */
   private def parseBytes(s: String): Long = {
     val t = s.trim.toLowerCase
+    require(t.nonEmpty && t.exists(_.isDigit),
+      s"graft-delta stream: maxBytesPerTrigger must be a positive byte " +
+        s"count (optionally k/m/g-suffixed), got '$s'")
     val (num, mult) = t.last match {
       case 'k' => (t.dropRight(1), 1L << 10)
       case 'm' => (t.dropRight(1), 1L << 20)

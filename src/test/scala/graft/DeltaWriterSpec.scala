@@ -1899,11 +1899,22 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(v5.nonEmpty && f5.size == 4)
     assert(DeltaReader.load(spark, tbl).count() == nation.count() * 2)
 
-    // CSV sources read under the TABLE's schema — no inference drift
+    // the ledger survives a V2 UUID checkpoint + cleanup too (the
+    // layouts the snapshot replay supports must all carry it — a
+    // classic-only ledger read would re-ingest everything here)
+    DeltaWriter.checkpointV2(spark, tbl)
+    DeltaWriter.cleanupLogs(spark, tbl, retainMs = Some(0L))
+    val (v6, f6) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v6.isEmpty && f6.isEmpty)
+
+    // CSV binds by HEADER NAME under the table's types: a producer
+    // writing its columns in a different order must still load right
+    // (a pinned-schema read would bind positionally — silent damage)
     val csvTbl = new File(root, "csvtable").getAbsolutePath
     val csvLanding = new File(root, "csvlanding")
     DeltaWriter.append(nation.limit(0), csvTbl)
-    nation.coalesce(1).write.option("header", "true")
+    nation.select(col("n_name"), col("n_regionkey"), col("n_nationkey"))
+      .coalesce(1).write.option("header", "true")
       .csv(csvLanding.getAbsolutePath)
     val (cv, cf) = DeltaWriter.copyInto(spark, csvTbl,
       csvLanding.getAbsolutePath, format = "csv")
@@ -1911,16 +1922,21 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaReader.load(spark, csvTbl).collect().toSet ==
       nation.collect().toSet)
 
-    // refusals: missing table, missing dir, no matching files, format
+    // a DRAINED landing dir (files archived after load) is the steady
+    // state — the scheduled rerun must no-op, not throw
+    val drained = new File(root, "drained")
+    drained.mkdirs()
+    val (dv, dfiles) = DeltaWriter.copyInto(spark, tbl,
+      drained.getAbsolutePath)
+    assert(dv.isEmpty && dfiles.isEmpty)
+
+    // refusals: missing table, missing dir, bad format
     intercept[IllegalArgumentException] {
       DeltaWriter.copyInto(spark, new File(root, "nowhere").getAbsolutePath,
         landing.getAbsolutePath)
     }
     intercept[IllegalArgumentException] {
       DeltaWriter.copyInto(spark, tbl, new File(root, "nodir").getAbsolutePath)
-    }
-    intercept[IllegalArgumentException] {
-      DeltaWriter.copyInto(spark, tbl, csvLanding.getAbsolutePath) // no .parquet there
     }
     intercept[IllegalArgumentException] {
       DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath, format = "orc")

@@ -618,6 +618,12 @@ class DmlSpec extends AnyFunSuite {
         assert(ddl == "score BIGINT, tag STRING")
       case other => fail(s"$other")
     }
+    // parameterized types carry inner parens — the greedy capture must
+    // reach the OUTER ')', not stop at DECIMAL's
+    Dml.parse("ALTER TABLE t ADD COLUMNS (price DECIMAL(10,2))") match {
+      case Dml.AddColumns("t", ddl) => assert(ddl == "price DECIMAL(10,2)")
+      case other => fail(s"$other")
+    }
     val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_addcols")
     def del(f: java.io.File): Unit = {
       if (f.isDirectory)
