@@ -287,6 +287,55 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(IncrementalAgg.lastRescanGroups == 0L)
   }
 
+  test("refreshMinMaxSketched: seeded random churn stays exact against the full recompute") {
+    // heavy duplication (12 distinct values over 120 rows, 3 groups) so
+    // ties at the extrema, multi-instance subtraction, exhaustion and
+    // regrowth all occur organically; the SEED pins the sequence so a
+    // failure reproduces
+    val rnd = new scala.util.Random(18L)
+    val base = tmp("mmsk_rand_base"); val mv = tmp("mmsk_rand_mv")
+    import spark.implicits._
+    var nextId = 1000L
+    def freshRows(n: Int) = (0 until n).map { _ =>
+      nextId += 1
+      ("g" + rnd.nextInt(3), rnd.nextInt(12).toLong, nextId)
+    }
+    DeltaWriter.append(
+      (0 until 120).map(i =>
+        ("g" + (i % 3), rnd.nextInt(12).toLong, i.toLong))
+        .toDF("k", "v", "id"),
+      base, Seq("k"))
+    def check(): Unit = {
+      val full = DeltaReader.load(spark, base)
+        .groupBy(col("k")).agg(count(lit(1)), min(col("v")), max(col("v")))
+        .collect().map(r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val got = DeltaReader.load(spark, mv)
+        .collect().map(r => r.getAs[String]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))))
+        .toMap
+      assert(got == full)
+    }
+    IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 3)
+    check()
+    (1 to 6).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 => // CoW delete of a whole value class (often an extremum)
+          DeltaWriter.delete(spark, base,
+            col("v") === rnd.nextInt(12).toLong)
+        case 1 => // DV delete of a scattered id class
+          DeltaWriter.deleteWithVectors(spark, base,
+            col("id") % (2L + rnd.nextInt(5)) === 0L)
+        case 2 => // insert wave (regrows popped sketches)
+          DeltaWriter.append(freshRows(10).toDF("k", "v", "id"),
+            base, Seq("k"))
+      }
+      IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 3)
+      check()
+    }
+  }
+
   test("refreshMinMax: NULL group keys merge; watermark survives a fully-retracted 0-row state") {
     import spark.implicits._
     val base = tmp("minmax_null_base"); val mv = tmp("minmax_null_mv")
