@@ -1250,6 +1250,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(mvState() == before)
   }
 
+  test("the streaming source tails a CONVERTED table and its COPY INTO commits") {
+    // the migration verbs compose with the streaming surface: a plain
+    // parquet dir converts in place (v0), a landing wave COPY INTOs
+    // (v1), and a streaming consumer reads BOTH commits — then a second
+    // wave lands mid-stream and arrives as its own micro-batch
+    val base = streamBase("graft_stream_src_converted")
+    val tbl = new java.io.File(base, "table").getAbsolutePath
+    val landing = new java.io.File(base, "landing")
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.filter(col("n_nationkey") < 10).repartition(1)
+      .write.parquet(tbl)
+    graft.sources.DeltaWriter.convertToDelta(spark, tbl)
+    nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+      .repartition(1)
+      .write.parquet(new java.io.File(landing, "w1").getAbsolutePath)
+    graft.sources.DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    val q = spark.readStream.format("graft-delta").load(tbl)
+      .writeStream.format("memory").queryName("delta_src_converted")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_src_converted").collect().toSet ==
+        nation.filter(col("n_nationkey") < 20).collect().toSet)
+      // a second wave lands mid-stream; the tail picks up exactly it
+      nation.filter(col("n_nationkey") >= 20).repartition(1)
+        .write.parquet(new java.io.File(landing, "w2").getAbsolutePath)
+      graft.sources.DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+      q.processAllAvailable()
+      assert(spark.table("delta_src_converted").collect().toSet ==
+        nation.collect().toSet)
+    } finally q.stop()
+  }
+
   test("the streaming source tails a SHALLOW CLONE (absolute-path adds) whole") {
     val base = streamBase("graft_stream_src_clone")
     val src = new java.io.File(base, "src").getAbsolutePath
