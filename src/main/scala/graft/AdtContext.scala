@@ -116,9 +116,11 @@ final class AdtContext(val spark: SparkSession) {
         snap.partitionColumns,
         snap.files.size.toLong,
         snap.files.map(_.size).sum,
-        snap.configuration))
+        snap.configuration,
+        snap.minReaderVersion, snap.minWriterVersion))
         .toDF("format", "location", "createdAt", "lastModified",
-          "partitionColumns", "numFiles", "sizeInBytes", "properties")
+          "partitionColumns", "numFiles", "sizeInBytes", "properties",
+          "minReaderVersion", "minWriterVersion")
     } else if (AdtContext.DescribeHistory.findFirstMatchIn(statement).isDefined) {
       // the version history from the per-commit commitInfo stamps (the
       // same index timestampAsOf resolves against); hand-written logs

@@ -92,7 +92,12 @@ object DeltaReader {
       /** the metaData action's `configuration` map (table properties —
         * column-mapping mode, `delta.constraints.*` CHECK constraints,
         * …) as of this snapshot. */
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      /** the last protocol action's version floors (spec defaults 1/2
+        * when the log carries no protocol line) — DESCRIBE DETAIL's
+        * protocol columns. */
+      minReaderVersion: Int = 1,
+      minWriterVersion: Int = 2)
 
   // ---------------------------------------------------------------- replay
 
@@ -149,10 +154,15 @@ object DeltaReader {
     val SupportedReaderFeatures =
       Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
     var protocolSeen = false
+    var minReaderSeen = 1
+    var minWriterSeen = 2
     def applyProtocol(node: JsonNode): Unit = {
       protocolSeen = true
       val minReader =
         Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+      minReaderSeen = minReader
+      minWriterSeen =
+        Option(node.get("minWriterVersion")).map(_.asInt()).getOrElse(2)
       require(minReader <= 3,
         s"delta minReaderVersion $minReader is not supported by this reader")
       val feats = Option(node.get("readerFeatures")).toSeq
@@ -370,7 +380,7 @@ object DeltaReader {
     Snapshot(finalSchema, partCols,
       live.values.toSeq,
       (cpVersion.toSeq ++ usableJson).maxOption.getOrElse(0L), physNames,
-      fldIds, config)
+      fldIds, config, minReaderSeen, minWriterSeen)
   }
 
   // ------------------------------------------------------------- dataframe

@@ -450,7 +450,7 @@ class DmlSpec extends AnyFunSuite {
     val df = ctx.sql("DESCRIBE DETAIL detail_t")
     assert(df.columns.toSeq == Seq("format", "location", "createdAt",
       "lastModified", "partitionColumns", "numFiles", "sizeInBytes",
-      "properties"))
+      "properties", "minReaderVersion", "minWriterVersion"))
     val r = df.head()
     val snap = DeltaReader.snapshot(spark, path)
     assert(r.getString(0) == "delta")
@@ -463,6 +463,8 @@ class DmlSpec extends AnyFunSuite {
     assert(r.getLong(5) == snap.files.length.toLong)
     assert(r.getLong(6) == snap.files.map(_.size).sum)
     assert(r.getMap[String, String](7).get("graft.owner").contains("dml-spec"))
+    // a plain unmapped table carries the classic protocol floors
+    assert(r.getInt(8) == 1 && r.getInt(9) == 2)
 
     // refusals name the contract
     intercept[IllegalArgumentException](
