@@ -109,10 +109,26 @@ final class AdtContext(val spark: SparkSession) {
         s"DESCRIBE DETAIL is supported for DELTA tables; $name is ${t.format}")
       val snap = graft.sources.DeltaReader.snapshot(spark, t.location)
       val hist = graft.sources.DeltaReader.commitHistory(t.location)
+      // checkpoint + VACUUM LOGS can delete EVERY json commit (the table
+      // replays whole from its checkpoint) — commitHistory is then empty
+      // and the newest checkpoint file's mtime stands in for both stamps
+      // (the earliest surviving evidence of the table's state)
+      val (createdMs, modifiedMs) =
+        if (hist.nonEmpty) (hist.minBy(_._1)._2, hist.maxBy(_._1)._2)
+        else {
+          val cps = Option(new java.io.File(t.location, "_delta_log")
+              .listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(_.getName.contains(".checkpoint."))
+          require(cps.nonEmpty,
+            s"${t.location} has neither JSON commits nor a checkpoint — " +
+              "not a replayable delta log")
+          val m = cps.map(_.lastModified()).max
+          (m, m)
+        }
       import spark.implicits._
       Seq(("delta", t.location,
-        new java.sql.Timestamp(hist.minBy(_._1)._2),
-        new java.sql.Timestamp(hist.maxBy(_._1)._2),
+        new java.sql.Timestamp(createdMs),
+        new java.sql.Timestamp(modifiedMs),
         snap.partitionColumns,
         snap.files.size.toLong,
         snap.files.map(_.size).sum,
@@ -225,17 +241,30 @@ object AdtContext {
   private[graft] val ShowPartitions =
     "(?is)^\\s*SHOW\\s+PARTITIONS\\s+(\\w+)\\s*;?\\s*$".r
 
+  /** The conf the engine requires at SESSION BUILD time: Spark's native
+    * parquet field-id resolution, which `id`-column-mapped delta reads
+    * depend on. It must be session-level — Spark re-reads the key from
+    * session state at physical-planning time, after any scan-scoped
+    * save/restore would have reverted it — and ON is inert for every
+    * other read: field-id matching only engages for read schemas that
+    * carry `parquet.field.id` metadata, which only id-mapped delta
+    * loads produce (spec-pinned in DeltaSpec "fieldId read conf").
+    * Every session entry point ([[build]], Verify, Bench, Scratch,
+    * PlanDump, the shared test session) routes through this. */
+  def engineConfs(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.parquet.fieldId.read.enabled", "true")
+
   /** Session defaults matching SURVEY §4.3's config-parity table. */
   def build(master: String = "local[*]"): AdtContext = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = engineConfs(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("adtspark")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new AdtContext(spark)

@@ -11,7 +11,7 @@ object PlanDump {
     require(args.nonEmpty, "usage: PlanDump <queryName> [sfDir]")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = AdtContext.engineConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,7 +15,7 @@ object Verify {
       if (args.length == 3) (n: String) => n.startsWith(args(2))
       else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = AdtContext.engineConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

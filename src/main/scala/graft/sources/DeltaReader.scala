@@ -502,18 +502,11 @@ object DeltaReader {
     // irrelevant, exactly the delta `id` contract.
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     val idMode = snap.fieldIds.nonEmpty
-    // DECLARED SESSION-LEVEL SIDE EFFECT (documented, spec-pinned in
-    // DeltaSpec "fieldId read conf"): id-mode tables need
-    // spark.sql.parquet.fieldId.read.enabled, and Spark reads that conf
-    // from SESSION state at physical-planning time — after this method
-    // returns, at every action on the lazy DataFrame — so a save/restore
-    // here would un-set it before the scan runs, and a relation option
-    // cannot carry it (ParquetFileFormat overwrites the hadoopConf key
-    // from the session conf). Leaving it enabled is semantically inert
-    // for every other read: field-id matching only engages for read
-    // schemas that carry parquet.field.id metadata, which only id-mapped
-    // delta loads produce — all other scans keep name-based matching.
-    if (idMode) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // id-mode needs spark.sql.parquet.fieldId.read.enabled, a
+    // session-build conf ([[graft.AdtContext.engineConfs]] — every
+    // session entry point sets it; Spark reads the key from session
+    // state at physical-planning time, so a scan-scoped save/restore
+    // could not carry it).
     def scanName(n: String): String = if (idMode) n else phys(n)
     val partSet = snap.partitionColumns.toSet
     val fileFields = snap.schema.filterNot(f => partSet(f.name))
@@ -802,12 +795,11 @@ object DeltaReader {
     // spellings; the feed scans physical and projects back to logical.
     // ID-mapped tables resolve file columns by parquet field id (the
     // same native path [[loadAt]] uses — scan keeps logical names,
-    // fields tagged with their id, session read flag on); their
+    // fields tagged with their id; the session read flag is set at
+    // session build, [[graft.AdtContext.engineConfs]]); their
     // partitionValues keys stay physical either way.
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     val idMode = snap.fieldIds.nonEmpty
-    if (idMode)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val mapper = new ObjectMapper()
     val logDir = new File(tablePath, "_delta_log")
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])
@@ -932,11 +924,10 @@ object DeltaReader {
       fromExclusive: Long, toInclusive: Long): DataFrame = {
     val snap = snapshotAt(spark, tablePath, toInclusive)
     // NAME-mapped: scan physical spellings, project to logical.
-    // ID-mapped: native parquet field-id resolution (loadAt's path).
+    // ID-mapped: native parquet field-id resolution (loadAt's path;
+    // read flag set at session build, [[graft.AdtContext.engineConfs]]).
     def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     val idMode = snap.fieldIds.nonEmpty
-    if (idMode)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val jackson = new ObjectMapper()
     val logDir = new File(tablePath, "_delta_log")
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty[File])

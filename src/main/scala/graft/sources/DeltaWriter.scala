@@ -138,8 +138,13 @@ object DeltaWriter {
       }
     val (staged, stagedBy) = toPhysical(df, phys, fids, partitionBy)
     val adds = stageDataFiles(staged, table, version, stagedBy)
+    // lastUpdated dates the ledger entry so checkpoint writes can expire
+    // it once it ages past delta.setTransactionRetentionDuration
+    // ([[carryActions]]) — without a stamp an entry is undatable and is
+    // carried forever (delta's own posture for stampless txn actions)
     val txnLine = txn.map { case (appId, v) =>
-      s"""{"txn":{"appId":${jstr(appId)},"version":$v}}"""
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
+        s""""lastUpdated":${System.currentTimeMillis()}}}"""
     }.toSeq
     publishOptimistic(table, version,
       header(df, partitionBy, version, columnMapping, phys) ++
@@ -153,8 +158,8 @@ object DeltaWriter {
     * carries `parquet.field.id` metadata; [[stageDataFiles]] detects
     * that metadata and enables the parquet field-id WRITE flag scoped
     * to the staged write only (the write is EAGER, so a save/restore
-    * brackets it exactly — unlike [[DeltaReader.loadAt]]'s read flag,
-    * which lazy scans force to stay session-level), so every staged
+    * brackets it exactly — unlike the READ flag, which lazy scans force
+    * to session-build scope, [[graft.AdtContext.engineConfs]]), so every staged
     * file is stamped with the ids the delta `id` contract resolves
     * columns by. */
   private def toPhysical(df: DataFrame, phys: Map[String, String],
@@ -276,16 +281,33 @@ object DeltaWriter {
     val raw = format.toLowerCase match {
       case "parquet" => spark.read.parquet(fresh: _*)
       case "csv" =>
-        // NAME-based binding: read the header as column NAMES
-        // (all-string), then cast per the table's schema — a producer
-        // reordering its columns still binds correctly and a missing
-        // column refuses in the analyzer naming it. (A pinned-schema
-        // read under Spark's default enforceSchema ignores header
-        // names and binds POSITIONALLY — a reordered landing file
-        // would load silently wrong data.)
-        spark.read.option("header", "true").csv(fresh: _*)
-          .select(snap.schema.fields.toIndexedSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
+        // NAME-based binding: a multi-file `spark.read.csv` infers
+        // column names from ONE file's header and (under the default
+        // enforceSchema=true) binds every OTHER file positionally — a
+        // producer that reordered its columns would load transposed
+        // data silently. So files are grouped by their exact header
+        // line (one cheap first-line read per fresh file — the same
+        // driver pass that just listed them) and each header group is
+        // read separately, cast per the table's schema BY NAME, and
+        // unioned — reordered headers bind correctly, and a group
+        // missing a table column refuses in the analyzer naming it.
+        // enforceSchema=false is kept as a backstop: a file whose
+        // header drifted WITHIN its group refuses instead of binding
+        // positionally.
+        val byHeader = fresh.groupBy { p =>
+          val r = Files.newBufferedReader(new File(p).toPath,
+            StandardCharsets.UTF_8)
+          try Option(r.readLine()).getOrElse(
+            throw new IllegalArgumentException(
+              s"copyInto: CSV file has no header line: $p"))
+          finally r.close()
+        }
+        byHeader.values.map { group =>
+          spark.read.option("header", "true")
+            .option("enforceSchema", "false").csv(group: _*)
+            .select(snap.schema.fields.toIndexedSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)): _*)
+        }.reduce(_.unionByName(_))
       case _ => spark.read.schema(snap.schema).json(fresh: _*)
     }
     // project to the table's exact column set/order — a source file
@@ -298,8 +320,10 @@ object DeltaWriter {
     validateAgainstTable(df, tablePath, snap.partitionColumns, version,
       generatedToCheck = Some(df.columns.toSet))
     val adds = stageLogical(df, snap, table, version)
+    val now = System.currentTimeMillis()
     val txns = fresh.map(p =>
-      s"""{"txn":{"appId":${jstr(prefix + p)},"version":1}}""")
+      s"""{"txn":{"appId":${jstr(prefix + p)},"version":1,""" +
+        s""""lastUpdated":$now}}""")
     val v = publishOptimistic(table, version, txns ++ adds)
     (Some(v), fresh)
   }
@@ -922,6 +946,7 @@ object DeltaWriter {
           }: _*)
           .transform(df2 => recomputeGenerated(df2, p.snap.schema, gens))
         enforceConstraints(updated, p.snap, tablePath)
+        enforceNotNull(updated, p.snap.schema, tablePath)
         val newAdds = stageLogical(updated, p.snap, p.table, p.version)
         publishOptimistic(p.table, p.version,
           p.protoLine ++ p.removes ++ p.dvAdds ++ newAdds)
@@ -1144,9 +1169,11 @@ object DeltaWriter {
       // did not touch the expression reproduces the held invariant
       // bit-identically, so pass-through stays exact
       .transform(df2 => recomputeGenerated(df2, snap.schema, gens))
-    // an UPDATE can move rows OUT of a declared CHECK range — same gate
-    // as the append-family verbs, over the rewritten (post-SET) rows
+    // an UPDATE can move rows OUT of a declared CHECK range or SET a
+    // non-nullable column to NULL — same gates as the append-family
+    // verbs, over the rewritten (post-SET) rows
     enforceConstraints(rewritten, snap, tablePath)
+    enforceNotNull(rewritten, snap.schema, tablePath)
     val adds = stageLogical(rewritten, snap, table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
@@ -1795,12 +1822,29 @@ object DeltaWriter {
     * then the JSON scan overrides with anything newer) and the last txn
     * line PER appId (the exactly-once producer ledger must survive the
     * log cleanup a checkpoint enables). Shared by [[checkpoint]] and
-    * [[checkpointV2]]. */
+    * [[checkpointV2]].
+    *
+    * TXN RETENTION (`delta.setTransactionRetentionDuration`): without a
+    * bound, a landing pipeline's per-file [[copyInto]] ledger grows one
+    * entry per ingested file FOREVER — ~10⁷ files/year re-emitted in
+    * every checkpoint and re-read by every ledger consult, an unbounded
+    * checkpoint-size and driver-memory leak. When the table declares
+    * the property ([[parseRetention]] spellings), txn entries whose
+    * `lastUpdated` stamp is older than the window are DROPPED from the
+    * new checkpoint — once log cleanup also removes their JSON
+    * commits, the ledger has forgotten them, and re-delivering a batch
+    * (or re-landing a file) from beyond the window ingests again: that
+    * is the DECLARED contract (delta's own), the window being the
+    * operator's promise about maximum redelivery lag. Entries without
+    * a `lastUpdated` stamp are undatable and are carried forever
+    * (delta's posture); absent the property nothing expires. */
   private def carryActions(spark: org.apache.spark.sql.SparkSession,
       logDir: File, tablePath: String): (String, String, Seq[String]) = {
     var proto: Option[String] = None
     var meta: Option[String] = None
-    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // appId → (txn line, lastUpdated stamp if the entry carries one)
+    val txns = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Option[Long])]
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     newestCheckpointFrame(spark, logDir).foreach { df =>
       def carry(field: String): Option[String] =
@@ -1810,14 +1854,25 @@ object DeltaWriter {
           .headOption.map(_.getString(0))
       proto = carry("protocol").orElse(proto)
       meta = carry("metaData").orElse(meta)
-      if (df.columns.contains("txn"))
-        df.select(col("txn.appId"), col("txn.version")).collect()
+      if (df.columns.contains("txn")) {
+        // lastUpdated may be absent from an older checkpoint's schema
+        val hasLu = df.schema("txn").dataType match {
+          case s: StructType => s.fieldNames.contains("lastUpdated")
+          case _ => false
+        }
+        val luCol = if (hasLu) col("txn.lastUpdated")
+                    else lit(null).cast("long")
+        df.select(col("txn.appId"), col("txn.version"), luCol).collect()
           .foreach { r =>
-            if (!r.isNullAt(0) && !r.isNullAt(1))
+            if (!r.isNullAt(0) && !r.isNullAt(1)) {
+              val lu = if (r.isNullAt(2)) None else Some(r.getLong(2))
+              val luPart = lu.map(v => s""","lastUpdated":$v""").getOrElse("")
               txns(r.getString(0)) =
-                s"""{"txn":{"appId":${jstr(r.getString(0))},""" +
-                  s""""version":${r.getLong(1)}}}"""
+                (s"""{"txn":{"appId":${jstr(r.getString(0))},""" +
+                  s""""version":${r.getLong(1)}$luPart}}""", lu)
+            }
           }
+      }
     }
     Option(logDir.listFiles()).getOrElse(Array.empty[File])
       .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
@@ -1828,13 +1883,27 @@ object DeltaWriter {
           if (l.contains("\"metaData\"")) meta = Some(l)
           if (l.contains("\"txn\""))
             Option(jackson.readTree(l).get("txn")).foreach(t =>
-              txns(t.get("appId").asText()) = l)
+              txns(t.get("appId").asText()) =
+                (l, Option(t.get("lastUpdated")).filterNot(_.isNull)
+                  .map(_.asLong())))
         } finally src.close()
       }
     require(proto.nonEmpty && meta.nonEmpty,
       s"protocol/metaData not found in $tablePath's JSON commits or " +
         "its newest checkpoint — not a replayable delta log")
-    (proto.get, meta.get, txns.values.toSeq)
+    val retention = Option(jackson.readTree(meta.get)
+        .path("metaData").path("configuration")
+        .get("delta.setTransactionRetentionDuration"))
+      .filterNot(_.isNull).map(n => parseRetention(n.asText()))
+    val kept = retention match {
+      case None => txns.values.map(_._1).toSeq
+      case Some(windowMs) =>
+        val horizon = System.currentTimeMillis() - windowMs
+        txns.values.collect {
+          case (line, lu) if lu.forall(_ > horizon) => line
+        }.toSeq
+    }
+    (proto.get, meta.get, kept)
   }
 
   /** V2 (UUID-named) checkpoint with SIDECAR file actions — the layout
@@ -2396,6 +2465,7 @@ object DeltaWriter {
         s"schema mismatch appending to $tablePath (schema evolution needs " +
           s"an explicit metaData commit): table=$want df=$got")
       enforceConstraints(df, snap, tablePath)
+      enforceNotNull(df, snap.schema, tablePath)
       // generated-column invariant, enforced for EVERY verb that lands
       // rows (append validates provided values here; merge/overwrite/
       // scd2 frames carry the column by schema equality): one combined
@@ -2416,6 +2486,31 @@ object DeltaWriter {
         }
       }
     }
+
+  /** NOT NULL column invariant (the delta protocol's schema-embedded
+    * column invariants — the half of the constraint surface CHECK does
+    * not cover): every table-schema field declared `nullable = false`
+    * refuses NULL values on every row-landing verb, with the column
+    * named. Runs through [[validateAgainstTable]] for the append-family
+    * verbs (append / appendOnce / copyInto / overwrite / merge / scd2 /
+    * replacePartitions — their incoming frames may be declared nullable
+    * even when the table is not, so the DATA is checked, not the
+    * frame's metadata) and directly over the post-SET rows of
+    * [[update]]/[[updateWithVectors]]. Zero cost for all-nullable
+    * schemas (the common case): no pass is planned at all. */
+  private def enforceNotNull(df: DataFrame, schema: StructType,
+      tablePath: String): Unit = {
+    val strict = schema.fields.filterNot(_.nullable).map(_.name)
+    if (strict.nonEmpty) {
+      val anyNull = strict.map(col(_).isNull).reduce(_ || _)
+      if (!df.filter(anyNull).isEmpty) {
+        val culprit = strict.find(c => !df.filter(col(c).isNull).isEmpty).get
+        throw new IllegalArgumentException(
+          s"write to $tablePath violates NOT NULL constraint on column " +
+            s"$culprit — the table schema declares it non-nullable")
+      }
+    }
+  }
 
   /** CHECK-constraint gate shared by the write verbs: one combined
     * violation pass (SQL semantics — only literal FALSE violates, NULL

@@ -92,21 +92,36 @@ class GraftDeltaSource extends CreatableRelationProvider
 
   /** `maxBytesPerTrigger` spellings: a plain byte count or a k/m/g
     * binary-suffixed one (`"10k"` = 10240). */
-  private def parseBytes(s: String): Long = {
-    val t = s.trim.toLowerCase
-    require(t.nonEmpty && t.exists(_.isDigit),
-      s"graft-delta stream: maxBytesPerTrigger must be a positive byte " +
-        s"count (optionally k/m/g-suffixed), got '$s'")
-    val (num, mult) = t.last match {
-      case 'k' => (t.dropRight(1), 1L << 10)
-      case 'm' => (t.dropRight(1), 1L << 20)
-      case 'g' => (t.dropRight(1), 1L << 30)
-      case _ => (t, 1L)
+  private[sources] def parseBytes(s: String): Long = {
+    // the WHOLE string is validated up front so '10kb' / '1 m' / '10x'
+    // all get the descriptive error (a suffix-only check let '10kb'
+    // fall through to '10k'.toLong and die with a raw
+    // NumberFormatException), and the multiplication is overflow-checked
+    // — an absurd input must refuse, not wrap to a negative budget
+    val Spelled = "(\\d+)\\s*([kmg]?b?)".r
+    s.trim.toLowerCase match {
+      case Spelled(num, suffix) =>
+        val mult = suffix.stripSuffix("b") match {
+          case "" => 1L
+          case "k" => 1L << 10
+          case "m" => 1L << 20
+          case "g" => 1L << 30
+        }
+        val v =
+          try Math.multiplyExact(num.toLong, mult)
+          catch {
+            case _: ArithmeticException | _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft-delta stream: maxBytesPerTrigger overflows a " +
+                  s"64-bit byte count: '$s'")
+          }
+        require(v > 0, s"graft-delta stream: maxBytesPerTrigger must be " +
+          s"positive, got '$s'")
+        v
+      case _ => throw new IllegalArgumentException(
+        s"graft-delta stream: maxBytesPerTrigger must be a positive byte " +
+          s"count (optionally k/m/g/kb/mb/gb-suffixed), got '$s'")
     }
-    val v = num.toLong * mult
-    require(v > 0, s"graft-delta stream: maxBytesPerTrigger must be " +
-      s"positive, got '$s'")
-    v
   }
 
   /** `df.writeStream.format("graft-delta").option("path", …).start()`

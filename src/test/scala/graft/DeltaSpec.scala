@@ -224,10 +224,10 @@ class DeltaSpec extends AnyFunSuite {
 
   test("fieldId read conf: id-mode load's session flag is inert for name-matched reads") {
     import org.apache.spark.sql.functions.col
-    // loading an id-mapped table leaves the documented session-level
-    // side effect in place (DeltaReader.loadAt scaladoc: a save/restore
-    // would un-set it before the lazy scan executes). Pin it explicitly
-    // rather than depending on the id-mode test's execution order:
+    // the flag is a session-build conf now (AdtContext.engineConfs —
+    // Spark reads it at physical-planning time, so it cannot be scoped
+    // to one scan). Pin it explicitly rather than depending on the test
+    // session's construction path:
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // with the flag on, reads whose schemas carry no field-id metadata
     // still match by name with identical results: plain parquet…

@@ -1922,6 +1922,27 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaReader.load(spark, csvTbl).collect().toSet ==
       nation.collect().toSet)
 
+    // ONE batch mixing files with DIFFERENT header orders: a naive
+    // multi-file csv read infers names from one file's header and binds
+    // the rest positionally — transposed data. The per-header-group
+    // read must land every file correctly by name.
+    val mixTbl = new File(root, "mixtable").getAbsolutePath
+    val mixLanding = new File(root, "mixlanding")
+    DeltaWriter.append(nation.limit(0), mixTbl)
+    nation.filter(col("n_nationkey") < 12)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.option("header", "true")
+      .csv(new File(mixLanding, "a").getAbsolutePath)
+    nation.filter(col("n_nationkey") >= 12)
+      .select(col("n_regionkey"), col("n_name"), col("n_nationkey"))
+      .coalesce(1).write.option("header", "true")
+      .csv(new File(mixLanding, "b").getAbsolutePath)
+    val (mv, mf) = DeltaWriter.copyInto(spark, mixTbl,
+      mixLanding.getAbsolutePath, format = "csv")
+    assert(mv.nonEmpty && mf.size == 2)
+    assert(DeltaReader.load(spark, mixTbl).collect().toSet ==
+      nation.collect().toSet)
+
     // a DRAINED landing dir (files archived after load) is the steady
     // state — the scheduled rerun must no-op, not throw
     val drained = new File(root, "drained")
@@ -1941,6 +1962,127 @@ class DeltaWriterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath, format = "orc")
     }
+  }
+
+  test("NOT NULL column invariant gates every row-landing verb") {
+    import spark.implicits._
+    val path = tmpTable("not_null")
+    // tuple toDF declares the Int column non-nullable — the schema-
+    // embedded invariant the delta protocol carries
+    val create = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(!create.schema("k").nullable)
+    DeltaWriter.append(create, path)
+    assert(!DeltaReader.snapshot(spark, path).schema("k").nullable)
+
+    // an incoming frame may DECLARE k nullable (schema equality is by
+    // name→type); the DATA is what must refuse
+    val nullK = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, "c"),
+        org.apache.spark.sql.Row(3, "d")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType, nullable = true),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.append(nullK, path)
+    }
+    assert(e.getMessage.contains("NOT NULL") && e.getMessage.contains("k"))
+    // nothing landed
+    assert(DeltaReader.load(spark, path).count() == 2)
+
+    // a NULL in the NULLABLE column passes
+    val nullV = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(3, null)),
+      nullK.schema)
+    DeltaWriter.append(nullV, path)
+    assert(DeltaReader.load(spark, path).count() == 3)
+
+    // merge: a source carrying NULL in the strict column refuses
+    intercept[IllegalArgumentException] {
+      DeltaWriter.merge(nullK, path, Seq("v"))
+    }
+    // overwrite refuses too (same validateAgainstTable seam)
+    intercept[IllegalArgumentException] {
+      DeltaWriter.overwrite(nullK, path)
+    }
+    // UPDATE SET k = NULL refuses over the post-SET rows — both the
+    // copy-on-write and the merge-on-read spelling
+    intercept[IllegalArgumentException] {
+      DeltaWriter.update(spark, path, col("v") === "a",
+        Map("k" -> lit(null)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.updateWithVectors(spark, path, col("v") === "a",
+        Map("k" -> lit(null)))
+    }
+    // and a lawful update still works
+    DeltaWriter.update(spark, path, col("v") === "a", Map("k" -> lit(10)))
+    assert(DeltaReader.load(spark, path).filter(col("k") === 10).count() == 1)
+  }
+
+  test("txn-ledger retention: checkpoints expire entries past delta.setTransactionRetentionDuration; idempotence intact within the window") {
+    val root = new File(tmpTable("txn_retention"))
+    val landing = new File(root, "landing")
+    val tbl = new File(root, "table").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation.limit(0), tbl)
+    nation.filter(col("n_nationkey") < 10).coalesce(1)
+      .write.parquet(new File(landing, "w1").getAbsolutePath)
+    val (v1, f1) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v1.nonEmpty && f1.size == 1)
+
+    // WITHIN a generous window: the checkpoint carries the dated ledger
+    // and a rerun after full log cleanup still no-ops — retention does
+    // not weaken idempotence inside the window
+    DeltaWriter.setTableProperty(spark, tbl,
+      "delta.setTransactionRetentionDuration", "interval 30 days")
+    DeltaWriter.checkpoint(spark, tbl)
+    DeltaWriter.cleanupLogs(spark, tbl, retainMs = Some(0L))
+    val (v2, f2) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v2.isEmpty && f2.isEmpty)
+
+    // shrink the window to zero: the NEXT checkpoint drops every dated
+    // entry — expired entries are absent from the new checkpoint file
+    DeltaWriter.setTableProperty(spark, tbl,
+      "delta.setTransactionRetentionDuration", "0")
+    val cpV = DeltaWriter.checkpoint(spark, tbl)
+    val cpFile = new File(new File(tbl, "_delta_log"),
+      f"$cpV%020d.checkpoint.parquet")
+    assert(cpFile.isFile)
+    val cpDf = spark.read.parquet(cpFile.getAbsolutePath)
+    val carried =
+      if (!cpDf.columns.contains("txn")) Nil
+      else cpDf.filter(col("txn").isNotNull)
+        .select(col("txn.appId")).collect().map(_.getString(0)).toSeq
+    assert(!carried.exists(_.startsWith("graft-copy-into:")),
+      s"expired copy-into ledger entries still in checkpoint: $carried")
+
+    // once log cleanup also removes the JSON commits, the ledger has
+    // forgotten the window's files — re-ingest past the window is the
+    // DECLARED semantics (the window is the operator's redelivery-lag
+    // promise), not a defect
+    DeltaWriter.cleanupLogs(spark, tbl, retainMs = Some(0L))
+    val (v3, f3) = DeltaWriter.copyInto(spark, tbl, landing.getAbsolutePath)
+    assert(v3.nonEmpty && f3.size == 1)
+    assert(DeltaReader.load(spark, tbl).count() ==
+      nation.filter(col("n_nationkey") < 10).count() * 2)
+
+    // a table WITHOUT the property never expires (delta's default): the
+    // same checkpoint + cleanup cycle keeps the ledger intact
+    val tbl2 = new File(root, "table2").getAbsolutePath
+    val landing2 = new File(root, "landing2")
+    DeltaWriter.append(nation.limit(0), tbl2)
+    nation.limit(3).coalesce(1)
+      .write.parquet(new File(landing2, "w").getAbsolutePath)
+    assert(DeltaWriter.copyInto(spark, tbl2,
+      landing2.getAbsolutePath)._1.nonEmpty)
+    DeltaWriter.checkpoint(spark, tbl2)
+    DeltaWriter.cleanupLogs(spark, tbl2, retainMs = Some(0L))
+    assert(DeltaWriter.copyInto(spark, tbl2,
+      landing2.getAbsolutePath)._1.isEmpty)
   }
 
   test("partition-scoped OPTIMIZE WHERE rewrites only the matching partitions") {

@@ -348,6 +348,32 @@ class DmlSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("NOT NULL column invariant gates SQL UPDATE with the column named") {
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dml_notnull")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    // tuple toDF declares k non-nullable — the schema-embedded invariant
+    DeltaWriter.append(Seq((1, "a"), (2, "b")).toDF("k", "v"),
+      dir.getAbsolutePath)
+    val ctx = new AdtContext(spark)
+    ctx.sql("CREATE EXTERNAL TABLE dml_notnull STORED AS DELTA " +
+      s"LOCATION '${dir.getAbsolutePath}'")
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("UPDATE dml_notnull SET k = NULL WHERE v = 'a'"))
+    assert(e.getMessage.contains("NOT NULL") && e.getMessage.contains("k"))
+    // the nullable column accepts NULL; the strict one accepts a value
+    ctx.sql("UPDATE dml_notnull SET v = NULL WHERE k = 1")
+    ctx.sql("UPDATE dml_notnull SET k = 7 WHERE k = 2")
+    assert(ctx.sql("SELECT count(*) AS n FROM dml_notnull WHERE k = 7")
+      .head().getLong(0) == 1L)
+  }
+
   test("TBLPROPERTIES switch deletion-vector mode: SQL DELETE/UPDATE go merge-on-read") {
     Dml.parse("ALTER TABLE t SET TBLPROPERTIES ('a.b'='true', 'c'='2')") match {
       case Dml.SetProps("t", Seq(("a.b", "true"), ("c", "2"))) => ()
@@ -469,6 +495,18 @@ class DmlSpec extends AnyFunSuite {
     // refusals name the contract
     intercept[IllegalArgumentException](
       ctx.sql("DESCRIBE DETAIL never_registered"))
+
+    // checkpoint + VACUUM LOGS can delete EVERY json commit — the table
+    // is still fully readable from its checkpoint, and DESCRIBE DETAIL
+    // must answer (checkpoint mtime stands in for both stamps), not
+    // throw on an empty commit history
+    DeltaWriter.checkpoint(spark, path)
+    DeltaWriter.cleanupLogs(spark, path, retainMs = Some(0L))
+    assert(DeltaReader.commitHistory(path).isEmpty)
+    val r2 = ctx.sql("DESCRIBE DETAIL detail_t").head()
+    assert(r2.getString(0) == "delta")
+    assert(r2.getTimestamp(2) != null && r2.getTimestamp(3) != null)
+    assert(r2.getLong(5) == snap.files.length.toLong)
   }
 
   test("execute: refusal paths name the contract") {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites (JVM-wide; forked by sbt). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = AdtContext.engineConfs(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
