@@ -43,6 +43,14 @@ import graft.sources.{DeltaReader, DeltaWriter}
   */
 object IncrementalAgg {
 
+  /** CDF event classification: delta's update spellings fold as their
+    * halves — `update_postimage` is insert-signed, `update_preimage`
+    * retracts ([[graft.sources.DeltaReader.loadChangeFeed]] emits them
+    * for commits carrying cdc actions; cdc-less update commits still
+    * reduce to plain insert/delete pairs). */
+  private[graft] val InsertTypes = Seq("insert", "update_postimage")
+  private[graft] val DeleteTypes = Seq("delete", "update_preimage")
+
   /** Refresh (or create) the materialization at `mvPath` for
     * `SELECT key, count(*), sum(valueExpr) FROM base GROUP BY key`,
     * folding in only base versions `(lastUpto .. latest]` — appends
@@ -65,7 +73,7 @@ object IncrementalAgg {
         .agg(count(lit(1)).as("n"), sum(expr(valueExpr)).as("total"))
       publishMv(boot, mvPath, baseVersion)
     } else {
-      val sign = when(col("_change_type") === "insert", 1L)
+      val sign = when(col("_change_type").isin(InsertTypes: _*), 1L)
         .otherwise(-1L)
       val delta = DeltaReader.loadChangeFeed(spark, basePath,
         lastUpto, baseVersion)
@@ -138,7 +146,8 @@ object IncrementalAgg {
     val spark = events.sparkSession
     val last = watermark(spark, mvPath)
     if (last.exists(_ >= upto)) return last.get // redelivered: no-op
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val sign = when(col("_change_type").isin(InsertTypes: _*), 1L)
+      .otherwise(-1L)
     val delta = events
       .groupBy(col(keyCol).as("key"))
       .agg(sum(sign).as("n"), sum(sign * expr(valueExpr)).as("total"))
@@ -200,11 +209,11 @@ object IncrementalAgg {
       if (bootstrap) fullMinMaxAgg(base.limit(0), keyCol, valueExpr)
       else DeltaReader.load(spark, mvPath)
         .select(col("key"), col("n"), col("mn"), col("mx"))
-    val ins = feed.filter(col("_change_type") === "insert")
+    val ins = feed.filter(col("_change_type").isin(InsertTypes: _*))
       .groupBy(col(keyCol).as("k_i"))
       .agg(count(lit(1)).as("n_i"),
         min(expr(valueExpr)).as("mn_i"), max(expr(valueExpr)).as("mx_i"))
-    val del = feed.filter(col("_change_type") === "delete")
+    val del = feed.filter(col("_change_type").isin(DeleteTypes: _*))
       .groupBy(col(keyCol).as("k_d"))
       .agg(count(lit(1)).as("n_d"),
         min(expr(valueExpr)).as("mn_d"), max(expr(valueExpr)).as("mx_d"))
@@ -354,12 +363,12 @@ object IncrementalAgg {
       k: Int, bootstrap: Boolean): DataFrame = {
     val cap = 2 * k + 1
         val ins = fullSketchAgg(
-          feed.filter(col("_change_type") === "insert"),
+          feed.filter(col("_change_type").isin(InsertTypes: _*)),
           keyCol, valueExpr, k)
           .select(col("key").as("k_i"), col("n").as("n_i"),
             col("lo").as("ins_lo"), col("hi").as("ins_hi"))
         val del = fullSketchAgg(
-          feed.filter(col("_change_type") === "delete"),
+          feed.filter(col("_change_type").isin(DeleteTypes: _*)),
           keyCol, valueExpr, cap)
           .select(col("key").as("k_d"), col("n").as("n_d"),
             col("lo").as("del_lo"), col("hi").as("del_hi"))

@@ -694,17 +694,19 @@ object Sources {
     // fixture's history is append → DV delete (%7) → CoW update (%5,
     // price doubled), and the query folds the whole feed (0..2] into a
     // signed per-priority net. The DV window must emit EXACTLY the
-    // newly-dead rows (no survivor churn), and the CoW update's
-    // delete+insert pairs must cancel exactly for untouched rows — the
-    // oracle recomputes the same net from the original corpus, so a
-    // leaked survivor, a double-counted DV row, or a wrong-version
-    // event breaks the hash. This is the feed IncrementalAgg consumes
-    // with retractions (q186).
+    // newly-dead rows (no survivor churn), and the CoW update commit
+    // carries cdc actions, so the feed emits delta's own
+    // update_preimage/update_postimage rows for exactly the matched
+    // rows (postimage insert-signed, preimage retracting) — the oracle
+    // recomputes the same net from the original corpus, so a leaked
+    // survivor, a double-counted DV row, a mis-signed update image, or
+    // a wrong-version event breaks the hash. This is the feed
+    // IncrementalAgg consumes with retractions (q186).
     Q("q185_delta_cdf_read",
       (s, d) => {
         val dir = Fixtures.deltaOrdersCdf(s, d)
-        val sign = when(col("_change_type") === "insert", 1L)
-          .otherwise(-1L)
+        val sign = when(col("_change_type")
+          .isin("insert", "update_postimage"), 1L).otherwise(-1L)
         DeltaReader.loadChangeFeed(s, dir, 0L, 2L)
           .groupBy(col("o_orderpriority"))
           .agg(sum(sign).cast("long").as("n"),
@@ -1099,8 +1101,8 @@ object Sources {
     Q("q194_delta_stream_cdf",
       (s, d) => {
         val dir = Fixtures.deltaOrdersCdfStreamed(s, d)
-        val sign = when(col("_change_type") === "insert", 1L)
-          .otherwise(-1L)
+        val sign = when(col("_change_type")
+          .isin("insert", "update_postimage"), 1L).otherwise(-1L)
         DeltaReader.load(s, dir)
           .groupBy(col("o_orderpriority"))
           .agg(sum(sign).cast("long").as("n"),

@@ -891,17 +891,26 @@ object DeltaReader {
     * toInclusive]` — the CDC feed that composes with the WHOLE write
     * surface, not just appends: every commit in the window is replayed
     * into row-level change events tagged `_change_type`
-    * ('insert' | 'delete') and `_commit_version`. An update is a
-    * delete+insert pair; copy-on-write rewrites and merge-on-read
-    * deletion vectors both reduce to file/DV diffs (the DV semantics
-    * this reconciles are the reference's row-selection mapping,
-    * deltatable.rs:495-577). Layout-only commits (compact / z-order:
-    * every file action carries dataChange=false) are transparent —
-    * nothing is emitted for them, delta's CDF contract — so a consumer
-    * pays for data changes only, never maintenance churn.
+    * ('insert' | 'delete' | 'update_preimage' | 'update_postimage' —
+    * delta's own spellings) and `_commit_version`. Commits carrying
+    * `cdc` actions (the UPDATE verbs write them,
+    * [[DeltaWriter.stageCdcFiles]]) are read from their change-data
+    * files VERBATIM — exact update_preimage/update_postimage rows for
+    * the matched rows only, per the delta spec's rule that cdc actions
+    * are a commit's complete change representation. Commits without
+    * cdc reduce to file/DV diffs (the DV semantics this reconciles are
+    * the reference's row-selection mapping, deltatable.rs:495-577):
+    * there an update appears as delete+insert pairs — and a
+    * copy-on-write rewrite's untouched survivors ride along as
+    * self-cancelling delete+insert churn (exact in net effect; a
+    * cdc-carrying commit has no churn at all). Layout-only commits
+    * (compact / z-order: every file action carries dataChange=false)
+    * are transparent — nothing is emitted for them, delta's CDF
+    * contract — so a consumer pays for data changes only, never
+    * maintenance churn.
     *
-    * Per commit, per touched path, against the running pre-state
-    * (seeded from the snapshot at `fromExclusive`):
+    * Per cdc-less commit, per touched path, against the running
+    * pre-state (seeded from the snapshot at `fromExclusive`):
     *  - new path            → its alive rows as inserts
     *  - removed path        → its previously-alive rows as deletes
     *  - same path, DV grew  → exactly the newly-dead rows as deletes
@@ -971,6 +980,14 @@ object DeltaReader {
     final case class Emit(version: Long, change: String, file: AddFile,
         mustIn: Option[DvDescriptor], mustNotIn: Option[DvDescriptor])
     val emits = mutable.ArrayBuffer.empty[Emit]
+    // commits carrying `cdc` actions (the update verbs,
+    // [[DeltaWriter.stageCdcFiles]]): per the delta spec the cdc files
+    // ARE the commit's complete change representation — read them
+    // verbatim (delta's own update_preimage/update_postimage rows for
+    // exactly the matched rows) and derive NOTHING from the commit's
+    // file diffs, which would re-introduce the survivor churn the cdc
+    // files exist to eliminate. State still advances from add/remove.
+    val cdcEmits = mutable.ArrayBuffer.empty[(Long, Seq[String])]
     commits.foreach { f =>
       val v = f.getName.take(20).toLong
       val nodes = new String(Files.readAllBytes(f.toPath),
@@ -982,6 +999,10 @@ object DeltaReader {
       val layoutOnly = acts.nonEmpty && acts.forall { case (_, a) =>
         Option(a.get("dataChange")).exists(!_.asBoolean())
       }
+      val cdcPaths = nodes.flatMap(n =>
+        Option(n.get("cdc")).filterNot(_.isNull)).map(c =>
+        decodePath(c.get("path").asText()))
+      if (cdcPaths.nonEmpty && !layoutOnly) cdcEmits += ((v, cdcPaths))
       // net per-path outcome WITHIN the commit (a DV update is
       // remove+add of the same path in one commit: the add wins)
       val outcome = mutable.LinkedHashMap.empty[String, Option[AddFile]]
@@ -995,7 +1016,7 @@ object DeltaReader {
           outcome(decodePath(r.get("path").asText())) = None
       }
       outcome.foreach { case (p, out) =>
-        if (!layoutOnly) (state.get(p), out) match {
+        if (!layoutOnly && cdcPaths.isEmpty) (state.get(p), out) match {
           case (None, Some(add)) =>
             emits += Emit(v, "insert", add, None, add.deletionVector)
           case (Some(old), None) =>
@@ -1037,7 +1058,7 @@ object DeltaReader {
     val feedFields = snap.schema.fields.toIndexedSeq :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false)
-    if (emits.isEmpty)
+    if (emits.isEmpty && cdcEmits.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(feedFields))
@@ -1085,7 +1106,17 @@ object DeltaReader {
         .withColumn("_change_type", lit(e.change))
         .withColumn("_commit_version", lit(e.version))
     }
-    (plainParts ++ dvParts).reduce(_ unionByName _)
+    // cdc files already carry the full logical row (partition columns
+    // inline) plus _change_type — the writer's documented sidecar
+    // layout; the pinned schema means no inference pass
+    val cdcSchema = StructType(snap.schema.fields.toIndexedSeq :+
+      StructField("_change_type", StringType, nullable = false))
+    val cdcParts = cdcEmits.toSeq.map { case (v, paths) =>
+      spark.read.schema(cdcSchema)
+        .parquet(paths.map(p => resolved(root, p)): _*)
+        .withColumn("_commit_version", lit(v))
+    }
+    (plainParts ++ dvParts ++ cdcParts).reduce(_ unionByName _)
       .select(feedFields.map(f => col(f.name)): _*)
   }
 }

@@ -948,8 +948,18 @@ object DeltaWriter {
         enforceConstraints(updated, p.snap, tablePath)
         enforceNotNull(updated, p.snap.schema, tablePath)
         val newAdds = stageLogical(updated, p.snap, p.table, p.version)
+        // exact CDF update images, same mechanism as the CoW verb: the
+        // DV'd rows are the pre-images, `updated` the post-images
+        val pre = p.tagged.filter(predicate)
+          .drop("__source_file", "__row_index")
+          .select(p.snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+        val cdcLines = stageCdcFiles(
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(
+              updated.withColumn("_change_type", lit("update_postimage"))),
+          p.table, p.version)
         publishOptimistic(p.table, p.version,
-          p.protoLine ++ p.removes ++ p.dvAdds ++ newAdds)
+          p.protoLine ++ cdcLines ++ p.removes ++ p.dvAdds ++ newAdds)
     }
   }
 
@@ -1175,10 +1185,29 @@ object DeltaWriter {
     enforceConstraints(rewritten, snap, tablePath)
     enforceNotNull(rewritten, snap.schema, tablePath)
     val adds = stageLogical(rewritten, snap, table, version)
+    // the verb knows the exact matched rows — publish them as delta's
+    // own CDF update images ([[stageCdcFiles]]) in the same commit
+    val matched = tagged.filter(predicate)
+      .drop("__source_file", "__row_index")
+    val matchedPre = matched
+      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val matchedPost = matched
+      .select(snap.schema.fields.toIndexedSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      .transform(df2 => recomputeGenerated(df2, snap.schema, gens))
+    val cdcLines = stageCdcFiles(
+      matchedPre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(
+          matchedPost.withColumn("_change_type", lit("update_postimage"))),
+      table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publishOptimistic(table, version, removes ++ adds)
+    publishOptimistic(table, version, cdcLines ++ removes ++ adds)
   }
 
   /** Full-table overwrite in ONE atomic commit: removes every live file
@@ -1358,18 +1387,29 @@ object DeltaWriter {
           if (prefix.isEmpty) name else s"$prefix/$name"
         }
     // tombstone timestamps from the surviving JSON commits (an orphan
-    // from a lost commit race has none — its mtime stands in)
+    // from a lost commit race has none — its mtime stands in); the same
+    // scan collects live CHANGE DATA references — a `_change_data/` cdc
+    // file stays exactly while its commit's JSON survives (the horizon
+    // that bounds loadChangeFeed's replayability: once log cleanup
+    // removes the commit, the feed refuses the window and the file is
+    // sweepable)
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     val tombstoned = scala.collection.mutable.Map.empty[String, Long]
+    val cdcLive = scala.collection.mutable.Set.empty[String]
     Option(new File(table, "_delta_log").listFiles())
       .getOrElse(Array.empty[File])
       .filter(_.getName.matches("\\d{20}\\.json")).foreach { f =>
         new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-          .split('\n').filter(_.contains("\"remove\"")).foreach { l =>
-            Option(jackson.readTree(l).get("remove")).foreach { r =>
-              tombstoned(DeltaReader.decodePath(r.get("path").asText())) =
-                Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)
-            }
+          .split('\n').foreach { l =>
+            if (l.contains("\"remove\""))
+              Option(jackson.readTree(l).get("remove")).foreach { r =>
+                tombstoned(DeltaReader.decodePath(r.get("path").asText())) =
+                  Option(r.get("deletionTimestamp")).map(_.asLong())
+                    .getOrElse(0L)
+              }
+            if (l.contains("\"cdc\""))
+              Option(jackson.readTree(l).get("cdc")).foreach(c =>
+                cdcLive += DeltaReader.decodePath(c.get("path").asText()))
           }
       }
     val horizon = System.currentTimeMillis() - retainMs
@@ -1382,7 +1422,7 @@ object DeltaWriter {
         f.getName.matches("deletion_vector_.*\\.bin")) Seq(f -> rel)
       else Nil
     val dead = walk(table, "")
-      .filterNot { case (_, rel) => live.contains(rel) }
+      .filterNot { case (_, rel) => live.contains(rel) || cdcLive(rel) }
       .filter { case (f, rel) =>
         tombstoned.get(rel).getOrElse(f.lastModified()) <= horizon
       }
@@ -2616,6 +2656,47 @@ object DeltaWriter {
     val dataFields = df.schema.fields.filterNot(f => partSet.contains(f.name))
     composeAddActions(spark, table, moved, dataFields.toIndexedSeq, tags,
       dataChange, deleteEmpties = true)
+  }
+
+  /** Stage the exact row-level change images of an UPDATE commit as
+    * CHANGE DATA files under `_change_data/` and return their `cdc`
+    * action lines — the delta protocol's change-data-feed mechanism:
+    * when a commit carries cdc actions they are the COMPLETE change
+    * representation of that commit, and [[DeltaReader.loadChangeFeed]]
+    * reads THEM instead of deriving events from the commit's file
+    * diffs. This is what lets an update window emit delta's own
+    * `update_preimage`/`update_postimage` rows for EXACTLY the matched
+    * rows — the untouched survivors of the copy-on-write rewrite never
+    * appear in the feed at all (previously they rode along as
+    * self-cancelling delete+insert churn). Layout (documented): cdc
+    * files carry the full LOGICAL row — partition columns inline,
+    * logical names even under column mapping — plus `_change_type`;
+    * they are feed sidecar data, never table state (absent from
+    * snapshots and checkpoints), and [[vacuum]] keeps them exactly
+    * while their commit's JSON survives — the same log-retention
+    * horizon that bounds the feed's replayability. `dataChange:false`
+    * per the delta spec (the add/remove actions carry the state
+    * change). */
+  private def stageCdcFiles(changes: DataFrame, table: File,
+      version: Long): Seq[String] = {
+    val staging = new File(table,
+      s".stage-cdc-$version-${java.util.UUID.randomUUID()}")
+    if (staging.exists()) delete(staging)
+    // change volume ∝ matched rows (usually tiny next to the rewrite);
+    // cap the file count rather than inherit the scan's partitioning
+    changes.coalesce(8).write.mode(SaveMode.Overwrite)
+      .parquet(staging.getAbsolutePath)
+    val cdcDir = new File(table, "_change_data")
+    cdcDir.mkdirs()
+    val moved = collectParquet(staging).map { f =>
+      val dest = new File(cdcDir, f.getName)
+      Files.move(f.toPath, dest.toPath) // uuid part names: never collides
+      s"_change_data/${f.getName}"
+    }
+    delete(staging)
+    moved.map(rel =>
+      s"""{"cdc":{"path":"$rel","partitionValues":{},""" +
+        s""""size":${new File(table, rel).length()},"dataChange":false}}""")
   }
 
   /** Per-file stats (ONE distributed pass) + the composed `add` action

@@ -50,7 +50,8 @@ import graft.sources.DeltaReader
   *
   * `readChangeFeed=true` switches the source to the CHANGE-DATA-FEED:
   * batches are [[DeltaReader.loadChangeFeed]] windows — row-level
-  * events tagged `_change_type` ('insert' | 'delete') and
+  * events tagged `_change_type` ('insert' | 'delete' |
+  * 'update_preimage' | 'update_postimage') and
   * `_commit_version` — so change commits stream through as exact
   * retraction pairs instead of refusing, and a downstream
   * materialization (the IncrementalAgg fold) follows deletes/updates

@@ -1135,9 +1135,11 @@ class DeltaWriterSpec extends AnyFunSuite {
 
     // full CDF over the mutation window folds v0 → current exactly
     val cdf = DeltaReader.loadChangeFeed(spark, path, 0L, 2L)
-    val ins = cdf.filter(col("_change_type") === "insert")
+    val ins = cdf.filter(col("_change_type")
+        .isin("insert", "update_postimage"))
       .select(cols.map(col): _*)
-    val del = cdf.filter(col("_change_type") === "delete")
+    val del = cdf.filter(col("_change_type")
+        .isin("delete", "update_preimage"))
       .select(cols.map(col): _*)
     val folded = DeltaReader.loadAt(spark, path, 0L)
       .select(cols.map(col): _*).exceptAll(del).unionAll(ins)
@@ -1197,9 +1199,11 @@ class DeltaWriterSpec extends AnyFunSuite {
 
     // the full CDF folds v1 → current exactly (field-id scans inside)
     val cdf = DeltaReader.loadChangeFeed(spark, path, 1L, 4L)
-    val ins = cdf.filter(col("_change_type") === "insert")
+    val ins = cdf.filter(col("_change_type")
+        .isin("insert", "update_postimage"))
       .select(cols.map(col): _*)
-    val del = cdf.filter(col("_change_type") === "delete")
+    val del = cdf.filter(col("_change_type")
+        .isin("delete", "update_preimage"))
       .select(cols.map(col): _*)
     val folded = DeltaReader.loadAt(spark, path, 1L)
       .withColumnRenamed("n_name", "nation_name")
@@ -1599,10 +1603,15 @@ class DeltaWriterSpec extends AnyFunSuite {
       assert(events.forall { r =>
         val v = r.getLong(4); v > from && v <= to
       }, s"window ($from,$to] leaked a commit version")
-      // replay: pre + inserts − deletes == post, as multisets
+      // replay: pre + insert-side − delete-side == post, as multisets
+      // (delta's update spellings fold as their halves)
       val replayed = events.foldLeft(stateAt(from)) { (m, r) =>
         val row = org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))
-        val deltaN = if (r.getString(3) == "insert") 1 else -1
+        val deltaN = r.getString(3) match {
+          case "insert" | "update_postimage" => 1
+          case "delete" | "update_preimage" => -1
+          case other => fail(s"unknown _change_type: $other")
+        }
         val n = m.getOrElse(row, 0) + deltaN
         assert(n >= 0, s"window ($from,$to] retracted a row it never " +
           s"had: $row")
@@ -1610,6 +1619,20 @@ class DeltaWriterSpec extends AnyFunSuite {
       }
       assert(replayed == stateAt(to), s"window ($from,$to] replay diverged")
     }
+
+    // the UPDATE commit's window alone emits delta's own update images
+    // for EXACTLY the matched row — no survivor churn at all (the cdc
+    // actions replace the file-diff derivation for that commit)
+    val upd = DeltaReader.loadChangeFeed(spark, path, 3L, 4L)
+      .collect().sortBy(_.getAs[String]("_change_type"))
+    assert(upd.length == 2, s"update window not churn-free: ${upd.toSeq}")
+    assert(upd(0).getAs[String]("_change_type") == "update_postimage")
+    assert(upd(0).getAs[String]("n_name") == "UPDATED")
+    assert(upd(1).getAs[String]("_change_type") == "update_preimage")
+    assert(upd(1).getAs[String]("n_name") != "UPDATED")
+    assert(upd.forall(r =>
+      r.getAs[Number]("n_nationkey").longValue == 2L &&
+        r.getAs[Long]("_commit_version") == 4L))
   }
 
   test("loadChangeFeed: DV windows are minimal, layout windows are empty, restore re-inserts") {

@@ -1014,6 +1014,8 @@ class StreamingSpec extends AnyFunSuite {
       col("n_nationkey") % 4 === 1)
     graft.sources.DeltaWriter.append(
       nation.filter(col("n_nationkey") >= 20).repartition(1), table)
+    graft.sources.DeltaWriter.update(spark, table,
+      col("n_nationkey") === 2, Map("n_name" -> lit("STREAMED"))) // v3
     val q = spark.readStream.format("graft-delta")
       .option("readChangeFeed", "true")
       .option("maxFilesPerTrigger", "1").load(table)
@@ -1022,9 +1024,22 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("delta_src_cdf").collect().toSet
     val batch = graft.sources.DeltaReader
-      .loadChangeFeed(spark, table, -1L, 2L).collect().toSet
+      .loadChangeFeed(spark, table, -1L, 3L).collect().toSet
     assert(streamed.nonEmpty)
     assert(streamed == batch)
+    // the update commit streams as delta's own update images, exactly
+    // the matched row in each direction — no survivor churn crosses the
+    // micro-batch boundary
+    val updEvents = spark.table("delta_src_cdf")
+      .filter(col("_commit_version") === 3L).collect()
+      .sortBy(_.getAs[String]("_change_type"))
+    assert(updEvents.length == 2)
+    assert(updEvents(0).getAs[String]("_change_type") == "update_postimage")
+    assert(updEvents(0).getAs[String]("n_name") == "STREAMED")
+    assert(updEvents(1).getAs[String]("_change_type") == "update_preimage")
+    assert(updEvents(1).getAs[String]("n_name") != "STREAMED")
+    assert(updEvents.forall(
+      _.getAs[Number]("n_nationkey").longValue == 2L))
     // the two change-handling modes are mutually exclusive
     val err = intercept[Exception] {
       val q2 = spark.readStream.format("graft-delta")
