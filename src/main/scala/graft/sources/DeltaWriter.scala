@@ -260,12 +260,11 @@ object DeltaWriter {
       case other => throw new IllegalArgumentException(
         s"copyInto: FILEFORMAT must be PARQUET, CSV or JSON, got '$other'")
     }
-    def walk(f: File): Seq[File] =
-      if (f.getName.startsWith(".") || f.getName == "_delta_log") Nil
-      else if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
-      else if (f.getName.endsWith(ext)) Seq(f) else Nil
-    val found = walk(src).map(_.getAbsolutePath).sorted
+    // scale-safe listing: driver BFS for the common landing dir, one
+    // distributed pass past the threshold ([[walkScalably]])
+    val found = walkScalably(spark, src,
+      skipName = n => n.startsWith(".") || n == "_delta_log",
+      keepName = _.endsWith(ext)).map(_._1).sorted
     // an empty (drained) landing dir is the STEADY STATE of a pipeline
     // that archives loaded files — the scheduled rerun must no-op, not
     // throw (only a missing DIRECTORY is a caller error, above)
@@ -1413,25 +1412,30 @@ object DeltaWriter {
           }
       }
     val horizon = System.currentTimeMillis() - retainMs
-    def walk(f: File, rel: String): Seq[(File, String)] =
-      if (f.getName == "_delta_log" || f.getName.startsWith(".")) Nil
-      else if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
-          .flatMap(c => walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
-      else if (f.getName.endsWith(".parquet") ||
-        f.getName.matches("deletion_vector_.*\\.bin")) Seq(f -> rel)
-      else Nil
-    val dead = walk(table, "")
-      .filterNot { case (_, rel) => live.contains(rel) || cdcLive(rel) }
-      .filter { case (f, rel) =>
-        tombstoned.get(rel).getOrElse(f.lastModified()) <= horizon
+    // scale-safe listing shared with COPY INTO ([[walkScalably]]): the
+    // walk carries each file's mtime, so the orphan-horizon check below
+    // needs no second driver stat pass
+    val tableAbs = table.toPath.toAbsolutePath
+    val dead = walkScalably(spark, table,
+        skipName = n => n == "_delta_log" || n.startsWith("."),
+        keepName = n => n.endsWith(".parquet") ||
+          n.matches("deletion_vector_.*\\.bin"))
+      .map { case (abs, mtime) =>
+        (new File(abs), tableAbs.relativize(
+          java.nio.file.Paths.get(abs)).toString, mtime)
+      }
+      .filterNot { case (_, rel, _) => live.contains(rel) || cdcLive(rel) }
+      .filter { case (_, rel, mtime) =>
+        tombstoned.get(rel).getOrElse(mtime) <= horizon
       }
     if (dryRun) return dead.map(_._2)
-    dead.foreach { case (f, _) =>
+    dead.foreach { case (f, _, _) =>
       f.delete()
-      // drop now-empty partition dirs up to (not including) the root
+      // drop now-empty partition dirs up to (not including) the root —
+      // compared as absolute paths (the walk returns absolute files,
+      // the caller's tablePath may be relative)
       var p = f.getParentFile
-      while (p != null && p != table &&
+      while (p != null && p.toPath.toAbsolutePath != tableAbs &&
         Option(p.listFiles()).exists(_.isEmpty)) { p.delete(); p = p.getParentFile }
     }
     // crash hygiene: a writer killed in the stage→publish window leaves
@@ -2656,6 +2660,66 @@ object DeltaWriter {
     val dataFields = df.schema.fields.filterNot(f => partSet.contains(f.name))
     composeAddActions(spark, table, moved, dataFields.toIndexedSeq, tags,
       dataChange, deleteEmpties = true)
+  }
+
+  /** Recursive file listing shared by [[copyInto]]'s landing-dir scan
+    * and [[vacuum]]'s table walk, scale-safe past driver-sized
+    * directories: a driver-side BFS handles the common small tree with
+    * zero job overhead, and once the scan has touched `threshold`
+    * entries the REMAINING frontier subtrees are listed in ONE
+    * distributed pass (the deep-clone `parallelize` pattern — each
+    * task walks its subtree independently), so a ~10⁶-file landing
+    * zone or table root never serializes through a driver
+    * `listFiles` recursion. Returns (absolute path, lastModified ms)
+    * for every kept file — the mtime rides along so vacuum's
+    * orphan-horizon check costs no second stat pass. `skipName` prunes
+    * whole subtrees by entry name; `keepName` filters files.
+    * Executors use the local-FS File API — the one seam a cluster
+    * deployment swaps for its object-store listing client. */
+  private[graft] def walkScalably(
+      spark: org.apache.spark.sql.SparkSession, root: File,
+      skipName: String => Boolean, keepName: String => Boolean,
+      threshold: Int = 4096): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var frontier = scala.collection.immutable.Queue.empty[File]
+    if (root.isDirectory && !skipName(root.getName)) frontier :+= root
+    var scanned = 0
+    while (frontier.nonEmpty && scanned < threshold) {
+      val (d, rest) = frontier.dequeue
+      frontier = rest
+      Option(d.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+        scanned += 1
+        if (!skipName(f.getName)) {
+          if (f.isDirectory) frontier :+= f
+          else if (keepName(f.getName))
+            out += ((f.getAbsolutePath, f.lastModified()))
+        }
+      }
+    }
+    if (frontier.isEmpty) out.toSeq
+    else {
+      // the tree outgrew the driver budget: finish the remaining
+      // subtrees distributed (skip/keep close over nothing heavier
+      // than what the caller captured — they ship to executors)
+      val dirs = frontier.map(_.getAbsolutePath).toSeq
+      val skip = skipName
+      val keep = keepName
+      val dist = spark.sparkContext
+        .parallelize(dirs, math.max(1, math.min(dirs.length, 64)))
+        .flatMap { p =>
+          def rec(f: java.io.File): Seq[(String, Long)] =
+            if (skip(f.getName)) Nil
+            else if (f.isDirectory)
+              Option(f.listFiles())
+                .getOrElse(Array.empty[java.io.File]).toSeq.flatMap(rec)
+            else if (keep(f.getName))
+              Seq((f.getAbsolutePath, f.lastModified()))
+            else Nil
+          rec(new java.io.File(p))
+        }
+        .collect().toSeq
+      out.toSeq ++ dist
+    }
   }
 
   /** Stage the exact row-level change images of an UPDATE commit as

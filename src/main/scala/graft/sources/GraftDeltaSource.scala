@@ -87,7 +87,12 @@ class GraftDeltaSource extends CreatableRelationProvider
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       parameters.get("readChangeFeed").exists(_.toBoolean),
       parameters.get("startingTimestamp"),
-      parameters.get("maxBytesPerTrigger").map(parseBytes))
+      parameters.get("maxBytesPerTrigger").map(parseBytes),
+      // bounded catch-up (Trigger.AvailableNow semantics as an option):
+      // drain exactly the commits present at query start, then report
+      // caught-up; each restart re-pins its own ceiling
+      parameters.get("stopAtLatest").orElse(parameters.get("availableNow"))
+        .exists(_.toBoolean))
   }
 
   /** `maxBytesPerTrigger` spellings: a plain byte count or a k/m/g

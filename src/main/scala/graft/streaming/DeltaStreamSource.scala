@@ -70,7 +70,19 @@ import graft.sources.DeltaReader
   * batch. `startingVersion` = `earliest` (default: replay the full
   * retained log), `latest` (tail only), or a version number. A start
   * behind the log-retention horizon refuses naming the cleanup, not
-  * fabricating rows. */
+  * fabricating rows.
+  *
+  * `stopAtLatest=true` (alias `availableNow=true`) is the BOUNDED
+  * CATCH-UP posture (Trigger.AvailableNow's semantics as a source
+  * option): the commit ceiling is pinned ONCE at query start, the
+  * paced batches drain exactly the commits present then — commits
+  * landing while the drain runs are never offered — and getOffset
+  * then reports caught-up, so `processAllAvailable()` returns with
+  * the drain complete. The batch-backfill step every replication
+  * pipeline runs before switching to continuous tailing: each restart
+  * re-pins the ceiling at its own start and resumes past the drained
+  * floor (the engine checkpoint + the durable floor below), so
+  * backfill → backfill → continuous composes with zero duplicates. */
 final class DeltaStreamSource(
     spark: SparkSession,
     tablePath: String,
@@ -80,7 +92,8 @@ final class DeltaStreamSource(
     skipChangeCommits: Boolean,
     readChangeFeed: Boolean = false,
     startingTimestamp: Option[String] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source {
+    maxBytesPerTrigger: Option[Long] = None,
+    stopAtLatest: Boolean = false) extends Source {
 
   require(startingTimestamp.isEmpty ||
     startingVersion.equalsIgnoreCase("earliest"),
@@ -211,6 +224,13 @@ final class DeltaStreamSource(
     if (names.isEmpty) None else Some(names.map(_.take(20).toLong).max)
   }
 
+  /** The drain ceiling under `stopAtLatest`: pinned ONCE, at source
+    * construction (= query start). Deliberately NOT persisted — each
+    * run of a bounded-catch-up query re-pins at its own start, which
+    * is exactly what a scheduled backfill wants. */
+  private val drainCeiling: Option[Long] =
+    if (stopAtLatest) Some(latestVersion().getOrElse(-1L)) else None
+
   private sealed trait Kind
   private case object Transparent extends Kind // metadata-only / layout
   // bytes = the data-changing ADD actions' own `size` fields (what a
@@ -254,7 +274,9 @@ final class DeltaStreamSource(
   })
 
   override def getOffset: Option[OffsetV1] = {
-    val latest = latestVersion().getOrElse(return None)
+    val head = latestVersion().getOrElse(return None)
+    // bounded catch-up: never offer a commit past the pinned ceiling
+    val latest = drainCeiling.fold(head)(math.min(head, _))
     val from = math.max(position, startPosition)
     if (latest <= from) return None
     val budget = maxFilesPerTrigger.getOrElse(Int.MaxValue)

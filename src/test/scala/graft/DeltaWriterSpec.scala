@@ -1987,6 +1987,42 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("walkScalably: the distributed listing matches the driver walk on a 10^4-file tree") {
+    val root = new File(tmpTable("walk_scale"))
+    var expected = Set.empty[String]
+    for (a <- 0 until 15; b <- 0 until 10) {
+      val dir = new File(root, s"a$a/b$b"); dir.mkdirs()
+      for (i <- 0 until 70) {
+        val f = new File(dir, s"f$i.parquet")
+        java.nio.file.Files.createFile(f.toPath)
+        expected += f.getAbsolutePath
+      }
+      // noise the keep filter must drop
+      java.nio.file.Files.createFile(new File(dir, s"noise$b.txt").toPath)
+    }
+    // a dot-dir subtree the skip rule must prune whole
+    val hidden = new File(root, ".stage-x"); hidden.mkdirs()
+    java.nio.file.Files.createFile(new File(hidden, "h.parquet").toPath)
+    assert(expected.size == 10500)
+    def run(threshold: Int): Seq[(String, Long)] =
+      graft.sources.DeltaWriter.walkScalably(spark, root,
+        skipName = _.startsWith("."),
+        keepName = _.endsWith(".parquet"), threshold)
+    // a tiny threshold hands almost the whole tree to the distributed
+    // pass; the default threshold (4096 < 10500) also engages it; a
+    // huge threshold keeps everything on the driver — identical sets
+    val tiny = run(10)
+    val default = run(4096)
+    val driverOnly = run(Int.MaxValue)
+    assert(tiny.map(_._1).toSet == expected)
+    assert(default.map(_._1).toSet == expected)
+    assert(driverOnly.map(_._1).toSet == expected)
+    // no duplicates across the driver/distributed seam
+    assert(tiny.size == expected.size && default.size == expected.size)
+    // mtimes ride along (vacuum's orphan-horizon check needs them)
+    assert(tiny.forall(_._2 > 0L))
+  }
+
   test("NOT NULL column invariant gates every row-landing verb") {
     import spark.implicits._
     val path = tmpTable("not_null")

@@ -894,6 +894,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(replica.count() == nation.count())
   }
 
+  test("graft-delta source stopAtLatest drains exactly the commits present at query start; restart resumes past the drained floor") {
+    val base = streamBase("graft_stream_src_availnow")
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val dst = new java.io.File(base, "dst").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), src)  // v0
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+        .repartition(1), src)                                       // v1
+    def bounded(body: org.apache.spark.sql.streaming.StreamingQuery
+        => Unit): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("stopAtLatest", "true")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream.format("graft-delta")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable(); body(q) } finally q.stop()
+    }
+    // run 1: drains the v0..v1 backlog (paced one commit per batch),
+    // then a commit landing WHILE THE QUERY RUNS is never offered —
+    // the ceiling was pinned at query start
+    bounded { q =>
+      assert(graft.sources.DeltaReader.load(spark, dst).collect().toSet ==
+        nation.filter(col("n_nationkey") < 20).collect().toSet)
+      graft.sources.DeltaWriter.append(
+        nation.filter(col("n_nationkey") >= 20).repartition(1), src) // v2
+      q.processAllAvailable()
+      assert(graft.sources.DeltaReader.load(spark, dst).collect().toSet ==
+        nation.filter(col("n_nationkey") < 20).collect().toSet,
+        "a commit landed after query start leaked into the bounded drain")
+    }
+    // the drain equals the batch snapshot at the pin point
+    assert(graft.sources.DeltaReader.load(spark, dst).collect().toSet ==
+      graft.sources.DeltaReader.loadAt(spark, src, 1L).collect().toSet)
+    // run 2, same checkpoint: re-pins its own ceiling, resumes past the
+    // drained floor — exactly v2, zero duplicates
+    bounded { _ => () }
+    val replica = graft.sources.DeltaReader.load(spark, dst)
+    assert(replica.collect().toSet == nation.collect().toSet)
+    assert(replica.count() == nation.count())
+  }
+
   test("graft-delta source restart: pacing cursor never rewinds; latest-start resolves once per checkpoint") {
     val base = streamBase("graft_stream_src_restart")
     val nation = Tables.t(spark, d, "nation")
