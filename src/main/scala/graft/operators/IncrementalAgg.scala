@@ -315,10 +315,27 @@ object IncrementalAgg {
     * is for integral measures; Long.MinValue excluded by the
     * negation). Same atomic publish, `__upto` watermark and targeted
     * key-semi-joined rescan as the scalar verb. */
+  /** Upper bound on the sketch depth `k` — a per-group STATE BUDGET,
+    * not a free tuning knob: the materialization carries two k-element
+    * long arrays per group (lo/hi), each refresh additionally collects
+    * a 2k+1-bounded delete list per touched group, and the merge's
+    * full-outer join ships all of it per group. 256 caps per-group
+    * sketch state at ~4 KiB, so a 10⁹-group mv stays ~4 TB of
+    * DISK-backed delta at worst (never driver memory) and the join
+    * rows stay cache-line-friendly. Churn deep enough to exhaust a
+    * 256-value prefix inside one refresh window is rescan territory BY
+    * DESIGN — the targeted key-semi-joined rescan is the escape hatch,
+    * not an ever-deeper sketch. Every publish path truncates lo/hi
+    * back to ≤ k, so the bound is an INVARIANT of the stored state
+    * (spec-pinned under seeded churn), not a hope. */
+  private[graft] val MaxSketchK = 256
+
   def refreshMinMaxSketched(spark: SparkSession, basePath: String,
       mvPath: String, keyCol: String, valueExpr: String,
       k: Int = 8): Long = {
-    require(k >= 1, s"refreshMinMaxSketched: k must be >= 1, got $k")
+    require(k >= 1 && k <= MaxSketchK,
+      s"refreshMinMaxSketched: k must be in [1, $MaxSketchK] " +
+        s"(per-group state budget — see MaxSketchK), got $k")
     val baseVersion = DeltaReader.snapshot(spark, basePath).version
     val lastUpto = watermark(spark, mvPath).getOrElse(-1L)
     if (lastUpto >= baseVersion) return lastUpto
@@ -485,6 +502,9 @@ object IncrementalAgg {
   private[graft] def foldEventsMinMaxSketched(events: DataFrame,
       basePath: String, mvPath: String, keyCol: String, valueExpr: String,
       upto: Long, k: Int = 8): Long = {
+    require(k >= 1 && k <= MaxSketchK,
+      s"foldEventsMinMaxSketched: k must be in [1, $MaxSketchK] " +
+        s"(per-group state budget — see MaxSketchK), got $k")
     val spark = events.sparkSession
     val last = watermark(spark, mvPath)
     if (last.exists(_ >= upto)) return last.get // redelivered: no-op

@@ -44,12 +44,15 @@ object Dedup {
     * frequency filtering, cf. SCALE.md §dedup). */
   private[queries] val MaxShingleDf = 50
 
-  /** Target document count for the SAMPLED recall eval (q144). A 100 TB
-    * harness cannot afford q121's exact ground truth over the full
-    * corpus (it is the suite's most expensive query already at sf0.1);
-    * the production posture is to evaluate the pipeline on a fixed
-    * deterministic subcorpus of ~this many documents — eval cost is then
-    * O(target²-bounded) regardless of corpus size. Production uses
+  /** Target document count for the SAMPLED recall evals (q121, q144).
+    * A 100 TB harness cannot afford an exact jaccard ground truth over
+    * the full corpus — the O(n²) self-join is not an operation at
+    * scale — so BOTH recall harnesses bound it: q121 measures the
+    * PRODUCTION full-corpus candidate pipeline against a ground truth
+    * restricted to a deterministic ~this-many-doc subcorpus (r19 — the
+    * last full-corpus-quadratic eval retired), and q144 re-runs the
+    * whole pipeline within the sample as its own corpus. Eval cost is
+    * O(target²)-bounded regardless of corpus size. Production uses
     * 10^5-10^6; the demo sets 250 so the sampled path actually samples
     * at sf0.01 (pct=50) and sf0.1 (pct=5) while sf0.001 degenerates to
     * the full corpus (pct=100, clamped). */
@@ -763,39 +766,68 @@ object Dedup {
     // a measured recall delta, not an anecdote. Shapes are inherited
     // unchanged from q42/q89 (linear signature passes + bucket joins);
     // the eval adds only pair-set-sized semi-joins and 1-row aggregates.
+    // ---- LSH recall of the PRODUCTION pipeline against a SAMPLED
+    // exact ground truth (r19: the full-corpus exact-jaccard self-join
+    // was the suite's last inherently-quadratic eval — at 100 TB it is
+    // not an operation). The candidates are the REAL full-corpus q42
+    // run (a banding or permutation change is automatically measured),
+    // but the exact side — the O(n²) half — restricts to the
+    // deterministic md5-threshold subcorpus BEFORE its self-join, so
+    // ground-truth cost is bounded by EvalSampleTarget² regardless of
+    // corpus size. Per-doc shingle-set sizes and the df cap stay
+    // full-corpus (the ground truth IS the full-corpus jaccard,
+    // restricted to sampled pairs), and candidates are compared within
+    // the same sampled pair space, so recall/precision estimate the
+    // full-corpus figures unbiasedly (a pair survives the p-sample
+    // with probability p²). Complement: q144 re-runs the whole
+    // pipeline WITHIN the sample as its own corpus (end-to-end
+    // pipeline eval); this measures the production run itself.
     Q("q121_lsh_recall",
       (s, d) => {
         import s.implicits._
+        graft.functions.Md5Long.register(s)
+        val pct = evalPct(
+          Tables.t(s, d, "documents").select($"doc_id").count())
         val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
         val sh = hashedShingles(s, d)
           .withColumn("n", count(lit(1)).over(byDoc))
           .cache()
-        val exact = sh.as("a")
-          .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        def sampled(c: String) =
+          expr(s"md5_60(CAST($c AS STRING)) % 100 < $pct")
+        val shS = sh.filter(sampled("doc_id"))
+        val exact = shS.as("a")
+          .join(shS.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
           .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
           .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
           .select($"d1", $"d2").cache()
         // THE pipeline under measurement — not a re-spelling of it:
-        // [[minhashCandidates]] is the same code q42 runs, so a banding
-        // or permutation change is automatically measured here
-        val cand = minhashCandidates(s, sh.select($"doc_id", $"h"))._2.cache()
+        // [[minhashCandidates]] is the same code q42 runs over the FULL
+        // corpus; only the comparison restricts to the sampled space
+        val cand = minhashCandidates(s, sh.select($"doc_id", $"h"))._2
+          .filter(sampled("d1") && sampled("d2")).cache()
         val hit = exact.join(cand, Seq("d1", "d2"), "left_semi")
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select($"n_exact", $"n_cand", $"n_hit",
+          .select(lit(pct).as("pct"), $"n_exact", $"n_cand", $"n_hit",
             when($"n_exact" > 0, $"n_hit".cast("double") / $"n_exact")
               .otherwise(0.0).as("recall"),
             when($"n_cand" > 0, $"n_hit".cast("double") / $"n_cand")
               .otherwise(0.0).as("cand_precision"))
       },
       Some(s"""
-        WITH $duckHashedShingles,
+        WITH ep AS (
+          SELECT CAST(least(100, greatest(1, (100 * $EvalSampleTarget) // n)) AS BIGINT) AS pct
+          FROM (SELECT count(*) AS n FROM documents) t0),
+        $duckHashedShingles,
         sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        ssh AS (
+          SELECT shh.* FROM shh, ep
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 15))::BIGINT % 100 < pct),
         inter AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-          FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+          FROM ssh a JOIN ssh b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
         exact AS (
           SELECT d1, d2 FROM inter
@@ -803,16 +835,22 @@ object Dedup {
           JOIN sizes s2 ON d2 = s2.doc_id
           WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
         ${duckBandCtes("")},
-        cand AS (
+        cand0 AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        cand AS (
+          SELECT d1, d2 FROM cand0, ep
+          WHERE ('0x' || substr(md5(CAST(d1 AS VARCHAR)), 2, 15))::BIGINT % 100 < pct
+            AND ('0x' || substr(md5(CAST(d2 AS VARCHAR)), 2, 15))::BIGINT % 100 < pct),
         hit AS (SELECT d1, d2 FROM exact SEMI JOIN cand USING (d1, d2)),
         agg AS (
-          SELECT (SELECT count(*) FROM exact) AS n_exact,
+          SELECT (SELECT pct FROM ep) AS pct,
+                 (SELECT count(*) FROM exact) AS n_exact,
                  (SELECT count(*) FROM cand) AS n_cand,
                  (SELECT count(*) FROM hit) AS n_hit)
-        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+        SELECT CAST(pct AS BIGINT) AS pct,
+          CAST(n_exact AS BIGINT) AS n_exact,
           CAST(n_cand AS BIGINT) AS n_cand,
           CAST(n_hit AS BIGINT) AS n_hit,
           CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE) / n_exact

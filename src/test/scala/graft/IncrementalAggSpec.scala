@@ -316,6 +316,15 @@ class IncrementalAggSpec extends AnyFunSuite {
           ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))))
         .toMap
       assert(got == full)
+      // per-group state-budget INVARIANT (MaxSketchK's contract):
+      // every published lo/hi sketch is truncated back to <= k — churn
+      // and regrowth never leave an oversized array in stored state
+      DeltaReader.load(spark, mv)
+        .select(size(col("lo")).as("nl"), size(col("hi")).as("nh"))
+        .collect().foreach { r =>
+          assert(r.getInt(0) <= 3 && r.getInt(1) <= 3,
+            s"sketch outgrew its k=3 budget: lo=${r.getInt(0)} hi=${r.getInt(1)}")
+        }
     }
     IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 3)
     check()
@@ -334,6 +343,25 @@ class IncrementalAggSpec extends AnyFunSuite {
       IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v", k = 3)
       check()
     }
+
+    // the k cap refuses with the budget named — on both the poll verb
+    // and the streaming fold (MaxSketchK: per-group state is 2k longs +
+    // a 2k+1 delete collection per window; deeper churn is rescan
+    // territory by design, not a deeper sketch)
+    val cap = IncrementalAgg.MaxSketchK
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalAgg.refreshMinMaxSketched(spark, base, mv, "k", "v",
+        k = cap + 1)
+    }
+    assert(e1.getMessage.contains(s"[1, $cap]"))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalAgg.foldEventsMinMaxSketched(
+        DeltaReader.load(spark, base).limit(0)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L)),
+        base, mv, "k", "v", upto = 99L, k = cap + 1)
+    }
+    assert(e2.getMessage.contains(s"[1, $cap]"))
   }
 
   test("refreshMinMax: NULL group keys merge; watermark survives a fully-retracted 0-row state") {
