@@ -1034,6 +1034,62 @@ object Sources {
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- CDF EXACTNESS of the CoW DELETE: the verb writes cdc
+    // actions, so the delete commit's window must emit EXACTLY the
+    // matched rows as 'delete' events — no touched-file survivor churn
+    // at all (pre-r19 the window shipped every touched-file row as a
+    // self-cancelling delete+insert pair: exact in net, corpus-sized in
+    // volume). The oracle counts the deleted class directly, so one
+    // churn pair — or one missed matched row — changes n and breaks the
+    // hash.
+    Q("q204_delta_cdf_delete_exact",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersCdcDelete(s, d)
+        DeltaReader.loadChangeFeed(s, dir, 0L, 1L)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("_change_type"))
+      },
+      Some("""
+        SELECT 'delete' AS _change_type, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM orders WHERE o_orderkey % 3 = 0""")),
+
+    // ---- CDF EXACTNESS of MERGE: the upsert commit's cdc actions
+    // spell the feed as exact update_preimage (replaced target rows) /
+    // update_postimage (their source versions) / insert (unmatched
+    // source rows). The oracle recomputes each event class from the
+    // corpus — survivor churn, a mis-classified insert, or a
+    // double-counted matched row each breaks a class count.
+    Q("q205_delta_cdf_merge_exact",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersCdcMerge(s, d)
+        DeltaReader.loadChangeFeed(s, dir, 0L, 1L)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("_change_type"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'update_preimage' AS _change_type, count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT 'update_postimage', count(*),
+            CAST(sum(CAST(round(o_totalprice * 2 * 100) AS BIGINT)) AS BIGINT)
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT 'insert', count(*),
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+        ) t ORDER BY _change_type""")),
+
     // ---- GENERATED COLUMNS: the fixture declares
     // `o_year = year(o_orderdate)` as a generated PARTITION column at
     // create, appends once WITHOUT the column (the writer computes it),

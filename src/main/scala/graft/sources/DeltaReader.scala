@@ -893,11 +893,13 @@ object DeltaReader {
     * into row-level change events tagged `_change_type`
     * ('insert' | 'delete' | 'update_preimage' | 'update_postimage' —
     * delta's own spellings) and `_commit_version`. Commits carrying
-    * `cdc` actions (the UPDATE verbs write them,
-    * [[DeltaWriter.stageCdcFiles]]) are read from their change-data
-    * files VERBATIM — exact update_preimage/update_postimage rows for
-    * the matched rows only, per the delta spec's rule that cdc actions
-    * are a commit's complete change representation. Commits without
+    * `cdc` actions (the row verbs — update, CoW delete, merge — write
+    * them, [[DeltaWriter.stageCdcFiles]]) are read from their
+    * change-data files VERBATIM — exactly the event rows
+    * (update_preimage/update_postimage for updates and merge's
+    * replaced rows, delete/insert for the others), per the delta
+    * spec's rule that cdc actions are a commit's complete change
+    * representation. Commits without
     * cdc reduce to file/DV diffs (the DV semantics this reconciles are
     * the reference's row-selection mapping, deltatable.rs:495-577):
     * there an update appears as delete+insert pairs — and a
@@ -980,11 +982,11 @@ object DeltaReader {
     final case class Emit(version: Long, change: String, file: AddFile,
         mustIn: Option[DvDescriptor], mustNotIn: Option[DvDescriptor])
     val emits = mutable.ArrayBuffer.empty[Emit]
-    // commits carrying `cdc` actions (the update verbs,
+    // commits carrying `cdc` actions (the row verbs,
     // [[DeltaWriter.stageCdcFiles]]): per the delta spec the cdc files
     // ARE the commit's complete change representation — read them
-    // verbatim (delta's own update_preimage/update_postimage rows for
-    // exactly the matched rows) and derive NOTHING from the commit's
+    // verbatim (delta's own event spellings for exactly the matched
+    // rows) and derive NOTHING from the commit's
     // file diffs, which would re-introduce the survivor churn the cdc
     // files exist to eliminate. State still advances from add/remove.
     val cdcEmits = mutable.ArrayBuffer.empty[(Long, Seq[String])]

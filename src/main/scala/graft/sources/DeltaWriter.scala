@@ -670,13 +670,34 @@ object DeltaWriter {
           Seq("__source_file"), "left_semi")
         .drop("__source_file", "__row_index")
         .join(srcKeys, keys, "left_anti")
-    val out = survivors.unionByName(
-      source.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*))
+    val fields = snap.schema.fieldNames.toIndexedSeq
+    val srcNorm = source.select(fields.map(col): _*)
+    val out = survivors.unionByName(srcNorm)
     val adds = stageLogical(out, snap, table, version)
+    // exact CDF images ([[stageCdcFiles]]): replaced target rows =
+    // update_preimage (bounded by the touched files), their source
+    // versions = update_postimage, unmatched source rows = insert —
+    // the feed never ships touched-file survivor churn
+    val touchedRows =
+      if (touched.isEmpty) tagged.limit(0)
+      else tagged.join(broadcast(touched.toSeq.toDF("__source_file")),
+        Seq("__source_file"), "left_semi")
+    val pre = touchedRows
+      .join(srcKeys, keys, "left_semi")
+      .drop("__source_file", "__row_index")
+      .select(fields.map(col): _*)
+    val matchedKeys = pre.select(keys.map(col): _*).distinct()
+    val cdcLines = stageCdcFiles(
+      pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(srcNorm.join(matchedKeys, keys, "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(srcNorm.join(matchedKeys, keys, "left_anti")
+          .withColumn("_change_type", lit("insert"))),
+      table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publishOptimistic(table, version, removes ++ adds)
+    publishOptimistic(table, version, cdcLines ++ removes ++ adds)
   }
 
   /** SCD TYPE-2 APPLY — the versioned-dimension maintenance every
@@ -859,10 +880,18 @@ object DeltaWriter {
       .drop("__source_file", "__row_index")
       .filter(coalesce(!predicate, lit(true))) // NULL predicate keeps the row
     val adds = stageLogical(survivors, snap, table, version)
+    // exact CDF delete images ([[stageCdcFiles]]): the verb knows the
+    // matched rows, so the feed never ships touched-file survivor churn
+    val cdcLines = stageCdcFiles(
+      tagged.filter(predicate)
+        .drop("__source_file", "__row_index")
+        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .withColumn("_change_type", lit("delete")),
+      table, version)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publishOptimistic(table, version, removes ++ adds)
+    publishOptimistic(table, version, cdcLines ++ removes ++ adds)
   }
 
   /** DELETE WHERE via DELETION VECTORS — the merge-on-read spelling of
@@ -2722,17 +2751,19 @@ object DeltaWriter {
     }
   }
 
-  /** Stage the exact row-level change images of an UPDATE commit as
-    * CHANGE DATA files under `_change_data/` and return their `cdc`
+  /** Stage the exact row-level change images of a row-verb commit
+    * (update / CoW delete / merge) as CHANGE DATA files under
+    * `_change_data/` and return their `cdc`
     * action lines — the delta protocol's change-data-feed mechanism:
     * when a commit carries cdc actions they are the COMPLETE change
     * representation of that commit, and [[DeltaReader.loadChangeFeed]]
     * reads THEM instead of deriving events from the commit's file
-    * diffs. This is what lets an update window emit delta's own
-    * `update_preimage`/`update_postimage` rows for EXACTLY the matched
-    * rows — the untouched survivors of the copy-on-write rewrite never
-    * appear in the feed at all (previously they rode along as
-    * self-cancelling delete+insert churn). Layout (documented): cdc
+    * diffs. This is what lets a row-verb window emit delta's own event
+    * spellings (`update_preimage`/`update_postimage` for updates and
+    * merge's replaced rows, `delete`/`insert` for the others) for
+    * EXACTLY the matched rows — the untouched survivors of the
+    * copy-on-write rewrite never appear in the feed at all (previously
+    * they rode along as self-cancelling delete+insert churn). Layout (documented): cdc
     * files carry the full LOGICAL row — partition columns inline,
     * logical names even under column mapping — plus `_change_type`;
     * they are feed sidecar data, never table state (absent from

@@ -767,6 +767,41 @@ object Fixtures {
       ()
     }
 
+  /** A Delta table whose ONLY change commit is a copy-on-write DELETE
+    * (q204): v0 = the whole orders corpus, v1 = CoW delete of every
+    * `o_orderkey % 3 = 0` row. The commit carries cdc actions, so the
+    * CDF window (0..1] must emit EXACTLY the deleted rows — the oracle
+    * counts the %3 class, so one leaked touched-file survivor breaks
+    * the hash. */
+  def deltaOrdersCdcDelete(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_cdc_delete") { dir =>
+      val orders = Tables.t(s, d, "orders")
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders, path)
+      DeltaWriter.delete(s, path, col("o_orderkey") % 3 === 0)
+      ()
+    }
+
+  /** A Delta table maintained by ONE MERGE (q205): base = even-key
+    * orders; source = doubled-price versions of the %10=0 rows (all
+    * even → matched updates) plus the odd %5=0 rows (unmatched
+    * inserts). The merge commit's cdc actions spell the feed as exact
+    * update_preimage / update_postimage / insert events. */
+  def deltaOrdersCdcMerge(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_cdc_merge") { dir =>
+      val orders = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val path = dir.getAbsolutePath
+      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0), path)
+      val src = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(orders.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 5 === 0))
+      DeltaWriter.merge(src, path, Seq("o_orderkey"))
+      ()
+    }
+
   /** A Delta table with a GENERATED partition column (q196):
     * `o_year = year(o_orderdate)` declared at create — the canonical
     * derived-time-partitioning shape. The first append computes and
