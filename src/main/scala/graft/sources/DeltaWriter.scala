@@ -674,26 +674,29 @@ object DeltaWriter {
     val srcNorm = source.select(fields.map(col): _*)
     val out = survivors.unionByName(srcNorm)
     val adds = stageLogical(out, snap, table, version)
-    // exact CDF images ([[stageCdcFiles]]): replaced target rows =
+    // exact CDF images ([[stageCdcFiles]]) when the table declares a
+    // consumer ([[cdfEnabled]]): replaced target rows =
     // update_preimage (bounded by the touched files), their source
     // versions = update_postimage, unmatched source rows = insert —
     // the feed never ships touched-file survivor churn
-    val touchedRows =
-      if (touched.isEmpty) tagged.limit(0)
-      else tagged.join(broadcast(touched.toSeq.toDF("__source_file")),
-        Seq("__source_file"), "left_semi")
-    val pre = touchedRows
-      .join(srcKeys, keys, "left_semi")
-      .drop("__source_file", "__row_index")
-      .select(fields.map(col): _*)
-    val matchedKeys = pre.select(keys.map(col): _*).distinct()
-    val cdcLines = stageCdcFiles(
-      pre.withColumn("_change_type", lit("update_preimage"))
-        .unionByName(srcNorm.join(matchedKeys, keys, "left_semi")
-          .withColumn("_change_type", lit("update_postimage")))
-        .unionByName(srcNorm.join(matchedKeys, keys, "left_anti")
-          .withColumn("_change_type", lit("insert"))),
-      table, version)
+    val cdcLines = if (!cdfEnabled(snap)) Nil else {
+      val touchedRows =
+        if (touched.isEmpty) tagged.limit(0)
+        else tagged.join(broadcast(touched.toSeq.toDF("__source_file")),
+          Seq("__source_file"), "left_semi")
+      val pre = touchedRows
+        .join(srcKeys, keys, "left_semi")
+        .drop("__source_file", "__row_index")
+        .select(fields.map(col): _*)
+      val matchedKeys = pre.select(keys.map(col): _*).distinct()
+      stageCdcFiles(
+        pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(srcNorm.join(matchedKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(srcNorm.join(matchedKeys, keys, "left_anti")
+            .withColumn("_change_type", lit("insert"))),
+        table, version)
+    }
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -880,9 +883,10 @@ object DeltaWriter {
       .drop("__source_file", "__row_index")
       .filter(coalesce(!predicate, lit(true))) // NULL predicate keeps the row
     val adds = stageLogical(survivors, snap, table, version)
-    // exact CDF delete images ([[stageCdcFiles]]): the verb knows the
-    // matched rows, so the feed never ships touched-file survivor churn
-    val cdcLines = stageCdcFiles(
+    // exact CDF delete images ([[stageCdcFiles]]) when the table
+    // declares a consumer ([[cdfEnabled]]): the verb knows the matched
+    // rows, so the feed never ships touched-file survivor churn
+    val cdcLines = if (!cdfEnabled(snap)) Nil else stageCdcFiles(
       tagged.filter(predicate)
         .drop("__source_file", "__row_index")
         .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -976,16 +980,19 @@ object DeltaWriter {
         enforceConstraints(updated, p.snap, tablePath)
         enforceNotNull(updated, p.snap.schema, tablePath)
         val newAdds = stageLogical(updated, p.snap, p.table, p.version)
-        // exact CDF update images, same mechanism as the CoW verb: the
-        // DV'd rows are the pre-images, `updated` the post-images
-        val pre = p.tagged.filter(predicate)
-          .drop("__source_file", "__row_index")
-          .select(p.snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-        val cdcLines = stageCdcFiles(
-          pre.withColumn("_change_type", lit("update_preimage"))
-            .unionByName(
-              updated.withColumn("_change_type", lit("update_postimage"))),
-          p.table, p.version)
+        // exact CDF update images when the table declares a consumer
+        // ([[cdfEnabled]]), same mechanism as the CoW verb: the DV'd
+        // rows are the pre-images, `updated` the post-images
+        val cdcLines = if (!cdfEnabled(p.snap)) Nil else {
+          val pre = p.tagged.filter(predicate)
+            .drop("__source_file", "__row_index")
+            .select(p.snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+          stageCdcFiles(
+            pre.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(
+                updated.withColumn("_change_type", lit("update_postimage"))),
+            p.table, p.version)
+        }
         publishOptimistic(p.table, p.version,
           p.protoLine ++ cdcLines ++ p.removes ++ p.dvAdds ++ newAdds)
     }
@@ -1213,25 +1220,28 @@ object DeltaWriter {
     enforceConstraints(rewritten, snap, tablePath)
     enforceNotNull(rewritten, snap.schema, tablePath)
     val adds = stageLogical(rewritten, snap, table, version)
-    // the verb knows the exact matched rows — publish them as delta's
-    // own CDF update images ([[stageCdcFiles]]) in the same commit
-    val matched = tagged.filter(predicate)
-      .drop("__source_file", "__row_index")
-    val matchedPre = matched
-      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
-    val matchedPost = matched
-      .select(snap.schema.fields.toIndexedSeq.map { f =>
-        set.get(f.name) match {
-          case Some(e) => e.cast(f.dataType).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
-      .transform(df2 => recomputeGenerated(df2, snap.schema, gens))
-    val cdcLines = stageCdcFiles(
-      matchedPre.withColumn("_change_type", lit("update_preimage"))
-        .unionByName(
-          matchedPost.withColumn("_change_type", lit("update_postimage"))),
-      table, version)
+    // the verb knows the exact matched rows — when the table declares
+    // a CDF consumer ([[cdfEnabled]]), publish them as delta's own
+    // update images ([[stageCdcFiles]]) in the same commit
+    val cdcLines = if (!cdfEnabled(snap)) Nil else {
+      val matched = tagged.filter(predicate)
+        .drop("__source_file", "__row_index")
+      val matchedPre = matched
+        .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val matchedPost = matched
+        .select(snap.schema.fields.toIndexedSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        .transform(df2 => recomputeGenerated(df2, snap.schema, gens))
+      stageCdcFiles(
+        matchedPre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(
+            matchedPost.withColumn("_change_type", lit("update_postimage"))),
+        table, version)
+    }
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -2793,6 +2803,16 @@ object DeltaWriter {
       s"""{"cdc":{"path":"$rel","partitionValues":{},""" +
         s""""size":${new File(table, rel).length()},"dataChange":false}}""")
   }
+
+  /** Whether the table declares a CDF consumer
+    * (`delta.enableChangeDataFeed = true` — delta's own gate). The row
+    * verbs write cdc change-data files ONLY then: emitting exact
+    * change images costs one matched-rows write per commit, a tax no
+    * table should pay without a feed consumer; un-gated tables keep
+    * the file-diff feed derivation (exact in net, churn-volumed). */
+  private def cdfEnabled(snap: DeltaReader.Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
 
   /** Per-file stats (ONE distributed pass) + the composed `add` action
     * lines for `rels` (table-relative parquet paths, already in place

@@ -728,7 +728,11 @@ object Fixtures {
     ensure(d, "delta_orders_cdf") { dir =>
       val orders = Tables.t(s, d, "orders")
       val path = dir.getAbsolutePath
-      DeltaWriter.append(orders, path)
+      // created WITH delta.enableChangeDataFeed (an overwrite at v0
+      // carries properties), so the update commit writes cdc images
+      // and version numbering stays v0/v1/v2
+      DeltaWriter.overwrite(orders, path,
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
       DeltaWriter.deleteWithVectors(s, path, col("o_orderkey") % 7 === 0)
       DeltaWriter.update(s, path, col("o_orderkey") % 5 === 0,
         Map("o_totalprice" -> (col("o_totalprice") * 2)))
@@ -777,7 +781,8 @@ object Fixtures {
     ensure(d, "delta_orders_cdc_delete") { dir =>
       val orders = Tables.t(s, d, "orders")
       val path = dir.getAbsolutePath
-      DeltaWriter.append(orders, path)
+      DeltaWriter.overwrite(orders, path,
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
       DeltaWriter.delete(s, path, col("o_orderkey") % 3 === 0)
       ()
     }
@@ -793,7 +798,8 @@ object Fixtures {
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority"))
       val path = dir.getAbsolutePath
-      DeltaWriter.append(orders.filter(col("o_orderkey") % 2 === 0), path)
+      DeltaWriter.overwrite(orders.filter(col("o_orderkey") % 2 === 0),
+        path, properties = Map("delta.enableChangeDataFeed" -> "true"))
       val src = orders.filter(col("o_orderkey") % 10 === 0)
           .withColumn("o_totalprice", col("o_totalprice") * 2)
         .unionByName(orders.filter(col("o_orderkey") % 2 === 1 &&

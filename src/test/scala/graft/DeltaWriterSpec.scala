@@ -1578,7 +1578,10 @@ class DeltaWriterSpec extends AnyFunSuite {
     val path = tmpTable("nation_cdf_replay")
     val nation = Tables.t(spark, d, "nation")
       .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
-    DeltaWriter.append(nation.filter(col("n_nationkey") < 10), path) // v0
+    // created WITH delta.enableChangeDataFeed: the row verbs below
+    // write cdc images (the churn-free exact-window pins depend on it)
+    DeltaWriter.overwrite(nation.filter(col("n_nationkey") < 10), path,
+      properties = Map("delta.enableChangeDataFeed" -> "true")) // v0
     DeltaWriter.append(nation.filter(col("n_nationkey") >= 10), path) // v1
     DeltaWriter.delete(spark, path, col("n_nationkey") % 5 === 3) // v2 CoW
     DeltaWriter.deleteWithVectors(spark, path, col("n_nationkey") === 6) // v3 MoR

@@ -1055,8 +1055,11 @@ class StreamingSpec extends AnyFunSuite {
     val table = new java.io.File(base, "table").getAbsolutePath
     val nation = Tables.t(spark, d, "nation")
       .select("n_nationkey", "n_name", "n_regionkey")
-    graft.sources.DeltaWriter.append(
-      nation.filter(col("n_nationkey") < 20).repartition(1), table)
+    // CDF-enabled at create, so the update commit below streams cdc
+    // images (v0 creation via overwrite keeps version numbering)
+    graft.sources.DeltaWriter.overwrite(
+      nation.filter(col("n_nationkey") < 20).repartition(1), table,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
     graft.sources.DeltaWriter.deleteWithVectors(spark, table,
       col("n_nationkey") % 4 === 1)
     graft.sources.DeltaWriter.append(
