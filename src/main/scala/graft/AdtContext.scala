@@ -17,6 +17,13 @@ import graft.sources.Ddl
   */
 final class AdtContext(val spark: SparkSession) {
 
+  // a consumer may construct the context around its OWN session
+  // (bypassing [[AdtContext.build]]); the engine-required session conf
+  // must still hold or id-column-mapped delta reads silently null-fill
+  // (Spark's field-id matching defaults off). Session-level and inert
+  // for every non-id-mapped read — see [[AdtContext.engineConfs]].
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   /** DDL registers the table and yields an empty relation (the reference
     * prints an empty batch for DDL, main.rs:23-28); `EXPLAIN ANALYZE`
     * executes the statement and returns the metric-annotated physical

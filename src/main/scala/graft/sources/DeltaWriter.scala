@@ -293,15 +293,38 @@ object DeltaWriter {
         // enforceSchema=false is kept as a backstop: a file whose
         // header drifted WITHIN its group refuses instead of binding
         // positionally.
-        val byHeader = fresh.groupBy { p =>
-          val r = Files.newBufferedReader(new File(p).toPath,
-            StandardCharsets.UTF_8)
-          try Option(r.readLine()).getOrElse(
-            throw new IllegalArgumentException(
-              s"copyInto: CSV file has no header line: $p"))
-          finally r.close()
+        // the header probe must not let one bad landing file poison
+        // the batch: a ZERO-BYTE file (in-flight marker, touch'd
+        // placeholder) contributes no rows but IS ledgered below
+        // (exactly what the old multi-file read did — it skipped the
+        // empty content and recorded the path), and malformed bytes
+        // decode with replacement (Spark's own CSV posture) instead of
+        // crashing the probe. The probe reads ≤64 KiB — headers past
+        // that group together and the enforceSchema=false backstop
+        // refuses any real in-group drift.
+        def headerOf(p: String): Option[String] = {
+          val in = new java.io.FileInputStream(p)
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            val n = in.read(buf)
+            if (n <= 0) None
+            else {
+              val line = new String(buf, 0, n, StandardCharsets.UTF_8)
+              val cut = line.indexOf('\n')
+              Some((if (cut >= 0) line.take(cut) else line)
+                .stripSuffix("\r"))
+            }
+          } finally in.close()
         }
-        byHeader.values.map { group =>
+        val byHeader = fresh.flatMap(p => headerOf(p).map(_ -> p))
+          .groupBy(_._1).map { case (h, ps) => h -> ps.map(_._2) }
+        // an all-empty wave still lands (0 rows) so the markers ledger
+        // and the scheduled rerun no-ops — never a rerun-forever wedge
+        if (byHeader.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            snap.schema)
+        else byHeader.values.map { group =>
           spark.read.option("header", "true")
             .option("enforceSchema", "false").csv(group: _*)
             .select(snap.schema.fields.toIndexedSeq.map(f =>
@@ -977,8 +1000,7 @@ object DeltaWriter {
             }
           }: _*)
           .transform(df2 => recomputeGenerated(df2, p.snap.schema, gens))
-        enforceConstraints(updated, p.snap, tablePath)
-        enforceNotNull(updated, p.snap.schema, tablePath)
+        enforceRowInvariants(updated, p.snap, tablePath)
         val newAdds = stageLogical(updated, p.snap, p.table, p.version)
         // exact CDF update images when the table declares a consumer
         // ([[cdfEnabled]]), same mechanism as the CoW verb: the DV'd
@@ -1217,8 +1239,7 @@ object DeltaWriter {
     // an UPDATE can move rows OUT of a declared CHECK range or SET a
     // non-nullable column to NULL — same gates as the append-family
     // verbs, over the rewritten (post-SET) rows
-    enforceConstraints(rewritten, snap, tablePath)
-    enforceNotNull(rewritten, snap.schema, tablePath)
+    enforceRowInvariants(rewritten, snap, tablePath)
     val adds = stageLogical(rewritten, snap, table, version)
     // the verb knows the exact matched rows — when the table declares
     // a CDF consumer ([[cdfEnabled]]), publish them as delta's own
@@ -2547,76 +2568,72 @@ object DeltaWriter {
       require(want == got,
         s"schema mismatch appending to $tablePath (schema evolution needs " +
           s"an explicit metaData commit): table=$want df=$got")
-      enforceConstraints(df, snap, tablePath)
-      enforceNotNull(df, snap.schema, tablePath)
-      // generated-column invariant, enforced for EVERY verb that lands
-      // rows (append validates provided values here; merge/overwrite/
-      // scd2 frames carry the column by schema equality): one combined
-      // null-safe pass, the culprit re-probed only on failure
+      // ALL row-level invariants — CHECK constraints, NOT NULL columns,
+      // generated-column consistency — in ONE combined pass over the
+      // frame (three separate actions would re-evaluate the incoming
+      // plan three times per landed batch); per-category culprit
+      // probes run only on the failure path
       val gens = generationExpressions(snap.schema)
         .filter { case (c, _) => generatedToCheck.forall(_.contains(c)) }
-      if (gens.nonEmpty) {
-        val anyBad = gens.map { case (c, g) => !(col(c) <=> expr(g)) }
-          .reduce(_ || _)
-        if (!df.filter(anyBad).isEmpty) {
-          val culprit = gens.find { case (c, g) =>
-            !df.filter(!(col(c) <=> expr(g))).isEmpty }.get
+      enforceRowInvariants(df, snap, tablePath, gens)
+    }
+
+  /** The row-level invariant gate shared by EVERY verb that lands or
+    * rewrites rows — three categories, ONE combined violation pass:
+    *
+    *  - CHECK constraints (`delta.constraints.<name>` — SQL semantics,
+    *    only literal FALSE violates, NULL passes);
+    *  - NOT NULL columns (the delta protocol's schema-embedded column
+    *    invariants — the half CHECK doesn't cover; incoming frames may
+    *    be DECLARED nullable even when the table is not, so the DATA
+    *    is checked, not the frame's metadata);
+    *  - generated-column consistency (`gens` — provided values must
+    *    equal their expressions, NULL-safe; update verbs pass empty
+    *    since they recompute).
+    *
+    * Zero cost when no category applies (no pass is planned at all);
+    * one action otherwise. Per-category culprit probes run only on the
+    * failure path, with a generic contract-naming refusal as the
+    * fallback when a non-deterministic frame fails the combined pass
+    * but reproduces under none of the probes. */
+  private def enforceRowInvariants(df: DataFrame,
+      snap: DeltaReader.Snapshot, tablePath: String,
+      gens: Map[String, String] = Map.empty): Unit = {
+    val constraints = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+    val strict = snap.schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val preds =
+      constraints.values.map(e => coalesce(expr(e), lit(true)) === false) ++
+        strict.map(col(_).isNull) ++
+        gens.map { case (c, g) => !(col(c) <=> expr(g)) }
+    preds.reduceOption(_ || _).foreach { anyBad =>
+      if (!df.filter(anyBad).isEmpty) {
+        val badConstraints = constraints.filter { case (_, e) =>
+          !df.filter(coalesce(expr(e), lit(true)) === false).isEmpty
+        }
+        if (badConstraints.nonEmpty)
+          throw new IllegalArgumentException(
+            s"write to $tablePath violates CHECK constraint(s): " +
+              badConstraints.map { case (n, e) => s"$n ($e)" }
+                .mkString("; "))
+        strict.find(c => !df.filter(col(c).isNull).isEmpty).foreach(c =>
+          throw new IllegalArgumentException(
+            s"write to $tablePath violates NOT NULL constraint on " +
+              s"column $c — the table schema declares it non-nullable"))
+        gens.find { case (c, g) =>
+          !df.filter(!(col(c) <=> expr(g))).isEmpty }.foreach { culprit =>
           throw new IllegalArgumentException(
             s"rows violate generated column ${culprit._1} = " +
               s"${culprit._2} at $tablePath — omit the column where " +
               "the verb computes it (append), or provide exactly the " +
               "generated values")
         }
-      }
-    }
-
-  /** NOT NULL column invariant (the delta protocol's schema-embedded
-    * column invariants — the half of the constraint surface CHECK does
-    * not cover): every table-schema field declared `nullable = false`
-    * refuses NULL values on every row-landing verb, with the column
-    * named. Runs through [[validateAgainstTable]] for the append-family
-    * verbs (append / appendOnce / copyInto / overwrite / merge / scd2 /
-    * replacePartitions — their incoming frames may be declared nullable
-    * even when the table is not, so the DATA is checked, not the
-    * frame's metadata) and directly over the post-SET rows of
-    * [[update]]/[[updateWithVectors]]. Zero cost for all-nullable
-    * schemas (the common case): no pass is planned at all. */
-  private def enforceNotNull(df: DataFrame, schema: StructType,
-      tablePath: String): Unit = {
-    val strict = schema.fields.filterNot(_.nullable).map(_.name)
-    if (strict.nonEmpty) {
-      val anyNull = strict.map(col(_).isNull).reduce(_ || _)
-      if (!df.filter(anyNull).isEmpty) {
-        val culprit = strict.find(c => !df.filter(col(c).isNull).isEmpty).get
         throw new IllegalArgumentException(
-          s"write to $tablePath violates NOT NULL constraint on column " +
-            s"$culprit — the table schema declares it non-nullable")
-      }
-    }
-  }
-
-  /** CHECK-constraint gate shared by the write verbs: one combined
-    * violation pass (SQL semantics — only literal FALSE violates, NULL
-    * passes); the per-constraint re-count runs only on the failure
-    * path to name the culprit. */
-  private def enforceConstraints(df: DataFrame,
-      snap: DeltaReader.Snapshot, tablePath: String): Unit = {
-    val constraints = snap.configuration.collect {
-      case (k, v) if k.startsWith("delta.constraints.") =>
-        k.stripPrefix("delta.constraints.") -> v
-    }
-    if (constraints.nonEmpty) {
-      val anyViolated = constraints.values
-        .map(e => coalesce(expr(e), lit(true)) === false)
-        .reduce(_ || _)
-      if (df.filter(anyViolated).limit(1).count() > 0L) {
-        val culprits = constraints.filter { case (_, e) =>
-          df.filter(coalesce(expr(e), lit(true)) === false)
-            .limit(1).count() > 0L
-        }
-        throw new IllegalArgumentException(
-          s"write to $tablePath violates CHECK constraint(s): " +
-            culprits.map { case (n, e) => s"$n ($e)" }.mkString("; "))
+          s"write to $tablePath failed the combined row-invariant " +
+            "pass but no single category reproduced — the incoming " +
+            "frame is non-deterministic; materialize it first")
       }
     }
   }
@@ -2721,7 +2738,9 @@ object DeltaWriter {
       threshold: Int = 4096): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var frontier = scala.collection.immutable.Queue.empty[File]
-    if (root.isDirectory && !skipName(root.getName)) frontier :+= root
+    // skipName prunes entries WITHIN the tree, never the root the
+    // caller explicitly named (a dot-named landing dir must still walk)
+    if (root.isDirectory) frontier :+= root
     var scanned = 0
     while (frontier.nonEmpty && scanned < threshold) {
       val (d, rest) = frontier.dequeue
@@ -2754,7 +2773,10 @@ object DeltaWriter {
             else if (keep(f.getName))
               Seq((f.getAbsolutePath, f.lastModified()))
             else Nil
-          rec(new java.io.File(p))
+          // the frontier dir itself was already admitted by the BFS —
+          // skip applies to its CHILDREN only (root-in-frontier safe)
+          Option(new java.io.File(p).listFiles())
+            .getOrElse(Array.empty[java.io.File]).toSeq.flatMap(rec)
         }
         .collect().toSeq
       out.toSeq ++ dist
@@ -2788,8 +2810,11 @@ object DeltaWriter {
       s".stage-cdc-$version-${java.util.UUID.randomUUID()}")
     if (staging.exists()) delete(staging)
     // change volume ∝ matched rows (usually tiny next to the rewrite);
-    // cap the file count rather than inherit the scan's partitioning
-    changes.coalesce(8).write.mode(SaveMode.Overwrite)
+    // cap the FILE count with a shuffle (repartition), not coalesce —
+    // coalesce would propagate up the narrow pre/post-image pipeline
+    // and serialize the whole matched-rows scan to 8 tasks, while the
+    // shuffle costs only the matched rows themselves
+    changes.repartition(8).write.mode(SaveMode.Overwrite)
       .parquet(staging.getAbsolutePath)
     val cdcDir = new File(table, "_change_data")
     cdcDir.mkdirs()

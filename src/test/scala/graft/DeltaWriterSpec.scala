@@ -1963,11 +1963,19 @@ class DeltaWriterSpec extends AnyFunSuite {
       .select(col("n_regionkey"), col("n_name"), col("n_nationkey"))
       .coalesce(1).write.option("header", "true")
       .csv(new File(mixLanding, "b").getAbsolutePath)
+    // a ZERO-BYTE landing file (in-flight marker) must not wedge the
+    // batch: it contributes no rows but ledgers with the wave, so the
+    // rerun no-ops instead of refusing forever
+    val marker = new File(mixLanding, "marker.csv")
+    java.nio.file.Files.createFile(marker.toPath)
     val (mv, mf) = DeltaWriter.copyInto(spark, mixTbl,
       mixLanding.getAbsolutePath, format = "csv")
-    assert(mv.nonEmpty && mf.size == 2)
+    assert(mv.nonEmpty && mf.size == 3)
     assert(DeltaReader.load(spark, mixTbl).collect().toSet ==
       nation.collect().toSet)
+    val (mv2, mf2) = DeltaWriter.copyInto(spark, mixTbl,
+      mixLanding.getAbsolutePath, format = "csv")
+    assert(mv2.isEmpty && mf2.isEmpty)
 
     // a DRAINED landing dir (files archived after load) is the steady
     // state — the scheduled rerun must no-op, not throw
