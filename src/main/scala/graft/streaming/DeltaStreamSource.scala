@@ -82,7 +82,12 @@ import graft.sources.DeltaReader
   * pipeline runs before switching to continuous tailing: each restart
   * re-pins the ceiling at its own start and resumes past the drained
   * floor (the engine checkpoint + the durable floor below), so
-  * backfill → backfill → continuous composes with zero duplicates. */
+  * backfill → backfill → continuous composes with zero duplicates.
+  * (Engine-side `Trigger.AvailableNow` also works — UNPACED: Spark's
+  * generic V1 wrapper captures one getOffset at start, so combined
+  * with maxFiles/maxBytes pacing it would stop after the first paced
+  * window; a paced bounded drain is exactly what `stopAtLatest` is
+  * for.) */
 final class DeltaStreamSource(
     spark: SparkSession,
     tablePath: String,

@@ -287,6 +287,58 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(IncrementalAgg.lastRescanGroups == 0L)
   }
 
+  test("IVM folds consume delta's cdc update images exactly (CDF-enabled base)") {
+    import spark.implicits._
+    val base = tmp("cdc_ivm_base"); val mv = tmp("cdc_ivm_mv")
+    val mvMm = tmp("cdc_ivm_mvmm")
+    // CDF-enabled at create: the update below writes cdc actions, so
+    // the refresh windows fold update_preimage/update_postimage rows —
+    // the event-classification matrix (InsertTypes/DeleteTypes) proven
+    // end-to-end through a REAL cdc commit, not churn pairs
+    DeltaWriter.overwrite(
+      Seq(("a", 10L), ("a", 20L), ("b", 5L), ("b", 7L), ("c", 100L))
+        .toDF("k", "v"),
+      base, properties = Map("delta.enableChangeDataFeed" -> "true"))
+    IncrementalAgg.refresh(spark, base, mv, "k", "v")
+    IncrementalAgg.refreshMinMax(spark, base, mvMm, "k", "v")
+    // CoW update doubles b's values and moves a's max (cdc commit)
+    DeltaWriter.update(spark, base,
+      col("k") === "b" || col("v") === 20L,
+      Map("v" -> (col("v") * 2)))
+    IncrementalAgg.refresh(spark, base, mv, "k", "v")
+    IncrementalAgg.refreshMinMax(spark, base, mvMm, "k", "v")
+    def full(): Map[String, (Long, Long, Long, Long)] =
+      DeltaReader.load(spark, base).groupBy(col("k"))
+        .agg(count(lit(1)), sum(col("v")), min(col("v")), max(col("v")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = full()
+    val gotSum = DeltaReader.load(spark, mv).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("total")))).toMap
+    assert(gotSum == want.map { case (k, (n, t, _, _)) => k -> ((n, t)) })
+    val gotMm = DeltaReader.load(spark, mvMm).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))))
+      .toMap
+    assert(gotMm == want.map { case (k, (n, _, mn, mx)) => k -> ((n, mn, mx)) })
+    // a CoW delete on the same CDF-enabled base folds its exact cdc
+    // 'delete' images too
+    DeltaWriter.delete(spark, base, col("k") === "c")
+    IncrementalAgg.refresh(spark, base, mv, "k", "v")
+    IncrementalAgg.refreshMinMax(spark, base, mvMm, "k", "v")
+    val want2 = full()
+    assert(DeltaReader.load(spark, mv).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("total")))).toMap ==
+      want2.map { case (k, (n, t, _, _)) => k -> ((n, t)) })
+    assert(DeltaReader.load(spark, mvMm).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))))
+      .toMap ==
+      want2.map { case (k, (n, _, mn, mx)) => k -> ((n, mn, mx)) })
+  }
+
   test("refreshMinMaxSketched: seeded random churn stays exact against the full recompute") {
     // heavy duplication (12 distinct values over 120 rows, 3 groups) so
     // ties at the extrema, multi-instance subtraction, exhaustion and

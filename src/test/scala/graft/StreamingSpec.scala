@@ -941,6 +941,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(replica.count() == nation.count())
   }
 
+  test("Trigger.AvailableNow drains the backlog and self-terminates against the V1 source") {
+    // the engine-side spelling of bounded catch-up: Spark wraps a V1
+    // Source for AvailableNow by capturing ONE getOffset at start — so
+    // it drains whole only UNPACED (with maxFilesPerTrigger the wrapper
+    // would capture just the first paced window and under-drain, a
+    // generic V1 limitation; the source's own stopAtLatest option is
+    // the PACED bounded drain). This pins the unpaced engine path.
+    val base = streamBase("graft_stream_src_trigavail")
+    val src = new java.io.File(base, "src").getAbsolutePath
+    val dst = new java.io.File(base, "dst").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val nation = Tables.t(spark, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") < 10).repartition(1), src)
+    graft.sources.DeltaWriter.append(
+      nation.filter(col("n_nationkey") >= 10).repartition(1), src)
+    val q = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("graft-delta")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000L),
+      "AvailableNow query did not self-terminate")
+    assert(graft.sources.DeltaReader.load(spark, dst).collect().toSet ==
+      nation.collect().toSet)
+  }
+
   test("graft-delta source restart: pacing cursor never rewinds; latest-start resolves once per checkpoint") {
     val base = streamBase("graft_stream_src_restart")
     val nation = Tables.t(spark, d, "nation")
