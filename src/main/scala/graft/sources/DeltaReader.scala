@@ -989,7 +989,8 @@ object DeltaReader {
     // rows) and derive NOTHING from the commit's
     // file diffs, which would re-introduce the survivor churn the cdc
     // files exist to eliminate. State still advances from add/remove.
-    val cdcEmits = mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val cdcEmits = mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Map[String, Option[String]])])]
     commits.foreach { f =>
       val v = f.getName.take(20).toLong
       val nodes = new String(Files.readAllBytes(f.toPath),
@@ -1003,7 +1004,7 @@ object DeltaReader {
       }
       val cdcPaths = nodes.flatMap(n =>
         Option(n.get("cdc")).filterNot(_.isNull)).map(c =>
-        decodePath(c.get("path").asText()))
+        (decodePath(c.get("path").asText()), parsePv(c)))
       if (cdcPaths.nonEmpty && !layoutOnly) cdcEmits += ((v, cdcPaths))
       // net per-path outcome WITHIN the commit (a DV update is
       // remove+add of the same path in one commit: the add wins)
@@ -1108,15 +1109,33 @@ object DeltaReader {
         .withColumn("_change_type", lit(e.change))
         .withColumn("_commit_version", lit(e.version))
     }
-    // cdc files already carry the full logical row (partition columns
-    // inline) plus _change_type — the writer's documented sidecar
-    // layout; the pinned schema means no inference pass
-    val cdcSchema = StructType(snap.schema.fields.toIndexedSeq :+
+    // cdc files carry the logical NON-PARTITION row plus _change_type;
+    // partition columns live in each cdc action's partitionValues
+    // (hive-partitioned `_change_data/`, the writer's delta-parity
+    // layout) and are restored typed here, exactly like the data-file
+    // emits above. Pre-r20 cdc files (partition columns inline, empty
+    // partitionValues) read through the legacy schema — on a
+    // partitioned table an EMPTY pv marks that layout. Pinned schemas
+    // either way: no inference pass.
+    val cdcSchema = StructType(
+      snap.schema.fields.toIndexedSeq
+        .filterNot(f => partCols.contains(f.name)) :+
       StructField("_change_type", StringType, nullable = false))
-    val cdcParts = cdcEmits.toSeq.map { case (v, paths) =>
-      spark.read.schema(cdcSchema)
-        .parquet(paths.map(p => resolved(root, p)): _*)
-        .withColumn("_commit_version", lit(v))
+    val cdcLegacySchema = StructType(snap.schema.fields.toIndexedSeq :+
+      StructField("_change_type", StringType, nullable = false))
+    val cdcParts = cdcEmits.toSeq.flatMap { case (v, entries) =>
+      val (legacy, hived) = entries.partition { case (_, pv) =>
+        partCols.nonEmpty && pv.isEmpty
+      }
+      val legacyPart =
+        if (legacy.isEmpty) Nil
+        else Seq(spark.read.schema(cdcLegacySchema)
+          .parquet(legacy.map(e => resolved(root, e._1)): _*))
+      val hivedParts = hived.groupBy(_._2).toSeq.map { case (pv, es) =>
+        withPv(spark.read.schema(cdcSchema)
+          .parquet(es.map(e => resolved(root, e._1)): _*), pv)
+      }
+      (legacyPart ++ hivedParts).map(_.withColumn("_commit_version", lit(v)))
     }
     (plainParts ++ dvParts ++ cdcParts).reduce(_ unionByName _)
       .select(feedFields.map(f => col(f.name)): _*)

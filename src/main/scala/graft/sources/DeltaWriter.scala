@@ -247,7 +247,15 @@ object DeltaWriter {
     * Returns (committed version if anything landed, ingested files). */
   def copyInto(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, sourceDir: String, format: String = "parquet",
-      force: Boolean = false): (Option[Long], Seq[String]) = {
+      force: Boolean = false,
+      /** fresh-file count past which the CSV header probe runs as a
+        * DISTRIBUTED pass instead of a driver loop — the same
+        * scale-safety posture as [[walkScalably]]'s listing threshold
+        * (a ~10⁶-file landing zone must not re-serialize through the
+        * driver one 64 KiB read at a time right after the listing went
+        * distributed). Parameterized so specs can force the
+        * distributed path on small fixtures. */
+      probeThreshold: Int = 4096): (Option[Long], Seq[String]) = {
     require(tableExists(tablePath),
       s"copyInto: no Delta table at $tablePath — COPY INTO ingests " +
         "into an existing table (CREATE it first)")
@@ -301,22 +309,19 @@ object DeltaWriter {
         // decode with replacement (Spark's own CSV posture) instead of
         // crashing the probe. The probe reads ≤64 KiB — headers past
         // that group together and the enforceSchema=false backstop
-        // refuses any real in-group drift.
-        def headerOf(p: String): Option[String] = {
-          val in = new java.io.FileInputStream(p)
-          try {
-            val buf = new Array[Byte](64 * 1024)
-            val n = in.read(buf)
-            if (n <= 0) None
-            else {
-              val line = new String(buf, 0, n, StandardCharsets.UTF_8)
-              val cut = line.indexOf('\n')
-              Some((if (cut >= 0) line.take(cut) else line)
-                .stripSuffix("\r"))
-            }
-          } finally in.close()
-        }
-        val byHeader = fresh.flatMap(p => headerOf(p).map(_ -> p))
+        // refuses any real in-group drift. Past `probeThreshold` fresh
+        // files the per-file reads run DISTRIBUTED (one task batch per
+        // partition, collecting only (path, header) pairs — the same
+        // metadata-sized collect the listing itself makes); below it
+        // the driver loop wins on job overhead.
+        val headers: Seq[(String, Option[String])] =
+          if (fresh.length <= probeThreshold)
+            fresh.map(p => (p, headerLineOf(p)))
+          else spark.sparkContext
+            .parallelize(fresh, math.max(1, math.min(fresh.length, 64)))
+            .map(p => (p, headerLineOf(p)))
+            .collect().toSeq
+        val byHeader = headers.collect { case (p, Some(h)) => h -> p }
           .groupBy(_._1).map { case (h, ps) => h -> ps.map(_._2) }
         // an all-empty wave still lands (0 rows) so the markers ledger
         // and the scheduled rerun no-ops — never a rerun-forever wedge
@@ -712,13 +717,31 @@ object DeltaWriter {
         .drop("__source_file", "__row_index")
         .select(fields.map(col): _*)
       val matchedKeys = pre.select(keys.map(col): _*).distinct()
+      // DUPLICATE-KEY TARGETS: replace-all semantics turn N matching
+      // target rows into ONE source row, but matchedKeys is
+      // key-distinct — a naive feed would pair N `update_preimage`
+      // rows with a single `update_postimage`, breaking the 1:1
+      // pre/post pairing CDF consumers assume. So exactly one
+      // pre-image per key keeps the update spelling and the surplus
+      // N−1 emit as `delete` (which is what replace-all did to them);
+      // the signed net is identical either way, the pairing contract
+      // holds. Which duplicate becomes THE pre-image is arbitrary
+      // (they share the key; replace-all destroys them all alike) —
+      // row_number over the key cols picks one without imposing a
+      // spurious total order.
+      val keyW = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+      val preTagged = pre.withColumn("__rn", row_number().over(keyW))
       stageCdcFiles(
-        pre.withColumn("_change_type", lit("update_preimage"))
+        preTagged.filter(col("__rn") === 1).drop("__rn")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(preTagged.filter(col("__rn") > 1).drop("__rn")
+            .withColumn("_change_type", lit("delete")))
           .unionByName(srcNorm.join(matchedKeys, keys, "left_semi")
             .withColumn("_change_type", lit("update_postimage")))
           .unionByName(srcNorm.join(matchedKeys, keys, "left_anti")
             .withColumn("_change_type", lit("insert"))),
-        table, version)
+        table, version, snap)
     }
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
@@ -914,7 +937,7 @@ object DeltaWriter {
         .drop("__source_file", "__row_index")
         .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
         .withColumn("_change_type", lit("delete")),
-      table, version)
+      table, version, snap)
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
@@ -1013,7 +1036,7 @@ object DeltaWriter {
             pre.withColumn("_change_type", lit("update_preimage"))
               .unionByName(
                 updated.withColumn("_change_type", lit("update_postimage"))),
-            p.table, p.version)
+            p.table, p.version, p.snap)
         }
         publishOptimistic(p.table, p.version,
           p.protoLine ++ cdcLines ++ p.removes ++ p.dvAdds ++ newAdds)
@@ -1261,7 +1284,7 @@ object DeltaWriter {
         matchedPre.withColumn("_change_type", lit("update_preimage"))
           .unionByName(
             matchedPost.withColumn("_change_type", lit("update_postimage"))),
-        table, version)
+        table, version, snap)
     }
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
@@ -1489,12 +1512,27 @@ object DeltaWriter {
         tombstoned.get(rel).getOrElse(mtime) <= horizon
       }
     if (dryRun) return dead.map(_._2)
-    dead.foreach { case (f, _, _) =>
-      f.delete()
-      // drop now-empty partition dirs up to (not including) the root —
-      // compared as absolute paths (the walk returns absolute files,
-      // the caller's tablePath may be relative)
-      var p = f.getParentFile
+    // the unlink itself distributes past the same threshold the
+    // listing uses: a 10⁶-dead-file sweep must not issue one
+    // driver-serial delete per file (on an object store, one DELETE
+    // call each) right after walkScalably made the listing
+    // scale-safe. The empty-dir collapse stays driver-side EITHER way
+    // — it walks distinct PARENT dirs (partition-count-sized, and
+    // racy to run concurrently from executors: two tasks probing one
+    // dir's emptiness interleave with each other's deletes).
+    if (dead.length <= 4096) dead.foreach(_._1.delete())
+    else {
+      val paths = dead.map(_._1.getAbsolutePath)
+      spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.length, 64)))
+        .foreach(p => new File(p).delete())
+    }
+    // drop now-empty partition dirs up to (not including) the root —
+    // compared as absolute paths (the walk returns absolute files,
+    // the caller's tablePath may be relative); distinct parents, so
+    // the probe count is partition-dir-sized, not dead-file-sized
+    dead.map(_._1.getParentFile).distinct.foreach { parent =>
+      var p = parent
       while (p != null && p.toPath.toAbsolutePath != tableAbs &&
         Option(p.listFiles()).exists(_.isEmpty)) { p.delete(); p = p.getParentFile }
     }
@@ -2732,6 +2770,25 @@ object DeltaWriter {
     * whole subtrees by entry name; `keepName` filters files.
     * Executors use the local-FS File API — the one seam a cluster
     * deployment swaps for its object-store listing client. */
+  /** First line (≤64 KiB probe) of a landing file — [[copyInto]]'s CSV
+    * header-group key. None for a zero-byte file; malformed bytes
+    * decode with replacement (never throws), so executors can run it
+    * over an arbitrary landing zone. Object-level (not a local def)
+    * so the distributed probe's closure captures nothing. */
+  private def headerLineOf(p: String): Option[String] = {
+    val in = new java.io.FileInputStream(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      val n = in.read(buf)
+      if (n <= 0) None
+      else {
+        val line = new String(buf, 0, n, StandardCharsets.UTF_8)
+        val cut = line.indexOf('\n')
+        Some((if (cut >= 0) line.take(cut) else line).stripSuffix("\r"))
+      }
+    } finally in.close()
+  }
+
   private[graft] def walkScalably(
       spark: org.apache.spark.sql.SparkSession, root: File,
       skipName: String => Boolean, keepName: String => Boolean,
@@ -2758,28 +2815,44 @@ object DeltaWriter {
     else {
       // the tree outgrew the driver budget: finish the remaining
       // subtrees distributed (skip/keep close over nothing heavier
-      // than what the caller captured — they ship to executors)
-      val dirs = frontier.map(_.getAbsolutePath).toSeq
+      // than what the caller captured — they ship to executors).
+      // Each round lists ONE directory level — a task never recurses —
+      // so a single giant subtree among small siblings fans its
+      // subdirectories back into the NEXT round's frontier instead of
+      // serializing into one task's private recursion: task skew is
+      // bounded by the widest single directory, not the deepest
+      // subtree. Rounds = remaining tree depth (one job each); per
+      // round the driver holds only that LEVEL's subdirectory paths
+      // plus the kept files — the kept-file collect is inherent (the
+      // caller composes a commit from the listing), the level-width
+      // bound is what keeps the frontier collect from re-growing into
+      // the recursion this path exists to avoid.
       val skip = skipName
       val keep = keepName
-      val dist = spark.sparkContext
-        .parallelize(dirs, math.max(1, math.min(dirs.length, 64)))
-        .flatMap { p =>
-          def rec(f: java.io.File): Seq[(String, Long)] =
-            if (skip(f.getName)) Nil
-            else if (f.isDirectory)
-              Option(f.listFiles())
-                .getOrElse(Array.empty[java.io.File]).toSeq.flatMap(rec)
-            else if (keep(f.getName))
-              Seq((f.getAbsolutePath, f.lastModified()))
-            else Nil
-          // the frontier dir itself was already admitted by the BFS —
-          // skip applies to its CHILDREN only (root-in-frontier safe)
-          Option(new java.io.File(p).listFiles())
-            .getOrElse(Array.empty[java.io.File]).toSeq.flatMap(rec)
+      // the frontier dirs themselves were already admitted by the BFS —
+      // skip applies to CHILDREN only (root-in-frontier safe)
+      var dirs: Seq[String] = frontier.map(_.getAbsolutePath).toSeq
+      while (dirs.nonEmpty) {
+        val round = spark.sparkContext
+          .parallelize(dirs, math.max(1, math.min(dirs.length, 64)))
+          .flatMap { p =>
+            Option(new java.io.File(p).listFiles())
+              .getOrElse(Array.empty[java.io.File]).toSeq
+              .filterNot(f => skip(f.getName))
+              .flatMap { f =>
+                if (f.isDirectory) Some((f.getAbsolutePath, 0L, true))
+                else if (keep(f.getName))
+                  Some((f.getAbsolutePath, f.lastModified(), false))
+                else None
+              }
+          }
+          .collect()
+        round.foreach { case (p, mtime, isDir) =>
+          if (!isDir) out += ((p, mtime))
         }
-        .collect().toSeq
-      out.toSeq ++ dist
+        dirs = round.collect { case (p, _, true) => p }.toSeq
+      }
+      out.toSeq
     }
   }
 
@@ -2795,38 +2868,78 @@ object DeltaWriter {
     * merge's replaced rows, `delete`/`insert` for the others) for
     * EXACTLY the matched rows — the untouched survivors of the
     * copy-on-write rewrite never appear in the feed at all (previously
-    * they rode along as self-cancelling delete+insert churn). Layout (documented): cdc
-    * files carry the full LOGICAL row — partition columns inline,
-    * logical names even under column mapping — plus `_change_type`;
-    * they are feed sidecar data, never table state (absent from
-    * snapshots and checkpoints), and [[vacuum]] keeps them exactly
-    * while their commit's JSON survives — the same log-retention
-    * horizon that bounds the feed's replayability. `dataChange:false`
-    * per the delta spec (the add/remove actions carry the state
-    * change). */
+    * they rode along as self-cancelling delete+insert churn). Layout:
+    * on a PARTITIONED table the cdc files are hive-partitioned under
+    * `_change_data/` by the table's partition columns (physical
+    * spellings, exactly the add actions' convention) and each cdc
+    * action carries real `partitionValues` — delta-spark's own layout,
+    * so a partition-scoped CDF consumer prunes cdc files the same way
+    * a scan prunes data files; non-partition columns keep LOGICAL
+    * names inside the cdc parquet even under column mapping (a
+    * documented deviation — delta-spark writes physical ones; this
+    * repo's reader is the consumer). Unpartitioned tables write flat
+    * files with empty partitionValues. cdc files are feed sidecar
+    * data, never table state (absent from snapshots and checkpoints),
+    * and [[vacuum]] keeps them exactly while their commit's JSON
+    * survives — the same log-retention horizon that bounds the feed's
+    * replayability. `dataChange:false` per the delta spec (the
+    * add/remove actions carry the state change). */
   private def stageCdcFiles(changes: DataFrame, table: File,
-      version: Long): Seq[String] = {
+      version: Long, snap: DeltaReader.Snapshot): Seq[String] = {
     val staging = new File(table,
       s".stage-cdc-$version-${java.util.UUID.randomUUID()}")
     if (staging.exists()) delete(staging)
+    val partCols = snap.partitionColumns
+    def phys(n: String): String = snap.physicalNames.getOrElse(n, n)
     // change volume ∝ matched rows (usually tiny next to the rewrite);
     // cap the FILE count with a shuffle (repartition), not coalesce —
     // coalesce would propagate up the narrow pre/post-image pipeline
     // and serialize the whole matched-rows scan to 8 tasks, while the
-    // shuffle costs only the matched rows themselves
-    changes.repartition(8).write.mode(SaveMode.Overwrite)
-      .parquet(staging.getAbsolutePath)
+    // shuffle costs only the matched rows themselves. Partitioned
+    // tables shuffle ON the partition key so each touched partition
+    // lands ONE cdc file (not 8): file count ∝ touched partitions,
+    // parallelism still capped at 8 tasks.
+    if (partCols.isEmpty)
+      changes.repartition(8).write.mode(SaveMode.Overwrite)
+        .parquet(staging.getAbsolutePath)
+    else {
+      val renamed = changes.select(changes.columns.toIndexedSeq.map(c =>
+        if (partCols.contains(c)) col(c).as(phys(c)) else col(c)): _*)
+      renamed.repartition(8, partCols.map(c => col(phys(c))): _*)
+        .write.partitionBy(partCols.map(phys): _*)
+        .mode(SaveMode.Overwrite).parquet(staging.getAbsolutePath)
+    }
     val cdcDir = new File(table, "_change_data")
     cdcDir.mkdirs()
+    val stagingPath = staging.toPath
     val moved = collectParquet(staging).map { f =>
-      val dest = new File(cdcDir, f.getName)
+      val rel = stagingPath.relativize(f.toPath).toString
+        .replace(File.separatorChar, '/')
+      val dest = new File(cdcDir, rel)
+      dest.getParentFile.mkdirs()
       Files.move(f.toPath, dest.toPath) // uuid part names: never collides
-      s"_change_data/${f.getName}"
+      s"_change_data/$rel"
     }
     delete(staging)
-    moved.map(rel =>
-      s"""{"cdc":{"path":"$rel","partitionValues":{},""" +
-        s""""size":${new File(table, rel).length()},"dataChange":false}}""")
+    moved.map { rel =>
+      // partitionValues from the hive dir segs (same parse as the add
+      // actions'): `_change_data/<pc=v>/…/part.parquet`
+      val segs = rel.split('/')
+      val pv = segs.drop(1).dropRight(1).map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"unparseable cdc partition dir '$seg' under $rel")
+        val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(i + 1))
+        seg.take(i) ->
+          (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+      }
+      val pvJ = pv.map {
+        case (k, Some(v)) => s"${jstr(k)}:${jstr(v)}"
+        case (k, None) => s"${jstr(k)}:null"
+      }.mkString("{", ",", "}")
+      s"""{"cdc":{"path":"$rel","partitionValues":$pvJ,""" +
+        s""""size":${new File(table, rel).length()},"dataChange":false}}"""
+    }
   }
 
   /** Whether the table declares a CDF consumer
