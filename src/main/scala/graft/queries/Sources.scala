@@ -1195,6 +1195,36 @@ object Sources {
             AS BIGINT) AS cents
         FROM orders
         WHERE o_orderkey % 10 NOT IN (3, 4)
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- SQL INSERT INTO (r20): the append statement a script author
+    // expects after CREATE (the reference's DataFusion context accepts
+    // INSERT through its all-permissive SQLOptions, context.rs:94).
+    // The fixture lands a full-row VALUES insert and a
+    // partial-column-list SELECT insert through the SQL dispatch; the
+    // read-back must equal the oracle's recomposed corpus — a
+    // transposed positional bind, a dropped null-fill, or a statement
+    // that didn't commit each breaks the row set.
+    Q("q206_sql_insert_into",
+      (s, d) => {
+        val dir = Fixtures.deltaNationInserted(s, d)
+        DeltaReader.load(s, s"$dir/table")
+          .select(col("n_nationkey").cast("int").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+          CAST(n_regionkey AS INT) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT * FROM (VALUES
+          (900, 'INSERTED-A', 1),
+          (901, 'INSERTED-B', 2)) v(n_nationkey, n_name, n_regionkey)
+        UNION ALL
+        SELECT CAST(n_nationkey + 1000 AS INT),
+          concat('COPY-', n_name), CAST(NULL AS INT)
+        FROM nation WHERE n_nationkey < 5
+        ORDER BY n_nationkey"""))
   )
 }

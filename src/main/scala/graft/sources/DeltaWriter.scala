@@ -470,6 +470,54 @@ object DeltaWriter {
     }
   }
 
+  /** Drop a column on a COLUMN-MAPPED table — [[renameColumn]]'s
+    * sibling and the OTHER metadata-only edit column mapping exists
+    * for: the physical parquet column stays in every written file,
+    * only the logical field leaves the schema, so readers stop
+    * projecting it (one log line vs a full rewrite on a 100 TB
+    * table). Re-adding the same logical name later ([[evolveSchema]])
+    * mints a FRESH physical name and column id, so the old data can
+    * never resurrect under the new column — delta's tombstone
+    * semantics, guaranteed structurally by the mapping. Refused on
+    * unmapped tables naming the mode (their files carry logical
+    * names: dropping one there silently null-fills nothing — the data
+    * is still read), on partition columns (they define file layout),
+    * on a generated column's SOURCE (the expression would dangle),
+    * and while a CHECK constraint references the column. */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, column: String): Long = {
+    val snap = DeltaReader.snapshot(spark, tablePath)
+    require(snap.physicalNames.nonEmpty,
+      "dropColumn needs a column-mapped table (set " +
+        "delta.columnMapping.mode = name or id at creation) — unmapped " +
+        "files carry logical column names, so a drop there would still " +
+        "read the data back; rewrite the table instead")
+    val field = snap.schema.fields.find(_.name == column)
+    require(field.nonEmpty, s"no such column: $column")
+    require(!snap.partitionColumns.contains(column),
+      s"$column is a partition column — it defines the table's file " +
+        "layout and cannot be dropped as a metadata edit")
+    require(snap.schema.fields.length > 1,
+      s"cannot drop $column — it is the table's only column")
+    val word = s".*\\b${java.util.regex.Pattern.quote(column)}\\b.*"
+    val genRefs = generationExpressions(snap.schema).collect {
+      case (c, g) if c != column && g.matches(word) => c
+    }
+    require(genRefs.isEmpty,
+      s"generated column(s) ${genRefs.mkString(", ")} are computed " +
+        s"from $column — drop them first")
+    val conRefs = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") &&
+        v.matches(word) => k.stripPrefix("delta.constraints.")
+    }
+    require(conRefs.isEmpty,
+      s"CHECK constraint(s) reference $column: ${conRefs.mkString(", ")}" +
+        " — drop them first")
+    val dropped = StructType(snap.schema.fields.filterNot(_.name == column))
+    patchMetaData(spark, tablePath)(meta =>
+      meta.put("schemaString", dropped.json))
+  }
+
   /** Carry the table's newest metaData record forward (JSON commits
     * first, newest-checkpoint fallback after log cleanup — the same
     * rule [[checkpoint]] uses), apply `patch` to the metaData object,

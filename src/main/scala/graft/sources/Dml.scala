@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 /** SQL DML + maintenance over DDL-registered Delta tables — `DELETE
   * FROM`, `UPDATE … SET`, the canonical upsert `MERGE INTO`, plus the
@@ -65,6 +65,20 @@ object Dml {
   final case class AddConstraint(table: String, name: String,
       check: String) extends Stmt
   final case class DropConstraint(table: String, name: String) extends Stmt
+  /** `INSERT INTO t [(c1, c2, …)] VALUES (…)[, (…)]` / `INSERT INTO t
+    * [(c1, …)] SELECT …` — the append commit a script author expects
+    * after CREATE (the reference's DataFusion context accepts INSERT
+    * through its all-permissive SQLOptions, `context.rs:94`). The
+    * source binds POSITIONALLY to the named column list (or the full
+    * table schema when none is given), casts to the table's types,
+    * and lands through [[DeltaWriter.append]] — so NOT NULL / CHECK /
+    * generated-column invariants gate it exactly like every other
+    * row-landing verb, and absent generated columns are computed. */
+  final case class Insert(table: String, cols: Seq[String],
+      sourceSql: String) extends Stmt
+  /** `ALTER TABLE t DROP COLUMN c` — metadata-only drop on a
+    * column-mapped table ([[DeltaWriter.dropColumn]]). */
+  final case class DropColumn(table: String, column: String) extends Stmt
   /** `ALTER TABLE t ADD COLUMNS (c1 TYPE [, c2 TYPE …])` — the SQL
     * spelling of [[DeltaWriter.evolveSchema]]'s additive-only
     * evolution: new columns are nullable (old files null-fill on
@@ -129,6 +143,14 @@ object Dml {
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val DropColumnP =
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+DROP\s+COLUMN\s+("[^"]+"|\w+)\s*;?\s*""".r
+  // the source query is everything after the optional column list —
+  // VALUES rows, a SELECT, or a WITH-prefixed select; parsed as a
+  // whole by the session's SQL pipeline, so every scalar function and
+  // pg rewrite works inside an INSERT source
+  private val InsertP =
+    raw"""(?is)\s*INSERT\s+INTO\s+$Id\s*(?:\(([^()]*)\))?\s*((?:VALUES|SELECT|WITH)\b.+?)\s*;?\s*""".r
   // greedy (.+) like AddConstraintP: parameterized types — DECIMAL(p,s),
   // VARCHAR(n) — carry inner parens the non-greedy [^)]+ would cut at
   private val AddColumnsP =
@@ -183,6 +205,12 @@ object Dml {
       Some(AddConstraint(unquote(table), name, check.trim))
     case DropConstraintP(table, name) =>
       Some(DropConstraint(unquote(table), name))
+    case DropColumnP(table, column) =>
+      Some(DropColumn(unquote(table), unquote(column)))
+    case InsertP(table, cols, src) =>
+      Some(Insert(unquote(table), Option(cols).toSeq
+        .flatMap(_.split(',').map(c => unquote(c.trim)).filter(_.nonEmpty)),
+        src.trim))
     case AddColumnsP(table, cols) =>
       Some(AddColumns(unquote(table), cols.trim))
     case RestoreVersionP(table, v) =>
@@ -335,6 +363,45 @@ object Dml {
         else DeltaWriter.update(spark, t.location, pred, assignments)
       case Merge(_, source, keys) =>
         DeltaWriter.merge(run(source), t.location, keys)
+      case Insert(_, cols, srcSql) =>
+        // VALUES rows ride Spark's inline-table syntax; SELECT/WITH
+        // sources evaluate through the full context (pg rewrites,
+        // registered views, every engine scalar)
+        val sql =
+          if (srcSql.length >= 6 &&
+            srcSql.substring(0, 6).equalsIgnoreCase("VALUES"))
+            s"SELECT * FROM $srcSql"
+          else srcSql
+        val src = run(sql)
+        val snap = DeltaReader.snapshot(spark, t.location)
+        // bind POSITIONALLY to the named list (or the full schema),
+        // resolving names case-insensitively to the table's spelling
+        val targets =
+          if (cols.isEmpty) snap.schema.fieldNames.toSeq
+          else cols.map(c =>
+            snap.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"INSERT INTO ${stmt.table}: unknown column $c")))
+        require(targets.distinct.size == targets.size,
+          s"INSERT INTO ${stmt.table}: duplicate target column")
+        require(src.columns.length == targets.size,
+          s"INSERT INTO ${stmt.table}: ${targets.size} target column(s) " +
+            s"but the source produces ${src.columns.length}")
+        val named = src.toDF(targets: _*)
+        // absent GENERATED columns are computed by the append path;
+        // other absent columns null-fill — the NOT NULL invariant gate
+        // refuses the ones the table declares mandatory, naming them
+        val gens = DeltaWriter.generationExpressions(snap.schema).keySet
+        val absent = snap.schema.fieldNames
+          .filterNot(c => targets.contains(c) || gens.contains(c))
+        val filled = absent.foldLeft(named)((d, c) =>
+          d.withColumn(c, lit(null).cast(snap.schema(c).dataType)))
+        val out = filled.select(filled.columns.toIndexedSeq.map(c =>
+          col(c).cast(snap.schema(c).dataType).as(c)): _*)
+        DeltaWriter.append(out, t.location,
+          partitionBy = snap.partitionColumns)
+      case DropColumn(_, column) =>
+        DeltaWriter.dropColumn(spark, t.location, column)
       case Optimize(_, Nil, w) =>
         DeltaWriter.compact(spark, t.location, where = w.map(expr))
       case Optimize(_, Seq(one), w) =>

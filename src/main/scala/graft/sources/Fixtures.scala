@@ -1128,6 +1128,27 @@ object Fixtures {
       ()
     }
 
+  /** SQL INSERT INTO driven end-to-end (q206): a delta table created
+    * from nation, then one full-row VALUES insert and one
+    * partial-column-list SELECT insert landed through the SQL dispatch
+    * (`AdtContext.sql` → [[Dml]] → [[DeltaWriter.append]]) — absent
+    * columns null-fill, each statement is a real commit. The oracle
+    * recomposes corpus + literals. */
+  def deltaNationInserted(s: SparkSession, d: String): String =
+    ensure(d, "delta_nation_inserted") { dir =>
+      val nation = Tables.t(s, d, "nation")
+      val tbl = new File(dir, "table").getAbsolutePath
+      DeltaWriter.append(nation, tbl)
+      val ctx = new graft.AdtContext(s)
+      ctx.sql(s"CREATE EXTERNAL TABLE q206_ins STORED AS DELTA LOCATION '$tbl'")
+      ctx.sql("INSERT INTO q206_ins VALUES " +
+        "(900, 'INSERTED-A', 1), (901, 'INSERTED-B', 2)")
+      ctx.sql("INSERT INTO q206_ins (n_nationkey, n_name) " +
+        "SELECT CAST(n_nationkey + 1000 AS INT), concat('COPY-', n_name) " +
+        "FROM q206_ins WHERE n_nationkey < 5")
+      ()
+    }
+
   /** IVM materialization maintained THROUGH RETRACTIONS (q186): refresh
     * after the initial append, then copy-on-write delete + deletion-
     * vector delete + copy-on-write update + compact on the base, then

@@ -2365,4 +2365,215 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaReader.load(spark, src).count() == 25L)
     assert(DeltaReader.load(spark, dst).collect().toSet == expected)
   }
+
+  test("walkScalably: one giant deep subtree among small siblings lists identically") {
+    val root = new File(tmpTable("walk_skew"))
+    var expected = Set.empty[String]
+    def put(dir: File, n: Int): Unit = {
+      dir.mkdirs()
+      for (i <- 0 until n) {
+        val f = new File(dir, s"f$i.parquet")
+        java.nio.file.Files.createFile(f.toPath)
+        expected += f.getAbsolutePath
+      }
+    }
+    // small siblings a distributed pass could finish instantly…
+    for (s <- 0 until 20) put(new File(root, s"small$s"), 2)
+    // …next to ONE subtree that is both deep (a 12-level chain) and
+    // wide at the bottom (120 leaf dirs): the old recursive pass gave
+    // this whole subtree to a single task; the level-at-a-time rounds
+    // must fan its width across tasks and still return the same set
+    var chain = new File(root, "giant")
+    for (level <- 0 until 12) {
+      chain = new File(chain, s"d$level")
+      put(chain, 3)
+    }
+    for (leaf <- 0 until 120) put(new File(chain, s"leaf$leaf"), 6)
+    def run(threshold: Int): Seq[(String, Long)] =
+      DeltaWriter.walkScalably(spark, root,
+        skipName = _.startsWith("."),
+        keepName = _.endsWith(".parquet"), threshold)
+    // threshold 1 pushes essentially the whole tree through the
+    // distributed rounds; the driver-only walk is the ground truth
+    val skewed = run(1)
+    val driverOnly = run(Int.MaxValue)
+    assert(driverOnly.map(_._1).toSet == expected)
+    assert(skewed.map(_._1).toSet == expected)
+    assert(skewed.size == expected.size) // no dupes across rounds
+  }
+
+  test("vacuum: the distributed unlink sweep leaves the same tree as the driver loop") {
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    // two identical tables; one gets a dead-set ABOVE the 4096 unlink
+    // threshold (distributed deletes), one below (driver loop) — the
+    // post-sweep trees must agree: orphans gone, their emptied dirs
+    // collapsed, live data + log intact
+    def build(name: String, orphans: Int): String = {
+      val path = tmpTable(name)
+      DeltaWriter.append(nation.repartition(1), path)
+      for (dir <- 0 until 10) {
+        val sub = new File(path, s"junk=$dir"); sub.mkdirs()
+        for (i <- 0 until (orphans / 10))
+          java.nio.file.Files.createFile(
+            new File(sub, s"orphan$i.parquet").toPath)
+      }
+      path
+    }
+    def sweepAndCheck(path: String, orphans: Int): Unit = {
+      val dead = DeltaWriter.vacuum(spark, path, retainMs = 0L)
+      assert(dead.length == orphans)
+      // orphan dirs collapsed, live table intact and readable
+      val left = Option(new File(path).listFiles()).get.map(_.getName).toSet
+      assert(!left.exists(_.startsWith("junk=")))
+      assert(DeltaReader.load(spark, path).count() == 25L)
+    }
+    sweepAndCheck(build("vac_driver", 100), 100)
+    sweepAndCheck(build("vac_dist", 4200), 4200)
+  }
+
+  test("copyInto: the CSV header probe binds by name through the distributed pass too") {
+    val root = new File(tmpTable("copy_dist_probe"))
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val tbl = new File(root, "t").getAbsolutePath
+    DeltaWriter.append(nation.limit(0), tbl)
+    val landing = new File(root, "landing")
+    // two header orders in one wave + a zero-byte in-flight marker —
+    // the exact mixed batch the header grouping exists for, forced
+    // through the DISTRIBUTED probe (threshold 0)
+    nation.filter(col("n_nationkey") < 12)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.option("header", "true")
+      .csv(new File(landing, "a").getAbsolutePath)
+    nation.filter(col("n_nationkey") >= 12)
+      .select(col("n_regionkey"), col("n_name"), col("n_nationkey"))
+      .coalesce(1).write.option("header", "true")
+      .csv(new File(landing, "b").getAbsolutePath)
+    java.nio.file.Files.createFile(new File(landing, "marker.csv").toPath)
+    val (v, files) = DeltaWriter.copyInto(spark, tbl,
+      landing.getAbsolutePath, format = "csv", probeThreshold = 0)
+    assert(v.nonEmpty && files.size == 3)
+    assert(DeltaReader.load(spark, tbl).collect().toSet ==
+      nation.collect().toSet)
+    // the marker ledgered with the wave: the rerun no-ops distributed too
+    val (v2, f2) = DeltaWriter.copyInto(spark, tbl,
+      landing.getAbsolutePath, format = "csv", probeThreshold = 0)
+    assert(v2.isEmpty && f2.isEmpty)
+  }
+
+  test("CDF on a partitioned table: cdc files hive-partition and actions carry partitionValues") {
+    val path = tmpTable("cdf_part")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.overwrite(nation, path, partitionBy = Seq("n_regionkey"),
+      properties = Map("delta.enableChangeDataFeed" -> "true")) // v0
+    // a delete scoped to ONE partition…
+    DeltaWriter.delete(spark, path,
+      col("n_regionkey") === 2 && col("n_nationkey") % 2 === 0) // v1
+    // …and an update touching two partitions
+    DeltaWriter.update(spark, path, col("n_nationkey").isin(1, 3),
+      Map("n_name" -> lit("UPDATED"))) // v2
+    // layout: every cdc file sits under a hive partition dir, and its
+    // action's partitionValues name exactly that partition — the
+    // pruning contract a partition-scoped CDF consumer relies on
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cdcActs = Option(new File(path, "_delta_log").listFiles()).get
+      .filter(_.getName.matches("\\d{20}\\.json")).sorted.toSeq
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.contains("\"cdc\""))
+        .map(l => jackson.readTree(l).get("cdc")).toSeq)
+    assert(cdcActs.nonEmpty)
+    cdcActs.foreach { c =>
+      val rel = c.get("path").asText()
+      assert(rel.matches("_change_data/n_regionkey=\\d+/.*\\.parquet"), rel)
+      val pv = c.get("partitionValues")
+      assert(pv.has("n_regionkey"))
+      assert(rel.contains(s"n_regionkey=${pv.get("n_regionkey").asText()}"))
+    }
+    // the delete commit's cdc files live ONLY under the one touched
+    // partition — reading that partition's changes touches no other's
+    val deleteDirs = Option(new File(path, "_change_data").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(deleteDirs.contains("n_regionkey=2"))
+    // exactness: the feed reproduces delta's event spellings with the
+    // partition column restored TYPED from partitionValues
+    val feed = DeltaReader.loadChangeFeed(spark, path, 0L, 2L)
+    assert(feed.schema("n_regionkey").dataType ==
+      nation.schema("n_regionkey").dataType)
+    val deletes = feed.filter(col("_commit_version") === 1L)
+      .select("n_nationkey", "n_regionkey", "_change_type").collect()
+    assert(deletes.forall(r => r.getString(2) == "delete" && r.getInt(1) == 2
+      && r.getInt(0) % 2 == 0))
+    val expectDel = nation.filter(col("n_regionkey") === 2 &&
+      col("n_nationkey") % 2 === 0).count()
+    assert(deletes.length == expectDel)
+    val ups = feed.filter(col("_commit_version") === 2L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ups == Map("update_preimage" -> 2L, "update_postimage" -> 2L))
+    // no survivor churn: only matched rows appear
+    assert(feed.count() == expectDel + 4L)
+  }
+
+  test("CDF legacy layout: inline-partition cdc files (empty partitionValues) still read") {
+    val path = tmpTable("cdf_legacy")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.overwrite(nation, path, partitionBy = Seq("n_regionkey"),
+      properties = Map("delta.enableChangeDataFeed" -> "true")) // v0
+    // hand-stage a pre-r20 cdc file: full logical row INLINE (partition
+    // column included) with an empty-partitionValues cdc action — the
+    // layout earlier releases wrote; the reader must route it through
+    // the legacy schema instead of null-filling n_regionkey
+    val cdcDir = new File(path, "_change_data"); cdcDir.mkdirs()
+    val stage = new File(path, ".stage-legacy")
+    nation.filter(col("n_nationkey") === 7)
+      .withColumn("_change_type", lit("delete"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = Option(stage.listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new File(cdcDir, part.getName)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    val v = DeltaWriter.publishOptimistic(new File(path), 1L, Seq(
+      s"""{"cdc":{"path":"_change_data/${dest.getName}",""" +
+        s""""partitionValues":{},"size":${dest.length()},""" +
+        s""""dataChange":false}}"""))
+    assert(v == 1L)
+    val feed = DeltaReader.loadChangeFeed(spark, path, 0L, 1L)
+    val rows = feed.select("n_nationkey", "n_regionkey", "_change_type")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getInt(0) == 7 && !rows.head.isNullAt(1) &&
+      rows.head.getString(2) == "delete")
+  }
+
+  test("merge CDF under duplicate-key targets: 1:1 pre/post pairing, surplus rows emit delete") {
+    import spark.implicits._
+    val path = tmpTable("cdf_dupkey")
+    // TWO target rows share k=1 (replace-all semantics); one source row
+    DeltaWriter.overwrite(Seq((1, "old-a"), (1, "old-b"), (2, "keep"))
+      .toDF("k", "v"), path,
+      properties = Map("delta.enableChangeDataFeed" -> "true")) // v0
+    DeltaWriter.merge(Seq((1, "new"), (3, "ins")).toDF("k", "v"), path,
+      Seq("k")) // v1
+    val feed = DeltaReader.loadChangeFeed(spark, path, 0L, 1L)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    val counts = feed.groupBy(_._3).map { case (t, rs) => t -> rs.size }
+    // exactly ONE pre-image pairs the one post-image; the surplus
+    // duplicate leaves as a delete; the unmatched source row inserts
+    assert(counts == Map("update_preimage" -> 1, "update_postimage" -> 1,
+      "delete" -> 1, "insert" -> 1))
+    val removedOld = feed.collect {
+      case (1, vv, t) if t == "update_preimage" || t == "delete" => vv
+    }
+    assert(removedOld == Set("old-a", "old-b"))
+    assert(feed.contains((1, "new", "update_postimage")))
+    assert(feed.contains((3, "ins", "insert")))
+    // and the table state is the replace-all result
+    assert(DeltaReader.load(spark, path).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "new"), (2, "keep"), (3, "ins")))
+  }
 }

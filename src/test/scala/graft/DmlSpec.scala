@@ -815,4 +815,126 @@ class DmlSpec extends AnyFunSuite {
     assert(ctx.sql("SELECT count(*) AS n FROM dclone_dst").head().getLong(0) == 25L)
     assert(ctx.sql("SELECT count(*) AS n FROM dclone_v0").head().getLong(0) == 25L)
   }
+
+  test("parser: INSERT INTO and DROP COLUMN spellings") {
+    Dml.parse("INSERT INTO t VALUES (1, 'a'), (2, 'b;c')") match {
+      case Dml.Insert("t", Nil, src) =>
+        assert(src.startsWith("VALUES") && src.contains("'b;c'"))
+      case other => fail(s"$other")
+    }
+    Dml.parse("INSERT INTO t (a, \"B c\") SELECT x, y FROM u WHERE z = 1;") match {
+      case Dml.Insert("t", cols, src) =>
+        assert(cols == Seq("a", "B c"))
+        assert(src == "SELECT x, y FROM u WHERE z = 1")
+      case other => fail(s"$other")
+    }
+    Dml.parse("INSERT INTO s.t WITH w AS (SELECT 1 AS x) SELECT * FROM w") match {
+      case Dml.Insert("s.t", Nil, src) => assert(src.startsWith("WITH"))
+      case other => fail(s"$other")
+    }
+    Dml.parse("ALTER TABLE t DROP COLUMN c1") match {
+      case Dml.DropColumn("t", "c1") => ()
+      case other => fail(s"$other")
+    }
+    // DROP CONSTRAINT keeps its own statement
+    Dml.parse("ALTER TABLE t DROP CONSTRAINT chk") match {
+      case Dml.DropConstraint("t", "chk") => ()
+      case other => fail(s"$other")
+    }
+  }
+
+  test("execute: INSERT INTO lands appends; invariants and generated columns gate it") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_insert")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val dir = new java.io.File(base, "t")
+    // table with a GENERATED column (k2 = k * 2) and a NOT NULL column
+    // (tuple toDF declares Int non-nullable)
+    import spark.implicits._
+    DeltaWriter.append(
+      Seq((1, "one"), (2, "two")).toDF("k", "v"), dir.getAbsolutePath,
+      generated = Map("k2" -> "k * 2"))
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE ins_t STORED AS DELTA LOCATION '${dir.getAbsolutePath}'")
+    // full-row positional VALUES (generated column provided must be
+    // consistent)
+    ctx.sql("INSERT INTO ins_t VALUES (3, 'three', 6)")
+    // partial column list: the generated column is COMPUTED, not
+    // null-filled
+    ctx.sql("INSERT INTO ins_t (k, v) VALUES (4, 'four'), (5, 'five')")
+    // SELECT source through the full context (reads the table itself)
+    ctx.sql("INSERT INTO ins_t (k, v) SELECT k + 100, upper(v) FROM ins_t WHERE k <= 2")
+    val got = ctx.sql("SELECT k, v, k2 FROM ins_t ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1, "one", 2), (2, "two", 4), (3, "three", 6),
+      (4, "four", 8), (5, "five", 10),
+      (101, "ONE", 202), (102, "TWO", 204)))
+    // each INSERT is a real commit
+    assert(DeltaReader.snapshot(spark, dir.getAbsolutePath).version == 3L)
+    // refusals: inconsistent generated value, arity mismatch, unknown
+    // column, NOT NULL violation via null-fill — none lands a commit
+    intercept[Exception](
+      ctx.sql("INSERT INTO ins_t VALUES (9, 'nine', 99)"))
+    intercept[Exception](ctx.sql("INSERT INTO ins_t (k, v) VALUES (9)"))
+    intercept[Exception](
+      ctx.sql("INSERT INTO ins_t (k, nope) VALUES (9, 'x')"))
+    intercept[Exception](ctx.sql("INSERT INTO ins_t (v) VALUES ('x')"))
+    assert(DeltaReader.snapshot(spark, dir.getAbsolutePath).version == 3L)
+    // non-delta targets refuse like every DML statement
+    intercept[IllegalArgumentException](
+      ctx.sql("INSERT INTO unregistered_t VALUES (1)"))
+  }
+
+  test("execute: ALTER TABLE DROP COLUMN is metadata-only on mapped tables") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_dropcol")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val dir = new java.io.File(base, "t")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation, dir.getAbsolutePath, columnMapping = "name")
+    val filesBefore = DeltaReader.snapshot(spark, dir.getAbsolutePath)
+      .files.map(_.path).toSet
+    val ctx = new AdtContext(spark)
+    ctx.sql(s"CREATE EXTERNAL TABLE dropc STORED AS DELTA LOCATION '${dir.getAbsolutePath}'")
+    ctx.sql("ALTER TABLE dropc DROP COLUMN n_regionkey")
+    // the column is gone from the logical schema; no file rewrote
+    val after = ctx.sql("SELECT * FROM dropc")
+    assert(after.columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(after.count() == 25L)
+    assert(DeltaReader.snapshot(spark, dir.getAbsolutePath)
+      .files.map(_.path).toSet == filesBefore)
+    // re-adding the same name mints a FRESH physical column: the old
+    // data must NOT resurrect (delta's tombstone semantics)
+    ctx.sql("ALTER TABLE dropc ADD COLUMNS (n_regionkey INT)")
+    val readd = ctx.sql("SELECT n_regionkey FROM dropc").collect()
+    assert(readd.length == 25 && readd.forall(_.isNullAt(0)))
+    // refusals: unmapped table (names the mode), partition column,
+    // CHECK-referenced column, the only column
+    val plainDir = new java.io.File(base, "plain")
+    DeltaWriter.append(nation, plainDir.getAbsolutePath)
+    ctx.sql(s"CREATE EXTERNAL TABLE dropp STORED AS DELTA LOCATION '${plainDir.getAbsolutePath}'")
+    val e1 = intercept[IllegalArgumentException](
+      ctx.sql("ALTER TABLE dropp DROP COLUMN n_name"))
+    assert(e1.getMessage.contains("columnMapping"))
+    val partDir = new java.io.File(base, "part")
+    DeltaWriter.append(nation, partDir.getAbsolutePath,
+      partitionBy = Seq("n_regionkey"), columnMapping = "name")
+    ctx.sql(s"CREATE EXTERNAL TABLE droppart STORED AS DELTA LOCATION '${partDir.getAbsolutePath}'")
+    val e2 = intercept[IllegalArgumentException](
+      ctx.sql("ALTER TABLE droppart DROP COLUMN n_regionkey"))
+    assert(e2.getMessage.contains("partition"))
+    ctx.sql("ALTER TABLE droppart ADD CONSTRAINT namelen CHECK (length(n_name) > 0)")
+    val e3 = intercept[IllegalArgumentException](
+      ctx.sql("ALTER TABLE droppart DROP COLUMN n_name"))
+    assert(e3.getMessage.contains("namelen"))
+  }
 }

@@ -449,4 +449,40 @@ class GoldenExecSpec extends AnyFunSuite {
     // escaped % stays literal through rewrite + parse: '100%' matches
     assert(outputs(6).contains("true"))
   }
+
+  test("golden16.sql: INSERT INTO (VALUES and SELECT sources) through execute") {
+    val url = getClass.getResource("/queries/golden16.sql")
+    assert(url != null, "golden16.sql resource missing")
+    val spark = SparkTestSession.spark
+    // a FRESH writable table per run — the script inserts into it
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_golden16_tbl")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(dir)
+    graft.sources.DeltaWriter.append(
+      Tables.t(spark, SparkTestSession.sfDir, "nation"), dir.getAbsolutePath)
+    val lines = Files.readAllLines(
+      Paths.get(url.toURI), StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.replace("${DELTA_INS}", dir.getAbsolutePath))
+    val stmts = Cli.splitStatements(lines)
+    assert(stmts.length == 5) // DDL + 2 INSERTs + 2 SELECTs
+    val ctx = new AdtContext(SparkTestSession.spark)
+    val outputs = stmts.map(stmt => Output.format(ctx.sql(stmt)))
+    // DDL and both INSERTs render as empty boxes
+    assert(outputs.take(3).forall(_ == "++\n++"))
+    // 25 nations + 2 VALUES rows + 2 copied rows = 29
+    assert(outputs(3).contains("| 29"))
+    // the copies carry a NULL-filled n_regionkey (partial column list —
+    // the formatter renders NULL as an empty cell)
+    assert(outputs(4).contains("INSERTED-A") && outputs(4).contains("COPY-"))
+    assert(ctx.sql(
+      "SELECT count(*) AS n FROM g16t WHERE n_regionkey IS NULL")
+      .head().getLong(0) == 2L)
+    // both INSERTs are real versioned commits: v0 append + 2
+    assert(graft.sources.DeltaReader
+      .snapshot(spark, dir.getAbsolutePath).version == 2L)
+  }
 }
