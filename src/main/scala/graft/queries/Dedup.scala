@@ -75,6 +75,8 @@ object Dedup {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
         .as("s"))
+      // one exchange for distinct + df window (see [[hashedShinglesOf]])
+      .repartition($"s")
       .distinct()
       .withColumn("df", count(lit(1)).over(w))
       .filter($"df" <= MaxShingleDf)
@@ -93,6 +95,17 @@ object Dedup {
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
         .as("s"))
       .select(col("doc_id"), h60(col("s")).as("h"))
+      // ONE corpus-wide exchange serves BOTH the distinct and the df
+      // window: HashPartitioning(h) satisfies the distinct's
+      // ClusteredDistribution({doc_id, h}) (a subset of the clustering
+      // keys co-locates every duplicate) and IS the window's required
+      // layout — without the explicit repartition the planner shuffles
+      // twice, (doc_id, h) for the distinct and h again for the window.
+      // The trade: raw explode rows shuffle un-deduped (in-doc repeated
+      // trigrams are rare, so raw ≈ deduped volume), and a hot shingle's
+      // copies land on one partition a stage earlier — the same
+      // concentration the df window itself already forces.
+      .repartition(col("h"))
       .distinct()
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= MaxShingleDf)
