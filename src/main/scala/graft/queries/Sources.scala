@@ -1197,6 +1197,37 @@ object Sources {
         WHERE o_orderkey % 10 NOT IN (3, 4)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ---- CDF EXACTNESS of replacePartitions (r20): the overwrite-class
+    // verb commits plain removes + adds (no cdc actions — delta-spark
+    // parity), and the file-diff derivation is exact BY CONSTRUCTION:
+    // a replaced partition has no survivors, so the feed's delete class
+    // is exactly the old partition rows and the insert class exactly
+    // the replacement. The oracle recomputes both classes from the
+    // corpus — a leaked survivor pair, a missed removed file, or an
+    // event from an untouched partition each breaks a class count.
+    Q("q207_delta_cdf_replace_exact",
+      (s, d) => {
+        val dir = Fixtures.deltaOrdersCdcReplace(s, d)
+        DeltaReader.loadChangeFeed(s, dir, 0L, 1L)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .cast("long").as("cents"))
+          .orderBy(col("_change_type"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'delete' AS _change_type, count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT 'insert', count(*),
+            CAST(sum(CAST(round(o_totalprice * 2 * 100) AS BIGINT)) AS BIGINT)
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+            AND o_orderkey % 2 = 0
+        ) t ORDER BY _change_type""")),
+
     // ---- SQL INSERT INTO (r20): the append statement a script author
     // expects after CREATE (the reference's DataFusion context accepts
     // INSERT through its all-permissive SQLOptions, context.rs:94).

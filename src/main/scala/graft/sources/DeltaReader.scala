@@ -477,6 +477,44 @@ object DeltaReader {
     }
   }
 
+  /** Per-commit OPERATION METRICS for `DESCRIBE HISTORY` — delta-spark
+    * parity for the audit surface: each surviving JSON commit's own
+    * action profile summarized as (numAddedFiles, numRemovedFiles,
+    * numOutputRows), where numOutputRows sums the add actions' written
+    * `stats.numRecords` (adds without stats — e.g. a foreign writer's —
+    * contribute 0 and an all-statless commit reports null). Driver
+    * cost is one pass over the JSON log, the same read
+    * [[commitHistory]] makes — acceptable for an interactive audit
+    * statement, never on a query path. */
+  def commitMetrics(tablePath: String)
+      : Map[Long, (Long, Long, Option[Long])] = {
+    val logDir = new File(tablePath, "_delta_log")
+    require(logDir.isDirectory, s"not a delta table (no _delta_log): $tablePath")
+    val jackson = new ObjectMapper()
+    Option(logDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .map { f =>
+        var adds = 0L; var removes = 0L
+        var rows = 0L; var statted = false
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().foreach { line =>
+          val node = jackson.readTree(line)
+          Option(node.get("add")).foreach { a =>
+            adds += 1
+            Option(a.get("stats")).filterNot(_.isNull)
+              .map(_.asText()).filter(_.nonEmpty).foreach { s =>
+                Option(jackson.readTree(s).get("numRecords")).foreach { n =>
+                  rows += n.asLong(); statted = true
+                }
+              }
+          }
+          if (node.has("remove")) removes += 1
+        } finally src.close()
+        f.getName.take(20).toLong ->
+          (adds, removes, if (statted) Some(rows) else None)
+      }.toMap
+  }
+
   /** Time travel: load the snapshot as of `version`
     * (`OPTIONS(versionAsOf='N')` through the DDL shim). */
   def loadAt(spark: SparkSession, tablePath: String,

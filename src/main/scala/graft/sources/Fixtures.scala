@@ -787,6 +787,32 @@ object Fixtures {
       ()
     }
 
+  /** A partitioned CDF table maintained by ONE replacePartitions
+    * (q207): v0 = orders partitioned by o_orderpriority with
+    * `delta.enableChangeDataFeed`; v1 replaces the 1-URGENT partition
+    * with doubled-price versions of its even-key rows. The verb
+    * commits plain removes + adds (delta-spark writes no cdc for
+    * overwrite-class commits either) and the feed's file-diff
+    * derivation is EXACT here by construction: a replaced partition
+    * has no survivors, so every removed row really is a delete and
+    * every added row an insert. */
+  def deltaOrdersCdcReplace(s: SparkSession, d: String): String =
+    ensure(d, "delta_orders_cdc_replace") { dir =>
+      val orders = Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val path = dir.getAbsolutePath
+      DeltaWriter.overwrite(orders, path,
+        partitionBy = Seq("o_orderpriority"),
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaWriter.replacePartitions(
+        orders.filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        path, Map("o_orderpriority" -> Set("1-URGENT")))
+      ()
+    }
+
   /** A Delta table maintained by ONE MERGE (q205): base = even-key
     * orders; source = doubled-price versions of the %10=0 rows (all
     * even → matched updates) plus the odd %5=0 rows (unmatched

@@ -442,6 +442,14 @@ class DmlSpec extends AnyFunSuite {
     // stamps monotone non-decreasing in version order
     val byVersion = h.sortBy(_.getLong(0)).map(_.getLong(1))
     assert(byVersion.zip(byVersion.tail).forall { case (a, b) => a <= b })
+    // operation metrics from each commit's own action profile: the two
+    // appends report their files + written numRecords; the metaData
+    // commit (no adds) reports 0/0 with a NULL row count
+    val byV = h.map(r => r.getLong(0) ->
+      (r.getLong(3), r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(byV(0L)._1 > 0L && byV(0L)._2 == 0L && byV(0L)._3 == 10L)
+    assert(byV(1L)._1 > 0L && byV(1L)._2 == 0L && byV(1L)._3 == 15L)
+    assert(byV(2L) == ((0L, 0L, -1L)))
 
     // refusals name the contract
     intercept[IllegalArgumentException](
