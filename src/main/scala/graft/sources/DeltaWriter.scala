@@ -2187,7 +2187,12 @@ object DeltaWriter {
     * silently drop columns — the same non-additive posture as
     * [[evolveSchema]]); or any file to re-add was already vacuumed
     * (named in the error — a retention window that outlives the restore
-    * horizon is the operational fix). */
+    * horizon is the operational fix). CDF posture (documented): restore
+    * commits plain removes + re-adds and the feed derives delete/insert
+    * from the file diff — delta-spark writes no cdc for restore either;
+    * rows SHARED between the removed and re-added files (e.g. a
+    * compaction between the two versions) ride as self-cancelling
+    * delete+insert pairs, exact in net. */
   def restore(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, version: Long): Long = {
     val table = new File(tablePath)
