@@ -351,7 +351,8 @@ object DeltaWriter {
     val txns = fresh.map(p =>
       s"""{"txn":{"appId":${jstr(prefix + p)},"version":1,""" +
         s""""lastUpdated":$now}}""")
-    val v = publishOptimistic(table, version, txns ++ adds)
+    val v = publishOptimistic(table, version, txns ++ adds,
+      operation = "COPY INTO")
     (Some(v), fresh)
   }
 
@@ -384,7 +385,7 @@ object DeltaWriter {
     if (snap.physicalNames.isEmpty)
       // patch schemaString inside the last metaData line, verbatim
       // otherwise (id/partitionColumns/configuration preserved)
-      patchMetaData(spark, tablePath)(meta =>
+      patchMetaData(spark, tablePath, "ADD COLUMNS")(meta =>
         meta.put("schemaString", newSchema.json))
     else {
       // name-mapped table: existing fields keep their schemaString
@@ -417,7 +418,7 @@ object DeltaWriter {
               .build())
         }
       })
-      patchMetaData(spark, tablePath) { meta =>
+      patchMetaData(spark, tablePath, "ADD COLUMNS") { meta =>
         meta.put("schemaString", mapped.json)
         val cfg = meta.get("configuration") match {
           case o: com.fasterxml.jackson.databind.node.ObjectNode => o
@@ -459,7 +460,7 @@ object DeltaWriter {
         "drop them first")
     val renamed = StructType(snap.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    patchMetaData(spark, tablePath) { meta =>
+    patchMetaData(spark, tablePath, "RENAME COLUMN") { meta =>
       meta.put("schemaString", renamed.json)
       if (snap.partitionColumns.contains(from)) {
         val arr = meta.putArray("partitionColumns")
@@ -514,7 +515,7 @@ object DeltaWriter {
       s"CHECK constraint(s) reference $column: ${conRefs.mkString(", ")}" +
         " — drop them first")
     val dropped = StructType(snap.schema.fields.filterNot(_.name == column))
-    patchMetaData(spark, tablePath)(meta =>
+    patchMetaData(spark, tablePath, "DROP COLUMN")(meta =>
       meta.put("schemaString", dropped.json))
   }
 
@@ -524,7 +525,7 @@ object DeltaWriter {
     * and publish it as a metaData commit. Shared by [[evolveSchema]]
     * and the CHECK-constraint verbs. */
   private def patchMetaData(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String)(
+      tablePath: String, operation: String)(
       patch: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Long = {
     val table = new File(tablePath)
     val logDir = new File(table, "_delta_log")
@@ -552,7 +553,7 @@ object DeltaWriter {
     patch(root.get("metaData")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
     val version = nextVersion(table)
-    publish(table, version, Seq(jackson.writeValueAsString(root)))
+    publish(table, version, Seq(jackson.writeValueAsString(root)), operation)
     version
   }
 
@@ -576,7 +577,7 @@ object DeltaWriter {
     require(violating == 0L,
       s"cannot add CHECK constraint $name: $violating existing row(s) " +
         s"violate ($exprSql)")
-    patchMetaData(spark, tablePath) { meta =>
+    patchMetaData(spark, tablePath, "ADD CONSTRAINT") { meta =>
       val cfg = meta.get("configuration") match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
         case _ => meta.putObject("configuration")
@@ -598,7 +599,7 @@ object DeltaWriter {
       s"use addCheckConstraint for $key — constraints validate current rows")
     require(key != "delta.columnMapping.mode",
       "column mapping mode is immutable after table creation")
-    patchMetaData(spark, tablePath) { meta =>
+    patchMetaData(spark, tablePath, "SET TBLPROPERTIES") { meta =>
       val cfg = meta.get("configuration") match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o
         case _ => meta.putObject("configuration")
@@ -613,7 +614,7 @@ object DeltaWriter {
       tablePath: String, key: String): Long = {
     require(!key.startsWith("delta.constraints."),
       s"use dropCheckConstraint for $key")
-    patchMetaData(spark, tablePath) { meta =>
+    patchMetaData(spark, tablePath, "UNSET TBLPROPERTIES") { meta =>
       meta.get("configuration") match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o.remove(key)
         case _ =>
@@ -628,7 +629,7 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(spark, tablePath)
     require(snap.configuration.contains(s"delta.constraints.$name"),
       s"no such constraint: $name")
-    patchMetaData(spark, tablePath) { meta =>
+    patchMetaData(spark, tablePath, "DROP CONSTRAINT") { meta =>
       meta.get("configuration") match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode =>
           o.remove(s"delta.constraints.$name")
@@ -794,7 +795,8 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publishOptimistic(table, version, cdcLines ++ removes ++ adds)
+    publishOptimistic(table, version, cdcLines ++ removes ++ adds,
+      operation = "MERGE")
   }
 
   /** SCD TYPE-2 APPLY — the versioned-dimension maintenance every
@@ -937,7 +939,8 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    val committed = publishOptimistic(table, version, removes ++ adds)
+    val committed = publishOptimistic(table, version, removes ++ adds,
+      operation = "SCD2 APPLY")
     changedKeys.unpersist(); closingKeys.unpersist(); newKeys.unpersist()
     committed
   }
@@ -989,7 +992,8 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publishOptimistic(table, version, cdcLines ++ removes ++ adds)
+    publishOptimistic(table, version, cdcLines ++ removes ++ adds,
+      operation = "DELETE")
   }
 
   /** DELETE WHERE via DELETION VECTORS — the merge-on-read spelling of
@@ -1033,7 +1037,7 @@ object DeltaWriter {
       case None => nextVersion(new File(tablePath)) - 1 // no match: no commit
       case Some(p) =>
         publishOptimistic(p.table, p.version,
-          p.protoLine ++ p.removes ++ p.dvAdds)
+          p.protoLine ++ p.removes ++ p.dvAdds, operation = "DELETE")
     }
 
   /** Merge-on-read UPDATE: the matched rows are marked dead with
@@ -1087,7 +1091,8 @@ object DeltaWriter {
             p.table, p.version, p.snap)
         }
         publishOptimistic(p.table, p.version,
-          p.protoLine ++ cdcLines ++ p.removes ++ p.dvAdds ++ newAdds)
+          p.protoLine ++ cdcLines ++ p.removes ++ p.dvAdds ++ newAdds,
+          operation = "UPDATE")
     }
   }
 
@@ -1337,7 +1342,8 @@ object DeltaWriter {
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
-    publishOptimistic(table, version, cdcLines ++ removes ++ adds)
+    publishOptimistic(table, version, cdcLines ++ removes ++ adds,
+      operation = "UPDATE")
   }
 
   /** Full-table overwrite in ONE atomic commit: removes every live file
@@ -1759,7 +1765,8 @@ object DeltaWriter {
     val removes = targetFiles.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
-    publishOptimistic(table, version, removes ++ adds)
+    publishOptimistic(table, version, removes ++ adds,
+      operation = "OPTIMIZE")
   }
 
   /** `OPTIMIZE … ZORDER BY (x, y)`: rewrite the table's live rows
@@ -1837,7 +1844,8 @@ object DeltaWriter {
     val removes = snap.files.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
-    publishOptimistic(table, version, removes ++ adds)
+    publishOptimistic(table, version, removes ++ adds,
+      operation = "OPTIMIZE")
   }
 
   /** INCREMENTAL z-order maintenance — the steady-state loop that keeps
@@ -1998,7 +2006,8 @@ object DeltaWriter {
     val removes = loose.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":false}}""")
-    publishOptimistic(table, version, removes ++ adds)
+    publishOptimistic(table, version, removes ++ adds,
+      operation = "OPTIMIZE")
   }
 
   /** Add-action tag both z-order verbs stamp on their outputs (and
@@ -2225,7 +2234,8 @@ object DeltaWriter {
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
     publishOptimistic(table, newVersion,
-      removes ++ toAdd.map(a => addJson(a, dataChange = true)))
+      removes ++ toAdd.map(a => addJson(a, dataChange = true)),
+      operation = "RESTORE")
   }
 
   /** SHALLOW CLONE: create a NEW table at `tablePath` whose version-0
@@ -2312,7 +2322,8 @@ object DeltaWriter {
       }
       addJson(a.copy(path = abs, deletionVector = dv), dataChange = true)
     }
-    publish(table, 0L, proto +: jackson.writeValueAsString(metaRoot) +: adds)
+    publish(table, 0L,
+      proto +: jackson.writeValueAsString(metaRoot) +: adds, "CLONE")
     0L
   }
 
@@ -2466,7 +2477,8 @@ object DeltaWriter {
           Files.copy(new File(src).toPath, dst.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-    publish(table, 0L, proto +: jackson.writeValueAsString(metaRoot) +: adds)
+    publish(table, 0L,
+      proto +: jackson.writeValueAsString(metaRoot) +: adds, "CLONE")
     0L
   }
 
@@ -2518,7 +2530,7 @@ object DeltaWriter {
       full.schema.fields.filterNot(f => partSet(f.name)).toIndexedSeq
     val adds = composeAddActions(spark, table, rels, dataFields,
       Map.empty, dataChange = true, deleteEmpties = false)
-    publish(table, 0L, header(full, partCols, 0L) ++ adds)
+    publish(table, 0L, header(full, partCols, 0L) ++ adds, "CONVERT")
     0L
   }
 
@@ -3156,9 +3168,12 @@ object DeltaWriter {
       Seq(protocol, meta)
     }
 
-  /** Atomic publish: temp file + rename; an existing version wins. */
+  /** Atomic publish: temp file + rename; an existing version wins.
+    * `operation` lands in the commitInfo line — the verb name DESCRIBE
+    * HISTORY reports (delta-spark's audit spelling; replay ignores
+    * commitInfo, so foreign readers are unaffected). */
   private def publish(table: File, version: Long,
-      lines: Seq[String]): Unit = {
+      lines: Seq[String], operation: String = "WRITE"): Unit = {
     val logDir = new File(table, "_delta_log")
     logDir.mkdirs()
     val tmp = new File(logDir, s".tmp-$version-${java.util.UUID.randomUUID()}")
@@ -3168,7 +3183,7 @@ object DeltaWriter {
     // foreign readers are unaffected
     val commitInfo =
       s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},""" +
-        s""""operation":"WRITE","engineInfo":"graft"}}"""
+        s""""operation":${jstr(operation)},"engineInfo":"graft"}}"""
     Files.write(tmp.toPath,
       (commitInfo +: lines).mkString("\n").getBytes(StandardCharsets.UTF_8))
     val target = new File(logDir, f"$version%020d.json")
@@ -3218,7 +3233,8 @@ object DeltaWriter {
     *
     * Bounded retries; returns the version actually committed. */
   private[graft] def publishOptimistic(table: File, firstVersion: Long,
-      lines: Seq[String], maxRetries: Int = 10): Long = {
+      lines: Seq[String], maxRetries: Int = 10,
+      operation: String = "WRITE"): Long = {
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     val mine = lines.map(jackson.readTree)
     val iAmMetadata = mine.exists(n =>
@@ -3238,7 +3254,7 @@ object DeltaWriter {
     var v = firstVersion
     var attempts = 0
     while (true) {
-      try { publish(table, v, lines); return v }
+      try { publish(table, v, lines, operation); return v }
       catch {
         case e: IllegalStateException =>
           if (iAmMetadata) throw e // metadata writers must coordinate

@@ -438,7 +438,9 @@ class DmlSpec extends AnyFunSuite {
     val h = ctx.sql("DESCRIBE HISTORY hist_t").collect()
     assert(h.length == 3) // two appends + the constraint metaData commit
     assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L)) // newest first
-    assert(h.forall(_.getString(2) == "WRITE"))
+    // operations carry the verb names: two appends + the constraint
+    assert(h.sortBy(_.getLong(0)).map(_.getString(2)).toSeq ==
+      Seq("WRITE", "WRITE", "ADD CONSTRAINT"))
     // stamps monotone non-decreasing in version order
     val byVersion = h.sortBy(_.getLong(0)).map(_.getLong(1))
     assert(byVersion.zip(byVersion.tail).forall { case (a, b) => a <= b })
