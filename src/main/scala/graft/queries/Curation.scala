@@ -56,7 +56,15 @@ object Curation {
     * q130's header comment for the full plan story. */
   private def dupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grams = positionedGrams(s, d)
+    // ONE corpus-wide exchange serves the whole df pipeline: hash
+    // partitioning on h satisfies the distinct's (doc_id, h)
+    // clustering (subset rule), the df aggregate's h clustering, AND
+    // both sides of the mark-back join — and because the two branches
+    // share the identical repartition subtree, ReuseExchange computes
+    // it once. Without it the planner shuffled three times ((doc_id,
+    // h) for the distinct, h for the df groupBy, h again for the
+    // join's gram side).
+    val grams = positionedGrams(s, d).repartition($"h")
     val dupH = grams.select($"doc_id", $"h").distinct()
       .groupBy($"h").agg(count(lit(1)).as("df"))
       .where($"df" >= 2).select($"h")

@@ -326,12 +326,20 @@ object Pipeline {
         .where($"y" * $"sc" <= 0)
         .select($"doc_id", $"y")
         .cache()
-      val nErr = err.count()
-      val grad = err.join(c, "doc_id")
+      // ONE action per round: the ≤4096-row gradient plus a b = -1
+      // sentinel row carrying the error count — folding the old
+      // separate count() job into the gradient collect halves the
+      // per-round job count (the cached err subtree is computed once
+      // within the action and shared by both branches)
+      val rows = err.join(c, "doc_id")
         .groupBy($"b").agg(sum($"y" * $"c").as("g"))
+        .unionByName(err.agg(count(lit(1)).as("g"))
+          .select(lit(-1L).as("b"), $"g"))
         .collect()
       err.unpersist()
-      grad.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
+      val nErr = rows.find(_.getLong(0) == -1L).map(_.getLong(1)).getOrElse(0L)
+      rows.filter(_.getLong(0) >= 0L)
+        .foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
       stats += ((r, nErr, w.count(_ != 0L).toLong, w.map(math.abs).sum))
     }
     (w, stats.toSeq, c)
