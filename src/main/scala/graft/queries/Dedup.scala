@@ -443,8 +443,13 @@ object Dedup {
     Q("q43_dedup_simhash",
       (s, d) => {
         import s.implicits._
+        // one doc_id exchange serves BOTH aggregates: hash partitioning
+        // on doc_id satisfies the token-count groupBy's (doc_id, w)
+        // clustering (subset rule) and IS the signature aggregate's
+        // required layout — without it the planner shuffles twice
         val toks = Tables.t(s, d, "documents")
           .select($"doc_id", explode(split($"text", " ")).as("w"))
+          .repartition($"doc_id")
           .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
           .select($"doc_id", $"cnt", h60($"w").as("h"))
         // The 60 per-bit contribution sums are 60 column-expression

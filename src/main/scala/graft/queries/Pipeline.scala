@@ -442,6 +442,10 @@ object Pipeline {
                          k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
             .as("seg"))
           .select($"doc_id", md5($"seg").as("h"))
+          // one h exchange serves the distinct, the df aggregate AND
+          // both join sides (subset-clustering + ReuseExchange — the
+          // q42 shingle discipline)
+          .repartition($"h")
         val dfh = segs.select($"doc_id", $"h").distinct()
           .groupBy($"h").agg(count(lit(1)).as("df"))
         segs.join(dfh, "h")
@@ -750,6 +754,9 @@ object Pipeline {
                          k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
             .as("seg"))
           .select($"doc_id", md5($"seg").as("h"))
+          // one h exchange serves the distinct and the df window
+          // (subset-clustering — the q42 shingle discipline)
+          .repartition($"h")
           .distinct()
           .withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy($"h")))
@@ -818,6 +825,9 @@ object Pipeline {
                          k -> concat_ws(' ', slice(w, 10 * (k - 1) + 1, 10)))"""))
             .as("seg"))
           .select($"doc_id", md5($"seg").as("h"))
+          // one h exchange serves the distinct, the first-doc aggregate
+          // AND both join sides (subset-clustering + ReuseExchange)
+          .repartition($"h")
           .distinct()
         val first = segs.groupBy($"h").agg(min($"doc_id").as("first_doc"))
         segs.join(first, "h")
