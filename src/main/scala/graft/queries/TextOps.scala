@@ -1121,11 +1121,16 @@ object TextOps {
         docs AS (
           SELECT c.doc_id, c.text, c.lang
           FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
-        sh0 AS (
-          SELECT DISTINCT doc_id,
-            md5_60(concat_ws(' ', slice(w, i, 3))) AS h
+        sh00 AS (
+          SELECT doc_id, md5_60(concat_ws(' ', slice(w, i, 3))) AS h
           FROM (SELECT doc_id, split(text, ' ') AS w FROM docs)
           LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i),
+        -- one h exchange serves the distinct, the df window and the
+        -- pair self-join (subset-clustering, the q42 shingle
+        -- discipline); the hint block sits BELOW the distinct so the
+        -- repartition lands before it
+        shr AS (SELECT /*+ REPARTITION(h) */ doc_id, h FROM sh00),
+        sh0 AS (SELECT DISTINCT doc_id, h FROM shr),
         sh AS (
           SELECT doc_id, h FROM (
             SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sh0)
