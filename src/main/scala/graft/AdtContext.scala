@@ -155,16 +155,10 @@ final class AdtContext(val spark: SparkSession) {
       require(t.format == "DELTA",
         s"DESCRIBE HISTORY is supported for DELTA tables; $name is ${t.format}")
       import spark.implicits._
-      // operation metrics from each commit's own action profile —
-      // delta-spark's audit columns (numOutputRows null when no add in
-      // the commit carried stats)
-      val metrics = graft.sources.DeltaReader.commitMetrics(t.location)
-      graft.sources.DeltaReader.commitHistory(t.location)
-        .map { case (v, ts, op) =>
-          val (adds, removes, rows) =
-            metrics.getOrElse(v, (0L, 0L, None: Option[Long]))
-          (v, ts, op, adds, removes, rows)
-        }
+      // stamps + operation + per-commit action-profile metrics in ONE
+      // pass over the JSON log (numOutputRows null when no add in the
+      // commit carried stats)
+      graft.sources.DeltaReader.commitHistoryWithMetrics(t.location)
         .toDF("version", "timestamp", "operation", "numAddedFiles",
           "numRemovedFiles", "numOutputRows")
         .orderBy(org.apache.spark.sql.functions.col("version").desc)

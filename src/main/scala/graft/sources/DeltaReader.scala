@@ -451,7 +451,28 @@ object DeltaReader {
     * rule, so clock skew between commits cannot make the
     * version↦stamp mapping non-monotone. Operation is commitInfo's
     * (empty when the commit carries none). */
-  def commitHistory(tablePath: String): Seq[(Long, Long, String)] = {
+  def commitHistory(tablePath: String): Seq[(Long, Long, String)] =
+    scanCommitLog(tablePath, withStats = false)
+      .map(c => (c._1, c._2, c._3))
+
+  /** [[commitHistory]] plus per-commit OPERATION METRICS in the SAME
+    * single pass over the JSON log — `(version, stampMillis,
+    * operation, numAddedFiles, numRemovedFiles, numOutputRows)`, where
+    * numOutputRows sums the add actions' written `stats.numRecords`
+    * (adds without stats contribute 0; an all-statless commit reports
+    * None). The DESCRIBE HISTORY surface — delta-spark's audit
+    * columns — without re-reading the log a second time. */
+  def commitHistoryWithMetrics(tablePath: String)
+      : Seq[(Long, Long, String, Long, Long, Option[Long])] =
+    scanCommitLog(tablePath, withStats = true)
+
+  /** One pass over the surviving JSON commits: commitInfo stamp
+    * (mtime fallback, running-max monotone per delta-spark's rule) +
+    * operation, add/remove counts, and — only when `withStats` (the
+    * stats JSON is a nested parse per add, wasted on the
+    * versionAtTimestamp path) — the summed written row counts. */
+  private def scanCommitLog(tablePath: String, withStats: Boolean)
+      : Seq[(Long, Long, String, Long, Long, Option[Long])] = {
     val logDir = new File(tablePath, "_delta_log")
     require(logDir.isDirectory, s"not a delta table (no _delta_log): $tablePath")
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -459,60 +480,35 @@ object DeltaReader {
       .filter(_.getName.matches("\\d{20}\\.json"))
       .map { f =>
         val v = f.getName.take(20).toLong
-        val declared = scala.io.Source.fromFile(f, "UTF-8")
-        val ci =
-          try declared.getLines().flatMap { line =>
-            val node = jackson.readTree(line)
-            Option(node.get("commitInfo")).map(n =>
-              (Option(n.get("timestamp")).map(_.asLong()),
-                Option(n.get("operation")).map(_.asText()).getOrElse("")))
-          }.nextOption()
-          finally declared.close()
-        (v, ci.flatMap(_._1).getOrElse(f.lastModified()),
-          ci.map(_._2).getOrElse(""))
-      }.sortBy(_._1).toSeq
-    if (raw.isEmpty) Nil
-    else raw.tail.scanLeft(raw.head) { case ((_, prev, _), (v, ts, op)) =>
-      (v, math.max(prev, ts), op)
-    }
-  }
-
-  /** Per-commit OPERATION METRICS for `DESCRIBE HISTORY` — delta-spark
-    * parity for the audit surface: each surviving JSON commit's own
-    * action profile summarized as (numAddedFiles, numRemovedFiles,
-    * numOutputRows), where numOutputRows sums the add actions' written
-    * `stats.numRecords` (adds without stats — e.g. a foreign writer's —
-    * contribute 0 and an all-statless commit reports null). Driver
-    * cost is one pass over the JSON log, the same read
-    * [[commitHistory]] makes — acceptable for an interactive audit
-    * statement, never on a query path. */
-  def commitMetrics(tablePath: String)
-      : Map[Long, (Long, Long, Option[Long])] = {
-    val logDir = new File(tablePath, "_delta_log")
-    require(logDir.isDirectory, s"not a delta table (no _delta_log): $tablePath")
-    val jackson = new ObjectMapper()
-    Option(logDir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.matches("\\d{20}\\.json"))
-      .map { f =>
+        var ci: Option[(Option[Long], String)] = None
         var adds = 0L; var removes = 0L
         var rows = 0L; var statted = false
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        try src.getLines().foreach { line =>
+        val declared = scala.io.Source.fromFile(f, "UTF-8")
+        try declared.getLines().foreach { line =>
           val node = jackson.readTree(line)
+          if (ci.isEmpty)
+            Option(node.get("commitInfo")).foreach(n =>
+              ci = Some((Option(n.get("timestamp")).map(_.asLong()),
+                Option(n.get("operation")).map(_.asText()).getOrElse(""))))
           Option(node.get("add")).foreach { a =>
             adds += 1
-            Option(a.get("stats")).filterNot(_.isNull)
-              .map(_.asText()).filter(_.nonEmpty).foreach { s =>
-                Option(jackson.readTree(s).get("numRecords")).foreach { n =>
-                  rows += n.asLong(); statted = true
+            if (withStats)
+              Option(a.get("stats")).filterNot(_.isNull)
+                .map(_.asText()).filter(_.nonEmpty).foreach { st =>
+                  Option(jackson.readTree(st).get("numRecords"))
+                    .foreach { n => rows += n.asLong(); statted = true }
                 }
-              }
           }
           if (node.has("remove")) removes += 1
-        } finally src.close()
-        f.getName.take(20).toLong ->
-          (adds, removes, if (statted) Some(rows) else None)
-      }.toMap
+        } finally declared.close()
+        (v, ci.flatMap(_._1).getOrElse(f.lastModified()),
+          ci.map(_._2).getOrElse(""), adds, removes,
+          if (statted) Some(rows) else None)
+      }.sortBy(_._1).toSeq
+    if (raw.isEmpty) Nil
+    else raw.tail.scanLeft(raw.head) { case ((_, prev, _, _, _, _), c) =>
+      (c._1, math.max(prev, c._2), c._3, c._4, c._5, c._6)
+    }
   }
 
   /** Time travel: load the snapshot as of `version`

@@ -452,7 +452,7 @@ object DeltaWriter {
       s"new column name must be an identifier: '$to'")
     val refs = snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") &&
-        v.matches(s".*\\b${java.util.regex.Pattern.quote(from)}\\b.*") =>
+        v.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(from)}\\b.*") =>
           k.stripPrefix("delta.constraints.")
     }
     require(refs.isEmpty,
@@ -500,7 +500,9 @@ object DeltaWriter {
         "layout and cannot be dropped as a metadata edit")
     require(snap.schema.fields.length > 1,
       s"cannot drop $column — it is the table's only column")
-    val word = s".*\\b${java.util.regex.Pattern.quote(column)}\\b.*"
+    // (?s): constraint/generation expressions may span lines — a
+    // newline must not let a referencing expression evade the guard
+    val word = s"(?s).*\\b${java.util.regex.Pattern.quote(column)}\\b.*"
     val genRefs = generationExpressions(snap.schema).collect {
       case (c, g) if c != column && g.matches(word) => c
     }
@@ -780,7 +782,17 @@ object DeltaWriter {
       // spurious total order.
       val keyW = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+      // localCheckpoint PINS one evaluation of the tie-broken ranking:
+      // the rn===1 and rn>1 branches below would otherwise re-evaluate
+      // the window independently (only the exchange is reused), and
+      // with duplicates tied under the key-only ordering the two
+      // re-evaluations could DISAGREE on which row is "the" pre-image
+      // — one duplicate appearing in the feed twice and its sibling
+      // never, corrupting downstream folds. Matched-rows-sized, so the
+      // materialization is cheap; lost blocks fail the job rather than
+      // recompute (deterministic-or-fail, the q89 CC discipline).
       val preTagged = pre.withColumn("__rn", row_number().over(keyW))
+        .localCheckpoint()
       stageCdcFiles(
         preTagged.filter(col("__rn") === 1).drop("__rn")
           .withColumn("_change_type", lit("update_preimage"))
@@ -1507,7 +1519,11 @@ object DeltaWriter {
         * without touching anything — the operational preview every
         * irreversible sweep deserves (vacuum is the one verb that
         * destroys time travel and can break shallow clones). */
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false,
+      /** dead-file count past which the unlink loop distributes —
+        * the same knob shape as [[copyInto]]'s probeThreshold, so
+        * specs can force the distributed branch on small fixtures. */
+      unlinkThreshold: Int = 4096): Seq[String] = {
     val table = new File(tablePath)
     val snapFiles = DeltaReader.snapshot(spark, tablePath).files
     val live = snapFiles.map(_.path).toSet ++
@@ -1574,7 +1590,7 @@ object DeltaWriter {
     // — it walks distinct PARENT dirs (partition-count-sized, and
     // racy to run concurrently from executors: two tasks probing one
     // dir's emptiness interleave with each other's deletes).
-    if (dead.length <= 4096) dead.foreach(_._1.delete())
+    if (dead.length <= unlinkThreshold) dead.foreach(_._1.delete())
     else {
       val paths = dead.map(_._1.getAbsolutePath)
       spark.sparkContext

@@ -208,8 +208,11 @@ object Dml {
     case DropColumnP(table, column) =>
       Some(DropColumn(unquote(table), unquote(column)))
     case InsertP(table, cols, src) =>
+      // tokenize, don't split on ',': a "quoted identifier" may itself
+      // contain commas — quoted tokens bind whole, like [[unquote]]
       Some(Insert(unquote(table), Option(cols).toSeq
-        .flatMap(_.split(',').map(c => unquote(c.trim)).filter(_.nonEmpty)),
+        .flatMap(c => """"[^"]+"|[^,\s]+""".r.findAllIn(c)
+          .map(unquote).toSeq),
         src.trim))
     case AddColumnsP(table, cols) =>
       Some(AddColumns(unquote(table), cols.trim))

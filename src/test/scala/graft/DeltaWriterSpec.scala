@@ -2405,8 +2405,9 @@ class DeltaWriterSpec extends AnyFunSuite {
   test("vacuum: the distributed unlink sweep leaves the same tree as the driver loop") {
     val nation = Tables.t(spark, d, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-    // two identical tables; one gets a dead-set ABOVE the 4096 unlink
-    // threshold (distributed deletes), one below (driver loop) — the
+    // two identical tables; one sweeps with a dead-set ABOVE the unlink
+    // threshold (distributed deletes — forced low, the same spec knob
+    // copyInto's probeThreshold gives), one below (driver loop) — the
     // post-sweep trees must agree: orphans gone, their emptied dirs
     // collapsed, live data + log intact
     def build(name: String, orphans: Int): String = {
@@ -2420,16 +2421,17 @@ class DeltaWriterSpec extends AnyFunSuite {
       }
       path
     }
-    def sweepAndCheck(path: String, orphans: Int): Unit = {
-      val dead = DeltaWriter.vacuum(spark, path, retainMs = 0L)
+    def sweepAndCheck(path: String, orphans: Int, threshold: Int): Unit = {
+      val dead = DeltaWriter.vacuum(spark, path, retainMs = 0L,
+        unlinkThreshold = threshold)
       assert(dead.length == orphans)
       // orphan dirs collapsed, live table intact and readable
       val left = Option(new File(path).listFiles()).get.map(_.getName).toSet
       assert(!left.exists(_.startsWith("junk=")))
       assert(DeltaReader.load(spark, path).count() == 25L)
     }
-    sweepAndCheck(build("vac_driver", 100), 100)
-    sweepAndCheck(build("vac_dist", 4200), 4200)
+    sweepAndCheck(build("vac_driver", 100), 100, threshold = 4096)
+    sweepAndCheck(build("vac_dist", 120), 120, threshold = 10)
   }
 
   test("copyInto: the CSV header probe binds by name through the distributed pass too") {

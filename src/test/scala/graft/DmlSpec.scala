@@ -842,6 +842,11 @@ class DmlSpec extends AnyFunSuite {
       case Dml.Insert("s.t", Nil, src) => assert(src.startsWith("WITH"))
       case other => fail(s"$other")
     }
+    // a quoted identifier may itself contain a comma — tokens bind whole
+    Dml.parse("""INSERT INTO t ("a,b", c) VALUES (1, 2)""") match {
+      case Dml.Insert("t", cols, _) => assert(cols == Seq("a,b", "c"))
+      case other => fail(s"$other")
+    }
     Dml.parse("ALTER TABLE t DROP COLUMN c1") match {
       case Dml.DropColumn("t", "c1") => ()
       case other => fail(s"$other")
