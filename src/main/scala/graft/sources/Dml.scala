@@ -79,6 +79,22 @@ object Dml {
   /** `ALTER TABLE t DROP COLUMN c` — metadata-only drop on a
     * column-mapped table ([[DeltaWriter.dropColumn]]). */
   final case class DropColumn(table: String, column: String) extends Stmt
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only rename on a
+    * column-mapped table ([[DeltaWriter.renameColumn]]). */
+  final case class RenameColumn(table: String, from: String,
+      to: String) extends Stmt
+  /** `TRUNCATE TABLE t` — delete every row in one commit (delta's
+    * TRUNCATE: the log keeps history, so the pre-truncate state stays
+    * time-travelable; routed through [[DeltaWriter.delete]] with an
+    * all-rows predicate). */
+  final case class Truncate(table: String) extends Stmt
+  /** `INSERT OVERWRITE t SELECT …` / `INSERT OVERWRITE t VALUES (…)`
+    * — atomic full-table swap ([[DeltaWriter.overwrite]]): the same
+    * positional binding and invariant gating as [[Insert]], but the
+    * commit removes every live file and lands the new rows in one
+    * version. */
+  final case class InsertOverwrite(table: String, cols: Seq[String],
+      sourceSql: String) extends Stmt
   /** `ALTER TABLE t ADD COLUMNS (c1 TYPE [, c2 TYPE …])` — the SQL
     * spelling of [[DeltaWriter.evolveSchema]]'s additive-only
     * evolution: new columns are nullable (old files null-fill on
@@ -145,6 +161,12 @@ object Dml {
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val DropColumnP =
     raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+DROP\s+COLUMN\s+("[^"]+"|\w+)\s*;?\s*""".r
+  private val RenameColumnP =
+    raw"""(?is)\s*ALTER\s+TABLE\s+$Id\s+RENAME\s+COLUMN\s+("[^"]+"|\w+)\s+TO\s+("[^"]+"|\w+)\s*;?\s*""".r
+  private val TruncateP =
+    raw"""(?is)\s*TRUNCATE\s+TABLE\s+$Id\s*;?\s*""".r
+  private val InsertOverwriteP =
+    raw"""(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?$Id\s*(?:\(([^()]*)\))?\s*((?:VALUES|SELECT|WITH)\b.+?)\s*;?\s*""".r
   // the source query is everything after the optional column list —
   // VALUES rows, a SELECT, or a WITH-prefixed select; parsed as a
   // whole by the session's SQL pipeline, so every scalar function and
@@ -207,6 +229,15 @@ object Dml {
       Some(DropConstraint(unquote(table), name))
     case DropColumnP(table, column) =>
       Some(DropColumn(unquote(table), unquote(column)))
+    case RenameColumnP(table, from, to) =>
+      Some(RenameColumn(unquote(table), unquote(from), unquote(to)))
+    case TruncateP(table) =>
+      Some(Truncate(unquote(table)))
+    case InsertOverwriteP(table, cols, src) =>
+      Some(InsertOverwrite(unquote(table), Option(cols).toSeq
+        .flatMap(c => """"[^"]+"|[^,\s]+""".r.findAllIn(c)
+          .map(unquote).toSeq),
+        src.trim))
     case InsertP(table, cols, src) =>
       // tokenize, don't split on ',': a "quoted identifier" may itself
       // contain commas — quoted tokens bind whole, like [[unquote]]
@@ -367,44 +398,25 @@ object Dml {
       case Merge(_, source, keys) =>
         DeltaWriter.merge(run(source), t.location, keys)
       case Insert(_, cols, srcSql) =>
-        // VALUES rows ride Spark's inline-table syntax; SELECT/WITH
-        // sources evaluate through the full context (pg rewrites,
-        // registered views, every engine scalar)
-        val sql =
-          if (srcSql.length >= 6 &&
-            srcSql.substring(0, 6).equalsIgnoreCase("VALUES"))
-            s"SELECT * FROM $srcSql"
-          else srcSql
-        val src = run(sql)
-        val snap = DeltaReader.snapshot(spark, t.location)
-        // bind POSITIONALLY to the named list (or the full schema),
-        // resolving names case-insensitively to the table's spelling
-        val targets =
-          if (cols.isEmpty) snap.schema.fieldNames.toSeq
-          else cols.map(c =>
-            snap.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
-              throw new IllegalArgumentException(
-                s"INSERT INTO ${stmt.table}: unknown column $c")))
-        require(targets.distinct.size == targets.size,
-          s"INSERT INTO ${stmt.table}: duplicate target column")
-        require(src.columns.length == targets.size,
-          s"INSERT INTO ${stmt.table}: ${targets.size} target column(s) " +
-            s"but the source produces ${src.columns.length}")
-        val named = src.toDF(targets: _*)
-        // absent GENERATED columns are computed by the append path;
-        // other absent columns null-fill — the NOT NULL invariant gate
-        // refuses the ones the table declares mandatory, naming them
-        val gens = DeltaWriter.generationExpressions(snap.schema).keySet
-        val absent = snap.schema.fieldNames
-          .filterNot(c => targets.contains(c) || gens.contains(c))
-        val filled = absent.foldLeft(named)((d, c) =>
-          d.withColumn(c, lit(null).cast(snap.schema(c).dataType)))
-        val out = filled.select(filled.columns.toIndexedSeq.map(c =>
-          col(c).cast(snap.schema(c).dataType).as(c)): _*)
+        val (out, snap) = bindInsertSource(spark, run, t.location,
+          stmt.table, "INSERT INTO", cols, srcSql)
         DeltaWriter.append(out, t.location,
+          partitionBy = snap.partitionColumns)
+      case InsertOverwrite(_, cols, srcSql) =>
+        // the atomic full-table swap: same binding + invariant gating,
+        // one commit removes every live file and lands the new rows
+        val (out, snap) = bindInsertSource(spark, run, t.location,
+          stmt.table, "INSERT OVERWRITE", cols, srcSql)
+        DeltaWriter.overwrite(out, t.location,
           partitionBy = snap.partitionColumns)
       case DropColumn(_, column) =>
         DeltaWriter.dropColumn(spark, t.location, column)
+      case RenameColumn(_, from, to) =>
+        DeltaWriter.renameColumn(spark, t.location, from, to)
+      case Truncate(_) =>
+        // all-rows delete; the log keeps history, so the pre-truncate
+        // state stays time-travelable (delta's TRUNCATE semantics)
+        DeltaWriter.delete(spark, t.location, lit(true))
       case Optimize(_, Nil, w) =>
         DeltaWriter.compact(spark, t.location, where = w.map(expr))
       case Optimize(_, Seq(one), w) =>
@@ -502,6 +514,50 @@ object Dml {
     }
     Ddl.register(spark, t) // the view must see the new snapshot
     version
+  }
+
+  /** Shared INSERT source binding ([[Insert]] / [[InsertOverwrite]]):
+    * evaluate the VALUES/SELECT source through the full context, bind
+    * POSITIONALLY to the named column list (or the full schema,
+    * names resolved case-insensitively to the table's spelling), cast
+    * to the table's types, null-fill absent non-generated columns
+    * (the NOT NULL invariant gate refuses the mandatory ones by
+    * name; absent GENERATED columns are computed by the landing
+    * verb). Returns the bound frame + the snapshot it bound against. */
+  private def bindInsertSource(spark: SparkSession,
+      run: String => DataFrame, location: String, tableName: String,
+      verb: String, cols: Seq[String], srcSql: String)
+      : (DataFrame, DeltaReader.Snapshot) = {
+    // VALUES rows ride Spark's inline-table syntax; SELECT/WITH
+    // sources evaluate through the full context (pg rewrites,
+    // registered views, every engine scalar)
+    val sql =
+      if (srcSql.length >= 6 &&
+        srcSql.substring(0, 6).equalsIgnoreCase("VALUES"))
+        s"SELECT * FROM $srcSql"
+      else srcSql
+    val src = run(sql)
+    val snap = DeltaReader.snapshot(spark, location)
+    val targets =
+      if (cols.isEmpty) snap.schema.fieldNames.toSeq
+      else cols.map(c =>
+        snap.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$verb $tableName: unknown column $c")))
+    require(targets.distinct.size == targets.size,
+      s"$verb $tableName: duplicate target column")
+    require(src.columns.length == targets.size,
+      s"$verb $tableName: ${targets.size} target column(s) " +
+        s"but the source produces ${src.columns.length}")
+    val named = src.toDF(targets: _*)
+    val gens = DeltaWriter.generationExpressions(snap.schema).keySet
+    val absent = snap.schema.fieldNames
+      .filterNot(c => targets.contains(c) || gens.contains(c))
+    val filled = absent.foldLeft(named)((d, c) =>
+      d.withColumn(c, lit(null).cast(snap.schema(c).dataType)))
+    val out = filled.select(filled.columns.toIndexedSeq.map(c =>
+      col(c).cast(snap.schema(c).dataType).as(c)): _*)
+    (out, snap)
   }
 
   // ---- top-level token scanning (quotes + parens respected)

@@ -904,6 +904,71 @@ class DmlSpec extends AnyFunSuite {
       ctx.sql("INSERT INTO unregistered_t VALUES (1)"))
   }
 
+  test("execute: TRUNCATE / RENAME COLUMN / INSERT OVERWRITE complete the statement surface") {
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_misc")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete()
+    }
+    del(base)
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val ctx = new AdtContext(spark)
+
+    // INSERT OVERWRITE: one atomic swap; history keeps the old state
+    val owDir = new java.io.File(base, "ow")
+    DeltaWriter.append(nation, owDir.getAbsolutePath)
+    ctx.sql(s"CREATE EXTERNAL TABLE misc_ow STORED AS DELTA LOCATION '${owDir.getAbsolutePath}'")
+    ctx.sql("INSERT OVERWRITE misc_ow VALUES (1, 'only', 0)")
+    assert(ctx.sql("SELECT count(*) AS n FROM misc_ow").head().getLong(0) == 1L)
+    assert(DeltaReader.snapshot(spark, owDir.getAbsolutePath).version == 1L)
+    // pre-overwrite state stays time-travelable
+    assert(DeltaReader.loadAt(spark, owDir.getAbsolutePath, 0L).count() == 25L)
+    // partial column list null-fills, TABLE keyword spelling accepted
+    ctx.sql("INSERT OVERWRITE TABLE misc_ow (n_nationkey) SELECT 7")
+    val owRow = ctx.sql("SELECT n_nationkey, n_name FROM misc_ow").collect()
+    assert(owRow.length == 1 && owRow.head.getInt(0) == 7 &&
+      owRow.head.isNullAt(1))
+
+    // TRUNCATE: all rows gone in ONE commit, history intact
+    val trDir = new java.io.File(base, "tr")
+    DeltaWriter.append(nation, trDir.getAbsolutePath)
+    ctx.sql(s"CREATE EXTERNAL TABLE misc_tr STORED AS DELTA LOCATION '${trDir.getAbsolutePath}'")
+    ctx.sql("TRUNCATE TABLE misc_tr")
+    assert(ctx.sql("SELECT count(*) AS n FROM misc_tr").head().getLong(0) == 0L)
+    assert(DeltaReader.loadAt(spark, trDir.getAbsolutePath, 0L).count() == 25L)
+    // a truncated table still accepts inserts
+    ctx.sql("INSERT INTO misc_tr VALUES (99, 'back', 4)")
+    assert(ctx.sql("SELECT count(*) AS n FROM misc_tr").head().getLong(0) == 1L)
+
+    // RENAME COLUMN: metadata-only on a mapped table; files untouched
+    val rnDir = new java.io.File(base, "rn")
+    DeltaWriter.append(nation, rnDir.getAbsolutePath, columnMapping = "name")
+    val filesBefore = DeltaReader.snapshot(spark, rnDir.getAbsolutePath)
+      .files.map(_.path).toSet
+    ctx.sql(s"CREATE EXTERNAL TABLE misc_rn STORED AS DELTA LOCATION '${rnDir.getAbsolutePath}'")
+    ctx.sql("ALTER TABLE misc_rn RENAME COLUMN n_name TO nation_name")
+    val renamed = ctx.sql("SELECT nation_name FROM misc_rn").collect()
+    assert(renamed.length == 25 && renamed.forall(!_.isNullAt(0)))
+    assert(DeltaReader.snapshot(spark, rnDir.getAbsolutePath)
+      .files.map(_.path).toSet == filesBefore)
+    // unmapped tables refuse naming the mode
+    val e = intercept[IllegalArgumentException](
+      ctx.sql("ALTER TABLE misc_tr RENAME COLUMN n_name TO x"))
+    assert(e.getMessage.contains("column-mapped"))
+    // parser shapes
+    Dml.parse("TRUNCATE TABLE s.t;") match {
+      case Dml.Truncate("s.t") => ()
+      case other => fail(s"$other")
+    }
+    Dml.parse("INSERT OVERWRITE t (a) SELECT 1") match {
+      case Dml.InsertOverwrite("t", Seq("a"), src) =>
+        assert(src == "SELECT 1")
+      case other => fail(s"$other")
+    }
+  }
+
   test("execute: ALTER TABLE DROP COLUMN is metadata-only on mapped tables") {
     val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_dml_dropcol")
     def del(f: java.io.File): Unit = {
