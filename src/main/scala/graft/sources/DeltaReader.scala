@@ -468,9 +468,14 @@ object DeltaReader {
 
   /** One pass over the surviving JSON commits: commitInfo stamp
     * (mtime fallback, running-max monotone per delta-spark's rule) +
-    * operation, add/remove counts, and — only when `withStats` (the
-    * stats JSON is a nested parse per add, wasted on the
-    * versionAtTimestamp path) — the summed written row counts. */
+    * operation, and — only when `withStats` (the DESCRIBE HISTORY
+    * path) — add/remove counts and summed written row counts. When
+    * `withStats` is false the per-file scan STOPS at the first
+    * commitInfo line (publish always writes it first), so the
+    * versionAtTimestamp / vacuum / streaming-source callers keep
+    * their one-metadata-line-per-commit cost — a full action scan on
+    * a 5,000-add commit would be a 5,000× parse regression on every
+    * timestamp resolution. */
   private def scanCommitLog(tablePath: String, withStats: Boolean)
       : Seq[(Long, Long, String, Long, Long, Option[Long])] = {
     val logDir = new File(tablePath, "_delta_log")
@@ -484,22 +489,30 @@ object DeltaReader {
         var adds = 0L; var removes = 0L
         var rows = 0L; var statted = false
         val declared = scala.io.Source.fromFile(f, "UTF-8")
-        try declared.getLines().foreach { line =>
-          val node = jackson.readTree(line)
-          if (ci.isEmpty)
-            Option(node.get("commitInfo")).foreach(n =>
-              ci = Some((Option(n.get("timestamp")).map(_.asLong()),
-                Option(n.get("operation")).map(_.asText()).getOrElse(""))))
-          Option(node.get("add")).foreach { a =>
-            adds += 1
-            if (withStats)
-              Option(a.get("stats")).filterNot(_.isNull)
-                .map(_.asText()).filter(_.nonEmpty).foreach { st =>
-                  Option(jackson.readTree(st).get("numRecords"))
-                    .foreach { n => rows += n.asLong(); statted = true }
+        try {
+          val lines = declared.getLines()
+          var done = false
+          while (lines.hasNext && !done) {
+            val line = lines.next()
+            if (ci.isEmpty && line.contains("\"commitInfo\""))
+              Option(jackson.readTree(line).get("commitInfo")).foreach(n =>
+                ci = Some((Option(n.get("timestamp")).map(_.asLong()),
+                  Option(n.get("operation")).map(_.asText()).getOrElse(""))))
+            if (!withStats) done = ci.nonEmpty
+            else {
+              if (line.contains("\"add\""))
+                Option(jackson.readTree(line).get("add")).foreach { a =>
+                  adds += 1
+                  Option(a.get("stats")).filterNot(_.isNull)
+                    .map(_.asText()).filter(_.nonEmpty).foreach { st =>
+                      Option(jackson.readTree(st).get("numRecords"))
+                        .foreach { n => rows += n.asLong(); statted = true }
+                    }
                 }
+              if (line.contains("\"remove\"") &&
+                jackson.readTree(line).has("remove")) removes += 1
+            }
           }
-          if (node.has("remove")) removes += 1
         } finally declared.close()
         (v, ci.flatMap(_._1).getOrElse(f.lastModified()),
           ci.map(_._2).getOrElse(""), adds, removes,

@@ -788,9 +788,14 @@ object DeltaWriter {
       // with duplicates tied under the key-only ordering the two
       // re-evaluations could DISAGREE on which row is "the" pre-image
       // — one duplicate appearing in the feed twice and its sibling
-      // never, corrupting downstream folds. Matched-rows-sized, so the
-      // materialization is cheap; lost blocks fail the job rather than
-      // recompute (deterministic-or-fail, the q89 CC discipline).
+      // never, corrupting downstream folds. EAGER, so the blocks exist
+      // before either branch runs (a lazy cache would leave the two
+      // branches racing to compute the same partition); lost blocks
+      // fail the job rather than recompute (deterministic-or-fail, the
+      // q89 CC discipline). Matched-rows-sized; the blocks release via
+      // ContextCleaner when the frame goes out of scope — localCheckpoint
+      // has no explicit unpersist, and the bounded lifetime is the
+      // price of the eager-materialization guarantee.
       val preTagged = pre.withColumn("__rn", row_number().over(keyW))
         .localCheckpoint()
       stageCdcFiles(
@@ -967,7 +972,10 @@ object DeltaWriter {
     * NULL-predicate rows are NOT deleted, as in `DELETE FROM t WHERE
     * p`). Same column-mapping restriction as [[merge]]. */
   def delete(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column,
+      /** audit name for the commitInfo line — TRUNCATE rides this verb
+        * with an all-rows predicate and its own operation label. */
+      operation: String = "DELETE"): Long = {
     import spark.implicits._
     val table = new File(tablePath)
     val snap = DeltaReader.snapshot(spark, tablePath)
@@ -1005,7 +1013,7 @@ object DeltaWriter {
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
         s"""${System.currentTimeMillis()},"dataChange":true}}""")
     publishOptimistic(table, version, cdcLines ++ removes ++ adds,
-      operation = "DELETE")
+      operation = operation)
   }
 
   /** DELETE WHERE via DELETION VECTORS — the merge-on-read spelling of

@@ -207,6 +207,24 @@ object Dml {
   /** `"My.Table"` → `My.Table`; `sch."tab le"` → `sch.tab le` — quotes
     * stripped per dot-separated part, parts rejoined (the registry key
     * the DDL shim stores). */
+  /** INSERT column lists split on commas OUTSIDE double quotes, then
+    * trim + unquote each segment whole — a "quoted identifier" may
+    * itself contain commas, and an unquoted segment keeps its exact
+    * spelling (so a forgotten comma stays one unknown-column refusal,
+    * never a silent two-column bind). */
+  private def splitColumnList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inQ = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '"') inQ = !inQ
+      else if (ch == ',' && !inQ) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty).map(unquote)
+  }
+
   private def unquote(name: String): String =
     """"[^"]+"|\w+""".r.findAllIn(name)
       .map(p => if (p.startsWith("\"")) p.substring(1, p.length - 1) else p)
@@ -234,17 +252,11 @@ object Dml {
     case TruncateP(table) =>
       Some(Truncate(unquote(table)))
     case InsertOverwriteP(table, cols, src) =>
-      Some(InsertOverwrite(unquote(table), Option(cols).toSeq
-        .flatMap(c => """"[^"]+"|[^,\s]+""".r.findAllIn(c)
-          .map(unquote).toSeq),
-        src.trim))
+      Some(InsertOverwrite(unquote(table),
+        Option(cols).toSeq.flatMap(splitColumnList), src.trim))
     case InsertP(table, cols, src) =>
-      // tokenize, don't split on ',': a "quoted identifier" may itself
-      // contain commas — quoted tokens bind whole, like [[unquote]]
-      Some(Insert(unquote(table), Option(cols).toSeq
-        .flatMap(c => """"[^"]+"|[^,\s]+""".r.findAllIn(c)
-          .map(unquote).toSeq),
-        src.trim))
+      Some(Insert(unquote(table),
+        Option(cols).toSeq.flatMap(splitColumnList), src.trim))
     case AddColumnsP(table, cols) =>
       Some(AddColumns(unquote(table), cols.trim))
     case RestoreVersionP(table, v) =>
@@ -415,8 +427,10 @@ object Dml {
         DeltaWriter.renameColumn(spark, t.location, from, to)
       case Truncate(_) =>
         // all-rows delete; the log keeps history, so the pre-truncate
-        // state stays time-travelable (delta's TRUNCATE semantics)
-        DeltaWriter.delete(spark, t.location, lit(true))
+        // state stays time-travelable (delta's TRUNCATE semantics,
+        // audited under its own operation name)
+        DeltaWriter.delete(spark, t.location, lit(true),
+          operation = "TRUNCATE")
       case Optimize(_, Nil, w) =>
         DeltaWriter.compact(spark, t.location, where = w.map(expr))
       case Optimize(_, Seq(one), w) =>

@@ -941,6 +941,9 @@ class DmlSpec extends AnyFunSuite {
     // a truncated table still accepts inserts
     ctx.sql("INSERT INTO misc_tr VALUES (99, 'back', 4)")
     assert(ctx.sql("SELECT count(*) AS n FROM misc_tr").head().getLong(0) == 1L)
+    // the audit trail distinguishes the truncate from a predicate delete
+    assert(ctx.sql("DESCRIBE HISTORY misc_tr").collect()
+      .map(_.getString(2)).contains("TRUNCATE"))
 
     // RENAME COLUMN: metadata-only on a mapped table; files untouched
     val rnDir = new java.io.File(base, "rn")
