@@ -2518,6 +2518,35 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(feed.count() == expectDel + 4L)
   }
 
+  test("CDF on a NAME-MAPPED partitioned table: cdc dirs use physical spellings, feed restores logical") {
+    val path = tmpTable("cdf_part_mapped")
+    val nation = Tables.t(spark, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    DeltaWriter.append(nation, path, partitionBy = Seq("n_regionkey"),
+      columnMapping = "name") // v0
+    DeltaWriter.setTableProperty(spark, path,
+      "delta.enableChangeDataFeed", "true") // v1
+    DeltaWriter.delete(spark, path,
+      col("n_regionkey") === 1 && col("n_nationkey") % 2 === 1) // v2
+    val snap = DeltaReader.snapshot(spark, path)
+    val physPart = snap.physicalNames("n_regionkey")
+    assert(physPart != "n_regionkey") // mapping minted a col-<uuid>
+    // cdc files hive-partition under the PHYSICAL spelling — the add
+    // actions' partitionValues convention, so one pruning rule serves
+    // data and change files alike
+    val cdcDirs = Option(new File(path, "_change_data").listFiles())
+      .getOrElse(Array.empty[File]).filter(_.isDirectory).map(_.getName)
+    assert(cdcDirs.nonEmpty && cdcDirs.forall(_.startsWith(s"$physPart=")))
+    // the feed restores the LOGICAL partition column, typed
+    val feed = DeltaReader.loadChangeFeed(spark, path, 1L, 2L)
+      .select("n_nationkey", "n_regionkey", "_change_type").collect()
+    val expect = nation.filter(col("n_regionkey") === 1 &&
+      col("n_nationkey") % 2 === 1).count()
+    assert(feed.length == expect)
+    assert(feed.forall(r => r.getString(2) == "delete" &&
+      r.getInt(1) == 1 && r.getInt(0) % 2 == 1))
+  }
+
   test("CDF legacy layout: inline-partition cdc files (empty partitionValues) still read") {
     val path = tmpTable("cdf_legacy")
     val nation = Tables.t(spark, d, "nation")
