@@ -931,6 +931,20 @@ class DmlSpec extends AnyFunSuite {
     assert(owRow.length == 1 && owRow.head.getInt(0) == 7 &&
       owRow.head.isNullAt(1))
 
+    // INSERT OVERWRITE keeps a PARTITIONED table's layout: the swap
+    // re-buckets the new rows into hive dirs and pruning still works
+    val owpDir = new java.io.File(base, "owp")
+    DeltaWriter.append(nation, owpDir.getAbsolutePath,
+      partitionBy = Seq("n_regionkey"))
+    ctx.sql(s"CREATE EXTERNAL TABLE misc_owp STORED AS DELTA LOCATION '${owpDir.getAbsolutePath}'")
+    ctx.sql("INSERT OVERWRITE misc_owp SELECT n_nationkey, upper(n_name), n_regionkey FROM misc_owp WHERE n_regionkey <= 1")
+    val owpSnap = DeltaReader.snapshot(spark, owpDir.getAbsolutePath)
+    assert(owpSnap.partitionColumns == Seq("n_regionkey"))
+    assert(owpSnap.files.flatMap(_.partitionValues.values.flatten)
+      .toSet == Set("0", "1"))
+    assert(ctx.sql("SELECT count(*) AS n FROM misc_owp").head().getLong(0) ==
+      nation.filter(col("n_regionkey") <= 1).count())
+
     // TRUNCATE: all rows gone in ONE commit, history intact
     val trDir = new java.io.File(base, "tr")
     DeltaWriter.append(nation, trDir.getAbsolutePath)
