@@ -41,9 +41,20 @@ object DistributedRank {
       .repartitionByRange(numPartitions, (col(df, "__rk") +: order): _*)
       .sortWithinPartitions((col(df, "__rk") +: order): _*)
     val schema = sorted.schema
+    // ONE materialization feeds both passes (r21, guide §2.4): without
+    // it each `.rdd` consumer re-ran the whole upstream plan PLUS the
+    // range exchange (including repartitionByRange's own
+    // boundary-sampling job) — the count pass and the numbering pass
+    // each paid the full shuffle, and nested callers (q180 ranks a
+    // ranked frame) compounded it. Materializing once also removes the
+    // implicit bet that two separate executions sample identical range
+    // boundaries (offsets are keyed by partition id). localCheckpoint =
+    // MEMORY_AND_DISK persist + lineage truncation — the q89/CC kernel
+    // convention, swept by the harnesses' getPersistentRDDs cleanup.
+    val rdd = sorted.rdd.localCheckpoint()
 
     // pass 1: per (partition, key) counts — collected, metadata-sized
-    val counts: Array[(Int, Any, Long)] = sorted.rdd
+    val counts: Array[(Int, Any, Long)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
         it.foreach { r =>
@@ -67,7 +78,7 @@ object DistributedRank {
     // pass 2: local running index per key + offset
     val outSchema = StructType(
       schema.fields.dropRight(1) :+ StructField(rnCol, LongType, false))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[Any, Long]()
       it.map { r =>
         val k = r.get(keyIdx)
@@ -102,9 +113,11 @@ object DistributedRank {
       .repartitionByRange(numPartitions, (col(df, "__rk") +: order): _*)
       .sortWithinPartitions((col(df, "__rk") +: order): _*)
     val schema = sorted.schema
+    // one materialization for both passes — see [[rowNumber]] (r21)
+    val rdd = sorted.rdd.localCheckpoint()
 
     // pass 1: per (partition, key) value sums — collected, metadata-sized
-    val sums: Array[(Int, Any, Long)] = sorted.rdd
+    val sums: Array[(Int, Any, Long)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
         it.foreach { r =>
@@ -128,7 +141,7 @@ object DistributedRank {
     // pass 2: local running sum per key + offset
     val outSchema = StructType(
       schema.fields.dropRight(2) :+ StructField(sumCol, LongType, false))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[Any, Long]()
       it.map { r =>
         val k = r.get(keyIdx)

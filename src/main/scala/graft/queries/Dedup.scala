@@ -692,11 +692,14 @@ object Dedup {
         val qs = emb.filter($"vec_id" < 10)
           .withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
         graft.functions.DotProductI64.register(s)
-        val scored = emb.crossJoin(broadcast(qs))
+        // r21 per-pair hoist (the q68/q93 note): self-norms computed
+        // once per corpus row (na) and once per broadcast query (nb) —
+        // identical longs feeding the identical cos tree, one dot per
+        // (corpus, query) pair instead of three
+        val scored = emb.withColumn("na", expr("dot_i64(v, v)"))
+          .crossJoin(broadcast(qs.withColumn("nb", expr("dot_i64(qv, qv)"))))
           .filter($"vec_id" =!= $"q_id")
           .withColumn("dot", expr("dot_i64(v, qv)"))
-          .withColumn("na", expr("dot_i64(v, v)"))
-          .withColumn("nb", expr("dot_i64(qv, qv)"))
           .withColumn("cos",
             $"dot".cast("double") / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
         scored

@@ -131,25 +131,37 @@ object Extensions {
     // (dist ASC, c_id ASC) row_number but map-side combine shrinks the
     // exchange to |df| rows where a window would shuffle the full
     // |df|·k expansion. Same spelling as pqTrain's assignTo below.
+    // Per-pair work (r21, guide §1.2 "per-task work"): the squared
+    // distance ran THREE dim-length dot products per (vector, centroid)
+    // pair; dot(v,v) is constant within each vec_id group so dropping
+    // it cannot change the argmin or its (dist, c_id) tie-break (exact
+    // int64 — no rounding to shift a boundary), and dot(cv,cv) is
+    // computed once per CENTROID on the k-row broadcast side. One dot
+    // per pair survives; the assignment is value-identical.
     def assign(df: DataFrame, cs: DataFrame): DataFrame = df
-      .crossJoin(broadcast(cs.select(col("c_id"), col("cv"))))
-      .withColumn("dist", expr(
-        "dot_i64(v, v) - 2L * dot_i64(v, cv) + dot_i64(cv, cv)"))
+      .crossJoin(broadcast(cs.select(col("c_id"), col("cv"))
+        .withColumn("cc", expr("dot_i64(cv, cv)"))))
+      .withColumn("dist", expr("cc - 2L * dot_i64(v, cv)"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("c_id"))).as("best"),
         first(col("v")).as("v")) // v is constant within the group
       .select(col("vec_id"), col("best.c_id").as("c_id"), col("v"))
     var cents = seedCentroids(samp, k)
+    // per-round centroid means as ONE aggregate (r21, guide §2.4): the
+    // old posexplode → groupBy(c_id, pos) → groupBy(c_id) chain paid TWO
+    // exchanges per round plus a dim× row explode; per-dimension sum
+    // columns over the FIXED 64-dim embedding contract (PqM · PqSubDim —
+    // the same declared width the PQ subspace split slices) compute the
+    // identical exact-integer sums and the identical floor(sum/n) means
+    // in one map-side-combined groupBy(c_id) — one exchange per round.
+    val dims = 0 until (PqM * PqSubDim)
     for (_ <- 1 to 2)
       cents = assign(samp, cents)
-        .select(col("c_id"), posexplode(col("v")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"))
-        .withColumn("m", expr(
-          "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
         .groupBy(col("c_id"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+        .agg(count(lit(1)).as("n"),
+          dims.map(i => sum(element_at(col("v"), i + 1)).as(s"sd$i")): _*)
+        .select(col("c_id"), array(dims.map(i => expr(
+          s"CAST(floor(CAST(sd$i AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")): _*)
           .as("cv"))
     // the trained centroid set is THE index artifact — k metadata rows;
     // cache it so multi-reference consumers (q114's stats + l1 join,
@@ -313,26 +325,34 @@ object Extensions {
     val ssubs = subs.filter(pred) // training slice of the cached frame
     val cb0 = ssubs.join(broadcast(seeds), col("vec_id") === col("c_id"))
       .select(col("sub_id"), col("c_id").as("code_id"), col("sv").as("cv"))
+    // same per-pair hoist as lloyd2's assign (r21): dot(sv,sv) is
+    // constant within the (vec_id, sub_id) argmin group — dropping it
+    // leaves the exact-integer (dist, code_id) ordering untouched — and
+    // dot(cv,cv) moves to the m·ks-row broadcast codebook side; one dot
+    // per (sub-vector, code) pair survives.
     def assignTo(df: DataFrame, cb: DataFrame): DataFrame = df
-      .join(broadcast(cb), Seq("sub_id"))
-      .withColumn("dist", expr(
-        "dot_i64(sv, sv) - 2L * dot_i64(sv, cv) + dot_i64(cv, cv)"))
+      .join(broadcast(cb.withColumn("cc", expr("dot_i64(cv, cv)"))),
+        Seq("sub_id"))
+      .withColumn("dist", expr("cc - 2L * dot_i64(sv, cv)"))
       .groupBy(col("vec_id"), col("sub_id"))
       .agg(min(struct(col("dist"), col("code_id"))).as("best"),
         first(col("sv")).as("sv")) // sv is constant within the group
       .select(col("vec_id"), col("sub_id"),
         col("best.code_id").as("code_id"), col("sv"))
+    // codebook means as ONE aggregate over the FIXED PqSubDim width —
+    // the lloyd2 r21 shape: one exchange instead of the old
+    // posexplode → groupBy(…, pos) → groupBy(…) pair, identical
+    // exact-integer floor(sum/n) means
+    val pdims = 0 until PqSubDim
     val cb1 = assignTo(ssubs, cb0)
-      .select(col("sub_id"), col("code_id"), posexplode(col("sv")))
-      .groupBy(col("sub_id"), col("code_id"), col("pos"))
-      .agg(sum(col("col")).as("sd"), count(lit(1)).as("n"))
-      .withColumn("m", expr(
-        "CAST(floor(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
       .groupBy(col("sub_id"), col("code_id"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
-        .as("cv"),
-        min(col("n")).as("n_members"))
+      .agg(count(lit(1)).as("n"),
+        pdims.map(i => sum(element_at(col("sv"), i + 1)).as(s"sd$i")): _*)
+      .select(col("sub_id"), col("code_id"),
+        array(pdims.map(i => expr(
+          s"CAST(floor(CAST(sd$i AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)")): _*)
+          .as("cv"),
+        col("n").as("n_members"))
       .cache() // tiny (≤ m·ks rows); read by the encode pass AND q126's output
     val codes = assignTo(subs, cb1.select(col("sub_id"), col("code_id"), col("cv")))
       .select(col("vec_id"), col("sub_id"), col("code_id"))
@@ -694,10 +714,14 @@ object Extensions {
           .select(col("vec_id"), expr(QV).as("v"))
         val cents = seedCentroids(emb, centroidK(emb))
         graft.functions.DotProductI64.register(s)
-        val scored = emb.crossJoin(broadcast(cents))
+        // r21 per-pair hoist: self-norms move to the per-row (nv) and
+        // per-centroid broadcast (nc) sides — the cos expression tree is
+        // unchanged (same long → double casts, same sqrt/multiply/divide
+        // order), so every IEEE value and tie is bit-identical while the
+        // n·k pair stage pays one dot instead of three
+        val scored = emb.withColumn("nv", expr("dot_i64(v, v)"))
+          .crossJoin(broadcast(cents.withColumn("nc", expr("dot_i64(cv, cv)"))))
           .withColumn("dot", expr("dot_i64(v, cv)"))
-          .withColumn("nv", expr("dot_i64(v, v)"))
-          .withColumn("nc", expr("dot_i64(cv, cv)"))
           .withColumn("cos", col("dot").cast("double") /
             (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
         // max-cosine argmin via partial-aggregatable min(struct): negating
@@ -748,27 +772,35 @@ object Extensions {
           .select(col("vec_id"), expr(QV).as("v"))
         val cents = seedCentroids(emb, centroidK(emb))
         graft.functions.DotProductI64.register(s)
-        val scored = emb.crossJoin(broadcast(cents))
+        // r21 per-pair hoist (q68 note): self-norms computed per row /
+        // per broadcast centroid, cos expression tree otherwise
+        // unchanged — bit-identical doubles, one dot per pair. nv rides
+        // through the argmin (first(), constant within the group) so the
+        // probe leg reuses it instead of re-deriving dot(v,v) per pair.
+        val scored = emb.withColumn("nv", expr("dot_i64(v, v)"))
+          .crossJoin(broadcast(cents.withColumn("nc", expr("dot_i64(cv, cv)"))))
           .withColumn("cos", expr("dot_i64(v, cv)").cast("double") /
-            (sqrt(expr("dot_i64(v, v)").cast("double")) *
-              sqrt(expr("dot_i64(cv, cv)").cast("double"))))
+            (sqrt(col("nv").cast("double")) *
+              sqrt(col("nc").cast("double"))))
         // same partial-aggregatable argmin as q68 (exact -cos negation,
         // identical tie-break); v rides along via first() as in lloyd2
         val assigned = scored
           .groupBy(col("vec_id"))
           .agg(min(struct((-col("cos")).as("ncos"), col("c_id"))).as("best"),
-            first(col("v")).as("v"))
-          .select(col("vec_id"), col("best.c_id").as("c_id"), col("v"))
+            first(col("v")).as("v"), first(col("nv")).as("nv"))
+          .select(col("vec_id"), col("best.c_id").as("c_id"), col("v"),
+            col("nv"))
           // consumed twice (query-set derivation + probe side): persist
           // so the centroid pass + argmin aggregate run once
           .cache()
         val qs = assigned.filter(col("vec_id").between(8, 12))
-          .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
+          .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nv").as("nq"))
         assigned.join(broadcast(qs), Seq("c_id"))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("cos", expr("dot_i64(v, qv)").cast("double") /
-            (sqrt(expr("dot_i64(v, v)").cast("double")) *
-              sqrt(expr("dot_i64(qv, qv)").cast("double"))))
+            (sqrt(col("nv").cast("double")) *
+              sqrt(col("nq").cast("double"))))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("q_id"))
               .orderBy(col("cos").desc, col("vec_id").asc)))
@@ -1077,10 +1109,14 @@ object Extensions {
           .select($"vec_id", expr(QV).as("v"))
         val qset = emb.filter($"vec_id".between(8, 12))
           .select($"vec_id".as("q_id"), $"v".as("qv"))
-        val gt = emb.crossJoin(broadcast(qset))
+        // r21 per-pair hoist: dist only ORDERS the per-q_id window, so
+        // the q_id-constant dot(qv,qv) term drops and the corpus-row
+        // constant dot(v,v) is computed once per row before the
+        // crossJoin — one dot per pair, identical exact-integer ordering
+        val gt = emb.withColumn("nv", expr("dot_i64(v, v)"))
+          .crossJoin(broadcast(qset))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("dist", expr(
-            "dot_i64(v, v) - 2L * dot_i64(v, qv) + dot_i64(qv, qv)"))
+          .withColumn("dist", expr("nv - 2L * dot_i64(v, qv)"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"q_id").orderBy($"dist".asc, $"vec_id".asc)))
           .filter($"rn" <= 3)
@@ -1534,18 +1570,22 @@ object Extensions {
     * Pairwise work is strictly within-cluster (c_id equi-join); the τ
     * gate is exact in DECIMAL(38,0) — see q115's contract note. */
   private def semdedupDupes(assigned: DataFrame): DataFrame = {
+    // per-pair work (r21): each side's self-norm is a per-ROW constant —
+    // hoist dot(v,v) before the within-cluster pair join so a pair pays
+    // ONE dim-length dot (the cross term) instead of three. Exact int64
+    // values, so the DECIMAL τ gate sees bit-identical operands.
     val a = assigned.select(col("c_id"), col("vec_id").as("ia"),
-      col("v").as("va"))
+      col("v").as("va"), expr("dot_i64(v, v)").as("na"))
     val b = assigned.select(col("c_id"), col("vec_id").as("ib"),
-      col("v").as("vb"))
+      col("v").as("vb"), expr("dot_i64(v, v)").as("nb"))
     a.join(b, Seq("c_id"))
       .filter(col("ia") < col("ib"))
       .withColumn("dot", expr("dot_i64(va, vb)"))
       .filter(col("dot") > 0L)
       .filter(expr(
         """CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)) * 400
-           >= CAST(dot_i64(va, va) AS DECIMAL(38,0))
-              * CAST(dot_i64(vb, vb) AS DECIMAL(38,0)) * 49"""))
+           >= CAST(na AS DECIMAL(38,0))
+              * CAST(nb AS DECIMAL(38,0)) * 49"""))
       .select(col("c_id"), col("ib")).distinct()
   }
 

@@ -557,22 +557,27 @@ object Pipeline {
     Q("q104_ann_recall",
       (s, d) => {
         import s.implicits._
+        // r21 per-pair hoist (the q68/q93 note): self-norms are per-row
+        // constants — compute dot(v,v) once per corpus row (nv) and per
+        // broadcast side (nq/nc); the cos expression tree is otherwise
+        // unchanged, so every IEEE double and tie-break is bit-identical
+        // while each n·k / n·|q| pair pays one dot instead of three.
         val emb = Tables.t(s, d, "embeddings")
           .select($"vec_id", expr(
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))")
             .as("v"))
         graft.functions.DotProductI64.register(s)
-        def cos(a: String, b: String) =
-          expr(s"dot_i64($a, $b)").cast("double") /
-            (sqrt(expr(s"dot_i64($a, $a)").cast("double")) *
-              sqrt(expr(s"dot_i64($b, $b)").cast("double")))
+        val embN = emb.withColumn("nv", expr("dot_i64(v, v)"))
+        def cosH(b: String, nb: String) =
+          expr(s"dot_i64(v, $b)").cast("double") /
+            (sqrt($"nv".cast("double")) * sqrt(col(nb).cast("double")))
         // exact ground truth: query set (vec_id 8..12, matching q93)
         // broadcast against the full corpus
-        val qset = emb.filter($"vec_id".between(8, 12))
-          .select($"vec_id".as("q_id"), $"v".as("qv"))
-        val gt = emb.crossJoin(broadcast(qset))
+        val qset = embN.filter($"vec_id".between(8, 12))
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nv".as("nq"))
+        val gt = embN.crossJoin(broadcast(qset))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("cos", cos("v", "qv"))
+          .withColumn("cos", cosH("qv", "nq"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
           .filter($"rn" <= 3)
@@ -581,23 +586,24 @@ object Pipeline {
         // (corpus-derived k + stratified seeds, as q68/q93 declare —
         // Extensions.seedCentroids), probe only the query's inverted list
         val cents = Extensions.seedCentroids(emb, Extensions.centroidK(emb))
+          .withColumn("nc", expr("dot_i64(cv, cv)"))
         // partial-aggregatable argmin (exact -cos negation, same
         // tie-break as a cos DESC / c_id ASC window) — the shuffle
         // carries n rows, never the n·k expansion
-        val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("cos", cos("v", "cv"))
+        val assigned = embN.crossJoin(broadcast(cents))
+          .withColumn("cos", cosH("cv", "nc"))
           .groupBy($"vec_id")
           .agg(min(struct((-$"cos").as("ncos"), $"c_id")).as("best"),
-            first($"v").as("v"))
-          .select($"vec_id", $"best.c_id".as("c_id"), $"v")
+            first($"v").as("v"), first($"nv").as("nv"))
+          .select($"vec_id", $"best.c_id".as("c_id"), $"v", $"nv")
           // consumed twice (query-set derivation + probe side): persist
           // so the centroid pass + argmin aggregate run once
           .cache()
         val qs = assigned.filter($"vec_id".between(8, 12))
-          .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"))
+          .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"), $"nv".as("nq"))
         val probed = assigned.join(broadcast(qs), Seq("c_id"))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("cos", cos("v", "qv"))
+          .withColumn("cos", cosH("qv", "nq"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
           .filter($"rn" <= 3)
@@ -1117,25 +1123,33 @@ object Pipeline {
           FROM m""")
         // dense leg: q93's IVF probe. Query set = the q145 derivation
         // (lowest-id max(3, n DIV 1000) docs — one metadata-cheap
-        // driver count, the centroidK precedent).
+        // driver count, the centroidK precedent). r21 per-pair hoist
+        // (q68/q93 note): per-row/per-centroid self-norms, bit-identical
+        // cos doubles, one dot per pair.
         val emb = Tables.t(s, d, "embeddings")
           .select($"vec_id", expr(Extensions.QV).as("v"))
+          .withColumn("nv", expr("dot_i64(v, v)"))
+        def cosH(b: String, nb: String) =
+          expr(s"dot_i64(v, $b)").cast("double") /
+            (sqrt($"nv".cast("double")) * sqrt(col(nb).cast("double")))
         val qCut = math.max(3L, Tables.t(s, d, "documents").count() / 1000L)
-        val cents = Extensions.seedCentroids(emb, Extensions.centroidK(emb))
+        val cents = Extensions.seedCentroids(
+            emb.select($"vec_id", $"v"), Extensions.centroidK(emb))
+          .withColumn("nc", expr("dot_i64(cv, cv)"))
         val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("cos", cos("v", "cv"))
+          .withColumn("cos", cosH("cv", "nc"))
           .groupBy($"vec_id")
           .agg(min(struct((-$"cos").as("ncos"), $"c_id")).as("best"),
-            first($"v").as("v"))
-          .select($"vec_id", $"best.c_id".as("c_id"), $"v")
+            first($"v").as("v"), first($"nv").as("nv"))
+          .select($"vec_id", $"best.c_id".as("c_id"), $"v", $"nv")
           // consumed twice (query-set derivation + probe side): persist
           // so the centroid pass + argmin aggregate run once
           .cache()
         val qs = assigned.filter($"vec_id" < qCut)
-          .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"))
+          .select($"c_id", $"vec_id".as("q_id"), $"v".as("qv"), $"nv".as("nq"))
         val dense = assigned.join(broadcast(qs), Seq("c_id"))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("cos", cos("v", "qv"))
+          .withColumn("cos", cosH("qv", "nq"))
           .withColumn("rank", row_number().over(
             Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
           .select($"q_id", $"vec_id".as("d_id"), $"rank")
@@ -1223,45 +1237,49 @@ object Pipeline {
         import s.implicits._
         graft.functions.Md5Long.register(s)
         graft.functions.DotProductI64.register(s)
-        def cos(a: String, b: String) =
-          expr(s"dot_i64($a, $b)").cast("double") /
-            (sqrt(expr(s"dot_i64($a, $a)").cast("double")) *
-              sqrt(expr(s"dot_i64($b, $b)").cast("double")))
+        // r21 per-pair hoist (q68/q93 note): per-row self-norm nv rides
+        // the cached sample; cos trees unchanged → bit-identical doubles
+        def cosH(b: String, nb: String) =
+          expr(s"dot_i64(v, $b)").cast("double") /
+            (sqrt($"nv".cast("double")) * sqrt(col(nb).cast("double")))
         val embAll = Tables.t(s, d, "embeddings")
           .select($"vec_id", expr(Extensions.QV).as("v"))
         val pct = Dedup.evalPct(embAll.count())
         val emb = embAll.filter(
-          expr(s"md5_60(CAST(vec_id AS STRING)) % 100 < $pct")).cache()
+          expr(s"md5_60(CAST(vec_id AS STRING)) % 100 < $pct"))
+          .withColumn("nv", expr("dot_i64(v, v)")).cache()
         val m = emb.count()
         val qn = math.max(3L, m / 1000L)
         val qset = emb
           .withColumn("qrn", row_number().over(Window.orderBy($"vec_id".asc)))
           .filter($"qrn" <= qn)
-          .select($"vec_id".as("q_id"), $"v".as("qv"))
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nv".as("nq"))
         // exact ground truth: broadcast query set × the bounded sample
         val gt = emb.crossJoin(broadcast(qset))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("cos", cos("v", "qv"))
+          .withColumn("cos", cosH("qv", "nq"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
           .filter($"rn" <= 10)
           .select($"q_id", $"vec_id".as("neighbor"))
           .cache()
         // the retriever under measurement: q192's dense leg, sample-trained
-        val cents = Extensions.seedCentroids(emb, Extensions.centroidK(emb))
+        val cents = Extensions.seedCentroids(
+            emb.select($"vec_id", $"v"), Extensions.centroidK(emb))
+          .withColumn("nc", expr("dot_i64(cv, cv)"))
         val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("cos", cos("v", "cv"))
+          .withColumn("cos", cosH("cv", "nc"))
           .groupBy($"vec_id")
           .agg(min(struct((-$"cos").as("ncos"), $"c_id")).as("best"),
-            first($"v").as("v"))
-          .select($"vec_id", $"best.c_id".as("c_id"), $"v")
+            first($"v").as("v"), first($"nv").as("nv"))
+          .select($"vec_id", $"best.c_id".as("c_id"), $"v", $"nv")
           .cache()
         val qs = assigned.join(broadcast(qset),
             $"vec_id" === $"q_id")
-          .select($"c_id", $"q_id", $"v".as("pqv"))
+          .select($"c_id", $"q_id", $"v".as("pqv"), $"nv".as("nq"))
         val probed = assigned.join(broadcast(qs), Seq("c_id"))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("cos", cos("v", "pqv"))
+          .withColumn("cos", cosH("pqv", "nq"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)))
           .filter($"rn" <= 10)
