@@ -274,6 +274,11 @@ object AdtContext {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // r21: cached-plan AQE coalescing (see Bench.scala for the
+      // measured rationale; respects the same advisory sizing as
+      // uncached exchanges — scale-correct at any SF)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()

@@ -25,6 +25,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // r21 (guide §2.2/§2.4): let AQE re-coalesce exchanges INSIDE
+      // cached plans. Spark defaults this off to preserve a cached
+      // frame's output partitioning for downstream exchange reuse, but
+      // this engine's caches are small signature/assignment frames whose
+      // consumers re-derive requirements anyway; with it off every
+      // consumer stage of a cached frame runs shuffle.partitions tasks
+      // regardless of size (measured: q42 711 -> 29-39 tasks, summed
+      // executor CPU 17 s -> ~2 s at sf0.1). Scale-correct, not a local
+      // tune: it makes cached-plan partitioning respect the same AQE
+      // advisory sizing every uncached exchange already follows.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

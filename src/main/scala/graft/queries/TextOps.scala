@@ -1269,9 +1269,16 @@ object TextOps {
     // a map-side-combined groupBy on doc_id, no cross-doc shuffle.
     Q("q91_quality_repetition",
       (s, d) => Tables.sql(s, d, """
-        WITH toks AS (
+        WITH base AS (
+          -- r21: ONE doc_id exchange serves the token aggregate, the
+          -- bigram aggregate AND their final join (subset-clustering +
+          -- ReuseExchange, the q43 discipline) — without it the planner
+          -- shuffled (doc_id, w), doc_id, (doc_id, b), doc_id separately
+          SELECT /*+ REPARTITION(doc_id) */ doc_id, split(text, ' ') AS w
+          FROM documents),
+        toks AS (
           SELECT doc_id, w, count(*) AS c
-          FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+          FROM (SELECT doc_id, explode(w) AS w FROM base)
           GROUP BY doc_id, w),
         tstats AS (
           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
@@ -1283,7 +1290,7 @@ object TextOps {
           FROM (
             SELECT doc_id, explode(transform(sequence(1, size(w) - 1),
               i -> concat_ws(' ', slice(w, i, 2)))) AS b
-            FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+            FROM base
             WHERE size(w) > 1)
           GROUP BY doc_id, b),
         bstats AS (
