@@ -457,8 +457,12 @@ object Dedup {
         // would multiply the token stream 60x and need an extra
         // (doc_id, j) shuffle). Same values, one map-side-combined
         // groupBy; the oracle mirrors the math via its own unrolling.
+        // bit j via shift-and-mask — h is the NONNEGATIVE 60-bit md5
+        // hash, so (h div 2^j) % 2 ≡ shiftright(h, j) & 1 exactly
+        // (identical longs; r21 swaps the per-row div+mod for the
+        // cheaper shift in all 60 aggregate expressions)
         val bitAggs = (0 until 60).map { j =>
-          sum($"cnt" * (expr(s"(h div ${1L << j}) % 2") * 2 - 1)).as(s"v$j")
+          sum($"cnt" * (expr(s"shiftright(h, $j) & 1") * 2 - 1)).as(s"v$j")
         }
         val sigWide = toks.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
         val sig = sigWide.select($"doc_id",
@@ -475,17 +479,22 @@ object Dedup {
           explode(expr("sequence(0, 8)")).as("c"))
           .withColumn("cv",
             expr("(sim div CAST(pow(2, 7 * c) AS BIGINT)) % 128"))
-        val pairs = chunks.as("x")
+        // r21 (guide §2.3): the hamming gate is a row-wise predicate of
+        // (s1, s2), so it commutes with the pair distinct — filtering
+        // FIRST shrinks the distinct's hash-aggregate input from every
+        // same-chunk block pair (Σ bucket², ~1.75M rows at sf0.1) to the
+        // ≤8-hamming survivors only, and the dedup key narrows from
+        // (d1, d2, s1, s2) to the output's (d1, d2, hamming). Same
+        // result set; the oracle's WHERE-under-DISTINCT already has
+        // this shape.
+        chunks.as("x")
           .join(chunks.as("y"),
             $"x.c" === $"y.c" && $"x.cv" === $"y.cv" &&
               $"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
-            $"x.sim".as("s1"), $"y.sim".as("s2"))
-          .distinct()
-        pairs
-          .select($"d1", $"d2",
-            expr("bit_count(s1 ^ s2)").cast("int").as("hamming"))
+            expr("bit_count(x.sim ^ y.sim)").cast("int").as("hamming"))
           .filter($"hamming" <= 8)
+          .distinct()
           .orderBy($"d1", $"d2")
       },
       Some("""

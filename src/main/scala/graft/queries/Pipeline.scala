@@ -32,13 +32,19 @@ object Pipeline {
     * [[DuckHashedFeatureCtes]]. */
   private[graft] val HashedFeatureCtes: String = """
         base AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-        tok AS (
+        tok0 AS (
           SELECT doc_id, explode(transform(ws, w -> md5_60(w) % 4096)) AS b
           FROM base
           UNION ALL
           SELECT doc_id, explode(transform(sequence(1, size(ws) - 1),
             i -> md5_60(concat_ws(' ', slice(ws, i, 2))) % 4096)) AS b
           FROM base WHERE size(ws) >= 2),
+        -- r21: ONE b exchange serves the per-doc bucket counts (subset
+        -- clustering on {doc_id, b}) and q146's rb/tb corpus counts +
+        -- weight join on b; consumers needing doc_id clustering (the
+        -- q160 training loop) re-exchange but REUSE this exchange's
+        -- output instead of re-running tokenize + md5
+        tok AS (SELECT /*+ REPARTITION(b) */ doc_id, b FROM tok0),
         c AS (
           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
           FROM tok GROUP BY doc_id, b)"""
@@ -99,11 +105,16 @@ object Pipeline {
     * corpus-derived broadcast query set; `m` = per-(q_id, d_id)
     * integer score_ppm. Shared by the lexical retriever (q145) and the
     * hybrid RRF fusion (q192); one spelling per engine. */
-  private[graft] val Bm25Ctes: String = """tok AS (
+  private[graft] val Bm25Ctes: String = """tok0 AS (
           SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
             i -> md5_60(concat_ws(' ', slice(ws, i, 3))))) AS h
           FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents) t0
           WHERE size(ws) >= 3),
+        -- r21: ONE h exchange serves tf (subset clustering on {doc_id,h}),
+        -- df (tf keeps h partitioning), the m-join's h legs, AND dl
+        -- (which re-exchanges by doc_id but REUSES this exchange's
+        -- output instead of re-running the gram explode + md5)
+        tok AS (SELECT /*+ REPARTITION(h) */ doc_id, h FROM tok0),
         tf AS (
           SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
           FROM tok GROUP BY doc_id, h),
