@@ -447,9 +447,19 @@ object Dedup {
         // on doc_id satisfies the token-count groupBy's (doc_id, w)
         // clustering (subset rule) and IS the signature aggregate's
         // required layout — without it the planner shuffles twice
+        // r21: the exchange is PINNED at the session's configured
+        // shuffle parallelism (the cluster-scale knob itself) instead of
+        // the AQE-coalescible column form — this stage is CPU-dense per
+        // byte (per-token md5 + 60 aggregate expressions), and byte-based
+        // coalescing folds its tiny shuffle onto ONE task (measured:
+        // ~3.4 s serial vs ~0.3 s parallel at sf0.1 under the r21
+        // cached-plan-AQE conf). Explicit-N repartitions are exempt from
+        // AQE coalescing; N scales with the deployment via
+        // spark.sql.shuffle.partitions.
+        val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
         val toks = Tables.t(s, d, "documents")
           .select($"doc_id", explode(split($"text", " ")).as("w"))
-          .repartition($"doc_id")
+          .repartition(sp, $"doc_id")
           .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
           .select($"doc_id", $"cnt", h60($"w").as("h"))
         // The 60 per-bit contribution sums are 60 column-expression
@@ -475,10 +485,15 @@ object Dedup {
         // the only shape that survives millions of docs — and is the ONLY
         // strategy (no driver-side `count()` to pick a plan; the oracle
         // mirrors this join exactly).
+        // same pinned-parallelism rationale as toks above: the pair
+        // stage downstream (Σ bucket² probe + hamming + dedup) is the
+        // query's CPU center, and the 1-partition coalesced cache read
+        // would serialize it
         val chunks = sig.select($"doc_id", $"sim",
           explode(expr("sequence(0, 8)")).as("c"))
           .withColumn("cv",
             expr("(sim div CAST(pow(2, 7 * c) AS BIGINT)) % 128"))
+          .repartition(sp, $"cv")
         // r21 (guide §2.3): the hamming gate is a row-wise predicate of
         // (s1, s2), so it commutes with the pair distinct — filtering
         // FIRST shrinks the distinct's hash-aggregate input from every

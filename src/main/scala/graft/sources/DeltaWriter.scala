@@ -792,13 +792,13 @@ object DeltaWriter {
       // before either branch runs (a lazy cache would leave the two
       // branches racing to compute the same partition); lost blocks
       // fail the job rather than recompute (deterministic-or-fail, the
-      // q89 CC discipline). Matched-rows-sized; the blocks release via
-      // ContextCleaner when the frame goes out of scope — localCheckpoint
-      // has no explicit unpersist, and the bounded lifetime is the
-      // price of the eager-materialization guarantee.
+      // q89 CC discipline). Matched-rows-sized; released EXPLICITLY
+      // below once the cdc files are staged (r21 — a long-lived session
+      // running many merges otherwise accumulates checkpointed RDD
+      // blocks until ContextCleaner GC).
       val preTagged = pre.withColumn("__rn", row_number().over(keyW))
         .localCheckpoint()
-      stageCdcFiles(
+      try stageCdcFiles(
         preTagged.filter(col("__rn") === 1).drop("__rn")
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(preTagged.filter(col("__rn") > 1).drop("__rn")
@@ -808,6 +808,7 @@ object DeltaWriter {
           .unionByName(srcNorm.join(matchedKeys, keys, "left_anti")
             .withColumn("_change_type", lit("insert"))),
         table, version, snap)
+      finally preTagged.unpersist()
     }
     val removes = removedAdds.map(a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":""" +
