@@ -103,4 +103,25 @@ object Tables {
     * (/root/reference/crates/core/src/context.rs:93-105) in Spark form. */
   def sql(spark: SparkSession, dir: String, q: String): DataFrame =
     register(spark, dir).sql(q)
+
+  /** Exact row count of one UNFILTERED corpus table from its parquet
+    * footer(s) — the metadata every footer carries (r22, guide §1/§2.4:
+    * a dozen queries spent a full scheduler job on `df.count()` of a
+    * base table just to derive a scalar parameter; the footer read is
+    * the same value with zero jobs, exactly what DuckDB's count(*)
+    * pushdown does on the oracle side). NOT cached: every invocation
+    * re-reads the footer, so a regenerated corpus at the same path can
+    * never serve a stale count. Falls back to a Spark count if the
+    * footer read fails (e.g. non-local URI). */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Throwable =>
+      t(spark, dir, name).count()
+    }
 }

@@ -64,13 +64,36 @@ object ConnectedComponents {
       .select(col("doc_id"), least(col("lbl"), col("nbr")).as("lbl"))
   }
 
-  /** The fixed-round kernel (q89/q147's declared, oracle-mirrored
-    * semantics): exactly `rounds` min-label rounds over symmetrized
-    * edges `(d1, d2)`; returns `(doc_id, lbl)`. */
+  /** The fixed-round kernel (q89/q147/q181/q183's declared,
+    * oracle-mirrored semantics): exactly `rounds` min-label rounds over
+    * symmetrized edges `(d1, d2)`; returns `(doc_id, lbl)`.
+    *
+    * r22 (guide §2.4 remove passes/actions): appending one SELF-LOOP per
+    * node folds each round's `min(own, neighbour-min)` into a single
+    * join + min-aggregate — `min over {lbl(u) : (v,u) ∈ E ∪ {(v,v)}}`
+    * is exactly `min(lbl(v), min_nbr lbl(u))`, so every round is
+    * value-identical to the two-join spelling. With labels referenced
+    * ONCE per round the logical tree grows linearly (the per-round
+    * doubling that forced an eager localCheckpoint per round is gone),
+    * so the whole fixed-round fold now executes as ONE query: measured
+    * q89 36 → ~8 scheduler jobs at sf0.1. Round 1 over the identity
+    * labeling is itself just `min(d2) GROUP BY d1` on the self-looped
+    * edges — no separate init-labels pass. */
   def minLabelRounds(edges: DataFrame, rounds: Int): DataFrame = {
-    var labels = initLabels(edges)
-    for (_ <- 1 to rounds)
-      labels = round(edges, labels).localCheckpoint(true)
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // edges arrives cached (symmetrize); the self-looped frame is what
+    // every round re-reads, so cache THAT (node set = distinct d1 — in a
+    // symmetrized frame every endpoint appears as d1)
+    val edgesPlus = edges.unionByName(
+      edges.select(col("d1")).distinct()
+        .select(col("d1"), col("d1").as("d2"))).cache()
+    var labels = edgesPlus.groupBy(col("d1")).agg(min(col("d2")).as("lbl"))
+      .withColumnRenamed("d1", "doc_id")
+    for (_ <- 2 to rounds)
+      labels = edgesPlus.as("e")
+        .join(labels.as("l"), col("e.d2") === col("l.doc_id"))
+        .groupBy(col("e.d1")).agg(min(col("l.lbl")).as("lbl"))
+        .withColumnRenamed("d1", "doc_id")
     labels
   }
 

@@ -59,12 +59,15 @@ object Curation {
     // ONE corpus-wide exchange serves the whole df pipeline: hash
     // partitioning on h satisfies the distinct's (doc_id, h)
     // clustering (subset rule), the df aggregate's h clustering, AND
-    // both sides of the mark-back join — and because the two branches
-    // share the identical repartition subtree, ReuseExchange computes
-    // it once. Without it the planner shuffled three times ((doc_id,
-    // h) for the distinct, h for the df groupBy, h again for the
-    // join's gram side).
-    val grams = positionedGrams(s, d).repartition($"h")
+    // both sides of the mark-back join. r22: the r21 ReuseExchange
+    // claim did NOT hold at runtime — column pruning narrows the df
+    // branch's exchange to (doc_id, h) while the join-back branch keeps
+    // (doc_id, k, h), so the two exchanges canonicalize differently and
+    // the gram explode + md5 pass executed TWICE (measured: two
+    // 250k-row exchanges, 4.5 MB and 3.4 MB, in the executed plan).
+    // Caching the repartitioned frame pins one execution AND one
+    // layout for every consumer (guide §5: reused and expensive).
+    val grams = positionedGrams(s, d).repartition($"h").cache()
     val dupH = grams.select($"doc_id", $"h").distinct()
       .groupBy($"h").agg(count(lit(1)).as("df"))
       .where($"df" >= 2).select($"h")
@@ -468,8 +471,16 @@ object Curation {
     Q("q137_winnow_pairs",
       (s, d) => {
         import s.implicits._
-        val dfcap = math.max(5L, Tables.t(s, d, "documents").count() / 25L)
+        val dfcap = math.max(5L, Tables.rowCount(s, d, "documents") / 25L)
+        // r22 (guide §2.4/§5): ONE fp exchange + ONE execution of the
+        // winnowing pipeline serves all three consumers (df-cap groupBy
+        // and both posting-list join sides). A bare repartition is not
+        // enough: column pruning narrows the df-cap branch's exchange to
+        // fp-only, which breaks exchange reuse and re-runs the whole
+        // window+distinct pipeline (measured in the executed plan) — the
+        // cache pins one execution and one fp-clustered layout.
         val sel = winnowSel(s, d).select($"doc_id", $"fp")
+          .repartition($"fp").cache()
         val capped = sel.groupBy($"fp")
           .agg(count(lit(1)).as("df"))
           .where($"df".between(2, dfcap)).select($"fp")

@@ -485,15 +485,23 @@ object Dedup {
         // the only shape that survives millions of docs — and is the ONLY
         // strategy (no driver-side `count()` to pick a plan; the oracle
         // mirrors this join exactly).
-        // same pinned-parallelism rationale as toks above: the pair
-        // stage downstream (Σ bucket² probe + hamming + dedup) is the
-        // query's CPU center, and the 1-partition coalesced cache read
-        // would serialize it
+        // r22: NO explicit repartition here. r21 pinned repartition(sp, cv)
+        // to dodge cache-AQE serialization, but the executed plan shows the
+        // pair join is a BroadcastHashJoin — both pinned exchanges ran as
+        // pure overhead (neither reused; 4.7 s + 3.6 s summed shuffle-write
+        // on 795 KB at sf0.1) and the driver measured a 5x regression at
+        // local[32]. Probe parallelism is already supplied by the cached
+        // sig's pinned doc_id exchange (explicit-N repartitions inside the
+        // cache are exempt from AQE coalescing, so the cache holds sp
+        // partitions and the probe stage runs sp tasks). At cluster scale
+        // the planner picks SMJ on (c, cv) once the side outgrows the
+        // broadcast threshold, and WITHOUT an explicit repartition AQE
+        // skew-splitting stays available (cv alone has only 128 values —
+        // hash-partitioning by it caps parallelism; see r21 VERDICT #3).
         val chunks = sig.select($"doc_id", $"sim",
           explode(expr("sequence(0, 8)")).as("c"))
           .withColumn("cv",
             expr("(sim div CAST(pow(2, 7 * c) AS BIGINT)) % 128"))
-          .repartition(sp, $"cv")
         // r21 (guide §2.3): the hamming gate is a row-wise predicate of
         // (s1, s2), so it commutes with the pair distinct — filtering
         // FIRST shrinks the distinct's hash-aggregate input from every
@@ -831,8 +839,7 @@ object Dedup {
       (s, d) => {
         import s.implicits._
         graft.functions.Md5Long.register(s)
-        val pct = evalPct(
-          Tables.t(s, d, "documents").select($"doc_id").count())
+        val pct = evalPct(Tables.rowCount(s, d, "documents"))
         val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
         val sh = hashedShingles(s, d)
           .withColumn("n", count(lit(1)).over(byDoc))
@@ -921,7 +928,7 @@ object Dedup {
         import s.implicits._
         graft.functions.Md5Long.register(s)
         val docs = Tables.t(s, d, "documents").select($"doc_id", $"text")
-        val pct = evalPct(docs.count())
+        val pct = evalPct(Tables.rowCount(s, d, "documents"))
         val sampled = docs.filter(
           expr(s"md5_60(CAST(doc_id AS STRING)) % 100 < $pct"))
         val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
@@ -933,12 +940,19 @@ object Dedup {
           .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
           .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
           .filter($"i".cast("double") / ($"n1" + $"n2" - $"i") >= 0.8)
-          .select($"d1", $"d2").cache()
-        val cand = minhashCandidates(s, sh.select($"doc_id", $"h"))._2.cache()
-        val hit = exact.join(cand, Seq("d1", "d2"), "left_semi")
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select($"d1", $"d2")
+        val cand = minhashCandidates(s, sh.select($"doc_id", $"h"))._2
+        // r22 (guide §2.4): ONE full-outer join + ONE aggregate replaces
+        // {semi-join + three separate count jobs crossJoined}. exact and
+        // cand are both unique-pair frames (groupBy resp. distinct
+        // output), so the outer join has one row per pair of the union:
+        // count(e) = |exact|, count(c) = |cand|, count(e AND c) = |hit| —
+        // value-identical, and each side is now referenced once (the
+        // r21 exact/cand caches became dead weight and are dropped).
+        exact.withColumn("e", lit(1))
+          .join(cand.withColumn("c", lit(1)), Seq("d1", "d2"), "full_outer")
+          .agg(count($"e").as("n_exact"), count($"c").as("n_cand"),
+            count(when($"e".isNotNull && $"c".isNotNull, 1)).as("n_hit"))
           .select(lit(pct).as("pct"), $"n_exact", $"n_cand", $"n_hit",
             when($"n_exact" > 0, $"n_hit".cast("double") / $"n_exact")
               .otherwise(0.0).as("recall"),

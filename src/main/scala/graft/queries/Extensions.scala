@@ -24,7 +24,14 @@ object Extensions {
     * parameterization needs — a parquet count(*) is metadata-cheap at
     * any scale, and the oracle recomputes the identical value in SQL. */
   private[queries] def centroidK(emb: DataFrame): Long =
-    math.max(8L, emb.count() / TargetClusterSize)
+    centroidKOf(emb.count())
+
+  /** [[centroidK]] from an already-known row count (r22: full-table
+    * callers derive n from the parquet footer via [[Tables.rowCount]] —
+    * zero scheduler jobs; the DataFrame overload stays for sampled
+    * frames whose count is genuinely data-dependent). */
+  private[queries] def centroidKOf(n: Long): Long =
+    math.max(8L, n / TargetClusterSize)
 
   /** Training-sample multiple: lloyd2 / pqTrain learn their codebooks on
     * a deterministic hash-threshold sample of ~sampleMultiple·k vectors
@@ -120,8 +127,8 @@ object Extensions {
     graft.functions.Md5Long.register(s)
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), expr(QV).as("v"))
-    val n = emb.count()
-    val k = math.max(8L, n / TargetClusterSize)
+    val n = Tables.rowCount(s, d, "embeddings") // footer metadata, no job
+    val k = centroidKOf(n)
     // the training set is the frame both Lloyd's rounds re-read: cache it
     // (it is the bounded ~sampleMultiple·k slice, the thing a production
     // trainer materializes; the full corpus is never cached here)
@@ -312,7 +319,7 @@ object Extensions {
     graft.functions.Md5Long.register(s)
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), expr(QV).as("v"))
-    val n = emb.count()
+    val n = Tables.rowCount(s, d, "embeddings") // footer metadata, no job
     val ks = pqKs(n)
     val pred = samplePred(samplePct(n, ks))
     val seeds = seedIdsOf(emb.filter(pred), ks) // seeds live in the sample
@@ -712,7 +719,8 @@ object Extensions {
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), expr(QV).as("v"))
-        val cents = seedCentroids(emb, centroidK(emb))
+        val cents = seedCentroids(emb,
+          centroidKOf(Tables.rowCount(s, d, "embeddings")))
         graft.functions.DotProductI64.register(s)
         // r21 per-pair hoist: self-norms move to the per-row (nv) and
         // per-centroid broadcast (nc) sides — the cos expression tree is
@@ -770,7 +778,8 @@ object Extensions {
       (s, d) => {
         val emb = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), expr(QV).as("v"))
-        val cents = seedCentroids(emb, centroidK(emb))
+        val cents = seedCentroids(emb,
+          centroidKOf(Tables.rowCount(s, d, "embeddings")))
         graft.functions.DotProductI64.register(s)
         // r21 per-pair hoist (q68 note): self-norms computed per row /
         // per broadcast centroid, cos expression tree otherwise
@@ -1313,26 +1322,38 @@ object Extensions {
           expr(s"dot_i64($a, $b)").cast("double") /
             (sqrt(expr(s"greatest(dot_i64($a, $a), 1L)").cast("double")) *
               sqrt(expr(s"greatest(dot_i64($b, $b), 1L)").cast("double")))
-        def top5(sc: org.apache.spark.sql.Column) = wp
+        // r22 (guide §2.4, VERDICT r21 #7): ONE corpus × query pass
+        // computes the exact score AND every sweep member's sliced score;
+        // the 4 rank windows share one q_id exchange (same partitioning,
+        // per-window sorts), and one aggregate derives every (out_dims,
+        // n_hits, recall) row — replacing 4 crossJoin scans + 4 window
+        // exchanges + 3 join/agg chains. Value-identical: each rn column
+        // is the same row_number over the same (score DESC, vec_id ASC)
+        // order as the old per-k top5 pass; "gt LEFT JOIN approx_k then
+        // count hits" ≡ counting rows with rn_full <= 5 AND rn_k <= 5
+        // because both top-5 sets are drawn from the same (q_id, vec_id)
+        // row universe, and n_pairs ≡ |gt| = count of rn_full <= 5.
+        def rnOver(sc: org.apache.spark.sql.Column) = row_number().over(
+          Window.partitionBy($"q_id").orderBy(sc.desc, $"vec_id".asc))
+        val flags = wp
           .crossJoin(broadcast(qset))
           .filter($"vec_id" =!= $"q_id")
-          .withColumn("sc", sc)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"q_id").orderBy($"sc".desc, $"vec_id".asc)))
-          .filter($"rn" <= 5)
-          .select($"q_id", $"vec_id".as("neighbor"))
-        val gt = top5(cos("v", "qv"))
-        JlDimSweep.map { k =>
-          gt.join(top5(cos(s"slice(p, 1, $k)", s"slice(qp, 1, $k)"))
-              .withColumn("hit", lit(1)),
-              Seq("q_id", "neighbor"), "left_outer")
-            .agg(
-              sum(coalesce($"hit", lit(0))).cast("long").as("n_hits"),
-              count(lit(1)).as("n_pairs"))
-            .select(lit(k).cast("int").as("out_dims"), $"n_hits",
-              ($"n_hits".cast("double") / $"n_pairs".cast("double"))
-                .as("recall"))
-        }.reduce(_.union(_)).orderBy($"out_dims")
+          .withColumn("rn_full", rnOver(cos("v", "qv")))
+        val flagged = JlDimSweep.foldLeft(flags) { (df, k) =>
+          df.withColumn(s"rn_$k",
+            rnOver(cos(s"slice(p, 1, $k)", s"slice(qp, 1, $k)")))
+        }
+        val aggCols = count(when($"rn_full" <= 5, 1)).as("np") +:
+          JlDimSweep.map(k => count(
+            when($"rn_full" <= 5 && col(s"rn_$k") <= 5, 1)).as(s"nh_$k"))
+        val agg = flagged.agg(aggCols.head, aggCols.tail: _*)
+        agg.select(explode(array(JlDimSweep.map(k => struct(
+            lit(k).cast("int").as("out_dims"),
+            col(s"nh_$k").as("n_hits"),
+            (col(s"nh_$k").cast("double") / $"np".cast("double"))
+              .as("recall"))): _*)).as("r"))
+          .select($"r.out_dims", $"r.n_hits", $"r.recall")
+          .orderBy($"out_dims")
       },
       Some {
         def cos(a: String, b: String) =

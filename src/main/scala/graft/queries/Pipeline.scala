@@ -323,7 +323,7 @@ object Pipeline {
          org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val c = domainFeatures(s, d)
-    val tgt = Tables.t(s, d, "documents").count() / 10
+    val tgt = Tables.rowCount(s, d, "documents") / 10
     val w = Array.fill(4096)(0L)
     val stats = scala.collection.mutable.ListBuffer
       .empty[(Int, Long, Long, Long)]
@@ -1143,9 +1143,10 @@ object Pipeline {
         def cosH(b: String, nb: String) =
           expr(s"dot_i64(v, $b)").cast("double") /
             (sqrt($"nv".cast("double")) * sqrt(col(nb).cast("double")))
-        val qCut = math.max(3L, Tables.t(s, d, "documents").count() / 1000L)
+        val qCut = math.max(3L, Tables.rowCount(s, d, "documents") / 1000L)
         val cents = Extensions.seedCentroids(
-            emb.select($"vec_id", $"v"), Extensions.centroidK(emb))
+            emb.select($"vec_id", $"v"),
+            Extensions.centroidKOf(Tables.rowCount(s, d, "embeddings")))
           .withColumn("nc", expr("dot_i64(cv, cv)"))
         val assigned = emb.crossJoin(broadcast(cents))
           .withColumn("cos", cosH("cv", "nc"))
@@ -1255,7 +1256,7 @@ object Pipeline {
             (sqrt($"nv".cast("double")) * sqrt(col(nb).cast("double")))
         val embAll = Tables.t(s, d, "embeddings")
           .select($"vec_id", expr(Extensions.QV).as("v"))
-        val pct = Dedup.evalPct(embAll.count())
+        val pct = Dedup.evalPct(Tables.rowCount(s, d, "embeddings"))
         val emb = embAll.filter(
           expr(s"md5_60(CAST(vec_id AS STRING)) % 100 < $pct"))
           .withColumn("nv", expr("dot_i64(v, v)")).cache()
@@ -1489,7 +1490,7 @@ object Pipeline {
         // after the query materializes
         val w = domainTrainShared(s, d)._1
         val c = domainFeatures(s, d)
-        val tgt = Tables.t(s, d, "documents").count() / 10
+        val tgt = Tables.rowCount(s, d, "documents") / 10
         bucketScores(c, w)
           .join(Tables.t(s, d, "documents").select($"doc_id", $"source"),
             "doc_id")
@@ -1539,7 +1540,7 @@ object Pipeline {
         import s.implicits._
         val w = domainTrainShared(s, d)._1
         val c = domainFeatures(s, d)
-        val tgt = Tables.t(s, d, "documents").count() / 10
+        val tgt = Tables.rowCount(s, d, "documents") / 10
         val grouped = bucketScores(c, w)
           .select($"sc", when($"doc_id" < tgt, 1L).otherwise(0L).as("y"))
           .groupBy($"sc")

@@ -1111,57 +1111,67 @@ object TextOps {
     // the oracle-proven operators above, so the whole pipeline stays
     // hash-deterministic.
     Q("q81_pipeline_e2e",
-      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, s"""
-        WITH corpus AS (
-          SELECT doc_id, text, lang FROM documents
-          UNION ALL
-          SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 100),
-        exact_kept AS (
-          SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
-        docs AS (
+      (s, d) => { graft.functions.Md5Long.register(s)
+        // r22 (guide §5, same finding as q135/q137): Spark inlines
+        // multiply-referenced CTEs, and column pruning then specializes
+        // each copy so exchange reuse can't dedupe them — the exact-dedup
+        // subtree ran once per `docs` reference and the shingle pipeline
+        // once per `sh` reference. Materialize both as cached temp views
+        // (the SQL text of each stage is unchanged; same rows, same
+        // types); every stage executes exactly once.
+        Tables.sql(s, d, s"""
+          WITH corpus AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 100),
+          exact_kept AS (
+            SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
           SELECT c.doc_id, c.text, c.lang
-          FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id),
-        sh00 AS (
-          SELECT doc_id, md5_60(concat_ws(' ', slice(w, i, 3))) AS h
-          FROM (SELECT doc_id, split(text, ' ') AS w FROM docs)
-          LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i),
-        -- one h exchange serves the distinct, the df window and the
-        -- pair self-join (subset-clustering, the q42 shingle
-        -- discipline); the hint block sits BELOW the distinct so the
-        -- repartition lands before it
-        shr AS (SELECT /*+ REPARTITION(h) */ doc_id, h FROM sh00),
-        sh0 AS (SELECT DISTINCT doc_id, h FROM shr),
-        sh AS (
+          FROM corpus c JOIN exact_kept k ON c.doc_id = k.doc_id""")
+          .cache().createOrReplaceTempView("q81_docs")
+        s.sql(s"""
+          WITH sh00 AS (
+            SELECT doc_id, md5_60(concat_ws(' ', slice(w, i, 3))) AS h
+            FROM (SELECT doc_id, split(text, ' ') AS w FROM q81_docs)
+            LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i),
+          -- one h exchange serves the distinct and the df window
+          -- (subset-clustering, the q42 shingle discipline); the hint
+          -- block sits BELOW the distinct so the repartition lands
+          -- before it
+          shr AS (SELECT /*+ REPARTITION(h) */ doc_id, h FROM sh00),
+          sh0 AS (SELECT DISTINCT doc_id, h FROM shr)
           SELECT doc_id, h FROM (
             SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sh0)
-          WHERE df <= ${Dedup.MaxShingleDf}),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
-        near_dropped AS (
-          SELECT DISTINCT d2 AS doc_id
-          FROM pairs
-          JOIN sizes s1 ON d1 = s1.doc_id
-          JOIN sizes s2 ON d2 = s2.doc_id
-          WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
-        survivors AS (
-          SELECT doc_id, text, lang,
-            size(split(text, ' ')) AS n_tok,
-            size(array_distinct(split(text, ' '))) AS n_distinct
-          FROM docs
-          WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)),
-        gated AS (
-          SELECT * FROM survivors
-          WHERE CAST(n_distinct AS DOUBLE) / n_tok >= 0.3
-            AND length(text) >= 100)
-        SELECT lang,
-          count(*) AS n_docs,
-          CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
-          CAST(min(doc_id) AS BIGINT) AS first_doc
-        FROM gated
-        GROUP BY lang ORDER BY lang""") },
+          WHERE df <= ${Dedup.MaxShingleDf}""")
+          .cache().createOrReplaceTempView("q81_sh")
+        s.sql("""
+          WITH sizes AS (SELECT doc_id, count(*) AS n FROM q81_sh GROUP BY doc_id),
+          pairs AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM q81_sh a JOIN q81_sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+          near_dropped AS (
+            SELECT DISTINCT d2 AS doc_id
+            FROM pairs
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.8),
+          survivors AS (
+            SELECT doc_id, text, lang,
+              size(split(text, ' ')) AS n_tok,
+              size(array_distinct(split(text, ' '))) AS n_distinct
+            FROM q81_docs
+            WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)),
+          gated AS (
+            SELECT * FROM survivors
+            WHERE CAST(n_distinct AS DOUBLE) / n_tok >= 0.3
+              AND length(text) >= 100)
+          SELECT lang,
+            count(*) AS n_docs,
+            CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+            CAST(min(doc_id) AS BIGINT) AS first_doc
+          FROM gated
+          GROUP BY lang ORDER BY lang""") },
       Some(s"""
         WITH corpus AS (
           SELECT doc_id, text, lang FROM documents
