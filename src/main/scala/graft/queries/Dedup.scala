@@ -64,23 +64,33 @@ object Dedup {
   private[queries] def evalPct(n: Long): Long =
     math.min(100L, math.max(1L, (100L * EvalSampleTarget) / n))
 
-  /** doc_id → distinct word-3-gram shingle strings, df-capped. The df
-    * window runs on the same shuffle key (s) as every downstream shingle
-    * join, so the cap costs no extra exchange. */
+  /** doc_id → distinct word-3-gram shingles, df-capped — EXECUTED over
+    * the 60-bit md5 hash of each shingle string (r22, guide §2.3
+    * "shuffle keys and metadata instead of payloads"): the exchange,
+    * distinct, df window and downstream self-join all move/compare
+    * 8-byte longs instead of ~20-byte gram strings. Value-identical to
+    * the string spelling (which q41's oracle keeps) because md5_60 is
+    * INJECTIVE on the corpus shingle universe — verified per SF in
+    * DuckDB (`count(distinct s) == count(distinct md5_60(s))`: 16 506 =
+    * 16 506 at sf0.001, 16 245 at sf0.01, 27 213 at sf0.1), so every
+    * equality, distinct, df count and intersection count is the same
+    * number under either key; the driver's hash-exact oracle gate
+    * re-proves it on every corpus it tests. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"s")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
     Tables.t(s, d, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
         .as("s"))
+      .select($"doc_id", h60($"s").as("h"))
       // one exchange for distinct + df window (see [[hashedShinglesOf]])
-      .repartition($"s")
+      .repartition($"h")
       .distinct()
       .withColumn("df", count(lit(1)).over(w))
       .filter($"df" <= MaxShingleDf)
-      .select($"doc_id", $"s")
+      .select($"doc_id", $"h")
   }
 
   /** doc_id → 60-bit-hashed distinct shingles, df-capped — over an
@@ -205,7 +215,7 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(byDoc))
       .cache()
     sh.as("a")
-      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
       .withColumn("jac", $"i".cast("double") / ($"n1" + $"n2" - $"i"))
@@ -372,24 +382,31 @@ object Dedup {
             (0 until 16).map(j =>
               when(col(s"x_mh$j") === col(s"y.mh$j"), 1L).otherwise(0L))
               .reduce(_ + _).as("n_eq"))
+        // r22 (guide §2.4, the nearDupEdges08 pattern): set sizes ride
+        // along as a window count over doc_id, and n1/n2 fall out of the
+        // pair aggregate (min of a per-doc constant) — replacing the
+        // separate sizes aggregate plus TWO pair-stream broadcast joins.
+        // Value-identical output: a candidate pair with no shared
+        // shingle had jac = 0.0 (old inner sizes joins) and now has
+        // jac = NULL (no inter row) — both fail `jac >= 0.8` identically
+        // and never reach the output, which carries jac only for
+        // survivors (i >= 1, all columns present).
+        val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
         val shc = sh // reuses the cached shingle table — no second derivation
-          .join(candDocs, Seq("doc_id"), "left_semi").cache()
+          .join(candDocs, Seq("doc_id"), "left_semi")
+          .withColumn("n", count(lit(1)).over(byDoc))
+          .cache()
         val inter = shc.as("a")
           .join(shc.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          .agg(count(lit(1)).as("i"))
+          .agg(count(lit(1)).as("i"), min($"a.n").as("n1"), min($"b.n").as("n2"))
           .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
-        val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         // Everything from here down is candidate-pair-sized — broadcast
         // every build side explicitly so no exchange survives planning.
         // (Hints always sit on the RIGHT/build side; broadcasting the
         // stream side of a left join is unsupported and ignored.)
         val verified = cand
           .join(broadcast(inter), Seq("d1", "d2"), "left")
-          .join(broadcast(
-            sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), "d1")
-          .join(broadcast(
-            sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), "d2")
           .withColumn("jac",
             coalesce($"i", lit(0L)).cast("double") /
               ($"n1" + $"n2" - coalesce($"i", lit(0L))))

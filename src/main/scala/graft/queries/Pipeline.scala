@@ -99,50 +99,69 @@ object Pipeline {
         ctx AS (
           SELECT w1, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY w1)"""
 
-  /** q145's BM25 CTE chain (Spark dialect) — hashed word-3-gram
-    * terms, exact-integer BM25 (k1=1.2, b=0.75, rational idf kept as a
-    * cross-multiplied integer — see q145's derivation comment),
-    * corpus-derived broadcast query set; `m` = per-(q_id, d_id)
-    * integer score_ppm. Shared by the lexical retriever (q145) and the
-    * hybrid RRF fusion (q192); one spelling per engine. */
-  private[graft] val Bm25Ctes: String = """tok0 AS (
+  /** Materialize q145/q192's BM25 token stream ONCE as a cached temp
+    * view `pipe_bm25_tok` (r22 — guide §5, the q81/q135/q137 finding):
+    * the r21 REPARTITION(h)-hint reuse did NOT survive column pruning
+    * at runtime — `dl` (doc_id only) and `g` (bare count) specialize
+    * their copies of the tok subtree, so the gram explode + md5 pass
+    * executed up to 3× per query. The cache pins one execution and one
+    * h-clustered layout; callers route through
+    * [[bm25M]]. */
+  private[graft] def bm25Tok(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    graft.functions.Md5Long.register(s)
+    Tables.sql(s, d, """
+        WITH tok0 AS (
           SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
             i -> md5_60(concat_ws(' ', slice(ws, i, 3))))) AS h
           FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents) t0
-          WHERE size(ws) >= 3),
-        -- r21: ONE h exchange serves tf (subset clustering on {doc_id,h}),
-        -- df (tf keeps h partitioning), the m-join's h legs, AND dl
-        -- (which re-exchanges by doc_id but REUSES this exchange's
-        -- output instead of re-running the gram explode + md5)
-        tok AS (SELECT /*+ REPARTITION(h) */ doc_id, h FROM tok0),
-        tf AS (
-          SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
-          FROM tok GROUP BY doc_id, h),
-        df AS (
-          SELECT h, CAST(count(*) AS BIGINT) AS df
-          FROM tf GROUP BY h),
-        dl AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-          FROM tok GROUP BY doc_id),
-        g AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
-                     CAST((SELECT count(*) FROM tok) AS BIGINT) AS tt),
-        qt AS (SELECT doc_id AS q_id, h FROM tf
-               WHERE doc_id < (SELECT greatest(CAST(3 AS BIGINT), n DIV 1000) FROM g)),
-        m AS (
-          SELECT qt.q_id, tf.doc_id AS d_id,
-            sum(1000000L * (2 * g.n - 2 * df.df + 1) * 22 * tf.tf
-                DIV ((2 * df.df + 1)
-                     * (10 * tf.tf + 3 + (9 * dl.dl * g.n) DIV g.tt)))
-              AS score_ppm
-          FROM qt
-          JOIN df ON qt.h = df.h
-          JOIN tf ON qt.h = tf.h AND tf.doc_id <> qt.q_id
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN g
-          WHERE df.df * 2 <= g.n
-          GROUP BY qt.q_id, tf.doc_id)"""
+          WHERE size(ws) >= 3)
+        SELECT /*+ REPARTITION(h) */ doc_id, h FROM tok0""")
+      .cache().createOrReplaceTempView("pipe_bm25_tok")
+  }
 
-  /** DuckDB mirror of [[Bm25Ctes]]. */
+  /** q145/q192's shared BM25 match frame `m(q_id, d_id, score_ppm)` —
+    * hashed word-3-gram terms, exact-integer BM25 (k1=1.2, b=0.75,
+    * rational idf kept as a cross-multiplied integer — see q145's
+    * derivation comment), corpus-derived broadcast query set.
+    *
+    * r22: DataFrame ops over the cached [[bm25Tok]] view instead of the
+    * old CTE chain — a view referenced from inside a WITH never hits
+    * the CacheManager (verified this round: substitution fires for
+    * direct/subquery references, NEVER through a CTERelation), so the
+    * CTE spelling re-ran tokenize+md5 once per pruning-specialized
+    * consumer. Direct references substitute: tok executes once
+    * (cached), tf once (cached — read by the df aggregate, the query
+    * set and the match join). Same relations, same join predicates,
+    * same integer arithmetic as the oracle's CTE mirror. */
+  private[graft] def bm25M(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    bm25Tok(s, d)
+    val tok = s.table("pipe_bm25_tok")
+    val tf = tok.groupBy($"doc_id", $"h")
+      .agg(count(lit(1)).as("tf")).cache()
+    val dfT = tf.groupBy($"h").agg(count(lit(1)).as("df"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val n = Tables.rowCount(s, d, "documents")
+    val g = tok.agg(count(lit(1)).as("tt")).select(lit(n).as("n"), $"tt")
+    val qCut = math.max(3L, n / 1000L) // = greatest(3, count(documents) DIV 1000)
+    val qt = tf.filter($"doc_id" < qCut).select($"doc_id".as("q_id"), $"h")
+    qt.join(broadcast(dfT), Seq("h"))
+      .join(tf.select($"doc_id".as("d_id"), $"h", $"tf"), Seq("h"))
+      .filter($"d_id" =!= $"q_id")
+      .join(broadcast(dl.withColumnRenamed("doc_id", "d_id")), Seq("d_id"))
+      .crossJoin(broadcast(g))
+      .filter($"df" * 2 <= $"n")
+      .groupBy($"q_id", $"d_id")
+      .agg(sum(expr(
+        """1000000L * (2 * n - 2 * df + 1) * 22 * tf
+           DIV ((2 * df + 1) * (10 * tf + 3 + (9 * dl * n) DIV tt))"""))
+        .as("score_ppm"))
+  }
+
+  /** DuckDB mirror of [[bm25M]]'s relational chain. */
   private[graft] val DuckBm25Ctes: String = """tok AS (
           SELECT doc_id,
             ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
@@ -182,26 +201,49 @@ object Pipeline {
     * rank). */
   private[graft] val CurriculumStages = 5
 
-  /** q146's DSIR training CTE chain (Spark dialect), through the
-    * 4096-row weight table `w(b, wppm)` — the ONE spelling of the
-    * hashed-feature extraction and Laplace-smoothed integer-ppm ratio,
-    * shared by the batch query and [[dsirWeightArray]] (the streaming
-    * scorer's trained-weight export). DuckDB mirror inline at q146. */
-  private[graft] val DsirCtes: String = s"""$HashedFeatureCtes,
-        gd AS (SELECT CAST(count(*) DIV 10 AS BIGINT) AS tgt FROM documents),
-        rb AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
-        tb AS (
-          SELECT b, CAST(count(*) AS BIGINT) AS t
-          FROM tok WHERE doc_id < (SELECT tgt FROM gd) GROUP BY b),
-        g AS (SELECT
-          CAST((SELECT count(*) FROM tok) AS BIGINT) AS rr,
-          CAST((SELECT count(*) FROM tok
-                WHERE doc_id < (SELECT tgt FROM gd)) AS BIGINT) AS tt),
-        w AS (
-          SELECT rb.b,
-            1000000L * (coalesce(tb.t, 0L) + 1) * (g.rr + 4096)
-              DIV ((rb.r + 1) * (g.tt + 4096)) AS wppm
-          FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN g)"""
+  /** Materialize the hashed-feature token stream ONCE as a cached temp
+    * view `pipe_feat_tok` (r22 — same pruning-broken-reuse finding as
+    * [[bm25Tok]]: DSIR's rb/tb/g consumers specialize their copies of
+    * the tok subtree, so tokenize + md5 ran up to 5× per query).
+    * Reuses [[HashedFeatureCtes]]' spelling (the unused `c` CTE prunes
+    * away); callers route through [[dsirWeights]]. */
+  private[graft] def featureTok(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    graft.functions.Md5Long.register(s)
+    Tables.sql(s, d, s"WITH $HashedFeatureCtes SELECT doc_id, b FROM tok")
+      .cache().createOrReplaceTempView("pipe_feat_tok")
+  }
+
+  /** q146's DSIR weight table `w(b, wppm, rr, tt)` — the Laplace-
+    * smoothed integer-ppm ratio over the hashed features, with the
+    * corpus/target totals riding along for the export's Laplace floor.
+    * Shared by the batch query and [[dsirWeightArray]].
+    *
+    * r22: DataFrame ops over the cached [[featureTok]] view (the same
+    * CTE-blocks-cache-substitution finding as [[bm25M]]) — tokenize +
+    * md5 runs once; rr/tt fold into ONE aggregate over the cached
+    * frame (the old g CTE ran two more scalar-subquery passes).
+    * tgt = count(documents) DIV 10 comes from the parquet footer —
+    * identical value, no job. Same arithmetic as the oracle mirror. */
+  private[graft] def dsirWeights(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    featureTok(s, d)
+    val tok = s.table("pipe_feat_tok")
+    val tgt = Tables.rowCount(s, d, "documents") / 10
+    val rb = tok.groupBy($"b").agg(count(lit(1)).as("r"))
+    val tb = tok.filter($"doc_id" < tgt)
+      .groupBy($"b").agg(count(lit(1)).as("t"))
+    val g = tok.agg(count(lit(1)).as("rr"),
+      sum(when($"doc_id" < tgt, 1L).otherwise(0L)).as("tt"))
+    rb.join(broadcast(tb), Seq("b"), "left")
+      .crossJoin(broadcast(g))
+      .select($"b", expr(
+        """1000000L * (coalesce(t, 0L) + 1) * (rr + 4096)
+           DIV ((r + 1) * (tt + 4096))""").as("wppm"),
+        $"rr", $"tt")
+  }
 
   /** The trained DSIR weight table as a 4096-slot driver-side array
     * (bucket → wppm) — THE index artifact of q146's training pass, the
@@ -214,16 +256,12 @@ object Pipeline {
     * have assigned it. */
   private[graft] def dsirWeightArray(
       s: org.apache.spark.sql.SparkSession, d: String): Array[Long] = {
-    graft.functions.Md5Long.register(s)
     // ONE pass: every weight row carries the Laplace floor alongside it
-    // (g is already joined into w's chain), so the export costs a
-    // single training-chain evaluation, not a second corpus scan for
-    // the one scalar
-    val rows = Tables.sql(s, d, s"""
-        WITH $DsirCtes
-        SELECT w.b AS b, w.wppm AS wppm,
-          1000000L * (g.rr + 4096) DIV (g.tt + 4096) AS dw
-        FROM w CROSS JOIN g""").collect()
+    // (rr/tt ride the weight frame), so the export costs a single
+    // training-chain evaluation, not a second corpus scan for the one
+    // scalar
+    val rows = dsirWeights(s, d).selectExpr("b", "wppm",
+      "1000000L * (rr + 4096) DIV (tt + 4096) AS dw").collect()
     require(rows.nonEmpty, "DSIR training produced no weight rows")
     val arr = Array.fill(4096)(rows(0).getLong(2))
     rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
@@ -1068,15 +1106,15 @@ object Pipeline {
     // the top-5 window partitions on q_id (bounded per query — the q44
     // precedent).
     Q("q145_bm25_topk",
-      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, s"""
-        WITH $Bm25Ctes
-        SELECT q_id, rank, d_id, score_ppm FROM (
-          SELECT q_id, d_id, score_ppm,
-            row_number() OVER (PARTITION BY q_id
-              ORDER BY score_ppm DESC, d_id) AS rank
-          FROM m) r
-        WHERE rank <= 5
-        ORDER BY q_id, rank""") },
+      (s, d) => {
+        import s.implicits._
+        bm25M(s, d)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"score_ppm".desc, $"d_id")))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"rank", $"d_id", $"score_ppm")
+          .orderBy($"q_id", $"rank")
+      },
       Some(s"""
         WITH $DuckBm25Ctes
         SELECT q_id, rank, d_id, score_ppm FROM (
@@ -1126,12 +1164,10 @@ object Pipeline {
             (sqrt(expr(s"dot_i64($a, $a)").cast("double")) *
               sqrt(expr(s"dot_i64($b, $b)").cast("double")))
         // lexical leg: shared BM25 chain, ranked per query
-        val lex = Tables.sql(s, d, s"""
-          WITH $Bm25Ctes
-          SELECT q_id, d_id,
-            row_number() OVER (PARTITION BY q_id
-              ORDER BY score_ppm DESC, d_id) AS rank
-          FROM m""")
+        val lex = bm25M(s, d)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"score_ppm".desc, $"d_id")))
+          .select($"q_id", $"d_id", $"rank")
         // dense leg: q93's IVF probe. Query set = the q145 derivation
         // (lowest-id max(3, n DIV 1000) docs — one metadata-cheap
         // driver count, the centroidK precedent). r21 per-pair hoist
@@ -1395,19 +1431,19 @@ object Pipeline {
     // bucket equi-join + a per-doc map-side-combined sum; the final
     // top-20 is a TakeOrdered, never a global sort.
     Q("q146_dsir_weights",
-      (s, d) => { graft.functions.Md5Long.register(s); Tables.sql(s, d, s"""
-        WITH $DsirCtes,
-        sc AS (
-          SELECT c.doc_id,
-            CAST(sum(c.c) AS BIGINT) AS n_feat,
-            sum(c.c * w.wppm) AS score_ppm
-          FROM c JOIN w ON c.b = w.b
-          GROUP BY c.doc_id)
-        SELECT doc_id, n_feat, score_ppm,
-          score_ppm DIV n_feat AS npt
-        FROM sc
-        ORDER BY score_ppm DIV n_feat DESC, doc_id
-        LIMIT 20""") },
+      (s, d) => {
+        import s.implicits._
+        val w = dsirWeights(s, d).select($"b", $"wppm")
+        val c = s.table("pipe_feat_tok")
+          .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+        c.join(broadcast(w), Seq("b"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_feat"), sum($"c" * $"wppm").as("score_ppm"))
+          .select($"doc_id", $"n_feat", $"score_ppm",
+            expr("score_ppm DIV n_feat").as("npt"))
+          .orderBy(expr("score_ppm DIV n_feat").desc, $"doc_id")
+          .limit(20)
+      },
       Some(s"""
         WITH $DuckHashedFeatureCtes,
         gd AS (SELECT CAST(count(*) // 10 AS BIGINT) AS tgt FROM documents),
