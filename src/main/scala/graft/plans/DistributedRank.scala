@@ -1,6 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.graftbridge.InternalRowBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed row_number for LOW-CARDINALITY partition keys.
@@ -22,6 +25,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * for range-boundary sampling), driver state O(N × |k|). The RDD hop is
   * the declared per-partition imperative seam — the running index within
   * a sorted partition has no DataFrame spelling.
+  *
+  * r22 (VERDICT r21 #6): both passes run on InternalRows via
+  * [[InternalRowBridge]] — the old `Dataset.rdd` / `createDataFrame`
+  * round-trip decoded and re-encoded every field of every row through
+  * external objects; now the materialized rows are the scan's own
+  * UnsafeRows (one byte-array copy each, required because the sorter
+  * reuses row buffers), pass 1 reads two fields per row, and pass 2
+  * emits through one UnsafeProjection. Values are identical by
+  * construction (same sort, same counts, same offset arithmetic);
+  * DistributedRankSpec pins row equality against the window spelling.
   */
 object DistributedRank {
 
@@ -41,24 +54,26 @@ object DistributedRank {
       .repartitionByRange(numPartitions, (col(df, "__rk") +: order): _*)
       .sortWithinPartitions((col(df, "__rk") +: order): _*)
     val schema = sorted.schema
+    val keyType = schema.fields(keyIdx).dataType
     // ONE materialization feeds both passes (r21, guide §2.4): without
-    // it each `.rdd` consumer re-ran the whole upstream plan PLUS the
-    // range exchange (including repartitionByRange's own
-    // boundary-sampling job) — the count pass and the numbering pass
-    // each paid the full shuffle, and nested callers (q180 ranks a
-    // ranked frame) compounded it. Materializing once also removes the
-    // implicit bet that two separate executions sample identical range
+    // it each consumer re-ran the whole upstream plan PLUS the range
+    // exchange (including repartitionByRange's own boundary-sampling
+    // job) — and two separate executions could sample different range
     // boundaries (offsets are keyed by partition id). localCheckpoint =
     // MEMORY_AND_DISK persist + lineage truncation — the q89/CC kernel
     // convention, swept by the harnesses' getPersistentRDDs cleanup.
-    val rdd = sorted.rdd.localCheckpoint()
+    // The per-row copy is REQUIRED before persisting: the sort iterator
+    // reuses its row backing pages.
+    val rdd = InternalRowBridge.toRdd(sorted).map(_.copy()).localCheckpoint()
 
-    // pass 1: per (partition, key) counts — collected, metadata-sized
+    // pass 1: per (partition, key) counts — collected, metadata-sized.
+    // Key values referenced out of the materialized (copied) rows are
+    // stable; UTF8String/UnsafeRow keys hash and compare by value.
     val counts: Array[(Int, Any, Long)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
         it.foreach { r =>
-          val k = r.get(keyIdx)
+          val k = r.get(keyIdx, keyType)
           m.update(k, m.getOrElse(k, 0L) + 1L)
         }
         m.iterator.map { case (k, n) => (pid, k, n) }
@@ -75,20 +90,28 @@ object DistributedRank {
       }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: local running index per key + offset
+    // pass 2: local running index per key + offset, emitted through one
+    // UnsafeProjection (drop the __rk scratch column, append rn)
     val outSchema = StructType(
       schema.fields.dropRight(1) :+ StructField(rnCol, LongType, false))
     val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[Any, Long]()
+      val rnRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(
+        (0 until keyIdx).map(i =>
+          BoundReference(i, schema.fields(i).dataType,
+            schema.fields(i).nullable))
+          :+ BoundReference(schema.fields.length, LongType, false))
       it.map { r =>
-        val k = r.get(keyIdx)
+        val k = r.get(keyIdx, keyType)
         val i = local.getOrElse(k, 0L) + 1L
         local.update(k, i)
-        val rn = bcOffsets.value.getOrElse((pid, k), 0L) + i
-        Row.fromSeq(r.toSeq.dropRight(1) :+ rn)
+        rnRow.setLong(0, bcOffsets.value.getOrElse((pid, k), 0L) + i)
+        proj(joined(r, rnRow)): InternalRow
       }
     }
-    spark.createDataFrame(rows, outSchema)
+    InternalRowBridge.fromRdd(spark, rows, outSchema)
   }
 
   /** Append `sumCol` = sum(`value`) OVER (PARTITION BY `key` ORDER BY
@@ -113,15 +136,16 @@ object DistributedRank {
       .repartitionByRange(numPartitions, (col(df, "__rk") +: order): _*)
       .sortWithinPartitions((col(df, "__rk") +: order): _*)
     val schema = sorted.schema
-    // one materialization for both passes — see [[rowNumber]] (r21)
-    val rdd = sorted.rdd.localCheckpoint()
+    val keyType = schema.fields(keyIdx).dataType
+    // one materialization for both passes — see [[rowNumber]] (r21/r22)
+    val rdd = InternalRowBridge.toRdd(sorted).map(_.copy()).localCheckpoint()
 
     // pass 1: per (partition, key) value sums — collected, metadata-sized
     val sums: Array[(Int, Any, Long)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
         it.foreach { r =>
-          val k = r.get(keyIdx)
+          val k = r.get(keyIdx, keyType)
           m.update(k, m.getOrElse(k, 0L) + r.getLong(valIdx))
         }
         m.iterator.map { case (k, n) => (pid, k, n) }
@@ -138,20 +162,28 @@ object DistributedRank {
       }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: local running sum per key + offset
+    // pass 2: local running sum per key + offset (drop both scratch
+    // columns, append the running sum)
     val outSchema = StructType(
       schema.fields.dropRight(2) :+ StructField(sumCol, LongType, false))
     val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[Any, Long]()
+      val rnRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(
+        (0 until keyIdx).map(i =>
+          BoundReference(i, schema.fields(i).dataType,
+            schema.fields(i).nullable))
+          :+ BoundReference(schema.fields.length, LongType, false))
       it.map { r =>
-        val k = r.get(keyIdx)
+        val k = r.get(keyIdx, keyType)
         val s = local.getOrElse(k, 0L) + r.getLong(valIdx)
         local.update(k, s)
-        val run = bcOffsets.value.getOrElse((pid, k), 0L) + s
-        Row.fromSeq(r.toSeq.dropRight(2) :+ run)
+        rnRow.setLong(0, bcOffsets.value.getOrElse((pid, k), 0L) + s)
+        proj(joined(r, rnRow)): InternalRow
       }
     }
-    spark.createDataFrame(rows, outSchema)
+    InternalRowBridge.fromRdd(spark, rows, outSchema)
   }
 
   private def col(df: DataFrame, n: String): Column =

@@ -588,6 +588,10 @@ object Dedup {
             "transform(sequence(1, length(text) - 4), i -> substr(text, i, 5))"))
             .as("g"))
           .distinct()
+          // r22 (guide §5): three consumers (sizes + both join sides) —
+          // uncached, the explode + distinct pipeline executed per
+          // pruning-specialized copy (the q135/q137 finding)
+          .cache()
         val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val inter = grams.as("a")
           .join(grams.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")

@@ -72,7 +72,10 @@ object Pipeline {
 
   /** q122's bigram-transition CTE chain (Spark dialect) — the corpus
     * LM both the fluency report (q122) and the curriculum builder
-    * (q180) score against; one spelling per engine. */
+    * (q180) score against; one spelling per engine. (r22: measured and
+    * REJECTED materializing `big` as a cached view — the cached bigram
+    * strings cost more to store and re-read than the three codegen
+    * explode executions they replace; q122 1.4 s vs 0.6 s.) */
   private[graft] val FluencyCtes: String = """
         t AS (
           SELECT doc_id, split(text, ' ') AS w FROM documents
@@ -1726,6 +1729,9 @@ object Pipeline {
       (s, d) => {
         import s.implicits._
         graft.functions.Md5Long.register(s)
+        // cached (r22): the count action below and the rank's
+        // materialization both read fl — uncached, the whole fluency
+        // join pipeline ran twice
         val fl = Tables.sql(s, d, s"""
           WITH $FluencyCtes
           SELECT big.doc_id,
@@ -1733,7 +1739,7 @@ object Pipeline {
           FROM big
           JOIN pair ON big.bg = pair.bg
           JOIN ctx ON big.w1 = ctx.w1
-          GROUP BY big.doc_id""")
+          GROUP BY big.doc_id""").cache()
         val n = fl.count()
         val staged = graft.plans.DistributedRank.rowNumber(
             fl, lit(0L), Seq($"fluency_ppm".desc, $"doc_id".asc), "rk", 32)
